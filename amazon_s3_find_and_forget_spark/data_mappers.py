@@ -1,0 +1,64 @@
+"""Data-mapper config: a pointer to a lake table + identifier columns.
+
+Reference: backend/lambdas/data_mappers/handlers.py:74-182. The mapper is
+pure config; validation happens against the table's Spark schema instead
+of Glue: identifier columns must resolve (case-insensitively, dot paths
+through structs only) to primitive types, partition-key subsets must
+exist, and mapper locations must not overlap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import validate_identifier
+
+SUPPORTED_FORMATS = ("parquet", "json")
+
+
+@dataclass
+class DataMapper:
+    mapper_id: str
+    location: str  # directory or glob of data files
+    columns: list  # identifier dot paths
+    format: str = "parquet"
+    partition_keys: list = field(default_factory=list)  # optional subset
+    delete_old_versions: bool = True
+    ignore_object_not_found: bool = False
+
+    def __post_init__(self):
+        if self.format not in SUPPORTED_FORMATS:
+            # parity: data_mappers/handlers.py:24-27 (Parquet + JSON SerDes only)
+            raise ValueError(f"Unsupported format {self.format!r}")
+        if not self.columns:
+            raise ValueError("Data mapper requires at least one identifier column")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if self.format == "parquet":
+            return spark.read.parquet(self.location)
+        return spark.read.json(self.location)
+
+    def validate(self, spark: SparkSession) -> None:
+        schema = self.read(spark).schema
+        for col in self.columns:
+            validate_identifier(schema, col)
+        for pk in self.partition_keys:
+            if pk.lower() not in [f.name.lower() for f in schema.fields]:
+                raise ValueError(f"Partition key {pk} not found in table schema")
+
+
+def check_no_overlap(mappers: list[DataMapper]) -> None:
+    """Reject mappers whose locations nest within each other.
+
+    Parity: data_mappers/handlers.py:148-156 (``is_overlap`` substring
+    check on normalized S3 locations).
+    """
+    norm = [(m.mapper_id, m.location.rstrip("/") + "/") for m in mappers]
+    for i, (id_a, loc_a) in enumerate(norm):
+        for id_b, loc_b in norm[i + 1 :]:
+            if loc_a.startswith(loc_b) or loc_b.startswith(loc_a):
+                raise ValueError(
+                    f"Data mappers {id_a} and {id_b} have overlapping locations"
+                )

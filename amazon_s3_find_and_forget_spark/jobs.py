@@ -1,0 +1,248 @@
+"""Event-sourced job log: emit, stats fold, status state machine, run_job.
+
+The reference keeps one Job row plus append-only JobEvent rows keyed
+``(Id, Sk="<epoch_millis>#<uuid>")`` in DynamoDB, folded by two lambdas:
+- stats fold: sums 9 counters over events (jobs/stats_updater.py:27-120);
+- status fold: ordered event names drive a locked state machine
+  (jobs/status_updater.py:19-104).
+
+Here the event log is a DataFrame (or a plain list for the driver-side
+fold); the stats fold is a ``groupBy(Id).agg(sum(...))`` and the status
+fold a pure function — both also usable under Structured Streaming
+``foreachBatch`` (streaming/job_events.py).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- status state machine (parity: status_updater.py:19-51) ---------------
+
+STATUS_MAP = {
+    "FindPhaseFailed": "FIND_FAILED",
+    "ForgetPhaseFailed": "FORGET_FAILED",
+    "Exception": "FAILED",
+    "JobStarted": "RUNNING",
+    "ForgetPhaseEnded": "FORGET_COMPLETED_CLEANUP_IN_PROGRESS",
+    "CleanupFailed": "COMPLETED_CLEANUP_FAILED",
+    "CleanupSucceeded": "COMPLETED",
+}
+
+UNLOCKED_STATES = ["RUNNING", "QUEUED", "FORGET_COMPLETED_CLEANUP_IN_PROGRESS"]
+
+SKIP_CLEANUP_STATES = [
+    "FIND_FAILED",
+    "FORGET_FAILED",
+    "FAILED",
+    "FORGET_PARTIALLY_FAILED",
+]
+
+TIME_STATUSES = {
+    "JobStartTime": ["RUNNING"],
+    "JobFinishTime": [
+        "COMPLETED_CLEANUP_FAILED",
+        "COMPLETED",
+        "FAILED",
+        "FIND_FAILED",
+        "FORGET_FAILED",
+        "FORGET_PARTIALLY_FAILED",
+    ],
+}
+
+QUERY_EVENTS = ["QuerySucceeded", "QueryFailed"]
+OBJECT_EVENTS = [
+    "ObjectUpdated",
+    "ObjectUpdateSkipped",
+    "ObjectUpdateFailed",
+    "ObjectRollbackFailed",
+]
+
+EVENT_SCHEMA = (
+    "Id string, Sk string, EventName string, CreatedAt long, EventData string"
+)
+
+
+def make_event(job_id: str, name: str, data: dict | None = None, at: int | None = None):
+    at = at if at is not None else int(time.time() * 1000)
+    sk = f"{at}#{uuid.uuid4()}"  # parity: boto_utils.py:113
+    import json
+
+    return (job_id, sk, name, at, json.dumps(data or {}))
+
+
+def fold_stats(events_df: DataFrame) -> DataFrame:
+    """A5: sum the 9 job counters per job id — one hash aggregate.
+
+    Parity: stats_updater.py:27-120. Query statistics arrive in EventData
+    JSON as {"Statistics": {"DataScannedInBytes", "EngineExecutionTimeInMillis"}}.
+    """
+    name = F.col("EventName")
+    stats = F.get_json_object(F.col("EventData"), "$.Statistics.DataScannedInBytes")
+    millis = F.get_json_object(
+        F.col("EventData"), "$.Statistics.EngineExecutionTimeInMillis"
+    )
+    one_if = lambda n: F.sum(F.when(name == n, 1).otherwise(0))  # noqa: E731
+    return events_df.groupBy("Id").agg(
+        F.sum(F.when(name.isin(QUERY_EVENTS), 1).otherwise(0)).alias(
+            "TotalQueryCount"
+        ),
+        one_if("QuerySucceeded").alias("TotalQuerySucceededCount"),
+        one_if("QueryFailed").alias("TotalQueryFailedCount"),
+        F.sum(
+            F.when(name.isin(QUERY_EVENTS), stats.cast("long")).otherwise(0)
+        ).alias("TotalQueryScannedInBytes"),
+        F.sum(
+            F.when(name.isin(QUERY_EVENTS), millis.cast("long")).otherwise(0)
+        ).alias("TotalQueryTimeInMillis"),
+        one_if("ObjectUpdated").alias("TotalObjectUpdatedCount"),
+        one_if("ObjectUpdateSkipped").alias("TotalObjectUpdateSkippedCount"),
+        one_if("ObjectUpdateFailed").alias("TotalObjectUpdateFailedCount"),
+        one_if("ObjectRollbackFailed").alias("TotalObjectRollbackFailedCount"),
+    )
+
+
+def fold_status(events: list[dict], counters: dict | None = None) -> dict:
+    """A6: fold ordered events into {JobStatus, JobStartTime, JobFinishTime}.
+
+    ``events``: [{"EventName","CreatedAt"}] in Sk order. ``counters``
+    supplies the error counts used to derive FORGET_PARTIALLY_FAILED
+    (status_updater.py:85-104).
+    """
+    counters = counters or {}
+    out: dict = {}
+    for ev in events:
+        name = ev["EventName"]
+        if name not in STATUS_MAP:
+            continue
+        new_status = STATUS_MAP[name]
+        if name == "ForgetPhaseEnded" and (
+            counters.get("TotalObjectUpdateFailedCount", 0) > 0
+            or counters.get("TotalQueryFailedCount", 0) > 0
+        ):
+            new_status = "FORGET_PARTIALLY_FAILED"
+        if not out.get("JobStatus") or out.get("JobStatus") in UNLOCKED_STATES:
+            out["JobStatus"] = new_status
+        for attr, statuses in TIME_STATUSES.items():
+            if new_status in statuses and not out.get(attr):
+                out[attr] = ev["CreatedAt"]
+    return out
+
+
+def list_events(
+    events_df: DataFrame, job_id: str, watermark: str = "0", page_size: int = 20
+) -> DataFrame:
+    """W1: event-time ordered page forward from a Sk watermark."""
+    return (
+        events_df.where(F.col("Id") == job_id)
+        .where(F.col("Sk") > watermark)
+        .orderBy("Sk")
+        .limit(page_size)
+    )
+
+
+def list_jobs(jobs_df: DataFrame, page_size: int = 10) -> DataFrame:
+    """O1: newest-first top-K job listing."""
+    return jobs_df.orderBy(F.desc("CreatedAt")).limit(page_size)
+
+
+# --- end-to-end job runner ------------------------------------------------
+
+
+@dataclass
+class JobResult:
+    job_id: str
+    status: str
+    file_stats: list = field(default_factory=list)
+    events: list = field(default_factory=list)
+    counters: dict = field(default_factory=dict)
+
+
+def run_job(
+    spark: SparkSession,
+    mappers: list,
+    queue_items: list,
+    job_id: str | None = None,
+) -> JobResult:
+    """The whole deletion-job lifecycle as one driver program.
+
+    Replaces the reference's 3 state machines / 8 lambdas / 2 queues
+    (SURVEY.md §3.1): find affected files per mapper (broadcast semi-join
+    or pushed predicates), surgically rewrite them, fold events into
+    stats + status.
+    """
+    from .matches import build_column_groups, route_items
+    from .plans.find import find_affected_files
+    from .plans.forget import forget_files
+
+    job_id = job_id or str(uuid.uuid4())
+    events: list = []
+    emit = lambda name, data=None: events.append(  # noqa: E731
+        {"EventName": name, "CreatedAt": int(time.time() * 1000), "EventData": data or {}}
+    )
+    emit("JobStarted")
+    all_stats: list = []
+    counters: dict = {"TotalObjectUpdateFailedCount": 0, "TotalQueryFailedCount": 0}
+    try:
+        for mapper in mappers:
+            routed = route_items(queue_items, mapper.mapper_id)
+            if not routed:
+                continue
+            df = mapper.read(spark)
+            groups = build_column_groups(df.schema, mapper.columns, routed)
+            try:
+                paths = [
+                    r[0] for r in find_affected_files(df, groups).collect()
+                ]
+                emit("QuerySucceeded", {"DataMapperId": mapper.mapper_id})
+            except Exception as e:  # noqa: BLE001
+                # fail fast: any Find failure abandons the job
+                # (parity: work_query_queue.py:38-42 + FindPhaseFailed event)
+                counters["TotalQueryFailedCount"] += 1
+                emit("QueryFailed", {"Error": str(e)})
+                emit("FindPhaseFailed")
+                folded = fold_status(events, counters)
+                return JobResult(
+                    job_id=job_id,
+                    status=folded.get("JobStatus", "FIND_FAILED"),
+                    file_stats=all_stats,
+                    events=events,
+                    counters=counters,
+                )
+            stats = forget_files(
+                spark,
+                paths,
+                groups,
+                fmt=mapper.format,
+                ignore_not_found=mapper.ignore_object_not_found,
+            )
+            all_stats.extend(stats)
+            for row in stats:
+                status = row[4]
+                if status == "updated":
+                    emit("ObjectUpdated", {"Object": row[0]})
+                elif status == "skipped":
+                    emit("ObjectUpdateSkipped", {"Object": row[0]})
+                else:
+                    counters["TotalObjectUpdateFailedCount"] += 1
+                    emit("ObjectUpdateFailed", {"Object": row[0], "Error": row[5]})
+        emit("ForgetPhaseEnded")
+        if (
+            counters["TotalObjectUpdateFailedCount"] == 0
+            and counters["TotalQueryFailedCount"] == 0
+        ):
+            emit("CleanupSucceeded")
+    except Exception as e:  # noqa: BLE001
+        emit("Exception", {"Error": str(e)})
+    folded = fold_status(events, counters)
+    return JobResult(
+        job_id=job_id,
+        status=folded.get("JobStatus", "QUEUED"),
+        file_stats=all_stats,
+        events=events,
+        counters=counters,
+    )

@@ -1,0 +1,157 @@
+"""Forget phase: delete matching rows.
+
+Two physical strategies, chosen by the caller:
+
+1. ``forget_table`` — declarative anti-join over the whole table. One
+   scan, predicates/joins handled by Catalyst, output is a new dataset.
+   This is the scale path when rewriting the dataset wholesale is
+   acceptable (e.g. compaction-style erasure).
+
+2. ``forget_files`` — the reference's surgical one-in-one-out rewrite
+   (backend/ecs_tasks/delete_files/main.py:132-265): only the files the
+   Find phase flagged are touched; each is rewritten in place (temp file
+   + atomic rename), schema preserved, and the job fails the object if
+   zero rows were deleted (Find/Forget consistency check, main.py:182-187).
+   Files are distributed one-per-task via ``mapInPandas`` over a paths
+   DataFrame — the Spark scheduler replaces the reference's SQS + Fargate
+   fleet (task retry, speculation, backpressure for free).
+
+Null semantics: a NULL identifier never matches, so anti-join/filter
+must KEEP null rows — ``forget_table`` wraps predicates in
+``coalesce(pred, false)`` (a bare ``~isin`` would drop them).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..matches import ColumnGroup
+from .find import null_safe_predicate
+
+STATS_SCHEMA = (
+    "file_path string, format string, processed_rows long, deleted_rows long, "
+    "status string, error string"
+)
+
+
+def forget_table(df: DataFrame, groups: list[ColumnGroup]) -> DataFrame:
+    """Survivors of the table after deleting every matching row (J3/P10).
+
+    All groups are OR-combined into a single pass — semantically identical
+    to the reference's sequential per-group filtering (a row is deleted if
+    ANY group matches; parquet_handler.py:133-152) but one scan instead of
+    N.
+    """
+    if not groups:
+        return df
+    combined = reduce(or_, [null_safe_predicate(g) for g in groups])
+    return df.where(~combined)
+
+
+def groups_to_spec(groups: list[ColumnGroup]) -> list[dict]:
+    """Serialize column groups for the executor-side file handlers."""
+    spec = []
+    for g in groups:
+        if g.composite:
+            spec.append(
+                {
+                    "Type": "Composite",
+                    "Columns": list(g.columns),
+                    "MatchIds": [tuple(v) for v in g.values],
+                }
+            )
+        else:
+            spec.append(
+                {
+                    "Type": "Simple",
+                    "Column": g.columns[0],
+                    "MatchIds": list(g.values),
+                }
+            )
+    return spec
+
+
+def _rewrite_one(path: str, fmt: str, spec: list[dict], ignore_not_found: bool):
+    from ..sources.jsonl_file import rewrite_json_file
+    from ..sources.parquet_file import rewrite_parquet_file
+
+    local = path[len("file:") :] if path.startswith("file:") else path
+    if not os.path.exists(local):
+        status = "skipped" if ignore_not_found else "failed"
+        return (path, fmt, 0, 0, status, "ObjectNotFound")
+    suffix = ".gz" if local.endswith(".gz") else ""
+    tmp = os.path.join(
+        os.path.dirname(local), f".s3f2tmp-{uuid.uuid4().hex}{suffix}"
+    )
+    try:
+        if fmt == "parquet":
+            stats = rewrite_parquet_file(local, tmp, spec)
+        else:
+            stats = rewrite_json_file(local, tmp, spec)
+        if stats["DeletedRows"] == 0:
+            # Find said this object matches but Forget deleted nothing —
+            # fail the object rather than silently no-op (main.py:182-187).
+            os.remove(tmp)
+            return (
+                path,
+                fmt,
+                stats["ProcessedRows"],
+                0,
+                "failed",
+                "Unprocessable: no rows deleted",
+            )
+        os.replace(tmp, local)  # atomic swap = the new "object version"
+        # Hadoop's local FS keeps ".<name>.crc" sidecars; the rewritten
+        # bytes invalidate them (irrelevant on S3 where there is none).
+        crc = os.path.join(
+            os.path.dirname(local), "." + os.path.basename(local) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        return (
+            path,
+            fmt,
+            stats["ProcessedRows"],
+            stats["DeletedRows"],
+            "updated",
+            None,
+        )
+    except Exception as e:  # noqa: BLE001 — per-object error isolation
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        return (path, fmt, 0, 0, "failed", f"{type(e).__name__}: {e}")
+
+
+def forget_files(
+    spark: SparkSession,
+    files: list[str],
+    groups: list[ColumnGroup],
+    fmt: str = "parquet",
+    ignore_not_found: bool = False,
+) -> list[tuple]:
+    """Rewrite each affected file on the cluster; returns stats rows.
+
+    Eager by design: a deletion is an action, not a query — running it
+    lazily would re-execute the side effect on every plan re-evaluation.
+    One task per file (the reference's one-SQS-message-per-object,
+    submit_query_results.py:42-54, without the queue).
+    """
+    if not files:
+        return []
+    spec = groups_to_spec(groups)
+    sc = spark.sparkContext
+    slices = min(len(files), max(sc.defaultParallelism, 1))
+    rdd = sc.parallelize(files, numSlices=slices).map(
+        lambda p: _rewrite_one(p, fmt, spec, ignore_not_found)
+    )
+    return rdd.collect()
+
+
+def stats_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(rows, STATS_SCHEMA)

@@ -1,0 +1,142 @@
+"""Per-file Parquet rewrite: one file in, one file out, schema preserved.
+
+This is the executor-side kernel of the Forget phase's surgical path.
+Parity target: backend/ecs_tasks/delete_files/parquet_handler.py:133-177 —
+stream row groups, drop rows whose identifier value(s) are in the match
+set, preserve the input schema (metadata stripped), write snappy.
+
+Unlike the reference, the row mask is computed with vectorized Arrow
+compute kernels (``is_in`` / ``equal`` over whole columns), not a per-row
+Python loop (the reference's scalar hot spot, parquet_handler.py:36-81).
+Dot paths descend structs via ``StructArray.field``; all name resolution
+is case-insensitive (Glue lower-cases column names; parquet_handler.py:24-33).
+
+The match spec crossing the driver->executor boundary is a plain list of
+dicts (picklable, no Spark types):
+    {"Type": "Simple",    "Column": "a.b",        "MatchIds": [..]}
+    {"Type": "Composite", "Columns": ["a","b.c"], "MatchIds": [(..), ..]}
+Values are already cast (schema.cast_match_id); Decimal values are
+re-derived from the file's own schema here, as the reference does
+(parquet_handler.py:102-130), so scale always matches the file.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from functools import reduce
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _ci_field(names, name: str) -> str:
+    found = [n for n in names if n.lower() == name.lower()]
+    if not found:
+        raise ValueError(f"Column {name} not found.")
+    return found[0]
+
+
+def _get_column(table_or_struct, dot_path: str):
+    """Case-insensitive dot-path descent returning a (chunked) array."""
+    segments = dot_path.split(".")
+    if isinstance(table_or_struct, pa.Table):
+        col = table_or_struct.column(
+            _ci_field(table_or_struct.column_names, segments[0])
+        )
+    else:
+        raise TypeError("expected pa.Table")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    for seg in segments[1:]:
+        if not pa.types.is_struct(arr.type):
+            raise ValueError(
+                f"Column {dot_path}: segment {seg} is not under a struct"
+            )
+        arr = arr.field(_ci_field([f.name for f in arr.type], seg))
+    return arr
+
+
+def _leaf_type(schema_or_type, dot_path: str):
+    segments = dot_path.split(".")
+    t = schema_or_type
+    for i, seg in enumerate(segments):
+        fields = list(t) if isinstance(t, pa.Schema) else list(t)
+        name = _ci_field([f.name for f in fields], seg)
+        field = next(f for f in fields if f.name == name)
+        t = field.type
+    return t
+
+
+def _typed_values(values, arrow_type):
+    """Coerce match values to the file's own leaf type (Decimal rescale)."""
+    if pa.types.is_decimal(arrow_type):
+        return [Decimal(str(v)) for v in values]
+    return list(values)
+
+
+def _simple_mask(table: pa.Table, column: str, match_ids) -> pa.Array:
+    arr = _get_column(table, column)
+    values = _typed_values(match_ids, arr.type)
+    try:
+        value_set = pa.array(values, type=arr.type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        value_set = pa.array(values)
+        arr = arr.cast(value_set.type)
+    mask = pc.is_in(arr, value_set=value_set)
+    return pc.fill_null(mask, False)  # nulls never match
+
+
+def _composite_mask(table: pa.Table, columns, match_tuples) -> pa.Array:
+    arrays = [_get_column(table, c) for c in columns]
+    per_tuple_masks = []
+    for tup in match_tuples:
+        member_masks = []
+        for arr, v in zip(arrays, tup):
+            value = _typed_values([v], arr.type)[0]
+            try:
+                scalar = pa.scalar(value, type=arr.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                scalar = pa.scalar(value)
+                arr = arr.cast(scalar.type)
+            member_masks.append(pc.fill_null(pc.equal(arr, scalar), False))
+        per_tuple_masks.append(reduce(pc.and_, member_masks))
+    return reduce(pc.or_, per_tuple_masks)
+
+
+def delete_mask(table: pa.Table, to_delete: list[dict]) -> pa.Array:
+    """Boolean mask: True where the row matches ANY group (to be deleted)."""
+    masks = []
+    for group in to_delete:
+        if group["Type"] == "Simple":
+            masks.append(_simple_mask(table, group["Column"], group["MatchIds"]))
+        else:
+            masks.append(
+                _composite_mask(table, group["Columns"], group["MatchIds"])
+            )
+    if not masks:
+        return pa.array([False] * table.num_rows)
+    return reduce(pc.or_, masks)
+
+
+def rewrite_parquet_file(
+    in_path: str, out_path: str, to_delete: list[dict]
+) -> dict:
+    """Rewrite one Parquet file without the matching rows.
+
+    Streams row group by row group (bounded memory — a 1 GB row group
+    never materializes the whole file), preserves the input schema with
+    metadata stripped, writes snappy. Returns
+    ``{"ProcessedRows": n, "DeletedRows": m}``.
+    """
+    pf = pq.ParquetFile(in_path)
+    schema = pf.schema_arrow.remove_metadata()
+    processed = pf.metadata.num_rows
+    deleted = 0
+    with pq.ParquetWriter(out_path, schema, compression="snappy") as writer:
+        for rg in range(pf.num_row_groups):
+            table = pf.read_row_group(rg)
+            mask = delete_mask(table, to_delete)
+            kept = table.filter(pc.invert(mask))
+            deleted += table.num_rows - kept.num_rows
+            writer.write_table(kept.cast(schema))
+    return {"ProcessedRows": processed, "DeletedRows": deleted}

@@ -1,0 +1,223 @@
+"""End-to-end Find/Forget over Spark: semi-join plans, per-file rewrite,
+job lifecycle — run against a throwaway copy of the sf0.001 tables."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_s3_find_and_forget_spark.data_mappers import DataMapper, check_no_overlap
+from amazon_s3_find_and_forget_spark.jobs import fold_status, run_job
+from amazon_s3_find_and_forget_spark.matches import (
+    QueueItem,
+    build_column_groups,
+    build_manifest_df,
+    route_items,
+)
+from amazon_s3_find_and_forget_spark.plans.find import (
+    find_affected_files,
+    find_matching_rows,
+)
+from amazon_s3_find_and_forget_spark.plans.forget import forget_files, forget_table
+
+
+@pytest.fixture()
+def lake(tmp_path, spark, sf_dir):
+    """Copy lineitem into a multi-file lake we can rewrite."""
+    src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    loc = str(tmp_path / "lineitem")
+    src.repartition(4).write.parquet(loc)
+    return loc
+
+
+def test_find_affected_files_predicate_path(spark, lake):
+    df = spark.read.parquet(lake)
+    items = [QueueItem(match_id=1), QueueItem(match_id=3)]
+    groups = build_column_groups(df.schema, ["l_orderkey"], items)
+    paths = find_affected_files(df, groups)
+    assert paths.columns == ["file_path"]
+    hit = [r[0] for r in paths.collect()]
+    # every affected file really contains a match
+    expected = {
+        r[0]
+        for r in df.where(F.col("l_orderkey").isin([1, 3]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert set(hit) == expected and len(hit) >= 1
+
+
+def test_find_semi_join_path_same_result(spark, lake):
+    df = spark.read.parquet(lake)
+    items = [QueueItem(match_id=i) for i in (1, 3, 5)]
+    groups = build_column_groups(df.schema, ["l_orderkey"], items)
+    pred = {r[0] for r in find_affected_files(df, groups).collect()}
+    joined = {
+        r[0]
+        for r in find_affected_files(df, groups, predicate_value_limit=0).collect()
+    }
+    assert pred == joined
+
+
+def test_find_matching_rows(spark, lake):
+    df = spark.read.parquet(lake)
+    items = [QueueItem(match_id=1)]
+    groups = build_column_groups(df.schema, ["l_orderkey"], items)
+    rows = find_matching_rows(df, groups)
+    assert rows.count() == df.where("l_orderkey = 1").count()
+
+
+def test_forget_table_null_safe(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "customer_id string"
+    )
+    items = [QueueItem(match_id="a")]
+    groups = build_column_groups(df.schema, ["customer_id"], items)
+    out = forget_table(df, groups)
+    assert sorted(
+        [r[0] for r in out.collect()], key=lambda x: (x is None, x)
+    ) == ["b", None]
+
+
+def test_end_to_end_job(spark, lake):
+    df = spark.read.parquet(lake)
+    before = df.count()
+    victims = df.where("l_orderkey in (1, 3)").count()
+    assert victims > 0
+
+    mapper = DataMapper("lineitem", lake, ["l_orderkey"], format="parquet")
+    mapper.validate(spark)
+    items = [QueueItem(match_id=1), QueueItem(match_id=3)]
+    result = run_job(spark, [mapper], items)
+
+    assert result.status == "COMPLETED"
+    assert sum(s[3] for s in result.file_stats) == victims
+    spark.catalog.clearCache()
+    after = spark.read.parquet(lake)
+    assert after.count() == before - victims
+    assert after.where("l_orderkey in (1, 3)").count() == 0
+    # schema preserved
+    assert after.schema == df.schema
+
+
+def test_job_composite(spark, tmp_path):
+    loc = str(tmp_path / "people")
+    spark.createDataFrame(
+        [("John", "Doe", 1), ("Jane", "Doe", 2), ("John", "Smith", 3)],
+        "first_name string, last_name string, id bigint",
+    ).coalesce(1).write.parquet(loc)
+    mapper = DataMapper("people", loc, ["id"], format="parquet")
+    items = [
+        QueueItem(
+            match_id=[
+                {"Column": "first_name", "Value": "John"},
+                {"Column": "last_name", "Value": "Doe"},
+            ],
+            type="Composite",
+            data_mappers=["people"],
+        )
+    ]
+    result = run_job(spark, [mapper], items)
+    assert result.status == "COMPLETED"
+    spark.catalog.clearCache()
+    kept = spark.read.parquet(loc).collect()
+    assert sorted((r[0], r[1]) for r in kept) == [("Jane", "Doe"), ("John", "Smith")]
+
+
+def test_job_find_forget_consistency_failure(spark, tmp_path):
+    """Forget deleting 0 rows fails the object (main.py:182-187 parity)."""
+    loc = str(tmp_path / "t")
+    spark.createDataFrame([("a",), ("b",)], "customer_id string").coalesce(
+        1
+    ).write.parquet(loc)
+    files = [
+        r[0]
+        for r in spark.read.parquet(loc)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    items = [QueueItem(match_id="zzz")]
+    df = spark.read.parquet(loc)
+    groups = build_column_groups(df.schema, ["customer_id"], items)
+    stats = forget_files(spark, files, groups, fmt="parquet")
+    assert stats[0][4] == "failed"
+    assert "no rows deleted" in stats[0][5]
+
+
+def test_routing(spark):
+    items = [
+        QueueItem(match_id="a"),
+        QueueItem(match_id="b", data_mappers=["m1"]),
+        QueueItem(match_id="c", data_mappers=["m2"]),
+    ]
+    routed = route_items(items, "m1")
+    assert [i.match_id for i in routed] == ["a", "b"]
+
+
+def test_manifest_roundtrip(spark, tmp_path):
+    items = [
+        QueueItem(match_id="12345"),
+        QueueItem(
+            match_id=[
+                {"Column": "last_name", "Value": "Doe"},
+                {"Column": "first_name", "Value": "John"},
+            ],
+            type="Composite",
+            data_mappers=["m1"],
+        ),
+    ]
+    mdf = build_manifest_df(spark, "job1", "m1", ["customer_id"], items)
+    rows = {r["QueryableColumns"]: r for r in mdf.collect()}
+    assert rows["customer_id"]["QueryableMatchId"] == "12345"
+    # composite columns canonically sorted (O2)
+    assert rows["first_name_S3F2COMP_last_name"]["QueryableMatchId"] == (
+        "John_S3F2COMP_Doe"
+    )
+    path = str(tmp_path / "manifests")
+    mdf.write.partitionBy("JobId", "DataMapperId").json(path)
+    back = spark.read.json(path)
+    assert back.count() == 2
+
+
+def test_overlap_check():
+    a = DataMapper("a", "/lake/x", ["c"])
+    b = DataMapper("b", "/lake/x/sub", ["c"])
+    c = DataMapper("c", "/lake/y", ["c"])
+    check_no_overlap([a, c])
+    with pytest.raises(ValueError, match="overlap"):
+        check_no_overlap([a, b])
+
+
+def test_status_fold():
+    evs = [
+        {"EventName": "JobStarted", "CreatedAt": 1},
+        {"EventName": "ForgetPhaseEnded", "CreatedAt": 2},
+        {"EventName": "CleanupSucceeded", "CreatedAt": 3},
+    ]
+    out = fold_status(evs)
+    assert out["JobStatus"] == "COMPLETED"
+    assert out["JobStartTime"] == 1
+    assert out["JobFinishTime"] == 3
+
+
+def test_status_fold_partial_failure():
+    evs = [
+        {"EventName": "JobStarted", "CreatedAt": 1},
+        {"EventName": "ForgetPhaseEnded", "CreatedAt": 2},
+    ]
+    out = fold_status(evs, {"TotalObjectUpdateFailedCount": 1})
+    assert out["JobStatus"] == "FORGET_PARTIALLY_FAILED"
+    assert out["JobFinishTime"] == 2
+
+
+def test_status_fold_locked_terminal():
+    evs = [
+        {"EventName": "JobStarted", "CreatedAt": 1},
+        {"EventName": "FindPhaseFailed", "CreatedAt": 2},
+        {"EventName": "CleanupSucceeded", "CreatedAt": 3},
+    ]
+    out = fold_status(evs)
+    assert out["JobStatus"] == "FIND_FAILED"  # terminal state locked

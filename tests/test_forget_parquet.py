@@ -1,0 +1,250 @@
+"""Golden row-level delete cases, ported behaviorally from the reference's
+tests/unit/ecs_tasks/test_parquet.py (cited per-case)."""
+
+import os
+from decimal import Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from amazon_s3_find_and_forget_spark.sources.parquet_file import (
+    delete_mask,
+    rewrite_parquet_file,
+)
+
+
+def write_tbl(tmp_path, name, data, schema=None):
+    table = pa.table(data, schema=schema)
+    path = os.path.join(tmp_path, name)
+    pq.write_table(table, path)
+    return path, table
+
+
+def read_back(path):
+    return pq.read_table(path)
+
+
+def test_simple_delete(tmp_path):
+    # reference test_parquet.py:77-92 — 2 of 3 rows deleted
+    path, _ = write_tbl(
+        tmp_path, "t.parquet", {"customer_id": ["12345", "23456", "34567"]}
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path, out, [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["12345", "23456"]}]
+    )
+    assert stats == {"ProcessedRows": 3, "DeletedRows": 2}
+    assert read_back(out).column("customer_id").to_pylist() == ["34567"]
+
+
+def test_multi_column_zero_survivors(tmp_path):
+    # reference test_parquet.py:95-108 — DeletedRows counts rows once
+    path, _ = write_tbl(
+        tmp_path, "t.parquet", {"customer_id": ["12345"], "other_id": ["12345"]}
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [
+            {"Type": "Simple", "Column": "customer_id", "MatchIds": ["12345"]},
+            {"Type": "Simple", "Column": "other_id", "MatchIds": ["12345"]},
+        ],
+    )
+    assert stats == {"ProcessedRows": 1, "DeletedRows": 1}
+    assert read_back(out).num_rows == 0
+
+
+def test_case_insensitive_nested(tmp_path):
+    # reference test_parquet.py:111-130
+    t = pa.table(
+        {
+            "userData": pa.array(
+                [{"customerId": "12345"}, {"customerId": "34567"}],
+                type=pa.struct([("customerId", pa.string())]),
+            )
+        }
+    )
+    path = os.path.join(tmp_path, "t.parquet")
+    pq.write_table(t, path)
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [{"Type": "Simple", "Column": "userdata.customerid", "MatchIds": ["12345"]}],
+    )
+    assert stats["DeletedRows"] == 1
+    kept = read_back(out)
+    assert kept.column("userData").to_pylist() == [{"customerId": "34567"}]
+
+
+def test_struct_dot_path_preserved(tmp_path):
+    # reference test_parquet.py:151-177 — nested struct survives intact
+    t = pa.table(
+        {
+            "customer_id": ["a", "b"],
+            "user_info": pa.array(
+                [
+                    {"personal_information": {"email": "a@test.com", "name": "A"}},
+                    {"personal_information": {"email": "b@test.com", "name": "B"}},
+                ],
+                type=pa.struct(
+                    [
+                        (
+                            "personal_information",
+                            pa.struct([("email", pa.string()), ("name", pa.string())]),
+                        )
+                    ]
+                ),
+            ),
+        }
+    )
+    path = os.path.join(tmp_path, "t.parquet")
+    pq.write_table(t, path)
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [
+            {
+                "Type": "Simple",
+                "Column": "user_info.personal_information.email",
+                "MatchIds": ["a@test.com"],
+            }
+        ],
+    )
+    assert stats["DeletedRows"] == 1
+    kept = read_back(out)
+    assert kept.column("user_info").to_pylist() == [
+        {"personal_information": {"email": "b@test.com", "name": "B"}}
+    ]
+
+
+def test_composite_tuple_typed(tmp_path):
+    # reference test_parquet.py:230-252 — typed tuple equality (int, str)
+    path, _ = write_tbl(
+        tmp_path,
+        "t.parquet",
+        {"age": pa.array([11, 12, 11], type=pa.int32()), "last_name": ["a", "b", "a"]},
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [
+            {
+                "Type": "Composite",
+                "Columns": ["age", "last_name"],
+                "MatchIds": [(11, "a")],
+            }
+        ],
+    )
+    assert stats == {"ProcessedRows": 3, "DeletedRows": 2}
+    assert read_back(out).column("last_name").to_pylist() == ["b"]
+
+
+def test_mixed_simple_and_composite(tmp_path):
+    # reference test_parquet.py:285-305 — union of deletions
+    path, _ = write_tbl(
+        tmp_path,
+        "t.parquet",
+        {"customer_id": ["1", "2", "3", "4"], "last_name": ["a", "b", "c", "d"]},
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [
+            {"Type": "Simple", "Column": "customer_id", "MatchIds": ["1"]},
+            {
+                "Type": "Composite",
+                "Columns": ["customer_id", "last_name"],
+                "MatchIds": [("3", "c")],
+            },
+        ],
+    )
+    assert stats["DeletedRows"] == 2
+    assert read_back(out).column("customer_id").to_pylist() == ["2", "4"]
+
+
+def test_decimal_scale_exact(tmp_path):
+    # reference test_parquet.py:319-341 — "123.450" matches decimal(6,3)
+    schema = pa.schema([("customer_id_decimal", pa.decimal128(6, 3))])
+    t = pa.table(
+        {"customer_id_decimal": [Decimal("123.450"), Decimal("234.560")]},
+        schema=schema,
+    )
+    path = os.path.join(tmp_path, "t.parquet")
+    pq.write_table(t, path)
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [
+            {
+                "Type": "Simple",
+                "Column": "customer_id_decimal",
+                "MatchIds": ["123.450"],
+            }
+        ],
+    )
+    assert stats["DeletedRows"] == 1
+    assert read_back(out).column("customer_id_decimal").to_pylist() == [
+        Decimal("234.560")
+    ]
+
+
+def test_composite_with_decimal(tmp_path):
+    # reference test_parquet.py:373-407
+    schema = pa.schema(
+        [("d", pa.decimal128(6, 3)), ("name", pa.string())]
+    )
+    t = pa.table(
+        {"d": [Decimal("123.450"), Decimal("123.450")], "name": ["x", "y"]},
+        schema=schema,
+    )
+    path = os.path.join(tmp_path, "t.parquet")
+    pq.write_table(t, path)
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [
+            {
+                "Type": "Composite",
+                "Columns": ["d", "name"],
+                "MatchIds": [("123.450", "x")],
+            }
+        ],
+    )
+    assert stats["DeletedRows"] == 1
+    assert read_back(out).column("name").to_pylist() == ["y"]
+
+
+def test_missing_column_raises(tmp_path):
+    # reference test_parquet.py:410-423
+    t = pa.table({"customer_id": ["1"]})
+    with pytest.raises(ValueError, match="not found"):
+        delete_mask(t, [{"Type": "Simple", "Column": "nope", "MatchIds": ["1"]}])
+
+
+def test_nulls_never_match(tmp_path):
+    path, _ = write_tbl(
+        tmp_path, "t.parquet", {"customer_id": ["12345", None, "34567"]}
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path, out, [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["12345"]}]
+    )
+    assert stats["DeletedRows"] == 1
+    assert read_back(out).column("customer_id").to_pylist() == [None, "34567"]
+
+
+def test_schema_metadata_stripped(tmp_path):
+    path, _ = write_tbl(tmp_path, "t.parquet", {"customer_id": ["1", "2"]})
+    out = os.path.join(tmp_path, "out.parquet")
+    rewrite_parquet_file(
+        path, out, [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["1"]}]
+    )
+    assert read_back(out).schema.metadata in (None, {})
