@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Each operator is a
+DataFrame -> DataFrame transform over a ``documents``-shaped table
+(``doc_id bigint, text string, ...``).
+
+Operators:
+- ``with_token_count``     whitespace tokenization + counts
+- ``with_quality``         length / punctuation / stopword-ratio quality score
+- ``with_lang_id``         marker-word n-gram heuristic language ID
+- ``with_fingerprint``     normalized-text digest fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately small, deterministic marker sets (a real deployment would
+# ship per-language frequency tables; the *plumbing* — one scan, all
+# JVM-side — is what matters at 100 TB).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "por", "para", "con"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens; empty strings filtered (split artifacts)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9']+"), lambda t: t != F.lit("")
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_chars_measured", F.length(F.col(text_col))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: mean word length, punctuation density, stopword
+    ratio, and a composite [0,1] score. All single-pass, codegen-friendly."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+    mean_word_len = F.when(n_tok > 0, (n_chars.cast("double") / n_tok)).otherwise(0.0)
+    punct_ratio = F.when(
+        n_chars > 0, punct.cast("double") / n_chars.cast("double")
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tok > 0, stop_hits.cast("double") / n_tok.cast("double")
+    ).otherwise(0.0)
+    score = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.4)).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(0.0)
+        + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(0.0)
+    )
+    return (
+        df.withColumn("mean_word_len", F.round(mean_word_len, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("quality_score", F.round(score, 2))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID by distinct-marker-word hits; deterministic tie-break by
+    language code order. One scan; scoring via array_intersect (JVM)."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in markers]))
+        ).alias(f"_score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    langs = list(LANG_MARKERS)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"_score_{lang}").alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang in langs
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: max score, then max lang
+    # tie-break deterministically toward the FIRST language code on equal
+    # scores: compare against reversed preference via sort
+    tmp = df.select("*", *scores)
+    out = tmp.withColumn(
+        "lang_pred",
+        F.when(best["score"] <= 0, F.lit("und")).otherwise(
+            # among max-score langs pick lexicographically smallest code
+            F.element_at(
+                F.array_sort(
+                    F.filter(pairs, lambda p: p["score"] == best["score"])
+                ),
+                1,
+            )["lang"]
+        ),
+    ).withColumn("lang_score", best["score"])
+    return out.drop(*[f"_score_{lang}" for lang in langs])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-collapsed lowercased text.
+
+    Two docs differing only in case/whitespace collide — the standard
+    "fingerprint dedup" normalization.
+    """
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized))

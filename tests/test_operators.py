@@ -1,0 +1,167 @@
+"""Tests for dedup / similarity / text / multimodal operators over the
+driver-generated documents & embeddings tables."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_s3_find_and_forget_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about databases and spark " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.verified_jaccard_pairs(
+        df, dedup.minhash_candidate_pairs(df), threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup
+    assert (1, 2) in got or (2, 4) in got  # near dup
+    assert not any(3 in p for p in got)
+
+    survivors = dedup.minhash_dedup(df, threshold=0.5)
+    ids = sorted(r.doc_id for r in survivors.collect())
+    assert 1 in ids and 3 in ids and 4 not in ids
+
+
+def test_simhash_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    near = base.replace("theta", "iota")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_duplicates(df, max_hamming=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_ngram_jaccard(spark):
+    a = "one two three four five six seven eight"
+    b = "one two three four five six seven nine"
+    c = "totally different words with nothing shared"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in k for k in got)
+
+
+def test_cosine_topk_matches_numpy(embs):
+    rows = embs.limit(50).collect()
+    q = rows[0].embedding
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    qv = np.array(q, dtype=np.float64)
+    ref = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(
+        zip([r.vec_id for r in rows], ref), key=lambda t: (-round(t[1], 6), t[0])
+    )[:5]
+    sub = embs.sparkSession.createDataFrame(rows, embs.schema)
+    got = similarity.cosine_topk(sub, list(q), k=5).collect()
+    assert [r.vec_id for r in got] == [t[0] for t in order]
+    for r, (_, expected) in zip(got, order):
+        assert abs(r.cosine - expected) < 1e-4
+
+
+def test_lsh_topk_probes_subset(embs):
+    q = embs.limit(1).collect()[0].embedding
+    dim = len(q)
+    exact = similarity.cosine_topk(embs, list(q), k=1).collect()
+    approx = similarity.lsh_topk(embs, list(q), k=1, bits=6).collect()
+    # the query vector itself lands in its own bucket -> recall@1 for self
+    assert approx[0].vec_id == exact[0].vec_id
+
+
+def test_embedding_near_duplicates(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = similarity.embedding_near_duplicates(df, dim=4, threshold=0.99, bits=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_token_count_and_quality(docs):
+    out = text.with_quality(text.with_token_count(docs)).limit(20).collect()
+    for r in out:
+        assert r.n_tokens >= 0
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house for a while"),
+            (2, "der Hund und die Katze ist nicht mit der Maus"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.with_lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fingerprint for r in text.with_fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (1, "image", b"img-bytes-1", "image/png", 8, 8, None),
+        (2, "audio", b"audio-bytes", "audio/wav", None, None, 2500),
+        (3, "video", b"video-bytes", "video/mp4", 16, 16, 3500),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df).collect()
+    assert len(feats) == 3
+    by_id = {r.media_id: r for r in feats}
+    assert len(by_id[1].feature) == multimodal.FEATURE_DIM
+    assert by_id[1].payload_bytes == len(b"img-bytes-1")
+    # deterministic across runs
+    feats2 = multimodal.extract_features(df).collect()
+    assert {r.media_id: r.feature for r in feats2} == {
+        r.media_id: r.feature for r in feats
+    }
+
+    frames = multimodal.frame_sample(df, every_ms=1000).collect()
+    assert {r.media_id for r in frames} == {3}
+    assert len(frames) == 3  # 3500ms -> frames at 0,1000,2000
