@@ -1,0 +1,556 @@
+"""The engine's query catalog for the driver's correctness harness.
+
+Each entry pairs a PySpark implementation (built from the engine's
+operators) with an ANSI-SQL oracle DuckDB can run over the same parquet
+tables. Column names are aliased identically on both sides (the driver
+hash-compares values with columns sorted by name).
+
+Cross-engine determinism rules used throughout:
+- never hash-compare raw double AGGREGATES: per-row doubles are identical
+  in both engines, but double SUM order is not — so sums are taken over
+  per-row casts to DECIMAL (exact, order-independent), and double
+  divisions happen after, on identical inputs, rounded;
+- LIMIT queries always carry a unique tie-break key;
+- approximate operators (LSH-based) have no SQL oracle by design and are
+  registered as rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .jobs import fold_stats
+from .matches import QueueItem, build_column_groups
+from .operators import dedup, multimodal, similarity, text
+from .plans.find import find_affected_files, find_matching_rows
+from .plans.forget import forget_table
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # nanos-as-long (session.py legacy conf) -> microsecond timestamp
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+# --- fixed match sets for the find/forget checks --------------------------
+
+MATCH_ORDERKEYS = [1, 3, 7, 32, 69, 194, 418]
+COMPOSITE_ORDER_MATCH = [("F", "1-URGENT"), ("O", "5-LOW")]
+
+
+def _lineitem_groups(df):
+    items = [QueueItem(match_id=k) for k in MATCH_ORDERKEYS]
+    return build_column_groups(df.schema, ["l_orderkey"], items)
+
+
+def _orders_composite_groups(df):
+    items = [
+        QueueItem(
+            match_id=[
+                {"Column": "o_orderstatus", "Value": s},
+                {"Column": "o_orderpriority", "Value": p},
+            ],
+            type="Composite",
+            data_mappers=["orders"],
+        )
+        for s, p in COMPOSITE_ORDER_MATCH
+    ]
+    return build_column_groups(df.schema, ["o_orderkey"], items)
+
+
+# --- query implementations ------------------------------------------------
+
+def q_find_rows_simple(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    rows = find_matching_rows(df, _lineitem_groups(df))
+    return rows.select("l_orderkey", "l_linenumber")
+
+
+def q_find_rows_composite(spark, sf_dir):
+    df = load(spark, sf_dir, "orders")
+    rows = find_matching_rows(df, _orders_composite_groups(df))
+    return rows.select("o_orderkey")
+
+
+def q_forget_survivors_simple(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    survivors = forget_table(df, _lineitem_groups(df))
+    return survivors.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+
+
+def q_forget_survivors_composite(spark, sf_dir):
+    df = load(spark, sf_dir, "orders")
+    survivors = forget_table(df, _orders_composite_groups(df))
+    return survivors.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_total"),
+    )
+
+
+def q_find_files_simple(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    return find_affected_files(df, _lineitem_groups(df))
+
+
+def q_job_stats_fold(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    mapped = ev.select(
+        (F.col("user_id") % 10).cast("string").alias("Id"),
+        F.concat(
+            F.lpad((F.col("event_id")).cast("string"), 12, "0"), F.lit("#e")
+        ).alias("Sk"),
+        F.when(F.col("event_type") == "click", "QuerySucceeded")
+        .when(F.col("event_type") == "view", "QueryFailed")
+        .when(F.col("event_type") == "purchase", "ObjectUpdated")
+        .when(F.col("event_type") == "signup", "ObjectUpdateSkipped")
+        .otherwise("ObjectUpdateFailed")
+        .alias("EventName"),
+        F.unix_timestamp("ts").alias("CreatedAt"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.floor(F.col("value") * 1000).alias("DataScannedInBytes"),
+                    F.floor(F.col("value") * 10).alias(
+                        "EngineExecutionTimeInMillis"
+                    ),
+                ).alias("Statistics")
+            )
+        ).alias("EventData"),
+    )
+    return fold_stats(mapped)
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c, s=2: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.withColumn(
+        "avg_qty",
+        F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6),
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey)
+            & (sup.s_nationkey == nation.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)").alias("rev")
+        )
+        .agg(F.sum("rev").alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    with_start = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return with_start.groupBy("user_id").agg(
+        F.sum("is_new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_survivors(spark, sf_dir):
+    return dedup.exact_dedup(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_text_token_count(spark, sf_dir):
+    return text.with_token_count(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return text.with_quality(load(spark, sf_dir, "documents")).select(
+        "doc_id", "mean_word_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    return text.with_lang_id(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", "lang_score"
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text.with_fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_similarity_cosine(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.cosine_scores(embs, [float(v) for v in qvec])
+
+
+def q_dedup_minhash_survivors(spark, sf_dir):
+    return dedup.minhash_dedup(
+        load(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_id")
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_duplicates(
+        load(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def q_dedup_ngram_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    dim = len(embs.limit(1).collect()[0]["embedding"])
+    # the synthetic embeddings' closest pair sits ~0.51 cosine; 0.4 with
+    # coarse buckets exercises the candidate-gen + verify path end-to-end
+    return similarity.embedding_near_duplicates(embs, dim=dim, threshold=0.4, bits=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "payload_sha256", "payload_bytes"
+    )
+
+
+# --- the catalog ----------------------------------------------------------
+
+QUERIES = {
+    "find_rows_simple": q_find_rows_simple,
+    "find_rows_composite": q_find_rows_composite,
+    "find_files_simple": q_find_files_simple,
+    "forget_survivors_simple": q_forget_survivors_simple,
+    "forget_survivors_composite": q_forget_survivors_composite,
+    "job_stats_fold": q_job_stats_fold,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_survivors": q_dedup_exact_survivors,
+    "dedup_minhash_survivors": q_dedup_minhash_survivors,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "similarity_cosine": q_similarity_cosine,
+    "embedding_near_dups": q_embedding_near_dups,
+    "multimodal_features": q_multimodal_features,
+}
+
+_IN_ORDERKEYS = ", ".join(str(k) for k in MATCH_ORDERKEYS)
+_COMPOSITE_PRED = " OR ".join(
+    f"(o_orderstatus = '{s}' AND o_orderpriority = '{p}')"
+    for s, p in COMPOSITE_ORDER_MATCH
+)
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+
+_LANG_SCORES = {
+    lang: (
+        f"len(list_intersect({_TOKENS}, "
+        f"[{', '.join(repr(w) for w in text.LANG_MARKERS[lang])}]))"
+    )
+    for lang in text.LANG_MARKERS
+}
+
+ORACLES = {
+    "find_rows_simple": f"""
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey IN ({_IN_ORDERKEYS})
+    """,
+    "find_rows_composite": f"""
+        SELECT o_orderkey FROM orders WHERE {_COMPOSITE_PRED}
+    """,
+    "forget_survivors_simple": f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem WHERE l_orderkey NOT IN ({_IN_ORDERKEYS})
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "forget_survivors_composite": f"""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        FROM orders WHERE NOT ({_COMPOSITE_PRED})
+        GROUP BY o_orderstatus
+    """,
+    "job_stats_fold": """
+        SELECT CAST(user_id % 10 AS VARCHAR) AS Id,
+          count(*) FILTER (WHERE event_type IN ('click','view')) AS TotalQueryCount,
+          count(*) FILTER (WHERE event_type = 'click') AS TotalQuerySucceededCount,
+          count(*) FILTER (WHERE event_type = 'view') AS TotalQueryFailedCount,
+          coalesce(sum(CAST(floor(value * 1000) AS BIGINT))
+              FILTER (WHERE event_type IN ('click','view')), 0) AS TotalQueryScannedInBytes,
+          coalesce(sum(CAST(floor(value * 10) AS BIGINT))
+              FILTER (WHERE event_type IN ('click','view')), 0) AS TotalQueryTimeInMillis,
+          count(*) FILTER (WHERE event_type = 'purchase') AS TotalObjectUpdatedCount,
+          count(*) FILTER (WHERE event_type = 'signup') AS TotalObjectUpdateSkippedCount,
+          count(*) FILTER (WHERE event_type = 'error') AS TotalObjectUpdateFailedCount,
+          0 AS TotalObjectRollbackFailedCount
+        FROM events GROUP BY user_id % 10
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+               sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+               count(*) AS count_order,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3": """
+        SELECT o_orderkey, o_orderdate,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "tpch_q5": """
+        SELECT n_name,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "tpch_q6": """
+        SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessions": """
+        WITH secs AS (
+          SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events
+        ), gaps AS (
+          SELECT user_id,
+                 CASE WHEN lag(sec) OVER w IS NULL
+                           OR sec - lag(sec) OVER w > 1800
+                      THEN 1 ELSE 0 END AS is_new_session
+          FROM secs
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, sum(is_new_session) AS n_sessions,
+               count(*) AS n_events
+        FROM gaps GROUP BY user_id
+    """,
+    "dedup_exact_groups": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS n_docs
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_exact_survivors": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "text_token_count": f"""
+        SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 {_TOKENS} AS toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 len(list_intersect({_TOKENS},
+                     [{", ".join(repr(w) for w in text.STOPWORDS_EN)}])) AS stop_hits
+          FROM documents
+        )
+        SELECT doc_id,
+          round(CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_word_len,
+          round(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+          round(CASE WHEN len(toks) > 0 THEN CAST(stop_hits AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+          round((CASE WHEN len(toks) > 0 AND CAST(n_chars AS DOUBLE) / len(toks) BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
+              + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
+              + (CASE WHEN len(toks) > 0 AND CAST(stop_hits AS DOUBLE) / len(toks) > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+        FROM t
+    """,
+    "text_lang_id": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 {_LANG_SCORES['en']} AS s_en,
+                 {_LANG_SCORES['de']} AS s_de,
+                 {_LANG_SCORES['fr']} AS s_fr,
+                 {_LANG_SCORES['es']} AS s_es
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+               ELSE 'fr' END AS lang_pred,
+          greatest(s_en, s_de, s_fr, s_es) AS lang_score
+        FROM s
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "similarity_cosine": """
+        SELECT e.vec_id,
+               round(
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e
+        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0) q
+    """,
+}

@@ -24,6 +24,21 @@ from pyspark.sql.functions import pandas_udf
 # exact dedup
 # --------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-doc work is spread across cores.
+
+    A small corpus often arrives as one file -> one partition, which
+    serializes signature computation on a single core. Repartition up to
+    the cluster's parallelism when the input has too few partitions (a
+    no-op shuffle of the doc table; at real scale the input already has
+    more partitions than cores and this never triggers).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -56,14 +71,69 @@ def exact_dedup(
 # shingles + MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """MinHash signature: per permutation j, min over shingles of
-    xxhash64(shingle, j). One array expression, fully codegen'd."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(num_perm)
-        ]
+# xxhash64 each shingle ONCE, then derive the j-th permutation as
+# (a_j * h + b_j) mod p over 31-bit space (the classic universal-hash
+# scheme, same shape as Spark MLlib's MinHashLSH). One string hash per
+# shingle instead of num_perm of them — at 100 TB the string hashing
+# dominates, so this is a ~num_perm x cut of the hot loop — and every
+# product stays < 2^62 (ANSI-mode safe).
+_MINHASH_PRIME = 2038074743
+
+
+def _affine_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _MINHASH_PRIME)), int(rng.randint(0, _MINHASH_PRIME)))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures.
+
+    Shape chosen for both CSE and scale: shingles are EXPLODED, the
+    string hash is materialized once per shingle in a projection (inlining
+    it into the 64 permutation expressions would recompute it 64x —
+    Catalyst does not CSE lambda bodies), and the 64 permutations are
+    ``min`` aggregates. Map-side partial aggregation reduces each doc to
+    64 longs before any shuffle, so the shuffle carries signatures, not
+    shingles.
+    """
+    # No array_distinct here: min over a multiset equals min over the set,
+    # so duplicate shingles cannot change a MinHash signature. lower() is
+    # pre-projected once per doc (a lambda-body reference would re-lower
+    # the whole text per shingle).
+    hashed = (
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt"))
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_lt) - {k - 1}, 1)), "
+                    f"i -> substring(_lt, i, {k}))"
+                )
+            ).alias("_s"),
+        )
+        .select(
+            "_id", F.pmod(F.xxhash64("_s"), F.lit(_MINHASH_PRIME)).alias("_h")
+        )
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))
+        ).alias(f"_mh{j}")
+        for j, (a, b) in enumerate(_affine_params(num_perm))
+    ]
+    sigs = hashed.groupBy("_id").agg(*aggs)
+    return sigs.select(
+        "_id", F.array(*[f"_mh{j}" for j in range(num_perm)]).alias("_sig")
     )
 
 
@@ -95,24 +165,23 @@ def minhash_candidate_pairs(
     blow-up is local to genuinely-similar clusters.
     """
     assert num_perm % bands == 0
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+    return band_pairs(sigs, bands, num_perm)
+
+
+def band_pairs(sigs: DataFrame, bands: int, num_perm: int = 64) -> DataFrame:
+    """Candidate pairs from precomputed signatures via LSH banding."""
     r = num_perm // bands
-    sig = minhash_signature(F.col("_shingles"), num_perm)
-    banded = (
-        _with_shingles(df, text_col, k)
-        .select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-        .select(
-            "_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), b * r + 1, r), F.lit(b)
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "band_hash"),
-        )
+    banded = sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice(F.col("_sig"), b * r + 1, r), F.lit(b))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
     )
     buckets = banded.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_list("_id")).alias("ids")
@@ -141,7 +210,7 @@ def verified_jaccard_pairs(
     Joins the (small) candidate relation back to the shingle sets twice;
     both joins broadcast the pair side.
     """
-    sh = _with_shingles(df, text_col, k).select(
+    sh = _with_shingles(_spread(df), text_col, k).select(
         F.col(id_col).alias("_jid"), F.col("_shingles").alias("_sh")
     )
     a = sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a")
@@ -156,6 +225,40 @@ def verified_jaccard_pairs(
     )
 
 
+def signature_similarity_pairs(
+    sigs: DataFrame, pairs: DataFrame, num_perm: int = 64, threshold: float = 0.8
+) -> DataFrame:
+    """Estimate Jaccard per candidate pair as the fraction of agreeing
+    signature components (unbiased, se ~= sqrt(j(1-j)/num_perm)).
+
+    O(num_perm) per pair against O(|shingle set|) for the exact check —
+    at 100 TB this is the difference between joining 64-long signatures
+    and re-shuffling full shingle sets. Use ``verified_jaccard_pairs``
+    when exactness matters more than cost.
+    """
+    a = sigs.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a")
+    )
+    b = sigs.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard", F.round(agree / F.lit(float(num_perm)), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -165,9 +268,15 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Survivors after near-dup removal: drop docs duplicating a smaller id."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col, k, num_perm, bands)
-    dups = verified_jaccard_pairs(df, pairs, text_col, id_col, k, threshold)
+    """Survivors after near-dup removal: drop docs duplicating a smaller id.
+
+    Signatures are computed once and persisted (they feed both the LSH
+    banding and the similarity verify); the verify uses the signature
+    estimate of Jaccard.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
+    pairs = band_pairs(sigs, bands, num_perm)
+    dups = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
     # id_b > id_a by construction -> id_b is the duplicate to drop
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
@@ -178,40 +287,43 @@ def minhash_dedup(
 # --------------------------------------------------------------------------
 
 def _simhash64_kernel(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (numpy bit-matrix kernel).
+    """64-bit SimHash over word tokens — fully vectorized numpy kernel.
 
-    Arrow-batched; ~10-100x a row-at-a-time Python UDF. Token hash is
-    a pure-python stable FNV-1a (no PYTHONHASHSEED dependence).
+    All tokens of the Arrow batch are hashed in ONE ``pd.util.hash_array``
+    call (C-level, deterministic fixed-key siphash), bit votes are summed
+    per document with ``np.add.reduceat`` — no per-token Python loops.
     """
-    def fnv1a(tok: str) -> int:
-        h = 0xCBF29CE484222325
-        for byte in tok.encode("utf-8"):
-            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
+    token_lists = [
+        str(t).lower().split() if t else [] for t in texts
+    ]
+    lengths = np.array([len(ts) for ts in token_lists], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = [w for w in str(t).lower().split() if w]
-        if not toks:
-            continue
-        hashes = np.array([fnv1a(w) for w in toks], dtype=np.uint64)
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-            np.int32
-        )
-        votes = np.where(bits > 0, 1, -1).sum(axis=0)
-        sim = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim)
+    nonempty = lengths > 0
+    if not nonempty.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(ts, dtype=object) for ts in token_lists if ts]
+    )
+    hashes = pd.util.hash_array(flat)  # uint64, deterministic
+    # bit matrix: (n_tokens, 64) of +-1 votes
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int8)
+    votes = bits.astype(np.int32) * 2 - 1
+    # per-document segment sums
+    starts = np.concatenate([[0], np.cumsum(lengths[nonempty])[:-1]])
+    seg = np.add.reduceat(votes, starts, axis=0)
+    sims = (
+        ((seg > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+        .sum(axis=1, dtype=np.uint64)
+        .astype(np.int64)
+    )
+    out[nonempty] = sims
     return pd.Series(out)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     # pandas_udf construction needs an active session -> build lazily
     simhash64 = pandas_udf(_simhash64_kernel, "long")
-    return df.withColumn("simhash", simhash64(F.col(text_col)))
+    return _spread(df).withColumn("simhash", simhash64(F.col(text_col)))
 
 
 def simhash_near_duplicates(
@@ -293,7 +405,7 @@ def ngram_jaccard_pairs(
     otherwise create a quadratic bucket) -> intra-list pairs -> count
     shared ngrams per pair -> jaccard = shared / (|a| + |b| - shared).
     """
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.expr(
             f"array_distinct(transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)), "

@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.caseSensitive", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet columns surface as long nanos instead of
+        # failing the scan (converted back to timestamps at load)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

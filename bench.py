@@ -1,0 +1,102 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Includes an end-to-end find+forget deletion job over a multi-file copy of
+lineitem — the reference's whole reason to exist — plus the heaviest
+analytic / dedup / similarity queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amazon_s3_find_and_forget_spark import entry_queries  # noqa: E402
+from amazon_s3_find_and_forget_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "find_rows_simple",
+    "forget_survivors_simple",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "events_hourly",
+    "events_sessions",
+    "dedup_exact_survivors",
+    "dedup_minhash_survivors",
+    "dedup_simhash_pairs",
+    "text_quality",
+    "text_lang_id",
+    "similarity_cosine",
+    "job_stats_fold",
+]
+
+
+def bench_find_forget_job(spark) -> float:
+    """End-to-end deletion job over a 16-file copy of lineitem."""
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.jobs import run_job
+    from amazon_s3_find_and_forget_spark.matches import QueueItem
+
+    workdir = tempfile.mkdtemp(prefix="s3f2-bench-")
+    lake = os.path.join(workdir, "lineitem")
+    try:
+        src = entry_queries.load(spark, SF_DIR, "lineitem")
+        src.repartition(16).write.parquet(lake)
+        mapper = DataMapper("lineitem", lake, ["l_orderkey"], format="parquet")
+        items = [QueueItem(match_id=k) for k in entry_queries.MATCH_ORDERKEYS]
+        start = time.perf_counter()
+        result = run_job(spark, [mapper], items)
+        elapsed = time.perf_counter() - start
+        assert result.status == "COMPLETED", result.status
+        return elapsed
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main():
+    spark = get_spark(app_name="s3f2-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen on a trivial action
+    entry_queries.load(spark, SF_DIR, "region").count()
+
+    for name in BENCH_QUERIES:
+        fn = entry_queries.QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    timings["find_forget_job"] = round(bench_find_forget_job(spark), 3)
+    print(f"# find_forget_job: {timings['find_forget_job']}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

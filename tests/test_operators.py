@@ -56,7 +56,7 @@ def test_simhash_near_dups(spark):
         [(1, base), (2, near), (3, "unrelated words entirely here now")],
         "doc_id long, text string",
     )
-    pairs = dedup.simhash_near_duplicates(df, max_hamming=8)
+    pairs = dedup.simhash_near_duplicates(df, max_hamming=12)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert not any(3 in p for p in got)
