@@ -143,4 +143,8 @@ def find_matching_rows(
     branches = _branches(df, groups, star, predicate_value_limit)
     if not branches:
         return df.limit(0)
+    if len(branches) == 1:
+        # single branch cannot produce duplicates — skip the wide dedup
+        # (an all-columns hash aggregate + full shuffle at scale)
+        return branches[0]
     return reduce(DataFrame.unionAll, branches).dropDuplicates()

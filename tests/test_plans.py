@@ -1,0 +1,97 @@
+"""Plan-shape assertions: the physical plans the engine is supposed to
+produce at scale — pushed filters, broadcast joins, partition pruning.
+(The Spark analog of the reference's golden-SQL tests,
+tests/unit/tasks/test_execute_query.py.)"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_s3_find_and_forget_spark.matches import QueueItem, build_column_groups
+from amazon_s3_find_and_forget_spark.plans.find import (
+    find_affected_files,
+    find_matching_rows,
+)
+
+
+@pytest.fixture()
+def lake(tmp_path, spark, sf_dir):
+    src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    loc = str(tmp_path / "li")
+    src.repartition(4).write.parquet(loc)
+    return loc
+
+
+@pytest.fixture()
+def partitioned_lake(tmp_path, spark, sf_dir):
+    src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    loc = str(tmp_path / "li_part")
+    src.write.partitionBy("l_returnflag").parquet(loc)
+    return loc
+
+
+def explain_str(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_find_pushes_in_filter(spark, lake):
+    df = spark.read.parquet(lake)
+    groups = build_column_groups(
+        df.schema, ["l_orderkey"], [QueueItem(match_id=k) for k in (1, 3, 5)]
+    )
+    plan = explain_str(find_affected_files(df, groups))
+    assert "PushedFilters" in plan
+    assert "In(l_orderkey" in plan  # match set reaches the parquet scan
+
+
+def test_find_prunes_columns(spark, lake):
+    df = spark.read.parquet(lake)
+    groups = build_column_groups(
+        df.schema, ["l_orderkey"], [QueueItem(match_id=1)]
+    )
+    plan = explain_str(find_affected_files(df, groups))
+    # scan should read only the identifier column, not all 11
+    assert "l_extendedprice" not in plan.split("PushedFilters")[0] or (
+        "ReadSchema: struct<l_orderkey" in plan
+    )
+
+
+def test_find_semi_join_broadcasts(spark, lake):
+    df = spark.read.parquet(lake)
+    groups = build_column_groups(
+        df.schema, ["l_orderkey"], [QueueItem(match_id=k) for k in range(100)]
+    )
+    plan = explain_str(
+        find_affected_files(df, groups, predicate_value_limit=10)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_partition_pruning(spark, partitioned_lake):
+    df = spark.read.parquet(partitioned_lake).where(F.col("l_returnflag") == "R")
+    plan = explain_str(df)
+    # static partition pruning: only the R partition is scanned
+    assert "l_returnflag=R" in plan or "PartitionFilters" in plan
+    groups = build_column_groups(
+        df.schema, ["l_orderkey"], [QueueItem(match_id=1)]
+    )
+    rows = find_matching_rows(df, groups)
+    base = spark.read.parquet(partitioned_lake)
+    expected = base.where("l_returnflag = 'R' and l_orderkey = 1").count()
+    assert rows.count() == expected
+
+
+def test_whole_stage_codegen_in_find(spark, lake):
+    df = spark.read.parquet(lake)
+    groups = build_column_groups(
+        df.schema, ["l_orderkey"], [QueueItem(match_id=1)]
+    )
+    out = find_matching_rows(df, groups)
+    out.collect()  # finalize the adaptive plan
+    # "*(n)" markers in simple mode = whole-stage-codegen'd stages
+    plan = explain_str(out, "simple")
+    assert "*(" in plan

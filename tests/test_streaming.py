@@ -1,0 +1,138 @@
+"""Streaming job-event fold (ST1-ST4) + listing APIs (W1/O1)."""
+
+import json
+import os
+
+from amazon_s3_find_and_forget_spark.jobs import (
+    fold_stats,
+    list_events,
+    list_jobs,
+    make_event,
+)
+from amazon_s3_find_and_forget_spark.matches import MANIFEST_SCHEMA
+from amazon_s3_find_and_forget_spark.streaming.job_events import (
+    JobStateStore,
+    cleanup_queue,
+    stream_fold,
+)
+
+
+def write_events(path, events):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "batch.json"), "w") as f:
+        for e in events:
+            f.write(
+                json.dumps(
+                    {
+                        "Id": e[0],
+                        "Sk": e[1],
+                        "EventName": e[2],
+                        "CreatedAt": e[3],
+                        "EventData": e[4],
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_stream_fold_stats_and_status(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    evs = [
+        make_event("j1", "JobStarted", at=1000),
+        make_event("j1", "QuerySucceeded", {"Statistics": {"DataScannedInBytes": 64, "EngineExecutionTimeInMillis": 10}}, at=2000),
+        make_event("j1", "ObjectUpdated", at=3000),
+        make_event("j1", "ForgetPhaseEnded", at=4000),
+        make_event("j1", "CleanupSucceeded", at=5000),
+        make_event("j2", "JobStarted", at=1500),
+        make_event("j2", "QueryFailed", at=2500),
+        make_event("j2", "ForgetPhaseEnded", at=3500),
+    ]
+    write_events(events_dir, evs)
+    state = JobStateStore()
+    cleaned = []
+    q = stream_fold(spark, events_dir, ckpt, state, queue_cleanup=cleaned.append)
+    q.awaitTermination(60)
+
+    assert state.stats["j1"]["TotalQueryScannedInBytes"] == 64
+    assert state.stats["j1"]["TotalObjectUpdatedCount"] == 1
+    assert state.status["j1"]["JobStatus"] == "COMPLETED"
+    assert state.status["j1"]["JobStartTime"] == 1000
+    assert state.status["j1"]["JobFinishTime"] == 5000
+    # j2: failed query -> ForgetPhaseEnded derives FORGET_PARTIALLY_FAILED
+    assert state.status["j2"]["JobStatus"] == "FORGET_PARTIALLY_FAILED"
+    assert cleaned == ["j1"]
+
+
+def test_stream_fold_incremental(spark, tmp_path):
+    """Second batch continues from checkpoint — no double counting."""
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    write_events(events_dir, [make_event("j1", "ObjectUpdated", at=1000)])
+    state = JobStateStore()
+    stream_fold(spark, events_dir, ckpt, state).awaitTermination(60)
+    assert state.stats["j1"]["TotalObjectUpdatedCount"] == 1
+
+    with open(os.path.join(events_dir, "batch2.json"), "w") as f:
+        e = make_event("j1", "ObjectUpdated", at=2000)
+        f.write(
+            json.dumps(
+                {"Id": e[0], "Sk": e[1], "EventName": e[2], "CreatedAt": e[3], "EventData": e[4]}
+            )
+            + "\n"
+        )
+    stream_fold(spark, events_dir, ckpt, state).awaitTermination(60)
+    assert state.stats["j1"]["TotalObjectUpdatedCount"] == 2
+
+
+def test_cleanup_queue(spark):
+    queue = spark.createDataFrame(
+        [("i1", "12345"), ("i2", "67890"), ("i3", "11111")],
+        "DeletionQueueItemId string, MatchId string",
+    )
+    manifest = spark.createDataFrame(
+        [(["c"], ["12345"], "i1", 1, "c", "12345", "j1", "m1"),
+         (["c"], ["67890"], "i2", 1, "c", "67890", "j1", "m1")],
+        MANIFEST_SCHEMA,
+    )
+    remaining = cleanup_queue(queue, manifest)
+    assert [r.DeletionQueueItemId for r in remaining.collect()] == ["i3"]
+
+
+def test_list_events_pagination(spark):
+    rows = [
+        ("j1", f"{1000 + i}#u{i}", "ObjectUpdated", 1000 + i, "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "Id string, Sk string, EventName string, CreatedAt long, EventData string"
+    )
+    page1 = list_events(df, "j1", watermark="0", page_size=4).collect()
+    assert len(page1) == 4
+    page2 = list_events(df, "j1", watermark=page1[-1].Sk, page_size=4).collect()
+    assert len(page2) == 4
+    assert page2[0].Sk > page1[-1].Sk
+
+
+def test_list_jobs_topk(spark):
+    df = spark.createDataFrame(
+        [(f"j{i}", i) for i in range(20)], "Id string, CreatedAt long"
+    )
+    top = list_jobs(df, page_size=5).collect()
+    assert [r.Id for r in top] == ["j19", "j18", "j17", "j16", "j15"]
+
+
+def test_fold_stats_multiple_jobs(spark):
+    evs = [
+        make_event("a", "QuerySucceeded", {"Statistics": {"DataScannedInBytes": 10, "EngineExecutionTimeInMillis": 5}}),
+        make_event("a", "QueryFailed"),
+        make_event("b", "ObjectUpdateFailed"),
+    ]
+    df = spark.createDataFrame(
+        evs, "Id string, Sk string, EventName string, CreatedAt long, EventData string"
+    )
+    out = {r.Id: r.asDict() for r in fold_stats(df).collect()}
+    assert out["a"]["TotalQueryCount"] == 2
+    assert out["a"]["TotalQuerySucceededCount"] == 1
+    assert out["a"]["TotalQueryScannedInBytes"] == 10
+    assert out["b"]["TotalObjectUpdateFailedCount"] == 1
