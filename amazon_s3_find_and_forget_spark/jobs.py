@@ -219,6 +219,7 @@ def run_job(
                 groups,
                 fmt=mapper.format,
                 ignore_not_found=mapper.ignore_object_not_found,
+                delete_old_versions=mapper.delete_old_versions,
             )
             all_stats.extend(stats)
             for row in stats:
@@ -227,6 +228,10 @@ def run_job(
                     emit("ObjectUpdated", {"Object": row[0]})
                 elif status == "skipped":
                     emit("ObjectUpdateSkipped", {"Object": row[0]})
+                elif status == "rollback_failed":
+                    counters["TotalObjectUpdateFailedCount"] += 1
+                    emit("ObjectUpdateFailed", {"Object": row[0], "Error": row[5]})
+                    emit("ObjectRollbackFailed", {"Object": row[0], "Error": row[5]})
                 else:
                     counters["TotalObjectUpdateFailedCount"] += 1
                     emit("ObjectUpdateFailed", {"Object": row[0], "Error": row[5]})

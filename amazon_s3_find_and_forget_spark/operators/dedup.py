@@ -88,6 +88,46 @@ def _affine_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_kernel_factory(k: int, num_perm: int, seed: int = 42):
+    """Vectorized per-batch MinHash kernel.
+
+    Per document: byte-level k-shingles hashed with a vectorized
+    polynomial rolling hash (one ``sliding_window_view`` matmul — no
+    per-shingle Python), deduplicated, then all ``num_perm`` affine
+    permutations minimized in one (n_shingles x num_perm) numpy matrix
+    (chunked to bound memory on huge documents).
+    """
+    params = _affine_params(num_perm, seed)
+    A = np.array([a for a, _ in params], dtype=np.uint64)
+    B = np.array([b for _, b in params], dtype=np.uint64)
+    P = np.uint64(_MINHASH_PRIME)
+    base = np.uint64(1099511628211)
+    pw = np.empty(k, dtype=np.uint64)
+    pw[0] = np.uint64(1)
+    for i in range(1, k):
+        pw[i] = pw[i - 1] * base  # deliberate mod-2^64 wraparound
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        sigs = []
+        for t in texts:
+            raw = (str(t).lower() if t is not None else "").encode(
+                "utf-8", "ignore"
+            )
+            if len(raw) < k:
+                raw = raw.ljust(k, b"\0")
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(arr, k)
+            h = np.unique((win * pw).sum(axis=1, dtype=np.uint64) % P)
+            best = np.full(num_perm, P, dtype=np.uint64)
+            for i in range(0, len(h), 1 << 17):
+                m = (h[i : i + (1 << 17), None] * A + B) % P
+                np.minimum(best, m.min(axis=0), out=best)
+            sigs.append(best.astype(np.int64))
+        return pd.Series(sigs)
+
+    return kernel
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -97,43 +137,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
-    Shape chosen for both CSE and scale: shingles are EXPLODED, the
-    string hash is materialized once per shingle in a projection (inlining
-    it into the 64 permutation expressions would recompute it 64x —
-    Catalyst does not CSE lambda bodies), and the 64 permutations are
-    ``min`` aggregates. Map-side partial aggregation reduces each doc to
-    64 longs before any shuffle, so the shuffle carries signatures, not
-    shingles.
+    Computed map-side in one Arrow-batched pass: no explode, no shuffle —
+    each task turns its documents directly into 64-long signatures. At
+    100 TB the alternative (explode shingles + 64 min-aggregates) ships
+    every shingle through codegen and a hash aggregate; the vectorized
+    kernel does the same arithmetic in numpy at memory bandwidth and the
+    signature relation (num_perm longs per doc) is the ONLY thing that
+    ever leaves the scan stage.
     """
-    # No array_distinct here: min over a multiset equals min over the set,
-    # so duplicate shingles cannot change a MinHash signature. lower() is
-    # pre-projected once per doc (a lambda-body reference would re-lower
-    # the whole text per shingle).
-    hashed = (
-        _spread(df)
-        .select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt"))
-        .select(
-            "_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(_lt) - {k - 1}, 1)), "
-                    f"i -> substring(_lt, i, {k}))"
-                )
-            ).alias("_s"),
-        )
-        .select(
-            "_id", F.pmod(F.xxhash64("_s"), F.lit(_MINHASH_PRIME)).alias("_h")
-        )
+    mh = pandas_udf(
+        _minhash_kernel_factory(k, num_perm), "array<long>"
     )
-    aggs = [
-        F.min(
-            F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))
-        ).alias(f"_mh{j}")
-        for j, (a, b) in enumerate(_affine_params(num_perm))
-    ]
-    sigs = hashed.groupBy("_id").agg(*aggs)
-    return sigs.select(
-        "_id", F.array(*[f"_mh{j}" for j in range(num_perm)]).alias("_sig")
+    return _spread(df).select(
+        F.col(id_col).alias("_id"), mh(F.col(text_col)).alias("_sig")
     )
 
 
@@ -170,31 +186,35 @@ def minhash_candidate_pairs(
 
 
 def band_pairs(sigs: DataFrame, bands: int, num_perm: int = 64) -> DataFrame:
-    """Candidate pairs from precomputed signatures via LSH banding."""
+    """Candidate pairs from precomputed signatures via LSH banding.
+
+    Pair generation is a self-equi-join on the band hash (the shape of
+    MLlib's ``approxSimilarityJoin``): pairs stream out of a shuffled
+    hash join and spill gracefully, instead of materializing an O(s^2)
+    array per bucket in a single row — a skewed bucket (a boilerplate
+    phrase shared by thousands of docs) would otherwise build one
+    multi-GB row at 100 TB.
+    """
     r = num_perm // bands
     banded = sigs.select(
         "_id",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
                     F.xxhash64(F.slice(F.col("_sig"), b * r + 1, r), F.lit(b))
                     for b in range(bands)
                 ]
             )
-        ).alias("band", "band_hash"),
+        ).alias("band_hash"),
+    ).persist()  # feeds BOTH join sides — without this the sig subtree runs twice
+    a = banded.select(F.col("_id").alias("id_a"), "band_hash")
+    b = banded.select(F.col("_id").alias("id_b"), "band_hash")
+    return (
+        a.join(b, "band_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    buckets = banded.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_list("_id")).alias("ids")
-    ).where(F.size("ids") > 1)
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
-    return pairs
 
 
 def verified_jaccard_pairs(
@@ -326,64 +346,89 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _spread(df).withColumn("simhash", simhash64(F.col(text_col)))
 
 
+def _block_plan(max_hamming: int) -> tuple[list[tuple[int, int]], int]:
+    """Choose a Manku-style block decomposition of the 64-bit simhash.
+
+    Split into B blocks; a pair within Hamming distance d leaves >= B - d
+    blocks untouched, so keying every (B - d choose m)... inverted: keying
+    every m-block combination with m <= B - d finds ALL true pairs. Wider
+    keys (m=3, ~32 bits) keep false-candidate rates near zero; for loose
+    budgets where C(B,3) explodes we degrade to m=2 then m=1 (the plain
+    pigeonhole chunking). Returns (block (offset,bits) list, m).
+    """
+    for m, cap in ((3, 64), (2, 128), (1, 65)):
+        n_blocks = max_hamming + m
+        if n_blocks > 64:
+            continue
+        from math import comb
+
+        if comb(n_blocks, m) <= cap:
+            size, rem = divmod(64, n_blocks)
+            blocks, off = [], 0
+            for i in range(n_blocks):
+                bits = size + (1 if i < rem else 0)
+                blocks.append((off, bits))
+                off += bits
+            return blocks, m
+    raise ValueError(f"max_hamming {max_hamming} out of range")
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Hamming-LSH: band the 64-bit simhash into ``max_hamming + 1``
-    chunks — by pigeonhole, any pair within the distance budget shares at
-    least one exact chunk. Candidates verify with bit_count(xor) (JVM)."""
-    n_chunks = max_hamming + 1
-    chunk_bits = -(-64 // n_chunks)  # ceil
-    mask = (1 << chunk_bits) - 1
+    """Hamming-LSH over block combinations (Manku/Jain/Sarma, WWW'07 —
+    public algorithm): split the simhash into ``max_hamming + 3`` blocks;
+    any pair within the distance budget shares >= 3 intact blocks, so
+    hashing every 3-block combination (~32-bit keys) buckets all true
+    pairs while colliding far less than single-block (16-bit) chunking —
+    the candidate set stays linear in true near-dups instead of
+    quadratic in hash-value skew. Candidates verify with bit_count(xor),
+    JVM-side."""
+    from itertools import combinations
+
+    blocks, m = _block_plan(max_hamming)
+    combos = list(combinations(range(len(blocks)), m))
+
+    def block_col(i: int):
+        off, bits = blocks[i]
+        return F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+
+    keys = [
+        F.xxhash64(F.lit(ci), *[block_col(i) for i in combo])
+        for ci, combo in enumerate(combos)
+    ]
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("_id"), F.col("simhash")
     )
-    chunks = sh.select(
-        "_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), chunk_bits * c)
-                    .bitwiseAND(F.lit(mask))
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+    keyed = sh.select(
+        "_id", "simhash", F.explode(F.array(*keys)).alias("bucket")
+    ).persist()  # feeds BOTH join sides — avoids running the simhash UDF twice
+    a = keyed.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("_sim_a"), "bucket"
     )
-    buckets = (
-        chunks.groupBy("chunk_idx", "chunk_val")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("_id", "simhash"))
-            ).alias("items")
-        )
-        .where(F.size("items") > 1)
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("_sim_b"), "bucket"
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (a, i) -> "
-                    "transform(slice(items, i + 2, size(items) - i - 1), "
-                    "b -> struct(a as a, b as b))))"
-                )
-            ).alias("p")
-        )
+    # pair generation as a bucket self-join (streams + spills; no O(s^2)
+    # per-bucket array), verified JVM-side with bit_count(xor)
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
         .select(
-            F.col("p.a._id").alias("id_a"),
-            F.col("p.b._id").alias("id_b"),
-            F.bit_count(
-                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
-            ).alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).alias(
+                "hamming"
+            ),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
 
 
 # --------------------------------------------------------------------------
@@ -405,37 +450,44 @@ def ngram_jaccard_pairs(
     otherwise create a quadratic bucket) -> intra-list pairs -> count
     shared ngrams per pair -> jaccard = shared / (|a| + |b| - shared).
     """
+    # Tokens are pre-projected ONCE per doc: referencing split() inside the
+    # transform lambda would re-split the whole text per n-gram index
+    # (O(tokens^2) per document).
     grams = _spread(df).select(
         F.col(id_col).alias("_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"),
+    ).select(
+        "_id",
         F.expr(
-            f"array_distinct(transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)), "
-            f"i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' ')))"
+            f"array_distinct(transform(sequence(1, greatest(size(_t) - {n - 1}, 1)), "
+            f"i -> array_join(slice(_t, i, {n}), ' ')))"
         ).alias("_grams"),
     )
     sizes = grams.select("_id", F.size("_grams").alias("_n"))
-    posting = (
-        grams.select("_id", F.explode("_grams").alias("g"))
-        .groupBy("g")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_posting))
+    # Inverted index as a flat (gram, id) relation; hot grams (stopword-like,
+    # posting > max_posting) are dropped BEFORE the self-join — they would
+    # contribute quadratic candidates and near-zero Jaccard evidence.
+    flat = grams.select("_id", F.explode("_grams").alias("g"))
+    eligible_grams = (
+        flat.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") > 1) & (F.col("_df") <= max_posting))
+        .select("g")
     )
+    posting = flat.join(eligible_grams, "g").persist()  # feeds both join sides
+    a = posting.select(F.col("_id").alias("id_a"), "g")
+    b = posting.select(F.col("_id").alias("id_b"), "g")
     pair_counts = (
-        posting.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.a", "p.b")
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    a_sz = sizes.withColumnRenamed("_id", "a").withColumnRenamed("_n", "n_a")
-    b_sz = sizes.withColumnRenamed("_id", "b").withColumnRenamed("_n", "n_b")
+    a_sz = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a")
+    b_sz = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b")
     return (
-        pair_counts.join(a_sz, "a")
-        .join(b_sz, "b")
+        pair_counts.join(a_sz, "id_a")
+        .join(b_sz, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -445,7 +497,5 @@ def ngram_jaccard_pairs(
             ),
         )
         .where(F.col("jaccard") >= threshold)
-        .select(
-            F.col("a").alias("id_a"), F.col("b").alias("id_b"), "jaccard"
-        )
+        .select("id_a", "id_b", "jaccard")
     )

@@ -77,7 +77,14 @@ def groups_to_spec(groups: list[ColumnGroup]) -> list[dict]:
     return spec
 
 
-def _rewrite_one(path: str, fmt: str, spec: list[dict], ignore_not_found: bool):
+def _rewrite_one(
+    path: str,
+    fmt: str,
+    spec: list[dict],
+    ignore_not_found: bool,
+    delete_old_versions: bool = True,
+):
+    from ..sources import versions
     from ..sources.jsonl_file import rewrite_json_file
     from ..sources.parquet_file import rewrite_parquet_file
 
@@ -90,6 +97,10 @@ def _rewrite_one(path: str, fmt: str, spec: list[dict], ignore_not_found: bool):
         os.path.dirname(local), f".s3f2tmp-{uuid.uuid4().hex}{suffix}"
     )
     try:
+        # source "VersionId": any concurrent write between here and commit
+        # fails the object instead of silently clobbering it (the local
+        # analog of s3.py:301-341's version-integrity check)
+        source = versions.snapshot(local)
         if fmt == "parquet":
             stats = rewrite_parquet_file(local, tmp, spec)
         else:
@@ -106,7 +117,7 @@ def _rewrite_one(path: str, fmt: str, spec: list[dict], ignore_not_found: bool):
                 "failed",
                 "Unprocessable: no rows deleted",
             )
-        os.replace(tmp, local)  # atomic swap = the new "object version"
+        versions.commit(local, tmp, source, delete_old=delete_old_versions)
         # Hadoop's local FS keeps ".<name>.crc" sidecars; the rewritten
         # bytes invalidate them (irrelevant on S3 where there is none).
         crc = os.path.join(
@@ -123,8 +134,13 @@ def _rewrite_one(path: str, fmt: str, spec: list[dict], ignore_not_found: bool):
             None,
         )
     except Exception as e:  # noqa: BLE001 — per-object error isolation
-        if os.path.exists(tmp):
-            os.remove(tmp)
+        try:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        except OSError as re:
+            # the "rollback" (discarding the uncommitted rewrite) failed —
+            # surface it as its own status (main.py:248-262 analog)
+            return (path, fmt, 0, 0, "rollback_failed", f"{type(re).__name__}: {re}")
         return (path, fmt, 0, 0, "failed", f"{type(e).__name__}: {e}")
 
 
@@ -134,6 +150,7 @@ def forget_files(
     groups: list[ColumnGroup],
     fmt: str = "parquet",
     ignore_not_found: bool = False,
+    delete_old_versions: bool = True,
 ) -> list[tuple]:
     """Rewrite each affected file on the cluster; returns stats rows.
 
@@ -148,7 +165,7 @@ def forget_files(
     sc = spark.sparkContext
     slices = min(len(files), max(sc.defaultParallelism, 1))
     rdd = sc.parallelize(files, numSlices=slices).map(
-        lambda p: _rewrite_one(p, fmt, spec, ignore_not_found)
+        lambda p: _rewrite_one(p, fmt, spec, ignore_not_found, delete_old_versions)
     )
     return rdd.collect()
 

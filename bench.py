@@ -70,8 +70,14 @@ def main():
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
 
-    # warm the JVM/codegen on a trivial action
+    # warm the JVM/codegen and the Arrow python-UDF worker pool on trivial
+    # actions (worker spawn + pandas import would otherwise be billed to
+    # the first pandas_udf query)
     entry_queries.load(spark, SF_DIR, "region").count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_warm(col("id"))).count()
 
     for name in BENCH_QUERIES:
         fn = entry_queries.QUERIES[name]
