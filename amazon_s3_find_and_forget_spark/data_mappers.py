@@ -27,6 +27,7 @@ class DataMapper:
     partition_keys: list = field(default_factory=list)  # optional subset
     delete_old_versions: bool = True
     ignore_object_not_found: bool = False
+    encrypted: bool = False  # CSE-KMS envelope-encrypted objects
 
     def __post_init__(self):
         if self.format not in SUPPORTED_FORMATS:
@@ -34,14 +35,25 @@ class DataMapper:
             raise ValueError(f"Unsupported format {self.format!r}")
         if not self.columns:
             raise ValueError("Data mapper requires at least one identifier column")
+        if self.encrypted and self.format != "parquet":
+            raise ValueError("CSE-KMS scan currently supports parquet only")
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, kms=None) -> DataFrame:
+        if self.encrypted:
+            from .sources.cse import read_encrypted_parquet
+
+            if kms is None:
+                raise ValueError(
+                    f"Data mapper {self.mapper_id} is encrypted but no KMS "
+                    "client was provided"
+                )
+            return read_encrypted_parquet(spark, self.location, kms)
         if self.format == "parquet":
             return spark.read.parquet(self.location)
         return spark.read.json(self.location)
 
-    def validate(self, spark: SparkSession) -> None:
-        schema = self.read(spark).schema
+    def validate(self, spark: SparkSession, kms=None) -> None:
+        schema = self.read(spark, kms).schema
         for col in self.columns:
             validate_identifier(schema, col)
         for pk in self.partition_keys:

@@ -167,6 +167,7 @@ def run_job(
     mappers: list,
     queue_items: list,
     job_id: str | None = None,
+    kms=None,
 ) -> JobResult:
     """The whole deletion-job lifecycle as one driver program.
 
@@ -192,8 +193,10 @@ def run_job(
             routed = route_items(queue_items, mapper.mapper_id)
             if not routed:
                 continue
-            df = mapper.read(spark)
-            groups = build_column_groups(df.schema, mapper.columns, routed)
+            df = mapper.read(spark, kms=kms)
+            groups = build_column_groups(
+                df.schema, mapper.columns, routed
+            )
             try:
                 paths = [
                     r[0] for r in find_affected_files(df, groups).collect()
@@ -220,6 +223,7 @@ def run_job(
                 fmt=mapper.format,
                 ignore_not_found=mapper.ignore_object_not_found,
                 delete_old_versions=mapper.delete_old_versions,
+                kms=kms,
             )
             all_stats.extend(stats)
             for row in stats:

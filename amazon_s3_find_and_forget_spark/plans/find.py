@@ -123,7 +123,13 @@ def find_affected_files(
     identifier columns (column pruning) and the pushed match predicates
     prune row groups / files.
     """
-    projection = [F.input_file_name().alias(PATH_COL)]
+    if "_file_path" in df.columns:
+        # non-native scans (e.g. the CSE-KMS mapInPandas decrypt) carry
+        # provenance in an explicit column; input_file_name() is only
+        # defined for native file-source scans
+        projection = [F.col("_file_path").alias(PATH_COL)]
+    else:
+        projection = [F.input_file_name().alias(PATH_COL)]
     branches = _branches(df, groups, projection, predicate_value_limit)
     if not branches:
         return df.limit(0).select(*projection)

@@ -83,8 +83,9 @@ def _rewrite_one(
     spec: list[dict],
     ignore_not_found: bool,
     delete_old_versions: bool = True,
+    kms=None,
 ):
-    from ..sources import versions
+    from ..sources import cse, versions
     from ..sources.jsonl_file import rewrite_json_file
     from ..sources.parquet_file import rewrite_parquet_file
 
@@ -96,19 +97,36 @@ def _rewrite_one(
     tmp = os.path.join(
         os.path.dirname(local), f".s3f2tmp-{uuid.uuid4().hex}{suffix}"
     )
+    plain_in = plain_out = None
     try:
         # source "VersionId": any concurrent write between here and commit
         # fails the object instead of silently clobbering it (the local
         # analog of s3.py:301-341's version-integrity check)
         source = versions.snapshot(local)
-        if fmt == "parquet":
-            stats = rewrite_parquet_file(local, tmp, spec)
+        metadata = cse.load_metadata(local)
+        encrypted = cse.is_kms_cse_encrypted(metadata)
+        if encrypted:
+            # decrypt -> rewrite plaintext -> re-encrypt with a FRESH data
+            # key (reference main.py:176-178, 199-201 around the handler)
+            if kms is None:
+                raise ValueError(
+                    "Object is CSE-KMS encrypted but no KMS client provided"
+                )
+            plain_in = tmp + ".plain-in"
+            plain_out = tmp + ".plain-out"
+            cse.decrypt_file(local, plain_in, kms)
+            read_path, write_path = plain_in, plain_out
         else:
-            stats = rewrite_json_file(local, tmp, spec)
+            read_path, write_path = local, tmp
+        if fmt == "parquet":
+            stats = rewrite_parquet_file(read_path, write_path, spec)
+        else:
+            stats = rewrite_json_file(read_path, write_path, spec)
         if stats["DeletedRows"] == 0:
             # Find said this object matches but Forget deleted nothing —
             # fail the object rather than silently no-op (main.py:182-187).
-            os.remove(tmp)
+            if os.path.exists(tmp):
+                os.remove(tmp)
             return (
                 path,
                 fmt,
@@ -117,7 +135,14 @@ def _rewrite_one(
                 "failed",
                 "Unprocessable: no rows deleted",
             )
+        if encrypted:
+            with open(plain_out, "rb") as f:
+                ciphertext, new_md = cse.encrypt_bytes(f.read(), metadata, kms)
+            with open(tmp, "wb") as f:
+                f.write(ciphertext)
         versions.commit(local, tmp, source, delete_old=delete_old_versions)
+        if encrypted:
+            cse.save_metadata(local, new_md)
         # Hadoop's local FS keeps ".<name>.crc" sidecars; the rewritten
         # bytes invalidate them (irrelevant on S3 where there is none).
         crc = os.path.join(
@@ -142,6 +167,10 @@ def _rewrite_one(
             # surface it as its own status (main.py:248-262 analog)
             return (path, fmt, 0, 0, "rollback_failed", f"{type(re).__name__}: {re}")
         return (path, fmt, 0, 0, "failed", f"{type(e).__name__}: {e}")
+    finally:
+        for p in (plain_in, plain_out):
+            if p and os.path.exists(p):
+                os.remove(p)
 
 
 def forget_files(
@@ -151,6 +180,7 @@ def forget_files(
     fmt: str = "parquet",
     ignore_not_found: bool = False,
     delete_old_versions: bool = True,
+    kms=None,
 ) -> list[tuple]:
     """Rewrite each affected file on the cluster; returns stats rows.
 
@@ -165,7 +195,9 @@ def forget_files(
     sc = spark.sparkContext
     slices = min(len(files), max(sc.defaultParallelism, 1))
     rdd = sc.parallelize(files, numSlices=slices).map(
-        lambda p: _rewrite_one(p, fmt, spec, ignore_not_found, delete_old_versions)
+        lambda p: _rewrite_one(
+            p, fmt, spec, ignore_not_found, delete_old_versions, kms
+        )
     )
     return rdd.collect()
 
