@@ -1,0 +1,275 @@
+"""The engine's control-plane facade: the reference's REST API surface
+as one Python class over file-backed state.
+
+Reference endpoints re-expressed (SURVEY.md §3; citations inline):
+
+| Reference (API Gateway + Lambda + DynamoDB)      | Here                       |
+|--------------------------------------------------|----------------------------|
+| PUT/GET/DELETE /v1/data_mappers/{id}             | put/get/delete_data_mapper |
+| GET /v1/data_mappers                             | list_data_mappers          |
+| PATCH /v1/queue (+/matches)                      | enqueue_matches            |
+| GET /v1/queue                                    | list_queue                 |
+| DELETE /v1/queue/matches                         | delete_matches             |
+| DELETE /v1/queue (process_handler)               | process_queue              |
+| GET /v1/jobs, /v1/jobs/{id}, /v1/jobs/{id}/events| list_jobs/get_job/list_job_events |
+
+State lives as JSON files in a state dir (the DynamoDB tables' stand-in);
+everything data-plane (Find/Forget) runs through ``jobs.run_job`` on
+Spark. Single-writer semantics match the reference: exactly one running
+job (queue/handlers.py:123-124), queue items consumed by a completed
+job are removed (stream_processor.py:129-139), and error surfaces are
+redacted so match ids never leak into logs (events.py:50-69).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+from .data_mappers import DataMapper, check_no_overlap
+from .jobs import fold_counters, fold_status, run_job
+from .matches import QueueItem
+
+REDACTED = "*** MATCH ID ***"
+
+
+def sanitize_message(message: str, match_ids: list) -> str:
+    """F9: mask every known match id in an error/log message
+    (parity: ecs_tasks/delete_files/events.py:50-69)."""
+    out = str(message)
+    for m in match_ids:
+        out = out.replace(str(m), REDACTED)
+    return out
+
+
+class AlreadyRunningError(RuntimeError):
+    """Parity: 'There is already a job in progress' (queue/handlers.py:123-124)."""
+
+
+class Engine:
+    """Control plane over a state directory + a SparkSession."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, kms=None):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.kms = kms
+        os.makedirs(os.path.join(state_dir, "jobs"), exist_ok=True)
+
+    # --- tiny JSON "tables" ------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.state_dir, f"{name}.json")
+
+    def _load(self, name: str, default):
+        p = self._path(name)
+        if not os.path.exists(p):
+            return default
+        with open(p) as f:
+            return json.load(f)
+
+    def _save(self, name: str, value) -> None:
+        tmp = self._path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(value, f, indent=1)
+        os.replace(tmp, self._path(name))
+
+    # --- data mappers (data_mappers/handlers.py:74-182) --------------------
+
+    def put_data_mapper(self, mapper_id: str, config: dict) -> dict:
+        """Create/replace a mapper after validating it (P12):
+        format supported, identifier columns resolve to identifier-able
+        types in the actual table schema, partition keys exist, and the
+        location does not overlap another mapper's."""
+        mappers = self._load("data_mappers", {})
+        candidate = DataMapper(
+            mapper_id=mapper_id,
+            location=config["Location"],
+            columns=list(config["Columns"]),
+            format=config.get("Format", "parquet"),
+            partition_keys=list(config.get("PartitionKeys", [])),
+            delete_old_versions=bool(config.get("DeleteOldVersions", True)),
+            ignore_object_not_found=bool(
+                config.get("IgnoreObjectNotFoundExceptions", False)
+            ),
+            encrypted=bool(config.get("Encrypted", False)),
+            partition_filter=config.get("PartitionFilter", ""),
+        )
+        candidate.validate(self.spark, kms=self.kms)
+        others = [
+            self._mapper_from(mid, c)
+            for mid, c in mappers.items()
+            if mid != mapper_id
+        ]
+        check_no_overlap(others + [candidate])
+        mappers[mapper_id] = config
+        self._save("data_mappers", mappers)
+        return {mapper_id: config}
+
+    def _mapper_from(self, mapper_id: str, config: dict) -> DataMapper:
+        return DataMapper(
+            mapper_id=mapper_id,
+            location=config["Location"],
+            columns=list(config["Columns"]),
+            format=config.get("Format", "parquet"),
+            partition_keys=list(config.get("PartitionKeys", [])),
+            delete_old_versions=bool(config.get("DeleteOldVersions", True)),
+            ignore_object_not_found=bool(
+                config.get("IgnoreObjectNotFoundExceptions", False)
+            ),
+            encrypted=bool(config.get("Encrypted", False)),
+            partition_filter=config.get("PartitionFilter", ""),
+        )
+
+    def get_data_mapper(self, mapper_id: str) -> dict | None:
+        return self._load("data_mappers", {}).get(mapper_id)
+
+    def list_data_mappers(self) -> dict:
+        return self._load("data_mappers", {})
+
+    def delete_data_mapper(self, mapper_id: str) -> None:
+        mappers = self._load("data_mappers", {})
+        mappers.pop(mapper_id, None)
+        self._save("data_mappers", mappers)
+
+    # --- deletion queue (queue/handlers.py:59-108,144-180) ------------------
+
+    def enqueue_matches(self, matches: list[dict]) -> list[dict]:
+        """PATCH /v1/queue/matches: validate then append queue items."""
+        items = []
+        for match in matches:
+            q = QueueItem.from_dict(match)  # validation inside
+            items.append(
+                {
+                    "DeletionQueueItemId": q.item_id,
+                    "Type": q.type,
+                    "MatchId": q.match_id,
+                    "CreatedAt": q.created_at,
+                    "DataMappers": q.data_mappers,
+                }
+            )
+        queue = self._load("deletion_queue", [])
+        queue.extend(items)
+        self._save("deletion_queue", queue)
+        return items
+
+    def list_queue(self, start_at: int = 0, page_size: int = 20) -> list[dict]:
+        return self._load("deletion_queue", [])[start_at : start_at + page_size]
+
+    def delete_matches(self, item_ids: list[str]) -> None:
+        drop = set(item_ids)
+        queue = [
+            it
+            for it in self._load("deletion_queue", [])
+            if it["DeletionQueueItemId"] not in drop
+        ]
+        self._save("deletion_queue", queue)
+
+    # --- jobs (queue/handlers.py process_handler + jobs/handlers.py) --------
+
+    def _running_job_exists(self) -> bool:
+        for jid in os.listdir(os.path.join(self.state_dir, "jobs")):
+            job = self._load(os.path.join("jobs", jid[: -len(".json")]), None)
+            if job and job.get("JobStatus") in (
+                "QUEUED",
+                "RUNNING",
+                "FORGET_COMPLETED_CLEANUP_IN_PROGRESS",
+            ):
+                return True
+        return False
+
+    def process_queue(self) -> dict:
+        """DELETE /v1/queue: run a deletion job over the whole queue.
+
+        Enforces the single-concurrent-job rule, snapshots the queue and
+        mapper config into the job document (as the reference snapshots
+        config into the Job item), runs Find+Forget, folds events, and on
+        a terminal-complete status removes the consumed queue items (ST3).
+        """
+        if self._running_job_exists():
+            raise AlreadyRunningError("There is already a job in progress")
+        queue = self._load("deletion_queue", [])
+        mappers_cfg = self._load("data_mappers", {})
+        job_id = str(uuid.uuid4())
+        job = {
+            "Id": job_id,
+            "Type": "Job",
+            "JobStatus": "QUEUED",
+            "CreatedAt": int(time.time()),
+            "DeletionQueueSize": len(queue),
+        }
+        self._save(os.path.join("jobs", job_id), job)
+
+        mappers = [
+            self._mapper_from(mid, cfg) for mid, cfg in mappers_cfg.items()
+        ]
+        items = [QueueItem.from_dict(it) for it in queue]
+        all_match_ids = [
+            v
+            for it in items
+            for v in (
+                [m["Value"] for m in it.match_id]
+                if it.type == "Composite"
+                else [it.match_id]
+            )
+        ]
+        result = run_job(self.spark, mappers, items, job_id=job_id, kms=self.kms)
+        folded = fold_status(result.events, result.counters)
+        job.update(folded)
+        job["JobStatus"] = result.status
+        job.update(fold_counters(result.events))
+        # match ids must never surface in persisted errors (F9)
+        events = [
+            {
+                **ev,
+                "EventData": json.loads(
+                    sanitize_message(json.dumps(ev["EventData"]), all_match_ids)
+                ),
+            }
+            for ev in result.events
+        ]
+        sks = [f"{ev['CreatedAt']}#{uuid.uuid4()}" for ev in events]
+        job["Events"] = [
+            {**ev, "Sk": sk} for ev, sk in zip(events, sorted(sks))
+        ]
+        self._save(os.path.join("jobs", job_id), job)
+        if result.status == "COMPLETED":
+            # ST3: queue items consumed by the completed job are removed
+            consumed = {it.item_id for it in items}
+            self.delete_matches(list(consumed))
+        return job
+
+    def get_job(self, job_id: str) -> dict | None:
+        job = self._load(os.path.join("jobs", job_id), None)
+        if job:
+            job = {k: v for k, v in job.items() if k != "Events"}
+        return job
+
+    def list_jobs(self, page_size: int = 10) -> list[dict]:
+        """O1: newest-first top-K job listing."""
+        jobs = []
+        for fn in os.listdir(os.path.join(self.state_dir, "jobs")):
+            job = self._load(os.path.join("jobs", fn[: -len(".json")]), None)
+            if job:
+                jobs.append({k: v for k, v in job.items() if k != "Events"})
+        jobs.sort(key=lambda j: j["CreatedAt"], reverse=True)
+        return jobs[:page_size]
+
+    def list_job_events(
+        self, job_id: str, watermark: str = "0", page_size: int = 20
+    ) -> tuple[list[dict], str]:
+        """W1: page forward through a job's events from a Sk watermark.
+
+        Returns (events, next_watermark); parity jobs/handlers.py:115-216.
+        """
+        job = self._load(os.path.join("jobs", job_id), None)
+        if job is None:
+            raise KeyError(job_id)
+        events = [e for e in job.get("Events", []) if e["Sk"] > watermark]
+        events.sort(key=lambda e: e["Sk"])
+        page = events[:page_size]
+        next_wm = page[-1]["Sk"] if page else watermark
+        return page, next_wm

@@ -28,6 +28,7 @@ class DataMapper:
     delete_old_versions: bool = True
     ignore_object_not_found: bool = False
     encrypted: bool = False  # CSE-KMS envelope-encrypted objects
+    partition_filter: str = ""  # SQL predicate over partition columns
 
     def __post_init__(self):
         if self.format not in SUPPORTED_FORMATS:
@@ -37,6 +38,19 @@ class DataMapper:
             raise ValueError("Data mapper requires at least one identifier column")
         if self.encrypted and self.format != "parquet":
             raise ValueError("CSE-KMS scan currently supports parquet only")
+        # Hive partition keys live in directory names, not in the data
+        # files — the per-file Forget rewrite could never see them. The
+        # reference has the same rule structurally: identifier columns come
+        # from the table's StorageDescriptor columns, partition keys are a
+        # separate list (generate_queries.py:141-148).
+        lowered = {pk.lower() for pk in self.partition_keys}
+        for col in self.columns:
+            if col.lower() in lowered:
+                raise ValueError(
+                    f"Identifier column {col} is a partition key; partition "
+                    "keys are not stored in data files and cannot be match "
+                    "identifiers"
+                )
 
     def read(self, spark: SparkSession, kms=None) -> DataFrame:
         if self.encrypted:
@@ -47,10 +61,18 @@ class DataMapper:
                     f"Data mapper {self.mapper_id} is encrypted but no KMS "
                     "client was provided"
                 )
-            return read_encrypted_parquet(spark, self.location, kms)
-        if self.format == "parquet":
-            return spark.read.parquet(self.location)
-        return spark.read.json(self.location)
+            df = read_encrypted_parquet(spark, self.location, kms)
+        elif self.format == "parquet":
+            df = spark.read.parquet(self.location)
+        else:
+            df = spark.read.json(self.location)
+        if self.partition_filter:
+            # Catalyst turns a predicate over partition columns into static
+            # partition pruning: non-matching directories are never listed,
+            # let alone scanned (replaces the reference's one-query-per-
+            # partition fan-out, generate_queries.py:230-246)
+            df = df.where(self.partition_filter)
+        return df
 
     def validate(self, spark: SparkSession, kms=None) -> None:
         schema = self.read(spark, kms).schema

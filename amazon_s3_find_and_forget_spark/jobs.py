@@ -106,6 +106,51 @@ def fold_stats(events_df: DataFrame) -> DataFrame:
     )
 
 
+def fold_counters(events: list[dict]) -> dict:
+    """A5, driver-side: the 9 job counters from a plain event list.
+
+    Same fold as ``fold_stats`` (stats_updater.py:27-120) for when the
+    events are already on the driver — a job emits O(files) events, so
+    this never needs a cluster.
+    """
+    c = {
+        "TotalQueryCount": 0,
+        "TotalQuerySucceededCount": 0,
+        "TotalQueryFailedCount": 0,
+        "TotalQueryScannedInBytes": 0,
+        "TotalQueryTimeInMillis": 0,
+        "TotalObjectUpdatedCount": 0,
+        "TotalObjectUpdateSkippedCount": 0,
+        "TotalObjectUpdateFailedCount": 0,
+        "TotalObjectRollbackFailedCount": 0,
+    }
+    for ev in events:
+        name = ev["EventName"]
+        data = ev.get("EventData") or {}
+        if name in QUERY_EVENTS:
+            c["TotalQueryCount"] += 1
+            stats = data.get("Statistics") or {}
+            c["TotalQueryScannedInBytes"] += int(
+                stats.get("DataScannedInBytes", 0)
+            )
+            c["TotalQueryTimeInMillis"] += int(
+                stats.get("EngineExecutionTimeInMillis", 0)
+            )
+        if name == "QuerySucceeded":
+            c["TotalQuerySucceededCount"] += 1
+        elif name == "QueryFailed":
+            c["TotalQueryFailedCount"] += 1
+        elif name == "ObjectUpdated":
+            c["TotalObjectUpdatedCount"] += 1
+        elif name == "ObjectUpdateSkipped":
+            c["TotalObjectUpdateSkippedCount"] += 1
+        elif name == "ObjectUpdateFailed":
+            c["TotalObjectUpdateFailedCount"] += 1
+        elif name == "ObjectRollbackFailed":
+            c["TotalObjectRollbackFailedCount"] += 1
+    return c
+
+
 def fold_status(events: list[dict], counters: dict | None = None) -> dict:
     """A6: fold ordered events into {JobStatus, JobStartTime, JobFinishTime}.
 

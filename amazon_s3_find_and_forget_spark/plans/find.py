@@ -136,6 +136,20 @@ def find_affected_files(
     return reduce(DataFrame.unionAll, branches).distinct()
 
 
+def affected_partitions(df: DataFrame, partition_keys: list[str]) -> DataFrame:
+    """A2: distinct combinations of a partition-key subset.
+
+    When a mapper restricts ``PartitionKeys`` to a subset, several
+    physical partitions collapse into one combination (reference
+    generate_queries.py:230-241 — there it bounds the per-partition query
+    fan-out; here it is exposed for batching/checkpointing granularity
+    and job planning UIs). A distinct over partition columns is
+    metadata-only for a partitioned scan: Catalyst answers it from the
+    file index without reading data files.
+    """
+    return df.select(*partition_keys).distinct()
+
+
 def find_matching_rows(
     df: DataFrame,
     groups: list[ColumnGroup],

@@ -1,0 +1,119 @@
+"""Control-plane facade: data mapper CRUD + validation, queue CRUD,
+process with single-job guard, job/event listing, match-id redaction."""
+
+import os
+import shutil
+
+import pytest
+
+from amazon_s3_find_and_forget_spark.api import (
+    AlreadyRunningError,
+    Engine,
+    sanitize_message,
+)
+
+
+@pytest.fixture()
+def lake(tmp_path, sf_dir):
+    lake = tmp_path / "lineitem"
+    lake.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "lineitem.parquet"), lake / "part-0.parquet"
+    )
+    return str(lake)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "state"))
+
+
+def test_data_mapper_crud_and_validation(engine, lake):
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    assert "li" in engine.list_data_mappers()
+
+    # unknown identifier column rejected at PUT time
+    with pytest.raises(Exception):
+        engine.put_data_mapper("bad", {"Location": lake, "Columns": ["nope"]})
+
+    # overlapping location rejected (handlers.py:148-156)
+    with pytest.raises(ValueError, match="overlap"):
+        engine.put_data_mapper(
+            "li2", {"Location": lake + "/", "Columns": ["l_orderkey"]}
+        )
+    engine.delete_data_mapper("li")
+    assert engine.list_data_mappers() == {}
+
+
+def test_queue_crud(engine):
+    items = engine.enqueue_matches(
+        [{"MatchId": 123}, {"MatchId": "abc", "DataMappers": ["li"]}]
+    )
+    assert len(items) == 2
+    listed = engine.list_queue()
+    assert [it["MatchId"] for it in listed] == [123, "abc"]
+    engine.delete_matches([items[0]["DeletionQueueItemId"]])
+    assert [it["MatchId"] for it in engine.list_queue()] == ["abc"]
+
+    # composite validation (queue/handlers.py:144-161)
+    with pytest.raises(ValueError):
+        engine.enqueue_matches([{"MatchId": [], "Type": "Composite",
+                                 "DataMappers": ["li"]}])
+    with pytest.raises(ValueError):
+        engine.enqueue_matches(
+            [{"MatchId": [{"Column": "a", "Value": 1}], "Type": "Composite",
+              "DataMappers": ["a", "b"]}]
+        )
+
+
+def test_process_queue_end_to_end(engine, spark, lake):
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}, {"MatchId": 3}])
+    n0 = spark.read.parquet(lake).count()
+
+    job = engine.process_queue()
+    assert job["JobStatus"] == "COMPLETED"
+    assert job["TotalObjectUpdateFailedCount"] == 0
+    assert spark.read.parquet(lake).count() < n0
+    # ST3: completed job consumed the queue
+    assert engine.list_queue() == []
+
+    # job listing + event paging
+    jobs = engine.list_jobs()
+    assert jobs[0]["Id"] == job["Id"]
+    page1, wm = engine.list_job_events(job["Id"], page_size=2)
+    assert len(page1) == 2
+    page2, _ = engine.list_job_events(job["Id"], watermark=wm, page_size=100)
+    assert page1[-1]["Sk"] < page2[0]["Sk"]
+    names = [e["EventName"] for e in page1 + page2]
+    assert names[0] == "JobStarted" and "ObjectUpdated" in names
+
+
+def test_single_job_guard(engine, spark, lake, tmp_path):
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}])
+    # simulate a stuck RUNNING job
+    engine._save(os.path.join("jobs", "stuck"), {
+        "Id": "stuck", "JobStatus": "RUNNING", "CreatedAt": 0})
+    with pytest.raises(AlreadyRunningError):
+        engine.process_queue()
+
+
+def test_redaction(engine, spark, tmp_path):
+    # a failing lake (file vanishes after mapper creation) -> error events
+    # must not contain the match id
+    assert sanitize_message("failed matching 12345 in x", [12345, "ab"]) == \
+        "failed matching *** MATCH ID *** in x"
+
+    lake = tmp_path / "gone"
+    lake.mkdir()
+    import pyarrow as pa, pyarrow.parquet as pq  # noqa: E401
+    pq.write_table(pa.table({"customer_id": pa.array([1, 2], pa.int64())}),
+                   str(lake / "f.parquet"))
+    engine.put_data_mapper("g", {"Location": str(lake),
+                                 "Columns": ["customer_id"]})
+    engine.enqueue_matches([{"MatchId": 99887766}])
+    os.remove(str(lake / "f.parquet"))
+    job = engine.process_queue()
+    payload = str(job)
+    assert "99887766" not in payload
