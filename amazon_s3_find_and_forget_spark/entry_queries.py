@@ -339,14 +339,128 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_find_rows_nested(spark, sf_dir):
+    """Nested struct dot-path identifier (schema.resolve_column walk)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.struct("l_orderkey", "l_partkey").alias("Info"),
+        "l_linenumber",
+    )
+    items = [QueueItem(match_id=k) for k in MATCH_ORDERKEYS]
+    groups = build_column_groups(li.schema, ["info.l_orderkey"], items)
+    rows = find_matching_rows(li, groups)
+    return rows.select(
+        F.col("Info.l_orderkey").alias("l_orderkey"), "l_linenumber"
+    )
+
+
+DECIMAL_QTY_MATCHES = ["1.00", "2.00", "3.00"]
+
+
+def q_find_rows_decimal(spark, sf_dir):
+    """Decimal identifier column with exact scale-aware match equality."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
+    )
+    items = [QueueItem(match_id=v) for v in DECIMAL_QTY_MATCHES]
+    groups = build_column_groups(li.schema, ["qty_dec"], items)
+    return find_matching_rows(li, groups).select(
+        "l_orderkey", "l_linenumber", "qty_dec"
+    )
+
+
+JSON_FORGET_KEYS = [1, 5, 9, 14, 20]
+
+
+def q_forget_survivors_json(spark, sf_dir):
+    """End-to-end deletion job over a JSON-Lines lake (raw-line rewrite).
+
+    Materializes nation as JSONL in a tempdir, runs the full Find+Forget
+    job through the JSON per-file rewrite path, and returns the
+    surviving rows read back from the rewritten lake.
+    """
+    import shutil
+    import tempfile
+
+    from .data_mappers import DataMapper
+    from .jobs import run_job
+
+    nation = load(spark, sf_dir, "nation")
+    workdir = tempfile.mkdtemp(prefix="s3f2-jsonlake-")
+    lake = f"{workdir}/nation"
+    try:
+        nation.coalesce(2).write.json(lake)
+        mapper = DataMapper("nation", lake, ["n_nationkey"], format="json")
+        items = [QueueItem(match_id=k) for k in JSON_FORGET_KEYS]
+        result = run_job(spark, [mapper], items)
+        assert result.status == "COMPLETED", result.events
+        survivors = spark.read.json(lake).select(
+            F.col("n_nationkey").cast("long"),
+            "n_name",
+            F.col("n_regionkey").cast("long"),
+        )
+        survivors = spark.createDataFrame(
+            survivors.collect(), survivors.schema
+        )
+        return survivors
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# inside the event_id range at every driver scale factor (max 999 at sf0.001)
+EVENTS_PAGE_WATERMARK = "000000000000500#e"
+
+
+def q_events_watermark_page(spark, sf_dir):
+    """W1: event-time ordered page forward from a Sk watermark."""
+    from .jobs import list_events
+
+    ev = load(spark, sf_dir, "events")
+    shaped = ev.select(
+        (F.col("user_id") % 5).cast("string").alias("Id"),
+        F.concat(
+            F.lpad(F.col("event_id").cast("string"), 15, "0"), F.lit("#e")
+        ).alias("Sk"),
+        F.col("event_type").alias("EventName"),
+    )
+    return list_events(
+        shaped, job_id="3", watermark=EVENTS_PAGE_WATERMARK, page_size=50
+    )
+
+
+def q_jobs_top_k(spark, sf_dir):
+    """O1: newest-first top-K job listing (deterministic CreatedAt key)."""
+    from .jobs import list_jobs
+
+    ev = load(spark, sf_dir, "events")
+    jobs = ev.groupBy((F.col("user_id") % 100).cast("string").alias("Id")).agg(
+        F.max("event_id").alias("CreatedAt")
+    )
+    return list_jobs(jobs, page_size=10)
+
+
+def q_similarity_topk(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    scores = similarity.cosine_scores(embs, [float(v) for v in qvec])
+    return scores.orderBy(F.desc("cosine"), F.col("vec_id")).limit(25)
+
+
 # --- the catalog ----------------------------------------------------------
 
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_rows_composite": q_find_rows_composite,
+    "find_rows_nested": q_find_rows_nested,
+    "find_rows_decimal": q_find_rows_decimal,
     "find_files_simple": q_find_files_simple,
     "forget_survivors_simple": q_forget_survivors_simple,
     "forget_survivors_composite": q_forget_survivors_composite,
+    "forget_survivors_json": q_forget_survivors_json,
+    "events_watermark_page": q_events_watermark_page,
+    "jobs_top_k": q_jobs_top_k,
+    "similarity_topk": q_similarity_topk,
     "job_stats_fold": q_job_stats_fold,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -391,6 +505,47 @@ ORACLES = {
     """,
     "find_rows_composite": f"""
         SELECT o_orderkey FROM orders WHERE {_COMPOSITE_PRED}
+    """,
+    "find_rows_nested": f"""
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey IN ({_IN_ORDERKEYS})
+    """,
+    "find_rows_decimal": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec
+        FROM lineitem
+        WHERE CAST(l_quantity AS DECIMAL(12,2)) IN (1.00, 2.00, 3.00)
+    """,
+    "forget_survivors_json": f"""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_nationkey NOT IN ({", ".join(str(k) for k in JSON_FORGET_KEYS)})
+    """,
+    "events_watermark_page": f"""
+        SELECT CAST(user_id % 5 AS VARCHAR) AS Id,
+               lpad(CAST(event_id AS VARCHAR), 15, '0') || '#e' AS Sk,
+               event_type AS EventName
+        FROM events
+        WHERE user_id % 5 = 3
+          AND lpad(CAST(event_id AS VARCHAR), 15, '0') || '#e'
+              > '{EVENTS_PAGE_WATERMARK}'
+        ORDER BY Sk LIMIT 50
+    """,
+    "jobs_top_k": """
+        SELECT CAST(user_id % 100 AS VARCHAR) AS Id,
+               max(event_id) AS CreatedAt
+        FROM events GROUP BY 1
+        ORDER BY CreatedAt DESC LIMIT 10
+    """,
+    "similarity_topk": """
+        SELECT e.vec_id,
+               round(
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e
+        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cosine DESC, e.vec_id LIMIT 25
     """,
     "forget_survivors_simple": f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
