@@ -447,6 +447,35 @@ def q_similarity_topk(spark, sf_dir):
     return scores.orderBy(F.desc("cosine"), F.col("vec_id")).limit(25)
 
 
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF scale path: coarse quantizer + nprobe cell scan (approximate)."""
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=2000)
+    return similarity.ivf_topk(embs, qvec, cent, k=10, nprobe=4)
+
+
+def q_similarity_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH scale path with hamming-1 multiprobe (approximate)."""
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.lsh_topk(embs, qvec, k=10, bits=6)
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("video/mp4").alias("content_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    ).where(F.col("media_id") < 50)
+    return multimodal.frame_sample(media, every_ms=1000)
+
+
 # --- the catalog ----------------------------------------------------------
 
 QUERIES = {
@@ -478,8 +507,11 @@ QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "similarity_cosine": q_similarity_cosine,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 _IN_ORDERKEYS = ", ".join(str(k) for k in MATCH_ORDERKEYS)

@@ -151,15 +151,21 @@ def fold_counters(events: list[dict]) -> dict:
     return c
 
 
-def fold_status(events: list[dict], counters: dict | None = None) -> dict:
+def fold_status(
+    events: list[dict],
+    counters: dict | None = None,
+    initial: dict | None = None,
+) -> dict:
     """A6: fold ordered events into {JobStatus, JobStartTime, JobFinishTime}.
 
     ``events``: [{"EventName","CreatedAt"}] in Sk order. ``counters``
     supplies the error counts used to derive FORGET_PARTIALLY_FAILED
-    (status_updater.py:85-104).
+    (status_updater.py:85-104). ``initial`` resumes from a prior fold's
+    output (incremental/streaming use) — locked terminal states stay
+    locked across batches.
     """
     counters = counters or {}
-    out: dict = {}
+    out: dict = dict(initial or {})
     for ev in events:
         name = ev["EventName"]
         if name not in STATUS_MAP:

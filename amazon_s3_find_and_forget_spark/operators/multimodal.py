@@ -104,6 +104,39 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize plumbing: payload -> payload, metadata updated.
+
+    The pixel transform is stubbed (real deployment: Pillow/opencv inside
+    the same batch loop); what is real and tested is the Arrow-batched
+    binary-in/binary-out shape — the payload column round-trips through
+    ``mapInPandas`` untouched by Catalyst, and the output schema carries
+    the new dimensions.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not DETERMINISTIC_FAKE:
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present here"
+                )
+            out = pdf.copy()
+            # STUB: deterministic fake "resize" tags the payload with the
+            # target dims; a real kernel decodes + resamples + re-encodes.
+            out["payload"] = [
+                (p if p is not None else b"")
+                + b"|resized:%dx%d" % (width, height)
+                for p in pdf["payload"]
+            ]
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out
+
+    return df.where(F.col("kind") == "image").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame.
 

@@ -137,35 +137,132 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs (cosine >= threshold); candidates share a bucket."""
+    """Near-dup pairs (cosine >= threshold); candidates share a bucket.
+
+    Pair generation is a bucket self-join (streams/spills instead of an
+    O(s^2) per-bucket array — same shape as dedup.band_pairs)."""
     bucketed = with_lsh_bucket(df, dim, bits, emb_col, seed).select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
         "lsh_bucket",
+    ).persist()  # feeds both join sides
+    a = bucketed.select(
+        F.col("_id").alias("id_a"), F.col("_emb").alias("_emb_a"), "lsh_bucket"
     )
-    grouped = (
-        bucketed.groupBy("lsh_bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("_id", "_emb"))).alias("items"))
-        .where(F.size("items") > 1)
+    b = bucketed.select(
+        F.col("_id").alias("id_b"), F.col("_emb").alias("_emb_b"), "lsh_bucket"
     )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(items, (a, i) -> "
-                "transform(slice(items, i + 2, size(items) - i - 1), "
-                "b -> struct(a as a, b as b))))"
-            )
-        ).alias("p")
-    ).select(
-        F.col("p.a._id").alias("id_a"),
-        F.col("p.b._id").alias("id_b"),
-        (
-            _dot(F.col("p.a._emb"), F.col("p.b._emb"))
-            / (_norm(F.col("p.a._emb")) * _norm(F.col("p.b._emb")))
-        ).alias("cosine"),
+    pairs = (
+        a.join(b, "lsh_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("_emb_a"), F.col("_emb_b"))
+                / (_norm(F.col("_emb_a")) * _norm(F.col("_emb_b")))
+            ).alias("cosine"),
+        )
     )
     return (
         pairs.where(F.col("cosine") >= threshold)
         .withColumn("cosine", F.round("cosine", 6))
         .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor
+# --------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 64,
+    emb_col: str = "embedding",
+    sample_size: int = 20000,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer: k-means (Lloyd) on a driver-side sample.
+
+    IVF training is sample-based by design — at 100 TB the index is
+    trained on ~10^4-10^5 sampled vectors, never the corpus. The sample
+    arrives through one seeded, limit-bounded collect; Lloyd runs in
+    numpy on the driver (k * dim floats, trivially small), and the
+    centroid matrix broadcasts to executors inside the assignment UDF.
+    """
+    rows = (
+        df.select(emb_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ cent.T  # cosine on normalized vectors
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (Arrow-batched
+    matrix multiply — one gemm per batch, no per-row Python)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def assign(series):
+        import pandas as pd
+
+        X = np.array(list(series), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype="int32")
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ cent.T).argmax(axis=1).astype(np.int32))
+
+    cell = pandas_udf(assign, "int")
+    return df.withColumn("ivf_cell", cell(F.col(emb_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest cells, exact cosine within.
+
+    With the corpus written partitioned/bucketed by ``ivf_cell`` the
+    ``isin`` compiles to partition pruning and the scan touches
+    ~nprobe/n_centroids of the data; on an unpartitioned layout it is
+    still a pushed-down dictionary filter.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    cent = np.asarray(centroids, dtype=np.float64)
+    probes = [int(c) for c in (cent @ q).argsort()[::-1][:nprobe]]
+    indexed = (
+        df
+        if "ivf_cell" in df.columns
+        else with_ivf_cell(df, centroids, emb_col)
+    )
+    pruned = indexed.where(F.col("ivf_cell").isin(probes))
+    return (
+        cosine_scores(pruned, query_vec, emb_col, id_col)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
     )

@@ -119,6 +119,109 @@ def stream_fold(
     )
 
 
+STATE_FIELDS = STATS_COLS + ["JobStatus", "JobStartTime", "JobFinishTime"]
+STATE_SCHEMA = ", ".join(
+    f"{c} long" if c not in ("JobStatus",) else f"{c} string"
+    for c in STATE_FIELDS
+)
+OUTPUT_SCHEMA = "Id string, " + STATE_SCHEMA
+
+
+def stateful_fold(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    state_sink: dict | None = None,
+):
+    """ST2 as a streaming-native custom stateful operator.
+
+    ``state_sink`` (a dict) receives the refreshed per-job state rows via
+    ``foreachBatch`` — the memory sink cannot recover from a checkpoint,
+    a foreachBatch merge can.
+
+    ``applyInPandasWithState`` keeps one state row per job id in the
+    streaming state store (checkpointed, exactly-once across restarts):
+    the 9 counters plus the locked status machine. Each batch's events
+    fold incrementally into the state — the same pure functions as the
+    batch path (jobs.fold_counters / fold_status), so batch and
+    streaming cannot drift. Output mode "update": one refreshed state
+    row per job per batch.
+
+    Reference shape: the DynamoDB-stream Lambda fold
+    (stream_processor.py:38-72 + stats_updater/status_updater); Spark's
+    state store replaces the DynamoDB row being incrementally updated.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..jobs import fold_counters, fold_status
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(events_dir)
+
+    def update(key, pdfs, state):
+        import json as _json
+
+        if state.exists:
+            cur = dict(zip(STATE_FIELDS, state.get))
+        else:
+            cur = {c: 0 for c in STATS_COLS}
+            cur.update(JobStatus=None, JobStartTime=None, JobFinishTime=None)
+        events = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                data = r["EventData"]
+                try:
+                    data = _json.loads(data) if isinstance(data, str) else data
+                except ValueError:
+                    data = {}
+                events.append(
+                    {
+                        "Sk": r["Sk"],
+                        "EventName": r["EventName"],
+                        "CreatedAt": int(r["CreatedAt"]),
+                        "EventData": data,
+                    }
+                )
+        events.sort(key=lambda e: e["Sk"])
+        inc = fold_counters(events)
+        for c in STATS_COLS:
+            cur[c] += inc[c]
+        status = fold_status(
+            events,
+            counters=cur,
+            initial={
+                k: cur[k]
+                for k in ("JobStatus", "JobStartTime", "JobFinishTime")
+                if cur.get(k) is not None
+            },
+        )
+        cur.update(status)
+        state.update(tuple(cur[c] for c in STATE_FIELDS))
+        yield pd.DataFrame([{"Id": key[0], **cur}])
+
+    folded = stream.groupBy("Id").applyInPandasWithState(
+        update,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state_sink is None:
+            return
+        for r in batch_df.collect():
+            state_sink[r["Id"]] = r.asDict()
+
+    return (
+        folded.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def cleanup_queue(queue_df: DataFrame, manifest_df: DataFrame) -> DataFrame:
     """ST3: remove queue items consumed by a finished job's manifests."""
     consumed = manifest_df.select(

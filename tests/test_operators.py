@@ -165,3 +165,48 @@ def test_multimodal_features(spark):
     frames = multimodal.frame_sample(df, every_ms=1000).collect()
     assert {r.media_id for r in frames} == {3}
     assert len(frames) == 3  # 3500ms -> frames at 0,1000,2000
+
+
+def test_ivf_topk_matches_brute_force_when_exhaustive(embs):
+    from amazon_s3_find_and_forget_spark.operators import similarity
+
+    q = [float(v) for v in embs.limit(1).collect()[0].embedding]
+    cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=500)
+    exact = [
+        (r.vec_id, r.cosine)
+        for r in similarity.cosine_topk(embs, q, k=10).collect()
+    ]
+    # probing every cell must reproduce the exact result
+    full = [
+        (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk(embs, q, cent, k=10, nprobe=16).collect()
+    ]
+    assert full == exact
+    # partial probe returns a subset of the corpus ranked exactly
+    part = similarity.ivf_topk(embs, q, cent, k=10, nprobe=4).collect()
+    assert len(part) == 10
+    assert part[0].vec_id == exact[0][0]  # true NN lives in the top cell
+
+
+def test_ivf_cell_assignment_partitions_corpus(embs):
+    from amazon_s3_find_and_forget_spark.operators import similarity
+
+    cent = similarity.train_ivf_centroids(embs, n_centroids=8, sample_size=300)
+    cells = similarity.with_ivf_cell(embs, cent)
+    counts = {r.ivf_cell: r["count"] for r in cells.groupBy("ivf_cell").count().collect()}
+    assert sum(counts.values()) == embs.count()
+    assert len(counts) > 1  # corpus actually spreads over cells
+
+
+def test_resize_images_plumbing(spark):
+    from amazon_s3_find_and_forget_spark.operators import multimodal
+
+    rows = [
+        (1, "image", b"imgbytes", "image/png", 640, 480, None),
+        (2, "video", b"vid", "video/mp4", None, None, 5000),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(df, width=64, height=64).collect()
+    assert len(out) == 1  # only images pass through
+    assert out[0].width == 64 and out[0].height == 64
+    assert bytes(out[0].payload).endswith(b"|resized:64x64")

@@ -136,3 +136,62 @@ def test_fold_stats_multiple_jobs(spark):
     assert out["a"]["TotalQuerySucceededCount"] == 1
     assert out["a"]["TotalQueryScannedInBytes"] == 10
     assert out["b"]["TotalObjectUpdateFailedCount"] == 1
+
+
+def test_stateful_fold_incremental_across_restarts(spark, tmp_path):
+    """applyInPandasWithState fold: state survives checkpointed restarts."""
+    import json
+
+    from amazon_s3_find_and_forget_spark.streaming.job_events import (
+        stateful_fold,
+    )
+
+    events_dir = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt")
+    events_dir.mkdir()
+
+    def write_batch(fname, rows):
+        with open(events_dir / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def ev(job, sk, name, data=None):
+        return {"Id": job, "Sk": sk, "EventName": name,
+                "CreatedAt": int(sk.split("#")[0]),
+                "EventData": json.dumps(data or {})}
+
+    # batch 1: job A starts and succeeds a query; job B starts
+    write_batch("b1.jsonl", [
+        ev("A", "1000#a", "JobStarted"),
+        ev("A", "2000#b", "QuerySucceeded",
+           {"Statistics": {"DataScannedInBytes": 111,
+                           "EngineExecutionTimeInMillis": 5}}),
+        ev("B", "1500#c", "JobStarted"),
+    ])
+    sink = {}
+    q = stateful_fold(spark, str(events_dir), ckpt, state_sink=sink)
+    q.awaitTermination(120)
+    assert sink["A"]["JobStatus"] == "RUNNING"
+    assert sink["A"]["TotalQuerySucceededCount"] == 1
+    assert sink["A"]["TotalQueryScannedInBytes"] == 111
+    assert sink["B"]["JobStatus"] == "RUNNING"
+
+    # batch 2 (restart from checkpoint): job A finishes cleanly
+    write_batch("b2.jsonl", [
+        ev("A", "3000#d", "ObjectUpdated"),
+        ev("A", "4000#e", "ForgetPhaseEnded"),
+        ev("A", "5000#f", "CleanupSucceeded"),
+    ])
+    q2 = stateful_fold(spark, str(events_dir), ckpt, state_sink=sink)
+    q2.awaitTermination(120)
+    # counters are cumulative across batches, not recomputed from scratch
+    assert sink["A"]["TotalQuerySucceededCount"] == 1
+    assert sink["A"]["TotalObjectUpdatedCount"] == 1
+    assert sink["A"]["JobStatus"] == "COMPLETED"
+    assert sink["A"]["JobFinishTime"] == 5000
+
+    # batch 3: a late event can NOT unlock the terminal status
+    write_batch("b3.jsonl", [ev("A", "6000#g", "JobStarted")])
+    q3 = stateful_fold(spark, str(events_dir), ckpt, state_sink=sink)
+    q3.awaitTermination(120)
+    assert sink["A"]["JobStatus"] == "COMPLETED"
