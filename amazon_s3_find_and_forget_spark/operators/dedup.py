@@ -206,7 +206,10 @@ def band_pairs(sigs: DataFrame, bands: int, num_perm: int = 64) -> DataFrame:
                 ]
             )
         ).alias("band_hash"),
-    ).persist()  # feeds BOTH join sides — without this the sig subtree runs twice
+    ).persist()
+    # feeds BOTH join sides: materialize eagerly, otherwise the two sides
+    # race to populate the cache and the sig subtree computes twice
+    banded.count()
     a = banded.select(F.col("_id").alias("id_a"), "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band_hash")
     return (
@@ -407,7 +410,9 @@ def simhash_near_duplicates(
     )
     keyed = sh.select(
         "_id", "simhash", F.explode(F.array(*keys)).alias("bucket")
-    ).persist()  # feeds BOTH join sides — avoids running the simhash UDF twice
+    ).persist()
+    # feeds BOTH join sides: materialize eagerly so the simhash UDF runs once
+    keyed.count()
     a = keyed.select(
         F.col("_id").alias("id_a"), F.col("simhash").alias("_sim_a"), "bucket"
     )
@@ -474,7 +479,8 @@ def ngram_jaccard_pairs(
         .where((F.col("_df") > 1) & (F.col("_df") <= max_posting))
         .select("g")
     )
-    posting = flat.join(eligible_grams, "g").persist()  # feeds both join sides
+    posting = flat.join(eligible_grams, "g").persist()
+    posting.count()  # feeds both join sides — materialize once, eagerly
     a = posting.select(F.col("_id").alias("id_a"), "g")
     b = posting.select(F.col("_id").alias("id_b"), "g")
     pair_counts = (

@@ -145,7 +145,8 @@ def embedding_near_duplicates(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
         "lsh_bucket",
-    ).persist()  # feeds both join sides
+    ).persist()
+    bucketed.count()  # feeds both join sides — materialize once, eagerly
     a = bucketed.select(
         F.col("_id").alias("id_a"), F.col("_emb").alias("_emb_a"), "lsh_bucket"
     )

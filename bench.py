@@ -77,7 +77,8 @@ def main():
     from pyspark.sql.functions import col, pandas_udf
 
     _warm = pandas_udf(lambda s: s, "long")
-    spark.range(1000).select(_warm(col("id"))).count()
+    # repartition so ALL worker slots spawn their python process now
+    spark.range(100_000).repartition(CPUS).select(_warm(col("id"))).count()
 
     for name in BENCH_QUERIES:
         fn = entry_queries.QUERIES[name]
