@@ -216,7 +216,14 @@ class Engine:
                 else [it.match_id]
             )
         ]
-        result = run_job(self.spark, mappers, items, job_id=job_id, kms=self.kms)
+        result = run_job(
+            self.spark,
+            mappers,
+            items,
+            job_id=job_id,
+            kms=self.kms,
+            manifest_dir=os.path.join(self.state_dir, "manifests"),
+        )
         folded = fold_status(result.events, result.counters)
         job.update(folded)
         job["JobStatus"] = result.status
@@ -268,6 +275,18 @@ class Engine:
         job = self._load(os.path.join("jobs", job_id), None)
         if job is None:
             raise KeyError(job_id)
+        # ST4: a watermark beyond the job's end is invalid, not just empty
+        # (parity: jobs/handlers.py:135-139 — bound is JobFinishTime + 1s)
+        finish = job.get("JobFinishTime")
+        if finish is not None and watermark != "0":
+            try:
+                wm_millis = int(watermark.split("#")[0])
+            except ValueError:
+                raise ValueError(f"Invalid watermark {watermark!r}") from None
+            if wm_millis > finish + 1000:
+                raise ValueError(
+                    f"Watermark {watermark!r} is beyond the job's end"
+                )
         events = [e for e in job.get("Events", []) if e["Sk"] > watermark]
         events.sort(key=lambda e: e["Sk"])
         page = events[:page_size]

@@ -219,6 +219,7 @@ def run_job(
     queue_items: list,
     job_id: str | None = None,
     kms=None,
+    manifest_dir: str | None = None,
 ) -> JobResult:
     """The whole deletion-job lifecycle as one driver program.
 
@@ -248,6 +249,18 @@ def run_job(
             groups = build_column_groups(
                 df.schema, mapper.columns, routed
             )
+            if manifest_dir:
+                # the auditable stringified manifest, partitioned like the
+                # reference's Glue JSONL manifest table (S7,
+                # generate_queries.py:223-225 + templates/manifests.yaml)
+                from .matches import build_manifest_df, write_manifest
+
+                write_manifest(
+                    build_manifest_df(
+                        spark, job_id, mapper.mapper_id, mapper.columns, routed
+                    ),
+                    manifest_dir,
+                )
             try:
                 paths = [
                     r[0] for r in find_affected_files(df, groups).collect()

@@ -133,6 +133,20 @@ def build_column_groups(
                 ((m["Column"], m["Value"]) for m in item.match_id),
                 key=lambda p: p[0],
             )  # O2: canonical column order
+            if len(pairs) == 1:
+                # a one-column composite IS a simple match on that column —
+                # the reference gives both the same QueryableColumns key
+                # (generate_queries.py:191-215); folding it into the simple
+                # group keeps scalar and tuple values from mixing
+                col, val = pairs[0]
+                canonical, dtype = validate_identifier(schema, col)
+                g = groups.setdefault(
+                    canonical,
+                    ColumnGroup([canonical], [dtype], [], composite=False),
+                )
+                g.values.append(cast_match_id(val, canonical, dtype))
+                g.item_ids.append(item.item_id)
+                continue
             cols, vals = zip(*pairs)
             canon_types = [validate_identifier(schema, c) for c in cols]
             canon_cols = [c for c, _ in canon_types]

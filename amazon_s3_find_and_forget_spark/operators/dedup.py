@@ -3,9 +3,10 @@
 Scale design notes (100 TB):
 - every candidate-generation step is a shuffle on a SMALL derived key
   (hash bucket / band), never an all-pairs product;
-- signatures are computed with built-in expressions (``xxhash64``,
-  ``transform``, ``array_min``) inside whole-stage codegen — the only
-  Python is SimHash's Arrow-batched pandas_udf (bit-matrix numpy kernel);
+- signature computation (MinHash, SimHash) runs in Arrow-batched numpy
+  kernels — vectorized, shuffle-free, one pass over the corpus; all
+  candidate generation and verification stays JVM-side (xxhash64 band
+  keys, bit_count, array intersections) inside whole-stage codegen;
 - "keep the smallest id among duplicates" (not full connected
   components) is the dedup policy: a doc is dropped iff it duplicates a
   smaller-id doc. Deterministic, single join, no iterative convergence.

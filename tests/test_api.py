@@ -117,3 +117,23 @@ def test_redaction(engine, spark, tmp_path):
     job = engine.process_queue()
     payload = str(job)
     assert "99887766" not in payload
+
+
+def test_manifest_written_and_future_watermark_rejected(engine, spark, lake):
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    assert job["JobStatus"] == "COMPLETED"
+    # auditable manifest written partitioned by (JobId, DataMapperId)
+    mdir = os.path.join(engine.state_dir, "manifests")
+    mdf = spark.read.json(mdir)
+    rows = mdf.collect()
+    assert len(rows) == 1
+    assert rows[0].QueryableColumns == "l_orderkey"
+    assert str(rows[0].JobId) == job["Id"]
+    assert str(rows[0].DataMapperId) == "li"
+    # ST4: watermark beyond JobFinishTime + 1s is an error, not empty page
+    with pytest.raises(ValueError, match="beyond"):
+        engine.list_job_events(
+            job["Id"], watermark=f"{job['JobFinishTime'] + 99999}#zz"
+        )

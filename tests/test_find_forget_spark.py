@@ -221,3 +221,38 @@ def test_status_fold_locked_terminal():
     ]
     out = fold_status(evs)
     assert out["JobStatus"] == "FIND_FAILED"  # terminal state locked
+
+
+def test_single_column_composite_folds_into_simple_group(spark, tmp_path, sf_dir):
+    """A one-column Composite match must not poison the simple group's
+    scalar isin with tuples (regression: LITERAL_TYPE ArrayList error)."""
+    import os
+    import shutil
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.jobs import run_job
+    from amazon_s3_find_and_forget_spark.matches import (
+        QueueItem,
+        build_column_groups,
+    )
+
+    lake = tmp_path / "li"
+    lake.mkdir()
+    shutil.copy(os.path.join(sf_dir, "lineitem.parquet"), lake / "p.parquet")
+    df = spark.read.parquet(str(lake))
+    items = [
+        QueueItem(match_id=1),
+        QueueItem(
+            match_id=[{"Column": "l_orderkey", "Value": 3}],
+            type="Composite",
+            data_mappers=["li"],
+        ),
+    ]
+    groups = build_column_groups(df.schema, ["l_orderkey"], items)
+    assert len(groups) == 1 and not groups[0].composite
+    assert groups[0].values == [1, 3]
+
+    result = run_job(spark, [DataMapper("li", str(lake), ["l_orderkey"])], items)
+    assert result.status == "COMPLETED", result.events
+    after = spark.read.parquet(str(lake))
+    assert after.where("l_orderkey in (1, 3)").count() == 0
