@@ -77,6 +77,27 @@ class Engine:
             json.dump(value, f, indent=1)
         os.replace(tmp, self._path(name))
 
+    # --- settings (settings/handlers.py:14-22) -----------------------------
+
+    DEFAULT_SETTINGS = {
+        # the reference's deployment knobs, re-homed onto Spark concepts:
+        # concurrency is the cluster's scheduler; retries are task retries
+        "JobDetailsRetentionDays": 0,
+        "QueryMaxRetries": 2,  # AthenaQueryMaxRetries analog (task retry)
+        "ForgetTaskParallelism": None,  # None = spark defaultParallelism
+    }
+
+    def get_settings(self) -> dict:
+        return {**self.DEFAULT_SETTINGS, **self._load("settings", {})}
+
+    def put_settings(self, settings: dict) -> dict:
+        unknown = set(settings) - set(self.DEFAULT_SETTINGS)
+        if unknown:
+            raise ValueError(f"Unknown settings: {sorted(unknown)}")
+        merged = {**self._load("settings", {}), **settings}
+        self._save("settings", merged)
+        return self.get_settings()
+
     # --- data mappers (data_mappers/handlers.py:74-182) --------------------
 
     def put_data_mapper(self, mapper_id: str, config: dict) -> dict:

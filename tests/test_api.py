@@ -137,3 +137,12 @@ def test_manifest_written_and_future_watermark_rejected(engine, spark, lake):
         engine.list_job_events(
             job["Id"], watermark=f"{job['JobFinishTime'] + 99999}#zz"
         )
+
+
+def test_settings(engine):
+    s = engine.get_settings()
+    assert s["QueryMaxRetries"] == 2
+    engine.put_settings({"QueryMaxRetries": 5})
+    assert engine.get_settings()["QueryMaxRetries"] == 5
+    with pytest.raises(ValueError, match="Unknown settings"):
+        engine.put_settings({"NotAKnob": 1})

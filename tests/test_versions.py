@@ -112,3 +112,70 @@ def test_job_with_delete_old_versions_false(spark, tmp_path, sf_dir):
     versions.restore_version(obj)
     after = spark.read.parquet(obj).where("l_orderkey = 1").count()
     assert after > 0
+
+
+def test_object_not_found_skip_vs_fail(tmp_path):
+    missing = str(tmp_path / "gone.parquet")
+    # IgnoreObjectNotFoundExceptions=True -> skipped (main.py:213-241)
+    row = _rewrite_one(missing, "parquet", SPEC, True)
+    assert row[4] == "skipped" and row[5] == "ObjectNotFound"
+    # default -> failed
+    row = _rewrite_one(missing, "parquet", SPEC, False)
+    assert row[4] == "failed" and row[5] == "ObjectNotFound"
+
+
+def test_job_partial_failure_on_missing_object(spark, tmp_path, sf_dir):
+    """File vanishing between Find and Forget -> FORGET_PARTIALLY_FAILED,
+    unless the mapper opts into ignoring missing objects."""
+    from amazon_s3_find_and_forget_spark.jobs import run_job
+    from amazon_s3_find_and_forget_spark.plans import forget as forget_mod
+
+    lake = tmp_path / "li"
+    lake.mkdir()
+    shutil.copy(os.path.join(sf_dir, "lineitem.parquet"), lake / "p.parquet")
+
+    real = forget_mod.forget_files
+
+    def vanishing_forget(spark_, files, groups, **kw):
+        for f in files:
+            local = f[len("file:"):] if f.startswith("file:") else f
+            os.remove(local)
+        return real(spark_, files, groups, **kw)
+
+    forget_mod.forget_files = vanishing_forget
+    # run_job imports forget_files inside the function -> patch module attr
+    import amazon_s3_find_and_forget_spark.jobs as jobs_mod  # noqa: F401
+
+    try:
+        mapper = DataMapper("li", str(lake), ["l_orderkey"])
+        r = run_job(spark, [mapper], [QueueItem(match_id=1)])
+        assert r.status == "FORGET_PARTIALLY_FAILED"
+        shutil.copy(os.path.join(sf_dir, "lineitem.parquet"), lake / "p.parquet")
+        mapper2 = DataMapper(
+            "li", str(lake), ["l_orderkey"], ignore_object_not_found=True
+        )
+        r2 = run_job(spark, [mapper2], [QueueItem(match_id=1)])
+        assert r2.status == "COMPLETED"
+        assert any(
+            e["EventName"] == "ObjectUpdateSkipped" for e in r2.events
+        )
+    finally:
+        forget_mod.forget_files = real
+
+
+def test_gzip_parquet_input_rewrites_to_snappy(tmp_path):
+    """Reference reads snappy/brotli/gzip parquet, writes snappy
+    (docs/LIMITS.md:12-28)."""
+    import pyarrow.parquet as pq_mod
+
+    obj = str(tmp_path / "gz.parquet")
+    pq.write_table(
+        pa.table({"customer_id": pa.array([1, 2, 3], pa.int64())}),
+        obj,
+        compression="gzip",
+    )
+    row = _rewrite_one(obj, "parquet", SPEC, False)
+    assert row[4] == "updated" and row[3] == 2
+    meta = pq_mod.ParquetFile(obj).metadata
+    assert meta.row_group(0).column(0).compression == "SNAPPY"
+    assert _read_ids(obj) == [1]
