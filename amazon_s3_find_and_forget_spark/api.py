@@ -237,6 +237,7 @@ class Engine:
                 else [it.match_id]
             )
         ]
+        settings = self.get_settings()
         result = run_job(
             self.spark,
             mappers,
@@ -244,6 +245,8 @@ class Engine:
             job_id=job_id,
             kms=self.kms,
             manifest_dir=os.path.join(self.state_dir, "manifests"),
+            query_max_retries=int(settings["QueryMaxRetries"]),
+            forget_parallelism=settings["ForgetTaskParallelism"],
         )
         folded = fold_status(result.events, result.counters)
         job.update(folded)

@@ -220,6 +220,8 @@ def run_job(
     job_id: str | None = None,
     kms=None,
     manifest_dir: str | None = None,
+    query_max_retries: int = 2,
+    forget_parallelism: int | None = None,
 ) -> JobResult:
     """The whole deletion-job lifecycle as one driver program.
 
@@ -261,16 +263,24 @@ def run_job(
                     ),
                     manifest_dir,
                 )
-            try:
-                paths = [
-                    r[0] for r in find_affected_files(df, groups).collect()
-                ]
-                emit("QuerySucceeded", {"DataMapperId": mapper.mapper_id})
-            except Exception as e:  # noqa: BLE001
-                # fail fast: any Find failure abandons the job
-                # (parity: work_query_queue.py:38-42 + FindPhaseFailed event)
-                counters["TotalQueryFailedCount"] += 1
-                emit("QueryFailed", {"Error": str(e)})
+            paths = None
+            for attempt in range(query_max_retries + 1):
+                # bounded retry budget, the AthenaQueryMaxRetries analog
+                # (check_query_status.py:9-27 + state_machine.yaml:204-224);
+                # Spark's own task retries handle executor-level failures,
+                # this guards whole-query failures
+                try:
+                    paths = [
+                        r[0] for r in find_affected_files(df, groups).collect()
+                    ]
+                    emit("QuerySucceeded", {"DataMapperId": mapper.mapper_id})
+                    break
+                except Exception as e:  # noqa: BLE001
+                    counters["TotalQueryFailedCount"] += 1
+                    emit("QueryFailed", {"Error": str(e), "Attempt": attempt})
+            if paths is None:
+                # fail fast: a Find failure past its retry budget abandons
+                # the job (parity: work_query_queue.py:38-42)
                 emit("FindPhaseFailed")
                 folded = fold_status(events, counters)
                 return JobResult(
@@ -288,6 +298,7 @@ def run_job(
                 ignore_not_found=mapper.ignore_object_not_found,
                 delete_old_versions=mapper.delete_old_versions,
                 kms=kms,
+                parallelism=forget_parallelism,
             )
             all_stats.extend(stats)
             for row in stats:

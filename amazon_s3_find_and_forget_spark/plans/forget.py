@@ -181,6 +181,7 @@ def forget_files(
     ignore_not_found: bool = False,
     delete_old_versions: bool = True,
     kms=None,
+    parallelism: int | None = None,
 ) -> list[tuple]:
     """Rewrite each affected file on the cluster; returns stats rows.
 
@@ -193,7 +194,7 @@ def forget_files(
         return []
     spec = groups_to_spec(groups)
     sc = spark.sparkContext
-    slices = min(len(files), max(sc.defaultParallelism, 1))
+    slices = min(len(files), max(parallelism or sc.defaultParallelism, 1))
     rdd = sc.parallelize(files, numSlices=slices).map(
         lambda p: _rewrite_one(
             p, fmt, spec, ignore_not_found, delete_old_versions, kms
