@@ -103,6 +103,23 @@ def validate_identifier(schema: StructType, dot_path: str) -> tuple[str, DataTyp
     return canonical, dtype
 
 
+def schema_from_hive_columns(columns: list[tuple[str, str]]) -> StructType:
+    """Build a StructType from Glue-style (name, hive_type) column pairs.
+
+    The reference hand-parses these Hive type strings into its own column
+    tree (generate_queries.py:329-480, ~150 LoC); Spark's DDL parser IS
+    that parser — ``struct<...>``, ``decimal(p,s)``, ``array<...>``,
+    ``map<k,v>`` all round-trip through ``StructType.fromDDL``.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    ddl = ", ".join(f"{name} {hive_type}" for name, hive_type in columns)
+    parsed = _parse_datatype_string(ddl)
+    if not isinstance(parsed, StructType):
+        raise ValueError(f"Could not parse columns: {columns}")
+    return parsed
+
+
 def cast_match_id(value, column: str, dtype: DataType):
     """Cast a queued match id to the typed representation of its column.
 
