@@ -320,6 +320,14 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_duplicates(embs, dim=dim, threshold=0.4, bits=4)
 
 
+def q_embedding_near_dups_exact(spark, sf_dir):
+    # the brute-force ground truth for the LSH variant above; DuckDB can
+    # express it exactly, so this one is oracle-checked
+    return similarity.exact_near_duplicate_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = docs.select(
@@ -510,6 +518,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
@@ -739,5 +748,46 @@ ORACLES = {
         FROM embeddings e
         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id = 0) q
+    """,
+    "embedding_near_dups_exact": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS n
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    """,
+    "dedup_ngram_pairs": """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS gs
+          FROM toks
+        ), flat AS (
+          SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+        ), elig AS (
+          SELECT g FROM flat GROUP BY g
+          HAVING count(*) > 1 AND count(*) <= 1000
+        ), post AS (
+          SELECT f.doc_id, f.n, f.g FROM flat f JOIN elig USING (g)
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS shared,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(shared / (n_a + n_b - shared), 6) AS jaccard
+        FROM pairs
+        WHERE round(shared / (n_a + n_b - shared), 6) >= 0.5
     """,
 }

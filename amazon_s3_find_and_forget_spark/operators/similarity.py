@@ -133,18 +133,36 @@ def embedding_near_duplicates(
     dim: int,
     threshold: float = 0.95,
     bits: int = 10,
+    n_tables: int = 8,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs (cosine >= threshold); candidates share a bucket.
+    """Near-dup pairs (cosine >= threshold); candidates share any bucket.
+
+    Multi-table random-hyperplane LSH (the OR-construction): a pair at
+    angle theta collides in one ``bits``-bit table with probability
+    (1 - theta/pi)^bits, and across ``n_tables`` independent tables with
+    1-(1-p)^T — recall is tunable without loosening the per-table
+    precision. Every candidate is then verified with the exact cosine,
+    so precision is 1.0; only recall is approximate.
 
     Pair generation is a bucket self-join (streams/spills instead of an
-    O(s^2) per-bucket array — same shape as dedup.band_pairs)."""
-    bucketed = with_lsh_bucket(df, dim, bits, emb_col, seed).select(
+    O(s^2) per-bucket array — same shape as dedup.band_pairs); the
+    shuffle key is (table, bucket), never the embedding."""
+    table_keys = [
+        F.xxhash64(
+            F.lit(t),
+            hyperplane_bucket(
+                F.col(emb_col), _hyperplanes(dim, bits, seed + t)
+            ),
+        )
+        for t in range(n_tables)
+    ]
+    bucketed = df.select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
-        "lsh_bucket",
+        F.explode(F.array(*table_keys)).alias("lsh_bucket"),
     ).persist()
     bucketed.count()  # feeds both join sides — materialize once, eagerly
     a = bucketed.select(
@@ -169,6 +187,47 @@ def embedding_near_duplicates(
         pairs.where(F.col("cosine") >= threshold)
         .withColumn("cosine", F.round("cosine", 6))
         .distinct()
+    )
+
+
+def exact_near_duplicate_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine >= threshold, exact (id_a < id_b).
+
+    The brute-force baseline that ``embedding_near_duplicates`` (LSH)
+    approximates: every pair is evaluated, so recall is 1.0 by
+    construction and the output is the ground truth for tuning
+    ``bits``/``threshold`` on a sample. Quadratic in corpus size —
+    run it on samples / small partitions, never the full 100 TB corpus;
+    norms are precomputed per side so each pair costs one dot product.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        _norm(F.col(emb_col)).alias("_n"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_emb").alias("_emb_a"),
+        F.col("_n").alias("_n_a"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_emb").alias("_emb_b"),
+        F.col("_n").alias("_n_b"),
+    )
+    cos = _dot(F.col("_emb_a"), F.col("_emb_b")) / (
+        F.col("_n_a") * F.col("_n_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .withColumn("cosine", F.round("cosine", 6))
     )
 
 

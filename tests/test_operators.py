@@ -113,6 +113,40 @@ def test_embedding_near_duplicates(spark):
     assert not any(3 in p for p in got)
 
 
+def test_exact_near_duplicate_pairs(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = similarity.exact_near_duplicate_pairs(df, threshold=0.99)
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.999
+
+
+def test_lsh_near_dups_subset_of_exact(embs):
+    """LSH candidates are a subset of the exact ground truth (precision 1
+    after the verify step), and recall on the sf0.001 corpus is decent."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.exact_near_duplicate_pairs(
+            embs, threshold=0.4
+        ).collect()
+    }
+    dim = len(embs.limit(1).collect()[0].embedding)
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            embs, dim=dim, threshold=0.4, bits=4
+        ).collect()
+    }
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.3
+
+
 def test_token_count_and_quality(docs):
     out = text.with_quality(text.with_token_count(docs)).limit(20).collect()
     for r in out:
