@@ -21,7 +21,9 @@ SUPPORTED_FORMATS = ("parquet", "json")
 @dataclass
 class DataMapper:
     mapper_id: str
-    location: str  # directory or glob of data files
+    location: str  # directory/glob of data files, or "table:<name>" for a
+    # catalog table (the Glue-table pointer of the reference,
+    # generate_queries.py:141-148 — Spark's catalog replaces Glue)
     columns: list  # identifier dot paths
     format: str = "parquet"
     partition_keys: list = field(default_factory=list)  # optional subset
@@ -29,6 +31,10 @@ class DataMapper:
     ignore_object_not_found: bool = False
     encrypted: bool = False  # CSE-KMS envelope-encrypted objects
     partition_filter: str = ""  # SQL predicate over partition columns
+    schema: str = ""  # optional DDL schema; REQUIRED practice for JSON
+    # lakes at scale — without it spark.read.json runs a full inference
+    # pass over the lake before the Find scan even starts (the reference
+    # never infers: schemas come from the Glue catalog)
 
     def __post_init__(self):
         if self.format not in SUPPORTED_FORMATS:
@@ -62,10 +68,18 @@ class DataMapper:
                     "client was provided"
                 )
             df = read_encrypted_parquet(spark, self.location, kms)
+        elif self.location.startswith("table:"):
+            df = spark.table(self.location[len("table:") :])
         elif self.format == "parquet":
-            df = spark.read.parquet(self.location)
+            reader = spark.read
+            if self.schema:
+                reader = reader.schema(self.schema)
+            df = reader.parquet(self.location)
         else:
-            df = spark.read.json(self.location)
+            reader = spark.read
+            if self.schema:
+                reader = reader.schema(self.schema)
+            df = reader.json(self.location)
         if self.partition_filter:
             # Catalyst turns a predicate over partition columns into static
             # partition pruning: non-matching directories are never listed,

@@ -301,6 +301,14 @@ def run_job(
                 parallelism=forget_parallelism,
             )
             all_stats.extend(stats)
+            # the rewrite changed files behind Spark's back — drop any
+            # cached file listing / metadata so subsequent reads in this
+            # session see the new objects (S3's analog is read-after-write
+            # consistency; Spark's is the catalog file-index cache)
+            if mapper.location.startswith("table:"):
+                spark.catalog.refreshTable(mapper.location[len("table:") :])
+            else:
+                spark.catalog.refreshByPath(mapper.location)
             for row in stats:
                 status = row[4]
                 if status == "updated":
