@@ -172,21 +172,27 @@ def minhash_candidate_pairs(
     k: int = 5,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     shingle -> minhash (num_perm perms) -> split into ``bands`` bands of
-    r = num_perm/bands rows -> hash each band -> explode -> groupBy
-    (band, hash) -> intra-bucket pairs (a < b). The shuffle key is the
-    band hash; bucket sizes are bounded by collect_list, so the pair
-    blow-up is local to genuinely-similar clusters.
+    r = num_perm/bands rows -> hash each band -> explode -> self-join on
+    the band hash -> intra-bucket pairs (a < b). The shuffle key is the
+    band hash, so the pair blow-up stays local to genuinely-similar
+    clusters; ``max_bucket`` caps even that (see ``band_pairs``).
     """
     assert num_perm % bands == 0
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
-    return band_pairs(sigs, bands, num_perm)
+    return band_pairs(sigs, bands, num_perm, max_bucket)
 
 
-def band_pairs(sigs: DataFrame, bands: int, num_perm: int = 64) -> DataFrame:
+def band_pairs(
+    sigs: DataFrame,
+    bands: int,
+    num_perm: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Candidate pairs from precomputed signatures via LSH banding.
 
     Pair generation is a self-equi-join on the band hash (the shape of
@@ -195,6 +201,16 @@ def band_pairs(sigs: DataFrame, bands: int, num_perm: int = 64) -> DataFrame:
     array per bucket in a single row — a skewed bucket (a boilerplate
     phrase shared by thousands of docs) would otherwise build one
     multi-GB row at 100 TB.
+
+    ``max_bucket`` is the skew guard for that boilerplate case: buckets
+    with more than ``max_bucket`` members switch from all-pairs (s^2/2
+    candidates) to star-pairing against the bucket's minimum id (s-1
+    candidates). For dedup's "drop docs duplicating a smaller id" policy
+    the star still catches the dominant mass-duplication pattern (every
+    member verifies against the bucket min); what it can miss is a
+    member pairing with a *different* smaller id when it does NOT
+    duplicate the bucket min — a recall trade-off that bounds the
+    worst-case candidate count linearly. Off (None) by default.
     """
     r = num_perm // bands
     banded = sigs.select(
@@ -213,12 +229,35 @@ def band_pairs(sigs: DataFrame, bands: int, num_perm: int = 64) -> DataFrame:
     banded.count()
     a = banded.select(F.col("_id").alias("id_a"), "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band_hash")
-    return (
-        a.join(b, "band_hash")
+    if max_bucket is None:
+        return (
+            a.join(b, "band_hash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    # the skewed buckets are FEW by definition (that's what makes them
+    # skewed) — that tiny relation broadcasts; the full per-bucket stats
+    # relation (one row per distinct band hash) never would at scale
+    big = (
+        banded.groupBy("band_hash")
+        .agg(F.count(F.lit(1)).alias("_sz"), F.min("_id").alias("_min_id"))
+        .where(F.col("_sz") > max_bucket)
+        .persist()
+    )
+    big.count()
+    dense = (
+        a.join(F.broadcast(big.select("band_hash")), "band_hash", "left_anti")
+        .join(b, "band_hash")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    star = (
+        banded.join(F.broadcast(big), "band_hash")
+        .where(F.col("_id") > F.col("_min_id"))
+        .select(F.col("_min_id").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    return dense.unionAll(star).distinct()
 
 
 def verified_jaccard_pairs(
@@ -291,6 +330,7 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Survivors after near-dup removal: drop docs duplicating a smaller id.
 
@@ -299,7 +339,7 @@ def minhash_dedup(
     estimate of Jaccard.
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
-    pairs = band_pairs(sigs, bands, num_perm)
+    pairs = band_pairs(sigs, bands, num_perm, max_bucket)
     dups = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
     # id_b > id_a by construction -> id_b is the duplicate to drop
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()

@@ -49,6 +49,37 @@ def test_minhash_finds_near_dups(spark):
     assert 1 in ids and 3 in ids and 4 not in ids
 
 
+def test_band_pairs_skew_guard(spark):
+    """max_bucket: mass-duplicated docs star-pair against the bucket min
+    (linear) instead of all-pairs (quadratic); small buckets unaffected."""
+    boiler = "unsubscribe from this newsletter by clicking the link below " * 5
+    a = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, boiler) for i in range(100, 120)] + [(1, a), (2, a)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(df, max_bucket=5).collect()
+    }
+    # every boilerplate copy still pairs with the group min -> all get
+    # dropped by minhash_dedup's smaller-id policy
+    assert {(100, i) for i in range(101, 120)} <= capped
+    # no non-star pair inside the capped bucket
+    assert not any(
+        x >= 101 and y >= 101 for x, y in capped if x != 100 and y != 100
+    )
+    # the small (size-2) bucket still all-pairs
+    assert (1, 2) in capped
+    survivors = dedup.minhash_dedup(df, threshold=0.5, max_bucket=5)
+    ids = sorted(r.doc_id for r in survivors.collect())
+    assert ids == [1, 100]
+    # uncapped candidates are a superset
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(df).collect()
+    }
+    assert capped <= uncapped
+
+
 def test_simhash_near_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 6
     near = base.replace("theta", "iota")
@@ -220,6 +251,25 @@ def test_ivf_topk_matches_brute_force_when_exhaustive(embs):
     part = similarity.ivf_topk(embs, q, cent, k=10, nprobe=4).collect()
     assert len(part) == 10
     assert part[0].vec_id == exact[0][0]  # true NN lives in the top cell
+
+
+def test_ivf_partitioned_layout_prunes(spark, embs, tmp_path):
+    """On a corpus written partitionBy(ivf_cell), probing nprobe cells is
+    static partition pruning — the scan plan lists only probed dirs."""
+    cent = similarity.train_ivf_centroids(embs, n_centroids=8, sample_size=300)
+    layout = str(tmp_path / "ivf_layout")
+    similarity.with_ivf_cell(embs, cent).write.partitionBy("ivf_cell").parquet(
+        layout
+    )
+    indexed = spark.read.parquet(layout)
+    q = [float(v) for v in embs.limit(1).collect()[0].embedding]
+    out = similarity.ivf_topk(indexed, q, cent, k=5, nprobe=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted"
+    )
+    filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ivf_cell" in filters and " IN " in filters
+    assert len(out.collect()) == 5
 
 
 def test_ivf_cell_assignment_partitions_corpus(embs):
