@@ -406,7 +406,7 @@ def q_dedup_exact_survivors(spark, sf_dir):
 
 def q_text_token_count(spark, sf_dir):
     return text.with_token_count(load(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens"
+        "doc_id", "n_tokens", "n_tokens_bpe"
     )
 
 
@@ -913,7 +913,11 @@ ORACLES = {
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
     """,
     "text_token_count": f"""
-        SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents
+        SELECT doc_id, len({_TOKENS}) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+                 AS n_tokens_bpe
+        FROM documents
     """,
     "text_quality": f"""
         WITH t AS (

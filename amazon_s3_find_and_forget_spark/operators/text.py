@@ -37,10 +37,24 @@ def tokens(col: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer, lookahead-free so the same pattern runs under
+# Java regex (Spark) and RE2 (DuckDB oracle): contraction suffixes, then
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+# An LLM-pipeline token *count* proxy — the real BPE merge table is a
+# per-model artifact; the pre-tokenizer split is the engine-side part.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.col(text_col))
-    return df.withColumn("n_tokens", F.size(toks)).withColumn(
-        "n_chars_measured", F.length(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(F.col(text_col)))
+        .withColumn("n_chars_measured", F.length(F.col(text_col)))
     )
 
 
