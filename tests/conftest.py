@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -16,7 +17,11 @@ def spark():
         app_name="s3f2-tests",
         cpus=4,
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # bucketed-table tests must not write into the repo
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="s3f2-wh-"),
+        },
     )
     yield s
     s.stop()

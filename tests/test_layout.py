@@ -1,0 +1,49 @@
+"""Bucketed layouts produce shuffle-free co-located joins (plan-shape)."""
+
+import os
+
+import pytest
+
+from amazon_s3_find_and_forget_spark.operators import layout
+
+
+def explain_str(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    # tables land in the session's warehouse dir (a tempdir, see conftest)
+    for name in ("lineitem", "orders"):
+        spark.sql(f"DROP TABLE IF EXISTS b_{name}")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "lineitem":
+            df = df.withColumnRenamed("l_orderkey", "orderkey")
+        else:
+            df = df.withColumnRenamed("o_orderkey", "orderkey")
+        # one shuffle now (at write), zero at every subsequent join
+        layout.write_bucketed(
+            df.repartition(4), f"b_{name}", ["orderkey"], n_buckets=4
+        )
+    yield
+    for name in ("lineitem", "orders"):
+        spark.sql(f"DROP TABLE IF EXISTS b_{name}")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    joined = layout.colocated_join(spark, "b_lineitem", "b_orders", ["orderkey"])
+    plan = explain_str(joined)
+    join_section = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in join_section, join_section
+    assert joined.count() > 0
+
+
+def test_unbucketed_join_does_exchange(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).hint(
+        "shuffle_merge"
+    )
+    plan = explain_str(li.join(o, li.l_orderkey == o.o_orderkey))
+    assert "Exchange" in plan  # the baseline the bucketing removes
