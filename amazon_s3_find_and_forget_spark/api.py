@@ -106,19 +106,7 @@ class Engine:
         types in the actual table schema, partition keys exist, and the
         location does not overlap another mapper's."""
         mappers = self._load("data_mappers", {})
-        candidate = DataMapper(
-            mapper_id=mapper_id,
-            location=config["Location"],
-            columns=list(config["Columns"]),
-            format=config.get("Format", "parquet"),
-            partition_keys=list(config.get("PartitionKeys", [])),
-            delete_old_versions=bool(config.get("DeleteOldVersions", True)),
-            ignore_object_not_found=bool(
-                config.get("IgnoreObjectNotFoundExceptions", False)
-            ),
-            encrypted=bool(config.get("Encrypted", False)),
-            partition_filter=config.get("PartitionFilter", ""),
-        )
+        candidate = self._mapper_from(mapper_id, config)
         candidate.validate(self.spark, kms=self.kms)
         others = [
             self._mapper_from(mid, c)
@@ -143,6 +131,7 @@ class Engine:
             ),
             encrypted=bool(config.get("Encrypted", False)),
             partition_filter=config.get("PartitionFilter", ""),
+            schema=config.get("Schema", ""),
         )
 
     def get_data_mapper(self, mapper_id: str) -> dict | None:
