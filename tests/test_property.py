@@ -146,3 +146,57 @@ def test_parquet_composite_complement(tmp_path_factory, rows, match_tuples):
     assert list(
         zip(got.column("a").to_pylist(), got.column("b").to_pylist())
     ) == expected
+
+
+# ---------------------------------------------------------------------------
+# whole-job cross-phase consistency (SURVEY §7.3 risk 3): for ANY match
+# set — present keys, absent keys, or a mix — the Find phase and the
+# Forget phase agree: survivors are exactly the complement, absent keys
+# touch nothing, and no object ever fails with "no rows deleted".
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=8, unique=True
+    )
+)
+def test_job_find_forget_consistency(spark, sf_dir, keys):
+    import os
+    import shutil
+    import tempfile
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.jobs import run_job
+    from amazon_s3_find_and_forget_spark.matches import QueueItem
+
+    lake = tempfile.mkdtemp(prefix="s3f2-prop-")
+    try:
+        for f in ("a.parquet", "b.parquet"):
+            shutil.copy(
+                os.path.join(sf_dir, "nation.parquet"), os.path.join(lake, f)
+            )
+        before = {
+            r.n_nationkey
+            for r in spark.read.parquet(lake).select("n_nationkey").collect()
+        }
+        mapper = DataMapper("m", lake, ["n_nationkey"])
+        result = run_job(
+            spark, [mapper], [QueueItem(match_id=k) for k in keys]
+        )
+        assert result.status == "COMPLETED"
+        # no object failed the DeletedRows==0 cross-phase check
+        assert all(s[4] in ("updated",) for s in result.file_stats)
+        after = [
+            r.n_nationkey
+            for r in spark.read.parquet(lake).select("n_nationkey").collect()
+        ]
+        expected = before - set(keys)
+        assert set(after) == expected
+        assert len(after) == 2 * len(expected)  # both file copies rewritten
+        # absent-only match sets must touch zero files
+        if not (set(keys) & before):
+            assert result.file_stats == []
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
