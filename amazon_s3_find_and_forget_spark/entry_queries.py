@@ -460,6 +460,15 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_duplicates(embs, dim=dim, threshold=0.4, bits=4)
 
 
+def q_similarity_batch_topk(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return similarity.lsh_topk_batch(embs, queries, k=5, bits=4)
+
+
 def q_embedding_near_dups_exact(spark, sf_dir):
     # the brute-force ground truth for the LSH variant above; DuckDB can
     # express it exactly, so this one is oracle-checked
@@ -663,6 +672,7 @@ QUERIES = {
     "similarity_cosine": q_similarity_cosine,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_batch_topk": q_similarity_batch_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "multimodal_features": q_multimodal_features,

@@ -190,6 +190,77 @@ def embedding_near_duplicates(
     )
 
 
+def lsh_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    bits: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_emb_col: str = "query_embedding",
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k for a whole TABLE of queries in one plan.
+
+    Single-query search scans one bucket; a training-data pipeline asks
+    "nearest neighbors for these 10M new documents" — that is a JOIN,
+    not a loop: bucket both sides with the same hyperplanes (queries
+    additionally explode to their hamming-1 probe buckets), equi-join on
+    the bucket, score candidates with exact cosine, keep k per query
+    via a ranking window partitioned by query id. The shuffle key is the
+    bucket (then the query id for the window) — embeddings cross the
+    wire once; on a corpus pre-bucketed/partitioned by ``lsh_bucket``
+    the corpus side doesn't even shuffle.
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(df.select(emb_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    corpus = df.select(
+        F.col(id_col).alias("_cid"),
+        F.col(emb_col).alias("_cemb"),
+        hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
+        _norm(F.col(emb_col)).alias("_cn"),
+    )
+    qbucket = hyperplane_bucket(F.col(q_emb_col), planes)
+    probes = [qbucket] + (
+        [
+            qbucket.bitwiseXOR(F.lit(1 << i)).cast("int")
+            for i in range(bits)
+        ]
+        if multiprobe
+        else []
+    )
+    qside = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_emb_col).alias("_qemb"),
+        F.explode(F.array(*[p.cast("int") for p in probes])).alias("bucket"),
+        _norm(F.col(q_emb_col)).alias("_qn"),
+    )
+    cos = _dot(F.col("_qemb"), F.col("_cemb")) / (
+        F.col("_qn") * F.col("_cn")
+    )
+    scored = qside.join(corpus, "bucket").select(
+        "query_id",
+        F.col("_cid").alias(id_col),
+        F.round(cos, 6).alias("cosine"),
+    )
+    # a probe set can reach the same candidate through several buckets
+    scored = scored.dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def exact_near_duplicate_pairs(
     df: DataFrame,
     threshold: float = 0.95,

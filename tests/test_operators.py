@@ -144,6 +144,36 @@ def test_embedding_near_duplicates(spark):
     assert not any(3 in p for p in got)
 
 
+def test_lsh_topk_batch_agrees_with_single_query(spark, embs):
+    """The batched bucket-join search returns the same hits as the
+    per-query lsh_topk loop it replaces."""
+    rows = embs.limit(3).collect()
+    dim = len(rows[0].embedding)
+    queries = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in rows],
+        "query_id long, query_embedding array<float>",
+    )
+    batched = similarity.lsh_topk_batch(
+        embs, queries, k=5, dim=dim, bits=4
+    ).collect()
+    by_query = {}
+    for r in batched:
+        by_query.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    for r in rows:
+        single = [
+            (s.vec_id, s.cosine)
+            for s in similarity.lsh_topk(
+                embs,
+                [float(v) for v in r.embedding],
+                k=5,
+                bits=4,
+            ).collect()
+        ]
+        assert by_query[r.vec_id] == single
+        # the query vector itself is always its own nearest neighbor
+        assert by_query[r.vec_id][0][0] == r.vec_id
+
+
 def test_exact_near_duplicate_pairs(spark):
     v = [1.0, 0.0, 0.0, 0.0]
     near = [0.999, 0.01, 0.0, 0.0]
