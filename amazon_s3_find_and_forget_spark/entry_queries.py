@@ -469,6 +469,15 @@ def q_similarity_batch_topk(spark, sf_dir):
     return similarity.lsh_topk_batch(embs, queries, k=5, bits=4)
 
 
+def q_similarity_batch_topk_exact(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return similarity.cosine_topk_batch(embs, queries, k=5)
+
+
 def q_embedding_near_dups_exact(spark, sf_dir):
     # the brute-force ground truth for the LSH variant above; DuckDB can
     # express it exactly, so this one is oracle-checked
@@ -673,6 +682,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_batch_topk": q_similarity_batch_topk,
+    "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "multimodal_features": q_multimodal_features,
@@ -980,6 +990,22 @@ ORACLES = {
         FROM embeddings e
         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id = 0) q
+    """,
+    "similarity_batch_topk_exact": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS n
+          FROM embeddings
+        )
+        SELECT q.vec_id AS query_id, c.vec_id,
+               round(list_dot_product(q.e, c.e) / (q.n * c.n), 6) AS cosine
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < 5
+        QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY round(list_dot_product(q.e, c.e) / (q.n * c.n), 6) DESC,
+                   c.vec_id) <= 5
     """,
     "embedding_near_dups_exact": """
         WITH v AS (

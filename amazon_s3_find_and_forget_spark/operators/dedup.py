@@ -58,14 +58,20 @@ def exact_dedup(
 ) -> DataFrame:
     """Survivors only: the min-id doc of every exact-content group.
 
-    Hash-groupBy + broadcast-back semi-join; the group relation is tiny
-    relative to the corpus (one row per distinct hash), AQE will broadcast
-    when it fits.
+    One shuffle, keyed by the content hash: a min-id ranking window.
+    The groupBy-then-join-back alternative shuffles the corpus TWICE
+    (once to group, once to semi-join), and its "keep" relation is one
+    row per DISTINCT document — at low duplication that is nearly the
+    corpus itself, far past any broadcast threshold.
     """
-    keep = exact_dup_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 # --------------------------------------------------------------------------

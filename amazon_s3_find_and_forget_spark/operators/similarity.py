@@ -261,6 +261,48 @@ def lsh_topk_batch(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_emb_col: str = "query_embedding",
+) -> DataFrame:
+    """Exact top-k per query over a query TABLE — the brute-force
+    baseline of ``lsh_topk_batch`` (full cross product + ranking window;
+    quadratic, for ground-truth/recall measurement on samples)."""
+    from pyspark.sql import Window
+
+    corpus = df.select(
+        F.col(id_col).alias("_cid"),
+        F.col(emb_col).alias("_cemb"),
+        _norm(F.col(emb_col)).alias("_cn"),
+    )
+    qside = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_emb_col).alias("_qemb"),
+        _norm(F.col(q_emb_col)).alias("_qn"),
+    )
+    cos = _dot(F.col("_qemb"), F.col("_cemb")) / (
+        F.col("_qn") * F.col("_cn")
+    )
+    scored = qside.crossJoin(corpus).select(
+        "query_id",
+        F.col("_cid").alias(id_col),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def exact_near_duplicate_pairs(
     df: DataFrame,
     threshold: float = 0.95,
