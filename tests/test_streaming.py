@@ -73,6 +73,55 @@ def test_windowed_stream_matches_batch(spark, tmp_path, sf_dir):
         assert got[k] == v
 
 
+def test_screen_stream_flags_only_new_matching_files(spark, tmp_path, sf_dir):
+    """Incremental Find: files landing after the first drain are screened
+    exactly once; the log's distinct file set equals the batch Find."""
+    import shutil
+
+    from amazon_s3_find_and_forget_spark.matches import (
+        QueueItem,
+        build_column_groups,
+    )
+    from amazon_s3_find_and_forget_spark.plans.find import find_affected_files
+    from amazon_s3_find_and_forget_spark.streaming import screen
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    src = os.path.join(sf_dir, "nation.parquet")
+    shutil.copy(src, lake / "a.parquet")
+    static = spark.read.parquet(str(lake))
+    groups = build_column_groups(
+        static.schema, ["n_nationkey"], [QueueItem(match_id=3)]
+    )
+
+    stream = screen.screen_stream(spark, str(lake), static.schema, groups)
+    assert stream.isStreaming
+    ckpt, log = str(tmp_path / "ckpt"), str(tmp_path / "log")
+    screen.run_screen_to_log(stream, ckpt, log)
+    first = spark.read.parquet(log)
+    assert first.count() == 1  # one matching row in the landed file
+
+    # a second file lands; re-drain picks up ONLY the new file
+    shutil.copy(src, lake / "b.parquet")
+    screen.run_screen_to_log(
+        screen.screen_stream(spark, str(lake), static.schema, groups),
+        ckpt,
+        log,
+    )
+    logged = spark.read.parquet(log)
+    assert logged.count() == 2
+    flagged = {
+        r.file_path for r in logged.select("file_path").distinct().collect()
+    }
+    batch = {
+        r.file_path
+        for r in find_affected_files(
+            spark.read.parquet(str(lake)), groups
+        ).collect()
+    }
+    assert flagged == batch and len(flagged) == 2
+
+
 def test_stream_fold_stats_and_status(spark, tmp_path):
     events_dir = str(tmp_path / "events")
     ckpt = str(tmp_path / "ckpt")
