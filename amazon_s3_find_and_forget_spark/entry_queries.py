@@ -367,6 +367,208 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """Q7 volume shipping: revenue between two nations in both directions,
+    grouped by (supplier nation, customer nation, ship year)."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s_n = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("n_name").isin(n1, n2))
+    c_n = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("n_name").isin(n1, n2))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(s_n, sup.s_nationkey == F.col("s_nk"))
+        .join(c_n, cust.c_nationkey == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(vol).alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """Q8 national market share: NATION_5's share of ECONOMY-part revenue
+    sold into AMERICA-region customers, by order year."""
+    target = "NATION_5"
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s_n = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    joined = (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(s_n, sup.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == target, F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Q9's shape (profit by supplier nation × order year over a part-name
+    filter), adapted: the synthetic schema has no partsupp/ps_supplycost,
+    so profit is the discounted revenue alone."""
+    nation = load(spark, sf_dir, "nation")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("sum_profit"))
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Q15 top supplier: supplier(s) with the maximum 3-month revenue
+    (exact-decimal revenue makes the max-equality cross-engine safe)."""
+    sup = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(vol).alias("total_revenue"))
+    maxrev = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(maxrev), rev.total_revenue == F.col("mx"))
+        .join(sup, rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16's shape (distinct supplier count per part attribute bucket),
+    adapted: no partsupp table, so lineitem is the part↔supplier link."""
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue for one brand. The per-part 20%%
+    average-quantity threshold is cross-multiplied (5·n·qty < sum_qty)
+    so both engines compare exact decimals instead of a double average."""
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    li = load(spark, sf_dir, "lineitem")
+    branded = part.join(li, part.p_partkey == li.l_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = branded.join(
+        F.broadcast(per_part), branded.l_partkey == F.col("pk")
+    ).where(
+        F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("n_li")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / 7.0,
+            6,
+        ).alias("avg_yearly")
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Q22 global sales opportunity, adapted: no c_phone column, so the
+    country code is c_nationkey mod 10, and "no orders" means no orders
+    placed since 1999 (every synthetic customer has some order). The
+    above-average-balance threshold is cross-multiplied (bal·n > sum) to
+    stay exact-decimal."""
+    codes = [0, 3, 5, 7, 9]
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_nationkey") % 10).cast("int")
+    ).where(F.col("cntrycode").isin(codes))
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("sum_bal"), F.count(F.lit(1)).alias("n_bal")
+    )
+    rich = cust.join(F.broadcast(pos)).where(
+        bal * F.col("n_bal") > F.col("sum_bal")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(bal).alias("totacctbal"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -390,6 +592,46 @@ def q_events_sessions(spark, sf_dir):
     )
     return with_start.groupBy("user_id").agg(
         F.sum("is_new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """Multi-level aggregate (ROLLUP) over the event stream — the
+    SURVEY §2.4 'absent in reference, Catalyst built-in here' surface."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.year("ts").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+
+
+def q_events_topn_per_user(spark, sf_dir):
+    """Ranking window: top-3 events by value per user (bounded user set),
+    with a unique tie-break so ranks are cross-engine deterministic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+def q_events_json_extract(spark, sf_dir):
+    """Semi-structured access: extract a field from the JSON props column
+    JVM-side (get_json_object) and aggregate it."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -662,13 +904,23 @@ QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_rollup": q_events_rollup,
+    "events_topn_per_user": q_events_topn_per_user,
+    "events_json_extract": q_events_json_extract,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -829,6 +1081,113 @@ ORACLES = {
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
     """,
+    "tpch_q7": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q8": """
+        SELECT year(o_orderdate) AS o_year,
+               round(
+                 CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+               6) AS mkt_share
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
+    "tpch_q9": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_profit
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "tpch_q15": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch_q17": """
+        WITH branded AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#3'
+        ), per_part AS (
+          SELECT l_partkey AS pk,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                 count(*) AS n_li
+          FROM branded GROUP BY 1
+        )
+        SELECT round(
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+               6) AS avg_yearly
+        FROM branded JOIN per_part ON l_partkey = pk
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty
+    """,
+    "tpch_q22": """
+        WITH cust AS (
+          SELECT c_custkey, c_acctbal,
+                 CAST(c_nationkey % 10 AS INT) AS cntrycode
+          FROM customer
+          WHERE c_nationkey % 10 IN (0, 3, 5, 7, 9)
+        ), pos AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+                 count(*) AS n_bal
+          FROM cust WHERE c_acctbal > 0
+        )
+        SELECT cntrycode, count(*) AS numcust,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+        FROM cust CROSS JOIN pos
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY cntrycode
+    """,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
@@ -900,6 +1259,26 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "events_rollup": """
+        SELECT event_type, year(ts) AS y, count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (event_type, year(ts))
+    """,
+    "events_topn_per_user": """
+        SELECT user_id, event_id, rnk FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events WHERE user_id < 50
+        ) WHERE rnk <= 3
+    """,
+    "events_json_extract": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
     """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
