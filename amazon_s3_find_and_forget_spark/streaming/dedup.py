@@ -1,0 +1,73 @@
+"""Streaming deduplication of a live document feed.
+
+The reference has no streaming dedup (SURVEY §2.7 "Absent"); a
+training-data pipeline ingesting a continuous document feed needs it:
+every newly-landed document must be dropped if its content was already
+seen. Batch dedup (operators/dedup.py) re-scans the corpus; this
+operator instead keeps a bounded state-store keyed by content hash and
+screens arrivals incrementally.
+
+Spark-first shape: ``readStream`` -> content hash (JVM-side ``md5``)
+-> ``dropDuplicatesWithinWatermark`` on the hash. The watermark bounds
+the dedup state: two identical documents arriving within
+``dedup_horizon`` of each other dedup exactly; beyond the horizon the
+key has been evicted and the duplicate passes (the documented
+trade-off that keeps state O(docs-per-horizon), not O(corpus) — at
+100 TB/day an unbounded exact-seen set would not fit any cluster, and
+the horizon is the knob that prices recall against memory).
+
+Survivor policy is FIRST ARRIVAL in stream order, the streaming analog
+of batch ``exact_dedup``'s min-id rule (batch has a total order to
+rank by; a stream only has arrival order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shared batch/stream projection: add the dedup key (md5 of content).
+
+    Same definition feeds the batch operators and the stream, so the
+    two paths cannot disagree about what "identical content" means.
+    """
+    return df.withColumn("content_hash", F.md5(F.col(text_col)))
+
+
+def dedup_stream(
+    spark,
+    docs_dir: str,
+    schema,  # DDL string or StructType (file streams need a fixed schema)
+    ts_col: str = "ts",
+    text_col: str = "text",
+    dedup_horizon: str = "1 hour",
+) -> DataFrame:
+    """Screen a document file-stream, emitting first-seen documents only.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per content
+    hash and evicts it once the watermark passes the row's event time
+    plus ``dedup_horizon`` — exactly-once emission per distinct content
+    within the horizon, bounded state beyond it.
+    """
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    return (
+        with_content_hash(stream, text_col)
+        .withWatermark(ts_col, dedup_horizon)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def run_to_table(stream_df: DataFrame, checkpoint: str, out_dir: str) -> None:
+    """Drain with availableNow: batch-equivalent semantics, resumable
+    from the checkpoint (restarts do not re-emit already-kept docs)."""
+    (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -85,6 +85,22 @@ def test_partition_pruning(spark, partitioned_lake):
     assert rows.count() == expected
 
 
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """The analytic star joins (TPC-H-shaped catalog queries) must plan
+    every dimension side as a broadcast hash join — at this scale no
+    dimension should ever trigger a sort-merge shuffle; the only
+    exchange is the final aggregation's."""
+    from amazon_s3_find_and_forget_spark import entry_queries as eq
+
+    df = eq.q_tpch_q7(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one shuffle total: the groupBy; the five joins add none
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_whole_stage_codegen_in_find(spark, lake):
     df = spark.read.parquet(lake)
     groups = build_column_groups(

@@ -282,3 +282,43 @@ def test_stateful_fold_incremental_across_restarts(spark, tmp_path):
     q3 = stateful_fold(spark, str(events_dir), ckpt, state_sink=sink)
     q3.awaitTermination(120)
     assert sink["A"]["JobStatus"] == "COMPLETED"
+
+
+def test_stream_dedup_keeps_first_arrival(spark, tmp_path, sf_dir):
+    """Streaming content dedup drops later duplicates within the
+    horizon and keeps exactly one survivor per distinct text."""
+    from amazon_s3_find_and_forget_spark import entry_queries
+    from amazon_s3_find_and_forget_spark.streaming import dedup as sdedup
+
+    docs = (
+        entry_queries.load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            "text",
+            F.expr("timestamp_micros(cast(1700000000000000 + doc_id * 1000000 as long))").alias("ts"),
+        )
+    )
+    src = str(tmp_path / "docs_src")
+    # second batch re-lands 20 of the same texts under new ids/times
+    dup = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        "text",
+        F.expr("ts + interval 10 minutes").alias("ts"),
+    )
+    docs.coalesce(1).write.parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = sdedup.dedup_stream(
+        spark, src, spark.read.parquet(src).schema, dedup_horizon="1 hour"
+    )
+    assert stream.isStreaming
+    out = str(tmp_path / "docs_out")
+    sdedup.run_to_table(stream, str(tmp_path / "dedup_ckpt"), out)
+
+    kept = spark.read.parquet(out)
+    n_distinct = docs.unionByName(dup).select("text").distinct().count()
+    assert kept.count() == n_distinct
+    assert kept.select("content_hash").distinct().count() == n_distinct
+    # survivors are the first arrivals: none of the re-landed ids remain
+    assert kept.where(F.col("doc_id") >= 1000).count() == 0
