@@ -636,6 +636,56 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_events_asof_attribution(spark, sf_dir):
+    """As-of join: each purchase attributed to the user's most recent
+    click at or before it (point-in-time-correct lookup). Clicks are
+    deduped per (user, ts) by max event_id so the pick is
+    cross-engine deterministic."""
+    from .operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 100)
+    ).select("user_id", "event_id", "ts")
+    out = temporal.asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts", right_cols=["click_id"]
+    )
+    return out.select("user_id", "event_id", "click_id")
+
+
+def q_events_interval_counts(spark, sf_dir):
+    """Interval join: clicks in the hour before each purchase (bounds
+    inclusive), counted per purchase — the bucketized range-join path."""
+    from .operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 100)
+    ).select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    pairs = temporal.interval_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_s=-3600,
+        upper_s=0,
+        right_cols=["click_id"],
+    )
+    return pairs.groupBy("user_id", "purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.max("click_id").alias("last_click_id"),
+    )
+
+
 def q_dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
 
@@ -921,6 +971,8 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_topn_per_user": q_events_topn_per_user,
     "events_json_extract": q_events_json_extract,
+    "events_asof_attribution": q_events_asof_attribution,
+    "events_interval_counts": q_events_interval_counts,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -1279,6 +1331,45 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "events_asof_attribution": """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS ts
+          FROM events
+        ), clicks AS (
+          SELECT user_id, ts, max(event_id) AS click_id
+          FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+        ), purchases AS (
+          SELECT user_id, event_id, ts
+          FROM ev WHERE event_type = 'purchase' AND user_id < 100
+        )
+        SELECT p.user_id, p.event_id, c.click_id
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "events_interval_counts": """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS ts
+          FROM events
+        ), purchases AS (
+          SELECT user_id, event_id AS purchase_id, ts
+          FROM ev WHERE event_type = 'purchase' AND user_id < 100
+        ), clicks AS (
+          SELECT user_id, ts, event_id AS click_id
+          FROM ev WHERE event_type = 'click'
+        )
+        SELECT p.user_id, p.purchase_id,
+               count(*) AS n_clicks,
+               max(c.click_id) AS last_click_id
+        FROM purchases p
+        JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        GROUP BY p.user_id, p.purchase_id
     """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -324,3 +324,133 @@ def test_resize_images_plumbing(spark):
     assert len(out) == 1  # only images pass through
     assert out[0].width == 64 and out[0].height == 64
     assert bytes(out[0].payload).endswith(b"|resized:64x64")
+
+
+def test_asof_join_basic(spark):
+    from datetime import datetime
+
+    from amazon_s3_find_and_forget_spark.operators import temporal
+
+    T = datetime
+    quotes = spark.createDataFrame(
+        [
+            ("A", T(2024, 1, 1, 10, 0, 0), 100.0),
+            ("A", T(2024, 1, 1, 10, 5, 0), 101.0),
+            ("B", T(2024, 1, 1, 10, 2, 0), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", T(2024, 1, 1, 10, 0, 0), 1),   # equal ts -> sees 100.0
+            ("A", T(2024, 1, 1, 10, 4, 59), 2),  # before 2nd quote -> 100.0
+            ("A", T(2024, 1, 1, 10, 6, 0), 3),   # after 2nd -> 101.0
+            ("B", T(2024, 1, 1, 10, 1, 0), 4),   # before any B quote -> null
+            ("C", T(2024, 1, 1, 12, 0, 0), 5),   # key never quoted -> null
+        ],
+        "sym string, ts timestamp, trade_id int",
+    )
+    out = {
+        r.trade_id: r.px
+        for r in temporal.asof_join(
+            trades, quotes, on=["sym"], ts_col="ts", right_cols=["px"]
+        ).collect()
+    }
+    assert out == {1: 100.0, 2: 100.0, 3: 101.0, 4: None, 5: None}
+
+
+def test_asof_join_tolerance(spark):
+    from datetime import datetime
+
+    from amazon_s3_find_and_forget_spark.operators import temporal
+
+    T = datetime
+    quotes = spark.createDataFrame(
+        [("A", T(2024, 1, 1, 10, 0, 0), 100.0)],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", T(2024, 1, 1, 10, 30, 0), 1),  # 30 min later: in tolerance
+            ("A", T(2024, 1, 1, 12, 0, 0), 2),   # 2 h later: match nulled
+        ],
+        "sym string, ts timestamp, trade_id int",
+    )
+    out = {
+        r.trade_id: r.px
+        for r in temporal.asof_join(
+            trades, quotes, ["sym"], "ts", ["px"], tolerance="1 hour"
+        ).collect()
+    }
+    assert out == {1: 100.0, 2: None}
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of plans exactly one exchange (the key
+    partition) — no range-join blowup, no per-side shuffle."""
+    from datetime import datetime
+
+    from amazon_s3_find_and_forget_spark.operators import temporal
+
+    T = datetime
+    quotes = spark.createDataFrame(
+        [("A", T(2024, 1, 1), 1.0)], "sym string, ts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [("A", T(2024, 1, 2), 1)], "sym string, ts timestamp, trade_id int"
+    )
+    df = temporal.asof_join(trades, quotes, ["sym"], "ts", ["px"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_join_bounds_inclusive(spark):
+    from datetime import datetime
+
+    from amazon_s3_find_and_forget_spark.operators import temporal
+
+    T = datetime
+    obs = spark.createDataFrame(
+        [("u1", T(2024, 1, 1, 12, 0, 0), 1)],
+        "k string, ts timestamp, obs_id int",
+    )
+    feats = spark.createDataFrame(
+        [
+            ("u1", T(2024, 1, 1, 11, 0, 0), 10),  # exactly -1h: included
+            ("u1", T(2024, 1, 1, 11, 30, 0), 11),  # inside
+            ("u1", T(2024, 1, 1, 12, 0, 0), 12),  # exactly at ts: included
+            ("u1", T(2024, 1, 1, 10, 59, 59), 13),  # just outside
+            ("u1", T(2024, 1, 1, 12, 0, 1), 14),  # after: outside
+            ("u2", T(2024, 1, 1, 11, 30, 0), 15),  # other key
+        ],
+        "k string, ts timestamp, feat_id int",
+    )
+    got = sorted(
+        r.feat_id
+        for r in temporal.interval_join(
+            obs, feats, ["k"], "ts", "ts", -3600, 0, right_cols=["feat_id"]
+        ).collect()
+    )
+    assert got == [10, 11, 12]
+
+
+def test_interval_join_no_theta_join(spark):
+    """The bucketized encoding keeps the range join an equi hash join:
+    no cartesian/nested-loop node, one exchange per side."""
+    from datetime import datetime
+
+    from amazon_s3_find_and_forget_spark.operators import temporal
+
+    T = datetime
+    a = spark.createDataFrame(
+        [("k", T(2024, 1, 1), 1)], "k string, ts timestamp, a int"
+    )
+    b = spark.createDataFrame(
+        [("k", T(2024, 1, 1), 2)], "k string, ts timestamp, b int"
+    )
+    df = temporal.interval_join(a, b, ["k"], "ts", "ts", -60, 60, ["b"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
