@@ -686,6 +686,36 @@ def q_events_interval_counts(spark, sf_dir):
     )
 
 
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per user-bucket event-type count matrix (explicit pivot
+    values so the output schema is static, as it must be at scale)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = load(spark, sf_dir, "events")
+    pv = (
+        ev.withColumn("ub", (F.col("user_id") % 10).cast("int"))
+        .groupBy("ub")
+        .pivot("event_type", types)
+        .count()
+    )
+    return pv.select(
+        "ub",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
+def q_text_length_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) of document length per
+    language — distribution profiling for corpus curation."""
+    docs = load(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return docs.groupBy("lang").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
 
@@ -973,6 +1003,8 @@ QUERIES = {
     "events_json_extract": q_events_json_extract,
     "events_asof_attribution": q_events_asof_attribution,
     "events_interval_counts": q_events_interval_counts,
+    "events_pivot": q_events_pivot,
+    "text_length_percentiles": q_text_length_percentiles,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -1370,6 +1402,23 @@ ORACLES = {
          AND c.ts >= p.ts - INTERVAL 1 HOUR
          AND c.ts <= p.ts
         GROUP BY p.user_id, p.purchase_id
+    """,
+    "events_pivot": """
+        SELECT CAST(user_id % 10 AS INT) AS ub,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'view') AS view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'error') AS error
+        FROM events GROUP BY 1
+    """,
+    "text_length_percentiles": """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90,
+               round(quantile_cont(n_chars, 0.99), 6) AS p99,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
     """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
