@@ -34,12 +34,84 @@ TABLES = (
 ).split()
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession able to run the catalog, not just ours.
+
+    The driver harness hands us a vanilla session: without
+    ``nanosAsLong`` the events table (physical INT64 TIMESTAMP(NANOS))
+    fails with PARQUET_TYPE_ILLEGAL, and without UTC the time-bucketing
+    queries disagree with the DuckDB oracle. Both are runtime-settable.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf rejected (static conf)
+            pass
+
+
+def _load_events_via_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Fallback events reader when ``nanosAsLong`` is rejected.
+
+    Reads the parquet through PyArrow, casts ns -> us driver-side, and
+    re-creates the DataFrame. Only used when the conf path fails, so the
+    driver-side materialization is an emergency path, not the hot path.
+    """
+    import pyarrow.compute  # noqa: F401  (ensure compute kernels loaded)
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    fields = []
+    for field in table.schema:
+        if str(field.type).startswith("timestamp[ns"):
+            import pyarrow as pa
+
+            fields.append(field.with_type(pa.timestamp("us")))
+        else:
+            fields.append(field)
+    import pyarrow as pa
+
+    table = table.cast(pa.schema(fields))
+    return spark.createDataFrame(table.to_pandas())
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # nanos-as-long (session.py legacy conf) -> microsecond timestamp
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    _ensure_session_confs(spark)
+    if name != "events":
+        return spark.read.parquet(path)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+        df = spark.read.parquet(path)
+        # nanos-as-long -> microsecond timestamp
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _load_events_via_arrow(spark, path)
+
+
+def _dec2dbl(df: DataFrame) -> DataFrame:
+    """Cast every top-level DecimalType output column to DOUBLE.
+
+    Internal arithmetic stays exact-decimal (order-independent sums); only
+    the FINAL projection is converted. At catalog magnitudes the decimal's
+    unscaled value is < 2^53, so decimal->double is exact and bit-identical
+    in Spark and DuckDB — which makes the driver's value hash stable, where
+    decimal canonicalization (trailing zeros, precision) was not.
+
+    The oracle SQL applies the same CAST(... AS DOUBLE) on its side.
+    """
+    from pyspark.sql.types import DecimalType
+
+    if not any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
 
 # --- fixed match sets for the find/forget checks --------------------------
@@ -1025,6 +1097,20 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
+
+def _floatsafe(fn):
+    def wrapped(spark, sf_dir):
+        return _dec2dbl(fn(spark, sf_dir))
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+# every catalog entry goes through the decimal->double final projection so
+# no DecimalType ever reaches the driver's hasher (see _dec2dbl)
+QUERIES = {name: _floatsafe(fn) for name, fn in QUERIES.items()}
+
 _IN_ORDERKEYS = ", ".join(str(k) for k in MATCH_ORDERKEYS)
 _COMPOSITE_PRED = " OR ".join(
     f"(o_orderstatus = '{s}' AND o_orderpriority = '{p}')"
@@ -1055,7 +1141,7 @@ ORACLES = {
     """,
     "find_rows_decimal": """
         SELECT l_orderkey, l_linenumber,
-               CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec
         FROM lineitem
         WHERE CAST(l_quantity AS DECIMAL(12,2)) IN (1.00, 2.00, 3.00)
     """,
@@ -1092,13 +1178,13 @@ ORACLES = {
     """,
     "forget_survivors_simple": f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem WHERE l_orderkey NOT IN ({_IN_ORDERKEYS})
         GROUP BY l_returnflag, l_linestatus
     """,
     "forget_survivors_composite": f"""
         SELECT o_orderstatus, count(*) AS n_rows,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         FROM orders WHERE NOT ({_COMPOSITE_PRED})
         GROUP BY o_orderstatus
     """,
@@ -1119,10 +1205,10 @@ ORACLES = {
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
-               sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
                count(*) AS count_order,
                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
         FROM lineitem
@@ -1131,7 +1217,7 @@ ORACLES = {
     """,
     "tpch_q3": """
         SELECT o_orderkey, o_orderdate,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -1144,7 +1230,7 @@ ORACLES = {
     """,
     "tpch_q5": """
         SELECT n_name,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         FROM region
         JOIN nation ON r_regionkey = n_regionkey
         JOIN customer ON n_nationkey = c_nationkey
@@ -1157,7 +1243,7 @@ ORACLES = {
         GROUP BY n_name
     """,
     "tpch_q6": """
-        SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue,
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1168,7 +1254,7 @@ ORACLES = {
     "tpch_q7": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -1204,7 +1290,7 @@ ORACLES = {
     """,
     "tpch_q9": """
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_profit
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -1222,7 +1308,8 @@ ORACLES = {
             AND l_shipdate < TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -1264,7 +1351,7 @@ ORACLES = {
           FROM cust WHERE c_acctbal > 0
         )
         SELECT cntrycode, count(*) AS numcust,
-               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         FROM cust CROSS JOIN pos
         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
           AND NOT EXISTS (SELECT 1 FROM orders
@@ -1284,8 +1371,8 @@ ORACLES = {
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
-               max(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -1321,7 +1408,8 @@ ORACLES = {
     """,
     "tpch_q18": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, sum_qty
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
         FROM (
           SELECT l_orderkey,
                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
@@ -1334,7 +1422,7 @@ ORACLES = {
         LIMIT 100
     """,
     "tpch_q19": """
-        SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
                count(*) AS n_rows
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1346,7 +1434,7 @@ ORACLES = {
     """,
     "events_rollup": """
         SELECT event_type, year(ts) AS y, count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY ROLLUP (event_type, year(ts))
     """,
@@ -1421,9 +1509,9 @@ ORACLES = {
         FROM documents GROUP BY lang
     """,
     "events_hourly": """
-        SELECT date_trunc('hour', ts) AS hour, event_type,
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,2))) AS total_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
     """,
     "events_sessions": """
@@ -1472,9 +1560,9 @@ ORACLES = {
           round(CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_word_len,
           round(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
           round(CASE WHEN len(toks) > 0 THEN CAST(stop_hits AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
-          round((CASE WHEN len(toks) > 0 AND CAST(n_chars AS DOUBLE) / len(toks) BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
+          CAST(round((CASE WHEN len(toks) > 0 AND CAST(n_chars AS DOUBLE) / len(toks) BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
               + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
-              + (CASE WHEN len(toks) > 0 AND CAST(stop_hits AS DOUBLE) / len(toks) > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+              + (CASE WHEN len(toks) > 0 AND CAST(stop_hits AS DOUBLE) / len(toks) > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
         FROM t
     """,
     "text_lang_id": f"""

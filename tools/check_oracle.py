@@ -3,15 +3,25 @@
 Runs every ``queries()`` entry on Spark and, where an oracle exists, the
 matching SQL on DuckDB over the same parquet tables; compares row count,
 column names, and an order-insensitive value multiset (stringified,
-column-sorted). Usage:
+column-sorted).
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+Round-1 lesson baked in: the driver builds its OWN vanilla SparkSession
+(none of our builder confs) and hashes values strictly — so this replica
+defaults to a bare session and to strict stringification (float repr,
+un-normalized Decimal). Any DecimalType column reaching the final output
+is flagged loudly: decimals must be cast to double before the driver's
+hasher sees them (entry_queries._dec2dbl).
+
+Usage:
+
+    python tools/check_oracle.py [--builder-session] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import os
 import sys
+from datetime import datetime
 from decimal import Decimal
 
 import duckdb
@@ -20,16 +30,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from amazon_s3_find_and_forget_spark.entry_queries import TABLES  # noqa: E402
-from amazon_s3_find_and_forget_spark.session import get_spark  # noqa: E402
+
+
+def bare_spark():
+    """A vanilla session, as the driver harness builds it: no builder confs."""
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-check-bare")
+        .getOrCreate()
+    )
 
 
 def norm(v):
+    if v is None:
+        return ""
     if isinstance(v, Decimal):
-        return f"{v.normalize():f}"
-    if isinstance(v, float):
-        return f"{v:.10g}"
+        # strict: no normalize(); a Decimal in the output is already a bug
+        return f"DEC:{v}"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, bytes):
+        return v.hex()
     return str(v)
 
 
@@ -41,9 +69,15 @@ def canonical(columns, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="oracle-check")
+    args = [a for a in sys.argv[1:] if a != "--builder-session"]
+    if "--builder-session" in sys.argv[1:]:
+        from amazon_s3_find_and_forget_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle-check")
+    else:
+        spark = bare_spark()
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -57,6 +91,14 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            dec_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName().startswith("decimal")
+            ]
+            if dec_cols:
+                print(f"WARN  {name}: DecimalType in output {dec_cols} — "
+                      "will hash-fail in the driver; cast to double")
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
