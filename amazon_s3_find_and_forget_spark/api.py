@@ -46,6 +46,24 @@ def sanitize_message(message: str, match_ids: list) -> str:
     return out
 
 
+def sanitize_event_data(data, match_ids: list):
+    """Redact match ids from STRING fields only, recursively.
+
+    The reference redacts only message strings; running the replacement
+    over a JSON-serialized dict corrupts the document whenever a numeric
+    match id overlaps a numeric JSON token (MatchId 1 vs "Attempt": 1) —
+    the re-parse then raises AFTER the destructive Forget already ran,
+    wedging the job file in QUEUED.
+    """
+    if isinstance(data, dict):
+        return {k: sanitize_event_data(v, match_ids) for k, v in data.items()}
+    if isinstance(data, list):
+        return [sanitize_event_data(v, match_ids) for v in data]
+    if isinstance(data, str):
+        return sanitize_message(data, match_ids)
+    return data
+
+
 class AlreadyRunningError(RuntimeError):
     """Parity: 'There is already a job in progress' (queue/handlers.py:123-124)."""
 
@@ -245,8 +263,8 @@ class Engine:
         events = [
             {
                 **ev,
-                "EventData": json.loads(
-                    sanitize_message(json.dumps(ev["EventData"]), all_match_ids)
+                "EventData": sanitize_event_data(
+                    ev["EventData"], all_match_ids
                 ),
             }
             for ev in result.events

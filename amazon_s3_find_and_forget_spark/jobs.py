@@ -276,8 +276,23 @@ def run_job(
                     emit("QuerySucceeded", {"DataMapperId": mapper.mapper_id})
                     break
                 except Exception as e:  # noqa: BLE001
-                    counters["TotalQueryFailedCount"] += 1
-                    emit("QueryFailed", {"Error": str(e), "Attempt": attempt})
+                    if attempt < query_max_retries:
+                        # transient failure with retries left: record the
+                        # attempt WITHOUT failing the query — the reference
+                        # emits the error event only once the budget is
+                        # exhausted (state_machine.yaml 'Retriable?' ->
+                        # 'Emit Error'), so a recovered retry can still end
+                        # in a clean COMPLETED job
+                        emit(
+                            "QueryRetried",
+                            {"Error": str(e), "Attempt": attempt},
+                        )
+                    else:
+                        counters["TotalQueryFailedCount"] += 1
+                        emit(
+                            "QueryFailed",
+                            {"Error": str(e), "Attempt": attempt},
+                        )
             if paths is None:
                 # fail fast: a Find failure past its retry budget abandons
                 # the job (parity: work_query_queue.py:38-42)

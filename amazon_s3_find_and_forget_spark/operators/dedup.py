@@ -25,6 +25,24 @@ from pyspark.sql.functions import pandas_udf
 # exact dedup
 # --------------------------------------------------------------------------
 
+def _eager(df: DataFrame) -> DataFrame:
+    """Materialize a relation once, eagerly, with auto-released storage.
+
+    Same role as ``persist() + count()`` (compute once, serve every
+    downstream consumer from stored blocks — the measured optimum for the
+    exploded band/bucket relations), but via ``localCheckpoint(eager=True)``
+    so the blocks are dropped by the ContextCleaner when the DataFrame is
+    garbage-collected. ``persist()`` entries live in the session-wide
+    CacheManager and survive until an explicit unpersist, so repeated
+    operator invocations in one long session accumulate storage pressure.
+
+    Trade-off: checkpointing truncates lineage, so a lost executor fails
+    the query instead of recomputing — acceptable for these short-lived
+    intra-operator intermediates.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure CPU-bound per-doc work is spread across cores.
 
@@ -229,10 +247,10 @@ def band_pairs(
                 ]
             )
         ).alias("band_hash"),
-    ).persist()
+    )
     # feeds BOTH join sides: materialize eagerly, otherwise the two sides
     # race to populate the cache and the sig subtree computes twice
-    banded.count()
+    banded = _eager(banded)
     a = banded.select(F.col("_id").alias("id_a"), "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band_hash")
     if max_bucket is None:
@@ -245,13 +263,11 @@ def band_pairs(
     # the skewed buckets are FEW by definition (that's what makes them
     # skewed) — that tiny relation broadcasts; the full per-bucket stats
     # relation (one row per distinct band hash) never would at scale
-    big = (
+    big = _eager(
         banded.groupBy("band_hash")
         .agg(F.count(F.lit(1)).alias("_sz"), F.min("_id").alias("_min_id"))
         .where(F.col("_sz") > max_bucket)
-        .persist()
     )
-    big.count()
     dense = (
         a.join(F.broadcast(big.select("band_hash")), "band_hash", "left_anti")
         .join(b, "band_hash")
@@ -276,15 +292,24 @@ def verified_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keeps >= threshold.
 
-    Joins the (small) candidate relation back to the shingle sets twice;
-    both joins broadcast the pair side.
+    The candidate relation is the small side (two longs per pair, bounded
+    by the banding) — both shingle lookups broadcast it, so the big
+    shingle relation never shuffles for the lookup. The two halves
+    (pair + one side's shingles each, |pairs| rows) then equi-join on the
+    pair key itself; only pair-bounded rows ever cross the wire.
     """
     sh = _with_shingles(_spread(df), text_col, k).select(
         F.col(id_col).alias("_jid"), F.col("_shingles").alias("_sh")
     )
     a = sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a")
     b = sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b")
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    half_a = a.join(F.broadcast(pairs), "id_a").select(
+        "id_a", "id_b", "_sh_a"
+    )
+    half_b = b.join(F.broadcast(pairs), "id_b").select(
+        "id_a", "id_b", "_sh_b"
+    )
+    joined = half_a.join(half_b, ["id_a", "id_b"])
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
     union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
     return (
@@ -344,7 +369,7 @@ def minhash_dedup(
     banding and the similarity verify); the verify uses the signature
     estimate of Jaccard.
     """
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
+    sigs = _eager(minhash_signatures(df, text_col, id_col, k, num_perm))
     pairs = band_pairs(sigs, bands, num_perm, max_bucket)
     dups = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
     # id_b > id_a by construction -> id_b is the duplicate to drop
@@ -455,11 +480,10 @@ def simhash_near_duplicates(
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("_id"), F.col("simhash")
     )
-    keyed = sh.select(
-        "_id", "simhash", F.explode(F.array(*keys)).alias("bucket")
-    ).persist()
     # feeds BOTH join sides: materialize eagerly so the simhash UDF runs once
-    keyed.count()
+    keyed = _eager(
+        sh.select("_id", "simhash", F.explode(F.array(*keys)).alias("bucket"))
+    )
     a = keyed.select(
         F.col("_id").alias("id_a"), F.col("simhash").alias("_sim_a"), "bucket"
     )
@@ -526,8 +550,8 @@ def ngram_jaccard_pairs(
         .where((F.col("_df") > 1) & (F.col("_df") <= max_posting))
         .select("g")
     )
-    posting = flat.join(eligible_grams, "g").persist()
-    posting.count()  # feeds both join sides — materialize once, eagerly
+    # feeds both join sides — materialize once, eagerly
+    posting = _eager(flat.join(eligible_grams, "g"))
     a = posting.select(F.col("_id").alias("id_a"), "g")
     b = posting.select(F.col("_id").alias("id_b"), "g")
     pair_counts = (

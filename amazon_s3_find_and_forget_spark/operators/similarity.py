@@ -75,17 +75,30 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 def hyperplane_bucket(
     emb: Column, planes: np.ndarray
 ) -> Column:
-    """LSH bucket id: sign bit of the dot product with each hyperplane."""
-    bit_terms = []
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit_terms.append(
-            F.when(_dot(emb, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        )
-    bucket = bit_terms[0]
-    for t in bit_terms[1:]:
-        bucket = bucket + t
-    return bucket
+    """LSH bucket id: sign bit of the dot product with each hyperplane.
+
+    One Arrow-batched gemm per batch (``X @ planes.T``), with the plane
+    matrix captured in the UDF closure — NOT spelled as per-plane literal
+    arrays in the expression tree. At real embedding widths (dim 768,
+    8 bits x 8 tables) the literal encoding is ~50k Catalyst nodes per
+    query and kills plan compilation; the closure ships once per task
+    instead. Same kernel shape as ``with_ivf_cell``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+
+    def bucket(series):
+        import pandas as pd
+
+        if len(series) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.array(list(series), dtype=np.float64)
+        bits = (X @ P.T) > 0
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return pandas_udf(bucket, "int")(emb)
 
 
 def with_lsh_bucket(
@@ -159,12 +172,16 @@ def embedding_near_duplicates(
         )
         for t in range(n_tables)
     ]
-    bucketed = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(emb_col).alias("_emb"),
-        F.explode(F.array(*table_keys)).alias("lsh_bucket"),
-    ).persist()
-    bucketed.count()  # feeds both join sides — materialize once, eagerly
+    from .dedup import _eager
+
+    # feeds both join sides — materialize once, eagerly, auto-released
+    bucketed = _eager(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(emb_col).alias("_emb"),
+            F.explode(F.array(*table_keys)).alias("lsh_bucket"),
+        )
+    )
     a = bucketed.select(
         F.col("_id").alias("id_a"), F.col("_emb").alias("_emb_a"), "lsh_bucket"
     )

@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _floordiv(col, w: int):
+    """Exact floor division of a long column by a positive int width.
+
+    ``F.floor(col / w)`` divides in double precision; at epoch-microsecond
+    magnitudes (~1e15) a quotient one ulp below an integer crosses the
+    bucket boundary and can shift a bucket id by one. Subtracting the
+    (integer-exact) Euclidean remainder first makes the numerator exactly
+    divisible, and a double division of exactly-divisible longs below
+    2^53 (year ~2255 in micros) is exact.
+    """
+    rem = ((col % w) + w) % w
+    return ((col - rem) / w).cast("long")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -124,7 +138,7 @@ def interval_join(
     l2 = left.withColumn(
         "_bk",
         F.explode(
-            F.sequence(F.floor(lo / w_us), F.floor(hi / w_us))
+            F.sequence(_floordiv(lo, w_us), _floordiv(hi, w_us))
         ),
     ).withColumn("_lo", lo).withColumn("_hi", hi)
     r_us = F.unix_micros(F.col("_r_ts"))
@@ -132,7 +146,7 @@ def interval_join(
         *on,
         F.col(right_ts).alias("_r_ts"),
         *[F.col(c) for c in right_cols],
-    ).withColumn("_bk", F.floor(r_us / w_us))
+    ).withColumn("_bk", _floordiv(r_us, w_us))
     return (
         l2.join(r2, on=[*on, "_bk"])
         .where((r_us >= F.col("_lo")) & (r_us <= F.col("_hi")))

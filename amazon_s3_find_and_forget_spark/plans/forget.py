@@ -135,14 +135,30 @@ def _rewrite_one(
                 "failed",
                 "Unprocessable: no rows deleted",
             )
+        companions = None
         if encrypted:
             with open(plain_out, "rb") as f:
                 ciphertext, new_md = cse.encrypt_bytes(f.read(), metadata, kms)
             with open(tmp, "wb") as f:
                 f.write(ciphertext)
-        versions.commit(local, tmp, source, delete_old=delete_old_versions)
-        if encrypted:
-            cse.save_metadata(local, new_md)
+            # the fresh-data-key envelope commits WITH the ciphertext (the
+            # S3 analog PUTs object+metadata atomically): the new sidecar
+            # bytes are durable before the content swap, the old sidecar is
+            # archived beside the old ciphertext so restore_version yields
+            # a decryptable (content, envelope) pair
+            import json as _json
+
+            side_tmp = tmp + ".metatmp"
+            with open(side_tmp, "w") as f:
+                _json.dump(new_md, f)
+            companions = {cse.metadata_path(local): side_tmp}
+        versions.commit(
+            local,
+            tmp,
+            source,
+            delete_old=delete_old_versions,
+            companions=companions,
+        )
         # Hadoop's local FS keeps ".<name>.crc" sidecars; the rewritten
         # bytes invalidate them (irrelevant on S3 where there is none).
         crc = os.path.join(
@@ -160,8 +176,9 @@ def _rewrite_one(
         )
     except Exception as e:  # noqa: BLE001 — per-object error isolation
         try:
-            if os.path.exists(tmp):
-                os.remove(tmp)
+            for leftover in (tmp, tmp + ".metatmp"):
+                if os.path.exists(leftover):
+                    os.remove(leftover)
         except OSError as re:
             # the "rollback" (discarding the uncommitted rewrite) failed —
             # surface it as its own status (main.py:248-262 analog)

@@ -193,6 +193,12 @@ def encrypt_bytes(content: bytes, metadata: dict, kms) -> tuple[bytes, dict]:
 # --- local sidecar metadata ------------------------------------------------
 
 
+def metadata_path(local_path: str) -> str:
+    """The envelope sidecar path for an object (committed with the
+    ciphertext via ``versions.commit`` companions, never separately)."""
+    return local_path + METADATA_SUFFIX
+
+
 def load_metadata(local_path: str) -> dict:
     side = local_path + METADATA_SUFFIX
     if not os.path.exists(side):

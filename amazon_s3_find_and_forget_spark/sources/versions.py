@@ -58,11 +58,15 @@ def _store_dir(local_path: str) -> str:
 
 
 def list_versions(local_path: str) -> list[str]:
-    """Version ids of an object, oldest first (lexicographic = time order)."""
+    """Version ids of an object, oldest first (lexicographic = time order).
+
+    Companion archives (``<vid>~<name>``, e.g. a CSE envelope sidecar)
+    belong to their version and are not listed as versions themselves.
+    """
     d = _store_dir(local_path)
     if not os.path.isdir(d):
         return []
-    return sorted(os.listdir(d))
+    return sorted(n for n in os.listdir(d) if "~" not in n)
 
 
 def version_path(local_path: str, version_id: str) -> str:
@@ -78,6 +82,7 @@ def commit(
     tmp_path: str,
     source_snapshot: tuple[int, int],
     delete_old: bool = True,
+    companions: dict[str, str] | None = None,
 ) -> str | None:
     """Atomically replace ``local_path`` with ``tmp_path``.
 
@@ -87,32 +92,54 @@ def commit(
     Returns the archived version id, or None. Raises
     ``VersionIntegrityError`` on conflict, leaving the object untouched
     (the caller removes ``tmp_path`` — the "rollback").
+
+    ``companions`` maps sidecar target path -> tmp path with new content
+    (e.g. the CSE envelope sidecar, whose S3 analog — object metadata —
+    is PUT atomically with the object). Companions are archived into the
+    version store alongside the content (as ``<vid>~<name>``) and
+    replaced back-to-back with it, so a stored version always restores
+    with the sidecar that decrypts it, and the new sidecar bytes are
+    durable on disk BEFORE the content swap (no crash point loses the
+    fresh data key).
     """
     if snapshot(local_path) != source_snapshot:
         raise VersionIntegrityError(
             f"Object {local_path} was modified by a concurrent writer "
             "between read and commit"
         )
+    companions = companions or {}
     archived = None
     if not delete_old:
         d = _store_dir(local_path)
         os.makedirs(d, exist_ok=True)
         archived = _new_version_id()
         os.link(local_path, os.path.join(d, archived))
+        for target in companions:
+            if os.path.exists(target):
+                os.link(
+                    target,
+                    os.path.join(d, f"{archived}~{os.path.basename(target)}"),
+                )
     os.replace(tmp_path, local_path)
+    for target, new_tmp in companions.items():
+        os.replace(new_tmp, target)
     if delete_old:
         purge_versions(local_path)
     return archived
 
 
 def purge_versions(local_path: str) -> int:
-    """Delete all stored versions of the object (s3.py:244-281 analog)."""
+    """Delete all stored versions of the object (s3.py:244-281 analog).
+
+    Companion archives purge with their versions; the count is versions.
+    """
     d = _store_dir(local_path)
     n = 0
     if os.path.isdir(d):
         for name in sorted(os.listdir(d)):  # oldest first, O3
             os.remove(os.path.join(d, name))
-            n += 1
+            if "~" not in name:
+                n += 1
         os.rmdir(d)
     return n
 
@@ -134,4 +161,17 @@ def restore_version(local_path: str, version_id: str | None = None) -> str:
     os.link(src, tmp)
     os.replace(tmp, local_path)
     os.remove(src)
+    # restore the version's companion sidecars (e.g. the CSE envelope
+    # that decrypts this ciphertext) together with the content
+    d = _store_dir(local_path)
+    prefix = f"{vid}~"
+    for name in os.listdir(d) if os.path.isdir(d) else []:
+        if name.startswith(prefix):
+            target = os.path.join(
+                os.path.dirname(local_path), name[len(prefix):]
+            )
+            ctmp = target + f".restore-{uuid.uuid4().hex[:8]}"
+            os.link(os.path.join(d, name), ctmp)
+            os.replace(ctmp, target)
+            os.remove(os.path.join(d, name))
     return vid

@@ -146,3 +146,21 @@ def test_settings(engine):
     assert engine.get_settings()["QueryMaxRetries"] == 5
     with pytest.raises(ValueError, match="Unknown settings"):
         engine.put_settings({"NotAKnob": 1})
+
+
+def test_sanitize_event_data_redacts_only_strings():
+    from amazon_s3_find_and_forget_spark.api import sanitize_event_data
+
+    data = {
+        "Error": "query failed for id 1 on attempt",
+        "Attempt": 1,
+        "Statistics": {"DataScannedInBytes": 1},
+        "Objects": ["file-1.parquet", 1],
+    }
+    out = sanitize_event_data(data, [1])
+    # numbers survive untouched (no JSON corruption), strings redact
+    assert out["Attempt"] == 1
+    assert out["Statistics"]["DataScannedInBytes"] == 1
+    assert out["Objects"][1] == 1
+    assert "1" not in out["Error"]
+    assert "*** MATCH ID ***" in out["Objects"][0]

@@ -107,3 +107,29 @@ def test_encrypted_job_without_kms_fails(spark, tmp_path):
     # reference's generate-queries errors -> Exception -> FAILED
     assert result.status == "FAILED"
     assert any(e["EventName"] == "Exception" for e in result.events)
+
+
+def test_restore_version_yields_decryptable_pair(spark, tmp_path):
+    """A stored version must restore WITH the envelope that decrypts it:
+    ciphertext and sidecar are committed/archived/restored together."""
+    from amazon_s3_find_and_forget_spark.sources import versions
+
+    lake, obj = _make_encrypted_lake(tmp_path)
+    before = cse.read_encrypted_parquet(spark, lake, KMS).collect()
+    mapper = DataMapper(
+        "enc", lake, ["customer_id"], format="parquet", encrypted=True,
+        delete_old_versions=False,
+    )
+    result = run_job(spark, [mapper], [QueueItem(match_id=2)], kms=KMS)
+    assert result.status == "COMPLETED", result.events
+    survivors = cse.read_encrypted_parquet(spark, lake, KMS).collect()
+    assert sorted(r.customer_id for r in survivors) == [1, 3, 4, 5]
+    # roll back: old ciphertext + old envelope must decrypt together
+    vids = versions.list_versions(obj)
+    assert len(vids) == 1
+    versions.restore_version(obj)
+    spark.catalog.refreshByPath(lake)
+    restored = cse.read_encrypted_parquet(spark, lake, KMS).collect()
+    assert sorted(r.customer_id for r in restored) == sorted(
+        r.customer_id for r in before
+    )

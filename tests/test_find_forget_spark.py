@@ -256,3 +256,47 @@ def test_single_column_composite_folds_into_simple_group(spark, tmp_path, sf_dir
     assert result.status == "COMPLETED", result.events
     after = spark.read.parquet(str(lake))
     assert after.where("l_orderkey in (1, 3)").count() == 0
+
+
+def test_transient_query_failure_recovers_to_completed(
+    spark, tmp_path, monkeypatch
+):
+    """A Find attempt that fails once and succeeds on retry must end the
+    job COMPLETED (QueryFailed only fires when the budget is exhausted —
+    reference state_machine.yaml 'Retriable?' -> 'Emit Error')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.jobs import run_job
+    from amazon_s3_find_and_forget_spark.matches import QueueItem
+    from amazon_s3_find_and_forget_spark.plans import find as find_mod
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    pq.write_table(
+        pa.table({"customer_id": pa.array([1, 2, 3], pa.int64())}),
+        str(lake / "f.parquet"),
+    )
+    real = find_mod.find_affected_files
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient query failure")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(find_mod, "find_affected_files", flaky)
+    result = run_job(
+        spark,
+        [DataMapper("t", str(lake), ["customer_id"])],
+        [QueueItem(match_id=2)],
+        query_max_retries=2,
+    )
+    assert calls["n"] == 2
+    assert result.status == "COMPLETED", result.events
+    assert result.counters["TotalQueryFailedCount"] == 0
+    names = [e["EventName"] for e in result.events]
+    assert "QueryRetried" in names and "QueryFailed" not in names
+    assert "CleanupSucceeded" in names

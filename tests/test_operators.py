@@ -454,3 +454,56 @@ def test_interval_join_no_theta_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_hyperplane_bucket_plan_stays_compact_at_real_dims(spark):
+    """The LSH bucketing must not spell hyperplanes as literal arrays:
+    at dim 768 x 8 bits that is ~6k Catalyst literals per table and plan
+    compilation dies long before 100 TB does. The Arrow gemm kernel keeps
+    the plan a single Python-eval node regardless of dim."""
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(768).astype(float).tolist()) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.with_lsh_bucket(df, dim=768, bits=8)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert len(analyzed) < 20_000  # literal encoding is ~100k+ chars
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in physical  # vectorized, not row-at-a-time
+
+    # kernel agrees with the numpy reference definition
+    planes = similarity._hyperplanes(768, 8, 42)
+    got = {r.vec_id: r.lsh_bucket for r in out.collect()}
+    for vid, emb in rows:
+        bits = (np.asarray(emb) @ planes.T) > 0
+        expect = int((bits * (1 << np.arange(8))).sum())
+        assert got[vid] == expect
+
+
+def test_verified_jaccard_broadcasts_pair_side(spark):
+    """Both shingle lookups must broadcast the (small) candidate pair
+    relation so the corpus-sized shingle relation never shuffles for
+    the lookup."""
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc"), (2, "aaaa bbbb cccc"), (3, "dddd eeee")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup.verified_jaccard_pairs(df, pairs, threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+
+
+def test_floordiv_exact_on_negatives(spark):
+    from amazon_s3_find_and_forget_spark.operators.temporal import _floordiv
+
+    df = spark.createDataFrame(
+        [(v,) for v in (-7, -3, -1, 0, 1, 3, 7, 1_700_000_000_000_000)],
+        "v long",
+    )
+    got = [
+        r.bk for r in df.select(_floordiv(F.col("v"), 3).alias("bk"))
+        .orderBy("v").collect()
+    ]
+    expect = [v // 3 for v in sorted((-7, -3, -1, 0, 1, 3, 7, 1_700_000_000_000_000))]
+    assert got == expect
