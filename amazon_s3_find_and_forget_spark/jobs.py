@@ -222,6 +222,8 @@ def run_job(
     manifest_dir: str | None = None,
     query_max_retries: int = 2,
     forget_parallelism: int | None = None,
+    path_handoff_threshold: int = 100_000,
+    manifest_table: str | None = None,
 ) -> JobResult:
     """The whole deletion-job lifecycle as one driver program.
 
@@ -229,10 +231,19 @@ def run_job(
     (SURVEY.md §3.1): find affected files per mapper (broadcast semi-join
     or pushed predicates), surgically rewrite them, fold events into
     stats + status.
+
+    Find->Forget handoff is hybrid: up to ``path_handoff_threshold``
+    affected objects take the list path (driver-side paths, per-object
+    events — reference parity, one SQS message per object). Above it the
+    affected-path relation stays a DataFrame end to end
+    (``forget_files_df``): the rewrite fans out via ``mapInPandas``, stats
+    aggregate distributively, and only the per-status rollup reaches the
+    driver — no driver-memory ceiling at millions of objects. Large jobs
+    get per-status summary events instead of per-object ones.
     """
     from .matches import build_column_groups, route_items
     from .plans.find import find_affected_files
-    from .plans.forget import forget_files
+    from .plans.forget import forget_files, forget_files_df
 
     job_id = job_id or str(uuid.uuid4())
     events: list = []
@@ -251,18 +262,24 @@ def run_job(
             groups = build_column_groups(
                 df.schema, mapper.columns, routed
             )
-            if manifest_dir:
+            if manifest_dir or manifest_table:
                 # the auditable stringified manifest, partitioned like the
                 # reference's Glue JSONL manifest table (S7,
                 # generate_queries.py:223-225 + templates/manifests.yaml)
-                from .matches import build_manifest_df, write_manifest
-
-                write_manifest(
-                    build_manifest_df(
-                        spark, job_id, mapper.mapper_id, mapper.columns, routed
-                    ),
-                    manifest_dir,
+                from .matches import (
+                    build_manifest_df,
+                    register_manifest_table,
+                    write_manifest,
                 )
+
+                mdf = build_manifest_df(
+                    spark, job_id, mapper.mapper_id, mapper.columns, routed
+                )
+                if manifest_dir:
+                    write_manifest(mdf, manifest_dir)
+                if manifest_table:
+                    # catalog registration (generate_queries.py:288-326)
+                    register_manifest_table(mdf, manifest_table)
             paths = None
             for attempt in range(query_max_retries + 1):
                 # bounded retry budget, the AthenaQueryMaxRetries analog
@@ -270,8 +287,13 @@ def run_job(
                 # Spark's own task retries handle executor-level failures,
                 # this guards whole-query failures
                 try:
+                    # probe one past the threshold: a small job gets its
+                    # complete list, a large one only proves it is large
                     paths = [
-                        r[0] for r in find_affected_files(df, groups).collect()
+                        r[0]
+                        for r in find_affected_files(df, groups)
+                        .limit(path_handoff_threshold + 1)
+                        .collect()
                     ]
                     emit("QuerySucceeded", {"DataMapperId": mapper.mapper_id})
                     break
@@ -305,17 +327,33 @@ def run_job(
                     events=events,
                     counters=counters,
                 )
-            stats = forget_files(
-                spark,
-                paths,
-                groups,
-                fmt=mapper.format,
-                ignore_not_found=mapper.ignore_object_not_found,
-                delete_old_versions=mapper.delete_old_versions,
-                kms=kms,
-                parallelism=forget_parallelism,
-            )
-            all_stats.extend(stats)
+            if len(paths) <= path_handoff_threshold:
+                stats = forget_files(
+                    spark,
+                    paths,
+                    groups,
+                    fmt=mapper.format,
+                    ignore_not_found=mapper.ignore_object_not_found,
+                    delete_old_versions=mapper.delete_old_versions,
+                    kms=kms,
+                    parallelism=forget_parallelism,
+                )
+                all_stats.extend(stats)
+                stats_rel = None
+            else:
+                # large-job path: the affected-path relation never leaves
+                # the cluster; stats aggregate distributively below
+                stats = None
+                stats_rel = forget_files_df(
+                    spark,
+                    find_affected_files(df, groups),
+                    groups,
+                    fmt=mapper.format,
+                    ignore_not_found=mapper.ignore_object_not_found,
+                    delete_old_versions=mapper.delete_old_versions,
+                    kms=kms,
+                    parallelism=forget_parallelism,
+                )
             # the rewrite changed files behind Spark's back — drop any
             # cached file listing / metadata so subsequent reads in this
             # session see the new objects (S3's analog is read-after-write
@@ -324,19 +362,55 @@ def run_job(
                 spark.catalog.refreshTable(mapper.location[len("table:") :])
             else:
                 spark.catalog.refreshByPath(mapper.location)
-            for row in stats:
-                status = row[4]
-                if status == "updated":
-                    emit("ObjectUpdated", {"Object": row[0]})
-                elif status == "skipped":
-                    emit("ObjectUpdateSkipped", {"Object": row[0]})
-                elif status == "rollback_failed":
-                    counters["TotalObjectUpdateFailedCount"] += 1
-                    emit("ObjectUpdateFailed", {"Object": row[0], "Error": row[5]})
-                    emit("ObjectRollbackFailed", {"Object": row[0], "Error": row[5]})
-                else:
-                    counters["TotalObjectUpdateFailedCount"] += 1
-                    emit("ObjectUpdateFailed", {"Object": row[0], "Error": row[5]})
+            if stats is not None:
+                for row in stats:
+                    status = row[4]
+                    if status == "updated":
+                        emit("ObjectUpdated", {"Object": row[0]})
+                    elif status == "skipped":
+                        emit("ObjectUpdateSkipped", {"Object": row[0]})
+                    elif status == "rollback_failed":
+                        counters["TotalObjectUpdateFailedCount"] += 1
+                        emit("ObjectUpdateFailed", {"Object": row[0], "Error": row[5]})
+                        emit("ObjectRollbackFailed", {"Object": row[0], "Error": row[5]})
+                    else:
+                        counters["TotalObjectUpdateFailedCount"] += 1
+                        emit("ObjectUpdateFailed", {"Object": row[0], "Error": row[5]})
+            else:
+                # per-status rollup, computed on the cluster; only a handful
+                # of rows ever reach the driver for a large job
+                rollup = (
+                    stats_rel.groupBy("status")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("processed_rows").alias("processed"),
+                        F.sum("deleted_rows").alias("deleted"),
+                        F.max("error").alias("sample_error"),
+                    )
+                    .collect()
+                )
+                for r in rollup:
+                    data = {
+                        "Status": r["status"],
+                        "Objects": int(r["n"]),
+                        "ProcessedRows": int(r["processed"] or 0),
+                        "DeletedRows": int(r["deleted"] or 0),
+                    }
+                    if r["sample_error"]:
+                        data["SampleError"] = r["sample_error"]
+                    emit("ObjectUpdateSummary", data)
+                    if r["status"] not in ("updated", "skipped"):
+                        counters["TotalObjectUpdateFailedCount"] += int(r["n"])
+                all_stats.append(
+                    (
+                        mapper.mapper_id,
+                        mapper.format,
+                        sum(int(r["processed"] or 0) for r in rollup),
+                        sum(int(r["deleted"] or 0) for r in rollup),
+                        "summary",
+                        None,
+                    )
+                )
         emit("ForgetPhaseEnded")
         if (
             counters["TotalObjectUpdateFailedCount"] == 0

@@ -242,3 +242,25 @@ def build_manifest_df(
 
 def write_manifest(df: DataFrame, path: str) -> None:
     df.write.mode("append").partitionBy("JobId", "DataMapperId").json(path)
+
+
+def register_manifest_table(
+    df: DataFrame, table_name: str = "s3f2_manifests", path: str | None = None
+) -> None:
+    """S7: register the manifest in the session catalog as a partitioned
+    table.
+
+    Reference parity: generate_queries.py:288-326 (``batch_create_partition``)
+    registers each (JobId, DataMapperId) manifest as a Glue partition of
+    the JSONL manifests table so Athena can join against it. Here the
+    metastore-registered analog: append-mode ``saveAsTable`` partitioned
+    the same way — each job/mapper adds one partition, readers go through
+    ``spark.table(table_name)`` and a JobId/DataMapperId filter compiles
+    to partition pruning.
+    """
+    writer = (
+        df.write.mode("append").format("json").partitionBy("JobId", "DataMapperId")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

@@ -1,9 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow-batched ``mapInPandas``
-transforms, partition-friendly layout; only the codec kernels are stubbed
-(image/audio libraries are not available in this environment) behind
-``DETERMINISTIC_FAKE`` so the distributed path is testable end-to-end.
+transforms, partition-friendly layout. Codec kernels are REAL for the
+formats decodable with the standard library + numpy:
+
+- WAV (RIFF/PCM) audio via ``wave``: true sample decode -> duration /
+  rate / RMS / peak / zero-crossing / spectral-band features;
+- PPM/PGM (netpbm) images via a numpy header parse: true pixel decode ->
+  dimension / channel-stat / histogram features, and a real
+  nearest-neighbor resize that re-encodes the payload.
+
+Formats that need external codec libraries (JPEG/PNG, MP3, MP4 — not
+present in this environment) fall back to the clearly-marked
+``DETERMINISTIC_FAKE`` digest features so the distributed path stays
+testable end-to-end; set it False to fail loudly instead.
 
 Design: media rows are ``(media_id, kind, payload binary, meta struct)``.
 Decode / resize / frame-sample are ``mapInPandas`` stages: one Arrow
@@ -15,6 +25,8 @@ the transform needs it) and metadata predicates prune before decode.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -55,13 +67,15 @@ FEATURE_SCHEMA = StructType(
 )
 
 # Set True to use the deterministic fake decoder (hash-seeded features)
-# instead of raising NotImplementedError for real codec work.
+# for formats WITHOUT an in-environment codec (JPEG/PNG/MP3/MP4);
+# False raises NotImplementedError for those instead. WAV and PPM/PGM
+# payloads always take the real decode path below.
 DETERMINISTIC_FAKE = True
 FEATURE_DIM = 16
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB: real deployment would decode via Pillow/torchaudio/ffmpeg.
+    """STUB for externally-coded formats (Pillow/torchaudio/ffmpeg work).
 
     The deterministic fake derives a FEATURE_DIM float vector from the
     payload digest so tests exercise the full distributed pipeline with
@@ -76,6 +90,131 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
+# --- real codecs (stdlib + numpy) -----------------------------------------
+
+
+def _is_wav(payload: bytes) -> bool:
+    return len(payload) > 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def _is_pnm(payload: bytes) -> bool:
+    return payload[:2] in (b"P5", b"P6")
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/PCM WAV -> (mono float64 samples in [-1, 1], sample rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 1:  # unsigned 8-bit
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        samples = (samples - 128.0) / 128.0
+    elif sampwidth == 2:  # signed 16-bit LE
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 4:  # signed 32-bit LE
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if n_ch > 1:
+        samples = samples[: len(samples) - len(samples) % n_ch]
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples, rate
+
+
+def _audio_features(payload: bytes) -> np.ndarray:
+    """Real audio features: duration/rate/energy stats + 10 log-power
+    spectral bands (rFFT, geometrically-spaced edges)."""
+    samples, rate = _decode_wav(payload)
+    n = len(samples)
+    duration_s = n / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+    peak = float(np.max(np.abs(samples))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if n > 1 else 0.0
+    bands = np.zeros(10)
+    if n > 1:
+        power = np.abs(np.fft.rfft(samples)) ** 2
+        edges = np.unique(
+            np.geomspace(1, len(power), num=11).astype(int)
+        )
+        for i in range(min(len(edges) - 1, 10)):
+            seg = power[edges[i]: edges[i + 1]]
+            bands[i] = np.log1p(seg.mean()) if len(seg) else 0.0
+    out = np.array(
+        [duration_s, rate / 48000.0, min(n, 2**31) / 1e6, rms, peak, zcr],
+        dtype=np.float64,
+    )
+    return np.concatenate([out, bands]).astype(np.float32)[:FEATURE_DIM]
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 RGB) -> uint8 array (h, w[, 3])."""
+    # header: magic, width, height, maxval — whitespace separated with
+    # optional '#' comments; pixel data follows the single whitespace
+    # after maxval
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if payload[pos: pos + 1] == b"#":
+            while pos < len(payload) and payload[pos: pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos: pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=pos)
+    return data.reshape((h, w, 3)) if channels == 3 else data.reshape((h, w))
+
+
+def _encode_pnm(arr: np.ndarray) -> bytes:
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + b"\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _resize_nn(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center mapping)."""
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return arr[rows][:, cols]
+
+
+def _image_features(payload: bytes) -> np.ndarray:
+    """Real image features: dims + per-channel mean/std + 8-bin gray
+    histogram (density)."""
+    arr = _decode_pnm(payload)
+    rgb = arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
+    x = rgb.astype(np.float64) / 255.0
+    gray = x.mean(axis=-1)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    hist = hist / max(gray.size, 1)
+    out = np.array(
+        [
+            arr.shape[1] / 4096.0,
+            arr.shape[0] / 4096.0,
+            *x.reshape(-1, 3).mean(axis=0),
+            *x.reshape(-1, 3).std(axis=0),
+        ],
+        dtype=np.float64,
+    )
+    return np.concatenate([out, hist]).astype(np.float32)[:FEATURE_DIM]
+
+
+def _decode_features(payload: bytes, kind: str) -> np.ndarray:
+    if _is_wav(payload):
+        return _audio_features(payload)
+    if _is_pnm(payload):
+        return _image_features(payload)
+    return _decode_stub(payload, kind)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched decode + feature extraction over media rows."""
 
@@ -83,7 +222,7 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in it:
             payloads = pdf["payload"]
             feats = [
-                _decode_stub(p if p is not None else b"", k).tolist()
+                _decode_features(p if p is not None else b"", k).tolist()
                 for p, k in zip(payloads, pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -105,29 +244,32 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize plumbing: payload -> payload, metadata updated.
+    """Image resize: payload -> payload, metadata updated.
 
-    The pixel transform is stubbed (real deployment: Pillow/opencv inside
-    the same batch loop); what is real and tested is the Arrow-batched
-    binary-in/binary-out shape — the payload column round-trips through
-    ``mapInPandas`` untouched by Catalyst, and the output schema carries
-    the new dimensions.
+    PPM/PGM payloads take the REAL kernel — decode, nearest-neighbor
+    resample, re-encode — inside the Arrow batch loop. Other formats
+    (JPEG/PNG need external codecs) fall back to the deterministic fake
+    tag, or raise when ``DETERMINISTIC_FAKE`` is off. Either way the
+    binary-in/binary-out shape is the same: the payload column
+    round-trips through ``mapInPandas`` untouched by Catalyst, and the
+    output schema carries the new dimensions.
     """
+
+    def resize_one(p: bytes | None) -> bytes:
+        p = p if p is not None else b""
+        if _is_pnm(p):
+            return _encode_pnm(_resize_nn(_decode_pnm(p), width, height))
+        if not DETERMINISTIC_FAKE:
+            raise NotImplementedError(
+                "non-netpbm resize requires codec libraries not present here"
+            )
+        # deterministic fake for externally-coded formats
+        return p + b"|resized:%dx%d" % (width, height)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not DETERMINISTIC_FAKE:
-                raise NotImplementedError(
-                    "image resize requires codec libraries not present here"
-                )
             out = pdf.copy()
-            # STUB: deterministic fake "resize" tags the payload with the
-            # target dims; a real kernel decodes + resamples + re-encodes.
-            out["payload"] = [
-                (p if p is not None else b"")
-                + b"|resized:%dx%d" % (width, height)
-                for p in pdf["payload"]
-            ]
+            out["payload"] = [resize_one(p) for p in pdf["payload"]]
             out["width"] = np.int32(width)
             out["height"] = np.int32(height)
             yield out
@@ -155,18 +297,33 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_sha256": []}
-            for _, row in pdf.iterrows():
-                duration = row["duration_ms"] or 0
-                n_frames = max(int(duration // every_ms), 0)
-                payload = row["payload"] if row["payload"] is not None else b""
-                for i in range(n_frames):
-                    rows["media_id"].append(row["media_id"])
-                    rows["frame_idx"].append(i)
-                    rows["frame_ts_ms"].append(i * every_ms)
-                    rows["frame_sha256"].append(
-                        hashlib.sha256(payload + i.to_bytes(4, "little")).hexdigest()
-                    )
-            yield pd.DataFrame(rows)
+            # vectorized fan-out: repeat each media row by its frame count
+            durations = pdf["duration_ms"].fillna(0).astype(np.int64).to_numpy()
+            n_frames = np.maximum(durations // every_ms, 0)
+            media_ids = np.repeat(pdf["media_id"].to_numpy(), n_frames)
+            frame_idx = (
+                np.concatenate([np.arange(n, dtype=np.int64) for n in n_frames])
+                if len(n_frames)
+                else np.array([], dtype=np.int64)
+            )
+            payloads = np.repeat(pdf["payload"].to_numpy(), n_frames)
+            # the per-frame digest stands in for frame extraction (real
+            # deployment: ffmpeg seek+decode here); hashing is the only
+            # remaining per-row Python and it is C-level
+            sha = [
+                hashlib.sha256(
+                    (p if p is not None else b"")
+                    + int(i).to_bytes(4, "little")
+                ).hexdigest()
+                for p, i in zip(payloads, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": media_ids,
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "frame_ts_ms": frame_idx * every_ms,
+                    "frame_sha256": sha,
+                }
+            )
 
     return df.where(F.col("kind") == "video").mapInPandas(batches, schema=out_schema)

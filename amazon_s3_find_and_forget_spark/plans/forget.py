@@ -220,5 +220,52 @@ def forget_files(
     return rdd.collect()
 
 
+def forget_files_df(
+    spark: SparkSession,
+    paths_df: DataFrame,
+    groups: list[ColumnGroup],
+    fmt: str = "parquet",
+    ignore_not_found: bool = False,
+    delete_old_versions: bool = True,
+    kms=None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Distributed Find->Forget handoff: rewrite every file in ``paths_df``
+    without the path list ever materializing on the driver.
+
+    ``forget_files`` round-trips the affected-path list through a driver
+    collect — fine at the reference's 45k-object scenario, a driver-memory
+    bottleneck at millions of objects. Here the Find output stays a
+    DataFrame: repartition (paths only — a few bytes per row), rewrite
+    per-partition via ``mapInPandas``, and return the per-file stats
+    relation, eagerly localCheckpointed so the destructive side effect
+    runs exactly once no matter how often the stats are consumed.
+    Callers aggregate the stats distributively and collect only the
+    per-status rollup.
+    """
+    spec = groups_to_spec(groups)
+    path_col = paths_df.columns[0]
+    n = max(parallelism or spark.sparkContext.defaultParallelism, 1)
+
+    def rewrite(batches):
+        import pandas as pd
+
+        cols = [
+            "file_path", "format", "processed_rows", "deleted_rows",
+            "status", "error",
+        ]
+        for pdf in batches:
+            rows = [
+                _rewrite_one(
+                    p, fmt, spec, ignore_not_found, delete_old_versions, kms
+                )
+                for p in pdf[path_col]
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = paths_df.repartition(n).mapInPandas(rewrite, STATS_SCHEMA)
+    return out.localCheckpoint(eager=True)
+
+
 def stats_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     return spark.createDataFrame(rows, STATS_SCHEMA)

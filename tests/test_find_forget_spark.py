@@ -300,3 +300,81 @@ def test_transient_query_failure_recovers_to_completed(
     names = [e["EventName"] for e in result.events]
     assert "QueryRetried" in names and "QueryFailed" not in names
     assert "CleanupSucceeded" in names
+
+
+def test_dataframe_handoff_matches_list_path(spark, tmp_path):
+    """Forcing the large-job path (threshold 0) must rewrite the same
+    rows with equal counters/status as the driver-list path — with the
+    path list never collected and per-status summary events instead of
+    per-object ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.jobs import run_job
+    from amazon_s3_find_and_forget_spark.matches import QueueItem
+
+    results = {}
+    for mode, threshold in (("list", 100_000), ("dataframe", 0)):
+        lake = tmp_path / f"lake-{mode}"
+        lake.mkdir()
+        for i, ids in enumerate(([1, 2, 3, 4], [5, 6, 7, 8])):
+            pq.write_table(
+                pa.table({"customer_id": pa.array(ids, pa.int64())}),
+                str(lake / f"part-{i}.parquet"),
+            )
+        result = run_job(
+            spark,
+            [DataMapper(f"m{mode}", str(lake), ["customer_id"])],
+            [QueueItem(match_id=2), QueueItem(match_id=7)],
+            path_handoff_threshold=threshold,
+        )
+        assert result.status == "COMPLETED", result.events
+        survivors = sorted(
+            r.customer_id for r in spark.read.parquet(str(lake)).collect()
+        )
+        results[mode] = (survivors, result.counters)
+    assert results["list"][0] == results["dataframe"][0] == [1, 3, 4, 5, 6, 8]
+    assert results["list"][1] == results["dataframe"][1]
+
+
+def test_manifest_registered_as_catalog_table(spark, tmp_path):
+    """S7 closure: manifests land in the metastore partitioned by
+    (JobId, DataMapperId) — one partition per job/mapper, read back via
+    spark.table with partition pruning."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.jobs import run_job
+    from amazon_s3_find_and_forget_spark.matches import QueueItem
+
+    table = "s3f2_manifests_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    pq.write_table(
+        pa.table({"customer_id": pa.array([1, 2, 3], pa.int64())}),
+        str(lake / "f.parquet"),
+    )
+    for job, match in (("job-a", 2), ("job-b", 3)):
+        run_job(
+            spark,
+            [DataMapper("m1", str(lake), ["customer_id"])],
+            [QueueItem(match_id=match)],
+            job_id=job,
+            manifest_table=table,
+        )
+    man = spark.table(table)
+    assert {"JobId", "DataMapperId", "MatchId", "QueryableMatchId"} <= set(
+        man.columns
+    )
+    jobs = {r.JobId for r in man.select("JobId").distinct().collect()}
+    assert jobs == {"job-a", "job-b"}
+    one = man.where(
+        (man.JobId == "job-a") & (man.DataMapperId == "m1")
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "job-a" in plan  # pruning, not scan
+    assert [r.QueryableMatchId for r in one.collect()] == ["2"]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -507,3 +507,70 @@ def test_floordiv_exact_on_negatives(spark):
     ]
     expect = [v // 3 for v in sorted((-7, -3, -1, 0, 1, 3, 7, 1_700_000_000_000_000))]
     assert got == expect
+
+
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, channels=1):
+    import io
+    import wave
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    if channels == 2:
+        samples = np.repeat(samples, 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _ppm_bytes(arr):
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def test_real_wav_decode_features(spark):
+    """WAV payloads get REAL decoded features (duration, rate, energy),
+    not digest fakes."""
+    payload = _wav_bytes(seconds=0.5, rate=8000)
+    df = spark.createDataFrame(
+        [(1, "audio", payload, "audio/wav", None, None, 500)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(df).collect()[0]
+    feat = row.feature
+    assert abs(feat[0] - 0.5) < 1e-3          # duration seconds
+    assert abs(feat[1] - 8000 / 48000) < 1e-6  # sample rate
+    assert 0.3 < feat[3] < 0.4                 # RMS of 0.5-amp sine ~ 0.3536
+    assert 0.45 < feat[4] <= 0.51              # peak ~ 0.5
+
+
+def test_real_ppm_decode_and_resize(spark):
+    """PPM payloads get real pixel features and a real nearest-neighbor
+    resize whose output re-decodes to the target dims."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    payload = _ppm_bytes(img)
+    df = spark.createDataFrame(
+        [(7, "image", payload, "image/x-portable-pixmap", 8, 10, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feat = multimodal.extract_features(df).collect()[0].feature
+    assert abs(feat[2] - img[..., 0].mean() / 255.0) < 1e-3  # mean R channel
+
+    out = multimodal.resize_images(df, width=4, height=5).collect()[0]
+    assert (out.width, out.height) == (4, 5)
+    resized = multimodal._decode_pnm(bytes(out.payload))
+    assert resized.shape == (5, 4, 3)
+    # nearest-neighbor: every output pixel is an input pixel
+    flat_in = {tuple(px) for px in img.reshape(-1, 3)}
+    assert all(tuple(px) in flat_in for px in resized.reshape(-1, 3))
+
+
+def test_stereo_wav_downmix():
+    samples, rate = multimodal._decode_wav(_wav_bytes(channels=2))
+    assert rate == 8000
+    assert len(samples) == 4000  # 0.5 s mono after downmix
