@@ -26,19 +26,20 @@ from pyspark.sql.functions import pandas_udf
 # --------------------------------------------------------------------------
 
 def _eager(df: DataFrame) -> DataFrame:
-    """Materialize a relation once, eagerly, with auto-released storage.
+    """Materialize a SMALL final relation once, with auto-released storage.
 
-    Same role as ``persist() + count()`` (compute once, serve every
-    downstream consumer from stored blocks — the measured optimum for the
-    exploded band/bucket relations), but via ``localCheckpoint(eager=True)``
-    so the blocks are dropped by the ContextCleaner when the DataFrame is
-    garbage-collected. ``persist()`` entries live in the session-wide
-    CacheManager and survive until an explicit unpersist, so repeated
-    operator invocations in one long session accumulate storage pressure.
+    ``localCheckpoint(eager=True)``: blocks are dropped by the
+    ContextCleaner when the DataFrame is garbage-collected, so returning
+    a checkpointed result never accumulates session-wide cache entries.
+    Use for the small OUTPUT of a candidate-generation step (pair lists,
+    drop-id sets) — the big intermediates that feed both sides of a
+    self-join use ``persist()+count()`` for intra-invocation reuse (the
+    measured optimum) and are explicitly unpersisted once the checkpointed
+    output exists.
 
     Trade-off: checkpointing truncates lineage, so a lost executor fails
     the query instead of recomputing — acceptable for these short-lived
-    intra-operator intermediates.
+    derived relations.
     """
     return df.localCheckpoint(eager=True)
 
@@ -247,39 +248,55 @@ def band_pairs(
                 ]
             )
         ).alias("band_hash"),
-    )
+    ).persist()
     # feeds BOTH join sides: materialize eagerly, otherwise the two sides
     # race to populate the cache and the sig subtree computes twice
-    banded = _eager(banded)
-    a = banded.select(F.col("_id").alias("id_a"), "band_hash")
-    b = banded.select(F.col("_id").alias("id_b"), "band_hash")
-    if max_bucket is None:
-        return (
-            a.join(b, "band_hash")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+    banded.count()
+    try:
+        a = banded.select(F.col("_id").alias("id_a"), "band_hash")
+        b = banded.select(F.col("_id").alias("id_b"), "band_hash")
+        if max_bucket is None:
+            return _eager(
+                a.join(b, "band_hash")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+        # the skewed buckets are FEW by definition (that's what makes them
+        # skewed) — that tiny relation broadcasts; the full per-bucket stats
+        # relation (one row per distinct band hash) never would at scale
+        big = (
+            banded.groupBy("band_hash")
+            .agg(F.count(F.lit(1)).alias("_sz"), F.min("_id").alias("_min_id"))
+            .where(F.col("_sz") > max_bucket)
+            .persist()
         )
-    # the skewed buckets are FEW by definition (that's what makes them
-    # skewed) — that tiny relation broadcasts; the full per-bucket stats
-    # relation (one row per distinct band hash) never would at scale
-    big = _eager(
-        banded.groupBy("band_hash")
-        .agg(F.count(F.lit(1)).alias("_sz"), F.min("_id").alias("_min_id"))
-        .where(F.col("_sz") > max_bucket)
-    )
-    dense = (
-        a.join(F.broadcast(big.select("band_hash")), "band_hash", "left_anti")
-        .join(b, "band_hash")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    star = (
-        banded.join(F.broadcast(big), "band_hash")
-        .where(F.col("_id") > F.col("_min_id"))
-        .select(F.col("_min_id").alias("id_a"), F.col("_id").alias("id_b"))
-    )
-    return dense.unionAll(star).distinct()
+        big.count()
+        try:
+            dense = (
+                a.join(
+                    F.broadcast(big.select("band_hash")),
+                    "band_hash",
+                    "left_anti",
+                )
+                .join(b, "band_hash")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            star = (
+                banded.join(F.broadcast(big), "band_hash")
+                .where(F.col("_id") > F.col("_min_id"))
+                .select(
+                    F.col("_min_id").alias("id_a"), F.col("_id").alias("id_b")
+                )
+            )
+            return _eager(dense.unionAll(star).distinct())
+        finally:
+            big.unpersist()
+    finally:
+        # the checkpointed pair relation is self-contained — release the
+        # exploded cache instead of leaking it into the CacheManager
+        banded.unpersist()
 
 
 def verified_jaccard_pairs(
@@ -369,11 +386,15 @@ def minhash_dedup(
     banding and the similarity verify); the verify uses the signature
     estimate of Jaccard.
     """
-    sigs = _eager(minhash_signatures(df, text_col, id_col, k, num_perm))
-    pairs = band_pairs(sigs, bands, num_perm, max_bucket)
-    dups = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
-    # id_b > id_a by construction -> id_b is the duplicate to drop
-    drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
+    try:
+        pairs = band_pairs(sigs, bands, num_perm, max_bucket)
+        dups = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
+        # id_b > id_a by construction -> id_b is the duplicate to drop;
+        # checkpoint the (small) drop set so sigs can release immediately
+        drop = _eager(dups.select(F.col("id_b").alias(id_col)).distinct())
+    finally:
+        sigs.unpersist()
     return df.join(drop, on=id_col, how="left_anti")
 
 
@@ -481,30 +502,38 @@ def simhash_near_duplicates(
         F.col(id_col).alias("_id"), F.col("simhash")
     )
     # feeds BOTH join sides: materialize eagerly so the simhash UDF runs once
-    keyed = _eager(
-        sh.select("_id", "simhash", F.explode(F.array(*keys)).alias("bucket"))
-    )
-    a = keyed.select(
-        F.col("_id").alias("id_a"), F.col("simhash").alias("_sim_a"), "bucket"
-    )
-    b = keyed.select(
-        F.col("_id").alias("id_b"), F.col("simhash").alias("_sim_b"), "bucket"
-    )
-    # pair generation as a bucket self-join (streams + spills; no O(s^2)
-    # per-bucket array), verified JVM-side with bit_count(xor)
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).alias(
-                "hamming"
-            ),
+    keyed = sh.select(
+        "_id", "simhash", F.explode(F.array(*keys)).alias("bucket")
+    ).persist()
+    keyed.count()
+    try:
+        a = keyed.select(
+            F.col("_id").alias("id_a"),
+            F.col("simhash").alias("_sim_a"),
+            "bucket",
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+        b = keyed.select(
+            F.col("_id").alias("id_b"),
+            F.col("simhash").alias("_sim_b"),
+            "bucket",
+        )
+        # pair generation as a bucket self-join (streams + spills; no O(s^2)
+        # per-bucket array), verified JVM-side with bit_count(xor)
+        return _eager(
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).alias(
+                    "hamming"
+                ),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    finally:
+        keyed.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -551,28 +580,36 @@ def ngram_jaccard_pairs(
         .select("g")
     )
     # feeds both join sides — materialize once, eagerly
-    posting = _eager(flat.join(eligible_grams, "g"))
-    a = posting.select(F.col("_id").alias("id_a"), "g")
-    b = posting.select(F.col("_id").alias("id_b"), "g")
-    pair_counts = (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    a_sz = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a")
-    b_sz = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b")
-    return (
-        pair_counts.join(a_sz, "id_a")
-        .join(b_sz, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                6,
-            ),
+    posting = flat.join(eligible_grams, "g").persist()
+    posting.count()
+    try:
+        a = posting.select(F.col("_id").alias("id_a"), "g")
+        b = posting.select(F.col("_id").alias("id_b"), "g")
+        pair_counts = (
+            a.join(b, "g")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+        a_sz = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed(
+            "_n", "n_a"
+        )
+        b_sz = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed(
+            "_n", "n_b"
+        )
+        return _eager(
+            pair_counts.join(a_sz, "id_a")
+            .join(b_sz, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    finally:
+        posting.unpersist()

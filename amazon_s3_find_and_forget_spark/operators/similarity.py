@@ -174,37 +174,44 @@ def embedding_near_duplicates(
     ]
     from .dedup import _eager
 
-    # feeds both join sides — materialize once, eagerly, auto-released
-    bucketed = _eager(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(emb_col).alias("_emb"),
-            F.explode(F.array(*table_keys)).alias("lsh_bucket"),
+    # feeds both join sides — materialize once, eagerly; released after
+    # the (small) verified pair relation is checkpointed
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.explode(F.array(*table_keys)).alias("lsh_bucket"),
+    ).persist()
+    bucketed.count()
+    try:
+        a = bucketed.select(
+            F.col("_id").alias("id_a"),
+            F.col("_emb").alias("_emb_a"),
+            "lsh_bucket",
         )
-    )
-    a = bucketed.select(
-        F.col("_id").alias("id_a"), F.col("_emb").alias("_emb_a"), "lsh_bucket"
-    )
-    b = bucketed.select(
-        F.col("_id").alias("id_b"), F.col("_emb").alias("_emb_b"), "lsh_bucket"
-    )
-    pairs = (
-        a.join(b, "lsh_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                _dot(F.col("_emb_a"), F.col("_emb_b"))
-                / (_norm(F.col("_emb_a")) * _norm(F.col("_emb_b")))
-            ).alias("cosine"),
+        b = bucketed.select(
+            F.col("_id").alias("id_b"),
+            F.col("_emb").alias("_emb_b"),
+            "lsh_bucket",
         )
-    )
-    return (
-        pairs.where(F.col("cosine") >= threshold)
-        .withColumn("cosine", F.round("cosine", 6))
-        .distinct()
-    )
+        pairs = (
+            a.join(b, "lsh_bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    _dot(F.col("_emb_a"), F.col("_emb_b"))
+                    / (_norm(F.col("_emb_a")) * _norm(F.col("_emb_b")))
+                ).alias("cosine"),
+            )
+        )
+        return _eager(
+            pairs.where(F.col("cosine") >= threshold)
+            .withColumn("cosine", F.round("cosine", 6))
+            .distinct()
+        )
+    finally:
+        bucketed.unpersist()
 
 
 def lsh_topk_batch(
