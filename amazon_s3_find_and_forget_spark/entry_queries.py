@@ -173,8 +173,14 @@ def q_forget_survivors_composite(spark, sf_dir):
 
 
 def q_find_files_simple(spark, sf_dir):
+    """S1/P1/A1: distinct affected files, projected to the file NAME so
+    DuckDB can oracle-check it (the absolute path is environment-local;
+    the basename set is the engine-independent fact)."""
     df = load(spark, sf_dir, "lineitem")
-    return find_affected_files(df, _lineitem_groups(df))
+    files = find_affected_files(df, _lineitem_groups(df))
+    return files.select(
+        F.element_at(F.split("file_path", "/"), -1).alias("file_name")
+    )
 
 
 def q_job_stats_fold(spark, sf_dir):
@@ -1138,6 +1144,36 @@ ORACLES = {
     "find_rows_nested": f"""
         SELECT l_orderkey, l_linenumber FROM lineitem
         WHERE l_orderkey IN ({_IN_ORDERKEYS})
+    """,
+    "find_files_simple": f"""
+        SELECT DISTINCT 'lineitem.parquet' AS file_name
+        FROM lineitem WHERE l_orderkey IN ({_IN_ORDERKEYS})
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               list_extract(['image', 'audio', 'video'],
+                            CAST(doc_id % 3 AS INT) + 1) AS kind,
+               sha256(text) AS payload_sha256,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+        FROM documents
+    """,
+    "multimodal_frame_sample": """
+        -- frame digest = sha256(payload || frame_idx as 4 LE bytes);
+        -- frame_idx < 128 here (max doc 540 chars -> 5 frames), so the
+        -- ASCII chr() bytes equal the little-endian encoding
+        WITH m AS (
+          SELECT doc_id, text, CAST(n_chars * 10 AS BIGINT) AS duration_ms
+          FROM documents WHERE doc_id < 50
+        ), frames AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, duration_ms // 1000 - 1)) AS f
+          FROM m WHERE duration_ms >= 1000
+        )
+        SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+               CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
+               sha256(text || chr(CAST(f AS INT))
+                      || chr(0) || chr(0) || chr(0)) AS frame_sha256
+        FROM frames
     """,
     "find_rows_decimal": """
         SELECT l_orderkey, l_linenumber,
