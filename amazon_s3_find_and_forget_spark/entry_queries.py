@@ -781,6 +781,62 @@ def q_events_pivot(spark, sf_dir):
     )
 
 
+def q_events_moving_avg(spark, sf_dir):
+    """Frame-bounded window: 3-row moving average of event value per
+    user (exact-decimal sum inside the frame, double division after —
+    the cross-engine determinism rule applied to window frames)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(dec).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("mov_avg"),
+    )
+
+
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregate (all grouping-set combinations) — the multi-level
+    profile a curation pipeline reads in one pass."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ub", (F.col("user_id") % 5).cast("int")
+    )
+    return ev.cube("event_type", "ub").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+def q_orders_running_total(spark, sf_dir):
+    """Cumulative window: per-customer running order total in date order
+    (exact decimal prefix sums -> identical doubles both engines)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .alias("running_total"),
+    )
+
+
 def q_text_length_percentiles(spark, sf_dir):
     """Exact percentiles (linear interpolation) of document length per
     language — distribution profiling for corpus curation."""
@@ -1082,6 +1138,9 @@ QUERIES = {
     "events_asof_attribution": q_events_asof_attribution,
     "events_interval_counts": q_events_interval_counts,
     "events_pivot": q_events_pivot,
+    "events_moving_avg": q_events_moving_avg,
+    "events_cube": q_events_cube,
+    "orders_running_total": q_orders_running_total,
     "text_length_percentiles": q_text_length_percentiles,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -1526,6 +1585,32 @@ ORACLES = {
          AND c.ts >= p.ts - INTERVAL 1 HOUR
          AND c.ts <= p.ts
         GROUP BY p.user_id, p.purchase_id
+    """,
+    "events_moving_avg": """
+        SELECT user_id, event_id,
+               round(
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS mov_avg
+        FROM events WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "events_cube": """
+        SELECT event_type, CAST(user_id % 5 AS INT) AS ub,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY CUBE (event_type, CAST(user_id % 5 AS INT))
+    """,
+    "orders_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 AS running_total
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "events_pivot": """
         SELECT CAST(user_id % 10 AS INT) AS ub,
