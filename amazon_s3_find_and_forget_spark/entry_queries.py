@@ -837,6 +837,14 @@ def q_orders_running_total(spark, sf_dir):
     )
 
 
+def q_text_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (hash split) — exact
+    cross-engine reproducibility is the whole point, so it is
+    oracle-checked value-for-value."""
+    docs = load(spark, sf_dir, "documents")
+    return text.deterministic_split(docs).select("doc_id", "split")
+
+
 def q_text_length_percentiles(spark, sf_dir):
     """Exact percentiles (linear interpolation) of document length per
     language — distribution profiling for corpus curation."""
@@ -1142,6 +1150,7 @@ QUERIES = {
     "events_cube": q_events_cube,
     "orders_running_total": q_orders_running_total,
     "text_length_percentiles": q_text_length_percentiles,
+    "text_train_split": q_text_train_split,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -1703,6 +1712,15 @@ ORACLES = {
                ELSE 'fr' END AS lang_pred,
           greatest(s_en, s_de, s_fr, s_es) AS lang_score
         FROM s
+    """,
+    "text_train_split": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'e6666666' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'f3333333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """,
     "text_fingerprint": """
         SELECT doc_id,

@@ -133,3 +133,44 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    ratios: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed key.
+
+    A training-data pipeline must split reproducibly: the same document
+    lands in the same split on every run, on every engine, regardless of
+    partitioning — so the assignment is a pure function of the key, not
+    of ``rand()``. The first 8 hex chars of ``md5(key || salt)`` are a
+    uniform 32-bit draw; cumulative-ratio thresholds, compared as
+    fixed-width hex strings (lexicographic == numeric), pick the split.
+    Changing ``salt`` re-rolls every assignment at once.
+
+    Map-only, JVM-side (``md5`` + ``substring`` + ``when``): no shuffle,
+    no Python, trivially 100 TB-safe.
+    """
+    ratios = ratios or {"train": 0.9, "val": 0.05, "test": 0.05}
+    assert abs(sum(ratios.values()) - 1.0) < 1e-9
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    names = list(ratios)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += ratios[name]
+        bound = format(min(int(cum * 2**32), 2**32 - 1), "08x")
+        expr = (
+            F.when(h < bound, name)
+            if expr is None
+            else expr.when(h < bound, name)
+        )
+    expr = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn("split", expr)

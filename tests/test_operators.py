@@ -574,3 +574,24 @@ def test_stereo_wav_downmix():
     samples, rate = multimodal._decode_wav(_wav_bytes(channels=2))
     assert rate == 8000
     assert len(samples) == 4000  # 0.5 s mono after downmix
+
+
+def test_deterministic_split_reproducible_and_proportional(docs):
+    """Same key -> same split on every run; ratios approximately hold;
+    map-only (no shuffle)."""
+    s1 = text.deterministic_split(docs).select("doc_id", "split")
+    s2 = text.deterministic_split(docs).select("doc_id", "split")
+    m1 = {r.doc_id: r.split for r in s1.collect()}
+    m2 = {r.doc_id: r.split for r in s2.collect()}
+    assert m1 == m2
+    n = len(m1)
+    train = sum(1 for v in m1.values() if v == "train")
+    assert 0.8 < train / n < 0.97
+    # re-salting re-rolls assignments
+    m3 = {
+        r.doc_id: r.split
+        for r in text.deterministic_split(docs, salt="v2").collect()
+    }
+    assert m3 != m1
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side assignment
