@@ -845,6 +845,19 @@ def q_text_train_split(spark, sf_dir):
     return text.deterministic_split(docs).select("doc_id", "split")
 
 
+def q_text_redact(spark, sf_dir):
+    """PII redaction parity: fingerprint of the redacted corpus must be
+    identical across engines (masking is erasure — it has to be
+    deterministic to be auditable)."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.redact_pii(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+        (F.col("text_redacted") != F.col("text")).alias("was_redacted"),
+    )
+
+
 def q_text_length_percentiles(spark, sf_dir):
     """Exact percentiles (linear interpolation) of document length per
     language — distribution profiling for corpus curation."""
@@ -1151,6 +1164,7 @@ QUERIES = {
     "orders_running_total": q_orders_running_total,
     "text_length_percentiles": q_text_length_percentiles,
     "text_train_split": q_text_train_split,
+    "text_redact": q_text_redact,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -1200,6 +1214,12 @@ _LANG_SCORES = {
     )
     for lang in text.LANG_MARKERS
 }
+
+# chained redaction built from the SAME pattern table the operator uses
+# (DuckDB needs the explicit 'g' flag; Spark replaces globally by default)
+_REDACT_EXPR = "text"
+for _pat, _repl in text.PII_PATTERNS:
+    _REDACT_EXPR = f"regexp_replace({_REDACT_EXPR}, '{_pat}', '{_repl}', 'g')"
 
 ORACLES = {
     "find_rows_simple": f"""
@@ -1712,6 +1732,14 @@ ORACLES = {
                ELSE 'fr' END AS lang_pred,
           greatest(s_en, s_de, s_fr, s_es) AS lang_score
         FROM s
+    """,
+    "text_redact": f"""
+        WITH r AS (
+          SELECT doc_id, text, {_REDACT_EXPR} AS tr FROM documents
+        )
+        SELECT doc_id, md5(tr) AS redacted_md5,
+               tr <> text AS was_redacted
+        FROM r
     """,
     "text_train_split": """
         SELECT doc_id,

@@ -174,3 +174,30 @@ def deterministic_split(
         expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+# (pattern, replacement) applied in order; patterns restricted to syntax
+# that means the same thing in Java regex (Spark) and RE2 (DuckDB) so the
+# redaction is engine-reproducible
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Mask PII-shaped spans (emails, SSNs, phone numbers) in text.
+
+    The document-level analog of the row-level Forget: erasure by
+    rewrite, deterministic, idempotent, applied as chained JVM
+    ``regexp_replace`` — map-only, no Python, safe at corpus scale.
+    Patterns intentionally stay in the Java-regex/RE2 common subset so
+    the output is reproducible across engines (oracle-checked).
+    """
+    col = F.col(text_col)
+    for pattern, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, repl)
+    return df.withColumn(out_col, col)

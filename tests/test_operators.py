@@ -595,3 +595,24 @@ def test_deterministic_split_reproducible_and_proportional(docs):
     assert m3 != m1
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side assignment
+
+
+def test_redact_pii_masks_and_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "ssn 123-45-6789 phone 555-867-5309 end"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text_redacted for r in text.redact_pii(df).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "ssn <SSN> phone <PHONE> end"
+    assert out[3] == "nothing sensitive here"
+    # idempotent: redacting redacted text changes nothing
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r.text_redacted for r in text.redact_pii(df2).collect()}
+    assert out2 == out
