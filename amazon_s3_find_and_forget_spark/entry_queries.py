@@ -963,6 +963,26 @@ def q_embedding_near_dups_exact(spark, sf_dir):
     )
 
 
+def q_similarity_quantize(spark, sf_dir):
+    """Int8 quantization parity: integer sums over the quantized vectors
+    are exact, so the driver hash-checks the quantizer bit-for-bit."""
+    embs = load(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(embs)
+    qe = F.col("q_embedding")
+    return q.select(
+        "vec_id",
+        F.col("q_scale"),
+        F.aggregate(
+            qe, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+        ).alias("q_sum"),
+        F.aggregate(
+            qe,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long") * v.cast("long"),
+        ).alias("q_l2"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = docs.select(
@@ -1181,6 +1201,7 @@ QUERIES = {
     "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
+    "similarity_quantize": q_similarity_quantize,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
@@ -1792,6 +1813,26 @@ ORACLES = {
                round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    """,
+    "similarity_quantize": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), s AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS am
+          FROM v
+        ), q AS (
+          SELECT vec_id, am,
+                 CASE WHEN am > 0
+                      THEN list_transform(e,
+                           x -> CAST(floor(x / (am / 127.0) + 0.5) AS BIGINT))
+                      ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qe
+          FROM s
+        )
+        SELECT vec_id, am / 127.0 AS q_scale,
+               CAST(list_sum(qe) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qe, y -> y * y)) AS BIGINT) AS q_l2
+        FROM q
     """,
     "dedup_ngram_pairs": """
         WITH toks AS (

@@ -368,6 +368,40 @@ def exact_near_duplicate_pairs(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column.
+
+    ``scale = max|x| / 127``; each component maps to
+    ``floor(x / scale + 0.5)`` — floor (not round) so the result is
+    deterministic across engines (no half-even/half-up ambiguity). At
+    100 TB the int8 column is 4x fewer bytes than float32 through every
+    shuffle and scan; dot products on int8 stay exact in int64, and the
+    per-vector scale reconstructs approximate float scores.
+
+    All JVM higher-order array expressions — map-only, no Python.
+    Zero vectors quantize to all-zero with scale 0.
+    """
+    x = F.col(emb_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.when(
+        absmax > 0,
+        F.transform(
+            x,
+            lambda v: F.floor(v.cast("double") / scale + F.lit(0.5)).cast(
+                "tinyint"
+            ),
+        ),
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    return df.select(
+        F.col(id_col),
+        scale.alias("q_scale"),
+        q.alias("q_embedding"),
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) approximate nearest neighbor
 # --------------------------------------------------------------------------

@@ -616,3 +616,17 @@ def test_redact_pii_masks_and_is_idempotent(spark):
     )
     out2 = {r.doc_id: r.text_redacted for r in text.redact_pii(df2).collect()}
     assert out2 == out
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(embs):
+    """Dequantized vectors reconstruct within half a quantization step
+    per component; zero vectors are handled."""
+    q = similarity.quantize_embeddings(embs)
+    rows = q.join(embs, "vec_id").select(
+        "vec_id", "q_scale", "q_embedding", "embedding"
+    ).limit(50).collect()
+    for r in rows:
+        orig = np.asarray(r.embedding, dtype=np.float64)
+        deq = np.asarray(r.q_embedding, dtype=np.float64) * r.q_scale
+        assert np.abs(orig - deq).max() <= r.q_scale / 2 + 1e-12
+        assert np.abs(np.asarray(r.q_embedding)).max() <= 127
