@@ -111,3 +111,16 @@ def test_whole_stage_codegen_in_find(spark, lake):
     # "*(n)" markers in simple mode = whole-stage-codegen'd stages
     plan = explain_str(out, "simple")
     assert "*(" in plan
+
+
+def test_window_catalog_queries_single_shuffle(spark, sf_dir):
+    """The moving-average and running-total catalog queries are ONE
+    hash-partition exchange each (window over the partition key) — no
+    extra repartition sneaks in between the scan and the window."""
+    from amazon_s3_find_and_forget_spark import entry_queries
+
+    for name in ("events_moving_avg", "orders_running_total"):
+        df = entry_queries.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Window" in plan, name
