@@ -78,15 +78,48 @@ def _load_events_via_arrow(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-adaptive table loader.
+
+    The events table's ``ts`` column has shipped with different PHYSICAL
+    parquet encodings across testdata generations (INT64 TIMESTAMP(NANOS),
+    which Spark reads as BIGINT under ``nanosAsLong``; and plain
+    timestamp[us], which reads as TIMESTAMP_NTZ or TIMESTAMP depending on
+    ``inferTimestampNTZ``). Plan against the schema the read actually
+    reports — the same schema-driven planning the reference does against
+    Glue (reference: backend/lambdas/tasks/generate_queries.py:141-148) —
+    never against an assumed encoding. All downstream catalog queries see
+    one logical type: session-timezone TIMESTAMP (UTC, per
+    ``_ensure_session_confs``), micros resolution.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     _ensure_session_confs(spark)
     if name != "events":
         return spark.read.parquet(path)
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+    try:
         df = spark.read.parquet(path)
-        # nanos-as-long -> microsecond timestamp
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return _load_events_via_arrow(spark, path)
+        return _normalize_ts(df)
+    except Exception:
+        # the read itself failed (e.g. nanos parquet with nanosAsLong
+        # rejected as a static conf) -> driver-side Arrow emergency path
+        return _load_events_via_arrow(spark, path)
+
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the ``ts`` column to TIMESTAMP (micros, session-UTC)."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, TimestampType):
+        return df
+    if isinstance(dtype, TimestampNTZType):
+        # NTZ -> TZ under a UTC session timezone is a pure re-tag: the
+        # wall-clock micros are reinterpreted as UTC instants, matching
+        # DuckDB's naive-timestamp epoch() semantics
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(dtype, LongType):
+        # nanosAsLong read of INT64 TIMESTAMP(NANOS): integer ns -> us
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    raise TypeError(f"unsupported physical type for '{col}': {dtype}")
 
 
 def _dec2dbl(df: DataFrame) -> DataFrame:
@@ -707,7 +740,10 @@ def q_events_json_extract(spark, sf_dir):
     """Semi-structured access: extract a field from the JSON props column
     JVM-side (get_json_object) and aggregate it."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # parse through DOUBLE then floor: Spark's direct string->long cast
+    # NULLs '1.5' while DuckDB's rounds it — floor(double) agrees on every
+    # numeric string on both engines, NULL on every non-numeric one
+    k = F.floor(F.get_json_object(F.col("props"), "$.k").cast("double"))
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(F.lit(1)).alias("n_events"),
@@ -1344,7 +1380,8 @@ ORACLES = {
               FILTER (WHERE event_type IN ('click','view')), 0) AS TotalQueryTimeInMillis,
           count(*) FILTER (WHERE event_type = 'purchase') AS TotalObjectUpdatedCount,
           count(*) FILTER (WHERE event_type = 'signup') AS TotalObjectUpdateSkippedCount,
-          count(*) FILTER (WHERE event_type = 'error') AS TotalObjectUpdateFailedCount,
+          count(*) FILTER (WHERE event_type NOT IN ('click','view','purchase','signup'))
+            AS TotalObjectUpdateFailedCount,
           0 AS TotalObjectRollbackFailedCount
         FROM events GROUP BY user_id % 10
     """,
@@ -1593,7 +1630,8 @@ ORACLES = {
     """,
     "events_json_extract": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               sum(CAST(floor(TRY_CAST(json_extract_string(props, '$.k')
+                   AS DOUBLE)) AS BIGINT)) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,

@@ -31,17 +31,28 @@ def _eager(df: DataFrame) -> DataFrame:
     ``localCheckpoint(eager=True)``: blocks are dropped by the
     ContextCleaner when the DataFrame is garbage-collected, so returning
     a checkpointed result never accumulates session-wide cache entries.
-    Use for the small OUTPUT of a candidate-generation step (pair lists,
-    drop-id sets) — the big intermediates that feed both sides of a
-    self-join use ``persist()+count()`` for intra-invocation reuse (the
-    measured optimum) and are explicitly unpersisted once the checkpointed
-    output exists.
+
+    Checkpoint discipline (A/B-measured at sf0.1): exactly ONE eager
+    materialization per operator call — the final small output (pair
+    list / drop-id set) — and it doubles as the release point for every
+    persisted intermediate. Intermediates that feed both sides of a
+    self-join are ``persist()``-ed lazily WITHOUT a ``count()`` barrier:
+    the single materializing job populates the cache on first access,
+    and the worst case is a benign concurrent double-compute of a
+    partition, which costs far less than the extra synchronous job the
+    barrier used to pay (each pandas-UDF stage has a ~1 s floor on a
+    32-thread local rig regardless of data size).
 
     Trade-off: checkpointing truncates lineage, so a lost executor fails
     the query instead of recomputing — acceptable for these short-lived
     derived relations.
     """
     return df.localCheckpoint(eager=True)
+
+
+def _is_cached(df: DataFrame) -> bool:
+    level = df.storageLevel
+    return bool(level.useMemory or level.useDisk)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -217,6 +228,7 @@ def band_pairs(
     bands: int,
     num_perm: int = 64,
     max_bucket: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs from precomputed signatures via LSH banding.
 
@@ -236,8 +248,15 @@ def band_pairs(
     member pairing with a *different* smaller id when it does NOT
     duplicate the bucket min — a recall trade-off that bounds the
     worst-case candidate count linearly. Off (None) by default.
+
+    When the caller has already persisted ``sigs`` (``minhash_dedup``
+    does), nothing here needs its own cache: the banded relation is a
+    cheap JVM projection of the cached signatures, so with
+    ``materialize=False`` the whole pair derivation stays lazy and fuses
+    into the caller's single materializing job.
     """
     r = num_perm // bands
+    input_cached = _is_cached(sigs)
     banded = sigs.select(
         "_id",
         F.explode(
@@ -248,20 +267,24 @@ def band_pairs(
                 ]
             )
         ).alias("band_hash"),
-    ).persist()
-    # feeds BOTH join sides: materialize eagerly, otherwise the two sides
-    # race to populate the cache and the sig subtree computes twice
-    banded.count()
+    )
+    if not input_cached:
+        # feeds BOTH join sides and contains the signature-UDF subtree:
+        # persist (lazily — the materializing job below populates it)
+        banded = banded.persist()
     try:
         a = banded.select(F.col("_id").alias("id_a"), "band_hash")
         b = banded.select(F.col("_id").alias("id_b"), "band_hash")
         if max_bucket is None:
-            return _eager(
+            out = (
                 a.join(b, "band_hash")
                 .where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
             )
+            if input_cached and not materialize:
+                return out
+            return _eager(out)
         # the skewed buckets are FEW by definition (that's what makes them
         # skewed) — that tiny relation broadcasts; the full per-bucket stats
         # relation (one row per distinct band hash) never would at scale
@@ -271,7 +294,6 @@ def band_pairs(
             .where(F.col("_sz") > max_bucket)
             .persist()
         )
-        big.count()
         try:
             dense = (
                 a.join(
@@ -296,7 +318,8 @@ def band_pairs(
     finally:
         # the checkpointed pair relation is self-contained — release the
         # exploded cache instead of leaking it into the CacheManager
-        banded.unpersist()
+        if not input_cached:
+            banded.unpersist()
 
 
 def verified_jaccard_pairs(
@@ -387,12 +410,61 @@ def minhash_dedup(
     estimate of Jaccard.
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
+    r = num_perm // bands
     try:
-        pairs = band_pairs(sigs, bands, num_perm, max_bucket)
-        dups = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
-        # id_b > id_a by construction -> id_b is the duplicate to drop;
+        if max_bucket is not None:
+            # skew-guarded path: bucket-size stats + star-pairing need the
+            # pair relation explicitly — keep the two-phase pipeline
+            pairs = band_pairs(
+                sigs, bands, num_perm, max_bucket, materialize=False
+            )
+            dups = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
+            drop = _eager(dups.select(F.col("id_b").alias(id_col)).distinct())
+            return df.join(drop, on=id_col, how="left_anti")
+        # Fused band-join + verify: the signatures ride THROUGH the band
+        # self-join, so the similarity estimate is an inline zip_with on
+        # the joined row — no pair materialization, no joins back to the
+        # signature relation. Per-row shuffle payload grows by num_perm
+        # longs, but the plan loses two whole shuffle stages; a pair
+        # colliding in several bands is re-verified (cheap, JVM) instead
+        # of deduplicated through an extra exchange.
+        banded = sigs.select(
+            "_id",
+            "_sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), b * r + 1, r), F.lit(b)
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_hash"),
+        )
+        a = banded.select(
+            F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
+            "band_hash",
+        )
+        b = banded.select(
+            F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"),
+            "band_hash",
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        dup_ids = (
+            a.join(b, "band_hash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(agree / F.lit(float(num_perm)) >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
         # checkpoint the (small) drop set so sigs can release immediately
-        drop = _eager(dups.select(F.col("id_b").alias(id_col)).distinct())
+        drop = _eager(dup_ids)
     finally:
         sigs.unpersist()
     return df.join(drop, on=id_col, how="left_anti")
@@ -498,14 +570,16 @@ def simhash_near_duplicates(
         F.xxhash64(F.lit(ci), *[block_col(i) for i in combo])
         for ci, combo in enumerate(combos)
     ]
+    # persist the PRE-explode relation (one 16-byte row per doc — the only
+    # thing worth caching at 100 TB; the exploded keys are C(B,m) rows per
+    # doc and cheap to recompute from the cached simhashes). Lazy persist:
+    # the single _eager job below populates it on first access.
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("_id"), F.col("simhash")
-    )
-    # feeds BOTH join sides: materialize eagerly so the simhash UDF runs once
+    ).persist()
     keyed = sh.select(
         "_id", "simhash", F.explode(F.array(*keys)).alias("bucket")
-    ).persist()
-    keyed.count()
+    )
     try:
         a = keyed.select(
             F.col("_id").alias("id_a"),
@@ -533,7 +607,7 @@ def simhash_near_duplicates(
             .distinct()
         )
     finally:
-        keyed.unpersist()
+        sh.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -568,39 +642,44 @@ def ngram_jaccard_pairs(
             f"i -> array_join(slice(_t, i, {n}), ' ')))"
         ).alias("_grams"),
     )
-    sizes = grams.select("_id", F.size("_grams").alias("_n"))
-    # Inverted index as a flat (gram, id) relation; hot grams (stopword-like,
-    # posting > max_posting) are dropped BEFORE the self-join — they would
-    # contribute quadratic candidates and near-zero Jaccard evidence.
-    flat = grams.select("_id", F.explode("_grams").alias("g"))
+    # Inverted index as a flat (gram, id, doc-gram-count) relation; the
+    # per-doc gram count rides WITH every posting row, so the final
+    # Jaccard needs no join back to a sizes relation — two whole shuffle
+    # stages cheaper. Hot grams (stopword-like, posting > max_posting)
+    # are dropped BEFORE the self-join — they would contribute quadratic
+    # candidates and near-zero Jaccard evidence.
+    flat = grams.select(
+        "_id", F.size("_grams").alias("_n"), F.explode("_grams").alias("g")
+    )
     eligible_grams = (
         flat.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_df"))
         .where((F.col("_df") > 1) & (F.col("_df") <= max_posting))
         .select("g")
     )
-    # feeds both join sides — materialize once, eagerly
+    # feeds both join sides — persist lazily; the one _eager job below
+    # populates it on first access
     posting = flat.join(eligible_grams, "g").persist()
-    posting.count()
     try:
-        a = posting.select(F.col("_id").alias("id_a"), "g")
-        b = posting.select(F.col("_id").alias("id_b"), "g")
+        a = posting.select(
+            F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "g"
+        )
+        b = posting.select(
+            F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "g"
+        )
         pair_counts = (
             a.join(b, "g")
             .where(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("shared"))
-        )
-        a_sz = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed(
-            "_n", "n_a"
-        )
-        b_sz = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed(
-            "_n", "n_b"
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                # constant per doc — any aggregate picks the value
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
+            )
         )
         return _eager(
-            pair_counts.join(a_sz, "id_a")
-            .join(b_sz, "id_b")
-            .withColumn(
+            pair_counts.withColumn(
                 "jaccard",
                 F.round(
                     F.col("shared")

@@ -1,0 +1,78 @@
+"""The events loader must adapt to the PHYSICAL ts encoding it finds.
+
+The driver regenerates /root/testdata between rounds and has already
+shipped the events table with two different physical encodings for
+``ts`` (INT64 TIMESTAMP(NANOS) and plain timestamp[us]). These tests
+write a tiny events table in BOTH encodings and assert ``load()``
+yields identical TIMESTAMP values either way — so a testdata
+regeneration can never again break every events-backed catalog query.
+"""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import TimestampType
+
+from amazon_s3_find_and_forget_spark.entry_queries import load
+
+_TS = [
+    datetime.datetime(2024, 1, 1, 0, 0, 7, 179575),
+    datetime.datetime(2024, 1, 2, 12, 30, 0, 0),
+    datetime.datetime(2024, 1, 30, 23, 57, 12, 194062),
+]
+
+
+def _write_events(dirpath: str, unit: str) -> None:
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(_TS, pa.timestamp(unit)),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}']),
+        }
+    )
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(
+        table,
+        os.path.join(dirpath, "events.parquet"),
+        coerce_timestamps=None if unit == "ns" else unit,
+    )
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_load_events_both_physical_encodings(spark, tmp_path, unit):
+    sf_dir = str(tmp_path / unit)
+    _write_events(sf_dir, unit)
+    df = load(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert got == _TS
+
+
+def test_load_events_values_match_duckdb_epoch(spark, tmp_path):
+    """unix_timestamp(ts) under the session's UTC tz must equal DuckDB's
+    epoch() over the same parquet — the invariant every time-bucketing
+    oracle pair relies on."""
+    import duckdb
+
+    sf_dir = str(tmp_path / "us2")
+    _write_events(sf_dir, "us")
+    from pyspark.sql import functions as F
+
+    df = load(spark, sf_dir, "events")
+    got = sorted(
+        r.e for r in df.select(F.unix_timestamp("ts").alias("e")).collect()
+    )
+    want = sorted(
+        int(r[0])
+        for r in duckdb.sql(
+            "SELECT floor(epoch(ts)) FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    )
+    assert got == want

@@ -80,6 +80,36 @@ def test_band_pairs_skew_guard(spark):
     assert capped <= uncapped
 
 
+def test_dedup_releases_caches(spark):
+    """Every dedup operator unpersists its intermediates: after the
+    results are consumed and collected, the only blocks allowed to
+    remain are the auto-released localCheckpoint RDDs of results still
+    referenced by Python (the ContextCleaner GCs those)."""
+    import gc
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i % 3} repeated content here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    dedup.minhash_dedup(df, threshold=0.5).count()
+    dedup.simhash_near_duplicates(df).count()
+    dedup.ngram_jaccard_pairs(df).count()
+    gc.collect()  # release checkpointed result handles -> ContextCleaner
+    sc = spark.sparkContext
+    # persist()-ed intermediates must all be gone immediately; GC of the
+    # checkpoint blocks is async, so poll briefly
+    import time as _t
+
+    for _ in range(40):
+        if len(sc._jsc.getPersistentRDDs()) == 0:
+            break
+        gc.collect()
+        # ContextCleaner triggers on JVM weak references — force a JVM GC
+        spark._jvm.System.gc()
+        _t.sleep(0.25)
+    assert len(sc._jsc.getPersistentRDDs()) == 0
+
+
 def test_simhash_near_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 6
     near = base.replace("theta", "iota")
