@@ -740,10 +740,11 @@ def q_events_json_extract(spark, sf_dir):
     """Semi-structured access: extract a field from the JSON props column
     JVM-side (get_json_object) and aggregate it."""
     ev = load(spark, sf_dir, "events")
-    # parse through DOUBLE then floor: Spark's direct string->long cast
-    # NULLs '1.5' while DuckDB's rounds it — floor(double) agrees on every
-    # numeric string on both engines, NULL on every non-numeric one
-    k = F.floor(F.get_json_object(F.col("props"), "$.k").cast("double"))
+    # parse through try_cast(DOUBLE) then floor: Spark's direct
+    # string->long cast NULLs '1.5' while DuckDB's rounds it, and a plain
+    # cast THROWS on 'abc' under ANSI mode — floor(try_cast) agrees on
+    # every numeric string on both engines, NULL on every non-numeric one
+    k = F.floor(F.get_json_object(F.col("props"), "$.k").try_cast("double"))
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(F.lit(1)).alias("n_events"),
@@ -1600,15 +1601,19 @@ ORACLES = {
         ORDER BY CreatedAt DESC LIMIT 10
     """,
     "similarity_topk": """
-        SELECT e.vec_id,
-               round(
-                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-        FROM embeddings e
-        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                    FROM embeddings WHERE vec_id = 0) q
-        ORDER BY cosine DESC, e.vec_id LIMIT 25
+        WITH s AS (
+          SELECT e.vec_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS dp,
+                 sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(q.qv, q.qv)) AS den
+          FROM embeddings e
+          CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                      FROM embeddings WHERE vec_id = 0) q
+        )
+        SELECT vec_id,
+               round(CASE WHEN den <> 0 THEN dp / den END, 6) AS cosine
+        FROM s ORDER BY cosine DESC, vec_id LIMIT 25
     """,
     "forget_survivors_simple": f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -2068,14 +2073,19 @@ ORACLES = {
         FROM documents
     """,
     "similarity_cosine": """
-        SELECT e.vec_id,
-               round(
-                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-        FROM embeddings e
-        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                    FROM embeddings WHERE vec_id = 0) q
+        WITH s AS (
+          SELECT e.vec_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS dp,
+                 sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(q.qv, q.qv)) AS den
+          FROM embeddings e
+          CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                      FROM embeddings WHERE vec_id = 0) q
+        )
+        SELECT vec_id,
+               round(CASE WHEN den <> 0 THEN dp / den END, 6) AS cosine
+        FROM s
     """,
     "similarity_batch_topk_exact": """
         WITH v AS (
@@ -2085,12 +2095,16 @@ ORACLES = {
           FROM embeddings
         )
         SELECT q.vec_id AS query_id, c.vec_id,
-               round(list_dot_product(q.e, c.e) / (q.n * c.n), 6) AS cosine
+               round(CASE WHEN q.n * c.n <> 0
+                          THEN list_dot_product(q.e, c.e) / (q.n * c.n)
+                     END, 6) AS cosine
         FROM v q CROSS JOIN v c
         WHERE q.vec_id < 5
         QUALIFY row_number() OVER (
           PARTITION BY q.vec_id
-          ORDER BY round(list_dot_product(q.e, c.e) / (q.n * c.n), 6) DESC,
+          ORDER BY round(CASE WHEN q.n * c.n <> 0
+                              THEN list_dot_product(q.e, c.e) / (q.n * c.n)
+                         END, 6) DESC,
                    c.vec_id) <= 5
     """,
     "embedding_near_dups_exact": """
@@ -2103,7 +2117,8 @@ ORACLES = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine
         FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+        WHERE a.n <> 0 AND b.n <> 0
+          AND list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
     """,
     # approximate-operator quality gates: the value the driver hashes is
     # the deterministic quality CLAIM (recall/completeness booleans) plus

@@ -38,6 +38,17 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _cosine_or_null(num: Column, denom: Column) -> Column:
+    """Cosine is UNDEFINED for zero-norm vectors: yield NULL.
+
+    Never a raw division — under ANSI mode (Spark 4 default) x/0 throws,
+    and under IEEE semantics it yields inf/nan, which engines ORDER
+    differently (DuckDB sorts nan above every number; Spark sorts NULL
+    last). NULL is the one value with identical comparison/ordering
+    semantics on both sides of the oracle."""
+    return F.when(denom != 0, num / denom)
+
+
 def cosine_scores(
     df: DataFrame,
     query_vec: list[float],
@@ -48,7 +59,7 @@ def cosine_scores(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     emb = F.col(emb_col)
-    cos = _dot(emb, q) / (_norm(emb) * F.lit(qn))
+    cos = _cosine_or_null(_dot(emb, q), _norm(emb) * F.lit(qn))
     return df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
 
 
@@ -199,9 +210,9 @@ def embedding_near_duplicates(
             .select(
                 "id_a",
                 "id_b",
-                (
-                    _dot(F.col("_emb_a"), F.col("_emb_b"))
-                    / (_norm(F.col("_emb_a")) * _norm(F.col("_emb_b")))
+                _cosine_or_null(
+                    _dot(F.col("_emb_a"), F.col("_emb_b")),
+                    _norm(F.col("_emb_a")) * _norm(F.col("_emb_b")),
                 ).alias("cosine"),
             )
         )
@@ -265,8 +276,8 @@ def lsh_topk_batch(
         F.explode(F.array(*[p.cast("int") for p in probes])).alias("bucket"),
         _norm(F.col(q_emb_col)).alias("_qn"),
     )
-    cos = _dot(F.col("_qemb"), F.col("_cemb")) / (
-        F.col("_qn") * F.col("_cn")
+    cos = _cosine_or_null(
+        _dot(F.col("_qemb"), F.col("_cemb")), F.col("_qn") * F.col("_cn")
     )
     scored = qside.join(corpus, "bucket").select(
         "query_id",
@@ -309,8 +320,8 @@ def cosine_topk_batch(
         F.col(q_emb_col).alias("_qemb"),
         _norm(F.col(q_emb_col)).alias("_qn"),
     )
-    cos = _dot(F.col("_qemb"), F.col("_cemb")) / (
-        F.col("_qn") * F.col("_cn")
+    cos = _cosine_or_null(
+        _dot(F.col("_qemb"), F.col("_cemb")), F.col("_qn") * F.col("_cn")
     )
     scored = qside.crossJoin(corpus).select(
         "query_id",
@@ -357,8 +368,8 @@ def exact_near_duplicate_pairs(
         F.col("_emb").alias("_emb_b"),
         F.col("_n").alias("_n_b"),
     )
-    cos = _dot(F.col("_emb_a"), F.col("_emb_b")) / (
-        F.col("_n_a") * F.col("_n_b")
+    cos = _cosine_or_null(
+        _dot(F.col("_emb_a"), F.col("_emb_b")), F.col("_n_a") * F.col("_n_b")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
