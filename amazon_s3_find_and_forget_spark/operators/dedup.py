@@ -405,14 +405,21 @@ def minhash_dedup(
 ) -> DataFrame:
     """Survivors after near-dup removal: drop docs duplicating a smaller id.
 
-    Signatures are computed once and persisted (they feed both the LSH
-    banding and the similarity verify); the verify uses the signature
-    estimate of Jaccard.
+    The verify uses the signature estimate of Jaccard (fraction of
+    agreeing components), computed inline on the band self-join.
     """
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
+    # NO persist on the signature relation: its rows are wide arrays
+    # (num_perm longs) and building Spark's columnar cache for array
+    # columns costs MORE than running the (cheap, vectorized) kernel a
+    # second time — A/B at sf0.1: no-persist min 1.5 s / max 2.2 s vs
+    # persist min 1.7 s / max 5.9 s. The two join sides therefore each
+    # compute signatures from the scan; contrast simhash, whose cached
+    # row is a single long (cache wins there).
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
     r = num_perm // bands
     try:
         if max_bucket is not None:
+            sigs = sigs.persist()  # the guarded path reads sigs 4+ times
             # skew-guarded path: bucket-size stats + star-pairing need the
             # pair relation explicitly — keep the two-phase pipeline
             pairs = band_pairs(
@@ -463,10 +470,10 @@ def minhash_dedup(
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
-        # checkpoint the (small) drop set so sigs can release immediately
+        # checkpoint the (small) drop set; one materializing job total
         drop = _eager(dup_ids)
     finally:
-        sigs.unpersist()
+        sigs.unpersist()  # no-op on the unguarded (never-persisted) path
     return df.join(drop, on=id_col, how="left_anti")
 
 

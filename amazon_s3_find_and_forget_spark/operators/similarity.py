@@ -173,56 +173,70 @@ def embedding_near_duplicates(
 
     Pair generation is a bucket self-join (streams/spills instead of an
     O(s^2) per-bucket array — same shape as dedup.band_pairs); the
-    shuffle key is (table, bucket), never the embedding."""
+    shuffle key is (table, bucket), never the embedding. Candidates are
+    DEDUPLICATED as bare id pairs BEFORE any scoring — a pair colliding
+    in several tables is scored once, and the verify joins against a
+    once-normalized vector relation so the per-pair work is a single dot
+    product (the previous shape computed two norms + a dot per bucket
+    COLLISION: ~6x the higher-order-expression work at 8 tables).
+    Zero-norm vectors have no defined cosine and are excluded up front.
+    """
+    from .dedup import _eager
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        _norm(F.col(emb_col)).alias("_n"),
+    ).where(F.col("_n") > 0)
     table_keys = [
         F.xxhash64(
             F.lit(t),
             hyperplane_bucket(
-                F.col(emb_col), _hyperplanes(dim, bits, seed + t)
+                F.col("_emb"), _hyperplanes(dim, bits, seed + t)
             ),
         )
         for t in range(n_tables)
     ]
-    from .dedup import _eager
-
-    # feeds both join sides — materialize once, eagerly; released after
-    # the (small) verified pair relation is checkpointed
-    bucketed = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(emb_col).alias("_emb"),
-        F.explode(F.array(*table_keys)).alias("lsh_bucket"),
-    ).persist()
-    bucketed.count()
+    # (id, 8 longs) rows: scalar-narrow, cheap to cache — persist the
+    # PRE-explode keys so the 8 bucket gemms run once, not per join side
+    keyed_base = base.select("_id", F.array(*table_keys).alias("_k")).persist()
+    keyed = keyed_base.select(
+        "_id", F.explode("_k").alias("lsh_bucket")
+    )
+    normed = base.select(
+        "_id",
+        F.transform(
+            "_emb", lambda x: x.cast("double") / F.col("_n")
+        ).alias("_u"),
+    )
     try:
-        a = bucketed.select(
-            F.col("_id").alias("id_a"),
-            F.col("_emb").alias("_emb_a"),
-            "lsh_bucket",
-        )
-        b = bucketed.select(
-            F.col("_id").alias("id_b"),
-            F.col("_emb").alias("_emb_b"),
-            "lsh_bucket",
-        )
-        pairs = (
-            a.join(b, "lsh_bucket")
+        cand = (
+            keyed.select(F.col("_id").alias("id_a"), "lsh_bucket")
+            .join(
+                keyed.select(F.col("_id").alias("id_b"), "lsh_bucket"),
+                "lsh_bucket",
+            )
             .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ua = normed.select(F.col("_id").alias("id_a"), F.col("_u").alias("_ua"))
+        ub = normed.select(F.col("_id").alias("id_b"), F.col("_u").alias("_ub"))
+        scored = (
+            cand.join(ua, "id_a")
+            .join(ub, "id_b")
             .select(
                 "id_a",
                 "id_b",
-                _cosine_or_null(
-                    _dot(F.col("_emb_a"), F.col("_emb_b")),
-                    _norm(F.col("_emb_a")) * _norm(F.col("_emb_b")),
-                ).alias("cosine"),
+                _dot(F.col("_ua"), F.col("_ub")).alias("cosine"),
             )
         )
         return _eager(
-            pairs.where(F.col("cosine") >= threshold)
+            scored.where(F.col("cosine") >= threshold)
             .withColumn("cosine", F.round("cosine", 6))
-            .distinct()
         )
     finally:
-        bucketed.unpersist()
+        keyed_base.unpersist()
 
 
 def lsh_topk_batch(

@@ -83,7 +83,7 @@ def main():
     # min of RUNS runs per query: the engine's cost is the minimum; the
     # delta between runs is host/JIT noise (this rig shows 2-4x run-to-run
     # variance under neighbor load, with identical plans)
-    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in BENCH_QUERIES:
         fn = entry_queries.QUERIES[name]
         best, n = None, 0
