@@ -1,0 +1,409 @@
+"""Object-store seam for the Forget phase's rewrite-in-place commit.
+
+The reference erases rows by rewriting whole S3 objects, and wraps that
+write in an S3-specific safety envelope: replay the object's properties
+onto the new version (ACL grants, ContentType/Cache headers, tags, SSE
+settings — reference: backend/ecs_tasks/delete_files/s3.py:61-98),
+verify no concurrent writer slipped between read and write
+(s3.py:301-341), roll back the new version on conflict (s3.py:344-357),
+and purge prior versions on success (s3.py:244-281).
+
+This module is the SEAM between that protocol and its backends:
+
+- ``ObjectStore`` — the interface, one method per reference behavior;
+- ``LocalObjectStore`` — the filesystem backend the engine tests run on:
+  versioning via ``sources.versions`` and object properties in a JSON
+  sidecar (the filesystem has no native metadata to replay);
+- ``S3ObjectStore`` — the boto3-shaped backend. boto3 is not installed
+  in this environment, so construction is lazy-import-guarded; the
+  method bodies map 1:1 onto the reference's client calls so pointing
+  the engine at real S3 is a constructor swap, not a rewrite.
+
+The Spark forget plan itself never touches this module's hot path —
+object rewriting is per-file inside ``mapInPandas`` tasks; the store is
+the commit/safety layer around each file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from . import versions
+
+
+@dataclass
+class ObjectProperties:
+    """The property set the reference replays onto a rewritten object.
+
+    Mirrors the ExtraArgs assembled in s3.py:61-98: HeadObject-derived
+    headers, tags, ACL grants, and SSE settings. All optional — absent
+    properties are simply not replayed.
+    """
+
+    content_type: str | None = None
+    content_encoding: str | None = None
+    cache_control: str | None = None
+    metadata: dict[str, str] = field(default_factory=dict)
+    tags: dict[str, str] = field(default_factory=dict)
+    acl_grants: dict[str, list[str]] = field(default_factory=dict)
+    sse: str | None = None
+    sse_kms_key_id: str | None = None
+    storage_class: str | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {k: v for k, v in self.__dict__.items() if v not in (None, {}, [])},
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "ObjectProperties":
+        return cls(**json.loads(payload))
+
+
+class VersionConflictError(RuntimeError):
+    """A concurrent writer modified the object between read and write."""
+
+
+class ObjectStore(Protocol):
+    """One method per reference safety behavior (s3.py file:line cited)."""
+
+    def get_object(self, path: str) -> bytes:
+        """Read the object's content bytes."""
+        ...
+
+    def get_properties(self, path: str) -> ObjectProperties:
+        """HeadObject + GetObjectTagging + GetObjectAcl (s3.py:120-220)."""
+        ...
+
+    def save(
+        self, path: str, data: bytes, properties: ObjectProperties | None = None
+    ) -> str:
+        """Write a new version, replaying properties (s3.py:61-98).
+
+        Returns the new version id.
+        """
+        ...
+
+    def list_versions(self, path: str) -> list[str]:
+        """Version ids, oldest first (s3.py:244-257's listing order)."""
+        ...
+
+    def verify_version_integrity(
+        self, path: str, from_version: str, to_version: str
+    ) -> bool:
+        """The version directly before ``to_version`` must be
+        ``from_version`` — else a concurrent writer slipped in
+        (s3.py:301-341). Raises ``VersionConflictError``."""
+        ...
+
+    def rollback_version(self, path: str, version: str) -> None:
+        """Delete a just-written version after a conflict (s3.py:344-357)."""
+        ...
+
+    def delete_old_versions(self, path: str, keep_version: str) -> int:
+        """Purge every version older than ``keep_version`` so erased rows
+        are unrecoverable (s3.py:244-281). Returns the purge count."""
+        ...
+
+
+# --------------------------------------------------------------------------
+# local filesystem backend
+# --------------------------------------------------------------------------
+
+
+class LocalObjectStore:
+    """Filesystem backend: explicit version files + JSON property sidecar.
+
+    Unlike S3, a filesystem write is atomic (``os.replace``) and the
+    integrity check runs BEFORE the swap (``versions.commit`` re-stats
+    the object under the snapshot) — strictly stronger than the
+    reference's after-the-fact version-chain verification. The
+    ``verify_version_integrity`` method is still provided with the
+    reference's chain semantics so callers written against the S3
+    protocol behave identically here.
+    """
+
+    _META_SUFFIX = ".s3f2meta"
+
+    def get_object(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def get_properties(self, path: str) -> ObjectProperties:
+        meta = path + self._META_SUFFIX
+        if os.path.exists(meta):
+            with open(meta, "r", encoding="utf-8") as f:
+                return ObjectProperties.from_json(f.read())
+        return ObjectProperties()
+
+    def put_properties(self, path: str, properties: ObjectProperties) -> None:
+        with open(path + self._META_SUFFIX, "w", encoding="utf-8") as f:
+            f.write(properties.to_json())
+
+    def save(
+        self, path: str, data: bytes, properties: ObjectProperties | None = None
+    ) -> str:
+        # replay semantics: absent properties -> keep the current ones
+        props = properties or self.get_properties(path)
+        snap = versions.snapshot(path)
+        prev_id = self.current_version(path)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path) or ".", prefix=".s3f2put-"
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            mtmp = tmp + ".meta"
+            with open(mtmp, "w", encoding="utf-8") as f:
+                f.write(props.to_json())
+            archived = versions.commit(
+                path,
+                tmp,
+                snap,
+                delete_old=False,
+                companions={path + self._META_SUFFIX: mtmp},
+            )
+        except versions.VersionIntegrityError as e:
+            os.unlink(tmp)
+            raise VersionConflictError(str(e)) from e
+        # one id scheme end-to-end: rename the archive to the id the
+        # content had WHILE LIVE (current_version form), so integrity
+        # chains compare like S3's version listings
+        if archived is not None:
+            old = versions.version_path(path, archived)
+            store_dir = os.path.dirname(old)
+            os.rename(old, versions.version_path(path, prev_id))
+            for name in os.listdir(store_dir):
+                if name.startswith(f"{archived}~"):
+                    os.rename(
+                        os.path.join(store_dir, name),
+                        os.path.join(
+                            store_dir,
+                            f"{prev_id}~{name[len(archived) + 1:]}",
+                        ),
+                    )
+        return self.current_version(path)
+
+    def current_version(self, path: str) -> str:
+        st = os.stat(path)
+        return f"{st.st_mtime_ns:020d}-{st.st_size}"
+
+    def list_versions(self, path: str) -> list[str]:
+        return versions.list_versions(path)
+
+    def verify_version_integrity(
+        self, path: str, from_version: str, to_version: str
+    ) -> bool:
+        chain = self.list_versions(path) + [self.current_version(path)]
+        if from_version not in chain:
+            raise VersionConflictError(
+                f"Previous version ({from_version}) has been deleted."
+            )
+        prev = chain[chain.index(to_version) - 1] if to_version in chain else None
+        if prev != from_version:
+            raise VersionConflictError(
+                f"A version ({prev}) was detected for the given object "
+                f"between read and write operations ({from_version} and "
+                f"{to_version})."
+            )
+        return True
+
+    def rollback_version(self, path: str, version: str) -> None:
+        if version == self.current_version(path):
+            versions.restore_version(path)
+        else:
+            stored = versions.version_path(path, version)
+            if os.path.exists(stored):
+                os.remove(stored)
+
+    def delete_old_versions(self, path: str, keep_version: str) -> int:
+        return versions.purge_versions(path)
+
+
+# --------------------------------------------------------------------------
+# boto3 backend (seam only in this environment — boto3 not installed)
+# --------------------------------------------------------------------------
+
+
+class S3ObjectStore:
+    """boto3-backed implementation of the same protocol.
+
+    Construction lazy-imports boto3 so this module stays importable in
+    environments without AWS SDKs; every method maps onto the client
+    calls the reference makes (cited per method).
+    """
+
+    def __init__(self, client=None):
+        if client is None:
+            try:
+                import boto3  # noqa: F401 — optional dependency
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise RuntimeError(
+                    "S3ObjectStore requires boto3; install it or pass a "
+                    "pre-built client"
+                ) from e
+            client = boto3.client("s3")
+        self._client = client
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        assert path.startswith("s3://"), path
+        bucket, _, key = path[5:].partition("/")
+        return bucket, key
+
+    def get_object(self, path: str) -> bytes:
+        bucket, key = self._split(path)
+        return self._client.get_object(Bucket=bucket, Key=key)["Body"].read()
+
+    def get_properties(self, path: str) -> ObjectProperties:
+        # HeadObject + GetObjectTagging + GetObjectAcl (s3.py:120-220)
+        bucket, key = self._split(path)
+        head = self._client.head_object(Bucket=bucket, Key=key)
+        tagging = self._client.get_object_tagging(Bucket=bucket, Key=key)
+        acl = self._client.get_object_acl(Bucket=bucket, Key=key)
+        grants: dict[str, list[str]] = {}
+        for grant in acl.get("Grants", []):
+            grantee = grant["Grantee"]
+            ident = (
+                grantee.get("ID")
+                or grantee.get("URI")
+                or grantee.get("EmailAddress")
+            )
+            grants.setdefault(grant["Permission"], []).append(ident)
+        return ObjectProperties(
+            content_type=head.get("ContentType"),
+            content_encoding=head.get("ContentEncoding"),
+            cache_control=head.get("CacheControl"),
+            metadata=head.get("Metadata") or {},
+            tags={t["Key"]: t["Value"] for t in tagging.get("TagSet", [])},
+            acl_grants=grants,
+            sse=head.get("ServerSideEncryption"),
+            sse_kms_key_id=head.get("SSEKMSKeyId"),
+            storage_class=head.get("StorageClass"),
+        )
+
+    def save(
+        self, path: str, data: bytes, properties: ObjectProperties | None = None
+    ) -> str:
+        # PutObject with replayed ExtraArgs (s3.py:61-98); the reference
+        # restores WRITE grants with a separate PutObjectAcl because S3
+        # rejects GrantWrite on upload — same two-step here
+        bucket, key = self._split(path)
+        props = properties or self.get_properties(path)
+        from urllib.parse import quote_plus, urlencode
+
+        kwargs = {
+            "Bucket": bucket,
+            "Key": key,
+            "Body": data,
+            "Metadata": props.metadata,
+        }
+        if props.content_type:
+            kwargs["ContentType"] = props.content_type
+        if props.content_encoding:
+            kwargs["ContentEncoding"] = props.content_encoding
+        if props.cache_control:
+            kwargs["CacheControl"] = props.cache_control
+        if props.tags:
+            kwargs["Tagging"] = urlencode(props.tags, quote_via=quote_plus)
+        if props.sse:
+            kwargs["ServerSideEncryption"] = props.sse
+        if props.sse_kms_key_id:
+            kwargs["SSEKMSKeyId"] = props.sse_kms_key_id
+        if props.storage_class:
+            kwargs["StorageClass"] = props.storage_class
+        for perm, header in (
+            ("FULL_CONTROL", "GrantFullControl"),
+            ("READ", "GrantRead"),
+            ("READ_ACP", "GrantReadACP"),
+            ("WRITE_ACP", "GrantWriteACP"),
+        ):
+            if props.acl_grants.get(perm):
+                kwargs[header] = ",".join(
+                    f"id={g}" for g in props.acl_grants[perm]
+                )
+        resp = self._client.put_object(**kwargs)
+        new_version = resp.get("VersionId", "null")
+        if props.acl_grants.get("WRITE"):
+            self._client.put_object_acl(
+                Bucket=bucket,
+                Key=key,
+                VersionId=new_version,
+                GrantWrite=",".join(
+                    f"id={g}" for g in props.acl_grants["WRITE"]
+                ),
+            )
+        return new_version
+
+    def list_versions(self, path: str) -> list[str]:
+        bucket, key = self._split(path)
+        out: list[tuple] = []
+        paginator = self._client.get_paginator("list_object_versions")
+        for page in paginator.paginate(Bucket=bucket, Prefix=key):
+            for v in page.get("Versions", []) + page.get("DeleteMarkers", []):
+                if v.get("Key") == key:
+                    out.append((v["LastModified"], v["VersionId"]))
+        return [vid for _, vid in sorted(out)]
+
+    def verify_version_integrity(
+        self, path: str, from_version: str, to_version: str
+    ) -> bool:
+        # list one version before to_version; it must be from_version
+        # (s3.py:301-341)
+        bucket, key = self._split(path)
+        resp = self._client.list_object_versions(
+            Bucket=bucket,
+            Prefix=key,
+            KeyMarker=key,
+            VersionIdMarker=to_version,
+            MaxKeys=1,
+        )
+        allv = resp.get("Versions", []) + resp.get("DeleteMarkers", [])
+        if not allv:
+            raise VersionConflictError(
+                f"Previous version ({from_version}) has been deleted."
+            )
+        prev = allv[0]
+        if prev["VersionId"] != from_version:
+            kind = "delete marker" if "ETag" not in prev else "version"
+            raise VersionConflictError(
+                f"A {kind} ({prev['VersionId']}) was detected for the given "
+                f"object between read and write operations ({from_version} "
+                f"and {to_version})."
+            )
+        return True
+
+    def rollback_version(self, path: str, version: str) -> None:
+        bucket, key = self._split(path)
+        self._client.delete_object(Bucket=bucket, Key=key, VersionId=version)
+
+    def delete_old_versions(self, path: str, keep_version: str) -> int:
+        # batched DeleteObjects in LastModified order, 1000 per call
+        # (s3.py:244-281)
+        bucket, key = self._split(path)
+        vids = [v for v in self.list_versions(path) if v != keep_version]
+        n = 0
+        for i in range(0, len(vids), 1000):
+            batch = [
+                {"Key": key, "VersionId": vid} for vid in vids[i : i + 1000]
+            ]
+            resp = self._client.delete_objects(
+                Bucket=bucket, Delete={"Objects": batch, "Quiet": True}
+            )
+            errors = resp.get("Errors", [])
+            if errors:
+                raise RuntimeError(
+                    f"Delete of {len(errors)} version(s) failed for {path}"
+                )
+            n += len(batch)
+        return n
+
+
+def uuid_version() -> str:
+    return uuid.uuid4().hex

@@ -1,0 +1,281 @@
+"""Object-store seam tests: the reference's S3 safety envelope semantics
+(property replay, version-chain integrity, rollback, history purge —
+reference: backend/ecs_tasks/delete_files/s3.py:61-98,244-357) against
+both backends: the local filesystem store the engine runs on, and the
+boto3-shaped store driven by a minimal in-memory fake client."""
+
+import datetime
+
+import pytest
+
+from amazon_s3_find_and_forget_spark.sources.object_store import (
+    LocalObjectStore,
+    ObjectProperties,
+    S3ObjectStore,
+    VersionConflictError,
+)
+
+
+# --------------------------------------------------------------------------
+# LocalObjectStore
+# --------------------------------------------------------------------------
+
+
+def _mk(tmp_path, content=b"v1"):
+    p = tmp_path / "obj.parquet"
+    p.write_bytes(content)
+    return str(p)
+
+
+def test_local_save_replays_properties_and_archives(tmp_path):
+    store = LocalObjectStore()
+    path = _mk(tmp_path)
+    props = ObjectProperties(
+        content_type="application/parquet",
+        tags={"team": "data"},
+        metadata={"origin": "unit"},
+    )
+    store.put_properties(path, props)
+    store.save(path, b"v2")  # no properties passed -> replay current
+    assert store.get_object(path) == b"v2"
+    assert store.get_properties(path).content_type == "application/parquet"
+    assert store.get_properties(path).tags == {"team": "data"}
+    # previous content archived as a version
+    assert len(store.list_versions(path)) == 1
+
+
+def test_local_properties_roundtrip_json(tmp_path):
+    props = ObjectProperties(
+        content_type="text/plain",
+        acl_grants={"READ": ["abc"], "WRITE": ["def"]},
+        sse="aws:kms",
+        sse_kms_key_id="key-1",
+    )
+    assert ObjectProperties.from_json(props.to_json()) == props
+
+
+def test_local_version_chain_integrity(tmp_path):
+    store = LocalObjectStore()
+    path = _mk(tmp_path)
+    v0 = store.current_version(path)
+    v1 = store.save(path, b"v2")
+    assert store.verify_version_integrity(path, v0, v1)
+    with pytest.raises(VersionConflictError):
+        # claiming the new version came from a version that never existed
+        store.verify_version_integrity(path, "bogus", v1)
+
+
+def test_local_conflict_detected_before_commit(tmp_path):
+    import os
+    import tempfile
+
+    from amazon_s3_find_and_forget_spark.sources import versions
+
+    store = LocalObjectStore()
+    path = _mk(tmp_path)
+    snap = versions.snapshot(path)
+    # concurrent writer slips in (force a distinct mtime)
+    with open(path, "wb") as f:
+        f.write(b"concurrent")
+    os.utime(path, ns=(snap[0] + 10_000_000, snap[0] + 10_000_000))
+    fd, tmp = tempfile.mkstemp(dir=str(tmp_path))
+    with os.fdopen(fd, "wb") as f:
+        f.write(b"rewritten")
+    with pytest.raises(versions.VersionIntegrityError):
+        versions.commit(path, tmp, snap)
+    # the object keeps the concurrent writer's content (no clobber)
+    assert store.get_object(path) == b"concurrent"
+
+
+def test_local_rollback_and_purge(tmp_path):
+    store = LocalObjectStore()
+    path = _mk(tmp_path)
+    v1 = store.save(path, b"v2")
+    store.rollback_version(path, v1)
+    assert store.get_object(path) == b"v1"
+    store.save(path, b"v3")
+    store.save(path, b"v4")
+    assert len(store.list_versions(path)) == 2
+    assert store.delete_old_versions(path, store.current_version(path)) == 2
+    assert store.list_versions(path) == []
+
+
+# --------------------------------------------------------------------------
+# S3ObjectStore against a minimal fake client
+# --------------------------------------------------------------------------
+
+
+class FakeBody:
+    def __init__(self, data):
+        self._data = data
+
+    def read(self):
+        return self._data
+
+
+class FakeS3Client:
+    """Just enough of the boto3 S3 client for the seam's call mapping."""
+
+    def __init__(self):
+        self.objects = {}  # (bucket, key) -> list of version dicts
+        self.put_acl_calls = []
+        self._clock = 0
+
+    def _versions(self, bucket, key):
+        return self.objects.setdefault((bucket, key), [])
+
+    def put_object(self, *, Bucket, Key, Body, **kwargs):
+        self._clock += 1
+        vid = f"v{self._clock}"
+        self._versions(Bucket, Key).append(
+            {
+                "VersionId": vid,
+                "Body": Body,
+                "LastModified": datetime.datetime(
+                    2026, 1, 1, tzinfo=datetime.timezone.utc
+                )
+                + datetime.timedelta(seconds=self._clock),
+                "ETag": f"etag-{self._clock}",
+                "Args": kwargs,
+            }
+        )
+        return {"VersionId": vid}
+
+    def get_object(self, *, Bucket, Key, **kwargs):
+        return {"Body": FakeBody(self._versions(Bucket, Key)[-1]["Body"])}
+
+    def head_object(self, *, Bucket, Key, **kwargs):
+        args = self._versions(Bucket, Key)[-1]["Args"]
+        return {
+            "ContentType": args.get("ContentType"),
+            "Metadata": args.get("Metadata", {}),
+            "ServerSideEncryption": args.get("ServerSideEncryption"),
+        }
+
+    def get_object_tagging(self, *, Bucket, Key, **kwargs):
+        from urllib.parse import parse_qsl
+
+        tagging = self._versions(Bucket, Key)[-1]["Args"].get("Tagging", "")
+        return {
+            "TagSet": [
+                {"Key": k, "Value": v} for k, v in parse_qsl(tagging)
+            ]
+        }
+
+    def get_object_acl(self, *, Bucket, Key, **kwargs):
+        return {"Owner": {"ID": "owner"}, "Grants": []}
+
+    def list_object_versions(self, *, Bucket, Prefix, **kwargs):
+        vs = [
+            {
+                "Key": Prefix,
+                "VersionId": v["VersionId"],
+                "LastModified": v["LastModified"],
+                "ETag": v["ETag"],
+            }
+            for v in self._versions(Bucket, Prefix)
+        ]
+        marker = kwargs.get("VersionIdMarker")
+        if marker:
+            idx = [v["VersionId"] for v in vs].index(marker)
+            vs = list(reversed(vs[:idx]))
+            if kwargs.get("MaxKeys"):
+                vs = vs[: kwargs["MaxKeys"]]
+        return {"Versions": vs, "DeleteMarkers": []}
+
+    def get_paginator(self, name):
+        client = self
+
+        class P:
+            def paginate(self, **kw):
+                yield client.list_object_versions(**kw)
+
+        return P()
+
+    def delete_object(self, *, Bucket, Key, VersionId):
+        vs = self._versions(Bucket, Key)
+        self.objects[(Bucket, Key)] = [
+            v for v in vs if v["VersionId"] != VersionId
+        ]
+        return {}
+
+    def delete_objects(self, *, Bucket, Delete):
+        for obj in Delete["Objects"]:
+            self.delete_object(
+                Bucket=Bucket, Key=obj["Key"], VersionId=obj["VersionId"]
+            )
+        return {}
+
+    def put_object_acl(self, **kwargs):
+        self.put_acl_calls.append(kwargs)
+        return {}
+
+
+def test_s3_store_save_replays_properties():
+    client = FakeS3Client()
+    store = S3ObjectStore(client=client)
+    path = "s3://bucket/data/part-0.parquet"
+    client.put_object(
+        Bucket="bucket",
+        Key="data/part-0.parquet",
+        Body=b"v1",
+        ContentType="application/parquet",
+        Metadata={"origin": "ingest"},
+        Tagging="team=data",
+        ServerSideEncryption="aws:kms",
+    )
+    v2 = store.save(path, b"v2")  # replay: no properties passed
+    assert store.get_object(path) == b"v2"
+    args = client.objects[("bucket", "data/part-0.parquet")][-1]["Args"]
+    assert args["ContentType"] == "application/parquet"
+    assert args["Metadata"] == {"origin": "ingest"}
+    assert args["Tagging"] == "team=data"
+    assert args["ServerSideEncryption"] == "aws:kms"
+    assert v2 == "v2"
+
+
+def test_s3_store_write_grants_restored_separately():
+    client = FakeS3Client()
+    store = S3ObjectStore(client=client)
+    path = "s3://b/k"
+    client.put_object(Bucket="b", Key="k", Body=b"v1")
+    props = store.get_properties(path)
+    props.acl_grants = {"WRITE": ["grantee-1"], "READ": ["grantee-2"]}
+    store.save(path, b"v2", props)
+    # READ grant rides the upload; WRITE needs the separate PutObjectAcl
+    args = client.objects[("b", "k")][-1]["Args"]
+    assert args["GrantRead"] == "id=grantee-2"
+    assert "GrantWrite" not in args
+    assert client.put_acl_calls[-1]["GrantWrite"] == "id=grantee-1"
+
+
+def test_s3_store_version_integrity_and_rollback():
+    client = FakeS3Client()
+    store = S3ObjectStore(client=client)
+    path = "s3://b/k"
+    client.put_object(Bucket="b", Key="k", Body=b"v1")
+    v1 = "v1"
+    v2 = store.save(path, b"v2")
+    assert store.verify_version_integrity(path, v1, v2)
+    # concurrent writer between v1 and our v3
+    client.put_object(Bucket="b", Key="k", Body=b"sneak")
+    v4 = store.save(path, b"v4")
+    with pytest.raises(VersionConflictError):
+        store.verify_version_integrity(path, v2, v4)
+    store.rollback_version(path, v4)
+    assert [v["VersionId"] for v in client.objects[("b", "k")]] == [
+        "v1",
+        "v2",
+        "v3",
+    ]
+
+
+def test_s3_store_delete_old_versions():
+    client = FakeS3Client()
+    store = S3ObjectStore(client=client)
+    path = "s3://b/k"
+    for content in (b"v1", b"v2", b"v3"):
+        client.put_object(Bucket="b", Key="k", Body=content)
+    keep = "v3"
+    assert store.delete_old_versions(path, keep) == 2
+    assert [v["VersionId"] for v in client.objects[("b", "k")]] == ["v3"]
