@@ -1212,10 +1212,12 @@ def q_dedup_minhash_recall(spark, sf_dir):
     0.5 cutoff — 2.4 sigma of the 64-perm estimator, so the claim is
     stable under any data seed). precision_ok: every LSH-dropped doc has
     SOME exact partner at J >= 0.3 (same margin below the cutoff). The
-    exact baseline is an all-pairs shingle intersection — quadratic,
-    gate-scale (sf0.01) only by design.
+    exact baseline is an all-pairs shingle intersection — quadratic, so
+    the evaluation corpus is SAMPLE-BOUNDED (first 1000 ids: the whole
+    corpus at gate scale, a fixed-cost sample at any larger one — the
+    standard way ground truth is measured for LSH at scale).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     n_docs = docs.count()
     survivors = dedup.minhash_dedup(docs, threshold=0.5).select("doc_id")
     dropped = docs.select("doc_id").join(survivors, "doc_id", "left_anti")
@@ -1259,9 +1261,11 @@ def q_dedup_simhash_complete(spark, sf_dir):
     The Manku block-combination keying is COMPLETE for pairs within the
     Hamming budget and every candidate is verified with the exact
     bit_count — so the LSH pair set must EQUAL the brute-force pair set
-    over the same simhash values. Set equality, not a threshold.
+    over the same simhash values. Set equality, not a threshold; the
+    brute-force side is quadratic, so the corpus is sample-bounded
+    (first 2000 ids — the whole corpus at gate scale).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
     n_docs = docs.count()
     lsh = dedup.simhash_near_duplicates(docs, max_hamming=3).select(
         "id_a", "id_b"
@@ -1392,8 +1396,10 @@ def q_embedding_near_dups_recall(spark, sf_dir):
     with the true cosine, so LSH pairs must be a subset of the exact
     pairs — deterministic); recall_ok is >=50% of the exact pairs
     surfaced (measured ~0.75 on the synthetic corpus, 1.5x margin).
+    The exact side is quadratic, so the corpus is sample-bounded
+    (first 1000 ids — the whole corpus at gate scale).
     """
-    embs = load(spark, sf_dir, "embeddings")
+    embs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     n_vecs = embs.count()
     dim = len(embs.limit(1).collect()[0]["embedding"])
     lshp = similarity.embedding_near_duplicates(
@@ -2125,10 +2131,11 @@ ORACLES = {
     # an input count both engines compute — see the q_*_recall docstrings
     "dedup_minhash_recall": """
         SELECT count(*) AS n_docs, TRUE AS recall_ok, TRUE AS precision_ok
-        FROM documents
+        FROM documents WHERE doc_id < 1000
     """,
     "dedup_simhash_complete": """
-        SELECT count(*) AS n_docs, TRUE AS complete_ok FROM documents
+        SELECT count(*) AS n_docs, TRUE AS complete_ok
+        FROM documents WHERE doc_id < 2000
     """,
     "similarity_lsh_recall": """
         SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
@@ -2143,7 +2150,7 @@ ORACLES = {
     """,
     "embedding_near_dups_recall": """
         SELECT count(*) AS n_vecs, TRUE AS precision_ok, TRUE AS recall_ok
-        FROM embeddings
+        FROM embeddings WHERE vec_id < 1000
     """,
     "similarity_quantize": """
         WITH v AS (
