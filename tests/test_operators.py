@@ -660,3 +660,73 @@ def test_quantize_embeddings_roundtrip_error_bounded(embs):
         deq = np.asarray(r.q_embedding, dtype=np.float64) * r.q_scale
         assert np.abs(orig - deq).max() <= r.q_scale / 2 + 1e-12
         assert np.abs(np.asarray(r.q_embedding)).max() <= 127
+
+
+def test_chunk_documents_windows(spark):
+    toks = "a b c d e f g h i j"  # 10 tokens
+    df = spark.createDataFrame([(1, toks), (2, ""), (3, "x y")],
+                               "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_tokens)
+        for r in text.chunk_documents(df, max_tokens=4, overlap=1).collect()
+    }
+    # stride 3: [a-d], [d-g], [g-j] — consecutive chunks share one token
+    assert out[(1, 0)] == ("a b c d", 4)
+    assert out[(1, 1)] == ("d e f g", 4)
+    assert out[(1, 2)] == ("g h i j", 4)
+    assert (1, 3) not in out
+    assert out[(2, 0)] == ("", 0)       # empty doc -> one empty chunk
+    assert out[(3, 0)] == ("x y", 2)    # short doc -> one short chunk
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    rows = [(i, "en", 60) for i in range(10)]  # 60 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    out = {r.doc_id: r.pack_id for r in
+           text.pack_sequences(df, budget=100, group_col="lang").collect()}
+    # cumulative-before: 0,60,120,... -> bins 0,0,1,1,2,3,3,4,4,5
+    assert [out[i] for i in range(10)] == [0, 0, 1, 1, 2, 3, 3, 4, 4, 5]
+    # a doc longer than the budget is capped into its own bin advance
+    big = spark.createDataFrame([(1, "en", 500), (2, "en", 10)],
+                                "doc_id long, lang string, n_tokens int")
+    got = {r.doc_id: (r.pack_id, r.packed_tokens) for r in
+           text.pack_sequences(big, budget=100, group_col="lang").collect()}
+    assert got[1] == (0, 100) and got[2] == (1, 10)
+
+
+def test_contamination_screen_flags_and_broadcasts(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "completely unrelated words here"),
+         (3, "we saw the quick brown fox too")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox benchmark question")],
+        "doc_id long, text string",
+    )
+    out = text.contamination_screen(corpus, bench, n=3)
+    flags = {r.doc_id: r.contaminated for r in out.collect()}
+    assert flags == {1: True, 2: False, 3: True}
+    # the benchmark gram set must broadcast — no corpus shuffle for the probe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_stratified_sample_exact_counts_deterministic(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = sorted(r.doc_id for r in text.stratified_sample(df, 0.2).collect())
+    out2 = sorted(r.doc_id for r in text.stratified_sample(df, 0.2).collect())
+    assert out1 == out2  # pure function of the keys
+    import math
+    by_lang = {}
+    for r in text.stratified_sample(df, 0.2).collect():
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    assert by_lang["en"] == math.ceil(60 * 0.2)
+    assert by_lang["de"] == math.ceil(30 * 0.2)
+    # different salt -> (almost surely) different members, same counts
+    salted = sorted(
+        r.doc_id for r in text.stratified_sample(df, 0.2, salt="s2").collect()
+    )
+    assert len(salted) == len(out1)
