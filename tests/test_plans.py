@@ -124,3 +124,22 @@ def test_window_catalog_queries_single_shuffle(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Window" in plan, name
+
+
+def test_curation_operators_shuffle_budget(spark, sf_dir):
+    """pack_sequences and stratified_sample are ONE hash-partition
+    exchange each (their window partition); contamination_screen's
+    corpus side joins the benchmark grams by BROADCAST, so the only
+    exchanges are the distinct on the (tiny) gram/hit sets."""
+    from amazon_s3_find_and_forget_spark import entry_queries
+
+    for name in ("text_pack", "text_stratified_sample"):
+        df = entry_queries.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Window" in plan, name
+
+    df = entry_queries.QUERIES["text_contamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
