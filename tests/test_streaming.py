@@ -322,3 +322,45 @@ def test_stream_dedup_keeps_first_arrival(spark, tmp_path, sf_dir):
     assert kept.select("content_hash").distinct().count() == n_distinct
     # survivors are the first arrivals: none of the re-landed ids remain
     assert kept.where(F.col("doc_id") >= 1000).count() == 0
+
+
+def test_curation_ops_compose_with_streams(spark, tmp_path, sf_dir):
+    """The map-only curation operators (chunking, redaction, lang-id,
+    token counts) apply to a streaming DataFrame unchanged — stateless
+    expression pipelines are engine-checked as stream-compatible, so the
+    batch curation code IS the streaming curation code."""
+    import os
+
+    from amazon_s3_find_and_forget_spark.operators import text
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.limit(50).write.parquet(os.path.join(src_dir, "batch0"))
+
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir + "/*")
+    chunked = text.chunk_documents(
+        text.redact_pii(stream).withColumnRenamed("text_redacted", "text2")
+        .drop("text").withColumnRenamed("text2", "text"),
+        max_tokens=32,
+        overlap=8,
+    )
+    q = (
+        chunked.writeStream.format("memory")
+        .queryName("curated_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from curated_chunks").collect()
+    # same rows as the batch plan over the same files
+    want = text.chunk_documents(
+        text.redact_pii(spark.read.schema(docs.schema).parquet(src_dir + "/*"))
+        .withColumnRenamed("text_redacted", "text2")
+        .drop("text").withColumnRenamed("text2", "text"),
+        max_tokens=32,
+        overlap=8,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
