@@ -68,8 +68,8 @@ FEATURE_SCHEMA = StructType(
 
 # Set True to use the deterministic fake decoder (hash-seeded features)
 # for formats WITHOUT an in-environment codec (JPEG/PNG/MP3/MP4);
-# False raises NotImplementedError for those instead. WAV and PPM/PGM
-# payloads always take the real decode path below.
+# False raises NotImplementedError for those instead. WAV, PPM/PGM and
+# uncompressed BMP payloads always take the real decode path below.
 DETERMINISTIC_FAKE = True
 FEATURE_DIM = 16
 
@@ -172,6 +172,75 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
     return data.reshape((h, w, 3)) if channels == 3 else data.reshape((h, w))
 
 
+def _is_bmp(payload: bytes) -> bool:
+    return len(payload) > 54 and payload[:2] == b"BM"
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BMP (24-bit BGR or 8-bit palette) -> uint8 (h, w, 3).
+
+    The two layouts that cover essentially every uncompressed .bmp in
+    the wild: BITMAPINFOHEADER, biCompression=0, rows padded to 4 bytes,
+    bottom-up unless height is negative.
+    """
+    import struct
+
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0:
+        raise ValueError(f"compressed BMP (biCompression={comp}) unsupported")
+    bottom_up, h = h > 0, abs(h)
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, np.uint8, stride * h, pix_off
+        ).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
+    elif bpp == 8:
+        pal_off = 14 + hdr_size
+        n_pal = (pix_off - pal_off) // 4
+        pal = (
+            np.frombuffer(payload, np.uint8, n_pal * 4, pal_off)
+            .reshape(-1, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        )
+        stride = (w + 3) & ~3
+        idx = np.frombuffer(
+            payload, np.uint8, stride * h, pix_off
+        ).reshape(h, stride)[:, :w]
+        img = pal[idx]
+    else:
+        raise ValueError(f"{bpp}-bit BMP unsupported")
+    return np.ascontiguousarray(img[::-1] if bottom_up else img)
+
+
+def _encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w[, 3]) -> 24-bit uncompressed bottom-up BMP."""
+    import struct
+
+    rgb = arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = rgb[..., ::-1].reshape(h, w * 3)  # RGB -> BGR
+    pixels = rows[::-1].tobytes()
+    file_hdr = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + pixels
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    if _is_pnm(payload):
+        return _decode_pnm(payload)
+    if _is_bmp(payload):
+        return _decode_bmp(payload)
+    raise ValueError("not a supported raw image format")
+
+
 def _encode_pnm(arr: np.ndarray) -> bytes:
     magic = b"P6" if arr.ndim == 3 else b"P5"
     h, w = arr.shape[:2]
@@ -189,7 +258,7 @@ def _resize_nn(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 def _image_features(payload: bytes) -> np.ndarray:
     """Real image features: dims + per-channel mean/std + 8-bin gray
     histogram (density)."""
-    arr = _decode_pnm(payload)
+    arr = _decode_image(payload)
     rgb = arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
     x = rgb.astype(np.float64) / 255.0
     gray = x.mean(axis=-1)
@@ -210,7 +279,7 @@ def _image_features(payload: bytes) -> np.ndarray:
 def _decode_features(payload: bytes, kind: str) -> np.ndarray:
     if _is_wav(payload):
         return _audio_features(payload)
-    if _is_pnm(payload):
+    if _is_pnm(payload) or _is_bmp(payload):
         return _image_features(payload)
     return _decode_stub(payload, kind)
 
@@ -259,6 +328,8 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
         p = p if p is not None else b""
         if _is_pnm(p):
             return _encode_pnm(_resize_nn(_decode_pnm(p), width, height))
+        if _is_bmp(p):
+            return _encode_bmp(_resize_nn(_decode_bmp(p), width, height))
         if not DETERMINISTIC_FAKE:
             raise NotImplementedError(
                 "non-netpbm resize requires codec libraries not present here"
