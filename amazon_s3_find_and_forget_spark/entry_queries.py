@@ -694,7 +694,10 @@ def q_events_hourly(spark, sf_dir):
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events")
+    # sessionization is undefined for events without a timestamp, and the
+    # engines default NULLs to OPPOSITE ends of a sort (Spark nulls-first
+    # asc, DuckDB nulls-last) — exclude them explicitly on both sides
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
     with_start = ev.withColumn(
@@ -824,7 +827,12 @@ def q_events_moving_avg(spark, sf_dir):
     the cross-engine determinism rule applied to window frames)."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    # NULL-ts rows are excluded: the engines disagree on default NULL
+    # sort placement, and a moving average over an unordered row is
+    # meaningless anyway
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("user_id") < 30) & F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1682,7 +1690,8 @@ ORACLES = {
               FILTER (WHERE event_type IN ('click','view')), 0) AS TotalQueryTimeInMillis,
           count(*) FILTER (WHERE event_type = 'purchase') AS TotalObjectUpdatedCount,
           count(*) FILTER (WHERE event_type = 'signup') AS TotalObjectUpdateSkippedCount,
-          count(*) FILTER (WHERE event_type NOT IN ('click','view','purchase','signup'))
+          count(*) FILTER (WHERE event_type IS NULL
+              OR event_type NOT IN ('click','view','purchase','signup'))
             AS TotalObjectUpdateFailedCount,
           0 AS TotalObjectRollbackFailedCount
         FROM events GROUP BY user_id % 10
@@ -1981,7 +1990,7 @@ ORACLES = {
                round(
                  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                  / count(*) OVER w, 6) AS mov_avg
-        FROM events WHERE user_id < 30
+        FROM events WHERE user_id < 30 AND ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id
                      ORDER BY CAST(ts AS TIMESTAMP), event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -2028,7 +2037,7 @@ ORACLES = {
     "events_sessions": """
         WITH secs AS (
           SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
-          FROM events
+          FROM events WHERE ts IS NOT NULL
         ), gaps AS (
           SELECT user_id,
                  CASE WHEN lag(sec) OVER w IS NULL

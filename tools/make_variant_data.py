@@ -63,6 +63,11 @@ def _adversarial_events(table: pa.Table) -> pa.Table:
         (max_id + 8, tie_ts, 9, "click", 1.0, '{"k": 1}'),
         (max_id + 9, tie_ts, 9, "click", 1.0, '{"k": 2}'),
         (max_id + 10, tie_ts, 9, "view", 1.0, '{"k": 3}'),
+        # NULLs where the schema permits them: engines DISAGREE on default
+        # NULL placement in ORDER BY (Spark nulls-first asc, DuckDB
+        # nulls-last), so any window/sort query must handle these
+        (max_id + 11, None, 9, "click", 1.0, '{"k": 4}'),
+        (max_id + 12, base_ts, 9, None, None, '{"k": 5}'),
     ]
     for eid, ts, uid, et, val, props in extra:
         ev["event_id"].append(eid)
