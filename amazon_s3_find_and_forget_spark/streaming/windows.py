@@ -61,6 +61,56 @@ def hourly_counts_stream(
     )
 
 
+def session_aggregate(
+    df: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Event-time sessionization: per-user sessions closed by a ``gap``
+    of inactivity, with per-session bounds and counts.
+
+    Spark-first: the built-in ``session_window`` grouping (a merging
+    event-time window Catalyst maintains natively) rather than a custom
+    ``applyInPandasWithState`` fold — the same definition runs on a
+    static frame (full-history sessionization) and on a watermarked
+    stream (live sessions, state bounded by the watermark: a session
+    emits once the watermark passes its close). NULL timestamps carry no
+    event-time and are excluded, matching the batch catalog's
+    sessionization semantics.
+    """
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregate_stream(
+    spark,
+    events_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    late_threshold: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization over a file source with a watermark."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return session_aggregate(
+        stream.withWatermark(ts_col, late_threshold), gap, ts_col
+    )
+
+
 def run_to_table(stream_df: DataFrame, checkpoint: str, out_dir: str) -> None:
     """Drain the stream with availableNow (batch-equivalent semantics)."""
     (

@@ -364,3 +364,50 @@ def test_curation_ops_compose_with_streams(spark, tmp_path, sf_dir):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Sessionization (built-in session_window) yields identical sessions
+    on the static frame and on the drained stream over the same files."""
+    import os
+
+    from amazon_s3_find_and_forget_spark.entry_queries import load
+    from amazon_s3_find_and_forget_spark.streaming import windows as W
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    ev.write.parquet(os.path.join(src, "batch0"))
+
+    batch = W.session_aggregate(
+        spark.read.parquet(src + "/*"), gap="30 minutes"
+    ).collect()
+
+    stream_df = W.session_aggregate_stream(
+        spark, src + "/*", ev.schema, gap="30 minutes"
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    W.run_to_table(stream_df, ckpt, out_dir)
+    got = spark.read.parquet(out_dir).collect()
+
+    # append mode emits a session once the watermark passes its close;
+    # after an availableNow drain the watermark rests at
+    # max(event time) - late_threshold, so sessions closing inside that
+    # final window are (correctly) still held in state
+    max_ts = max(r.session_end for r in batch)
+    import datetime as _dt
+
+    horizon = max_ts - _dt.timedelta(hours=2)
+    emitted = [r for r in batch if r.session_end <= horizon]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, emitted))
+    assert len(got) > 0
+    # sessions are disjoint per user and separated by > gap
+    by_user = {}
+    for r in batch:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    import datetime
+
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 >= e1  # session_end includes the closing gap
