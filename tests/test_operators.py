@@ -777,3 +777,51 @@ def test_bmp_8bit_palette_decode():
     # spot-check one pixel through the palette: index at row 0, col 0
     i = int(idx[0, 0])
     assert tuple(arr[0, 0]) == (i // 2, 255 - i, i)  # RGB of BGRA entry
+
+
+def test_chunking_reconstructs_token_stream(docs):
+    """Invariant over the real corpus: dropping each chunk's first
+    `overlap` tokens (after chunk 0) and concatenating reproduces the
+    document's token stream exactly — no token lost or duplicated."""
+    sample = docs.where(F.col("doc_id") < 50)
+    chunks = text.chunk_documents(sample, max_tokens=32, overlap=8).collect()
+    toks = {
+        r.doc_id: r.t
+        for r in sample.select(
+            "doc_id", text.tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        rebuilt = []
+        for idx, (_, chunk_text) in enumerate(parts):
+            words = chunk_text.split(" ") if chunk_text else []
+            rebuilt.extend(words if idx == 0 else words[8:])
+        assert rebuilt == toks[doc_id], doc_id
+
+
+def test_packing_is_contiguous_and_budget_aligned(docs):
+    """Invariant: within a group, pack ids are non-decreasing in doc
+    order, and each doc's pack is exactly floor(cum_before / budget)."""
+    with_counts = docs.withColumn(
+        "n_tokens", F.size(text.tokens(F.col("text")))
+    )
+    rows = text.pack_sequences(
+        with_counts, budget=256, group_col="lang"
+    ).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, items in by_lang.items():
+        items.sort(key=lambda r: r.doc_id)
+        cum = 0
+        prev_pack = 0
+        for r in items:
+            assert r.pack_id == cum // 256, (lang, r.doc_id)
+            assert r.pack_id >= prev_pack
+            assert r.packed_tokens <= 256
+            cum += r.packed_tokens
+            prev_pack = r.pack_id
