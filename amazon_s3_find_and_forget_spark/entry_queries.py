@@ -1217,6 +1217,59 @@ def q_text_stratified_sample(spark, sf_dir):
     )
 
 
+def q_events_distinct_sketch(spark, sf_dir):
+    """HyperLogLog++ distinct counting vs exact, per event type.
+
+    At 100 TB an exact COUNT(DISTINCT) is a full shuffle of the key;
+    the HLL sketch is a map-side-combinable fixed-size aggregate — the
+    standard trade. The driver hashes the EXACT count (both engines
+    compute it) plus the deterministic claim that the sketch lands
+    within its configured 2% relative standard deviation x4.
+    """
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_n_hll"),
+    )
+    return out.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_n_hll") - F.col("n_exact"))
+            <= F.greatest(F.col("n_exact") * 0.08, F.lit(2.0))
+        ).alias("hll_ok"),
+    )
+
+
+def q_orders_quantile_sketch(spark, sf_dir):
+    """Approximate quantile sketch vs exact percentiles of order totals.
+
+    ``approx_percentile`` (a mergeable quantile summary) against the
+    exact interpolated percentile both engines compute; the claim is a
+    1% relative-error bound at the configured accuracy.
+    """
+    orders = load(spark, sf_dir, "orders")
+    out = orders.agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("_ex"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("_ap"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    checks = F.zip_with(
+        "_ex",
+        "_ap",
+        lambda e, a: F.abs(a - e) <= F.abs(e) * 0.01,
+    )
+    return out.select(
+        "n_orders",
+        F.round(F.element_at("_ex", 1), 4).alias("p50"),
+        F.round(F.element_at("_ex", 2), 4).alias("p90"),
+        F.round(F.element_at("_ex", 3), 4).alias("p99"),
+        F.forall(checks, lambda ok: ok).alias("sketch_ok"),
+    )
+
+
 # --- approximate-operator quality gates ------------------------------------
 #
 # The LSH/IVF operators are APPROXIMATE: their row sets depend on seeded
@@ -1546,6 +1599,8 @@ QUERIES = {
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
+    "events_distinct_sketch": q_events_distinct_sketch,
+    "orders_quantile_sketch": q_orders_quantile_sketch,
 }
 
 
@@ -2113,6 +2168,19 @@ ORACLES = {
             PARTITION BY lang
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
           ) <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
+    """,
+    "events_distinct_sketch": """
+        SELECT event_type, count(DISTINCT user_id) AS n_exact,
+               TRUE AS hll_ok
+        FROM events GROUP BY event_type
+    """,
+    "orders_quantile_sketch": """
+        SELECT count(*) AS n_orders,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               TRUE AS sketch_ok
+        FROM orders
     """,
     "text_token_count": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,
