@@ -39,9 +39,14 @@ TABLES = (
 
 
 def _shuffle(table: pa.Table, seed: int) -> pa.Table:
+    """Shuffle row order AND physical column order: engines must bind
+    columns by NAME, never by position."""
     rng = np.random.RandomState(seed)
     idx = rng.permutation(table.num_rows)
-    return table.take(pa.array(idx))
+    table = table.take(pa.array(idx))
+    cols = list(table.column_names)
+    rng.shuffle(cols)
+    return table.select(cols)
 
 
 def _adversarial_events(table: pa.Table) -> pa.Table:
