@@ -67,9 +67,10 @@ FEATURE_SCHEMA = StructType(
 )
 
 # Set True to use the deterministic fake decoder (hash-seeded features)
-# for formats WITHOUT an in-environment codec (JPEG/PNG/MP3/MP4);
-# False raises NotImplementedError for those instead. WAV, PPM/PGM and
-# uncompressed BMP payloads always take the real decode path below.
+# for formats WITHOUT an in-environment codec (JPEG/MP3/MP4);
+# False raises NotImplementedError for those instead. WAV, PPM/PGM,
+# uncompressed BMP and 8-bit PNG payloads always take the real decode
+# path below (stdlib wave/zlib + numpy — no external codec).
 DETERMINISTIC_FAKE = True
 FEATURE_DIM = 16
 
@@ -233,11 +234,128 @@ def _encode_bmp(arr: np.ndarray) -> bytes:
     return file_hdr + info_hdr + pixels
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _is_png(payload: bytes) -> bool:
+    return payload[:8] == _PNG_MAGIC
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array, stdlib zlib + numpy only.
+
+    Supports the common shapes: 8-bit depth, gray (0), RGB (2),
+    gray+alpha (4), RGBA (6), non-interlaced. All five scanline filters
+    are implemented; Sub reduces to a per-channel modular cumsum
+    (vectorized), Up is a vector add, Average/Paeth carry a left
+    dependency and run per-pixel on their (rare) rows.
+    """
+    import struct
+    import zlib
+
+    pos, idat, meta = 8, [], None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"PNG color type {color} unsupported")
+            meta = (w, h, channels)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: modular prefix sum per channel phase
+            rec = line.reshape(-1, ch).cumsum(axis=0) % 256
+            rec = rec.reshape(-1)
+        elif ftype == 2:  # Up
+            rec = (line + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: left-dependent
+            rec = np.zeros(stride, dtype=np.int64)
+            up = prev.astype(np.int64)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                if ftype == 3:
+                    rec[i] = (line[i] + (left + up[i]) // 2) % 256
+                else:
+                    ul = up[i - ch] if i >= ch else 0
+                    p = left + up[i] - ul
+                    pa_, pb, pc = abs(p - left), abs(p - up[i]), abs(p - ul)
+                    pred = (
+                        left
+                        if pa_ <= pb and pa_ <= pc
+                        else (up[i] if pb <= pc else ul)
+                    )
+                    rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return img[..., 0]
+    if ch == 2:
+        return img[..., 0]  # gray, alpha dropped
+    return img[..., :3]  # RGB / RGBA -> RGB
+
+
+def _encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w[, 3]) -> 8-bit PNG (filter 0, one IDAT)."""
+    import struct
+    import zlib
+
+    rgb = arr if arr.ndim == 3 else arr[..., None]
+    h, w, ch = rgb.shape
+    color = {1: 0, 3: 2}[ch]
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 1:] = rgb.reshape(h, w * ch)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
     if _is_pnm(payload):
         return _decode_pnm(payload)
     if _is_bmp(payload):
         return _decode_bmp(payload)
+    if _is_png(payload):
+        return _decode_png(payload)
     raise ValueError("not a supported raw image format")
 
 
@@ -279,7 +397,7 @@ def _image_features(payload: bytes) -> np.ndarray:
 def _decode_features(payload: bytes, kind: str) -> np.ndarray:
     if _is_wav(payload):
         return _audio_features(payload)
-    if _is_pnm(payload) or _is_bmp(payload):
+    if _is_pnm(payload) or _is_bmp(payload) or _is_png(payload):
         return _image_features(payload)
     return _decode_stub(payload, kind)
 
@@ -330,6 +448,8 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
             return _encode_pnm(_resize_nn(_decode_pnm(p), width, height))
         if _is_bmp(p):
             return _encode_bmp(_resize_nn(_decode_bmp(p), width, height))
+        if _is_png(p):
+            return _encode_png(_resize_nn(_decode_png(p), width, height))
         if not DETERMINISTIC_FAKE:
             raise NotImplementedError(
                 "non-netpbm resize requires codec libraries not present here"
