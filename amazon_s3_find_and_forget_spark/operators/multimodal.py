@@ -69,8 +69,8 @@ FEATURE_SCHEMA = StructType(
 # Set True to use the deterministic fake decoder (hash-seeded features)
 # for formats WITHOUT an in-environment codec (JPEG/MP3/MP4);
 # False raises NotImplementedError for those instead. WAV, PPM/PGM,
-# uncompressed BMP and 8-bit PNG payloads always take the real decode
-# path below (stdlib wave/zlib + numpy — no external codec).
+# uncompressed BMP, 8-bit PNG and GIF payloads always take the real
+# decode path below (stdlib wave/zlib + numpy — no external codec).
 DETERMINISTIC_FAKE = True
 FEATURE_DIM = 16
 
@@ -349,6 +349,176 @@ def _encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def _is_gif(payload: bytes) -> bool:
+    return payload[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: variable-width codes, CLEAR/END, MSB-last bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = pos = 0
+    while True:
+        while bits < code_size:
+            if pos >= len(data):
+                return out
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(dictionary) and (code < clear or dictionary[code]):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None:
+            dictionary.append(prev + entry[:1])
+            if len(dictionary) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a (first frame, global or local palette) -> uint8 RGB."""
+    import struct
+
+    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    payload, np.uint8, n * 3, pos
+                ).reshape(-1, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                size = payload[pos]
+                data += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            if palette is None:
+                raise ValueError("GIF image without a palette")
+            idx = np.array(
+                _gif_lzw_decode(bytes(data), min_code)[: w * h], np.uint8
+            ).reshape(h, w)
+            return palette[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _encode_gif(arr: np.ndarray) -> bytes:
+    """uint8 (h, w[, 3]) with <=256 distinct colors -> GIF87a."""
+    import struct
+
+    rgb = arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF encoding needs <=256 distinct colors")
+    pal_bits = max((len(colors) - 1).bit_length(), 1)
+    n_pal = 1 << pal_bits
+    palette = np.zeros((n_pal, 3), np.uint8)
+    palette[: len(colors)] = colors
+
+    min_code = max(pal_bits, 2)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    out_bits = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    # greedy LZW with the standard width-growth schedule
+    code_size = min_code + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << min_code)}
+    next_code = end + 1
+    emit(clear, code_size)
+    seq: tuple[int, ...] = ()
+    for px in inverse.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], code_size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == (1 << 12):
+            emit(clear, code_size)
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = end + 1
+            code_size = min_code + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], code_size)
+    emit(end, code_size)
+    if bits:
+        out_bits.append(acc & 0xFF)
+
+    body = bytearray()
+    for i in range(0, len(out_bits), 255):
+        chunk = out_bits[i : i + 255]
+        body += bytes([len(chunk)]) + chunk
+    body += b"\x00"
+
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 7), 0, 0)
+        + palette.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes(body)
+    )
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
     if _is_pnm(payload):
         return _decode_pnm(payload)
@@ -356,6 +526,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if _is_png(payload):
         return _decode_png(payload)
+    if _is_gif(payload):
+        return _decode_gif(payload)
     raise ValueError("not a supported raw image format")
 
 
@@ -397,7 +569,12 @@ def _image_features(payload: bytes) -> np.ndarray:
 def _decode_features(payload: bytes, kind: str) -> np.ndarray:
     if _is_wav(payload):
         return _audio_features(payload)
-    if _is_pnm(payload) or _is_bmp(payload) or _is_png(payload):
+    if (
+        _is_pnm(payload)
+        or _is_bmp(payload)
+        or _is_png(payload)
+        or _is_gif(payload)
+    ):
         return _image_features(payload)
     return _decode_stub(payload, kind)
 
@@ -450,6 +627,10 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
             return _encode_bmp(_resize_nn(_decode_bmp(p), width, height))
         if _is_png(p):
             return _encode_png(_resize_nn(_decode_png(p), width, height))
+        if _is_gif(p):
+            # NN-resample only re-uses input pixels, so the palette bound
+            # is preserved and the result re-encodes losslessly
+            return _encode_gif(_resize_nn(_decode_gif(p), width, height))
         if not DETERMINISTIC_FAKE:
             raise NotImplementedError(
                 "non-netpbm resize requires codec libraries not present here"

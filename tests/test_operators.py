@@ -921,3 +921,36 @@ def test_real_png_all_filters_roundtrip_and_pipeline(spark):
     out = multimodal.resize_images(df, width=3, height=2).collect()[0]
     resized = multimodal._decode_png(bytes(out.payload))
     assert resized.shape == (2, 3, 3)
+
+
+def test_real_gif_lzw_roundtrip_and_pipeline(spark):
+    """GIF codec: LZW encode/decode round-trips pixels losslessly,
+    including code-width growth and multi-sub-block data; the Spark
+    feature and resize paths treat GIF as a real format."""
+    rng = np.random.RandomState(13)
+    # ~200 distinct colors over a 80x60 image: the LZW table grows
+    # through several code widths and the data spans many sub-blocks
+    palette = rng.randint(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.randint(0, 200, size=(60, 80))
+    img = palette[idx]
+    payload = multimodal._encode_gif(img)
+    assert multimodal._is_gif(payload)
+    assert np.array_equal(multimodal._decode_gif(payload), img)
+
+    # tiny + single-color edge cases
+    flat = np.full((3, 4, 3), 17, dtype=np.uint8)
+    assert np.array_equal(
+        multimodal._decode_gif(multimodal._encode_gif(flat)), flat
+    )
+
+    df = spark.createDataFrame(
+        [(31, "image", payload, "image/gif", 80, 60, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feat = multimodal.extract_features(df).collect()[0].feature
+    assert abs(feat[2] - img[..., 0].mean() / 255.0) < 1e-3
+    out = multimodal.resize_images(df, width=8, height=6).collect()[0]
+    resized = multimodal._decode_gif(bytes(out.payload))
+    assert resized.shape == (6, 8, 3)
+    flat_in = {tuple(px) for px in img.reshape(-1, 3)}
+    assert all(tuple(px) in flat_in for px in resized.reshape(-1, 3))
