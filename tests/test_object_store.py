@@ -279,3 +279,48 @@ def test_s3_store_delete_old_versions():
     keep = "v3"
     assert store.delete_old_versions(path, keep) == 2
     assert [v["VersionId"] for v in client.objects[("b", "k")]] == ["v3"]
+
+
+def test_forget_rewrite_through_object_store(tmp_path):
+    """A per-file forget rewrite committed through the store: properties
+    replay onto the rewritten object, the replaced content is archived,
+    and the rewritten parquet is the exact survivor set."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from amazon_s3_find_and_forget_spark.sources.parquet_file import (
+        rewrite_parquet_file,
+    )
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    obj = str(tmp_path / "lineitem.parquet")
+    shutil.copy(src, obj)
+    store = LocalObjectStore()
+    store.put_properties(
+        obj,
+        ObjectProperties(
+            content_type="application/parquet", tags={"lake": "test"}
+        ),
+    )
+    before = pq.read_table(obj)
+    n_match = sum(
+        1 for v in before.column("l_orderkey").to_pylist() if v in (1, 3)
+    )
+
+    out_tmp = str(tmp_path / "rewritten.parquet")
+    spec = [{"Type": "Simple", "Column": "l_orderkey", "MatchIds": [1, 3]}]
+    stats = rewrite_parquet_file(obj, out_tmp, spec)
+    with open(out_tmp, "rb") as f:
+        store.save(obj, f.read())
+
+    after = pq.read_table(obj)
+    assert after.num_rows == before.num_rows - n_match
+    assert stats["DeletedRows"] == n_match
+    assert not any(
+        v in (1, 3) for v in after.column("l_orderkey").to_pylist()
+    )
+    # the safety envelope held: old content archived, properties replayed
+    assert len(store.list_versions(obj)) == 1
+    assert store.get_properties(obj).tags == {"lake": "test"}
+    assert store.get_properties(obj).content_type == "application/parquet"
