@@ -11,8 +11,14 @@ Cross-engine determinism rules used throughout:
   per-row casts to DECIMAL (exact, order-independent), and double
   divisions happen after, on identical inputs, rounded;
 - LIMIT queries always carry a unique tie-break key;
-- approximate operators (LSH-based) have no SQL oracle by design and are
-  registered as rows-only checks.
+- window/sort queries never order by a nullable key without excluding
+  NULLs (the engines default NULLs to opposite ends of a sort);
+- approximate operators (seeded LSH/IVF) cannot be value-replicated in
+  SQL, so their GATE entries are one-row summaries of deterministic
+  quality claims (recall vs an exact baseline computed in the same
+  plan, set-completeness, per-hit score equality) hashed against the
+  claim plus an engine-checkable input count; the raw row-set queries
+  remain registered past the gate window as rows-only checks.
 """
 
 from __future__ import annotations
