@@ -1223,6 +1223,33 @@ def q_text_stratified_sample(spark, sf_dir):
     )
 
 
+def q_events_window_variants(spark, sf_dir):
+    """The remaining common window shapes in one pass: lead (next-event
+    gap), ntile (value quartile) and percent_rank — per user, bounded
+    user set, NULL-ts rows excluded (nullable order keys sort to
+    opposite ends on the two engines)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("user_id") < 25)
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").cast("decimal(18,2)"), F.col("event_id")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("secs_to_next"),
+        F.ntile(4).over(wv).alias("value_quartile"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+    )
+
+
 def q_events_distinct_sketch(spark, sf_dir):
     """HyperLogLog++ distinct counting vs exact, per event type.
 
@@ -1607,6 +1634,7 @@ QUERIES = {
     "tpch_q19": q_tpch_q19,
     "events_distinct_sketch": q_events_distinct_sketch,
     "orders_quantile_sketch": q_orders_quantile_sketch,
+    "events_window_variants": q_events_window_variants,
 }
 
 
@@ -2174,6 +2202,18 @@ ORACLES = {
             PARTITION BY lang
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
           ) <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
+    """,
+    "events_window_variants": """
+        SELECT user_id, event_id,
+               CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+                 - CAST(floor(epoch(ts)) AS BIGINT) AS secs_to_next,
+               ntile(4) OVER wv AS value_quartile,
+               round(percent_rank() OVER wv, 6) AS value_pct_rank
+        FROM events
+        WHERE user_id < 25 AND ts IS NOT NULL AND value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wv AS (PARTITION BY user_id
+                      ORDER BY CAST(value AS DECIMAL(18,2)), event_id)
     """,
     "events_distinct_sketch": """
         SELECT event_type, count(DISTINCT user_id) AS n_exact,
