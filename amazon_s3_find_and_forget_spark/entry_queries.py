@@ -1773,16 +1773,18 @@ ORACLES = {
           count(*) FILTER (WHERE event_type IN ('click','view')) AS TotalQueryCount,
           count(*) FILTER (WHERE event_type = 'click') AS TotalQuerySucceededCount,
           count(*) FILTER (WHERE event_type = 'view') AS TotalQueryFailedCount,
-          coalesce(sum(CAST(floor(value * 1000) AS BIGINT))
-              FILTER (WHERE event_type IN ('click','view')), 0) AS TotalQueryScannedInBytes,
-          coalesce(sum(CAST(floor(value * 10) AS BIGINT))
-              FILTER (WHERE event_type IN ('click','view')), 0) AS TotalQueryTimeInMillis,
+          CAST(coalesce(sum(CAST(floor(value * 1000) AS BIGINT))
+              FILTER (WHERE event_type IN ('click','view')), 0)
+            AS BIGINT) AS TotalQueryScannedInBytes,
+          CAST(coalesce(sum(CAST(floor(value * 10) AS BIGINT))
+              FILTER (WHERE event_type IN ('click','view')), 0)
+            AS BIGINT) AS TotalQueryTimeInMillis,
           count(*) FILTER (WHERE event_type = 'purchase') AS TotalObjectUpdatedCount,
           count(*) FILTER (WHERE event_type = 'signup') AS TotalObjectUpdateSkippedCount,
           count(*) FILTER (WHERE event_type IS NULL
               OR event_type NOT IN ('click','view','purchase','signup'))
             AS TotalObjectUpdateFailedCount,
-          0 AS TotalObjectRollbackFailedCount
+          CAST(0 AS BIGINT) AS TotalObjectRollbackFailedCount
         FROM events GROUP BY user_id % 10
     """,
     "tpch_q1": """
@@ -2030,8 +2032,8 @@ ORACLES = {
     """,
     "events_json_extract": """
         SELECT event_type,
-               sum(CAST(floor(TRY_CAST(json_extract_string(props, '$.k')
-                   AS DOUBLE)) AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(floor(TRY_CAST(json_extract_string(props, '$.k')
+                   AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
@@ -2135,7 +2137,7 @@ ORACLES = {
           FROM secs
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         )
-        SELECT user_id, sum(is_new_session) AS n_sessions,
+        SELECT user_id, CAST(sum(is_new_session) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM gaps GROUP BY user_id
     """,

@@ -1,0 +1,80 @@
+"""The local oracle replica must be at least as strict as the driver.
+
+Round-4 lesson: DuckDB widens ``sum(<integer>)`` to HUGEINT, which exports
+to Arrow as decimal128(38,0) while Spark emits int64. The driver's typed
+hasher fails on that; ``fetchall()``-based comparison silently passes
+(HUGEINT -> Python int). These tests pin the replica's detection of
+exactly that failure mode.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from check_oracle import (  # noqa: E402
+    arrow_type_token,
+    spark_type_token,
+    type_mismatches,
+)
+
+
+def _duck_arrow(sql):
+    return duckdb.connect().execute(sql).fetch_arrow_table()
+
+
+def test_uncast_sum_tokenizes_as_decimal():
+    tbl = _duck_arrow("SELECT sum(x) AS s FROM (SELECT 1 AS x)")
+    assert arrow_type_token(tbl.schema.field("s").type) == "decimal"
+
+
+def test_cast_sum_tokenizes_as_int64():
+    tbl = _duck_arrow("SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT 1 AS x)")
+    assert arrow_type_token(tbl.schema.field("s").type) == "int64"
+
+
+def test_double_and_string_tokens():
+    tbl = _duck_arrow("SELECT 1.5::DOUBLE AS d, 'x' AS s, TRUE AS b")
+    assert arrow_type_token(tbl.schema.field("d").type) == "float64"
+    assert arrow_type_token(tbl.schema.field("s").type) == "string"
+    assert arrow_type_token(tbl.schema.field("b").type) == "bool"
+
+
+def test_injected_uncast_sum_is_hard_mismatch(spark):
+    """A deliberately un-cast oracle sum() must be flagged decimal-vs-int."""
+    sdf = spark.createDataFrame([(3,)], "s: bigint")
+    tbl = _duck_arrow("SELECT sum(x) AS s FROM (SELECT 1 AS x UNION ALL SELECT 2)")
+    mism = type_mismatches(sdf, tbl)
+    hard = [m for m in mism if ("decimal" in m[1]) != ("decimal" in m[2])]
+    assert hard == [("s", "int64", "decimal")]
+
+
+def test_matching_bigint_has_no_mismatch(spark):
+    sdf = spark.createDataFrame([(3,)], "s: bigint")
+    tbl = _duck_arrow(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT 1 AS x UNION ALL SELECT 2)"
+    )
+    assert type_mismatches(sdf, tbl) == []
+
+
+def test_spark_type_tokens(spark):
+    df = spark.sql(
+        "SELECT CAST(1 AS BIGINT) a, CAST(1 AS INT) b, CAST(1.0 AS DOUBLE) c, "
+        "'x' d, CAST(1.0 AS DECIMAL(18,2)) e, array(CAST(1.0 AS FLOAT)) f"
+    )
+    toks = [spark_type_token(f.dataType) for f in df.schema.fields]
+    assert toks == ["int64", "int32", "float64", "string", "decimal",
+                    "list<float32>"]
+
+
+def test_arrow_list_token():
+    tbl = _duck_arrow("SELECT [1.0::FLOAT, 2.0::FLOAT] AS v")
+    assert arrow_type_token(tbl.schema.field("v").type) == "list<float32>"

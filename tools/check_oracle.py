@@ -12,6 +12,17 @@ un-normalized Decimal). Any DecimalType column reaching the final output
 is flagged loudly: decimals must be cast to double before the driver's
 hasher sees them (entry_queries._dec2dbl).
 
+Round-4 lesson baked in: DuckDB results are fetched through
+``fetch_arrow_table()`` rather than ``fetchall()``. ``fetchall()``
+converts HUGEINT (the type DuckDB silently widens ``sum(<integer>)`` to)
+into a plain Python int, erasing exactly the type difference the driver's
+typed hasher sees (HUGEINT exports to Arrow as decimal128(38,0) while
+Spark emits int64) — which is how three "verified" oracles hash-failed
+in the driver for three rounds straight. Arrow preserves the Decimal, so
+the value comparison now fails locally the way the driver fails; on top,
+per-column Arrow type tokens are compared and any decimal-vs-integer
+mismatch is a hard FAIL (other token mismatches WARN).
+
 Usage:
 
     python tools/check_oracle.py [--builder-session] [sf_dir] [query ...]
@@ -68,6 +79,61 @@ def canonical(columns, rows):
     return cols, data
 
 
+def spark_type_token(dt):
+    """Collapse a Spark DataType to a comparable family token."""
+    name = dt.typeName()
+    mapping = {
+        "long": "int64", "integer": "int32", "short": "int16",
+        "byte": "int8", "double": "float64", "float": "float32",
+        "string": "string", "boolean": "bool", "date": "date",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+        "binary": "binary",
+    }
+    if name.startswith("decimal"):
+        return "decimal"
+    if name == "array":
+        return f"list<{spark_type_token(dt.elementType)}>"
+    return mapping.get(name, name)
+
+
+def arrow_type_token(t):
+    """Collapse a pyarrow DataType to the same family tokens."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{arrow_type_token(t.value_type)}>"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    return str(t)
+
+
+def type_mismatches(sdf, arrow_tbl):
+    """Pair columns by (sorted) name; yield (col, spark_tok, duck_tok) diffs."""
+    s_tok = {f.name.lower(): spark_type_token(f.dataType) for f in sdf.schema.fields}
+    d_tok = {
+        f.name.lower(): arrow_type_token(f.type) for f in arrow_tbl.schema
+    }
+    out = []
+    for col in sorted(set(s_tok) & set(d_tok)):
+        if s_tok[col] != d_tok[col]:
+            out.append((col, s_tok[col], d_tok[col]))
+    return out
+
+
 def main():
     args = [a for a in sys.argv[1:] if a != "--builder-session"]
     if "--builder-session" in sys.argv[1:]:
@@ -110,12 +176,25 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            tbl = res.fetch_arrow_table()
+            dcols = tbl.schema.names
+            drows = [
+                tuple(row[c] for c in dcols) for row in tbl.to_pylist()
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
             continue
+        mism = type_mismatches(sdf, tbl)
+        hard = [m for m in mism if ("decimal" in m[1]) != ("decimal" in m[2])]
+        if hard:
+            failures.append(name)
+            print(f"FAIL  {name}: decimal/integer type mismatch "
+                  f"(spark vs duckdb-arrow): {hard} — un-cast sum()? "
+                  "Wrap the outer aggregate in CAST(... AS BIGINT)")
+            continue
+        if mism:
+            print(f"WARN  {name}: type-token drift (spark vs duckdb): {mism}")
         sc, sd = canonical(scols, srows)
         dc, dd = canonical(dcols, drows)
         if [c.lower() for c in sc] != [c.lower() for c in dc]:
