@@ -26,6 +26,7 @@ the commit/safety layer around each file.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -50,7 +51,11 @@ class ObjectProperties:
     cache_control: str | None = None
     metadata: dict[str, str] = field(default_factory=dict)
     tags: dict[str, str] = field(default_factory=dict)
+    # grantees are stored in S3 Grant-header form — "id=...", "uri=..."
+    # (groups), or "emailAddress=..." — matching the reference's
+    # get_grantees (s3.py:204-221); a bare value is treated as id=
     acl_grants: dict[str, list[str]] = field(default_factory=dict)
+    owner_id: str | None = None
     sse: str | None = None
     sse_kms_key_id: str | None = None
     storage_class: str | None = None
@@ -178,21 +183,36 @@ class LocalObjectStore:
         if archived is not None:
             old = versions.version_path(path, archived)
             store_dir = os.path.dirname(old)
-            os.rename(old, versions.version_path(path, prev_id))
+            target = versions.version_path(path, prev_id)
+            if os.path.exists(target):
+                # the digest in the id guarantees an existing target holds
+                # the SAME bytes — drop the duplicate instead of renaming
+                # over it (never silently clobber a distinct version)
+                os.remove(old)
+            else:
+                os.rename(old, target)
             for name in os.listdir(store_dir):
                 if name.startswith(f"{archived}~"):
-                    os.rename(
-                        os.path.join(store_dir, name),
-                        os.path.join(
-                            store_dir,
-                            f"{prev_id}~{name[len(archived) + 1:]}",
-                        ),
+                    ctarget = os.path.join(
+                        store_dir, f"{prev_id}~{name[len(archived) + 1:]}"
                     )
+                    if os.path.exists(ctarget):
+                        os.remove(os.path.join(store_dir, name))
+                    else:
+                        os.rename(os.path.join(store_dir, name), ctarget)
         return self.current_version(path)
 
     def current_version(self, path: str) -> str:
+        # mtime+size alone can collide across distinct contents on
+        # coarse-timestamp filesystems (or clock-preserving copies), which
+        # would let save()'s archive-rename clobber a prior version — a
+        # short content digest makes the id collision-safe
         st = os.stat(path)
-        return f"{st.st_mtime_ns:020d}-{st.st_size}"
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return f"{st.st_mtime_ns:020d}-{st.st_size}-{h.hexdigest()[:12]}"
 
     def list_versions(self, path: str) -> list[str]:
         return versions.list_versions(path)
@@ -261,6 +281,28 @@ class S3ObjectStore:
         bucket, key = self._split(path)
         return self._client.get_object(Bucket=bucket, Key=key)["Body"].read()
 
+    # grantee type -> (ACL response property, Grant-header prefix), the
+    # reference's prop_map (s3.py:204-221)
+    _GRANTEE_FORMS = {
+        "CanonicalUser": ("ID", "id"),
+        "Group": ("URI", "uri"),
+        "AmazonCustomerByEmail": ("EmailAddress", "emailAddress"),
+    }
+
+    @classmethod
+    def _format_grantee(cls, grantee: dict) -> str:
+        prop, prefix = cls._GRANTEE_FORMS[grantee["Type"]]
+        return f"{prefix}={grantee[prop]}"
+
+    @staticmethod
+    def _header_grantee(value: str) -> str:
+        """Normalize a stored grantee to Grant-header form.
+
+        Already-prefixed values pass through; bare values (legacy
+        sidecars, hand-built properties) default to canonical-user ids.
+        """
+        return value if "=" in value else f"id={value}"
+
     def get_properties(self, path: str) -> ObjectProperties:
         # HeadObject + GetObjectTagging + GetObjectAcl (s3.py:120-220)
         bucket, key = self._split(path)
@@ -269,13 +311,9 @@ class S3ObjectStore:
         acl = self._client.get_object_acl(Bucket=bucket, Key=key)
         grants: dict[str, list[str]] = {}
         for grant in acl.get("Grants", []):
-            grantee = grant["Grantee"]
-            ident = (
-                grantee.get("ID")
-                or grantee.get("URI")
-                or grantee.get("EmailAddress")
+            grants.setdefault(grant["Permission"], []).append(
+                self._format_grantee(grant["Grantee"])
             )
-            grants.setdefault(grant["Permission"], []).append(ident)
         return ObjectProperties(
             content_type=head.get("ContentType"),
             content_encoding=head.get("ContentEncoding"),
@@ -283,6 +321,7 @@ class S3ObjectStore:
             metadata=head.get("Metadata") or {},
             tags={t["Key"]: t["Value"] for t in tagging.get("TagSet", [])},
             acl_grants=grants,
+            owner_id=(acl.get("Owner") or {}).get("ID"),
             sse=head.get("ServerSideEncryption"),
             sse_kms_key_id=head.get("SSEKMSKeyId"),
             storage_class=head.get("StorageClass"),
@@ -318,25 +357,39 @@ class S3ObjectStore:
             kwargs["SSEKMSKeyId"] = props.sse_kms_key_id
         if props.storage_class:
             kwargs["StorageClass"] = props.storage_class
+        # assemble the Grant-* headers once; the owner is folded into
+        # GrantFullControl exactly as the reference does (s3.py:188-198)
+        acl_headers: dict[str, str] = {}
         for perm, header in (
             ("FULL_CONTROL", "GrantFullControl"),
             ("READ", "GrantRead"),
             ("READ_ACP", "GrantReadACP"),
             ("WRITE_ACP", "GrantWriteACP"),
         ):
-            if props.acl_grants.get(perm):
-                kwargs[header] = ",".join(
-                    f"id={g}" for g in props.acl_grants[perm]
-                )
+            grantees = [
+                self._header_grantee(g) for g in props.acl_grants.get(perm, [])
+            ]
+            if perm == "FULL_CONTROL" and props.owner_id:
+                owner = f"id={props.owner_id}"
+                if owner not in grantees:
+                    grantees.insert(0, owner)
+            if grantees:
+                acl_headers[header] = ",".join(grantees)
+        kwargs.update(acl_headers)
         resp = self._client.put_object(**kwargs)
         new_version = resp.get("VersionId", "null")
         if props.acl_grants.get("WRITE"):
+            # PutObjectAcl REPLACES the whole ACL, so the full Grant-*
+            # set just uploaded must ride along with GrantWrite or it is
+            # wiped (s3.py:84-96)
             self._client.put_object_acl(
                 Bucket=bucket,
                 Key=key,
                 VersionId=new_version,
+                **acl_headers,
                 GrantWrite=",".join(
-                    f"id={g}" for g in props.acl_grants["WRITE"]
+                    self._header_grantee(g)
+                    for g in props.acl_grants["WRITE"]
                 ),
             )
         return new_version
@@ -384,10 +437,24 @@ class S3ObjectStore:
         self._client.delete_object(Bucket=bucket, Key=key, VersionId=version)
 
     def delete_old_versions(self, path: str, keep_version: str) -> int:
-        # batched DeleteObjects in LastModified order, 1000 per call
-        # (s3.py:244-281)
+        # List with KeyMarker=key + VersionIdMarker=keep_version so ONLY
+        # versions strictly older than the rewrite are returned — a
+        # concurrent writer's version created after the integrity check
+        # must survive (s3.py:244-281 scopes the listing identically).
+        # Then batched DeleteObjects in LastModified order, 1000 per call.
         bucket, key = self._split(path)
-        vids = [v for v in self.list_versions(path) if v != keep_version]
+        entries: list[tuple] = []
+        paginator = self._client.get_paginator("list_object_versions")
+        for page in paginator.paginate(
+            Bucket=bucket,
+            Prefix=key,
+            KeyMarker=key,
+            VersionIdMarker=keep_version,
+        ):
+            for v in page.get("Versions", []) + page.get("DeleteMarkers", []):
+                if v.get("Key") == key:
+                    entries.append((v["LastModified"], v["VersionId"]))
+        vids = [vid for _, vid in sorted(entries) if vid != keep_version]
         n = 0
         for i in range(0, len(vids), 1000):
             batch = [

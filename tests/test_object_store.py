@@ -100,6 +100,23 @@ def test_local_rollback_and_purge(tmp_path):
     assert store.list_versions(path) == []
 
 
+def test_local_version_ids_distinct_for_same_stat(tmp_path):
+    """Same mtime + same size but different bytes must yield different
+    version ids (coarse-timestamp filesystems, clock-preserving copies)
+    — otherwise save()'s archive-rename could clobber a prior version."""
+    import os
+
+    store = LocalObjectStore()
+    a = tmp_path / "a.bin"
+    b = tmp_path / "b.bin"
+    a.write_bytes(b"content-A")
+    b.write_bytes(b"content-B")  # same length
+    ns = 1_700_000_000_000_000_000
+    os.utime(a, ns=(ns, ns))
+    os.utime(b, ns=(ns, ns))
+    assert store.current_version(str(a)) != store.current_version(str(b))
+
+
 # --------------------------------------------------------------------------
 # S3ObjectStore against a minimal fake client
 # --------------------------------------------------------------------------
@@ -162,8 +179,10 @@ class FakeS3Client:
             ]
         }
 
+    acl = {"Owner": {"ID": "owner"}, "Grants": []}
+
     def get_object_acl(self, *, Bucket, Key, **kwargs):
-        return {"Owner": {"ID": "owner"}, "Grants": []}
+        return self.acl
 
     def list_object_versions(self, *, Bucket, Prefix, **kwargs):
         vs = [
@@ -246,7 +265,59 @@ def test_s3_store_write_grants_restored_separately():
     args = client.objects[("b", "k")][-1]["Args"]
     assert args["GrantRead"] == "id=grantee-2"
     assert "GrantWrite" not in args
-    assert client.put_acl_calls[-1]["GrantWrite"] == "id=grantee-1"
+    acl_call = client.put_acl_calls[-1]
+    assert acl_call["GrantWrite"] == "id=grantee-1"
+    # PutObjectAcl REPLACES the whole ACL: the grants that rode the
+    # upload must be re-sent alongside GrantWrite or they'd be wiped
+    # (reference s3.py:84-96)
+    assert acl_call["GrantRead"] == "id=grantee-2"
+    assert acl_call["GrantFullControl"] == "id=owner"
+    # owner folded into GrantFullControl on the upload too (s3.py:188)
+    assert args["GrantFullControl"] == "id=owner"
+
+
+def test_s3_store_grantee_types_formatted_for_headers():
+    """Group and email grantees use uri=/emailAddress=, not id=."""
+    client = FakeS3Client()
+    client.acl = {
+        "Owner": {"ID": "owner"},
+        "Grants": [
+            {
+                "Grantee": {
+                    "Type": "Group",
+                    "URI": "http://acs.amazonaws.com/groups/global/AllUsers",
+                },
+                "Permission": "READ",
+            },
+            {
+                "Grantee": {
+                    "Type": "AmazonCustomerByEmail",
+                    "EmailAddress": "user@example.com",
+                },
+                "Permission": "READ_ACP",
+            },
+            {
+                "Grantee": {"Type": "CanonicalUser", "ID": "abc123"},
+                "Permission": "FULL_CONTROL",
+            },
+        ],
+    }
+    store = S3ObjectStore(client=client)
+    path = "s3://b/k"
+    client.put_object(Bucket="b", Key="k", Body=b"v1")
+    props = store.get_properties(path)
+    assert props.acl_grants["READ"] == [
+        "uri=http://acs.amazonaws.com/groups/global/AllUsers"
+    ]
+    assert props.acl_grants["READ_ACP"] == ["emailAddress=user@example.com"]
+    assert props.acl_grants["FULL_CONTROL"] == ["id=abc123"]
+    store.save(path, b"v2", props)
+    args = client.objects[("b", "k")][-1]["Args"]
+    assert args["GrantRead"] == (
+        "uri=http://acs.amazonaws.com/groups/global/AllUsers"
+    )
+    assert args["GrantReadACP"] == "emailAddress=user@example.com"
+    assert args["GrantFullControl"] == "id=owner,id=abc123"
 
 
 def test_s3_store_version_integrity_and_rollback():
@@ -279,6 +350,25 @@ def test_s3_store_delete_old_versions():
     keep = "v3"
     assert store.delete_old_versions(path, keep) == 2
     assert [v["VersionId"] for v in client.objects[("b", "k")]] == ["v3"]
+
+
+def test_s3_store_delete_old_versions_spares_newer():
+    """Purge is scoped to versions strictly OLDER than keep_version — a
+    concurrent writer's version landing after the integrity check (the
+    check and the purge are not atomic) must survive (s3.py:245-256's
+    VersionIdMarker scoping)."""
+    client = FakeS3Client()
+    store = S3ObjectStore(client=client)
+    path = "s3://b/k"
+    for content in (b"v1", b"v2"):
+        client.put_object(Bucket="b", Key="k", Body=content)
+    # concurrent writer lands v3 after our rewrite (v2) passed its check
+    client.put_object(Bucket="b", Key="k", Body=b"sneak")
+    assert store.delete_old_versions(path, "v2") == 1
+    assert [v["VersionId"] for v in client.objects[("b", "k")]] == [
+        "v2",
+        "v3",
+    ]
 
 
 def test_forget_rewrite_through_object_store(tmp_path):
