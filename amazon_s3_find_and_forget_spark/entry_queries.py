@@ -1549,17 +1549,19 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # --- the catalog ----------------------------------------------------------
 
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-# entries only. Every operator family must land inside that window, so
-# the gate keeps one representative TPC-H query per plan shape (q1
-# aggregation, q3 join+top-k, q9 multi-join aggregate) and defers the
-# other variants — all three-rounds-green — to the tail, along with
-# redundant grouping-set/conditional-agg shapes (cube duplicates
-# rollup's Expand path, pivot duplicates job_stats_fold's FILTER aggs).
+# entries only. Every operator family must land inside that window.
+# The window is ROTATED between rounds so no oracled query is a
+# permanent blind spot: rows proven green by the driver in a prior
+# round can yield their slot to tail queries the driver has never
+# hashed. Round-5 rotation (all 50 r4 rows were green): demoted ten
+# redundant shapes (three find_rows_* variants — the simple shape and
+# forget_survivors_composite keep the family covered; five text_* rows
+# of the eleven; one of the two running-window shapes; the exact-dedup
+# groups row whose survivors row covers the operator) and promoted
+# tpch_q7/q8/q13/q18/q22, events_cube/pivot/window_variants, and both
+# sketch aggregates.
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
-    "find_rows_composite": q_find_rows_composite,
-    "find_rows_nested": q_find_rows_nested,
-    "find_rows_decimal": q_find_rows_decimal,
     "find_files_simple": q_find_files_simple,
     "forget_survivors_simple": q_forget_survivors_simple,
     "forget_survivors_composite": q_forget_survivors_composite,
@@ -1571,23 +1573,27 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q9": q_tpch_q9,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q22": q_tpch_q22,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "events_pivot": q_events_pivot,
     "events_topn_per_user": q_events_topn_per_user,
     "events_json_extract": q_events_json_extract,
     "events_asof_attribution": q_events_asof_attribution,
     "events_interval_counts": q_events_interval_counts,
-    "events_moving_avg": q_events_moving_avg,
+    "events_window_variants": q_events_window_variants,
+    "events_distinct_sketch": q_events_distinct_sketch,
+    "orders_quantile_sketch": q_orders_quantile_sketch,
     "orders_running_total": q_orders_running_total,
     "text_length_percentiles": q_text_length_percentiles,
-    "text_train_split": q_text_train_split,
-    "text_redact": q_text_redact,
-    "text_chunks": q_text_chunks,
-    "text_pack": q_text_pack,
     "text_contamination": q_text_contamination,
     "text_stratified_sample": q_text_stratified_sample,
-    "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_recall": q_dedup_minhash_recall,
     "dedup_simhash_complete": q_dedup_simhash_complete,
@@ -1595,7 +1601,6 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
-    "text_fingerprint": q_text_fingerprint,
     "similarity_cosine": q_similarity_cosine,
     "similarity_ivf_recall": q_similarity_ivf_recall,
     "similarity_lsh_recall": q_similarity_lsh_recall,
@@ -1606,35 +1611,36 @@ QUERIES = {
     "similarity_quantize": q_similarity_quantize,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
-    # --- past the 50-row gate: the raw approximate queries (their row
-    # sets are seed-dependent; quality is gate-checked by the *_recall /
-    # *_complete rows above) and TPC-H plan-shape variants, all green in
-    # rounds 1-3; still runnable via queries() for full coverage ---
+    # --- past the 50-row gate: rows the driver proved green in round 4
+    # (demoted by the rotation above), the raw approximate queries
+    # (their row sets are seed-dependent; quality is gate-checked by the
+    # *_recall / *_complete rows above) and remaining TPC-H plan-shape
+    # variants; still runnable via queries() for full coverage ---
+    "find_rows_composite": q_find_rows_composite,
+    "find_rows_nested": q_find_rows_nested,
+    "find_rows_decimal": q_find_rows_decimal,
+    "text_train_split": q_text_train_split,
+    "text_redact": q_text_redact,
+    "text_chunks": q_text_chunks,
+    "text_pack": q_text_pack,
+    "text_fingerprint": q_text_fingerprint,
+    "events_moving_avg": q_events_moving_avg,
+    "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_batch_topk": q_similarity_batch_topk,
     "embedding_near_dups": q_embedding_near_dups,
-    "events_pivot": q_events_pivot,
-    "events_cube": q_events_cube,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q22": q_tpch_q22,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
     "tpch_q10": q_tpch_q10,
-    "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
-    "events_distinct_sketch": q_events_distinct_sketch,
-    "orders_quantile_sketch": q_orders_quantile_sketch,
-    "events_window_variants": q_events_window_variants,
 }
 
 
