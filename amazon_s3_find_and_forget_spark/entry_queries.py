@@ -23,6 +23,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +39,8 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+_LOG = logging.getLogger(__name__)
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -104,9 +107,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         return _normalize_ts(df)
-    except Exception:
+    except Exception as e:
         # the read itself failed (e.g. nanos parquet with nanosAsLong
-        # rejected as a static conf) -> driver-side Arrow emergency path
+        # rejected as a static conf) -> driver-side Arrow emergency path.
+        # This materializes the whole table on the driver — an OOM at
+        # scale — so it must never be taken silently.
+        _LOG.warning(
+            "distributed events read failed (%s: %s); falling back to "
+            "DRIVER-SIDE Arrow materialization of %s — this path does not "
+            "scale and indicates a session-conf or encoding problem",
+            type(e).__name__,
+            e,
+            path,
+        )
         return _load_events_via_arrow(spark, path)
 
 

@@ -54,6 +54,59 @@ def test_load_events_both_physical_encodings(spark, tmp_path, unit):
     assert got == _TS
 
 
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_load_events_takes_distributed_path(spark, tmp_path, unit, monkeypatch):
+    """Both physical encodings must read through spark.read.parquet — the
+    driver-side Arrow fallback is an emergency path only (it materializes
+    the whole table on the driver, an OOM at 100x)."""
+    from amazon_s3_find_and_forget_spark import entry_queries
+
+    def _boom(*a, **k):  # pragma: no cover - failing is the assertion
+        raise AssertionError("Arrow fallback taken on a healthy session")
+
+    monkeypatch.setattr(entry_queries, "_load_events_via_arrow", _boom)
+    sf_dir = str(tmp_path / f"dist-{unit}")
+    _write_events(sf_dir, unit)
+    df = load(spark, sf_dir, "events")
+    assert df.count() == 3
+
+
+def test_arrow_fallback_logs_loudly(spark, tmp_path, monkeypatch, caplog):
+    """When the distributed read DOES fail, the fallback must announce
+    itself with the triggering exception, not degrade silently."""
+    import logging
+
+    from amazon_s3_find_and_forget_spark import entry_queries
+
+    sf_dir = str(tmp_path / "fallback")
+    _write_events(sf_dir, "us")
+
+    class _FailingReader:
+        def parquet(self, path):
+            raise RuntimeError("PARQUET_TYPE_ILLEGAL (simulated)")
+
+    class _SparkShim:
+        # duck-typed stand-in: load() only touches .read and conf via
+        # _ensure_session_confs (which swallows failures)
+        conf = spark.conf
+        read = _FailingReader()
+
+    called = {}
+
+    def _fake_arrow(spark_arg, path):
+        called["path"] = path
+        return load(spark, sf_dir, "events")  # any DataFrame will do
+
+    monkeypatch.setattr(entry_queries, "_load_events_via_arrow", _fake_arrow)
+    with caplog.at_level(logging.WARNING,
+                         logger="amazon_s3_find_and_forget_spark.entry_queries"):
+        load(_SparkShim(), sf_dir, "events")
+    assert called["path"].endswith("events.parquet")
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("DRIVER-SIDE Arrow" in m and "PARQUET_TYPE_ILLEGAL" in m
+               for m in msgs)
+
+
 def test_load_events_values_match_duckdb_epoch(spark, tmp_path):
     """unix_timestamp(ts) under the session's UTC tz must equal DuckDB's
     epoch() over the same parquet — the invariant every time-bucketing
