@@ -699,6 +699,177 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Q2's shape (min-cost supplier per part within a region), adapted:
+    no partsupp table in the synthetic schema, so the supply cost is the
+    minimum lineitem unit price per (part, supplier). The correlated
+    min-subquery becomes a partition window — the idiomatic Spark
+    translation. min over doubles is exact (no summation order), so the
+    cost equality is cross-engine safe."""
+    from pyspark.sql.window import Window
+
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    sup = load(spark, sf_dir, "supplier")
+    euro = (
+        sup.join(nation, sup.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+        )
+    )
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    j = part.join(costs, part.p_partkey == costs.l_partkey).join(
+        F.broadcast(euro), costs.l_suppkey == euro.s_suppkey
+    )
+    ranked = j.withColumn(
+        "min_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
+    )
+    return (
+        ranked.where(F.col("cost") == F.col("min_cost"))
+        .select(
+            F.round(F.col("s_acctbal").cast("double"), 6).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.desc("acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11's shape (parts whose shipped value within one nation exceeds a
+    global-total fraction, via a scalar subquery), adapted: lineitem value
+    stands in for partsupp stock value. The fraction threshold is
+    cross-multiplied (value·640 > total, i.e. share > 0.15625%%) so both
+    engines compare exact decimals."""
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    sup = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    vals = (
+        li.join(
+            F.broadcast(
+                sup.join(nation, sup.s_nationkey == nation.n_nationkey)
+            ),
+            li.l_suppkey == sup.s_suppkey,
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value"))
+    )
+    total = vals.agg(F.sum("value").alias("total"))
+    return (
+        vals.join(F.broadcast(total))
+        .where(F.col("value") * 640 > F.col("total"))
+        .select("l_partkey", "value")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12's shape (late lines bucketed, priority split via conditional
+    aggregates), adapted: no l_shipmode/commitdate/receiptdate, so the
+    bucket is l_returnflag and "late" is l_shipdate > o_orderdate (as in
+    the Q4 adaptation)."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20's shape (suppliers who shipped excess volume of a part family,
+    via a nested semi-join chain), adapted: no partsupp availqty, so
+    "excess" is a fixed total-quantity threshold over the year."""
+    part_small = load(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("small")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qty = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty")
+    )
+    excess = (
+        qty.join(
+            F.broadcast(part_small), qty.l_partkey == part_small.p_partkey
+        )
+        .where(F.col("total_qty") > 50)
+        .select("l_suppkey")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        sup.join(excess, sup.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21's shape (the sole late supplier on multi-supplier finished
+    orders: EXISTS another supplier, NOT EXISTS another LATE supplier),
+    adapted: "late" is l_shipdate > o_orderdate. The EXISTS pair becomes
+    a left-semi + left-anti join chain — Spark's native translation."""
+    orders_f = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    l1 = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2")
+    )
+    with_other = l1.join(
+        others,
+        (l1.l_orderkey == F.col("o2_key")) & (l1.l_suppkey != F.col("s2")),
+        "left_semi",
+    )
+    late_others = l1.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = with_other.join(
+        late_others,
+        (with_other.l_orderkey == F.col("o3_key"))
+        & (with_other.l_suppkey != F.col("s3")),
+        "left_anti",
+    )
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(sup), sole_late.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -1654,6 +1825,11 @@ QUERIES = {
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
 }
 
 
@@ -1971,6 +2147,92 @@ ORACLES = {
                       WHERE l_orderkey = o_orderkey
                         AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
+    """,
+    "tpch_q2": """
+        WITH euro AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), costs AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), ranked AS (
+          SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost,
+                 min(cost) OVER (PARTITION BY p_partkey) AS min_cost
+          FROM part
+          JOIN costs ON p_partkey = l_partkey
+          JOIN euro ON l_suppkey = s_suppkey
+          WHERE p_size <= 15 AND p_type = 'STANDARD'
+        )
+        SELECT round(CAST(s_acctbal AS DOUBLE), 6) AS acctbal, s_name,
+               n_name, p_partkey, p_name, round(cost, 6) AS supply_cost
+        FROM ranked WHERE cost = min_cost
+        ORDER BY acctbal DESC, s_name, p_partkey LIMIT 100
+    """,
+    "tpch_q11": """
+        WITH vals AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM vals
+        WHERE value * 640 > (SELECT sum(value) FROM vals)
+    """,
+    "tpch_q12": """
+        SELECT l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+    "tpch_q20": """
+        WITH qty AS (
+          SELECT l_suppkey, l_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM qty JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%' AND total_qty > 50
+        )
+    """,
+    "tpch_q21": """
+        WITH l1 AS (
+          SELECT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        ) AND NOT EXISTS (
+          SELECT 1 FROM l1 l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+        )
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name,

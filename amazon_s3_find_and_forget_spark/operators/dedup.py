@@ -599,7 +599,11 @@ def simhash_near_duplicates(
             "bucket",
         )
         # pair generation as a bucket self-join (streams + spills; no O(s^2)
-        # per-bucket array), verified JVM-side with bit_count(xor)
+        # per-bucket array), verified JVM-side with bit_count(xor). A pair
+        # surviving from several bucket collisions always carries the same
+        # hamming, so groupBy-min is equivalent to distinct — and cheaper:
+        # partial (map-side) aggregation shrinks the duplicate candidates
+        # before the shuffle, where distinct shuffles every copy.
         return _eager(
             a.join(b, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
@@ -611,7 +615,8 @@ def simhash_near_duplicates(
                 ),
             )
             .where(F.col("hamming") <= max_hamming)
-            .distinct()
+            .groupBy("id_a", "id_b")
+            .agg(F.min("hamming").alias("hamming"))
         )
     finally:
         sh.unpersist()
