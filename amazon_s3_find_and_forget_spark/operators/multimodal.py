@@ -33,6 +33,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import jpeg
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -67,10 +69,11 @@ FEATURE_SCHEMA = StructType(
 )
 
 # Set True to use the deterministic fake decoder (hash-seeded features)
-# for formats WITHOUT an in-environment codec (JPEG/MP3/MP4);
-# False raises NotImplementedError for those instead. WAV, PPM/PGM,
-# uncompressed BMP, 8-bit PNG and GIF payloads always take the real
-# decode path below (stdlib wave/zlib + numpy — no external codec).
+# for formats WITHOUT an in-environment codec (MP3/MP4, and
+# progressive/arithmetic JPEG); False raises NotImplementedError for
+# those instead. WAV, PPM/PGM, uncompressed BMP, 8-bit PNG, GIF, and
+# baseline JPEG payloads always take the real decode path (stdlib
+# wave/zlib + numpy + the pure-numpy jpeg module — no external codec).
 DETERMINISTIC_FAKE = True
 FEATURE_DIM = 16
 
@@ -528,6 +531,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if _is_gif(payload):
         return _decode_gif(payload)
+    if jpeg.is_jpeg(payload):
+        return jpeg.decode(payload)
     raise ValueError("not a supported raw image format")
 
 
@@ -576,6 +581,12 @@ def _decode_features(payload: bytes, kind: str) -> np.ndarray:
         or _is_gif(payload)
     ):
         return _image_features(payload)
+    if jpeg.is_jpeg(payload):
+        try:
+            return _image_features(payload)
+        except ValueError:
+            # progressive/arithmetic JPEG — outside the baseline codec
+            return _decode_stub(payload, kind)
     return _decode_stub(payload, kind)
 
 
@@ -610,13 +621,14 @@ def extract_features(df: DataFrame) -> DataFrame:
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Image resize: payload -> payload, metadata updated.
 
-    PPM/PGM payloads take the REAL kernel — decode, nearest-neighbor
-    resample, re-encode — inside the Arrow batch loop. Other formats
-    (JPEG/PNG need external codecs) fall back to the deterministic fake
-    tag, or raise when ``DETERMINISTIC_FAKE`` is off. Either way the
-    binary-in/binary-out shape is the same: the payload column
-    round-trips through ``mapInPandas`` untouched by Catalyst, and the
-    output schema carries the new dimensions.
+    PPM/PGM/BMP/PNG/GIF/baseline-JPEG payloads take the REAL kernel —
+    decode, nearest-neighbor resample, re-encode — inside the Arrow
+    batch loop (JPEG re-encodes at quality 90). Externally-coded
+    formats (MP3/MP4 containers, progressive JPEG) fall back to the
+    deterministic fake tag, or raise when ``DETERMINISTIC_FAKE`` is
+    off. Either way the binary-in/binary-out shape is the same: the
+    payload column round-trips through ``mapInPandas`` untouched by
+    Catalyst, and the output schema carries the new dimensions.
     """
 
     def resize_one(p: bytes | None) -> bytes:
@@ -631,6 +643,15 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
             # NN-resample only re-uses input pixels, so the palette bound
             # is preserved and the result re-encodes losslessly
             return _encode_gif(_resize_nn(_decode_gif(p), width, height))
+        if jpeg.is_jpeg(p):
+            try:
+                return jpeg.encode(
+                    _resize_nn(jpeg.decode(p), width, height), quality=90
+                )
+            except ValueError:
+                if not DETERMINISTIC_FAKE:
+                    raise
+                return p + b"|resized:%dx%d" % (width, height)
         if not DETERMINISTIC_FAKE:
             raise NotImplementedError(
                 "non-netpbm resize requires codec libraries not present here"
