@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # On a real cluster ALSO set
+        # spark.sql.adaptive.coalescePartitions.parallelismFirst=false
+        # (Spark's own production recommendation) so AQE coalesces to
+        # advisoryPartitionSizeInBytes instead of keeping parallelism;
+        # A/B-ed at sf0.1 local[32]: no local win (task scheduling in a
+        # single JVM is too cheap for it to matter), so it is left to
+        # cluster deployment rather than hardcoded here.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
