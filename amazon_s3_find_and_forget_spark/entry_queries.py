@@ -879,6 +879,60 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_complete(spark, sf_dir):
+    """SemDeDup completeness (quality-gate shape, sample-bounded).
+
+    The operator's cluster-keyed join must produce EXACTLY the survivor
+    set of an independent brute-force replication of the rule (all
+    in-cluster pairs via plain crossJoin-filter on the 1000-id sample):
+    drop y iff a lower id x in the same cluster has cosine(x,y) >=
+    threshold. Set equality, not a statistical floor — the clusters and
+    the rule are deterministic for a fixed seed.
+    """
+    embs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    n_vecs = embs.count()
+    cent = similarity.train_ivf_centroids(
+        embs, n_centroids=8, sample_size=2000
+    )
+    surv = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            embs, cent, threshold=0.9
+        ).collect()
+    }
+    assigned = similarity.with_ivf_cell(embs, cent).select(
+        "vec_id", "embedding", "ivf_cell"
+    )
+    rows = assigned.collect()
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in rows])
+    cells = np.array([r["ivf_cell"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    order = np.argsort(ids)
+    ids, cells, X, norms = ids[order], cells[order], X[order], norms[order]
+    dropped = set()
+    nz = norms > 0
+    U = np.zeros_like(X)
+    U[nz] = X[nz] / norms[nz][:, None]
+    for c in np.unique(cells):
+        sel = np.where((cells == c) & nz)[0]
+        if len(sel) < 2:
+            continue
+        sims = U[sel] @ U[sel].T
+        for j in range(1, len(sel)):
+            if (sims[:j, j] >= 0.9).any():
+                dropped.add(int(ids[sel[j]]))
+    surv_bf = {int(i) for i in ids} - dropped
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        complete_ok=(surv == surv_bf),
+        nonempty_ok=(0 < len(surv) <= n_vecs),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -1839,6 +1893,7 @@ QUERIES = {
     "tpch_q12": q_tpch_q12,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
+    "semantic_dedup_complete": q_semantic_dedup_complete,
 }
 
 
@@ -2652,6 +2707,10 @@ ORACLES = {
     "similarity_ivf_recall": """
         SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
         FROM embeddings
+    """,
+    "semantic_dedup_complete": """
+        SELECT count(*) AS n_vecs, TRUE AS complete_ok, TRUE AS nonempty_ok
+        FROM embeddings WHERE vec_id < 1000
     """,
     "similarity_batch_recall": """
         SELECT count(*) AS n_vecs, TRUE AS recall_ok FROM embeddings

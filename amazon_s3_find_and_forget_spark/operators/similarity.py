@@ -522,3 +522,65 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# semantic deduplication (SemDeDup)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style survivors: cluster, then drop in-cluster near-twins.
+
+    The public SemDeDup recipe (Abbas et al., arXiv:2303.09540): k-means
+    the embedding space (the sample-trained ``train_ivf_centroids``
+    quantizer — at 100 TB the clustering IS the scale lever: pairwise
+    cosine runs only WITHIN a cluster, never across the corpus), then
+    inside each cluster drop every vector that has a lower-id neighbor
+    with cosine >= threshold; the lowest id of each near-twin group
+    survives deterministically.
+
+    The pair stage is a cluster-keyed self-join on the once-normalized
+    vector relation (streams/spills like the LSH bucket join; the
+    shuffle key is the int cluster id, never the embedding). Cluster
+    count should scale with corpus size (k ~ n / target_cluster_size)
+    to bound the per-cluster quadratic verify. Zero-norm vectors have no
+    cosine and pass through as survivors untouched.
+    """
+    assigned = with_ivf_cell(df, centroids, emb_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.col("ivf_cell").alias("_cluster"),
+        _norm(F.col(emb_col)).alias("_n"),
+    )
+    normed = assigned.where(F.col("_n") > 0).select(
+        "_id",
+        "_cluster",
+        F.transform("_emb", lambda x: x.cast("double") / F.col("_n")).alias(
+            "_u"
+        ),
+    )
+    a = normed.select(
+        F.col("_id").alias("id_a"), "_cluster", F.col("_u").alias("_ua")
+    )
+    b = normed.select(
+        F.col("_id").alias("id_b"), "_cluster", F.col("_u").alias("_ub")
+    )
+    dropped = (
+        a.join(b, "_cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot(F.col("_ua"), F.col("_ub")) >= threshold)
+        .select(F.col("id_b").alias("_dropped"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped, assigned._id == dropped._dropped, "left_anti"
+    ).select(
+        F.col("_id").alias(id_col), F.col("_cluster").alias("cluster")
+    )
