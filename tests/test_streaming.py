@@ -411,3 +411,85 @@ def test_session_window_stream_matches_batch(spark, tmp_path, sf_dir):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 >= e1  # session_end includes the closing gap
+
+
+def test_forget_queue_stream_drains_exactly_once(spark, tmp_path):
+    """Queued matches stream into per-batch deletion jobs; the rewrite
+    hits the lake, and a second run over the same checkpoint reprocesses
+    nothing (exactly-once queue discovery)."""
+    import shutil
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.streaming.forget_queue import (
+        forget_queue_stream,
+    )
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    shutil.copy(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        os.path.join(lake, "part-0.parquet"),
+    )
+    before = spark.read.parquet(lake)
+    keys = [r[0] for r in before.select("l_orderkey").distinct().limit(2).collect()]
+    n_match = before.where(F.col("l_orderkey").isin(keys)).count()
+    n_total = before.count()
+    assert n_match > 0
+
+    queue_dir = str(tmp_path / "queue")
+    os.makedirs(queue_dir)
+    with open(os.path.join(queue_dir, "items-0.json"), "w") as f:
+        for k in keys:
+            f.write(
+                json.dumps(
+                    {
+                        "match_id": int(k),
+                        "data_mapper_id": "lineitem",
+                        "composite": False,
+                    }
+                )
+                + "\n"
+            )
+
+    mapper = DataMapper("lineitem", lake, ["l_orderkey"], format="parquet")
+    ckpt = str(tmp_path / "ckpt")
+    handle = forget_queue_stream(
+        spark, [mapper], queue_dir, ckpt, available_now=True
+    )
+    handle.await_termination(120)
+    done = [j for j in handle.jobs if j.n_items]
+    assert len(done) == 1 and done[0].n_items == 2
+    assert done[0].result.status == "COMPLETED"
+    after = spark.read.parquet(lake)
+    assert after.count() == n_total - n_match
+    assert after.where(F.col("l_orderkey").isin(keys)).count() == 0
+
+    # second run, same checkpoint, queue unchanged -> no batch reprocessed
+    handle2 = forget_queue_stream(
+        spark, [mapper], queue_dir, ckpt, available_now=True
+    )
+    handle2.await_termination(120)
+    assert [j.n_items for j in handle2.jobs if j.n_items] == []
+
+    # a NEW queue file is picked up incrementally
+    more = [r[0] for r in spark.read.parquet(lake)
+            .select("l_orderkey").distinct().limit(1).collect()]
+    with open(os.path.join(queue_dir, "items-1.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "match_id": int(more[0]),
+                    "data_mapper_id": "lineitem",
+                    "composite": False,
+                }
+            )
+            + "\n"
+        )
+    handle3 = forget_queue_stream(
+        spark, [mapper], queue_dir, ckpt, available_now=True
+    )
+    handle3.await_termination(120)
+    done3 = [j for j in handle3.jobs if j.n_items]
+    assert len(done3) == 1 and done3[0].n_items == 1
+    final = spark.read.parquet(lake)
+    assert final.where(F.col("l_orderkey") == more[0]).count() == 0
