@@ -879,6 +879,21 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive duplicate clusters over the n-gram Jaccard pair graph.
+
+    The iterative min-label/pointer-jumping connected components
+    (operators/graph.py) against DuckDB's recursive-CTE reachability —
+    an exact value oracle for an iterative algorithm.
+    """
+    from .operators.graph import dedup_clusters
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
 def q_semantic_dedup_complete(spark, sf_dir):
     """SemDeDup completeness (quality-gate shape, sample-bounded).
 
@@ -1894,6 +1909,7 @@ QUERIES = {
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "semantic_dedup_complete": q_semantic_dedup_complete,
+    "dedup_components": q_dedup_components,
 }
 
 
@@ -2767,5 +2783,42 @@ ORACLES = {
                round(shared / (n_a + n_b - shared), 6) AS jaccard
         FROM pairs
         WHERE round(shared / (n_a + n_b - shared), 6) >= 0.5
+    """,
+    "dedup_components": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS gs
+          FROM toks
+        ), flat AS (
+          SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+        ), elig AS (
+          SELECT g FROM flat GROUP BY g
+          HAVING count(*) > 1 AND count(*) <= 1000
+        ), post AS (
+          SELECT f.doc_id, f.n, f.g FROM flat f JOIN elig USING (g)
+        ), pre AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS shared,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM pre
+          WHERE round(shared / (n_a + n_b - shared), 6) >= 0.5
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+        FROM reach GROUP BY node
     """,
 }

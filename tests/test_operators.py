@@ -995,3 +995,39 @@ def test_semantic_dedup_does_not_cross_clusters(spark):
     cents = np.array([[1.0, 0.0], [0.0, 1.0]])
     surv = {r.vec_id for r in similarity.semantic_dedup(df, cents, 0.99).collect()}
     assert surv == {1, 3}
+
+
+def test_connected_components_chain_and_star(spark):
+    """Transitive closure: a 5-node chain is ONE component even though
+    only adjacent pairs exist; pointer jumping must converge a long
+    chain well under the iteration cap."""
+    from amazon_s3_find_and_forget_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 15)]       # 10-11-12-13-14-15
+    star = [(100, j) for j in (101, 102, 103)]        # star at 100
+    pair = [(7, 3)]                                   # reversed direction
+    df = spark.createDataFrame(chain + star + pair, "src long, dst long")
+    got = {
+        r.node: r.comp for r in connected_components(df).collect()
+    }
+    assert {got[n] for n in range(10, 16)} == {10}
+    assert {got[n] for n in (100, 101, 102, 103)} == {100}
+    assert got[3] == 3 and got[7] == 3
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node chain needs ~6 pointer-jump rounds, far under the cap —
+    and the result is still exact."""
+    from amazon_s3_find_and_forget_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 60
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    rows = connected_components(df, max_iter=10).collect()
+    assert len(rows) == n + 1
+    assert {r.comp for r in rows} == {0}
