@@ -408,18 +408,17 @@ def minhash_dedup(
     The verify uses the signature estimate of Jaccard (fraction of
     agreeing components), computed inline on the band self-join.
     """
-    # NO persist on the signature relation: its rows are wide arrays
-    # (num_perm longs) and building Spark's columnar cache for array
-    # columns costs MORE than running the (cheap, vectorized) kernel a
-    # second time — A/B at sf0.1: no-persist min 1.5 s / max 2.2 s vs
-    # persist min 1.7 s / max 5.9 s. The two join sides therefore each
-    # compute signatures from the scan; contrast simhash, whose cached
-    # row is a single long (cache wins there).
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+    # Persist the signature relation: both join sides read it, and the
+    # round-5 A/B (tools/ab_minhash.py, two independent quiet-rig runs)
+    # has recompute at 1.31/1.48 s vs persist at 1.08/0.97 s — the
+    # round-4 "persist loses" measurement was neighbor noise, not the
+    # columnar-cache cost it was attributed to. persist (not
+    # localCheckpoint, which times the same) keeps lineage, so an
+    # executor loss at scale recomputes instead of failing the job.
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
     r = num_perm // bands
     try:
         if max_bucket is not None:
-            sigs = sigs.persist()  # the guarded path reads sigs 4+ times
             # skew-guarded path: bucket-size stats + star-pairing need the
             # pair relation explicitly — keep the two-phase pipeline
             pairs = band_pairs(
@@ -473,7 +472,9 @@ def minhash_dedup(
         # checkpoint the (small) drop set; one materializing job total
         drop = _eager(dup_ids)
     finally:
-        sigs.unpersist()  # no-op on the unguarded (never-persisted) path
+        # the eager drop-set checkpoint above is the release point: by
+        # here every reader of sigs has run
+        sigs.unpersist()
     return df.join(drop, on=id_col, how="left_anti")
 
 
