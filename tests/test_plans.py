@@ -143,3 +143,67 @@ def test_curation_operators_shuffle_budget(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q2_prunes_lineitem_before_aggregate(spark, sf_dir):
+    """q2's scale shape: the lineitem scan is semi-joined to the
+    broadcast filtered part keys BEFORE the per-(part,supplier)
+    aggregation — the shuffle input is the sliver, not the fact table.
+    In the physical plan that reads as a broadcast LeftSemi join BELOW
+    the first hash aggregate."""
+    from amazon_s3_find_and_forget_spark import entry_queries
+
+    df = entry_queries.QUERIES["tpch_q2"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    semi = plan.find("LeftSemi")
+    agg = plan.find("HashAggregate")
+    assert semi != -1, "semi-join prune missing"
+    assert "BroadcastHashJoin" in plan
+    # the plan string prints top-down: the aggregate consuming the
+    # semi-join output must appear ABOVE (before) the semi-join line
+    assert agg < semi, "aggregate should consume the pruned scan"
+
+
+def test_tpch_q20_broadcasts_excess_keys(spark, sf_dir):
+    """q20's semi-join against the bounded excess-supplier key set is a
+    broadcast, never a shuffled SortMergeJoin of the supplier table."""
+    from amazon_s3_find_and_forget_spark import entry_queries
+
+    df = entry_queries.QUERIES["tpch_q20"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # no shuffled semi-join of supplier anywhere
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and "LeftSemi" in line:
+            raise AssertionError(f"shuffled semi-join: {line.strip()}")
+
+
+def test_tpch_q21_anti_join_chain(spark, sf_dir):
+    """q21 keeps the EXISTS/NOT-EXISTS pair as one semi + one anti join
+    (no cartesian/nested-loop fallback for the non-equi residual)."""
+    from amazon_s3_find_and_forget_spark import entry_queries
+
+    df = entry_queries.QUERIES["tpch_q21"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_shuffles_cluster_key_not_embeddings(spark, sf_dir):
+    """SemDeDup's pair join shuffles on the int cluster id; the
+    normalized-embedding columns ride along but the join itself is an
+    equi hash/sort-merge join on _cluster — never a cross join."""
+    import numpy as np
+
+    from amazon_s3_find_and_forget_spark import entry_queries
+    from amazon_s3_find_and_forget_spark.operators import similarity
+
+    embs = entry_queries.load(spark, sf_dir, "embeddings").limit(500)
+    cents = similarity.train_ivf_centroids(embs, n_centroids=4,
+                                           sample_size=500)
+    df = similarity.semantic_dedup(embs, cents, threshold=0.9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
