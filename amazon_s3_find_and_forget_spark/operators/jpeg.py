@@ -230,7 +230,19 @@ def _extend(value: int, size: int) -> int:
 
 
 def decode(payload: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 array (h, w) grayscale or (h, w, 3) RGB."""
+    """JPEG bytes -> uint8 array (h, w) grayscale or (h, w, 3) RGB.
+
+    Raises ``ValueError`` for anything undecodable — including corrupt
+    streams, whose parse errors surface as index/struct errors from the
+    marker walk; callers rely on the single exception type.
+    """
+    try:
+        return _decode(payload)
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}") from e
+
+
+def _decode(payload: bytes) -> np.ndarray:
     if not is_jpeg(payload):
         raise ValueError("not a JPEG payload")
     d = payload

@@ -216,3 +216,30 @@ def test_multimodal_resize_reencodes_jpeg():
     assert jpeg.is_jpeg(resized)
     out = jpeg.decode(resized)
     assert out.shape == (12, 16, 3)
+
+
+def test_decoder_survives_corruption_fuzz():
+    """300 corrupted variants (truncation, byte flips, splices) must all
+    either decode or raise ValueError — never hang, never leak raw
+    Index/Key/Overflow errors past the ValueError contract multimodal's
+    fallback relies on."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    enc = bytearray(jpeg.encode(img, 85))
+    for trial in range(300):
+        data = bytearray(enc)
+        mode = trial % 3
+        if mode == 0:
+            data = data[: rng.integers(4, len(data))]
+        elif mode == 1:
+            for _ in range(rng.integers(1, 6)):
+                data[rng.integers(2, len(data))] = rng.integers(0, 256)
+        else:
+            pos = rng.integers(2, len(data))
+            data[pos:pos] = bytes(
+                rng.integers(0, 256, 10, dtype=np.uint8).tolist()
+            )
+        try:
+            jpeg.decode(bytes(data))
+        except ValueError:
+            pass
