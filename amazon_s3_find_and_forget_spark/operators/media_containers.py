@@ -97,6 +97,18 @@ def _fullbox(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def parse_mp4(payload: bytes) -> Mp4Info:
+    """Raises ``ValueError`` for anything unparseable — corrupt boxes
+    surface as struct/index errors from the walk, and every count field
+    is bounded by the bytes actually present (a corrupted stsz/stts
+    count must not drive an unbounded allocation)."""
+    try:
+        return _parse_mp4(payload)
+    except (IndexError, KeyError, OverflowError, struct.error,
+            UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt MP4 stream: {type(e).__name__}") from e
+
+
+def _parse_mp4(payload: bytes) -> Mp4Info:
     if not is_mp4(payload):
         raise ValueError("not an MP4 payload")
     d = payload
@@ -149,26 +161,44 @@ def _parse_track(d: bytes, start: int, end: int) -> Mp4Track | None:
         n_entries = struct.unpack(">I", d[p : p + 4])[0]
         if n_entries >= 1:
             codec = d[p + 8 : p + 12].decode("latin1")
+    def bounded(count: int, p: int, box_end: int, width: int) -> int:
+        """A table's declared entry count may not exceed the bytes the
+        box actually holds — corrupt counts must not drive unbounded
+        allocations or reads."""
+        if count < 0 or p + count * width > box_end:
+            raise ValueError(
+                f"MP4 table count {count} exceeds box bounds"
+            )
+        return count
+
     stsz = one(b"stsz")
     sizes: list[int] = []
     if stsz:
-        pos = stsz[0]
+        pos, box_end = stsz
         _, p = _fullbox(d, pos)
         fixed, count = struct.unpack(">II", d[p : p + 8])
-        sizes = [fixed] * count if fixed else _u32s(d, p + 8, count)
+        if fixed:
+            # fixed-size samples carry no per-entry table; the count is
+            # still sanity-bounded by the file (every sample has bytes)
+            if count > len(d):
+                raise ValueError("MP4 fixed sample count exceeds file size")
+            sizes = [fixed] * count
+        else:
+            sizes = _u32s(d, p + 8, bounded(count, p + 8, box_end, 4))
     # chunk offsets
     offsets_of_chunks: list[int] = []
     stco = one(b"stco")
     co64 = one(b"co64")
     if stco:
-        pos = stco[0]
+        pos, box_end = stco
         _, p = _fullbox(d, pos)
         n = struct.unpack(">I", d[p : p + 4])[0]
-        offsets_of_chunks = _u32s(d, p + 4, n)
+        offsets_of_chunks = _u32s(d, p + 4, bounded(n, p + 4, box_end, 4))
     elif co64:
-        pos = co64[0]
+        pos, box_end = co64
         _, p = _fullbox(d, pos)
         n = struct.unpack(">I", d[p : p + 4])[0]
+        n = bounded(n, p + 4, box_end, 8)
         offsets_of_chunks = list(
             struct.unpack(f">{n}Q", d[p + 4 : p + 4 + 8 * n])
         )
@@ -176,10 +206,10 @@ def _parse_track(d: bytes, start: int, end: int) -> Mp4Track | None:
     stsc_runs: list[tuple[int, int]] = []  # (first_chunk 1-based, per_chunk)
     stsc = one(b"stsc")
     if stsc:
-        pos = stsc[0]
+        pos, box_end = stsc
         _, p = _fullbox(d, pos)
         n = struct.unpack(">I", d[p : p + 4])[0]
-        for i in range(n):
+        for i in range(bounded(n, p + 4, box_end, 12)):
             first, per, _desc = struct.unpack(
                 ">III", d[p + 4 + 12 * i : p + 16 + 12 * i]
             )
@@ -206,17 +236,22 @@ def _parse_track(d: bytes, start: int, end: int) -> Mp4Track | None:
     sample_times: list[int] = []
     stts = one(b"stts")
     if stts:
-        pos = stts[0]
+        pos, box_end = stts
         _, p = _fullbox(d, pos)
         n = struct.unpack(">I", d[p : p + 4])[0]
         t = 0
-        for i in range(n):
+        # total timestamps bounded by the declared sample count (itself
+        # byte-bounded above) — a corrupt run count can't loop forever
+        cap = len(sizes) if sizes else len(d)
+        for i in range(bounded(n, p + 4, box_end, 8)):
             count, delta = struct.unpack(
                 ">II", d[p + 4 + 8 * i : p + 12 + 8 * i]
             )
-            for _ in range(count):
+            for _ in range(min(count, cap - len(sample_times))):
                 sample_times.append(t)
                 t += delta
+            if len(sample_times) >= cap:
+                break
     return Mp4Track(
         codec=codec,
         timescale=timescale,

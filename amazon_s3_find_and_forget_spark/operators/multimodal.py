@@ -749,7 +749,10 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
     def mp4_rows(media_id, payload):
-        ranges = media_containers.mp4_frame_ranges(payload)
+        try:
+            ranges = media_containers.mp4_frame_ranges(payload)
+        except ValueError:
+            return None  # corrupt container -> metadata-driven fallback
         rows = []
         next_ts = 0
         idx = 0
@@ -782,8 +785,12 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             parts = []
             if real.any():
                 rows = []
-                for mid, p in zip(id_arr[real], payload_arr[real]):
-                    rows.extend(mp4_rows(mid, p))
+                for i in np.where(real)[0]:
+                    r = mp4_rows(id_arr[i], payload_arr[i])
+                    if r is None:
+                        real[i] = False  # fall through to metadata path
+                    else:
+                        rows.extend(r)
                 if rows:
                     parts.append(
                         pd.DataFrame(

@@ -188,3 +188,35 @@ def test_features_route_mp4_and_mp3_through_real_parsers():
     f = multimodal._decode_features(mp3, "audio")
     assert f[2] == pytest.approx(128 / 320.0)  # mean bitrate feature
     assert not np.allclose(f, multimodal._decode_stub(mp3, "audio"))
+
+
+def test_parsers_survive_corruption_fuzz():
+    """300 corrupted variants each (truncation, byte flips, splices):
+    every parse either succeeds or raises ValueError, terminating
+    immediately — corrupt count fields must never drive unbounded
+    allocations (the original stsz/stts walk hung on them)."""
+    rng = np.random.default_rng(5)
+    cases = (
+        (build_mp4(FRAMES), lambda d: mc.mp4_frame_ranges(d)
+            if mc.is_mp4(d) else None),
+        (build_mp3(5), lambda d: mc.parse_mp3(d) if mc.is_mp3(d) else None),
+    )
+    for enc, parse in cases:
+        enc = bytearray(enc)
+        for trial in range(300):
+            data = bytearray(enc)
+            mode = trial % 3
+            if mode == 0:
+                data = data[: rng.integers(4, len(data))]
+            elif mode == 1:
+                for _ in range(rng.integers(1, 6)):
+                    data[rng.integers(0, len(data))] = rng.integers(0, 256)
+            else:
+                pos = rng.integers(0, len(data))
+                data[pos:pos] = bytes(
+                    rng.integers(0, 256, 10, dtype=np.uint8).tolist()
+                )
+            try:
+                parse(bytes(data))
+            except ValueError:
+                pass
