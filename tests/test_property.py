@@ -200,3 +200,55 @@ def test_job_find_forget_consistency(spark, sf_dir, keys):
             assert result.file_stats == []
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label/pointer-jumping operator agrees with a
+    sequential union-find on arbitrary small graphs (self-loops and
+    duplicate/reversed edges included)."""
+    from amazon_s3_find_and_forget_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.comp for r in connected_components(df, max_iter=15).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            union(a, b)
+            nodes.update((a, b))
+    want = {n: find(n) for n in nodes}
+    # canonicalize union-find roots to the true min of each component
+    comp_min = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in nodes}
+    assert got == want
