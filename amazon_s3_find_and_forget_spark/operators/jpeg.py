@@ -445,10 +445,21 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
 
 
-def encode(arr: np.ndarray, quality: int = 90) -> bytes:
-    """uint8 (h, w) or (h, w, 3) array -> baseline JFIF bytes (4:4:4)."""
+def encode(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """uint8 (h, w) or (h, w, 3) array -> baseline JFIF bytes.
+
+    ``subsampling``: "444" (every plane full resolution) or "420"
+    (chroma box-averaged 2x2 — the dominant wild-JPEG layout, ~half the
+    entropy-coded bytes on color content). Ignored for grayscale.
+    """
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     arr = np.asarray(arr)
     gray = arr.ndim == 2
+    if gray:
+        subsampling = "444"
     h, w = arr.shape[:2]
     if gray:
         planes = [arr.astype(np.float64)]
@@ -473,9 +484,12 @@ def encode(arr: np.ndarray, quality: int = 90) -> bytes:
             int(v) for v in q[ZIGZAG]
         )
     ncomp = 1 if gray else 3
+    luma_hv = 0x22 if subsampling == "420" else 0x11
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for i in range(ncomp):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        sof += bytes(
+            [i + 1, luma_hv if i == 0 else 0x11, 0 if i == 0 else 1]
+        )
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     huffs = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -501,32 +515,66 @@ def encode(arr: np.ndarray, quality: int = 90) -> bytes:
         dc_enc.append(_build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_enc.append(_build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS))
 
-    # pad planes to multiples of 8 by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    writer = _BitWriter()
-    pred = [0] * ncomp
-    # block-quantized coefficients per component, computed vectorized
-    comp_blocks = []
-    for ci, plane in enumerate(planes):
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    def quantized_blocks(plane, qtab, ph, pw):
+        """Edge-pad to (ph, pw), 8x8 DCT + quantize, zigzag rows."""
+        hh, ww = plane.shape
+        p = np.pad(plane, ((0, ph - hh), (0, pw - ww)), mode="edge") - 128.0
         blocks = (
             p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
         ).reshape(-1, 8, 8)
         dct = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
-        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8)[np.newaxis]
-        quant = np.rint(dct / q).astype(np.int64)
+        quant = np.rint(dct / qtab.reshape(8, 8)[np.newaxis]).astype(np.int64)
         # zigzag order: position k holds natural coefficient ZIGZAG[k]
-        comp_blocks.append(quant.reshape(-1, 64)[:, ZIGZAG])
-    n_by = ph // 8
-    n_bx = pw // 8
-    for by in range(n_by):
-        for bx in range(n_bx):
-            for ci in range(ncomp):
-                blk = comp_blocks[ci][by * n_bx + bx]
+        return quant.reshape(-1, 64)[:, ZIGZAG]
+
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    if subsampling == "444":
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        comp_blocks = [
+            quantized_blocks(plane, qtabs[min(ci, len(qtabs) - 1)], ph, pw)
+            for ci, plane in enumerate(planes)
+        ]
+        n_by, n_bx = ph // 8, pw // 8
+        for by in range(n_by):
+            for bx in range(n_bx):
+                for ci in range(ncomp):
+                    _encode_block(
+                        writer, comp_blocks[ci][by * n_bx + bx], pred, ci,
+                        dc_enc[min(ci, len(dc_enc) - 1)],
+                        ac_enc[min(ci, len(ac_enc) - 1)],
+                    )
+    else:
+        # 4:2:0 MCU = four 8x8 Y blocks + one Cb + one Cr (chroma box-
+        # averaged 2x2 over the 16-aligned luma grid)
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        y, cb, cr = planes
+        ypad = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+        y_blocks = quantized_blocks(ypad, qluma, ph, pw)
+
+        def down2(p):
+            pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            return pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+        cb_blocks = quantized_blocks(down2(cb), qchroma, ph // 2, pw // 2)
+        cr_blocks = quantized_blocks(down2(cr), qchroma, ph // 2, pw // 2)
+        n_my, n_mx = ph // 16, pw // 16
+        y_bx = pw // 8
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for v in (0, 1):
+                    for hh in (0, 1):
+                        idx = (my * 2 + v) * y_bx + (mx * 2 + hh)
+                        _encode_block(
+                            writer, y_blocks[idx], pred, 0,
+                            dc_enc[0], ac_enc[0],
+                        )
+                cidx = my * n_mx + mx
                 _encode_block(
-                    writer, blk, pred, ci,
-                    dc_enc[min(ci, len(dc_enc) - 1)],
-                    ac_enc[min(ci, len(ac_enc) - 1)],
+                    writer, cb_blocks[cidx], pred, 1, dc_enc[1], ac_enc[1]
+                )
+                _encode_block(
+                    writer, cr_blocks[cidx], pred, 2, dc_enc[1], ac_enc[1]
                 )
     writer.flush()
     out += writer.out

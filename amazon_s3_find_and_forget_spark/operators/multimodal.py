@@ -700,9 +700,11 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
             return _encode_gif(_resize_nn(_decode_gif(p), width, height))
         if jpeg.is_jpeg(p):
             try:
-                return jpeg.encode(
-                    _resize_nn(jpeg.decode(p), width, height), quality=90
-                )
+                resized = _resize_nn(jpeg.decode(p), width, height)
+                # 4:2:0 for color (the dominant wild-JPEG layout, ~half
+                # the bytes); grayscale encodes single-plane anyway
+                sub = "420" if resized.ndim == 3 else "444"
+                return jpeg.encode(resized, quality=90, subsampling=sub)
             except ValueError:
                 if not DETERMINISTIC_FAKE:
                     raise

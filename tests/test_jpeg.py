@@ -243,3 +243,33 @@ def test_decoder_survives_corruption_fuzz():
             jpeg.decode(bytes(data))
         except ValueError:
             pass
+
+
+def test_encode_420_roundtrip_and_size():
+    """4:2:0 color: decodes through the subsampled-MCU path, keeps
+    gradient quality, and beats 4:4:4 on size for busy content."""
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    grad = np.stack(
+        np.meshgrid(x, x) + [np.full((64, 64), 77)], axis=-1
+    ).astype(np.uint8)
+    e420 = jpeg.encode(grad, 90, subsampling="420")
+    dec = jpeg.decode(e420)
+    assert dec.shape == grad.shape
+    assert _psnr(grad, dec) >= 38.0
+
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+    assert len(jpeg.encode(noise, 90, "420")) < len(
+        jpeg.encode(noise, 90, "444")
+    )
+
+    uniform = np.full((17, 19, 3), 128, np.uint8)
+    assert (jpeg.decode(jpeg.encode(uniform, 90, "420")) == 128).all()
+
+
+def test_encode_420_rejects_bad_mode_and_ignores_gray():
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg.encode(np.zeros((8, 8), np.uint8), 90, "422")
+    gray = np.full((8, 8), 90, np.uint8)
+    # grayscale silently encodes single-plane regardless of mode
+    assert (jpeg.decode(jpeg.encode(gray, 95, "420")) == 90).all()
