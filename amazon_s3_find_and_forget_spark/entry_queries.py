@@ -851,6 +851,11 @@ def q_tpch_q21(spark, sf_dir):
         li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
         .where(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey")
+        # l1 feeds three plan branches (itself, the semi probe, the anti
+        # build); Catalyst does not reuse the subplan, so checkpoint the
+        # narrow two-column relation once instead of running the
+        # lineitem-orders join three times
+        .localCheckpoint(eager=False)
     )
     others = li.select(
         F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2")
