@@ -617,7 +617,9 @@ def q_tpch_q15(spark, sf_dir):
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )
-    rev = li.groupBy("l_suppkey").agg(F.sum(vol).alias("total_revenue"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(vol).alias("total_revenue")
+    ).localCheckpoint(eager=False)  # feeds both max() and the equality join
     maxrev = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(maxrev), rev.total_revenue == F.col("mx"))
@@ -773,6 +775,9 @@ def q_tpch_q11(spark, sf_dir):
         )
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("value"))
+        # feeds both the scalar total and the threshold filter; checkpoint
+        # the small aggregate instead of running the scan+join twice
+        .localCheckpoint(eager=False)
     )
     total = vals.agg(F.sum("value").alias("total"))
     return (
