@@ -553,34 +553,46 @@ def semantic_dedup(
     to bound the per-cluster quadratic verify. Zero-norm vectors have no
     cosine and pass through as survivors untouched.
     """
+    from .dedup import _eager
+
+    # the k-means assignment (a pandas-UDF gemm over every embedding)
+    # feeds three branches — both pair-join sides and the survivor
+    # anti-join — so persist it; the eager result checkpoint below is
+    # the release point (same cache discipline as the dedup operators)
     assigned = with_ivf_cell(df, centroids, emb_col).select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
         F.col("ivf_cell").alias("_cluster"),
         _norm(F.col(emb_col)).alias("_n"),
-    )
-    normed = assigned.where(F.col("_n") > 0).select(
-        "_id",
-        "_cluster",
-        F.transform("_emb", lambda x: x.cast("double") / F.col("_n")).alias(
-            "_u"
-        ),
-    )
-    a = normed.select(
-        F.col("_id").alias("id_a"), "_cluster", F.col("_u").alias("_ua")
-    )
-    b = normed.select(
-        F.col("_id").alias("id_b"), "_cluster", F.col("_u").alias("_ub")
-    )
-    dropped = (
-        a.join(b, "_cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(_dot(F.col("_ua"), F.col("_ub")) >= threshold)
-        .select(F.col("id_b").alias("_dropped"))
-        .distinct()
-    )
-    return assigned.join(
-        dropped, assigned._id == dropped._dropped, "left_anti"
-    ).select(
-        F.col("_id").alias(id_col), F.col("_cluster").alias("cluster")
-    )
+    ).persist()
+    try:
+        normed = assigned.where(F.col("_n") > 0).select(
+            "_id",
+            "_cluster",
+            F.transform(
+                "_emb", lambda x: x.cast("double") / F.col("_n")
+            ).alias("_u"),
+        )
+        a = normed.select(
+            F.col("_id").alias("id_a"), "_cluster", F.col("_u").alias("_ua")
+        )
+        b = normed.select(
+            F.col("_id").alias("id_b"), "_cluster", F.col("_u").alias("_ub")
+        )
+        dropped = (
+            a.join(b, "_cluster")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(_dot(F.col("_ua"), F.col("_ub")) >= threshold)
+            .select(F.col("id_b").alias("_dropped"))
+            .distinct()
+        )
+        return _eager(
+            assigned.join(
+                dropped, assigned._id == dropped._dropped, "left_anti"
+            ).select(
+                F.col("_id").alias(id_col),
+                F.col("_cluster").alias("cluster"),
+            )
+        )
+    finally:
+        assigned.unpersist()
