@@ -493,3 +493,60 @@ def test_forget_queue_stream_drains_exactly_once(spark, tmp_path):
     assert len(done3) == 1 and done3[0].n_items == 1
     final = spark.read.parquet(lake)
     assert final.where(F.col("l_orderkey") == more[0]).count() == 0
+
+
+def test_forget_queue_stream_composite_match(spark, tmp_path):
+    """A composite queue row (JSON-encoded column/value tuples) streams
+    through to a composite deletion against the orders lake."""
+    import shutil
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.streaming.forget_queue import (
+        forget_queue_stream,
+    )
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    shutil.copy(
+        "/root/testdata/sf0.001/orders.parquet",
+        os.path.join(lake, "part-0.parquet"),
+    )
+    before = spark.read.parquet(lake)
+    combo = before.select("o_orderstatus", "o_orderpriority").first()
+    pred = (F.col("o_orderstatus") == combo[0]) & (
+        F.col("o_orderpriority") == combo[1]
+    )
+    n_match = before.where(pred).count()
+    n_total = before.count()
+    assert n_match > 0
+
+    queue_dir = str(tmp_path / "queue")
+    os.makedirs(queue_dir)
+    with open(os.path.join(queue_dir, "item.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "match_id": json.dumps(
+                        [
+                            {"Column": "o_orderstatus", "Value": combo[0]},
+                            {"Column": "o_orderpriority", "Value": combo[1]},
+                        ]
+                    ),
+                    "data_mapper_id": "orders",
+                    "composite": True,
+                }
+            )
+            + "\n"
+        )
+    mapper = DataMapper(
+        "orders", lake, ["o_orderstatus", "o_orderpriority"], format="parquet"
+    )
+    handle = forget_queue_stream(
+        spark, [mapper], queue_dir, str(tmp_path / "ckpt"), available_now=True
+    )
+    handle.await_termination(120)
+    done = [j for j in handle.jobs if j.n_items]
+    assert len(done) == 1 and done[0].result.status == "COMPLETED"
+    after = spark.read.parquet(lake)
+    assert after.count() == n_total - n_match
+    assert after.where(pred).count() == 0
