@@ -1252,6 +1252,14 @@ def q_dedup_ngram_pairs(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
+def q_dedup_shared_ngrams(spark, sf_dir):
+    return dedup.shared_ngram_stats(load(spark, sf_dir, "documents"), n=8)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     embs = load(spark, sf_dir, "embeddings")
     dim = len(embs.limit(1).collect()[0]["embedding"])
@@ -1831,7 +1839,17 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # of the eleven; one of the two running-window shapes; the exact-dedup
 # groups row whose survivors row covers the operator) and promoted
 # tpch_q7/q8/q13/q18/q22, events_cube/pivot/window_variants, and both
-# sketch aggregates.
+# sketch aggregates. Round-5 delta: promoted the two newest operators
+# (semantic_dedup_complete, dedup_components — added after the r4
+# rotation, never driver-hashed) by demoting similarity_batch_topk_exact
+# (batch family stays covered by similarity_batch_recall +
+# similarity_topk) and events_rollup (grouping-set family stays covered
+# by events_cube); promoted the two round-5 operators (text_repetition,
+# dedup_shared_ngrams) by demoting events_topn_per_user (rank-window
+# family stays covered by events_window_variants) and
+# orders_running_total (running-window family stays covered by
+# events_window_variants + the tail's events_moving_avg) — both
+# r4-proven green.
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_files_simple": q_find_files_simple,
@@ -1852,17 +1870,14 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
-    "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
-    "events_topn_per_user": q_events_topn_per_user,
     "events_json_extract": q_events_json_extract,
     "events_asof_attribution": q_events_asof_attribution,
     "events_interval_counts": q_events_interval_counts,
     "events_window_variants": q_events_window_variants,
     "events_distinct_sketch": q_events_distinct_sketch,
     "orders_quantile_sketch": q_orders_quantile_sketch,
-    "orders_running_total": q_orders_running_total,
     "text_length_percentiles": q_text_length_percentiles,
     "text_contamination": q_text_contamination,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1870,6 +1885,8 @@ QUERIES = {
     "dedup_minhash_recall": q_dedup_minhash_recall,
     "dedup_simhash_complete": q_dedup_simhash_complete,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "text_repetition": q_text_repetition,
+    "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -1877,7 +1894,8 @@ QUERIES = {
     "similarity_ivf_recall": q_similarity_ivf_recall,
     "similarity_lsh_recall": q_similarity_lsh_recall,
     "similarity_batch_recall": q_similarity_batch_recall,
-    "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
+    "semantic_dedup_complete": q_semantic_dedup_complete,
+    "dedup_components": q_dedup_components,
     "embedding_near_dups_recall": q_embedding_near_dups_recall,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "similarity_quantize": q_similarity_quantize,
@@ -1888,6 +1906,10 @@ QUERIES = {
     # (their row sets are seed-dependent; quality is gate-checked by the
     # *_recall / *_complete rows above) and remaining TPC-H plan-shape
     # variants; still runnable via queries() for full coverage ---
+    "events_rollup": q_events_rollup,
+    "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
+    "events_topn_per_user": q_events_topn_per_user,
+    "orders_running_total": q_orders_running_total,
     "find_rows_composite": q_find_rows_composite,
     "find_rows_nested": q_find_rows_nested,
     "find_rows_decimal": q_find_rows_decimal,
@@ -1918,8 +1940,6 @@ QUERIES = {
     "tpch_q12": q_tpch_q12,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
-    "semantic_dedup_complete": q_semantic_dedup_complete,
-    "dedup_components": q_dedup_components,
 }
 
 
@@ -2764,6 +2784,72 @@ ORACLES = {
                CAST(list_sum(qe) AS BIGINT) AS q_sum,
                CAST(list_sum(list_transform(qe, y -> y * y)) AS BIGINT) AS q_l2
         FROM q
+    """,
+    "text_repetition": f"""
+        WITH toks AS (
+          SELECT doc_id, length(text) AS nch, {_TOKENS} AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, nch,
+                 unnest(list_filter(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+1], ' ')),
+                   g -> g <> '')) AS gram
+          FROM toks
+        ), counts AS (
+          SELECT doc_id, any_value(nch) AS nch, gram, count(*) AS cnt
+          FROM grams GROUP BY doc_id, gram
+        ), ranked AS (
+          SELECT doc_id, nch, gram, cnt,
+                 sum(cnt) OVER (PARTITION BY doc_id) AS n_grams,
+                 count(*) OVER (PARTITION BY doc_id) AS n_distinct,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, gram DESC) AS rn
+          FROM counts
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               round((n_grams - n_distinct) * 1.0 / n_grams, 4)
+                 AS dup_gram_frac,
+               gram AS top_gram,
+               round(cnt * length(gram) * 1.0 / nch, 4)
+                 AS top_gram_char_frac
+        FROM ranked WHERE rn = 1
+    """,
+    "dedup_shared_ngrams": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_transform(
+                   generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> array_to_string(t[i:i+7], ' ')),
+                   g -> g <> '')) AS gram
+          FROM toks
+        ), occ AS (
+          SELECT doc_id, gram, count(*) AS cnt
+          FROM grams GROUP BY doc_id, gram
+        ), df_g AS (
+          SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2
+        ), shared AS (
+          SELECT o.doc_id, count(*) AS shared_grams, sum(o.cnt) AS shared_occ
+          FROM occ o JOIN df_g USING (gram) GROUP BY o.doc_id
+        ), totals AS (
+          SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct
+          FROM occ GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(t.n_distinct AS BIGINT) AS n_distinct,
+               CAST(coalesce(s.shared_grams, 0) AS BIGINT) AS shared_grams,
+               CAST(coalesce(s.shared_occ, 0) AS BIGINT) AS shared_occ,
+               round(coalesce(s.shared_occ, 0) * 1.0 / t.n_grams, 4)
+                 AS shared_frac
+        FROM totals t LEFT JOIN shared s USING (doc_id)
     """,
     "dedup_ngram_pairs": """
         WITH toks AS (

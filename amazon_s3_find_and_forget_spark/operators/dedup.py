@@ -705,3 +705,96 @@ def ngram_jaccard_pairs(
         )
     finally:
         posting.unpersist()
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicated-span statistics (exact substring dedup signal)
+# --------------------------------------------------------------------------
+
+def shared_ngram_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of word n-grams that also occur in ANOTHER
+    document — the document-level signal of exact-substring train-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public): a long n (default 8) only collides on
+    genuinely copied spans, so ``shared_frac`` ~ the fraction of a
+    document that is boilerplate / syndicated / mirrored text.
+
+    Returns (id, n_grams, n_distinct, shared_grams, shared_occ,
+    shared_frac) for every document with at least one gram, where
+    ``shared_grams`` counts distinct grams seen in >= 2 documents and
+    ``shared_occ`` counts all their in-document occurrences;
+    ``shared_frac = shared_occ / n_grams``.
+
+    Scale shape: the document-frequency relation is a groupBy over the
+    per-doc DISTINCT gram set, so partial aggregation collapses each
+    document's contribution map-side and a corpus-wide stop-gram is ONE
+    shuffled key with a big count — never a row explosion (contrast the
+    pair-join in ngram_jaccard_pairs, which must cap postings; counting
+    doc-frequency needs no cap). The join back is keyed on the gram and
+    only carries grams the document actually contains.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    grams_col = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+        lambda g: g != F.lit(""),
+    )
+    # per-(doc, gram) occurrence counts; feeds the doc-frequency agg, the
+    # per-doc totals, AND the shared-mass join — persist lazily, released
+    # by the one _eager job at the end
+    occ = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"), F.explode(grams_col).alias("g")
+        )
+        .groupBy("_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    try:
+        docfreq = (
+            occ.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") >= 2)
+            .select("g")
+        )
+        shared = (
+            occ.join(docfreq, "g")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("shared_grams"),
+                F.sum("cnt").cast("long").alias("shared_occ"),
+            )
+        )
+        totals = occ.groupBy("_id").agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        return _eager(
+            totals.join(shared, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                "n_grams",
+                "n_distinct",
+                F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"),
+                F.coalesce("shared_occ", F.lit(0)).alias("shared_occ"),
+                F.round(
+                    F.coalesce("shared_occ", F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    4,
+                ).alias("shared_frac"),
+            )
+        )
+    finally:
+        occ.unpersist()

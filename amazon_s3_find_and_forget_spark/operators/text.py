@@ -14,6 +14,7 @@ Operators:
 - ``redact_pii``           engine-portable regex masking
 - ``chunk_documents``      overlapping token-window chunking
 - ``pack_sequences``       per-group context-window packing
+- ``repetition_stats``     Gopher-style within-doc n-gram repetition
 - ``contamination_screen`` benchmark n-gram overlap flagging
 - ``stratified_sample``    deterministic per-stratum exact-count sample
 """
@@ -282,8 +283,76 @@ def pack_sequences(
     return df.select(
         group_col,
         order_col,
-        capped.alias("packed_tokens"),
+        capped.cast("long").alias("packed_tokens"),
         F.floor(cum_before / F.lit(budget)).cast("long").alias("pack_id"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition measures over word n-grams.
+
+    For each document: total n-gram occurrences, distinct n-grams, the
+    duplicate-gram fraction ((total - distinct) / total — the mass of
+    repeated phrasing), and the character fraction covered by the single
+    most frequent n-gram (count * gram length / text length). These are
+    the "repetition" removal signals of the Gopher/MassiveText quality
+    rules (Rae et al. 2021, public) — a document whose top bigram covers
+    20% of its characters is boilerplate, not prose.
+
+    Shape: one explode + two keyed aggregations. The per-(doc, gram)
+    groupBy is keyed on a well-spread composite, and partial (map-side)
+    aggregation collapses each document's repeats before the shuffle, so
+    the shuffled relation is near the distinct-gram size — this is the
+    scan-shaped plan a 100 TB corpus needs, never a per-doc Python loop.
+    Documents with no tokens produce no row (no grams to measure).
+
+    Tie-break for the top gram is (count desc, gram desc) via a
+    lexicographic struct max — deterministic across engines.
+    """
+    toks = tokens(F.col(text_col))
+    grams_col = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+        lambda g: g != F.lit(""),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_rid"),
+        F.length(F.col(text_col)).alias("_nchars"),
+        F.explode(grams_col).alias("gram"),
+    )
+    counts = exploded.groupBy("_rid", "gram").agg(
+        F.count("*").alias("cnt"), F.first("_nchars").alias("_nchars")
+    )
+    per_doc = counts.groupBy("_rid").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
+        F.first("_nchars").alias("_nchars"),
+    )
+    return per_doc.select(
+        F.col("_rid").alias(id_col),
+        "n_grams",
+        "n_distinct",
+        F.round(
+            (F.col("n_grams") - F.col("n_distinct")).cast("double")
+            / F.col("n_grams"),
+            4,
+        ).alias("dup_gram_frac"),
+        F.col("_top.gram").alias("top_gram"),
+        F.round(
+            F.col("_top.cnt") * F.length(F.col("_top.gram"))
+            / F.col("_nchars").cast("double"),
+            4,
+        ).alias("top_gram_char_frac"),
     )
 
 

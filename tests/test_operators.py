@@ -1031,3 +1031,66 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(df, max_iter=10).collect()
     assert len(rows) == n + 1
     assert {r.comp for r in rows} == {0}
+
+
+def test_repetition_stats_hand_case(spark):
+    # "a b a b a b" -> bigrams: (a b)x3, (b a)x2 -> 5 grams, 2 distinct
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(df, n=2).collect()}
+    assert 3 not in rows  # token-less doc produces no row
+    r1 = rows[1]
+    assert r1.n_grams == 5 and r1.n_distinct == 2
+    assert r1.dup_gram_frac == pytest.approx(0.6)
+    assert r1.top_gram == "a b"
+    # 3 occurrences * len("a b")=3 chars / len("a b a b a b")=11 chars
+    assert r1.top_gram_char_frac == pytest.approx(round(9 / 11, 4))
+    r2 = rows[2]
+    assert r2.n_grams == 3 and r2.n_distinct == 3 and r2.dup_gram_frac == 0.0
+
+
+def test_repetition_stats_top_gram_tiebreak(spark):
+    # two grams tie at count 1 -> lexicographically LARGEST gram wins
+    df = spark.createDataFrame([(1, "b a c")], "doc_id long, text string")
+    r = text.repetition_stats(df, n=2).collect()[0]
+    assert r.top_gram == "b a"  # max("a c", "b a")
+
+
+def test_shared_ngram_stats_cross_doc(spark):
+    span = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, span + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, span + " iota kappa lambda mu nu xi omicron pi"),
+            (3, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.shared_ngram_stats(df, n=8).collect()}
+    # docs 1/2 share exactly the one 8-gram that is the copied span
+    assert rows[1].shared_grams == 1 and rows[2].shared_grams == 1
+    assert rows[3].shared_grams == 0 and rows[3].shared_occ == 0
+    # 16 tokens -> 9 8-grams per doc
+    assert rows[1].n_grams == 9
+    assert rows[1].shared_frac == pytest.approx(round(1 / 9, 4))
+
+
+def test_shared_ngram_stats_releases_caches(spark):
+    sc = spark.sparkContext
+    baseline = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id long, text string",
+    )
+    dedup.shared_ngram_stats(df, n=8).collect()
+    # the occ relation's persist() must be released synchronously; only
+    # the auto-released localCheckpoint result block may remain
+    jmap = sc._jsc.getPersistentRDDs()
+    leaked = [
+        rdd_id
+        for rdd_id in set(jmap.keySet().toArray()) - baseline
+        if "CheckpointRDD" not in jmap.get(rdd_id).toDebugString()
+    ]
+    assert leaked == []
