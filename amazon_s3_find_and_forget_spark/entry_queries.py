@@ -1772,6 +1772,45 @@ def q_similarity_ivf_recall(spark, sf_dir):
     )
 
 
+def q_similarity_pq_recall(spark, sf_dir):
+    """Product-quantization ADC top-k quality vs the exact scan.
+
+    m=8 subspaces x 16 centroids, ADC shortlist=50 of ~500 vectors,
+    exact-cosine rerank: measured recall@10 ~0.8 on the synthetic
+    corpus; floor 0.4 (2x margin). The rerank recomputes true cosine on
+    the shortlist, so every returned score must EQUAL the brute-force
+    score (deterministic half of the check).
+    """
+    embs = load(spark, sf_dir, "embeddings")
+    n_vecs = embs.count()
+    qvec = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
+    appr = similarity.pq_topk(embs, qvec, cb, k=10, shortlist=50)
+    exact = similarity.cosine_topk(embs, qvec, k=10)
+    recall, scores_match = _topk_quality(
+        appr, exact, similarity.cosine_scores(embs, qvec)
+    )
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        recall_ok=(recall >= 0.4),
+        scores_ok=scores_match,
+    )
+
+
+def q_similarity_pq_topk(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
+    return similarity.pq_topk(embs, qvec, cb, k=10, shortlist=50)
+
+
 def q_similarity_batch_recall(spark, sf_dir):
     """Batched LSH top-k mean recall@5 vs the exact batch (gate check)."""
     embs = load(spark, sf_dir, "embeddings")
@@ -1849,7 +1888,9 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # family stays covered by events_window_variants) and
 # orders_running_total (running-window family stays covered by
 # events_window_variants + the tail's events_moving_avg) — both
-# r4-proven green.
+# r4-proven green; promoted the new similarity_pq_recall (product
+# quantization) by demoting embedding_near_dups_exact (near-dup family
+# stays covered by embedding_near_dups_recall).
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_files_simple": q_find_files_simple,
@@ -1897,7 +1938,7 @@ QUERIES = {
     "semantic_dedup_complete": q_semantic_dedup_complete,
     "dedup_components": q_dedup_components,
     "embedding_near_dups_recall": q_embedding_near_dups_recall,
-    "embedding_near_dups_exact": q_embedding_near_dups_exact,
+    "similarity_pq_recall": q_similarity_pq_recall,
     "similarity_quantize": q_similarity_quantize,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1908,6 +1949,8 @@ QUERIES = {
     # variants; still runnable via queries() for full coverage ---
     "events_rollup": q_events_rollup,
     "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
+    "embedding_near_dups_exact": q_embedding_near_dups_exact,
+    "similarity_pq_topk": q_similarity_pq_topk,
     "events_topn_per_user": q_events_topn_per_user,
     "orders_running_total": q_orders_running_total,
     "find_rows_composite": q_find_rows_composite,
@@ -2751,6 +2794,10 @@ ORACLES = {
         FROM embeddings
     """,
     "similarity_ivf_recall": """
+        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
+        FROM embeddings
+    """,
+    "similarity_pq_recall": """
         SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
         FROM embeddings
     """,

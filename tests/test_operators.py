@@ -1094,3 +1094,29 @@ def test_shared_ngram_stats_releases_caches(spark):
         if "CheckpointRDD" not in jmap.get(rdd_id).toDebugString()
     ]
     assert leaked == []
+
+
+def test_pq_topk_exact_when_shortlist_covers_corpus(embs):
+    # shortlist >= corpus size -> rerank IS brute force: results equal
+    qvec = [float(v) for v in embs.limit(1).collect()[0]["embedding"]]
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
+    n = embs.count()
+    appr = similarity.pq_topk(embs, qvec, cb, k=5, shortlist=n).collect()
+    exact = similarity.cosine_topk(embs, qvec, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in appr] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
+
+
+def test_pq_codes_shape_and_range(embs):
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=500)
+    assert cb.shape == (8, 16, 8)
+    rows = similarity.with_pq_code(embs, cb).select("pq_code").limit(20).collect()
+    for r in rows:
+        assert len(r.pq_code) == 8
+        assert all(0 <= c < 16 for c in r.pq_code)
+
+
+def test_pq_codebooks_dim_mismatch(embs):
+    with pytest.raises(ValueError):
+        similarity.train_pq_codebooks(embs, m=7, sample_size=100)
