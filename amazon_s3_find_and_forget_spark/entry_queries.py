@@ -1256,6 +1256,14 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
 
 
+def q_text_tfidf(spark, sf_dir):
+    return text.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_unigram_nll(spark, sf_dir):
+    return text.unigram_logprob(load(spark, sf_dir, "documents"))
+
+
 def q_dedup_shared_ngrams(spark, sf_dir):
     return dedup.shared_ngram_stats(load(spark, sf_dir, "documents"), n=8)
 
@@ -1890,7 +1898,10 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # events_window_variants + the tail's events_moving_avg) — both
 # r4-proven green; promoted the new similarity_pq_recall (product
 # quantization) by demoting embedding_near_dups_exact (near-dup family
-# stays covered by embedding_near_dups_recall).
+# stays covered by embedding_near_dups_recall); promoted the new
+# text_tfidf and text_unigram_nll by demoting the r4-proven
+# text_length_percentiles and events_interval_counts (as-of interval
+# family stays covered by events_asof_attribution).
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_files_simple": q_find_files_simple,
@@ -1915,11 +1926,11 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "events_json_extract": q_events_json_extract,
     "events_asof_attribution": q_events_asof_attribution,
-    "events_interval_counts": q_events_interval_counts,
     "events_window_variants": q_events_window_variants,
     "events_distinct_sketch": q_events_distinct_sketch,
     "orders_quantile_sketch": q_orders_quantile_sketch,
-    "text_length_percentiles": q_text_length_percentiles,
+    "text_tfidf": q_text_tfidf,
+    "text_unigram_nll": q_text_unigram_nll,
     "text_contamination": q_text_contamination,
     "text_stratified_sample": q_text_stratified_sample,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -1951,6 +1962,8 @@ QUERIES = {
     "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "similarity_pq_topk": q_similarity_pq_topk,
+    "text_length_percentiles": q_text_length_percentiles,
+    "events_interval_counts": q_events_interval_counts,
     "events_topn_per_user": q_events_topn_per_user,
     "orders_running_total": q_orders_running_total,
     "find_rows_composite": q_find_rows_composite,
@@ -2831,6 +2844,46 @@ ORACLES = {
                CAST(list_sum(qe) AS BIGINT) AS q_sum,
                CAST(list_sum(list_transform(qe, y -> y * y)) AS BIGINT) AS q_l2
         FROM q
+    """,
+    "text_tfidf": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, count(*) AS dfc FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.dfc + 1.0))
+                                + 1.0), 6) AS score
+          FROM tf JOIN dfq USING (term), n
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked WHERE rnk <= 3
+    """,
+    "text_unigram_nll": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ), lm AS (
+          SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        ), stats AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab
+          FROM lm
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln((lm.cnt + 1.0) / (stats.total + stats.vocab))),
+                     6) AS nll
+        FROM toks t JOIN lm USING (term), stats
+        GROUP BY t.doc_id
     """,
     "text_repetition": f"""
         WITH toks AS (

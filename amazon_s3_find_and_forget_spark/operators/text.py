@@ -17,6 +17,8 @@ Operators:
 - ``repetition_stats``     Gopher-style within-doc n-gram repetition
 - ``contamination_screen`` benchmark n-gram overlap flagging
 - ``stratified_sample``    deterministic per-stratum exact-count sample
+- ``tfidf_top_terms``      per-doc top-k TF-IDF keyword extraction
+- ``unigram_logprob``      CCNet-style corpus-LM perplexity proxy
 """
 
 from __future__ import annotations
@@ -442,3 +444,121 @@ def stratified_sample(
         .where(F.col("_rnk") <= F.ceil(F.col("_sz") * F.lit(fraction)))
         .drop("_rnk", "_sz")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (keyword extraction).
+
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (smoothed, scikit-learn
+    convention — public); ``score = tf * idf``, ranked per document by
+    (score desc, term asc) for full determinism.
+
+    Plan shape: one explode into a (doc, term) count (partial agg
+    collapses repeats map-side), a term-keyed doc-frequency aggregate
+    (a stopword is ONE shuffled key with a big count — no row blowup),
+    a join back keyed on the term, and a per-doc rank window. The
+    corpus size N is one count() job — the only driver-side scalar, the
+    same one any IDF model needs.
+
+    Returns (id, term, tf, score, rank), k rows per non-empty document.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tf = (
+        df.select(
+            F.col(id_col).alias("_tid"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("_tid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = tf.join(docfreq, "term").select(
+        "_tid",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf")
+            * (
+                F.log(
+                    F.lit(float(n_docs + 1)) / (F.col("_df") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("_tid").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_tid").alias(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram language model — the CCNet-style (Wenzek et al. 2020,
+    public) perplexity proxy used to rank scraped documents by fluency:
+    documents full of rare tokens score high (surprising), boilerplate
+    scores low.
+
+    Model: ``p(w) = (count(w) + 1) / (total + vocab)`` (add-one
+    smoothing); per doc ``nll = mean(-ln p(w))`` over its token stream.
+
+    Plan shape: the LM is ONE aggregate over the exploded token stream
+    (partial agg map-side; vocabulary-sized result). The per-token
+    probability lookup is a term-keyed join; the model relation is
+    vocabulary-sized — tiny next to the corpus at any scale — so Spark's
+    AQE broadcasts it and the scoring pass stays map-only (a hot
+    stopword key never skews a broadcast join). Totals ride into the
+    score expression as two literal scalars, exactly like IDF's N.
+
+    Returns (id, n_tokens, nll) for every document with >= 1 token.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("_uid"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    try:
+        total, vocab = lm.select(
+            F.sum("cnt").cast("long"), F.count(F.lit(1))
+        ).collect()[0]
+        denom = float(total + vocab)
+        scored = toks.join(F.broadcast(lm), "term").select(
+            "_uid",
+            (-F.log((F.col("cnt") + F.lit(1.0)) / F.lit(denom))).alias(
+                "_nl"
+            ),
+        )
+        return (
+            scored.groupBy("_uid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.round(F.avg("_nl"), 6).alias("nll"),
+            )
+            .select(F.col("_uid").alias(id_col), "n_tokens", "nll")
+        )
+    finally:
+        lm.unpersist()

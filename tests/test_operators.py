@@ -1120,3 +1120,61 @@ def test_pq_codes_shape_and_range(embs):
 def test_pq_codebooks_dim_mismatch(embs):
     with pytest.raises(ValueError):
         similarity.train_pq_codebooks(embs, m=7, sample_size=100)
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    import math
+
+    out = text.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=1 -> top term; banana tf=1 df=2
+    r1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert r1[0].term == "apple" and r1[0].tf == 2
+    expected = round(2 * (math.log(4 / 2) + 1.0), 6)
+    assert r1[0].score == pytest.approx(expected)
+    assert r1[1].term == "banana"
+    # every doc returns at most k rows, ranks are 1..k
+    for rows in by_doc.values():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_tfidf_rank_tiebreak_by_term(spark):
+    # both terms tf=1, df=1 -> equal score; rank 1 goes to the
+    # lexicographically smaller term
+    df = spark.createDataFrame([(1, "zebra aardvark")], "doc_id long, text string")
+    rows = sorted(text.tfidf_top_terms(df, k=2).collect(), key=lambda r: r.rank)
+    assert [r.term for r in rows] == ["aardvark", "zebra"]
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "common common common rare")], "doc_id long, text string"
+    )
+    r = text.unigram_logprob(df).collect()[0]
+    # corpus: common=3, rare=1; total=4, vocab=2 -> denom=6
+    p_common = 4 / 6  # (3+1)/6
+    p_rare = 2 / 6
+    expected = round(-(3 * math.log(p_common) + math.log(p_rare)) / 4, 6)
+    assert r.n_tokens == 4
+    assert r.nll == pytest.approx(expected)
+
+
+def test_unigram_logprob_rare_scores_higher(docs):
+    # a doc of corpus-frequent tokens must score lower nll than one of
+    # unique tokens when appended to the real corpus
+    spark = docs.sparkSession
+    extra = spark.createDataFrame(
+        [(900001, "the the the the"), (900002, "xylophone quixotic zygote phlogiston")],
+        "doc_id long, text string",
+    )
+    base = docs.select("doc_id", "text").unionByName(extra)
+    rows = {r.doc_id: r.nll for r in text.unigram_logprob(base).collect()}
+    assert rows[900002] > rows[900001]
