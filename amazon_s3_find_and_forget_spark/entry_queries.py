@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .jobs import fold_stats
 from .matches import QueueItem, build_column_groups
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, funnel, multimodal, similarity, text
 from .plans.find import find_affected_files, find_matching_rows
 from .plans.forget import forget_table
 
@@ -986,6 +986,16 @@ def q_events_sessions(spark, sf_dir):
         F.sum("is_new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def q_events_funnel(spark, sf_dir):
+    return funnel.funnel_counts(
+        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    return funnel.cohort_retention(load(spark, sf_dir, "events"))
 
 
 def q_events_rollup(spark, sf_dir):
@@ -1958,6 +1968,8 @@ QUERIES = {
     # (their row sets are seed-dependent; quality is gate-checked by the
     # *_recall / *_complete rows above) and remaining TPC-H plan-shape
     # variants; still runnable via queries() for full coverage ---
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "events_rollup": q_events_rollup,
     "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -2844,6 +2856,51 @@ ORACLES = {
                CAST(list_sum(qe) AS BIGINT) AS q_sum,
                CAST(list_sum(list_transform(qe, y -> y * y)) AS BIGINT) AS q_l2
         FROM q
+    """,
+    "events_funnel": """
+        WITH ev AS (
+          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets,
+                 event_type AS ty
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), s1 AS (
+          SELECT u, min(ets) AS t FROM ev WHERE ty = 'view' GROUP BY u
+        ), s2 AS (
+          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s1 ON e.u = s1.u
+          WHERE e.ty = 'click' AND e.ets > s1.t GROUP BY e.u
+        ), s3 AS (
+          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s2 ON e.u = s2.u
+          WHERE e.ty = 'purchase' AND e.ets > s2.t GROUP BY e.u
+        )
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                 CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'click',
+                 CAST((SELECT count(*) FROM s2) AS BIGINT)
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'purchase',
+                 CAST((SELECT count(*) FROM s3) AS BIGINT)
+        ) ORDER BY step
+    """,
+    "events_retention": """
+        WITH ev AS (
+          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), firsts AS (
+          -- DuckDB's date_trunc('week', ts) yields DATE; Spark yields
+          -- TIMESTAMP — cast so the typed hash agrees
+          SELECT u, CAST(date_trunc('week', min(ets)) AS TIMESTAMP)
+                      AS cohort
+          FROM ev GROUP BY u
+        )
+        SELECT f.cohort AS cohort_week,
+               CAST(date_diff('day', f.cohort,
+                              CAST(date_trunc('week', e.ets) AS TIMESTAMP))
+                    / 7 AS BIGINT)
+                 AS week_offset,
+               CAST(count(DISTINCT e.u) AS BIGINT) AS active_users
+        FROM ev e JOIN firsts f ON e.u = f.u
+        GROUP BY 1, 2
     """,
     "text_tfidf": f"""
         WITH toks AS (

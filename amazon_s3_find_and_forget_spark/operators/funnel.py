@@ -1,0 +1,130 @@
+"""Sequential event analytics: ordered funnels and cohort retention.
+
+Both operate on an ``events``-shaped table (``user_id bigint,
+ts timestamp, event_type string``) and keep everything keyed by the
+user column — the natural shard key for behavioral data — so every
+shuffle is user-keyed and partial aggregation collapses per-user
+event mass map-side before anything moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts.
+
+    For each prefix of ``steps``, the number of distinct users whose
+    event stream contains the prefix as a STRICTLY time-increasing
+    subsequence (first-touch semantics: each step matches at the
+    earliest instant after the previous step's match — the standard
+    greedy matching, which finds a subsequence iff one exists).
+
+    Plan shape: one filtered min-aggregate per step, chained through
+    user-keyed joins — the frontier relation is one row per surviving
+    user and SHRINKS monotonically down the funnel, so every join after
+    step 1 is against an ever-smaller right side (AQE broadcasts it
+    when it fits). Never a per-user event-list collect: a hot user with
+    millions of events costs one map-side partial min per step, not a
+    sort or an array.
+
+    NULL users/timestamps are excluded (sequence position undefined).
+
+    Returns one row per step: (step, step_name, users), where ``step``
+    is the 1-based prefix length.
+    """
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+    frontier = None
+    frontiers = []
+    rows = []
+    for i, step in enumerate(steps):
+        matched = ev.where(F.col("_ty") == step)
+        if frontier is not None:
+            matched = matched.join(frontier, "_u").where(
+                F.col("_ts") > F.col("_prev")
+            )
+        # each frontier feeds its own count AND the next step's join —
+        # persist lazily, released after the final union materializes
+        frontier = (
+            matched.groupBy("_u").agg(F.min("_ts").alias("_prev")).persist()
+        )
+        frontiers.append(frontier)
+        rows.append(
+            frontier.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(step).alias("step_name"),
+                "users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    try:
+        # len(steps) rows — eager materialization doubles as the cache
+        # release point (same discipline as the dedup operators)
+        return out.orderBy("step").localCheckpoint(eager=True)
+    finally:
+        for fr in frontiers:
+            fr.unpersist()
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention triangle.
+
+    A user's cohort is the Monday-truncated week of their FIRST event;
+    for every (cohort, week offset) cell, the number of distinct cohort
+    members active in that week. Offsets compare week-truncated dates,
+    so they are exact week counts (both engines truncate weeks to
+    Monday — the difference of two week-starts is always a multiple of
+    7 days).
+
+    Plan shape: one user-keyed min-aggregate (first touch), a user-keyed
+    join back to the event stream, then a (cohort, offset)-keyed
+    distinct-count. The firsts relation is one row per user — at any
+    scale it is the smaller side and AQE broadcast-joins it; the
+    distinct-count's expand shuffles (cohort, offset, user) triples,
+    which partial aggregation dedups map-side first.
+
+    Returns (cohort_week timestamp, week_offset long, active_users).
+    """
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
+    firsts = ev.groupBy("_u").agg(
+        F.date_trunc("week", F.min("_ts")).alias("_cohort")
+    )
+    return (
+        ev.join(firsts, "_u")
+        .select(
+            "_u",
+            "_cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("_ts")), F.col("_cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy(F.col("_cohort").alias("cohort_week"), "week_offset")
+        .agg(F.count_distinct(F.col("_u")).cast("long").alias("active_users"))
+    )

@@ -1178,3 +1178,82 @@ def test_unigram_logprob_rare_scores_higher(docs):
     base = docs.select("doc_id", "text").unionByName(extra)
     rows = {r.doc_id: r.nll for r in text.unigram_logprob(base).collect()}
     assert rows[900002] > rows[900001]
+
+
+def test_funnel_strict_ordering(spark):
+    from amazon_s3_find_and_forget_spark.operators import funnel
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1 completes a -> b -> c in order
+        (1, dt(2024, 1, 1, 10), "a"),
+        (1, dt(2024, 1, 1, 11), "b"),
+        (1, dt(2024, 1, 1, 12), "c"),
+        # user 2 has b BEFORE a -> must stop at step 1
+        (2, dt(2024, 1, 1, 9), "b"),
+        (2, dt(2024, 1, 1, 10), "a"),
+        # user 3: a and b at the SAME instant -> strictly-after fails
+        (3, dt(2024, 1, 1, 10), "a"),
+        (3, dt(2024, 1, 1, 10), "b"),
+        # user 4 never starts
+        (4, dt(2024, 1, 1, 10), "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step: r for r in funnel.funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert out[1].users == 3 and out[1].step_name == "a"
+    assert out[2].users == 1  # only user 1
+    assert out[3].users == 1
+
+
+def test_funnel_greedy_matching_finds_any_subsequence(spark):
+    from amazon_s3_find_and_forget_spark.operators import funnel
+    from datetime import datetime as dt
+
+    # a@10, b@11, a@12, c@13: greedy takes a@10,b@11,c@13 -> completes
+    rows = [
+        (1, dt(2024, 1, 1, 10), "a"),
+        (1, dt(2024, 1, 1, 11), "b"),
+        (1, dt(2024, 1, 1, 12), "a"),
+        (1, dt(2024, 1, 1, 13), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step: r.users for r in funnel.funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_funnel_zero_step_reports_zero(spark):
+    from amazon_s3_find_and_forget_spark.operators import funnel
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), "a")], "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step: r.users for r in funnel.funnel_counts(df, ["a", "zz"]).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_cohort_retention_hand_case(spark):
+    from amazon_s3_find_and_forget_spark.operators import funnel
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1 first active Mon 2024-01-01 week, returns 2 weeks later
+        (1, dt(2024, 1, 2, 10)),
+        (1, dt(2024, 1, 16, 10)),
+        # user 2 same cohort, only week 0 (two events same week dedup)
+        (2, dt(2024, 1, 3, 10)),
+        (2, dt(2024, 1, 5, 10)),
+        # user 3 cohort of 2024-01-08
+        (3, dt(2024, 1, 10, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): r.active_users
+        for r in funnel.cohort_retention(df).collect()
+    }
+    w1, w2 = dt(2024, 1, 1), dt(2024, 1, 8)
+    assert got == {(w1, 0): 2, (w1, 2): 1, (w2, 0): 1}
