@@ -252,3 +252,63 @@ def test_connected_components_matches_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {n: comp_min[find(n)] for n in nodes}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # user
+            st.integers(min_value=0, max_value=20),  # minute offset
+            st.sampled_from(["a", "b", "c", "x"]),   # event type
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_matches_greedy_subsequence(spark, events):
+    """funnel_counts agrees with a sequential greedy subsequence matcher
+    on arbitrary event streams (duplicate timestamps, repeats, noise
+    events included)."""
+    from datetime import datetime, timedelta
+
+    from amazon_s3_find_and_forget_spark.operators import funnel
+
+    steps = ["a", "b", "c"]
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, base + timedelta(minutes=m), ty) for u, m, ty in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.step: r.users for r in funnel.funnel_counts(df, steps).collect()
+    }
+
+    # the sequential reference replicates the operator's contract
+    # exactly — chained "earliest strictly-after" minimums (a plain
+    # greedy walk over a sorted stream would mis-handle simultaneous
+    # timestamps, which the strict > excludes regardless of intra-
+    # instant order)
+    def reached_strict(user_rows):
+        last = None
+        for s in steps:
+            cand = [
+                ts for ts, ty in user_rows
+                if ty == s and (last is None or ts > last)
+            ]
+            if not cand:
+                return steps.index(s)
+            last = min(cand)
+        return len(steps)
+
+    per_user = {}
+    for u, ts, ty in rows:
+        per_user.setdefault(u, []).append((ts, ty))
+    expect = {i + 1: 0 for i in range(len(steps))}
+    for user_rows in per_user.values():
+        d = reached_strict(user_rows)
+        for i in range(1, d + 1):
+            expect[i] += 1
+    assert got == expect
