@@ -550,3 +550,124 @@ def test_forget_queue_stream_composite_match(spark, tmp_path):
     after = spark.read.parquet(lake)
     assert after.count() == n_total - n_match
     assert after.where(pred).count() == 0
+
+
+def test_streaming_funnel_advances_across_restarts(spark, tmp_path):
+    """Per-user funnel frontier lives in the state store: each drained
+    batch advances the greedy matcher, restarts resume exactly."""
+    import json
+
+    from amazon_s3_find_and_forget_spark.streaming.funnel import (
+        streaming_funnel,
+    )
+
+    events_dir = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt")
+    events_dir.mkdir()
+
+    def write_batch(fname, rows):
+        with open(events_dir / fname, "w") as f:
+            for i, (u, ts, ty) in enumerate(rows):
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": i,
+                            "ts": ts,
+                            "user_id": u,
+                            "event_type": ty,
+                            "value": 1.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    steps = ["view", "click", "purchase"]
+    # batch 1: user 1 does view+click (click first in file — batch
+    # matching must sort by ts); user 2 only view; user 3 noise
+    write_batch(
+        "b1.jsonl",
+        [
+            (1, "2024-01-01T10:01:00", "click"),
+            (1, "2024-01-01T10:00:00", "view"),
+            (2, "2024-01-01T10:00:00", "view"),
+            (3, "2024-01-01T10:00:00", "error"),
+        ],
+    )
+    sink = {}
+    q = streaming_funnel(spark, str(events_dir), ckpt, steps, state_sink=sink)
+    q.awaitTermination(120)
+    assert sink[1][0] == 2
+    assert sink[2][0] == 1
+    assert sink[3][0] == 0
+
+    # batch 2 (restart): user 1 purchases -> completes; user 2 sends a
+    # LATE view dated before their frontier -> depth unchanged
+    write_batch(
+        "b2.jsonl",
+        [
+            (1, "2024-01-01T10:02:00", "purchase"),
+            (2, "2024-01-01T09:00:00", "click"),
+        ],
+    )
+    sink2 = {}
+    q2 = streaming_funnel(spark, str(events_dir), ckpt, steps, state_sink=sink2)
+    q2.awaitTermination(120)
+    assert sink2[1][0] == 3
+    # user 2's click predates the matched view -> strictly-after fails
+    assert sink2[2][0] == 1
+
+
+def test_streaming_funnel_agrees_with_batch_operator(spark, tmp_path, sf_dir):
+    """On an in-order stream, the incremental funnel's final depths imply
+    the same per-step user counts as the batch operator."""
+    import json
+
+    from amazon_s3_find_and_forget_spark.operators import funnel as bfunnel
+    from amazon_s3_find_and_forget_spark.streaming.funnel import (
+        streaming_funnel,
+    )
+    from amazon_s3_find_and_forget_spark.entry_queries import load
+
+    steps = ["view", "click", "purchase"]
+    ev = (
+        load(spark, sf_dir, "events")
+        .where("user_id is not null and ts is not null")
+        .orderBy("ts")
+        .limit(300)
+    )
+    rows = ev.collect()
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    with open(events_dir / "all.jsonl", "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "ts": r.ts.isoformat(),
+                        "user_id": r.user_id,
+                        "event_type": r.event_type,
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    sink = {}
+    q = streaming_funnel(
+        spark, str(events_dir), str(tmp_path / "ckpt"), steps, state_sink=sink
+    )
+    q.awaitTermination(120)
+    batch_df = spark.createDataFrame(
+        [(r.user_id, r.ts, r.event_type) for r in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    expect = {
+        r.step: r.users for r in bfunnel.funnel_counts(batch_df, steps).collect()
+    }
+    got = {
+        i + 1: sum(1 for d, _ in sink.values() if d >= i + 1)
+        for i in range(len(steps))
+    }
+    assert got == expect
