@@ -15,6 +15,9 @@
   quantization: sample-trained per-subspace codebooks, Arrow-batched
   encode to m tinyint codes, ADC shortlist scored by a literal (m, k)
   lookup table in pure JVM expressions, exact-cosine rerank.
+- ``ivfpq_topk`` — IVF cell pruning composed with PQ ADC + rerank (the
+  FAISS IVFPQ serving layout re-expressed as Spark partition pruning +
+  expression scoring).
 """
 
 from __future__ import annotations
@@ -742,4 +745,49 @@ def pq_topk(
         cosine_scores(short, query_vec, emb_col, id_col)
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-vector serving layout
+    (FAISS's IVFPQ index family, public): the coarse quantizer prunes
+    the scan to ``nprobe`` cells (partition pruning when the corpus is
+    written partitioned by ``ivf_cell``), the PQ codes are ADC-scored
+    inside the surviving cells with a literal lookup table (pure JVM
+    over tinyint codes), and the exact-cosine rerank touches only the
+    shortlist. Scan cost ~ nprobe/n_centroids of the corpus reading m
+    bytes per vector; exactness of returned scores comes from the
+    rerank, recall from (nprobe, shortlist) — each independently
+    tunable.
+
+    Accepts a corpus already carrying ``ivf_cell``/``pq_code`` columns
+    (the precomputed-index layout) and computes them on the fly
+    otherwise.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cent = np.asarray(centroids, dtype=np.float64)
+    probes = [int(c) for c in (cent @ qn).argsort()[::-1][:nprobe]]
+    indexed = (
+        df if "ivf_cell" in df.columns else with_ivf_cell(df, centroids, emb_col)
+    )
+    pruned = indexed.where(F.col("ivf_cell").isin(probes))
+    return pq_topk(
+        pruned,
+        query_vec,
+        codebooks,
+        k=k,
+        shortlist=shortlist,
+        emb_col=emb_col,
+        id_col=id_col,
     )

@@ -1257,3 +1257,41 @@ def test_cohort_retention_hand_case(spark):
     }
     w1, w2 = dt(2024, 1, 1), dt(2024, 1, 8)
     assert got == {(w1, 0): 2, (w1, 2): 1, (w2, 0): 1}
+
+
+def test_ivfpq_exact_when_exhaustive(embs):
+    # nprobe = all cells AND shortlist >= corpus -> must equal brute force
+    qvec = [float(v) for v in embs.limit(1).collect()[0]["embedding"]]
+    cent = similarity.train_ivf_centroids(embs, n_centroids=4, sample_size=500)
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=500)
+    n = embs.count()
+    appr = similarity.ivfpq_topk(
+        embs, qvec, cent, cb, k=5, nprobe=4, shortlist=n
+    ).collect()
+    exact = similarity.cosine_topk(embs, qvec, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in appr] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
+
+
+def test_ivfpq_prunes_to_probed_cells(embs):
+    # with nprobe=1 every hit must come from the probed cell
+    qvec = [float(v) for v in embs.limit(1).collect()[0]["embedding"]]
+    cent = similarity.train_ivf_centroids(embs, n_centroids=4, sample_size=500)
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=500)
+    hits = {
+        r.vec_id
+        for r in similarity.ivfpq_topk(
+            embs, qvec, cent, cb, k=5, nprobe=1, shortlist=50
+        ).collect()
+    }
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probe = int((np.asarray(cent) @ q).argmax())
+    cells = {
+        r.vec_id: r.ivf_cell
+        for r in similarity.with_ivf_cell(embs, cent).select(
+            "vec_id", "ivf_cell"
+        ).collect()
+    }
+    assert hits and all(cells[h] == probe for h in hits)
