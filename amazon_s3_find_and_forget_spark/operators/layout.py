@@ -57,3 +57,70 @@ def colocated_join(
     return spark.table(left_table).join(
         spark.table(right_table).hint("merge"), on, how
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for hot-key skew.
+
+    AQE's skew-join split handles most cases at runtime; this is the
+    explicit fallback for joins AQE cannot split (e.g. when the skewed
+    side feeds a window, or under static planning). The big side gets a
+    deterministic per-row salt (hash of the full row — retry-stable,
+    unlike ``rand()`` or ``monotonically_increasing_id``), spreading a
+    hot key over ``n_salts`` shuffle partitions; the small side
+    replicates ``n_salts``x via an explode, which is the price paid —
+    size the salt count to the skew, not higher.
+
+    Only ``inner`` and ``left`` joins are supported: an unmatched RIGHT
+    row would surface once per salt replica under right/full semantics.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    bigs = big.withColumn("_salt", salt)
+    smalls = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return bigs.join(smalls, on + ["_salt"], how).drop("_salt")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase distinct count for skewed grouping keys.
+
+    A plain ``countDistinct`` under one hot group key funnels every
+    distinct value of that key through a single reducer. Salting by the
+    VALUE's hash splits the group across ``n_salts`` partitions —
+    correct because a value's salt is a function of the value, so each
+    distinct value is counted in exactly one partial — and the final
+    fold sums ``n_salts`` small rows per key. Partial (map-side)
+    aggregation applies to both phases.
+    """
+    from pyspark.sql import functions as F
+
+    partial = (
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).cast("int"),
+        )
+        .groupBy(*keys, "_salt")
+        .agg(F.count_distinct(F.col(value_col)).alias("_pc"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sum("_pc").cast("long").alias("distinct_count"))
+    )

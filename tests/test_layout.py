@@ -47,3 +47,60 @@ def test_unbucketed_join_does_exchange(spark, sf_dir):
     )
     plan = explain_str(li.join(o, li.l_orderkey == o.o_orderkey))
     assert "Exchange" in plan  # the baseline the bucketing removes
+
+
+def test_salted_join_matches_plain_join(spark):
+    from amazon_s3_find_and_forget_spark.operators.layout import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, f"v{i}") for i in range(200)], "k long, payload string"
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (20, "cold"), (999, "unmatched")], "k long, dim string"
+    )
+    plain = sorted(
+        (r.k, r.payload, r.dim) for r in big.join(small, ["k"]).collect()
+    )
+    salted = sorted(
+        (r.k, r.payload, r.dim)
+        for r in salted_join(big, small, ["k"], n_salts=8).collect()
+    )
+    assert salted == plain
+
+    left_plain = sorted(
+        (r.k, r.payload, r.dim)
+        for r in big.join(small, ["k"], "left").collect()
+    )
+    left_salted = sorted(
+        (r.k, r.payload, r.dim)
+        for r in salted_join(big, small, ["k"], n_salts=8, how="left").collect()
+    )
+    assert left_salted == left_plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, ["k"], how="full")
+
+
+def test_salted_distinct_count_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_s3_find_and_forget_spark.operators.layout import (
+        salted_distinct_count,
+    )
+
+    df = spark.createDataFrame(
+        [("hot", i % 37) for i in range(500)] + [("cold", i) for i in range(5)],
+        "k string, v long",
+    )
+    got = {
+        r.k: r.distinct_count
+        for r in salted_distinct_count(df, ["k"], "v", n_salts=8).collect()
+    }
+    want = {
+        r.k: r.dc
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("dc")).collect()
+    }
+    assert got == want
