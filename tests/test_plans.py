@@ -207,3 +207,60 @@ def test_semantic_dedup_shuffles_cluster_key_not_embeddings(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_lm_lookup_broadcasts(spark, sf_dir):
+    """The vocabulary-sized LM relation must broadcast; the scoring scan
+    never sort-merge-joins at any corpus/vocab ratio."""
+    from amazon_s3_find_and_forget_spark import entry_queries
+
+    df = entry_queries.QUERIES["text_unigram_nll"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_shortlist_scan_is_expression_only(spark, sf_dir):
+    """ADC scoring must be a literal-LUT expression over the code column:
+    no join, no cartesian, exactly the encode UDF's Python stage."""
+    from amazon_s3_find_and_forget_spark.entry_queries import load
+    from amazon_s3_find_and_forget_spark.operators import similarity
+
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in embs.limit(1).collect()[0]["embedding"]]
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=500)
+    df = similarity.pq_topk(embs, qvec, cb, k=5, shortlist=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # covers SortMerge/BroadcastHash/Cartesian
+    assert plan.count("ArrowEvalPython") <= 1  # the encode kernel only
+
+
+def test_funnel_frontier_joins_never_cartesian(spark, sf_dir):
+    """Each funnel step is a user-keyed equi-join against the shrinking
+    frontier — no cartesian/nested-loop anywhere in the chain."""
+    from amazon_s3_find_and_forget_spark.entry_queries import load
+    from amazon_s3_find_and_forget_spark.operators import funnel
+
+    ev = load(spark, sf_dir, "events")
+    # build the unexecuted frontier chain (funnel_counts materializes —
+    # inspect the retention plan plus a manual 2-step frontier instead)
+    from pyspark.sql import functions as F
+
+    s1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("_prev")
+    )
+    step2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("_prev"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_prev"))
+    )
+    plan = step2._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    r = funnel.cohort_retention(ev)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
