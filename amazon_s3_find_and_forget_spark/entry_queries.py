@@ -1266,6 +1266,13 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
 
 
+def q_text_mixture(spark, sf_dir):
+    return text.mixture_sample(
+        load(spark, sf_dir, "documents"),
+        {"src0": 2.5, "src1": 1.0, "src2": 0.4},
+    ).select("doc_id", "source", "copy")
+
+
 def q_text_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
@@ -2001,6 +2008,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
+    "text_mixture": q_text_mixture,
     "events_rollup": q_events_rollup,
     "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -2936,6 +2944,26 @@ ORACLES = {
                CAST(count(DISTINCT e.u) AS BIGINT) AS active_users
         FROM ev e JOIN firsts f ON e.u = f.u
         GROUP BY 1, 2
+    """,
+    "text_mixture": """
+        WITH base AS (
+          SELECT doc_id, source,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        ), n AS (
+          SELECT doc_id, source,
+                 CASE source
+                   WHEN 'src0' THEN 2 + CASE WHEN h < '80000000'
+                                             THEN 1 ELSE 0 END
+                   WHEN 'src1' THEN 1
+                   WHEN 'src2' THEN CASE WHEN h < '66666666'
+                                         THEN 1 ELSE 0 END
+                 END AS nc
+          FROM base
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, nc)) AS BIGINT) AS copy
+        FROM n WHERE nc > 0
     """,
     "text_tfidf": f"""
         WITH toks AS (

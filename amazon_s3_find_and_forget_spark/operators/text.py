@@ -19,6 +19,7 @@ Operators:
 - ``stratified_sample``    deterministic per-stratum exact-count sample
 - ``tfidf_top_terms``      per-doc top-k TF-IDF keyword extraction
 - ``unigram_logprob``      CCNet-style corpus-LM perplexity proxy
+- ``mixture_sample``       per-source rate mixing w/ deterministic epochs
 """
 
 from __future__ import annotations
@@ -562,3 +563,59 @@ def unigram_logprob(
         )
     finally:
         lm.unpersist()
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Materialize a data-mixture by per-stratum sampling rates — the
+    mixing step of LLM corpus assembly (DoReMi / domain-reweighting
+    style, public): rate < 1 downsamples a stratum, rate > 1 UPSAMPLES
+    it by deterministic replication (epochs), rate 0 or an unlisted
+    stratum drops it.
+
+    Every document contributes ``floor(rate)`` whole copies, plus one
+    more iff its key-hash draw falls below the fractional remainder —
+    the same fixed-width-hex md5 threshold trick as
+    ``deterministic_split``, so the materialized mixture is a pure
+    function of (key, salt): re-runs, retries, and other engines agree
+    row-for-row, and in expectation every stratum lands exactly at its
+    rate. Changing ``salt`` re-rolls the fractional draws only.
+
+    Map-only until the per-row ``explode`` of the copy sequence (no
+    shuffle at all); the output carries a 1-based ``copy`` column so
+    downstream packing/shuffling can spread replicas. At 100 TB this is
+    the exact shape wanted: the mixture never sorts, joins, or groups —
+    it streams.
+    """
+    import math
+
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    rate_expr = None
+    frac_expr = None
+    for s, rate in rates.items():
+        if rate < 0:
+            raise ValueError(f"negative rate for stratum {s!r}")
+        base = int(math.floor(rate))
+        frac = rate - base
+        bound = format(min(int(frac * 2**32), 2**32 - 1), "08x")
+        extra = (h < bound).cast("int") if frac > 0 else F.lit(0)
+        n = F.lit(base) + extra
+        cond = F.col(stratum_col) == s
+        rate_expr = F.when(cond, n) if rate_expr is None else rate_expr.when(cond, n)
+    if rate_expr is None:
+        raise ValueError("rates must be non-empty")
+    n_copies = rate_expr.otherwise(F.lit(0))
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .withColumn("copy", F.col("copy").cast("long"))
+        .drop("_n_copies")
+    )

@@ -1295,3 +1295,36 @@ def test_ivfpq_prunes_to_probed_cells(embs):
         ).collect()
     }
     assert hits and all(cells[h] == probe for h in hits)
+
+
+def test_mixture_sample_rates(spark):
+    rows = [(i, f"src{i % 2}", "t") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text.mixture_sample(df, {"src0": 2.0, "src1": 0.5})
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    # rate 2.0 is exact replication; rate 0.5 is a hash draw near half
+    assert by_src["src0"] == 2000
+    assert 400 <= by_src["src1"] <= 600
+    # unlisted strata are dropped entirely
+    assert set(by_src) == {"src0", "src1"}
+    # copies are 1..n per doc
+    copies = [r.copy for r in out.where("source = 'src0' and doc_id = 0").collect()]
+    assert sorted(copies) == [1, 2]
+
+
+def test_mixture_sample_deterministic_and_salted(spark):
+    df = spark.createDataFrame(
+        [(i, "s", "t") for i in range(500)], "doc_id long, source string, text string"
+    )
+    a = {(r.doc_id, r.copy) for r in text.mixture_sample(df, {"s": 0.3}).collect()}
+    b = {(r.doc_id, r.copy) for r in text.mixture_sample(df, {"s": 0.3}).collect()}
+    assert a == b  # pure function of key
+    c = {(r.doc_id, r.copy) for r in text.mixture_sample(df, {"s": 0.3}, salt="x").collect()}
+    assert a != c  # salt re-rolls
+    with pytest.raises(ValueError):
+        text.mixture_sample(df, {"s": -1.0})
+    with pytest.raises(ValueError):
+        text.mixture_sample(df, {})
