@@ -1042,6 +1042,30 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_events_variant_extract(spark, sf_dir):
+    """Semi-structured access via Spark 4's VARIANT type: parse the JSON
+    props column once into the binary variant encoding and path-extract
+    typed values — the engine-native fast path next to
+    ``get_json_object`` string re-parsing (events_json_extract). At 100 TB
+    the variant parse happens once per row inside codegen and typed
+    extraction avoids per-access JSON tokenization.
+
+    try_-variants throughout: malformed JSON and non-numeric values
+    yield NULL (matching DuckDB's TRY_CAST), never an ANSI error."""
+    ev = load(spark, sf_dir, "events")
+    k = F.floor(
+        F.try_variant_get(
+            F.try_parse_json(F.col("props")), "$.k", "double"
+        )
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each purchase attributed to the user's most recent
     click at or before it (point-in-time-correct lookup). Clicks are
@@ -2007,6 +2031,7 @@ QUERIES = {
     # variants; still runnable via queries() for full coverage ---
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_variant_extract": q_events_variant_extract,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
     "text_mixture": q_text_mixture,
     "events_rollup": q_events_rollup,
@@ -2534,6 +2559,20 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "events_variant_extract": """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(floor(TRY_CAST(json_extract_string(props, '$.k')
+                     AS DOUBLE)) AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               CAST(count(k) AS BIGINT) AS n_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k,
+               round(avg(k), 4) AS avg_k
+        FROM x GROUP BY event_type
     """,
     "events_asof_attribution": """
         WITH ev AS (
