@@ -1297,6 +1297,21 @@ def q_text_mixture(spark, sf_dir):
     ).select("doc_id", "source", "copy")
 
 
+def q_documents_source_rollup(spark, sf_dir):
+    """Per-source corpus health rollup — operator COMPOSITION: the
+    quality and token-count transforms feed one grouped aggregate, all
+    in a single scan (both operators are map-only expression
+    pipelines, so composing them adds zero stages)."""
+    docs = load(spark, sf_dir, "documents")
+    enriched = text.with_quality(text.with_token_count(docs))
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("n_chars_measured"), 2).alias("avg_chars"),
+    )
+
+
 def q_text_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
@@ -2034,6 +2049,7 @@ QUERIES = {
     "events_variant_extract": q_events_variant_extract,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
     "text_mixture": q_text_mixture,
+    "documents_source_rollup": q_documents_source_rollup,
     "events_rollup": q_events_rollup,
     "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -2792,6 +2808,29 @@ ORACLES = {
               + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
               + (CASE WHEN len(toks) > 0 AND CAST(stop_hits AS DOUBLE) / len(toks) > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
         FROM t
+    """,
+    "documents_source_rollup": f"""
+        WITH t AS (
+          SELECT source,
+                 len({_TOKENS}) AS n_toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 len(list_intersect({_TOKENS},
+                     [{", ".join(repr(w) for w in text.STOPWORDS_EN)}])) AS stop_hits
+          FROM documents
+        ), scored AS (
+          SELECT source, n_toks, n_chars,
+            CAST(round((CASE WHEN n_toks > 0 AND CAST(n_chars AS DOUBLE) / n_toks BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN n_toks > 0 AND CAST(stop_hits AS DOUBLE) / n_toks > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS q
+          FROM t
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               round(avg(q), 4) AS avg_quality,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM scored GROUP BY source
     """,
     "text_lang_id": f"""
         WITH s AS (
