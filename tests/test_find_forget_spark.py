@@ -378,3 +378,43 @@ def test_manifest_registered_as_catalog_table(spark, tmp_path):
     assert "PartitionFilters" in plan and "job-a" in plan  # pruning, not scan
     assert [r.QueryableMatchId for r in one.collect()] == ["2"]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_job_on_schema_evolved_lake(spark, tmp_path):
+    """A lake whose older files predate a later-added column: the job
+    must find matches across both vintages, rewrite each file with ITS
+    OWN schema (an old file must not grow the new column), and leave
+    survivors intact."""
+    loc = str(tmp_path / "evolved")
+    os.makedirs(loc)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "cid long, name string"
+    ).coalesce(1).write.parquet(loc + "/old")
+    spark.createDataFrame(
+        [(4, "d", "x@y.z"), (5, "e", "p@q.r")],
+        "cid long, name string, email string",
+    ).coalesce(1).write.parquet(loc + "/new")
+
+    mapper = DataMapper(
+        mapper_id="ev",
+        location=loc + "/*/*.parquet",
+        columns=["cid"],
+        format="parquet",
+        schema="cid bigint, name string, email string",
+    )
+    items = [QueueItem(match_id=2), QueueItem(match_id=5)]
+    result = run_job(spark, [mapper], items)
+    assert result.status == "COMPLETED"
+
+    survivors = spark.read.schema("cid long, name string, email string").parquet(
+        loc + "/old", loc + "/new"
+    )
+    assert sorted(r.cid for r in survivors.collect()) == [1, 3, 4]
+    # the old file keeps its 2-column schema — no silent widening
+    import pyarrow.parquet as pq_mod
+    import glob as glob_mod
+
+    old_file = glob_mod.glob(loc + "/old/*.parquet")[0]
+    assert pq_mod.read_schema(old_file).names == ["cid", "name"]
+    new_file = glob_mod.glob(loc + "/new/*.parquet")[0]
+    assert pq_mod.read_schema(new_file).names == ["cid", "name", "email"]
