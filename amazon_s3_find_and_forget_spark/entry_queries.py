@@ -1066,6 +1066,34 @@ def q_events_variant_extract(spark, sf_dir):
     )
 
 
+def q_events_value_histogram(spark, sf_dir):
+    """Equal-width 20-bin histogram of the value column. The [min, max]
+    range is two driver scalars from one aggregate job (the same
+    pattern as IDF's corpus size); binning itself is a map-only
+    expression + one keyed aggregate. Degenerate range (min == max)
+    guards to bin 0 — never a division, which ANSI mode would throw on."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    if lo is None:
+        return ev.select(
+            F.lit(0).cast("long").alias("bin"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("avg_value"),
+        ).limit(0)
+    width = (hi - lo) / 20.0
+    bin_col = (
+        F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(19)
+        )
+        if width > 0
+        else F.lit(0)
+    )
+    return ev.groupBy(bin_col.cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each purchase attributed to the user's most recent
     click at or before it (point-in-time-correct lookup). Clicks are
@@ -2047,6 +2075,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_variant_extract": q_events_variant_extract,
+    "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
     "text_mixture": q_text_mixture,
     "documents_source_rollup": q_documents_source_rollup,
@@ -2575,6 +2604,19 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "events_value_histogram": """
+        WITH s AS (
+          SELECT min(value) AS lo, max(value) AS hi
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT CAST(CASE WHEN hi > lo
+                    THEN least(floor((value - lo) / ((hi - lo) / 20.0)), 19)
+                    ELSE 0 END AS BIGINT) AS bin,
+               count(*) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM events, s WHERE value IS NOT NULL
+        GROUP BY 1
     """,
     "events_variant_extract": """
         WITH x AS (
