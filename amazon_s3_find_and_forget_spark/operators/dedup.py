@@ -738,18 +738,12 @@ def shared_ngram_stats(
     doc-frequency needs no cap). The join back is keyed on the gram and
     only carries grams the document actually contains.
     """
+    from .text import word_ngrams
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    grams_col = F.filter(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
-            ),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-        lambda g: g != F.lit(""),
-    )
+    grams_col = word_ngrams(toks, n)
     # per-(doc, gram) occurrence counts; feeds the doc-frequency agg, the
     # per-doc totals, AND the shared-mass join — persist lazily, released
     # by the one _eager job at the end

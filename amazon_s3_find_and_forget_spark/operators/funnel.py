@@ -41,6 +41,8 @@ def funnel_counts(
     Returns one row per step: (step, step_name, users), where ``step``
     is the 1-based prefix length.
     """
+    if not steps:
+        raise ValueError("steps must be non-empty")
     ev = events.where(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(

@@ -71,11 +71,15 @@ def salted_join(
     AQE's skew-join split handles most cases at runtime; this is the
     explicit fallback for joins AQE cannot split (e.g. when the skewed
     side feeds a window, or under static planning). The big side gets a
-    deterministic per-row salt (hash of the full row — retry-stable,
-    unlike ``rand()`` or ``monotonically_increasing_id``), spreading a
-    hot key over ``n_salts`` shuffle partitions; the small side
-    replicates ``n_salts``x via an explode, which is the price paid —
-    size the salt count to the skew, not higher.
+    per-row salt mixing a full-row hash with the row's position
+    (``monotonically_increasing_id``) — position alone spreads even
+    byte-identical duplicate rows (the common case when the big side is
+    already projected down to the join keys), which a pure row hash
+    would pile onto ONE salt, defeating the whole point. The salt value
+    never affects the RESULT (the small side is replicated to every
+    salt), so the id's retry-nondeterminism is benign — only placement
+    moves. The small side replicates ``n_salts``x via an explode, which
+    is the price paid — size the salt count to the skew, not higher.
 
     Only ``inner`` and ``left`` joins are supported: an unmatched RIGHT
     row would surface once per salt replica under right/full semantics.
@@ -85,7 +89,9 @@ def salted_join(
     from pyspark.sql import functions as F
 
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in big.columns])
+        + F.monotonically_increasing_id(),
+        F.lit(n_salts),
     ).cast("int")
     bigs = big.withColumn("_salt", salt)
     smalls = small.withColumn(

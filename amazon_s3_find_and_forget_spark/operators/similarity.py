@@ -668,21 +668,27 @@ def train_pq_codebooks(
 def with_pq_code(
     df: DataFrame, codebooks: np.ndarray, emb_col: str = "embedding"
 ) -> DataFrame:
-    """Append ``pq_code`` (array<tinyint>, length m): nearest centroid id
-    per subspace of the L2-normalized vector.
+    """Append ``pq_code`` (array<tinyint>, or array<smallint> when the
+    codebooks have more than 128 centroids, length m): nearest centroid
+    id per subspace of the L2-normalized vector.
 
     The kernel is one Arrow-batched numpy ``pandas_udf`` — a reshape +
     batched argmin over (batch, m, k) distances; the (m, k, dsub)
     codebook tensor is serialized once per executor inside the closure.
     Map-only: the coded column is 64x smaller than a float32 dim-64
     embedding, which is the whole point at 100 TB — downstream scans
-    read m bytes per vector instead of 4*dim.
+    read m (or 2m) bytes per vector instead of 4*dim. The element type
+    widens with k so a standard k=256 codebook can never silently wrap
+    a code negative (int8 would turn code 200 into -56 and ADC would
+    index the LUT from the wrong end).
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, k, dsub = books.shape
+    code_np = np.int8 if k <= 128 else np.int16
+    code_sql = "array<tinyint>" if k <= 128 else "array<smallint>"
     cnorm2 = (books * books).sum(axis=2)  # (m, k)
 
     def encode(embs):
@@ -694,10 +700,10 @@ def with_pq_code(
         # (n, m, k) squared distances; ||s||^2 constant per argmin -> skip
         dots = np.einsum("nmd,mkd->nmk", S, books)
         codes = (cnorm2[None, :, :] - 2.0 * dots).argmin(axis=2)
-        return pd.Series(list(codes.astype(np.int8)))
+        return pd.Series(list(codes.astype(code_np)))
 
     return df.withColumn(
-        "pq_code", pandas_udf(encode, "array<tinyint>")(F.col(emb_col))
+        "pq_code", pandas_udf(encode, code_sql)(F.col(emb_col))
     )
 
 

@@ -47,6 +47,25 @@ def tokens(col: Column) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array.
+
+    THE clamp convention, shared by every n-gram operator and its DuckDB
+    oracle: a document shorter than ``n`` yields one (short) gram
+    (``greatest(..., 1)`` + slice clamping), and empty grams are
+    filtered so a token-less document contributes nothing.
+    """
+    return F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+        lambda g: g != F.lit(""),
+    )
+
+
 # GPT-2-style pre-tokenizer, lookahead-free so the same pattern runs under
 # Java regex (Spark) and RE2 (DuckDB oracle): contraction suffixes, then
 # space-prefixed letter runs, digit runs, punctuation runs, whitespace.
@@ -318,15 +337,7 @@ def repetition_stats(
     lexicographic struct max — deterministic across engines.
     """
     toks = tokens(F.col(text_col))
-    grams_col = F.filter(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
-            ),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-        lambda g: g != F.lit(""),
-    )
+    grams_col = word_ngrams(toks, n)
     exploded = df.select(
         F.col(id_col).alias("_rid"),
         F.length(F.col(text_col)).alias("_nchars"),
@@ -379,29 +390,11 @@ def contamination_screen(
         toks = tokens(F.col(text_col))
         return frame.select(
             F.col(id_col).alias("_gid"),
-            # greatest(..., 1): sequence(1, 0) would run DESCENDING in
-            # Spark; a doc shorter than n yields one (short) gram — the
-            # same convention as ngram_jaccard_pairs and its oracle.
-            # Empty grams are dropped: a token-less document must not
-            # "contaminate" via the empty string (and Spark's
-            # array_join([]) = '' where DuckDB's array_to_string([]) is
-            # NULL — filtering both sides keeps the engines agreeing).
-            F.explode(
-                F.filter(
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(
-                                F.lit(1),
-                                F.greatest(F.size(toks) - (n - 1), F.lit(1)),
-                            ),
-                            lambda i: F.array_join(
-                                F.slice(toks, i, n), " "
-                            ),
-                        )
-                    ),
-                    lambda g: g != F.lit(""),
-                )
-            ).alias("g"),
+            # word_ngrams carries the shared clamp/empty-filter contract
+            # (a token-less document must not "contaminate" via the
+            # empty string — Spark's array_join([]) = '' where DuckDB's
+            # array_to_string([]) is NULL); per-doc distinct on top
+            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("g"),
         )
 
     bench_grams = F.broadcast(grams(benchmark).select("g").distinct())
@@ -546,6 +539,11 @@ def unigram_logprob(
         total, vocab = lm.select(
             F.sum("cnt").cast("long"), F.count(F.lit(1))
         ).collect()[0]
+        if total is None:  # token-less corpus: no LM, no scorable docs
+            return toks.groupBy("_uid").agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.lit(0.0).alias("nll"),
+            ).select(F.col("_uid").alias(id_col), "n_tokens", "nll")
         denom = float(total + vocab)
         scored = toks.join(F.broadcast(lm), "term").select(
             "_uid",
@@ -605,7 +603,16 @@ def mixture_sample(
         base = int(math.floor(rate))
         frac = rate - base
         bound = format(min(int(frac * 2**32), 2**32 - 1), "08x")
-        extra = (h < bound).cast("int") if frac > 0 else F.lit(0)
+        # NULL keys: the hash (and the comparison) is NULL — coalesce the
+        # fractional draw to 0 so a NULL-key row contributes exactly its
+        # floor(rate) copies on EVERY stratum (the SQL convention: NULL <
+        # bound is not-true), instead of being dropped on fractional-rate
+        # strata only
+        extra = (
+            F.coalesce((h < bound).cast("int"), F.lit(0))
+            if frac > 0
+            else F.lit(0)
+        )
         n = F.lit(base) + extra
         cond = F.col(stratum_col) == s
         rate_expr = F.when(cond, n) if rate_expr is None else rate_expr.when(cond, n)

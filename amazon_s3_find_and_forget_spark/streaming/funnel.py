@@ -87,8 +87,10 @@ def streaming_funnel(
             depth, last_us = 0, None
         rows = []
         for pdf in pdfs:
-            for _, r in pdf.iterrows():
-                rows.append((r["ts"], r["event_type"]))
+            # column-wise zip, not iterrows(): a hot user's micro-batch
+            # may carry very many events and per-row Series construction
+            # would dominate the fold
+            rows.extend(zip(pdf["ts"], pdf["event_type"]))
         rows.sort(key=lambda t: t[0])
         for ts, ty in rows:
             ts_us = int(ts.value // 1000)  # pandas Timestamp ns -> us
