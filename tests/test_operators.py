@@ -1328,3 +1328,25 @@ def test_mixture_sample_deterministic_and_salted(spark):
         text.mixture_sample(df, {"s": -1.0})
     with pytest.raises(ValueError):
         text.mixture_sample(df, {})
+
+
+def test_pq_wide_codebook_no_wraparound(spark):
+    # k > 128 must widen codes to smallint and still rank correctly:
+    # with shortlist covering the corpus, results equal brute force
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.train_pq_codebooks(df, m=2, k=256, sample_size=300)
+    assert cb.shape == (2, 256, 8)
+    coded = similarity.with_pq_code(df, cb)
+    assert dict(coded.dtypes)["pq_code"] == "array<smallint>"
+    codes = coded.select("pq_code").limit(50).collect()
+    assert all(0 <= c < 256 for r in codes for c in r.pq_code)
+    qvec = rows[0][1]
+    appr = similarity.pq_topk(df, qvec, cb, k=5, shortlist=300).collect()
+    exact = similarity.cosine_topk(df, qvec, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in appr] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
