@@ -2015,7 +2015,15 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # stays covered by embedding_near_dups_recall); promoted the new
 # text_tfidf and text_unigram_nll by demoting the r4-proven
 # text_length_percentiles and events_interval_counts (as-of interval
-# family stays covered by events_asof_attribution).
+# family stays covered by events_asof_attribution); promoted the new
+# events_funnel / events_retention / events_variant_extract /
+# text_mixture by demoting the r4-proven tpch_q9 (seven TPC-H shapes
+# remain gated), events_hourly (events-agg family covered by
+# cube/pivot/sessions), text_token_count (counting exercised inside
+# tfidf/unigram; quality row stays), and similarity_topk (exact scoring
+# covered by similarity_cosine + every recall row's in-plan baseline).
+# job_stats_fold, events_sessions, events_json_extract stay gated: they
+# are the r4 hash-fail rows whose oracle-cast fix the driver must prove.
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_files_simple": q_find_files_simple,
@@ -2024,18 +2032,19 @@ QUERIES = {
     "forget_survivors_json": q_forget_survivors_json,
     "events_watermark_page": q_events_watermark_page,
     "jobs_top_k": q_jobs_top_k,
-    "similarity_topk": q_similarity_topk,
     "job_stats_fold": q_job_stats_fold,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "tpch_q9": q_tpch_q9,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q13": q_tpch_q13,
     "tpch_q18": q_tpch_q18,
     "tpch_q22": q_tpch_q22,
-    "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_variant_extract": q_events_variant_extract,
+    "text_mixture": q_text_mixture,
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
     "events_json_extract": q_events_json_extract,
@@ -2053,7 +2062,6 @@ QUERIES = {
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "text_repetition": q_text_repetition,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
-    "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "similarity_cosine": q_similarity_cosine,
@@ -2072,12 +2080,12 @@ QUERIES = {
     # (their row sets are seed-dependent; quality is gate-checked by the
     # *_recall / *_complete rows above) and remaining TPC-H plan-shape
     # variants; still runnable via queries() for full coverage ---
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "events_variant_extract": q_events_variant_extract,
+    "similarity_topk": q_similarity_topk,
+    "tpch_q9": q_tpch_q9,
+    "events_hourly": q_events_hourly,
+    "text_token_count": q_text_token_count,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
-    "text_mixture": q_text_mixture,
     "documents_source_rollup": q_documents_source_rollup,
     "events_rollup": q_events_rollup,
     "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
