@@ -1066,6 +1066,12 @@ def q_events_variant_extract(spark, sf_dir):
     )
 
 
+def q_events_funnel_timing(spark, sf_dir):
+    return funnel.funnel_transition_stats(
+        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def q_events_value_histogram(spark, sf_dir):
     """Equal-width 20-bin histogram of the value column. The [min, max]
     range is two driver scalars from one aggregate job (the same
@@ -2084,6 +2090,7 @@ QUERIES = {
     "tpch_q9": q_tpch_q9,
     "events_hourly": q_events_hourly,
     "text_token_count": q_text_token_count,
+    "events_funnel_timing": q_events_funnel_timing,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
     "documents_source_rollup": q_documents_source_rollup,
@@ -2612,6 +2619,39 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "events_funnel_timing": """
+        WITH ev AS (
+          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets,
+                 event_type AS ty
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), s1 AS (
+          SELECT u, min(ets) AS t FROM ev WHERE ty = 'view' GROUP BY u
+        ), s2 AS (
+          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s1 ON e.u = s1.u
+          WHERE e.ty = 'click' AND e.ets > s1.t GROUP BY e.u
+        ), s3 AS (
+          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s2 ON e.u = s2.u
+          WHERE e.ty = 'purchase' AND e.ets > s2.t GROUP BY e.u
+        ), d2 AS (
+          SELECT epoch(s2.t) - epoch(s1.t) AS secs
+          FROM s2 JOIN s1 USING (u)
+        ), d3 AS (
+          SELECT epoch(s3.t) - epoch(s2.t) AS secs
+          FROM s3 JOIN s2 USING (u)
+        )
+        SELECT * FROM (
+          SELECT CAST(2 AS BIGINT) AS step, 'click' AS step_name,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 round(avg(secs), 4) AS avg_secs,
+                 round(quantile_cont(secs, 0.5), 4) AS p50_secs
+          FROM d2
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'purchase',
+                 CAST(count(*) AS BIGINT),
+                 round(avg(secs), 4), round(quantile_cont(secs, 0.5), 4)
+          FROM d3
+        ) ORDER BY step
     """,
     "events_value_histogram": """
         WITH s AS (

@@ -130,3 +130,92 @@ def cohort_retention(
         .groupBy(F.col("_cohort").alias("cohort_week"), "week_offset")
         .agg(F.count_distinct(F.col("_u")).cast("long").alias("active_users"))
     )
+
+
+def funnel_transition_stats(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert statistics for each funnel transition.
+
+    For every consecutive step pair (i-1 -> i), over the users who
+    reached step i under the same greedy strictly-after matching as
+    ``funnel_counts``: how many converted, and the mean / exact median
+    seconds between the two matched instants. The exact interpolated
+    percentile (not an approximate sketch) keeps the result
+    oracle-comparable; swap in ``percentile_approx`` when a sketch is
+    acceptable at extreme group sizes.
+
+    Same plan skeleton as ``funnel_counts`` — chained user-keyed
+    min-aggregates; the extra work is one join per transition between
+    two one-row-per-user frontiers (the smaller of which AQE
+    broadcasts).
+
+    Returns (step, step_name, n_users, avg_secs, p50_secs) for steps
+    2..len(steps).
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least two steps for transitions")
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+    frontier = None
+    frontiers = []
+    rows = []
+    for i, step in enumerate(steps):
+        matched = ev.where(F.col("_ty") == step)
+        if frontier is not None:
+            matched = matched.join(
+                frontier.select("_u", "_prev"), "_u"
+            ).where(F.col("_ts") > F.col("_prev"))
+        frontier = (
+            matched.groupBy("_u")
+            .agg(F.min("_ts").alias("_prev"))
+            .persist()
+        )
+        frontiers.append(frontier)
+        if i > 0:
+            delta = (
+                frontier.join(
+                    frontiers[i - 1].select(
+                        "_u", F.col("_prev").alias("_prev0")
+                    ),
+                    "_u",
+                )
+                .select(
+                    (
+                        F.col("_prev").cast("double")
+                        - F.col("_prev0").cast("double")
+                    ).alias("_secs")
+                )
+            )
+            rows.append(
+                delta.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_users"),
+                    F.round(F.avg("_secs"), 4).alias("avg_secs"),
+                    F.round(F.percentile("_secs", F.lit(0.5)), 4).alias(
+                        "p50_secs"
+                    ),
+                ).select(
+                    F.lit(i + 1).cast("long").alias("step"),
+                    F.lit(step).alias("step_name"),
+                    "n_users",
+                    "avg_secs",
+                    "p50_secs",
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    try:
+        return out.orderBy("step").localCheckpoint(eager=True)
+    finally:
+        for fr in frontiers:
+            fr.unpersist()

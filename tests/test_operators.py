@@ -1350,3 +1350,29 @@ def test_pq_wide_codebook_no_wraparound(spark):
     assert [(r.vec_id, r.cosine) for r in appr] == [
         (r.vec_id, r.cosine) for r in exact
     ]
+
+
+def test_funnel_transition_stats_hand_case(spark):
+    from amazon_s3_find_and_forget_spark.operators import funnel
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: a@10:00, b@10:10 (600s), c@10:40 (1800s)
+        (1, dt(2024, 1, 1, 10, 0), "a"),
+        (1, dt(2024, 1, 1, 10, 10), "b"),
+        (1, dt(2024, 1, 1, 10, 40), "c"),
+        # user 2: a@10:00, b@10:20 (1200s), never c
+        (2, dt(2024, 1, 1, 10, 0), "a"),
+        (2, dt(2024, 1, 1, 10, 20), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step: r for r in funnel.funnel_transition_stats(df, ["a", "b", "c"]).collect()}
+    assert out[2].n_users == 2
+    assert out[2].avg_secs == pytest.approx(900.0)
+    assert out[2].p50_secs == pytest.approx(900.0)  # interpolated median
+    assert out[3].n_users == 1
+    assert out[3].avg_secs == pytest.approx(1800.0)
+    with pytest.raises(ValueError):
+        funnel.funnel_transition_stats(df, ["a"])
