@@ -248,3 +248,78 @@ def test_schema_metadata_stripped(tmp_path):
         path, out, [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["1"]}]
     )
     assert read_back(out).schema.metadata in (None, {})
+
+
+def test_multi_row_group_streaming(tmp_path):
+    """Parity: test_parquet.py:48 (multiple row groups) — every row group
+    is visited, matches deleted across group boundaries, output readable
+    as one table."""
+    ids = list(range(90))
+    table = pa.table({"cid": ids, "payload": [f"p{i}" for i in ids]})
+    path = os.path.join(tmp_path, "multi.parquet")
+    pq.write_table(table, path, row_group_size=20)  # 5 row groups
+    assert pq.ParquetFile(path).num_row_groups == 5
+    out = os.path.join(tmp_path, "out.parquet")
+    # one match per row group, incl. first and last
+    stats = rewrite_parquet_file(
+        path, out, [{"Column": "cid", "MatchIds": {0, 25, 45, 65, 89}, "Type": "Simple"}]
+    )
+    assert stats == {"ProcessedRows": 90, "DeletedRows": 5}
+    back = read_back(out)
+    assert back.num_rows == 85
+    remaining = set(back.column("cid").to_pylist())
+    assert remaining == set(ids) - {0, 25, 45, 65, 89}
+
+
+def test_complex_payload_columns_preserved(tmp_path):
+    """Parity: test_parquet.py:151 (complex types) — list and nested
+    struct payload columns ride through the rewrite byte-equal on
+    surviving rows; match on a nested dot path."""
+    schema = pa.schema(
+        [
+            ("customer_id", pa.int64()),
+            (
+                "user_info",
+                pa.struct(
+                    [
+                        (
+                            "personal_information",
+                            pa.struct([("name", pa.string()), ("email", pa.string())]),
+                        )
+                    ]
+                ),
+            ),
+            ("tags", pa.list_(pa.string())),
+        ]
+    )
+    rows = {
+        "customer_id": [12345, 23456, 34567],
+        "user_info": [
+            {"personal_information": {"name": "matteo", "email": "12345@test.com"}},
+            {"personal_information": {"name": "nick", "email": "23456@test.com"}},
+            {"personal_information": {"name": "chris", "email": "34567@test.com"}},
+        ],
+        "tags": [["a", "b"], ["c"], []],
+    }
+    path, _ = write_tbl(tmp_path, "cx.parquet", rows, schema=schema)
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [
+            {
+                "Column": "user_info.personal_information.name",
+                "MatchIds": {"matteo", "chris"},
+                "Type": "Simple",
+            }
+        ],
+    )
+    assert stats == {"ProcessedRows": 3, "DeletedRows": 2}
+    back = read_back(out)
+    assert back.num_rows == 1
+    assert back.column("customer_id").to_pylist() == [23456]
+    assert back.column("user_info").to_pylist() == [
+        {"personal_information": {"name": "nick", "email": "23456@test.com"}}
+    ]
+    assert back.column("tags").to_pylist() == [["c"]]
+    assert back.schema.equals(pa.schema(schema))
