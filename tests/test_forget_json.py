@@ -150,3 +150,36 @@ def test_invalid_json_raises(tmp_path):
     out = os.path.join(tmp_path, "out.json")
     with pytest.raises(ValueError, match="line 2"):
         rewrite_json_file(src, out, SIMPLE)
+
+
+def test_composite_nullable_or_undefined_identifiers(tmp_path):
+    """Parity: test_json.py:168 — a composite over dot paths where rows
+    may carry null, {}, or entirely missing parents: only the fully
+    matching row is deleted, survivors byte-exact."""
+    data = (
+        '{"user": {"id": "12345", "name": "John"}, "parents": {"mother": "23456"}}\n'
+        '{"user": {"id": "23456", "name": "John"}, "parents": {"mother": null}}\n'
+        '{"user": {"id": "34567", "name": "John"}}\n'
+        '{"user": {"id": "45678", "name": "John"}, "parents": {}}\n'
+        '{"user": {"id": "45678", "name": "John"}, "parents": null}\n'
+    )
+    src = write_lines(tmp_path, "n.jsonl", data)
+    out = os.path.join(tmp_path, "out.jsonl")
+    stats = rewrite_json_file(
+        src,
+        out,
+        [
+            {
+                "Type": "Composite",
+                "Columns": ["user.name", "parents.mother"],
+                "MatchIds": [("John", "23456")],
+            }
+        ],
+    )
+    assert stats == {"ProcessedRows": 5, "DeletedRows": 1}
+    assert read_text(out) == (
+        '{"user": {"id": "23456", "name": "John"}, "parents": {"mother": null}}\n'
+        '{"user": {"id": "34567", "name": "John"}}\n'
+        '{"user": {"id": "45678", "name": "John"}, "parents": {}}\n'
+        '{"user": {"id": "45678", "name": "John"}, "parents": null}\n'
+    )
