@@ -1,4 +1,5 @@
-"""Sequential event analytics: ordered funnels and cohort retention.
+"""Sequential event analytics: ordered funnels, transition timing, and
+cohort retention.
 
 Both operate on an ``events``-shaped table (``user_id bigint,
 ts timestamp, event_type string``) and keep everything keyed by the
