@@ -130,3 +130,104 @@ def salted_distinct_count(
         partial.groupBy(*keys)
         .agg(F.sum("_pc").cast("long").alias("distinct_count"))
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    lake_dir: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> dict:
+    """Bin-pack a directory's small files into ~``target_bytes`` outputs.
+
+    Surgical deletion fragments a lake over time: every rewritten object
+    shrinks, and a year of erasure jobs leaves thousands of sub-MB files
+    whose per-file open/footer cost comes to dominate scans. Compaction
+    is the maintenance pass: greedy first-fit-decreasing bins over the
+    file listing (driver-side — the listing is metadata-scale), then ONE
+    cluster task per multi-file bin streams its inputs row-group-by-
+    row-group into a single replacement file (temp name + atomic rename,
+    the same crash-safe discipline as the per-file rewrite) and removes
+    the originals. Files already at target size are left untouched —
+    the pass is idempotent and safe to run on a live lake between
+    deletion jobs (never concurrently WITH one: both rewrite files).
+
+    Parquet only (JSONL lakes compact trivially by concatenation).
+    Returns {"files_before", "files_after", "bins_compacted"}.
+    """
+    import glob as glob_mod
+    import os
+
+    if fmt != "parquet":
+        raise ValueError("compaction supports parquet lakes")
+    files = sorted(
+        (os.path.getsize(p), p)
+        for p in glob_mod.glob(os.path.join(lake_dir, "*.parquet"))
+    )
+    if not files:
+        return {"files_before": 0, "files_after": 0, "bins_compacted": 0}
+    # first-fit-decreasing: big files first, each into the first bin with
+    # room; singleton bins are skipped at execution time
+    bins: list[list[tuple]] = []
+    for size, path in reversed(files):
+        for b in bins:
+            if sum(s for s, _ in b) + size <= target_bytes:
+                b.append((size, path))
+                break
+        else:
+            bins.append([(size, path)])
+    work = [[p for _, p in b] for b in bins if len(b) >= 2]
+
+    def compact_bin(paths_iter):
+        import pyarrow.parquet as pq_mod
+
+        for paths in paths_iter:
+            first = pq_mod.ParquetFile(paths[0])
+            schema = first.schema_arrow.remove_metadata()
+            out = os.path.join(
+                os.path.dirname(paths[0]),
+                f".compact-{abs(hash(tuple(paths))):x}.parquet",
+            )
+            writer = pq_mod.ParquetWriter(out, schema, compression="snappy")
+            try:
+                for p in paths:
+                    f = pq_mod.ParquetFile(p)
+                    for rg in range(f.num_row_groups):
+                        writer.write_table(
+                            f.read_row_group(rg).cast(schema)
+                        )
+            finally:
+                writer.close()
+            final = paths[0]  # replace the first input in place
+            os.replace(out, final)
+            for p in paths[1:]:
+                os.remove(p)
+            # drop Hadoop ChecksumFileSystem sidecars: a stale .crc for a
+            # replaced/removed parquet fails subsequent Spark reads
+            for p in paths:
+                crc = os.path.join(
+                    os.path.dirname(p), f".{os.path.basename(p)}.crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
+            yield 1
+
+    if work:
+        sc = spark.sparkContext
+        n = min(len(work), max(sc.defaultParallelism, 1))
+        done = (
+            sc.parallelize(work, numSlices=n)
+            .mapPartitions(lambda it: compact_bin(it))
+            .sum()
+        )
+    else:
+        done = 0
+    # the pass mutates the directory in place — invalidate any cached
+    # file index the session holds for it
+    spark.catalog.refreshByPath(lake_dir)
+    after = len(files) - sum(len(b) - 1 for b in bins if len(b) >= 2)
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bins_compacted": int(done),
+    }

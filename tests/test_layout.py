@@ -104,3 +104,38 @@ def test_salted_distinct_count_matches_plain(spark):
         for r in df.groupBy("k").agg(F.count_distinct("v").alias("dc")).collect()
     }
     assert got == want
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    from amazon_s3_find_and_forget_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "k long, v string"
+    )
+    df.repartition(20).write.parquet(lake)
+    import glob
+
+    before_files = glob.glob(lake + "/*.parquet")
+    assert len(before_files) == 20
+    before_rows = sorted(
+        (r.k, r.v) for r in spark.read.parquet(lake).collect()
+    )
+
+    stats = compact_small_files(spark, lake, target_bytes=1 << 30)
+    after_files = glob.glob(lake + "/*.parquet")
+    assert stats["files_before"] == 20
+    assert len(after_files) == stats["files_after"] < 20
+    after_rows = sorted(
+        (r.k, r.v) for r in spark.read.parquet(lake).collect()
+    )
+    assert after_rows == before_rows
+
+    # idempotent: second pass finds nothing small enough to merge further
+    stats2 = compact_small_files(spark, lake, target_bytes=1 << 30)
+    assert stats2["files_after"] == stats2["files_before"]
+    # singleton-bin lake (already compact at a tiny target) is untouched
+    stats3 = compact_small_files(spark, lake, target_bytes=1)
+    assert stats3["bins_compacted"] == 0
