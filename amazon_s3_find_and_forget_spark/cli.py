@@ -1,0 +1,154 @@
+"""Command-line driver mirroring the reference's REST workflows.
+
+Each subcommand maps 1:1 onto an ``api.Engine`` call (which maps 1:1
+onto a reference endpoint — see api.py's per-method citations), so a
+user scripting the reference's API can port a runbook line by line:
+
+    python -m amazon_s3_find_and_forget_spark put-mapper customers \\
+        --location /lake/customers --format parquet --column customer_id
+    python -m amazon_s3_find_and_forget_spark enqueue --match-id 12345
+    python -m amazon_s3_find_and_forget_spark enqueue --composite \\
+        first=John --composite last=Doe --data-mapper customers
+    python -m amazon_s3_find_and_forget_spark process
+    python -m amazon_s3_find_and_forget_spark list-jobs
+    python -m amazon_s3_find_and_forget_spark job-events <job-id>
+
+State lives under ``--state-dir`` (default ``./.s3f2-state``); output is
+one JSON document per command on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine(args):
+    from .api import Engine
+    from .session import get_spark
+
+    spark = get_spark(
+        app_name="s3f2-cli",
+        cpus=args.cpus,
+        shuffle_partitions=args.cpus,
+    )
+    return Engine(spark, state_dir=args.state_dir)
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, indent=2, default=str))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="amazon_s3_find_and_forget_spark")
+    p.add_argument("--state-dir", default="./.s3f2-state")
+    p.add_argument("--cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pm = sub.add_parser("put-mapper", help="register a lake table")
+    pm.add_argument("mapper_id")
+    pm.add_argument("--location", required=True)
+    pm.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    pm.add_argument(
+        "--column",
+        action="append",
+        required=True,
+        help="identifier column (dot path); repeatable",
+    )
+    pm.add_argument("--schema", default="", help="DDL schema (JSON lakes)")
+    pm.add_argument("--partition-filter", default="")
+
+    sub.add_parser("list-mappers", help="list registered mappers")
+
+    dm = sub.add_parser("delete-mapper")
+    dm.add_argument("mapper_id")
+
+    eq = sub.add_parser("enqueue", help="queue simple/composite matches")
+    eq.add_argument("--match-id", action="append", default=[],
+                    help="simple match id; repeatable")
+    eq.add_argument(
+        "--composite",
+        action="append",
+        default=[],
+        metavar="COL=VAL",
+        help="composite column=value pair; repeat to build one match",
+    )
+    eq.add_argument("--data-mapper", action="append", default=[],
+                    help="restrict the match to specific mappers")
+
+    sub.add_parser("list-queue")
+    sub.add_parser("process", help="run the deletion job for the queue")
+    sub.add_parser("list-jobs")
+
+    je = sub.add_parser("job-events", help="watermark-paged event log")
+    je.add_argument("job_id")
+    je.add_argument("--start-at", default="0")
+    je.add_argument("--page-size", type=int, default=20)
+
+    args = p.parse_args(argv)
+    eng = _engine(args)
+
+    if args.cmd == "put-mapper":
+        cfg = {
+            "Location": args.location,
+            "Format": args.format,
+            "Columns": args.column,
+        }
+        if args.schema:
+            cfg["Schema"] = args.schema
+        if args.partition_filter:
+            cfg["PartitionFilter"] = args.partition_filter
+        _emit(eng.put_data_mapper(args.mapper_id, cfg))
+    elif args.cmd == "list-mappers":
+        _emit(eng.list_data_mappers())
+    elif args.cmd == "delete-mapper":
+        eng.delete_data_mapper(args.mapper_id)
+        _emit({"Deleted": args.mapper_id})
+    elif args.cmd == "enqueue":
+        matches = [
+            {"MatchId": _coerce(m), "Type": "Simple"} for m in args.match_id
+        ]
+        if args.composite:
+            pairs = [c.split("=", 1) for c in args.composite]
+            matches.append(
+                {
+                    "MatchId": [
+                        {"Column": col, "Value": _coerce(val)}
+                        for col, val in pairs
+                    ],
+                    "Type": "Composite",
+                    "DataMappers": args.data_mapper,
+                }
+            )
+        if args.data_mapper and not args.composite:
+            for m in matches:
+                m["DataMappers"] = args.data_mapper
+        _emit(eng.enqueue_matches(matches))
+    elif args.cmd == "list-queue":
+        _emit(eng.list_queue())
+    elif args.cmd == "process":
+        _emit(eng.process_queue())
+    elif args.cmd == "list-jobs":
+        _emit(eng.list_jobs())
+    elif args.cmd == "job-events":
+        events, next_wm = eng.list_job_events(
+            args.job_id, watermark=args.start_at, page_size=args.page_size
+        )
+        _emit({"Events": events, "NextStart": next_wm})
+    return 0
+
+
+def _coerce(v: str):
+    """Match ids keep their CLI string form unless cleanly numeric —
+    the engine's typed casting does the real per-column coercion."""
+    for t in (int, float):
+        try:
+            return t(v)
+        except ValueError:
+            continue
+    return v
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""End-to-end CLI driver test: the reference runbook, line by line."""
+
+import json
+import os
+import shutil
+
+from amazon_s3_find_and_forget_spark.cli import main
+
+
+def run(capsys, *argv):
+    rc = main(list(argv))
+    assert rc == 0
+    out = capsys.readouterr().out
+    return json.loads(out)
+
+
+def test_cli_full_runbook(spark, tmp_path, sf_dir, capsys):
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    shutil.copy(
+        os.path.join(sf_dir, "customer.parquet"),
+        os.path.join(lake, "customer.parquet"),
+    )
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+
+    before = spark.read.parquet(lake).count()
+
+    m = run(capsys, *base, "put-mapper", "cust", "--location", lake,
+            "--column", "c_custkey")
+    assert "cust" in m and m["cust"]["Columns"] == ["c_custkey"]
+
+    listed = run(capsys, *base, "list-mappers")
+    assert "cust" in json.dumps(listed)
+
+    run(capsys, *base, "enqueue", "--match-id", "1", "--match-id", "7")
+    q = run(capsys, *base, "list-queue")
+    assert len(q) == 2
+
+    job = run(capsys, *base, "process")
+    assert job["JobStatus"] == "COMPLETED"
+
+    after_df = spark.read.parquet(lake)
+    assert after_df.count() == before - 2
+    assert after_df.where("c_custkey in (1, 7)").count() == 0
+
+    jobs = run(capsys, *base, "list-jobs")
+    assert any(j["Id"] == job["Id"] for j in jobs)
+
+    ev = run(capsys, *base, "job-events", job["Id"])
+    assert ev["Events"]
