@@ -96,8 +96,16 @@ def main():
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         # drop caches a query persisted so queries don't interfere
         # (within a query's runs, plan-keyed cache reuse is a real
-        # engine feature and stays)
+        # engine feature and stays), and release the queries'
+        # localCheckpoint blocks NOW: they are freed by the
+        # ContextCleaner only after GC notices the dropped DataFrames,
+        # and letting them pile up produces multi-second GC spikes
+        # inside later queries' timed runs
         spark.catalog.clearCache()
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     timings["find_forget_job"] = round(
         min(bench_find_forget_job(spark) for _ in range(RUNS)), 3
