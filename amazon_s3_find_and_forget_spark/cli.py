@@ -77,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     eq.add_argument("--data-mapper", action="append", default=[],
                     help="restrict the match to specific mappers")
 
-    sub.add_parser("list-queue")
+    lq = sub.add_parser("list-queue")
+    lq.add_argument("--start-at", type=int, default=0)
+    lq.add_argument("--page-size", type=int, default=20)
     sub.add_parser("process", help="run the deletion job for the queue")
     sub.add_parser("list-jobs")
 
@@ -87,6 +89,20 @@ def main(argv: list[str] | None = None) -> int:
     je.add_argument("--page-size", type=int, default=20)
 
     args = p.parse_args(argv)
+
+    # validate argument semantics BEFORE paying Spark session startup
+    if args.cmd == "enqueue":
+        if not args.match_id and not args.composite:
+            p.error("enqueue needs --match-id and/or --composite")
+        bad = [c for c in args.composite if "=" not in c]
+        if bad:
+            p.error(f"--composite takes COL=VAL, got {bad[0]!r}")
+        if args.composite and len(args.data_mapper) != 1:
+            p.error(
+                "a composite match requires exactly one --data-mapper "
+                "(reference queue semantics)"
+            )
+
     eng = _engine(args)
 
     if args.cmd == "put-mapper":
@@ -106,27 +122,36 @@ def main(argv: list[str] | None = None) -> int:
         eng.delete_data_mapper(args.mapper_id)
         _emit({"Deleted": args.mapper_id})
     elif args.cmd == "enqueue":
+        # match ids stay strings: schema.cast_match_id types them per
+        # identifier column engine-side ('007' must reach a string
+        # column as '007', never a mangled 7)
         matches = [
-            {"MatchId": _coerce(m), "Type": "Simple"} for m in args.match_id
+            {"MatchId": m, "Type": "Simple"} for m in args.match_id
         ]
+        if args.data_mapper:
+            # --data-mapper scopes EVERY match in the command, simple
+            # ones included — silently widening any of them to all
+            # mappers would over-delete
+            for m in matches:
+                m["DataMappers"] = list(args.data_mapper)
         if args.composite:
             pairs = [c.split("=", 1) for c in args.composite]
             matches.append(
                 {
                     "MatchId": [
-                        {"Column": col, "Value": _coerce(val)}
-                        for col, val in pairs
+                        {"Column": col, "Value": val} for col, val in pairs
                     ],
                     "Type": "Composite",
                     "DataMappers": args.data_mapper,
                 }
             )
-        if args.data_mapper and not args.composite:
-            for m in matches:
-                m["DataMappers"] = args.data_mapper
         _emit(eng.enqueue_matches(matches))
     elif args.cmd == "list-queue":
-        _emit(eng.list_queue())
+        _emit(
+            eng.list_queue(
+                start_at=args.start_at, page_size=args.page_size
+            )
+        )
     elif args.cmd == "process":
         _emit(eng.process_queue())
     elif args.cmd == "list-jobs":
@@ -137,17 +162,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         _emit({"Events": events, "NextStart": next_wm})
     return 0
-
-
-def _coerce(v: str):
-    """Match ids keep their CLI string form unless cleanly numeric —
-    the engine's typed casting does the real per-column coercion."""
-    for t in (int, float):
-        try:
-            return t(v)
-        except ValueError:
-            continue
-    return v
 
 
 if __name__ == "__main__":  # pragma: no cover

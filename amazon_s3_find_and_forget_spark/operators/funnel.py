@@ -14,6 +14,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _normalized(
+    events: DataFrame, user_col: str, ts_col: str, type_col: str
+) -> DataFrame:
+    """NULL-free (user, ts, type) projection — sequence position is
+    undefined for NULL users/timestamps."""
+    return events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+
+
+def _frontier_chain(ev: DataFrame, steps: list[str]) -> list[DataFrame]:
+    """THE greedy strictly-after matcher, shared by every funnel
+    operator so counts and timings can never desynchronize: step i's
+    frontier is one row per user — the earliest matching event strictly
+    after the user's step i-1 instant. Each frontier is persist()-ed
+    (it feeds both its own aggregate and the next step's join); the
+    CALLER unpersists all of them after materializing its result.
+    """
+    frontier = None
+    frontiers = []
+    for step in steps:
+        matched = ev.where(F.col("_ty") == step)
+        if frontier is not None:
+            matched = matched.join(
+                frontier.select("_u", "_prev"), "_u"
+            ).where(F.col("_ts") > F.col("_prev"))
+        frontier = (
+            matched.groupBy("_u").agg(F.min("_ts").alias("_prev")).persist()
+        )
+        frontiers.append(frontier)
+    return frontiers
+
+
 def funnel_counts(
     events: DataFrame,
     steps: list[str],
@@ -44,35 +81,16 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    ev = events.where(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).alias("_ts"),
-        F.col(type_col).alias("_ty"),
-    )
-    frontier = None
-    frontiers = []
-    rows = []
-    for i, step in enumerate(steps):
-        matched = ev.where(F.col("_ty") == step)
-        if frontier is not None:
-            matched = matched.join(frontier, "_u").where(
-                F.col("_ts") > F.col("_prev")
-            )
-        # each frontier feeds its own count AND the next step's join —
-        # persist lazily, released after the final union materializes
-        frontier = (
-            matched.groupBy("_u").agg(F.min("_ts").alias("_prev")).persist()
+    ev = _normalized(events, user_col, ts_col, type_col)
+    frontiers = _frontier_chain(ev, steps)
+    rows = [
+        frontier.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(step).alias("step_name"),
+            "users",
         )
-        frontiers.append(frontier)
-        rows.append(
-            frontier.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
-                F.lit(i + 1).cast("long").alias("step"),
-                F.lit(step).alias("step_name"),
-                "users",
-            )
-        )
+        for i, (step, frontier) in enumerate(zip(steps, frontiers))
+    ]
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
@@ -160,58 +178,40 @@ def funnel_transition_stats(
     """
     if len(steps) < 2:
         raise ValueError("need at least two steps for transitions")
-    ev = events.where(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).alias("_ts"),
-        F.col(type_col).alias("_ty"),
-    )
-    frontier = None
-    frontiers = []
+    ev = _normalized(events, user_col, ts_col, type_col)
+    frontiers = _frontier_chain(ev, steps)
     rows = []
-    for i, step in enumerate(steps):
-        matched = ev.where(F.col("_ty") == step)
-        if frontier is not None:
-            matched = matched.join(
-                frontier.select("_u", "_prev"), "_u"
-            ).where(F.col("_ts") > F.col("_prev"))
-        frontier = (
-            matched.groupBy("_u")
-            .agg(F.min("_ts").alias("_prev"))
-            .persist()
+    for i in range(1, len(steps)):
+        delta = (
+            frontiers[i]
+            .join(
+                frontiers[i - 1].select(
+                    "_u", F.col("_prev").alias("_prev0")
+                ),
+                "_u",
+            )
+            .select(
+                (
+                    F.col("_prev").cast("double")
+                    - F.col("_prev0").cast("double")
+                ).alias("_secs")
+            )
         )
-        frontiers.append(frontier)
-        if i > 0:
-            delta = (
-                frontier.join(
-                    frontiers[i - 1].select(
-                        "_u", F.col("_prev").alias("_prev0")
-                    ),
-                    "_u",
-                )
-                .select(
-                    (
-                        F.col("_prev").cast("double")
-                        - F.col("_prev0").cast("double")
-                    ).alias("_secs")
-                )
+        rows.append(
+            delta.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.round(F.avg("_secs"), 4).alias("avg_secs"),
+                F.round(F.percentile("_secs", F.lit(0.5)), 4).alias(
+                    "p50_secs"
+                ),
+            ).select(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(steps[i]).alias("step_name"),
+                "n_users",
+                "avg_secs",
+                "p50_secs",
             )
-            rows.append(
-                delta.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_users"),
-                    F.round(F.avg("_secs"), 4).alias("avg_secs"),
-                    F.round(F.percentile("_secs", F.lit(0.5)), 4).alias(
-                        "p50_secs"
-                    ),
-                ).select(
-                    F.lit(i + 1).cast("long").alias("step"),
-                    F.lit(step).alias("step_name"),
-                    "n_users",
-                    "avg_secs",
-                    "p50_secs",
-                )
-            )
+        )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

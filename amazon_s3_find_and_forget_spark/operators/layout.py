@@ -144,13 +144,21 @@ def compact_small_files(
     shrinks, and a year of erasure jobs leaves thousands of sub-MB files
     whose per-file open/footer cost comes to dominate scans. Compaction
     is the maintenance pass: greedy first-fit-decreasing bins over the
-    file listing (driver-side — the listing is metadata-scale), then ONE
-    cluster task per multi-file bin streams its inputs row-group-by-
-    row-group into a single replacement file (temp name + atomic rename,
-    the same crash-safe discipline as the per-file rewrite) and removes
-    the originals. Files already at target size are left untouched —
-    the pass is idempotent and safe to run on a live lake between
-    deletion jobs (never concurrently WITH one: both rewrite files).
+    file listing (driver-side — the listing is metadata-scale), one
+    cluster task per multi-file bin, files already at target size left
+    untouched.
+
+    Retry-safe two-phase protocol: cluster tasks are STAGING-ONLY — each
+    streams its bin row-group-by-row-group into a hidden dotfile whose
+    name is a content-independent digest of the bin's paths (a Spark
+    retry or speculative duplicate re-stages the same target via atomic
+    rename — idempotent, and dotfiles are invisible to readers). Only
+    after the whole Spark job succeeds does the DRIVER make bins
+    visible: replace the bin's first file, remove the rest. The visible
+    swap is not multi-file-atomic — a driver crash mid-swap can leave
+    one bin's rows duplicated until the (idempotent) pass is re-run —
+    so run it in a maintenance window, never concurrently with a
+    deletion job or scan that cannot tolerate that window.
 
     Parquet only (JSONL lakes compact trivially by concatenation).
     Returns {"files_before", "files_after", "bins_compacted"}.
@@ -178,17 +186,29 @@ def compact_small_files(
             bins.append([(size, path)])
     work = [[p for _, p in b] for b in bins if len(b) >= 2]
 
-    def compact_bin(paths_iter):
+    import hashlib
+
+    def _staged_name(paths: list[str]) -> str:
+        # deterministic across processes (hash() is seed-randomized)
+        digest = hashlib.sha256("\0".join(paths).encode()).hexdigest()[:16]
+        return os.path.join(
+            os.path.dirname(paths[0]), f".compact-{digest}.parquet"
+        )
+
+    def stage_bin(paths_iter):
+        """Staging phase, runs on executors: WRITE-ONLY + idempotent."""
+        import tempfile
+
         import pyarrow.parquet as pq_mod
 
         for paths in paths_iter:
             first = pq_mod.ParquetFile(paths[0])
             schema = first.schema_arrow.remove_metadata()
-            out = os.path.join(
-                os.path.dirname(paths[0]),
-                f".compact-{abs(hash(tuple(paths))):x}.parquet",
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(paths[0]), prefix=".compact-tmp-"
             )
-            writer = pq_mod.ParquetWriter(out, schema, compression="snappy")
+            os.close(fd)
+            writer = pq_mod.ParquetWriter(tmp, schema, compression="snappy")
             try:
                 for p in paths:
                     f = pq_mod.ParquetFile(p)
@@ -198,18 +218,7 @@ def compact_small_files(
                         )
             finally:
                 writer.close()
-            final = paths[0]  # replace the first input in place
-            os.replace(out, final)
-            for p in paths[1:]:
-                os.remove(p)
-            # drop Hadoop ChecksumFileSystem sidecars: a stale .crc for a
-            # replaced/removed parquet fails subsequent Spark reads
-            for p in paths:
-                crc = os.path.join(
-                    os.path.dirname(p), f".{os.path.basename(p)}.crc"
-                )
-                if os.path.exists(crc):
-                    os.remove(crc)
+            os.replace(tmp, _staged_name(paths))  # atomic, retry-safe
             yield 1
 
     if work:
@@ -217,9 +226,22 @@ def compact_small_files(
         n = min(len(work), max(sc.defaultParallelism, 1))
         done = (
             sc.parallelize(work, numSlices=n)
-            .mapPartitions(lambda it: compact_bin(it))
+            .mapPartitions(lambda it: stage_bin(it))
             .sum()
         )
+        # swap phase, driver-side, only after the WHOLE job succeeded
+        for paths in work:
+            os.replace(_staged_name(paths), paths[0])
+            for p in paths[1:]:
+                os.remove(p)
+            # drop Hadoop ChecksumFileSystem sidecars: a stale .crc for
+            # a replaced/removed parquet fails subsequent Spark reads
+            for p in paths:
+                crc = os.path.join(
+                    os.path.dirname(p), f".{os.path.basename(p)}.crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
     else:
         done = 0
     # the pass mutates the directory in place — invalidate any cached

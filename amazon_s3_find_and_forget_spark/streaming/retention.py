@@ -118,6 +118,15 @@ def streaming_retention(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if state_sink is None:
             return
+        # foreachBatch is at-least-once: a trigger that fails after this
+        # callback re-delivers the same batch_id on restart, and a +=
+        # merge would double-count. Track consumed ids in the sink
+        # itself so the replay is a no-op (the reserved key survives as
+        # long as the caller's sink does — the same lifetime as the
+        # counts it guards).
+        done = state_sink.setdefault("_batches", set())
+        if batch_id in done:
+            return
         for r in (
             batch_df.groupBy("cohort_week", "week_offset")
             .count()
@@ -125,6 +134,7 @@ def streaming_retention(
         ):
             k = (r["cohort_week"], r["week_offset"])
             state_sink[k] = state_sink.get(k, 0) + r["count"]
+        done.add(batch_id)
 
     return (
         cells.writeStream.outputMode("append")

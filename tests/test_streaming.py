@@ -729,4 +729,5 @@ def test_streaming_retention_agrees_with_batch(spark, tmp_path, sf_dir):
         (r.cohort_week, r.week_offset): r.active_users
         for r in bfunnel.cohort_retention(batch_df).collect()
     }
-    assert sink == expect
+    cells = {k: v for k, v in sink.items() if k != "_batches"}
+    assert cells == expect
