@@ -1354,6 +1354,26 @@ def q_text_unigram_nll(spark, sf_dir):
     return text.unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def q_text_ccnet_buckets(spark, sf_dir):
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): rank the
+    corpus by LM score and cut at the tertiles. Thresholds are two
+    driver scalars from one exact-percentile aggregate (same pattern as
+    the histogram range); the labeling pass is map-only."""
+    scored = text.unigram_logprob(load(spark, sf_dir, "documents"))
+    p33, p66 = scored.agg(
+        F.percentile("nll", F.lit(1.0 / 3)),
+        F.percentile("nll", F.lit(2.0 / 3)),
+    ).collect()[0]
+    return scored.select(
+        "doc_id",
+        "nll",
+        F.when(F.col("nll") <= p33, "head")
+        .when(F.col("nll") <= p66, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 def q_dedup_shared_ngrams(spark, sf_dir):
     return dedup.shared_ngram_stats(load(spark, sf_dir, "documents"), n=8)
 
@@ -2091,6 +2111,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "text_token_count": q_text_token_count,
     "events_funnel_timing": q_events_funnel_timing,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
     "documents_source_rollup": q_documents_source_rollup,
@@ -3172,6 +3193,31 @@ ORACLES = {
                      6) AS nll
         FROM toks t JOIN lm USING (term), stats
         GROUP BY t.doc_id
+    """,
+    "text_ccnet_buckets": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ), lm AS (
+          SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        ), stats AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab
+          FROM lm
+        ), scored AS (
+          SELECT t.doc_id,
+                 round(avg(-ln((lm.cnt + 1.0)
+                               / (stats.total + stats.vocab))), 6) AS nll
+          FROM toks t JOIN lm USING (term), stats
+          GROUP BY t.doc_id
+        ), q AS (
+          SELECT quantile_cont(nll, 1.0/3) AS p33,
+                 quantile_cont(nll, 2.0/3) AS p66
+          FROM scored
+        )
+        SELECT doc_id, nll,
+               CASE WHEN nll <= p33 THEN 'head'
+                    WHEN nll <= p66 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored, q
     """,
     "text_repetition": f"""
         WITH toks AS (
