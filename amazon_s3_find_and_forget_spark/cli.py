@@ -88,6 +88,18 @@ def main(argv: list[str] | None = None) -> int:
     je.add_argument("--start-at", default="0")
     je.add_argument("--page-size", type=int, default=20)
 
+    vc = sub.add_parser(
+        "vacuum",
+        help="maintenance pass: compact small files + purge old versions",
+    )
+    vc.add_argument("--location", required=True)
+    vc.add_argument("--target-bytes", type=int, default=128 << 20)
+    vc.add_argument(
+        "--keep-versions",
+        action="store_true",
+        help="skip the old-version purge (compaction only)",
+    )
+
     args = p.parse_args(argv)
 
     # validate argument semantics BEFORE paying Spark session startup
@@ -161,6 +173,21 @@ def main(argv: list[str] | None = None) -> int:
             args.job_id, watermark=args.start_at, page_size=args.page_size
         )
         _emit({"Events": events, "NextStart": next_wm})
+    elif args.cmd == "vacuum":
+        import glob as glob_mod
+        import os
+
+        from .operators.layout import compact_small_files
+        from .sources import versions as versions_mod
+
+        stats = compact_small_files(
+            eng.spark, args.location, target_bytes=args.target_bytes
+        )
+        purged = 0
+        if not args.keep_versions:
+            for p in glob_mod.glob(os.path.join(args.location, "*.parquet")):
+                purged += versions_mod.purge_versions(p)
+        _emit({**stats, "versions_purged": purged})
     return 0
 
 

@@ -49,3 +49,20 @@ def test_cli_full_runbook(spark, tmp_path, sf_dir, capsys):
 
     ev = run(capsys, *base, "job-events", job["Id"])
     assert ev["Events"]
+
+
+def test_cli_vacuum(spark, tmp_path, capsys):
+    lake = str(tmp_path / "vlake")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], "k long, v string"
+    ).repartition(10).write.parquet(lake)
+    before = sorted(
+        (r.k, r.v) for r in spark.read.parquet(lake).collect()
+    )
+    out = run(
+        capsys, "--state-dir", str(tmp_path / "s"), "--cpus", "4",
+        "vacuum", "--location", lake, "--target-bytes", str(1 << 30),
+    )
+    assert out["files_after"] < out["files_before"] == 10
+    after = sorted((r.k, r.v) for r in spark.read.parquet(lake).collect())
+    assert after == before
