@@ -175,16 +175,20 @@ def compact_small_files(
     if not files:
         return {"files_before": 0, "files_after": 0, "bins_compacted": 0}
     # first-fit-decreasing: big files first, each into the first bin with
-    # room; singleton bins are skipped at execution time
-    bins: list[list[tuple]] = []
+    # room (running totals — re-summing each bin per placement would be
+    # quadratic in the listing); singleton bins skip execution
+    bins: list[list[str]] = []
+    totals: list[int] = []
     for size, path in reversed(files):
-        for b in bins:
-            if sum(s for s, _ in b) + size <= target_bytes:
-                b.append((size, path))
+        for i, t in enumerate(totals):
+            if t + size <= target_bytes:
+                bins[i].append(path)
+                totals[i] += size
                 break
         else:
-            bins.append([(size, path)])
-    work = [[p for _, p in b] for b in bins if len(b) >= 2]
+            bins.append([path])
+            totals.append(size)
+    work = [b for b in bins if len(b) >= 2]
 
     import hashlib
 

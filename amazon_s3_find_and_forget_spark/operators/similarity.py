@@ -439,6 +439,33 @@ def quantize_embeddings(
 # --------------------------------------------------------------------------
 
 
+def _normalized_sample(
+    df: DataFrame, emb_col: str, sample_size: int, seed: int
+) -> np.ndarray:
+    """Seeded, limit-bounded driver-side sample, L2-normalized — the
+    shared training input for every sample-trained index (IVF coarse
+    quantizer, PQ codebooks)."""
+    rows = (
+        df.select(emb_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def _ivf_probes(
+    query_vec: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cells nearest the normalized query — shared by the
+    plain-IVF and IVF+PQ search paths."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    cent = np.asarray(centroids, dtype=np.float64)
+    return [int(c) for c in (cent @ q).argsort()[::-1][:nprobe]]
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 64,
@@ -455,14 +482,7 @@ def train_ivf_centroids(
     numpy on the driver (k * dim floats, trivially small), and the
     centroid matrix broadcasts to executors inside the assignment UDF.
     """
-    rows = (
-        df.select(emb_col)
-        .sample(fraction=1.0, seed=seed)
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.array([r[0] for r in rows], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _normalized_sample(df, emb_col, sample_size, seed)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
@@ -514,10 +534,7 @@ def ivf_topk(
     ~nprobe/n_centroids of the data; on an unpartitioned layout it is
     still a pushed-down dictionary filter.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    cent = np.asarray(centroids, dtype=np.float64)
-    probes = [int(c) for c in (cent @ q).argsort()[::-1][:nprobe]]
+    probes = _ivf_probes(query_vec, centroids, nprobe)
     indexed = (
         df
         if "ivf_cell" in df.columns
@@ -630,14 +647,7 @@ def train_pq_codebooks(
     ``(m, k, dim/m)`` float64 array, small enough to ride into executor
     closures as a broadcast literal.
     """
-    rows = (
-        df.select(emb_col)
-        .sample(fraction=1.0, seed=seed)
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.array([r[0] for r in rows], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _normalized_sample(df, emb_col, sample_size, seed)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -780,10 +790,7 @@ def ivfpq_topk(
     (the precomputed-index layout) and computes them on the fly
     otherwise.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    cent = np.asarray(centroids, dtype=np.float64)
-    probes = [int(c) for c in (cent @ qn).argsort()[::-1][:nprobe]]
+    probes = _ivf_probes(query_vec, centroids, nprobe)
     indexed = (
         df if "ivf_cell" in df.columns else with_ivf_cell(df, centroids, emb_col)
     )

@@ -56,6 +56,17 @@ STATE_SCHEMA = StructType(
 )
 
 
+def event_stream(spark: SparkSession, events_dir: str):
+    """The filtered JSONL event readStream shared by the incremental
+    behavioral operators (funnel, retention): NULL users/timestamps are
+    excluded up front — no sequence position without both."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(events_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+
+
 def streaming_funnel(
     spark: SparkSession,
     events_dir: str,
@@ -74,11 +85,7 @@ def streaming_funnel(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .json(events_dir)
-        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-    )
+    stream = event_stream(spark, events_dir)
 
     def update(key, pdfs, state):
         if state.exists:

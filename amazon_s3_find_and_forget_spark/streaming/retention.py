@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from .funnel import EVENT_SCHEMA
+from .funnel import event_stream
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -71,11 +71,7 @@ def streaming_retention(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .json(events_dir)
-        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-    )
+    stream = event_stream(spark, events_dir)
 
     def update(key, pdfs, state):
         if state.exists:
