@@ -88,6 +88,15 @@ def main(argv: list[str] | None = None) -> int:
     je.add_argument("--start-at", default="0")
     je.add_argument("--page-size", type=int, default=20)
 
+    st = sub.add_parser("settings", help="get or update engine settings")
+    st.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="setting to update (repeatable); no --set prints current",
+    )
+
     vc = sub.add_parser(
         "vacuum",
         help="maintenance pass: compact small files + purge old versions",
@@ -114,6 +123,10 @@ def main(argv: list[str] | None = None) -> int:
                 "a composite match requires exactly one --data-mapper "
                 "(reference queue semantics)"
             )
+    if args.cmd == "settings":
+        bad = [kv for kv in args.set if "=" not in kv]
+        if bad:
+            p.error(f"--set takes KEY=VALUE, got {bad[0]!r}")
 
     eng = _engine(args)
 
@@ -173,6 +186,18 @@ def main(argv: list[str] | None = None) -> int:
             args.job_id, watermark=args.start_at, page_size=args.page_size
         )
         _emit({"Events": events, "NextStart": next_wm})
+    elif args.cmd == "settings":
+        if args.set:
+            updates = {}
+            for kv in args.set:
+                key, val = kv.split("=", 1)
+                try:
+                    updates[key] = json.loads(val)
+                except json.JSONDecodeError:
+                    updates[key] = val
+            _emit(eng.put_settings(updates))
+        else:
+            _emit(eng.get_settings())
     elif args.cmd == "vacuum":
         import glob as glob_mod
         import os

@@ -66,3 +66,14 @@ def test_cli_vacuum(spark, tmp_path, capsys):
     assert out["files_after"] < out["files_before"] == 10
     after = sorted((r.k, r.v) for r in spark.read.parquet(lake).collect())
     assert after == before
+
+
+def test_cli_settings_roundtrip(tmp_path, capsys):
+    base = ["--state-dir", str(tmp_path / "s"), "--cpus", "4"]
+    current = run(capsys, *base, "settings")
+    assert current["QueryMaxRetries"] == 2
+    updated = run(capsys, *base, "settings", "--set", "QueryMaxRetries=5")
+    assert updated["QueryMaxRetries"] == 5
+    # persisted across invocations
+    again = run(capsys, *base, "settings")
+    assert again["QueryMaxRetries"] == 5
