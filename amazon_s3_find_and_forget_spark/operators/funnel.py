@@ -28,18 +28,28 @@ def _normalized(
     )
 
 
-def _frontier_chain(ev: DataFrame, steps: list[str]) -> list[DataFrame]:
+def _step_name(step) -> str:
+    return step if isinstance(step, str) else "|".join(step)
+
+
+def _frontier_chain(ev: DataFrame, steps: list) -> list[DataFrame]:
     """THE greedy strictly-after matcher, shared by every funnel
     operator so counts and timings can never desynchronize: step i's
     frontier is one row per user — the earliest matching event strictly
-    after the user's step i-1 instant. Each frontier is persist()-ed
-    (it feeds both its own aggregate and the next step's join); the
-    CALLER unpersists all of them after materializing its result.
+    after the user's step i-1 instant. A step is an event type OR a
+    list of types (any-of matching — "view or open"). Each frontier is
+    persist()-ed (it feeds both its own aggregate and the next step's
+    join); the CALLER unpersists all of them after materializing its
+    result.
     """
     frontier = None
     frontiers = []
     for step in steps:
-        matched = ev.where(F.col("_ty") == step)
+        matched = ev.where(
+            F.col("_ty") == step
+            if isinstance(step, str)
+            else F.col("_ty").isin(list(step))
+        )
         if frontier is not None:
             matched = matched.join(
                 frontier.select("_u", "_prev"), "_u"
@@ -86,7 +96,7 @@ def funnel_counts(
     rows = [
         frontier.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
             F.lit(i + 1).cast("long").alias("step"),
-            F.lit(step).alias("step_name"),
+            F.lit(_step_name(step)).alias("step_name"),
             "users",
         )
         for i, (step, frontier) in enumerate(zip(steps, frontiers))
@@ -206,7 +216,7 @@ def funnel_transition_stats(
                 ),
             ).select(
                 F.lit(i + 1).cast("long").alias("step"),
-                F.lit(steps[i]).alias("step_name"),
+                F.lit(_step_name(steps[i])).alias("step_name"),
                 "n_users",
                 "avg_secs",
                 "p50_secs",

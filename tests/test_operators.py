@@ -1376,3 +1376,28 @@ def test_funnel_transition_stats_hand_case(spark):
     assert out[3].avg_secs == pytest.approx(1800.0)
     with pytest.raises(ValueError):
         funnel.funnel_transition_stats(df, ["a"])
+
+
+def test_funnel_any_of_step_sets(spark):
+    from amazon_s3_find_and_forget_spark.operators import funnel
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: open -> click (open counts as the first step)
+        (1, dt(2024, 1, 1, 10), "open"),
+        (1, dt(2024, 1, 1, 11), "click"),
+        # user 2: view -> click
+        (2, dt(2024, 1, 1, 10), "view"),
+        (2, dt(2024, 1, 1, 11), "click"),
+        # user 3: click only (no first step)
+        (3, dt(2024, 1, 1, 10), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.step: r
+        for r in funnel.funnel_counts(df, [["view", "open"], "click"]).collect()
+    }
+    assert out[1].users == 2 and out[1].step_name == "view|open"
+    assert out[2].users == 2
