@@ -1066,6 +1066,19 @@ def q_events_variant_extract(spark, sf_dir):
     )
 
 
+def q_events_funnel_by_segment(spark, sf_dir):
+    """Cross-table behavioral breakdown: the funnel per customer market
+    segment, the user dimension joined by BROADCAST at count time."""
+    return funnel.funnel_counts_by(
+        load(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+    )
+
+
 def q_events_funnel_timing(spark, sf_dir):
     return funnel.funnel_transition_stats(
         load(spark, sf_dir, "events"), ["view", "click", "purchase"]
@@ -2111,6 +2124,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "text_token_count": q_text_token_count,
     "events_funnel_timing": q_events_funnel_timing,
+    "events_funnel_by_segment": q_events_funnel_by_segment,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -2640,6 +2654,37 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "events_funnel_by_segment": """
+        WITH ev AS (
+          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets,
+                 event_type AS ty
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), s1 AS (
+          SELECT u, min(ets) AS t FROM ev WHERE ty = 'view' GROUP BY u
+        ), s2 AS (
+          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s1 ON e.u = s1.u
+          WHERE e.ty = 'click' AND e.ets > s1.t GROUP BY e.u
+        ), s3 AS (
+          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s2 ON e.u = s2.u
+          WHERE e.ty = 'purchase' AND e.ets > s2.t GROUP BY e.u
+        ), dim AS (
+          SELECT c_custkey AS u, c_mktsegment AS seg FROM customer
+        )
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                 coalesce(d.seg, 'unknown') AS segment,
+                 CAST(count(*) AS BIGINT) AS users
+          FROM s1 LEFT JOIN dim d ON s1.u = d.u GROUP BY 3
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'click', coalesce(d.seg, 'unknown'),
+                 CAST(count(*) AS BIGINT)
+          FROM s2 LEFT JOIN dim d ON s2.u = d.u GROUP BY 3
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'purchase', coalesce(d.seg, 'unknown'),
+                 CAST(count(*) AS BIGINT)
+          FROM s3 LEFT JOIN dim d ON s3.u = d.u GROUP BY 3
+        ) ORDER BY step, segment
     """,
     "events_funnel_timing": """
         WITH ev AS (

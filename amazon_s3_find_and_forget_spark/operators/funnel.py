@@ -230,3 +230,57 @@ def funnel_transition_stats(
     finally:
         for fr in frontiers:
             fr.unpersist()
+
+
+def funnel_counts_by(
+    events: DataFrame,
+    steps: list,
+    segments: DataFrame,
+    segment_col: str = "segment",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion counts broken down by a user dimension.
+
+    ``segments`` is a (user, segment) dimension relation — one row per
+    user (a customer table, an experiment-arm assignment). The matcher
+    is the SAME shared frontier chain as ``funnel_counts``; the segment
+    only enters at count time, as a broadcast left join of each
+    one-row-per-user frontier against the dimension — users without a
+    dimension row count under 'unknown'. At any corpus/user ratio the
+    dimension is the small side, so the breakdown adds zero shuffles
+    over the unsegmented funnel.
+
+    Returns (step, step_name, segment, users), ordered by step then
+    segment.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = _normalized(events, user_col, ts_col, type_col)
+    seg = segments.select(
+        F.col(user_col).alias("_u"), F.col(segment_col).alias("_seg")
+    )
+    frontiers = _frontier_chain(ev, steps)
+    rows = [
+        frontier.join(F.broadcast(seg), "_u", "left")
+        .groupBy(
+            F.coalesce("_seg", F.lit("unknown")).alias(segment_col)
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(_step_name(step)).alias("step_name"),
+            segment_col,
+            "users",
+        )
+        for i, (step, frontier) in enumerate(zip(steps, frontiers))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    try:
+        return out.orderBy("step", segment_col).localCheckpoint(eager=True)
+    finally:
+        for fr in frontiers:
+            fr.unpersist()

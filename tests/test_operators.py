@@ -1401,3 +1401,31 @@ def test_funnel_any_of_step_sets(spark):
     }
     assert out[1].users == 2 and out[1].step_name == "view|open"
     assert out[2].users == 2
+
+
+def test_funnel_counts_by_segment(spark):
+    from amazon_s3_find_and_forget_spark.operators import funnel
+    from datetime import datetime as dt
+
+    events = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10), "a"),
+            (1, dt(2024, 1, 1, 11), "b"),
+            (2, dt(2024, 1, 1, 10), "a"),
+            (3, dt(2024, 1, 1, 10), "a"),  # user 3 has no dim row
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    dims = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, segment string"
+    )
+    out = {
+        (r.step, r.segment): r.users
+        for r in funnel.funnel_counts_by(events, ["a", "b"], dims).collect()
+    }
+    assert out == {
+        (1, "gold"): 1,
+        (1, "silver"): 1,
+        (1, "unknown"): 1,
+        (2, "gold"): 1,
+    }
