@@ -1079,6 +1079,16 @@ def q_events_funnel_by_segment(spark, sf_dir):
     )
 
 
+def q_events_retention_by_segment(spark, sf_dir):
+    return funnel.cohort_retention_by(
+        load(spark, sf_dir, "events"),
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+    )
+
+
 def q_events_funnel_timing(spark, sf_dir):
     return funnel.funnel_transition_stats(
         load(spark, sf_dir, "events"), ["view", "click", "purchase"]
@@ -2125,6 +2135,7 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "events_funnel_timing": q_events_funnel_timing,
     "events_funnel_by_segment": q_events_funnel_by_segment,
+    "events_retention_by_segment": q_events_retention_by_segment,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -2654,6 +2665,27 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "events_retention_by_segment": """
+        WITH ev AS (
+          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), firsts AS (
+          SELECT u, CAST(date_trunc('week', min(ets)) AS TIMESTAMP)
+                      AS cohort
+          FROM ev GROUP BY u
+        ), dim AS (
+          SELECT c_custkey AS u, c_mktsegment AS seg FROM customer
+        )
+        SELECT f.cohort AS cohort_week,
+               CAST(date_diff('day', f.cohort,
+                              CAST(date_trunc('week', e.ets) AS TIMESTAMP))
+                    / 7 AS BIGINT) AS week_offset,
+               coalesce(d.seg, 'unknown') AS segment,
+               CAST(count(DISTINCT e.u) AS BIGINT) AS active_users
+        FROM ev e JOIN firsts f ON e.u = f.u
+        LEFT JOIN dim d ON e.u = d.u
+        GROUP BY 1, 2, 3
     """,
     "events_funnel_by_segment": """
         WITH ev AS (

@@ -284,3 +284,51 @@ def funnel_counts_by(
     finally:
         for fr in frontiers:
             fr.unpersist()
+
+
+def cohort_retention_by(
+    events: DataFrame,
+    segments: DataFrame,
+    segment_col: str = "segment",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The retention triangle broken down by a user dimension.
+
+    Same shape as ``cohort_retention`` with the (user, segment)
+    dimension BROADCAST-joined onto the per-user activity relation
+    before the distinct-count — zero extra shuffles; users without a
+    dimension row count under 'unknown'.
+
+    Returns (cohort_week, week_offset, segment, active_users).
+    """
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
+    seg = segments.select(
+        F.col(user_col).alias("_u"), F.col(segment_col).alias("_seg")
+    )
+    firsts = ev.groupBy("_u").agg(
+        F.date_trunc("week", F.min("_ts")).alias("_cohort")
+    )
+    return (
+        ev.join(firsts, "_u")
+        .join(F.broadcast(seg), "_u", "left")
+        .select(
+            "_u",
+            "_cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("_ts")), F.col("_cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            F.coalesce("_seg", F.lit("unknown")).alias(segment_col),
+        )
+        .groupBy(
+            F.col("_cohort").alias("cohort_week"), "week_offset", segment_col
+        )
+        .agg(F.count_distinct(F.col("_u")).cast("long").alias("active_users"))
+    )

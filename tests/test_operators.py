@@ -1429,3 +1429,23 @@ def test_funnel_counts_by_segment(spark):
         (1, "unknown"): 1,
         (2, "gold"): 1,
     }
+
+
+def test_cohort_retention_by_segment(spark):
+    from amazon_s3_find_and_forget_spark.operators import funnel
+    from datetime import datetime as dt
+
+    events = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 2, 10)),
+            (1, dt(2024, 1, 9, 10)),
+            (2, dt(2024, 1, 3, 10)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    dims = spark.createDataFrame([(1, "gold")], "user_id long, segment string")
+    got = {
+        (r.week_offset, r.segment): r.active_users
+        for r in funnel.cohort_retention_by(events, dims).collect()
+    }
+    assert got == {(0, "gold"): 1, (1, "gold"): 1, (0, "unknown"): 1}
