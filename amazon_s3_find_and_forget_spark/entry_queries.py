@@ -1089,6 +1089,39 @@ def q_events_retention_by_segment(spark, sf_dir):
     )
 
 
+def q_orders_cohort_revenue(spark, sf_dir):
+    """Revenue cohorts over the orders fact: customers grouped by their
+    first-order month, revenue summed per (cohort, month offset).
+    Money sums go through decimal (exact, order-independent) — a double
+    sum would be partitioning-dependent in its last ulp and flip the
+    rounded cross-engine comparison."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.col("cohort_month"),
+            )
+            .cast("long")
+            .alias("month_offset"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("_price"),
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("buyers"),
+            F.sum("_price").cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_events_funnel_timing(spark, sf_dir):
     return funnel.funnel_transition_stats(
         load(spark, sf_dir, "events"), ["view", "click", "purchase"]
@@ -2136,6 +2169,7 @@ QUERIES = {
     "events_funnel_timing": q_events_funnel_timing,
     "events_funnel_by_segment": q_events_funnel_by_segment,
     "events_retention_by_segment": q_events_retention_by_segment,
+    "orders_cohort_revenue": q_orders_cohort_revenue,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -2665,6 +2699,28 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "orders_cohort_revenue": """
+        WITH o AS (
+          SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS od,
+                 o_totalprice
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        ), firsts AS (
+          SELECT o_custkey,
+                 CAST(date_trunc('month', min(od)) AS TIMESTAMP)
+                   AS cohort_month
+          FROM o GROUP BY o_custkey
+        )
+        SELECT f.cohort_month,
+               CAST(date_diff('month', f.cohort_month,
+                              CAST(date_trunc('month', o.od) AS TIMESTAMP))
+                    AS BIGINT) AS month_offset,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS buyers,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM o JOIN firsts f USING (o_custkey)
+        GROUP BY 1, 2
     """,
     "events_retention_by_segment": """
         WITH ev AS (
