@@ -1089,6 +1089,33 @@ def q_events_retention_by_segment(spark, sf_dir):
     )
 
 
+def q_lineitem_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the 20 part pairs most often ordered
+    together. The same inverted-index discipline as the n-gram dedup
+    family: per-order DISTINCT parts, a bounded self-join keyed on the
+    order (baskets are small — the per-key fan-out is |basket| choose 2,
+    never corpus-quadratic), map-side partial counting, and a fully
+    tie-broken top-k (count desc, then both part keys) so the cut is
+    deterministic across engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "_o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 def q_orders_cohort_revenue(spark, sf_dir):
     """Revenue cohorts over the orders fact: customers grouped by their
     first-order month, revenue summed per (cohort, month offset).
@@ -2170,6 +2197,7 @@ QUERIES = {
     "events_funnel_by_segment": q_events_funnel_by_segment,
     "events_retention_by_segment": q_events_retention_by_segment,
     "orders_cohort_revenue": q_orders_cohort_revenue,
+    "lineitem_basket_pairs": q_lineitem_basket_pairs,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -2699,6 +2727,18 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "lineitem_basket_pairs": """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
     """,
     "orders_cohort_revenue": """
         WITH o AS (
