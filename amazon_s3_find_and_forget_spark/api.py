@@ -296,6 +296,46 @@ class Engine:
         jobs.sort(key=lambda j: j["CreatedAt"], reverse=True)
         return jobs[:page_size]
 
+    # --- maintenance -------------------------------------------------------
+
+    def vacuum(
+        self,
+        location: str,
+        target_bytes: int = 128 << 20,
+        purge: bool = True,
+    ) -> dict:
+        """Maintenance pass for a lake directory: purge archived object
+        versions, then bin-pack small files (see
+        ``operators.layout.compact_small_files``).
+
+        Purge runs FIRST and enumerates the ``.s3f2versions`` store
+        directly, so it also clears ORPHANED stores — version dirs whose
+        object was already deleted (by an earlier vacuum's compaction or
+        an external cleanup). Running it after compaction would leave
+        the just-merged-away files' pre-erasure history restorable,
+        which for an erasure engine is a data-retention bug, not a
+        cosmetic one.
+        """
+        from .operators.layout import compact_small_files
+        from .sources import versions as versions_mod
+
+        purged = 0
+        if purge:
+            store_root = os.path.join(location, ".s3f2versions")
+            if os.path.isdir(store_root):
+                for name in sorted(os.listdir(store_root)):
+                    purged += versions_mod.purge_versions(
+                        os.path.join(location, name)
+                    )
+                try:
+                    os.rmdir(store_root)
+                except OSError:  # pragma: no cover - non-empty/raced
+                    pass
+        stats = compact_small_files(
+            self.spark, location, target_bytes=target_bytes
+        )
+        return {**stats, "versions_purged": purged}
+
     def list_job_events(
         self, job_id: str, watermark: str = "0", page_size: int = 20
     ) -> tuple[list[dict], str]:

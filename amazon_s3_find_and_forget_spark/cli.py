@@ -127,8 +127,17 @@ def main(argv: list[str] | None = None) -> int:
         bad = [kv for kv in args.set if "=" not in kv]
         if bad:
             p.error(f"--set takes KEY=VALUE, got {bad[0]!r}")
+        from .api import Engine
 
-    eng = _engine(args)
+        unknown = {
+            kv.split("=", 1)[0] for kv in args.set
+        } - set(Engine.DEFAULT_SETTINGS)
+        if unknown:
+            p.error(f"unknown settings: {sorted(unknown)}")
+        # settings only touch the state dir — never boot Spark for them
+        eng = Engine(None, state_dir=args.state_dir)
+    else:
+        eng = _engine(args)
 
     if args.cmd == "put-mapper":
         cfg = {
@@ -199,20 +208,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _emit(eng.get_settings())
     elif args.cmd == "vacuum":
-        import glob as glob_mod
-        import os
-
-        from .operators.layout import compact_small_files
-        from .sources import versions as versions_mod
-
-        stats = compact_small_files(
-            eng.spark, args.location, target_bytes=args.target_bytes
+        _emit(
+            eng.vacuum(
+                args.location,
+                target_bytes=args.target_bytes,
+                purge=not args.keep_versions,
+            )
         )
-        purged = 0
-        if not args.keep_versions:
-            for p in glob_mod.glob(os.path.join(args.location, "*.parquet")):
-                purged += versions_mod.purge_versions(p)
-        _emit({**stats, "versions_purged": purged})
     return 0
 
 

@@ -1442,7 +1442,12 @@ def q_text_ccnet_buckets(spark, sf_dir):
     corpus by LM score and cut at the tertiles. Thresholds are two
     driver scalars from one exact-percentile aggregate (same pattern as
     the histogram range); the labeling pass is map-only."""
-    scored = text.unigram_logprob(load(spark, sf_dir, "documents"))
+    # scored feeds BOTH the percentile collect and the labeling select —
+    # checkpoint so the heavy LM pipeline (explode + vocab agg +
+    # broadcast join) runs once, not once per consumer
+    scored = text.unigram_logprob(
+        load(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     p33, p66 = scored.agg(
         F.percentile("nll", F.lit(1.0 / 3)),
         F.percentile("nll", F.lit(2.0 / 3)),

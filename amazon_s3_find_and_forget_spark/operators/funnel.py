@@ -113,6 +113,29 @@ def funnel_counts(
             fr.unpersist()
 
 
+def _weekly_activity(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """(user, cohort_week, week_offset) per activity row — THE first-touch
+    and week arithmetic shared by both retention triangles."""
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
+    firsts = ev.groupBy("_u").agg(
+        F.date_trunc("week", F.min("_ts")).alias("_cohort")
+    )
+    return ev.join(firsts, "_u").select(
+        "_u",
+        "_cohort",
+        (
+            F.datediff(F.date_trunc("week", F.col("_ts")), F.col("_cohort"))
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
@@ -136,26 +159,8 @@ def cohort_retention(
 
     Returns (cohort_week timestamp, week_offset long, active_users).
     """
-    ev = events.where(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
-    firsts = ev.groupBy("_u").agg(
-        F.date_trunc("week", F.min("_ts")).alias("_cohort")
-    )
     return (
-        ev.join(firsts, "_u")
-        .select(
-            "_u",
-            "_cohort",
-            (
-                F.datediff(
-                    F.date_trunc("week", F.col("_ts")), F.col("_cohort")
-                )
-                / 7
-            )
-            .cast("long")
-            .alias("week_offset"),
-        )
+        _weekly_activity(events, user_col, ts_col)
         .groupBy(F.col("_cohort").alias("cohort_week"), "week_offset")
         .agg(F.count_distinct(F.col("_u")).cast("long").alias("active_users"))
     )
@@ -246,11 +251,12 @@ def funnel_counts_by(
     ``segments`` is a (user, segment) dimension relation — one row per
     user (a customer table, an experiment-arm assignment). The matcher
     is the SAME shared frontier chain as ``funnel_counts``; the segment
-    only enters at count time, as a broadcast left join of each
-    one-row-per-user frontier against the dimension — users without a
-    dimension row count under 'unknown'. At any corpus/user ratio the
-    dimension is the small side, so the breakdown adds zero shuffles
-    over the unsegmented funnel.
+    only enters at count time, as a left join of each one-row-per-user
+    frontier against the dimension — users without a dimension row
+    count under 'unknown'. The join is left UNHINTED on purpose: AQE
+    broadcasts the dimension whenever it fits and falls back to a
+    shuffle join for dimensions past the broadcast limit — a forced
+    F.broadcast() would hard-fail at ~8 GB instead of degrading.
 
     Returns (step, step_name, segment, users), ordered by step then
     segment.
@@ -263,7 +269,7 @@ def funnel_counts_by(
     )
     frontiers = _frontier_chain(ev, steps)
     rows = [
-        frontier.join(F.broadcast(seg), "_u", "left")
+        frontier.join(seg, "_u", "left")
         .groupBy(
             F.coalesce("_seg", F.lit("unknown")).alias(segment_col)
         )
@@ -295,36 +301,24 @@ def cohort_retention_by(
 ) -> DataFrame:
     """The retention triangle broken down by a user dimension.
 
-    Same shape as ``cohort_retention`` with the (user, segment)
-    dimension BROADCAST-joined onto the per-user activity relation
-    before the distinct-count — zero extra shuffles; users without a
-    dimension row count under 'unknown'.
+    Same activity relation as ``cohort_retention`` (shared helper —
+    the two triangles can never diverge on week arithmetic) with the
+    (user, segment) dimension joined on before the distinct-count;
+    users without a dimension row count under 'unknown'. Unhinted join:
+    AQE broadcasts a fitting dimension, larger ones shuffle.
 
     Returns (cohort_week, week_offset, segment, active_users).
     """
-    ev = events.where(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
     seg = segments.select(
         F.col(user_col).alias("_u"), F.col(segment_col).alias("_seg")
     )
-    firsts = ev.groupBy("_u").agg(
-        F.date_trunc("week", F.min("_ts")).alias("_cohort")
-    )
     return (
-        ev.join(firsts, "_u")
-        .join(F.broadcast(seg), "_u", "left")
+        _weekly_activity(events, user_col, ts_col)
+        .join(seg, "_u", "left")
         .select(
             "_u",
             "_cohort",
-            (
-                F.datediff(
-                    F.date_trunc("week", F.col("_ts")), F.col("_cohort")
-                )
-                / 7
-            )
-            .cast("long")
-            .alias("week_offset"),
+            "week_offset",
             F.coalesce("_seg", F.lit("unknown")).alias(segment_col),
         )
         .groupBy(

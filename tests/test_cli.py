@@ -77,3 +77,35 @@ def test_cli_settings_roundtrip(tmp_path, capsys):
     # persisted across invocations
     again = run(capsys, *base, "settings")
     assert again["QueryMaxRetries"] == 5
+
+
+def test_vacuum_purges_orphaned_version_stores(spark, tmp_path, capsys):
+    """Compaction deletes merged-away files; their version stores must
+    still purge (erased history must not survive a vacuum)."""
+    import glob
+
+    from amazon_s3_find_and_forget_spark.sources import versions
+
+    lake = str(tmp_path / "olake")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    ).repartition(4).write.parquet(lake)
+    files = sorted(glob.glob(lake + "/*.parquet"))
+    # archive a version beside EVERY file (DeleteOldVersions=False path)
+    for f in files:
+        snap = versions.snapshot(f)
+        tmp = f + ".tmp"
+        import shutil as _sh
+
+        _sh.copy(f, tmp)
+        versions.commit(f, tmp, snap, delete_old=False)
+    assert os.path.isdir(os.path.join(lake, ".s3f2versions"))
+
+    out = run(
+        capsys, "--state-dir", str(tmp_path / "s"), "--cpus", "4",
+        "vacuum", "--location", lake, "--target-bytes", str(1 << 30),
+    )
+    assert out["versions_purged"] >= len(files)
+    assert out["files_after"] < out["files_before"]
+    # no version store survives anywhere, including for merged-away files
+    assert not os.path.isdir(os.path.join(lake, ".s3f2versions"))
