@@ -1089,6 +1089,21 @@ def q_events_retention_by_segment(spark, sf_dir):
     )
 
 
+def q_lineitem_quality_checks(spark, sf_dir):
+    """Declarative quality gate over the lineitem fact: every row-level
+    rule is one conditional sum of a single scan; uniqueness is one
+    keyed aggregate."""
+    from .operators import quality
+
+    return quality.check_constraints(
+        load(spark, sf_dir, "lineitem"),
+        not_null=["l_orderkey", "l_linenumber", "l_quantity"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        ranges={"l_quantity": (0, 50), "l_discount": (0.0, 0.1)},
+        accepted={"l_returnflag": ["A", "N", "R"]},
+    )
+
+
 def q_lineitem_basket_pairs(spark, sf_dir):
     """Market-basket co-occurrence: the 20 part pairs most often ordered
     together. The same inverted-index discipline as the n-gram dedup
@@ -2203,6 +2218,7 @@ QUERIES = {
     "events_retention_by_segment": q_events_retention_by_segment,
     "orders_cohort_revenue": q_orders_cohort_revenue,
     "lineitem_basket_pairs": q_lineitem_basket_pairs,
+    "lineitem_quality_checks": q_lineitem_quality_checks,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -2732,6 +2748,48 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "lineitem_quality_checks": """
+        SELECT * FROM (
+          SELECT 'accepted_values(l_returnflag)' AS rule,
+                 CAST(coalesce(sum(CASE WHEN l_returnflag IS NOT NULL
+                        AND l_returnflag NOT IN ('A','N','R')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+          FROM lineitem
+          UNION ALL
+          SELECT 'not_null(l_orderkey)',
+                 CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'not_null(l_linenumber)',
+                 CAST(coalesce(sum(CASE WHEN l_linenumber IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'not_null(l_quantity)',
+                 CAST(coalesce(sum(CASE WHEN l_quantity IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'range(l_quantity)',
+                 CAST(coalesce(sum(CASE WHEN l_quantity IS NOT NULL
+                        AND (l_quantity < 0 OR l_quantity > 50)
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'range(l_discount)',
+                 CAST(coalesce(sum(CASE WHEN l_discount IS NOT NULL
+                        AND (l_discount < 0.0 OR l_discount > 0.1)
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'unique(l_orderkey, l_linenumber)',
+                 CAST(coalesce((SELECT sum(n - 1) FROM (
+                   SELECT count(*) AS n FROM lineitem
+                   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+                 )), 0) AS BIGINT)
+        ) ORDER BY rule
     """,
     "lineitem_basket_pairs": """
         WITH li AS (

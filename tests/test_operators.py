@@ -1449,3 +1449,49 @@ def test_cohort_retention_by_segment(spark):
         for r in funnel.cohort_retention_by(events, dims).collect()
     }
     assert got == {(0, "gold"): 1, (1, "gold"): 1, (0, "unknown"): 1}
+
+
+def test_check_constraints_counts_violations(spark):
+    from amazon_s3_find_and_forget_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A"),
+            (1, 10, "A"),   # duplicate key -> 1 surplus copy
+            (2, -5, "X"),   # range + accepted violations
+            (None, 200, "N"),  # null key + range violation
+        ],
+        "k long, qty long, flag string",
+    )
+    got = {
+        r.rule: r.violations
+        for r in quality.check_constraints(
+            df,
+            not_null=["k"],
+            unique=[["k", "qty"]],
+            ranges={"qty": (0, 50)},
+            accepted={"flag": ["A", "N", "R"]},
+        ).collect()
+    }
+    assert got == {
+        "not_null(k)": 1,
+        "unique(k, qty)": 1,
+        "range(qty)": 2,
+        "accepted_values(flag)": 1,
+    }
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        quality.check_constraints(df)
+
+
+def test_check_constraints_single_scan(spark):
+    """All row-level rules compile into ONE aggregate over one scan."""
+    from amazon_s3_find_and_forget_spark.operators import quality
+
+    df = spark.range(100).selectExpr("id as k", "id % 7 as qty")
+    out = quality.check_constraints(
+        df, not_null=["k"], ranges={"qty": (0, 5)}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1 or plan.count("Range") <= 1
