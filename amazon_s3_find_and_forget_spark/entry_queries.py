@@ -1089,6 +1089,55 @@ def q_events_retention_by_segment(spark, sf_dir):
     )
 
 
+def q_orders_rfm(spark, sf_dir):
+    """RFM customer scoring (recency / frequency / monetary quintiles).
+
+    The quintile windows run over the PER-CUSTOMER relation — users-
+    sized, thousands of times smaller than the fact — so the unkeyed
+    ntile sort is a small-relation cost; at billions of customers swap
+    the window for approx-quantile cut points. Ties break on the
+    customer key, and both engines distribute ntile remainders to the
+    leading buckets, so scores are deterministic cross-engine. Money
+    aggregates through decimal (exact)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    ref = o.agg(F.max("o_orderdate")).collect()[0][0]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(ref), F.max("o_orderdate"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (
+            F.lit(6)
+            - F.ntile(5).over(
+                Window.orderBy("recency_days", "o_custkey")
+            )
+        )
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+
+
 def q_lineitem_quality_checks(spark, sf_dir):
     """Declarative quality gate over the lineitem fact: every row-level
     rule is one conditional sum of a single scan; uniqueness is one
@@ -2219,6 +2268,7 @@ QUERIES = {
     "orders_cohort_revenue": q_orders_cohort_revenue,
     "lineitem_basket_pairs": q_lineitem_basket_pairs,
     "lineitem_quality_checks": q_lineitem_quality_checks,
+    "orders_rfm": q_orders_rfm,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "events_value_histogram": q_events_value_histogram,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -2748,6 +2798,32 @@ ORACLES = {
                    AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "orders_rfm": """
+        WITH o AS (
+          SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS od,
+                 o_totalprice
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        ), ref AS (
+          SELECT max(od) AS mx FROM o
+        ), per_cust AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', max(od), (SELECT mx FROM ref))
+                      AS BIGINT) AS recency_days,
+                 count(*) AS frequency,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+          FROM o GROUP BY o_custkey
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               CAST(6 - ntile(5) OVER (ORDER BY recency_days, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                    AS BIGINT) AS m_score
+        FROM per_cust
     """,
     "lineitem_quality_checks": """
         SELECT * FROM (
