@@ -41,6 +41,8 @@ def check_constraints(
     unique = unique or []
     ranges = ranges or {}
     accepted = accepted or {}
+    if len(set(not_null)) != len(not_null):
+        raise ValueError("duplicate column in not_null rules")
 
     aggs = []
     names = []
@@ -69,7 +71,6 @@ def check_constraints(
         )
         names.append((f"av_{c}", f"accepted_values({c})"))
 
-    spark = df.sparkSession
     rows = []
     if aggs:
         wide = df.agg(*aggs)
