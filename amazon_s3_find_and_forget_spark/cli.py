@@ -88,6 +88,29 @@ def main(argv: list[str] | None = None) -> int:
     je.add_argument("--start-at", default="0")
     je.add_argument("--page-size", type=int, default=20)
 
+    ck = sub.add_parser(
+        "check", help="declarative data-quality gate over a lake directory"
+    )
+    ck.add_argument("--location", required=True)
+    ck.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    ck.add_argument("--schema", default="", help="DDL schema (JSON lakes)")
+    ck.add_argument("--not-null", action="append", default=[],
+                    help="column that must never be NULL; repeatable")
+    ck.add_argument("--unique", action="append", default=[],
+                    metavar="COL[,COL...]",
+                    help="column list that must be row-unique; repeatable")
+    ck.add_argument("--range", action="append", default=[],
+                    metavar="COL:LO:HI",
+                    help="inclusive numeric bounds; repeatable")
+    ck.add_argument("--accepted", action="append", default=[],
+                    metavar="COL:V1[,V2...]",
+                    help="allowed values; repeatable")
+    ck.add_argument(
+        "--fail-on-violation",
+        action="store_true",
+        help="exit 1 if any rule reports violations",
+    )
+
     st = sub.add_parser("settings", help="get or update engine settings")
     st.add_argument(
         "--set",
@@ -123,6 +146,15 @@ def main(argv: list[str] | None = None) -> int:
                 "a composite match requires exactly one --data-mapper "
                 "(reference queue semantics)"
             )
+    if args.cmd == "check":
+        if not (args.not_null or args.unique or args.range or args.accepted):
+            p.error("check needs at least one rule")
+        bad = [s for s in args.range if s.count(":") < 2]
+        if bad:
+            p.error(f"--range takes COL:LO:HI, got {bad[0]!r}")
+        bad = [s for s in args.accepted if ":" not in s]
+        if bad:
+            p.error(f"--accepted takes COL:V1[,V2...], got {bad[0]!r}")
     if args.cmd == "settings":
         bad = [kv for kv in args.set if "=" not in kv]
         if bad:
@@ -215,6 +247,34 @@ def main(argv: list[str] | None = None) -> int:
                 purge=not args.keep_versions,
             )
         )
+    elif args.cmd == "check":
+        from .operators.quality import check_constraints
+
+        if args.format == "json":
+            reader = eng.spark.read
+            if args.schema:
+                reader = reader.schema(args.schema)
+            df = reader.json(args.location)
+        else:
+            df = eng.spark.read.parquet(args.location)
+        ranges = {}
+        for spec in args.range:
+            col, lo, hi = spec.rsplit(":", 2)
+            ranges[col] = (float(lo), float(hi))
+        accepted = {}
+        for spec in args.accepted:
+            col, vals = spec.split(":", 1)
+            accepted[col] = vals.split(",")
+        rows = check_constraints(
+            df,
+            not_null=args.not_null,
+            unique=[u.split(",") for u in args.unique],
+            ranges=ranges,
+            accepted=accepted,
+        ).collect()
+        _emit([r.asDict() for r in rows])
+        if args.fail_on_violation and any(r.violations for r in rows):
+            return 1
     return 0
 
 

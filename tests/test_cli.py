@@ -109,3 +109,45 @@ def test_vacuum_purges_orphaned_version_stores(spark, tmp_path, capsys):
     assert out["files_after"] < out["files_before"]
     # no version store survives anywhere, including for merged-away files
     assert not os.path.isdir(os.path.join(lake, ".s3f2versions"))
+
+
+def test_cli_check_quality_gate(spark, tmp_path, sf_dir, capsys):
+    lake = str(tmp_path / "qlake")
+    os.makedirs(lake)
+    shutil.copy(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(lake, "lineitem.parquet"),
+    )
+    base = ["--state-dir", str(tmp_path / "s"), "--cpus", "4"]
+    rows = run(
+        capsys, *base, "check", "--location", lake,
+        "--not-null", "l_orderkey",
+        "--unique", "l_orderkey,l_linenumber",
+        "--range", "l_quantity:0:50",
+        "--accepted", "l_returnflag:A,N,R",
+    )
+    by_rule = {r["rule"]: r["violations"] for r in rows}
+    # the synthetic generator does NOT enforce the (orderkey, linenumber)
+    # key — the gate catching that is the operator working as intended;
+    # assert against an independently computed truth
+    li = spark.read.parquet(lake)
+    expected_dups = (
+        li.count()
+        - li.select("l_orderkey", "l_linenumber").distinct().count()
+    )
+    assert by_rule == {
+        "not_null(l_orderkey)": 0,
+        "unique(l_orderkey, l_linenumber)": expected_dups,
+        "range(l_quantity)": 0,
+        "accepted_values(l_returnflag)": 0,
+    }
+    assert expected_dups > 0
+    # --fail-on-violation exits nonzero when a rule trips
+    from amazon_s3_find_and_forget_spark.cli import main as cli_main
+
+    rc = cli_main(
+        base + ["check", "--location", lake, "--range", "l_quantity:0:1",
+                "--fail-on-violation"]
+    )
+    capsys.readouterr()
+    assert rc == 1
