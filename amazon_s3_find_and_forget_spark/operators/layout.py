@@ -88,9 +88,14 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     from pyspark.sql import functions as F
 
+    # the id is mixed in as a hash INPUT, not added to the hash output:
+    # raw long addition of two hashes can overflow, which ANSI mode
+    # (Spark 4 default) turns into ARITHMETIC_OVERFLOW on a big run
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns])
-        + F.monotonically_increasing_id(),
+        F.xxhash64(
+            *[F.col(c) for c in big.columns],
+            F.monotonically_increasing_id(),
+        ),
         F.lit(n_salts),
     ).cast("int")
     bigs = big.withColumn("_salt", salt)
@@ -174,23 +179,44 @@ def compact_small_files(
     )
     if not files:
         return {"files_before": 0, "files_after": 0, "bins_compacted": 0}
-    # first-fit-decreasing: big files first, each into the first bin with
-    # room (running totals — re-summing each bin per placement would be
-    # quadratic in the listing); singleton bins skip execution
-    bins: list[list[str]] = []
-    totals: list[int] = []
-    for size, path in reversed(files):
-        for i, t in enumerate(totals):
-            if t + size <= target_bytes:
-                bins[i].append(path)
-                totals[i] += size
-                break
-        else:
-            bins.append([path])
-            totals.append(size)
-    work = [b for b in bins if len(b) >= 2]
 
     import hashlib
+
+    import pyarrow.parquet as pq_mod
+
+    # bins never mix schemas: the forget path preserves each file's own
+    # schema on rewrite, so a schema-evolved flat lake is a NORMAL state
+    # of this engine, and casting a bin to its first file's schema would
+    # raise mid-job. Fingerprint from the footer (metadata-scale read,
+    # same cost class as the size listing).
+    def _schema_fp(path: str) -> str:
+        schema = pq_mod.ParquetFile(path).schema_arrow.remove_metadata()
+        return hashlib.sha256(
+            schema.serialize().to_pybytes()
+        ).hexdigest()[:16]
+
+    by_schema: dict[str, list[tuple[int, str]]] = {}
+    for size, path in files:
+        by_schema.setdefault(_schema_fp(path), []).append((size, path))
+
+    # first-fit-decreasing WITHIN each schema group: big files first,
+    # each into the first bin with room (running totals — re-summing
+    # each bin per placement would be quadratic in the listing);
+    # singleton bins skip execution
+    bins: list[list[str]] = []
+    totals: list[int] = []
+    for group in by_schema.values():
+        start = len(bins)
+        for size, path in reversed(group):
+            for i in range(start, len(bins)):
+                if totals[i] + size <= target_bytes:
+                    bins[i].append(path)
+                    totals[i] += size
+                    break
+            else:
+                bins.append([path])
+                totals.append(size)
+    work = [b for b in bins if len(b) >= 2]
 
     def _staged_name(paths: list[str]) -> str:
         # deterministic across processes (hash() is seed-randomized)
@@ -212,27 +238,45 @@ def compact_small_files(
                 dir=os.path.dirname(paths[0]), prefix=".compact-tmp-"
             )
             os.close(fd)
-            writer = pq_mod.ParquetWriter(tmp, schema, compression="snappy")
             try:
-                for p in paths:
-                    f = pq_mod.ParquetFile(p)
-                    for rg in range(f.num_row_groups):
-                        writer.write_table(
-                            f.read_row_group(rg).cast(schema)
-                        )
-            finally:
-                writer.close()
+                writer = pq_mod.ParquetWriter(
+                    tmp, schema, compression="snappy"
+                )
+                try:
+                    for p in paths:
+                        f = pq_mod.ParquetFile(p)
+                        for rg in range(f.num_row_groups):
+                            writer.write_table(
+                                f.read_row_group(rg).cast(schema)
+                            )
+                finally:
+                    writer.close()
+            except BaseException:
+                # don't leave a half-written temp behind on task failure
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                raise
             os.replace(tmp, _staged_name(paths))  # atomic, retry-safe
             yield 1
 
     if work:
         sc = spark.sparkContext
         n = min(len(work), max(sc.defaultParallelism, 1))
-        done = (
-            sc.parallelize(work, numSlices=n)
-            .mapPartitions(lambda it: stage_bin(it))
-            .sum()
-        )
+        try:
+            done = (
+                sc.parallelize(work, numSlices=n)
+                .mapPartitions(lambda it: stage_bin(it))
+                .sum()
+            )
+        except BaseException:
+            # a failed staging job must not leave hidden .compact-*
+            # dotfiles behind (they would accumulate invisibly — the
+            # lake stays correct but the space leaks)
+            for paths in work:
+                staged = _staged_name(paths)
+                if os.path.exists(staged):
+                    os.remove(staged)
+            raise
         # swap phase, driver-side, only after the WHOLE job succeeded
         for paths in work:
             os.replace(_staged_name(paths), paths[0])
