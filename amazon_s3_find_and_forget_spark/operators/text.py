@@ -267,11 +267,13 @@ def chunk_documents(
     piece = F.slice(
         F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens
     )
+    # counters surface as long so the Arrow type token matches the
+    # BIGINT the SQL oracle produces (int32 values hash differently)
     return with_idx.select(
         id_col,
-        "chunk_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
         F.array_join(piece, " ").alias("chunk_text"),
-        F.size(piece).alias("chunk_tokens"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
     )
 
 

@@ -87,7 +87,55 @@ def _simple_mask(table: pa.Table, column: str, match_ids) -> pa.Array:
 
 
 def _composite_mask(table: pa.Table, columns, match_tuples) -> pa.Array:
+    """Vectorized composite match: O(columns) kernel passes, not
+    O(tuples x columns).
+
+    pyarrow (<=16) has no struct ``is_in`` kernel, so each member column
+    is dictionary-encoded against the distinct match values via one
+    ``index_in`` pass, the per-column codes are combined into a single
+    int64 mixed-radix key (digit 0 reserved for "value not in any
+    tuple" / null, so a partial match can never alias a full one), and
+    one final ``is_in`` compares row keys against the tuple keys.
+    Falls back to the per-tuple loop only if the combined radix would
+    overflow int64 (> ~2^62 distinct-value combinations).
+    """
     arrays = [_get_column(table, c) for c in columns]
+    # a tuple with a null member can never match: NULL = x is not true
+    # (matches the per-tuple path, where equal() -> null -> False)
+    tuples = [t for t in match_tuples if all(v is not None for v in t)]
+    if not tuples:
+        return pa.array([False] * table.num_rows)
+    key = None
+    tuple_keys = [0] * len(tuples)
+    max_key = 1
+    for i, arr in enumerate(arrays):
+        col_vals = _typed_values([t[i] for t in tuples], arr.type)
+        distinct = list(dict.fromkeys(col_vals))
+        base = len(distinct) + 1
+        max_key *= base
+        if max_key > (1 << 62):
+            return _composite_mask_loop(arrays, tuples)
+        try:
+            value_set = pa.array(distinct, type=arr.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            value_set = pa.array(distinct)
+            arr = arr.cast(value_set.type)
+        codes = pc.add(
+            pc.fill_null(pc.index_in(arr, value_set=value_set), -1), 1
+        ).cast(pa.int64())
+        key = codes if key is None else pc.add(pc.multiply(key, base), codes)
+        code_of = {v: j + 1 for j, v in enumerate(distinct)}
+        tuple_keys = [
+            k * base + code_of[v] for k, v in zip(tuple_keys, col_vals)
+        ]
+    mask = pc.is_in(
+        key, value_set=pa.array(sorted(set(tuple_keys)), type=pa.int64())
+    )
+    return pc.fill_null(mask, False)
+
+
+def _composite_mask_loop(arrays, match_tuples) -> pa.Array:
+    """Per-tuple fallback (original path) for pathological radix overflow."""
     per_tuple_masks = []
     for tup in match_tuples:
         member_masks = []

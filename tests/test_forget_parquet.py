@@ -323,3 +323,69 @@ def test_complex_payload_columns_preserved(tmp_path):
     ]
     assert back.column("tags").to_pylist() == [["c"]]
     assert back.schema.equals(pa.schema(schema))
+
+
+# --- vectorized composite mask (round-7): loop/vector equivalence ---------
+
+from amazon_s3_find_and_forget_spark.sources.parquet_file import (  # noqa: E402
+    _composite_mask,
+    _composite_mask_loop,
+    _get_column,
+)
+
+
+def test_composite_mask_matches_loop_with_nulls():
+    # nulls in the data never match; a tuple with a None member never
+    # matches anything (NULL = x is not true) — identical to the loop
+    table = pa.table(
+        {
+            "a": pa.array([1, 2, None, 2, 3, 1], type=pa.int64()),
+            "b": pa.array(["x", "y", "y", None, "z", "y"]),
+        }
+    )
+    tuples = [(1, "x"), (2, "y"), (None, "y"), (3, "q")]
+    vec = _composite_mask(table, ["a", "b"], tuples)
+    loop = _composite_mask_loop(
+        [_get_column(table, "a"), _get_column(table, "b")],
+        [t for t in tuples if all(v is not None for v in t)],
+    )
+    assert vec.to_pylist() == loop.to_pylist()
+    assert vec.to_pylist() == [True, True, False, False, False, False]
+
+
+def test_composite_mask_no_partial_match_aliasing():
+    # (1,'x') and (2,'y') in the tuple set must NOT match rows (1,'y')
+    # or (2,'x') — the mixed-radix key may not mix digits across tuples
+    table = pa.table(
+        {"a": pa.array([1, 2, 1, 2], type=pa.int64()), "b": ["x", "y", "y", "x"]}
+    )
+    vec = _composite_mask(table, ["a", "b"], [(1, "x"), (2, "y")])
+    assert vec.to_pylist() == [True, True, False, False]
+
+
+def test_composite_mask_all_null_tuples_matches_nothing():
+    table = pa.table({"a": pa.array([1, 2]), "b": ["x", "y"]})
+    vec = _composite_mask(table, ["a", "b"], [(None, "x")])
+    assert vec.to_pylist() == [False, False]
+
+
+def test_composite_mask_fuzz_equivalence():
+    import random
+
+    rng = random.Random(42)
+    for trial in range(20):
+        n = rng.randint(1, 200)
+        a = [rng.choice([None, *range(10)]) for _ in range(n)]
+        b = [rng.choice([None, "p", "q", "r", "s"]) for _ in range(n)]
+        table = pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b)}
+        )
+        tuples = [
+            (rng.choice(range(12)), rng.choice(["p", "q", "r", "s", "t"]))
+            for _ in range(rng.randint(1, 30))
+        ]
+        vec = _composite_mask(table, ["a", "b"], tuples)
+        loop = _composite_mask_loop(
+            [_get_column(table, "a"), _get_column(table, "b")], tuples
+        )
+        assert vec.to_pylist() == loop.to_pylist(), f"trial {trial}"
