@@ -30,11 +30,59 @@ import hashlib
 import json
 import os
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Protocol
 
 from . import versions
+
+
+class TransientStoreError(RuntimeError):
+    """A retryable store failure (the ClientError stand-in for fakes/tests)."""
+
+
+def _retryable_exceptions() -> tuple:
+    """ClientError when botocore is present, plus the test stand-in."""
+    try:  # pragma: no cover - env-dependent
+        from botocore.exceptions import ClientError
+
+        return (ClientError, TransientStoreError)
+    except ImportError:
+        return (TransientStoreError,)
+
+
+def retry_backoff(
+    fn,
+    retry_wait_seconds: float = 2,
+    retry_factor: float = 2,
+    max_retries: int = 5,
+    sleep=time.sleep,
+):
+    """Exponential back-off retry for transient store errors.
+
+    Parity: backend/ecs_tasks/delete_files/utils.py:9-30 (retry_wrapper) —
+    2 s initial wait doubling per attempt, 5 retries, re-raising the last
+    error once the budget is exhausted. ``sleep`` is injectable so
+    fault-injection tests run instantly.
+    """
+    retryable = _retryable_exceptions()
+
+    def wrapper(*args, **kwargs):
+        wait = retry_wait_seconds
+        last_error = None
+        for attempt in range(max_retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except retryable as e:
+                last_error = e
+                if attempt == max_retries:
+                    break
+                sleep(wait)
+                wait *= retry_factor
+        raise last_error
+
+    return wrapper
 
 
 @dataclass
@@ -259,7 +307,7 @@ class S3ObjectStore:
     calls the reference makes (cited per method).
     """
 
-    def __init__(self, client=None):
+    def __init__(self, client=None, sleep=time.sleep):
         if client is None:
             try:
                 import boto3  # noqa: F401 — optional dependency
@@ -270,6 +318,12 @@ class S3ObjectStore:
                 ) from e
             client = boto3.client("s3")
         self._client = client
+        self._sleep = sleep
+
+    def _retry(self, fn):
+        """Transient-error back-off (parity utils.py:9-30, applied where
+        the reference applies it: version listings and batch deletes)."""
+        return retry_backoff(fn, sleep=self._sleep)
 
     @staticmethod
     def _split(path: str) -> tuple[str, str]:
@@ -408,9 +462,10 @@ class S3ObjectStore:
         self, path: str, from_version: str, to_version: str
     ) -> bool:
         # list one version before to_version; it must be from_version
-        # (s3.py:301-341)
+        # (s3.py:301-341); the listing retries on transient errors with
+        # exponential back-off exactly as the reference wraps it (s3.py:310)
         bucket, key = self._split(path)
-        resp = self._client.list_object_versions(
+        resp = self._retry(self._client.list_object_versions)(
             Bucket=bucket,
             Prefix=key,
             KeyMarker=key,
@@ -443,26 +498,31 @@ class S3ObjectStore:
         # must survive (s3.py:244-281 scopes the listing identically).
         # Then batched DeleteObjects in LastModified order, 1000 per call.
         bucket, key = self._split(path)
-        entries: list[tuple] = []
-        paginator = self._client.get_paginator("list_object_versions")
-        for page in paginator.paginate(
-            Bucket=bucket,
-            Prefix=key,
-            KeyMarker=key,
-            VersionIdMarker=keep_version,
-        ):
-            for v in page.get("Versions", []) + page.get("DeleteMarkers", []):
-                if v.get("Key") == key:
-                    entries.append((v["LastModified"], v["VersionId"]))
+
+        def _list_pages():
+            entries: list[tuple] = []
+            paginator = self._client.get_paginator("list_object_versions")
+            for page in paginator.paginate(
+                Bucket=bucket,
+                Prefix=key,
+                KeyMarker=key,
+                VersionIdMarker=keep_version,
+            ):
+                for v in page.get("Versions", []) + page.get(
+                    "DeleteMarkers", []
+                ):
+                    if v.get("Key") == key:
+                        entries.append((v["LastModified"], v["VersionId"]))
+            return entries
+
+        entries = self._retry(_list_pages)()
         vids = [vid for _, vid in sorted(entries) if vid != keep_version]
         n = 0
         for i in range(0, len(vids), 1000):
             batch = [
                 {"Key": key, "VersionId": vid} for vid in vids[i : i + 1000]
             ]
-            resp = self._client.delete_objects(
-                Bucket=bucket, Delete={"Objects": batch, "Quiet": True}
-            )
+            resp = self._delete_batch(bucket, batch)
             errors = resp.get("Errors", [])
             if errors:
                 raise RuntimeError(
@@ -470,6 +530,29 @@ class S3ObjectStore:
                 )
             n += len(batch)
         return n
+
+    def _delete_batch(self, bucket: str, objects: list[dict]) -> dict:
+        """Batch DeleteObjects with two retry envelopes (parity
+        s3.py:284-298): transient ClientErrors back off exponentially
+        (utils.py:9-30), and a response that still CONTAINS per-key
+        ``Errors`` is itself retried — with only the failed keys — up to
+        10 attempts, 1..10 s exponential wait, returning the last
+        response for the caller to surface residual errors."""
+        attempt = 0
+        resp: dict = {}
+        while True:
+            resp = self._retry(self._client.delete_objects)(
+                Bucket=bucket, Delete={"Objects": objects, "Quiet": True}
+            )
+            errors = resp.get("Errors", [])
+            attempt += 1
+            if not errors or attempt >= 10:
+                return resp
+            failed = {(e.get("Key"), e.get("VersionId")) for e in errors}
+            objects = [
+                o for o in objects if (o["Key"], o.get("VersionId")) in failed
+            ]
+            self._sleep(min(max(2 ** (attempt - 1), 1), 10))
 
 
 def uuid_version() -> str:

@@ -414,3 +414,151 @@ def test_forget_rewrite_through_object_store(tmp_path):
     assert len(store.list_versions(obj)) == 1
     assert store.get_properties(obj).tags == {"lake": "test"}
     assert store.get_properties(obj).content_type == "application/parquet"
+
+
+# --------------------------------------------------------------------------
+# retry/backoff parity (reference utils.py:9-30, s3.py:284-298)
+# --------------------------------------------------------------------------
+
+from amazon_s3_find_and_forget_spark.sources.object_store import (  # noqa: E402
+    TransientStoreError,
+    retry_backoff,
+)
+
+
+def test_retry_backoff_recovers_and_waits_exponentially():
+    calls, waits = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 4:
+            raise TransientStoreError("503 SlowDown")
+        return "ok"
+
+    assert retry_backoff(flaky, sleep=waits.append)() == "ok"
+    assert len(calls) == 4
+    assert waits == [2, 4, 8]  # 2s initial, doubling (utils.py:9-30)
+
+
+def test_retry_backoff_exhausts_budget_and_reraises():
+    calls, waits = [], []
+
+    def always_down():
+        calls.append(1)
+        raise TransientStoreError("InternalError")
+
+    with pytest.raises(TransientStoreError):
+        retry_backoff(always_down, sleep=waits.append)()
+    assert len(calls) == 6  # initial + 5 retries
+    assert waits == [2, 4, 8, 16, 32]
+
+
+def test_retry_backoff_non_transient_raises_immediately():
+    calls = []
+
+    def broken():
+        calls.append(1)
+        raise ValueError("permanent")
+
+    with pytest.raises(ValueError):
+        retry_backoff(broken, sleep=lambda s: None)()
+    assert len(calls) == 1
+
+
+class FlakyS3Client(FakeS3Client):
+    """Fault-injection wrapper: named methods raise transiently N times."""
+
+    def __init__(self, failures: dict[str, int]):
+        super().__init__()
+        self.failures = dict(failures)
+        self.delete_batches = []
+
+    def _maybe_fail(self, name):
+        if self.failures.get(name, 0) > 0:
+            self.failures[name] -= 1
+            raise TransientStoreError(f"{name}: 503 SlowDown")
+
+    def list_object_versions(self, **kwargs):
+        self._maybe_fail("list_object_versions")
+        return super().list_object_versions(**kwargs)
+
+    def delete_objects(self, *, Bucket, Delete):
+        self.delete_batches.append([o["VersionId"] for o in Delete["Objects"]])
+        self._maybe_fail("delete_objects")
+        errors = []
+        kept = []
+        for obj in Delete["Objects"]:
+            if self.failures.get(f"key:{obj['VersionId']}", 0) > 0:
+                self.failures[f"key:{obj['VersionId']}"] -= 1
+                errors.append(
+                    {
+                        "Key": obj["Key"],
+                        "VersionId": obj["VersionId"],
+                        "Code": "InternalError",
+                        "Message": "We encountered an internal error.",
+                    }
+                )
+            else:
+                kept.append(obj)
+        for obj in kept:
+            self.delete_object(
+                Bucket=Bucket, Key=obj["Key"], VersionId=obj["VersionId"]
+            )
+        return {"Errors": errors} if errors else {}
+
+
+def _seed(client, n):
+    for i in range(n):
+        client.put_object(Bucket="b", Key="k", Body=b"v%d" % i)
+
+
+def test_s3_delete_old_versions_survives_transient_listing_errors():
+    waits = []
+    client = FlakyS3Client({"list_object_versions": 2})
+    store = S3ObjectStore(client=client, sleep=waits.append)
+    _seed(client, 3)
+    assert store.delete_old_versions("s3://b/k", "v3") == 2
+    assert [v["VersionId"] for v in client.objects[("b", "k")]] == ["v3"]
+    assert waits == [2, 4]
+
+
+def test_s3_delete_batch_retries_only_failed_keys():
+    waits = []
+    client = FlakyS3Client({"key:v1": 2})  # v1 errors twice, then deletes
+    store = S3ObjectStore(client=client, sleep=waits.append)
+    _seed(client, 3)
+    assert store.delete_old_versions("s3://b/k", "v3") == 2
+    assert [v["VersionId"] for v in client.objects[("b", "k")]] == ["v3"]
+    # first batch carries both old versions; retries narrow to v1 only
+    assert client.delete_batches == [["v1", "v2"], ["v1"], ["v1"]]
+    assert waits == [1, 2]  # response-error retries wait 1..10s
+
+
+def test_s3_delete_batch_transient_exception_then_success():
+    waits = []
+    client = FlakyS3Client({"delete_objects": 1})
+    store = S3ObjectStore(client=client, sleep=waits.append)
+    _seed(client, 2)
+    assert store.delete_old_versions("s3://b/k", "v2") == 1
+    assert waits == [2]
+
+
+def test_s3_delete_batch_persistent_errors_raise_with_exact_accounting():
+    client = FlakyS3Client({"key:v1": 99})
+    store = S3ObjectStore(client=client, sleep=lambda s: None)
+    _seed(client, 2)
+    with pytest.raises(RuntimeError, match="1 version"):
+        store.delete_old_versions("s3://b/k", "v2")
+    # ten response-error attempts, then surface the residual error
+    assert len(client.delete_batches) == 10
+    # the failing version is still there (never falsely counted deleted)
+    assert "v1" in [v["VersionId"] for v in client.objects[("b", "k")]]
+
+
+def test_s3_verify_integrity_retries_transient_listing():
+    waits = []
+    client = FlakyS3Client({"list_object_versions": 1})
+    store = S3ObjectStore(client=client, sleep=waits.append)
+    _seed(client, 2)
+    assert store.verify_version_integrity("s3://b/k", "v1", "v2") is True
+    assert waits == [2]
