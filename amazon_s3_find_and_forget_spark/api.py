@@ -198,6 +198,12 @@ class Engine:
 
     # --- jobs (queue/handlers.py process_handler + jobs/handlers.py) --------
 
+    ACTIVE_STATUSES = (
+        "QUEUED",
+        "RUNNING",
+        "FORGET_COMPLETED_CLEANUP_IN_PROGRESS",
+    )
+
     def _running_job_exists(self) -> bool:
         for jid in os.listdir(os.path.join(self.state_dir, "jobs")):
             job = self._load(os.path.join("jobs", jid[: -len(".json")]), None)
@@ -217,10 +223,15 @@ class Engine:
         config into the Job item), runs Find+Forget, folds events, and on
         a terminal-complete status removes the consumed queue items (ST3).
         """
+        # retention sweep first: expired job docs (and their manifests)
+        # leave the store before new work starts — the DynamoDB-TTL
+        # analog fires on the engine's own write paths
+        self.expire_jobs()
         if self._running_job_exists():
             raise AlreadyRunningError("There is already a job in progress")
         queue = self._load("deletion_queue", [])
         mappers_cfg = self._load("data_mappers", {})
+        settings = self.get_settings()
         job_id = str(uuid.uuid4())
         job = {
             "Id": job_id,
@@ -229,6 +240,11 @@ class Engine:
             "CreatedAt": int(time.time()),
             "DeletionQueueSize": len(queue),
         }
+        # JobDetailsRetentionDays stamps an absolute expiry on the job
+        # document at creation (parity: queue/handlers.py:136-139)
+        retention_days = int(settings.get("JobDetailsRetentionDays") or 0)
+        if retention_days > 0:
+            job["Expires"] = job["CreatedAt"] + retention_days * 86400
         self._save(os.path.join("jobs", job_id), job)
 
         mappers = [
@@ -244,7 +260,6 @@ class Engine:
                 else [it.match_id]
             )
         ]
-        settings = self.get_settings()
         result = run_job(
             self.spark,
             mappers,
@@ -259,6 +274,18 @@ class Engine:
         job.update(folded)
         job["JobStatus"] = result.status
         job.update(fold_counters(result.events))
+        # record the job's manifest partitions on the job document so
+        # deletion can clean them up (parity: the reference Job item's
+        # Manifests list, consumed by stream_processor.cleanup_manifests)
+        part_root = os.path.join(
+            self.state_dir, "manifests", f"JobId={job_id}"
+        )
+        if os.path.isdir(part_root):
+            job["Manifests"] = sorted(
+                os.path.join(part_root, d)
+                for d in os.listdir(part_root)
+                if d.startswith("DataMapperId=")
+            )
         # match ids must never surface in persisted errors (F9)
         events = [
             {
@@ -279,6 +306,123 @@ class Engine:
             consumed = {it.item_id for it in items}
             self.delete_matches(list(consumed))
         return job
+
+    def delete_job(self, job_id: str, manifest_table: str | None = None) -> dict:
+        """Delete a job document and clean up its manifests.
+
+        The reference reacts to a Job row REMOVE (DynamoDB TTL or manual
+        delete) by dropping the job's manifest partitions from the Glue
+        catalog (stream_processor.py:41-48 routes the REMOVE,
+        cleanup_manifests at :110-127 batch-deletes the
+        ``[job_id, data_mapper_id]`` partitions). Here the manifest
+        partitions are directories under the state dir's ``manifests/``
+        tree — removed recursively — and, when the job was registered in
+        a session-catalog manifest table, its partitions are dropped via
+        ``ALTER TABLE .. DROP PARTITION`` (the ``batch_delete_partition``
+        analog). The job document (which holds the event rows) goes last,
+        so a crash mid-cleanup leaves a re-deletable job, never an
+        orphaned manifest.
+
+        Deviation (documented): deleting a job in an active status is
+        refused — the reference's TTL cannot fire mid-job, but a manual
+        CLI call could, and removing a running job's manifests would
+        corrupt the audit trail.
+        """
+        if not all(c.isalnum() or c in "-_" for c in job_id):
+            raise ValueError(f"Invalid job id {job_id!r}")
+        job = self._load(os.path.join("jobs", job_id), None)
+        if job is None:
+            raise KeyError(job_id)
+        if job.get("JobStatus") in self.ACTIVE_STATUSES:
+            raise AlreadyRunningError(
+                f"Job {job_id} is {job['JobStatus']}; refusing to delete"
+            )
+        import shutil
+
+        part_root = os.path.join(
+            self.state_dir, "manifests", f"JobId={job_id}"
+        )
+        manifests = job.get("Manifests") or []
+        if not manifests and os.path.isdir(part_root):
+            # legacy job docs (pre-Manifests field): derive from layout
+            manifests = [
+                os.path.join(part_root, d)
+                for d in os.listdir(part_root)
+                if d.startswith("DataMapperId=")
+            ]
+        removed = []
+        for m in sorted(manifests):
+            if os.path.isdir(m):
+                shutil.rmtree(m)
+                removed.append(m)
+        if os.path.isdir(part_root):
+            try:
+                os.rmdir(part_root)
+            except OSError:  # pragma: no cover - unexpected stragglers
+                pass
+        dropped = self._drop_manifest_partitions(job_id, manifest_table)
+        os.remove(self._path(os.path.join("jobs", job_id)))
+        return {
+            "Id": job_id,
+            "ManifestsRemoved": removed,
+            "PartitionsDropped": dropped,
+        }
+
+    def _drop_manifest_partitions(
+        self, job_id: str, manifest_table: str | None
+    ) -> int:
+        """Drop a job's (JobId, DataMapperId) partitions from the
+        catalog-registered manifest table (glue.batch_delete_partition
+        analog, stream_processor.py:110-127)."""
+        if not manifest_table or self.spark is None:
+            return 0
+        if not self.spark.catalog.tableExists(manifest_table):
+            return 0
+        parts = self.spark.sql(f"SHOW PARTITIONS {manifest_table}").collect()
+        dropped = 0
+        for row in parts:
+            spec = row[0]  # e.g. "JobId=<id>/DataMapperId=<mid>"
+            if not spec.startswith(f"JobId={job_id}/"):
+                continue
+            kv = dict(seg.split("=", 1) for seg in spec.split("/"))
+            pred = ", ".join(f"{k}='{v}'" for k, v in kv.items())
+            self.spark.sql(
+                f"ALTER TABLE {manifest_table} "
+                f"DROP IF EXISTS PARTITION ({pred})"
+            )
+            dropped += 1
+        return dropped
+
+    def expire_jobs(
+        self, now: int | None = None, manifest_table: str | None = None
+    ) -> list[str]:
+        """Sweep expired job documents (the DynamoDB TTL analog).
+
+        Deletes — via ``delete_job``, so manifests are cleaned up too —
+        every non-active job whose ``Expires`` stamp (set at creation
+        from ``JobDetailsRetentionDays``, queue/handlers.py:136-139) is
+        in the past. Runs automatically at the start of
+        ``process_queue`` and ``vacuum``; callable directly for an
+        explicit sweep. Returns the expired job ids.
+        """
+        now = int(time.time()) if now is None else now
+        expired = []
+        for fn in sorted(os.listdir(os.path.join(self.state_dir, "jobs"))):
+            if not fn.endswith(".json"):
+                continue
+            jid = fn[: -len(".json")]
+            job = self._load(os.path.join("jobs", jid), None)
+            if not job:
+                continue
+            expires = job.get("Expires")
+            if (
+                expires is not None
+                and expires <= now
+                and job.get("JobStatus") not in self.ACTIVE_STATUSES
+            ):
+                self.delete_job(jid, manifest_table=manifest_table)
+                expired.append(jid)
+        return expired
 
     def get_job(self, job_id: str) -> dict | None:
         job = self._load(os.path.join("jobs", job_id), None)
@@ -319,6 +463,7 @@ class Engine:
         from .operators.layout import compact_small_files
         from .sources import versions as versions_mod
 
+        expired = self.expire_jobs()
         purged = 0
         if purge:
             store_root = os.path.join(location, ".s3f2versions")
@@ -334,7 +479,7 @@ class Engine:
         stats = compact_small_files(
             self.spark, location, target_bytes=target_bytes
         )
-        return {**stats, "versions_purged": purged}
+        return {**stats, "versions_purged": purged, "jobs_expired": expired}
 
     def list_job_events(
         self, job_id: str, watermark: str = "0", page_size: int = 20

@@ -88,6 +88,22 @@ def main(argv: list[str] | None = None) -> int:
     je.add_argument("--start-at", default="0")
     je.add_argument("--page-size", type=int, default=20)
 
+    dj = sub.add_parser(
+        "delete-job", help="delete a job document + its manifest partitions"
+    )
+    dj.add_argument("job_id")
+    dj.add_argument(
+        "--manifest-table",
+        default=None,
+        help="also drop the job's partitions from this catalog table",
+    )
+
+    ej = sub.add_parser(
+        "expire-jobs",
+        help="sweep jobs past their JobDetailsRetentionDays expiry",
+    )
+    ej.add_argument("--manifest-table", default=None)
+
     ck = sub.add_parser(
         "check", help="declarative data-quality gate over a lake directory"
     )
@@ -168,6 +184,12 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"unknown settings: {sorted(unknown)}")
         # settings only touch the state dir — never boot Spark for them
         eng = Engine(None, state_dir=args.state_dir)
+    elif args.cmd in ("delete-job", "expire-jobs") and not args.manifest_table:
+        # pure state-dir maintenance; Spark is only needed to drop
+        # catalog partitions when --manifest-table is given
+        from .api import Engine
+
+        eng = Engine(None, state_dir=args.state_dir)
     else:
         eng = _engine(args)
 
@@ -227,6 +249,12 @@ def main(argv: list[str] | None = None) -> int:
             args.job_id, watermark=args.start_at, page_size=args.page_size
         )
         _emit({"Events": events, "NextStart": next_wm})
+    elif args.cmd == "delete-job":
+        _emit(eng.delete_job(args.job_id, manifest_table=args.manifest_table))
+    elif args.cmd == "expire-jobs":
+        _emit(
+            {"Expired": eng.expire_jobs(manifest_table=args.manifest_table)}
+        )
     elif args.cmd == "settings":
         if args.set:
             updates = {}

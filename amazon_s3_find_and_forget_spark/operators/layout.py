@@ -191,6 +191,12 @@ def compact_small_files(
     # same cost class as the size listing).
     def _schema_fp(path: str) -> str:
         schema = pq_mod.ParquetFile(path).schema_arrow.remove_metadata()
+        # remove_metadata() strips only SCHEMA-level metadata; files
+        # identical except for per-FIELD metadata (e.g. a writer's
+        # field-id tags) must still co-compact, so strip that too
+        import pyarrow as pa_mod
+
+        schema = pa_mod.schema([f.remove_metadata() for f in schema])
         return hashlib.sha256(
             schema.serialize().to_pybytes()
         ).hexdigest()[:16]
@@ -271,11 +277,21 @@ def compact_small_files(
         except BaseException:
             # a failed staging job must not leave hidden .compact-*
             # dotfiles behind (they would accumulate invisibly — the
-            # lake stays correct but the space leaks)
+            # lake stays correct but the space leaks). Spark has joined
+            # the failed job by the time this handler runs, so no task
+            # is still writing; a SIGKILLed executor skips stage_bin's
+            # own temp cleanup, hence the .compact-tmp-* sweep here.
             for paths in work:
                 staged = _staged_name(paths)
                 if os.path.exists(staged):
                     os.remove(staged)
+            for tmp in glob_mod.glob(
+                os.path.join(lake_dir, ".compact-tmp-*")
+            ):
+                try:
+                    os.remove(tmp)
+                except OSError:  # pragma: no cover - raced removal
+                    pass
             raise
         # swap phase, driver-side, only after the WHOLE job succeeded
         for paths in work:

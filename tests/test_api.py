@@ -164,3 +164,116 @@ def test_sanitize_event_data_redacts_only_strings():
     assert out["Objects"][1] == 1
     assert "1" not in out["Error"]
     assert "*** MATCH ID ***" in out["Objects"][0]
+
+
+# --- job deletion + retention (round-7; stream_processor.py:41-48,110-127,
+# queue/handlers.py:136-139) -------------------------------------------------
+
+
+def test_delete_job_removes_doc_and_manifests(engine, spark, lake):
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    jid = job["Id"]
+    mpart = os.path.join(
+        engine.state_dir, "manifests", f"JobId={jid}", "DataMapperId=li"
+    )
+    assert os.path.isdir(mpart)
+    assert job["Manifests"] == [mpart]
+
+    out = engine.delete_job(jid)
+    assert out["ManifestsRemoved"] == [mpart]
+    assert not os.path.exists(mpart)
+    assert not os.path.exists(os.path.dirname(mpart))  # JobId dir pruned
+    assert engine.get_job(jid) is None
+    with pytest.raises(KeyError):
+        engine.delete_job(jid)
+
+
+def test_delete_job_refuses_active_and_bad_ids(engine):
+    engine._save(
+        os.path.join("jobs", "run1"),
+        {"Id": "run1", "JobStatus": "RUNNING", "CreatedAt": 0},
+    )
+    with pytest.raises(AlreadyRunningError):
+        engine.delete_job("run1")
+    with pytest.raises(ValueError, match="Invalid job id"):
+        engine.delete_job("../escape")
+
+
+def test_delete_job_drops_catalog_partitions(engine, spark, lake, tmp_path):
+    from amazon_s3_find_and_forget_spark.matches import (
+        QueueItem,
+        build_manifest_df,
+        register_manifest_table,
+    )
+
+    table = "s3f2_manifests_test_del"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    for jid in ("jobA", "jobB"):
+        mdf = build_manifest_df(
+            spark, jid, "li", ["l_orderkey"], [QueueItem(match_id=1)]
+        )
+        register_manifest_table(
+            mdf, table, path=str(tmp_path / "mtbl")
+        )
+    engine._save(
+        os.path.join("jobs", "jobA"),
+        {"Id": "jobA", "JobStatus": "COMPLETED", "CreatedAt": 0},
+    )
+    out = engine.delete_job("jobA", manifest_table=table)
+    assert out["PartitionsDropped"] == 1
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
+    assert parts == ["JobId=jobB/DataMapperId=li"]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_retention_stamps_expires_and_sweeps(engine, spark, lake):
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.put_settings({"JobDetailsRetentionDays": 30})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    assert job["Expires"] == job["CreatedAt"] + 30 * 86400
+
+    # not yet expired: sweep keeps it
+    assert engine.expire_jobs(now=job["Expires"] - 1) == []
+    assert engine.get_job(job["Id"]) is not None
+    # past expiry: swept, manifests cleaned up with it
+    assert engine.expire_jobs(now=job["Expires"]) == [job["Id"]]
+    assert engine.get_job(job["Id"]) is None
+    assert not os.path.isdir(
+        os.path.join(engine.state_dir, "manifests", f"JobId={job['Id']}")
+    )
+
+
+def test_retention_zero_means_keep_forever(engine, spark, lake):
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    assert "Expires" not in job
+    assert engine.expire_jobs(now=job["CreatedAt"] + 10**9) == []
+
+
+def test_expired_sweep_skips_active_jobs(engine):
+    engine._save(
+        os.path.join("jobs", "a1"),
+        {"Id": "a1", "JobStatus": "RUNNING", "CreatedAt": 0, "Expires": 1},
+    )
+    engine._save(
+        os.path.join("jobs", "d1"),
+        {"Id": "d1", "JobStatus": "COMPLETED", "CreatedAt": 0, "Expires": 1},
+    )
+    assert engine.expire_jobs(now=100) == ["d1"]
+    assert engine.get_job("a1") is not None
+
+
+def test_process_queue_runs_retention_sweep(engine, spark, lake):
+    engine._save(
+        os.path.join("jobs", "old1"),
+        {"Id": "old1", "JobStatus": "COMPLETED", "CreatedAt": 0, "Expires": 1},
+    )
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    assert job["JobStatus"] == "COMPLETED"
+    assert engine.get_job("old1") is None

@@ -151,3 +151,27 @@ def test_cli_check_quality_gate(spark, tmp_path, sf_dir, capsys):
     )
     capsys.readouterr()
     assert rc == 1
+
+
+def test_cli_delete_job_and_expire(tmp_path, capsys):
+    """delete-job / expire-jobs run without booting Spark when no
+    --manifest-table is given (pure state-dir maintenance)."""
+    from amazon_s3_find_and_forget_spark.api import Engine
+
+    state = str(tmp_path / "state")
+    eng = Engine(None, state_dir=state)
+    eng._save(
+        os.path.join("jobs", "done1"),
+        {"Id": "done1", "JobStatus": "COMPLETED", "CreatedAt": 0},
+    )
+    eng._save(
+        os.path.join("jobs", "old1"),
+        {"Id": "old1", "JobStatus": "COMPLETED", "CreatedAt": 0, "Expires": 1},
+    )
+    out = run(capsys, "--state-dir", state, "delete-job", "done1")
+    assert out["Id"] == "done1"
+    assert eng.get_job("done1") is None
+
+    out = run(capsys, "--state-dir", state, "expire-jobs")
+    assert out["Expired"] == ["old1"]
+    assert eng.get_job("old1") is None
