@@ -2269,6 +2269,13 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # stratified_sample/repetition/mixture, dedup_ngram_pairs/
 # shared_ngrams). After a green round 6, every one of the 96 oracled
 # rows has been driver-hashed at least once.
+# Round-7 rotation (all 50 r6 rows were green; every oracled row now
+# driver-proven, so slots go to re-proving this round's code changes):
+# promoted text_chunks (chunk_id/chunk_tokens recast to long this round
+# — the exact int32-vs-int64 drift class that hash-failed r4) by
+# demoting the r6-proven tpch_q11 (TPC-H family stays covered by
+# q1/q2/q3/q12/q20/q21). forget_survivors_simple/composite (vectorized
+# Arrow mask) and orders_rfm (persist swap) were already gated and stay.
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_files_simple": q_find_files_simple,
@@ -2281,7 +2288,7 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q2": q_tpch_q2,
-    "tpch_q11": q_tpch_q11,
+    "text_chunks": q_text_chunks,
     "tpch_q12": q_tpch_q12,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
@@ -2358,7 +2365,7 @@ QUERIES = {
     "find_rows_decimal": q_find_rows_decimal,
     "text_train_split": q_text_train_split,
     "text_redact": q_text_redact,
-    "text_chunks": q_text_chunks,
+    "tpch_q11": q_tpch_q11,
     "text_pack": q_text_pack,
     "text_fingerprint": q_text_fingerprint,
     "events_moving_avg": q_events_moving_avg,
