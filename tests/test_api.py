@@ -277,3 +277,15 @@ def test_process_queue_runs_retention_sweep(engine, spark, lake):
     job = engine.process_queue()
     assert job["JobStatus"] == "COMPLETED"
     assert engine.get_job("old1") is None
+
+
+def test_vacuum_runs_retention_sweep(engine, spark, tmp_path):
+    engine._save(
+        os.path.join("jobs", "old2"),
+        {"Id": "old2", "JobStatus": "COMPLETED", "CreatedAt": 0, "Expires": 1},
+    )
+    lake = tmp_path / "emptylake"
+    lake.mkdir()
+    out = engine.vacuum(str(lake))
+    assert out["jobs_expired"] == ["old2"]
+    assert engine.get_job("old2") is None
