@@ -141,8 +141,9 @@ def _minhash_kernel_factory(k: int, num_perm: int, seed: int = 42):
     base = np.uint64(1099511628211)
     pw = np.empty(k, dtype=np.uint64)
     pw[0] = np.uint64(1)
-    for i in range(1, k):
-        pw[i] = pw[i - 1] * base  # deliberate mod-2^64 wraparound
+    with np.errstate(over="ignore"):  # deliberate mod-2^64 wraparound
+        for i in range(1, k):
+            pw[i] = pw[i - 1] * base
 
     def kernel(texts: pd.Series) -> pd.Series:
         sigs = []
