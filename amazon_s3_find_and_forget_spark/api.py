@@ -103,6 +103,11 @@ class Engine:
         "JobDetailsRetentionDays": 0,
         "QueryMaxRetries": 2,  # AthenaQueryMaxRetries analog (task retry)
         "ForgetTaskParallelism": None,  # None = spark defaultParallelism
+        # catalog table manifests register into (JobManifestsGlueTable
+        # analog); when set, jobs register partitions at run time and
+        # delete/expiry drops them again — so the auto-sweeps clean the
+        # catalog, not just the filesystem
+        "ManifestTable": None,
     }
 
     def get_settings(self) -> dict:
@@ -207,11 +212,7 @@ class Engine:
     def _running_job_exists(self) -> bool:
         for jid in os.listdir(os.path.join(self.state_dir, "jobs")):
             job = self._load(os.path.join("jobs", jid[: -len(".json")]), None)
-            if job and job.get("JobStatus") in (
-                "QUEUED",
-                "RUNNING",
-                "FORGET_COMPLETED_CLEANUP_IN_PROGRESS",
-            ):
+            if job and job.get("JobStatus") in self.ACTIVE_STATUSES:
                 return True
         return False
 
@@ -269,6 +270,10 @@ class Engine:
             manifest_dir=os.path.join(self.state_dir, "manifests"),
             query_max_retries=int(settings["QueryMaxRetries"]),
             forget_parallelism=settings["ForgetTaskParallelism"],
+            # when a ManifestTable is configured, manifests also register
+            # as catalog partitions at run time — and delete_job/expiry
+            # drops them again (full JobManifestsGlueTable lifecycle)
+            manifest_table=settings.get("ManifestTable"),
         )
         folded = fold_status(result.events, result.counters)
         job.update(folded)
@@ -307,7 +312,12 @@ class Engine:
             self.delete_matches(list(consumed))
         return job
 
-    def delete_job(self, job_id: str, manifest_table: str | None = None) -> dict:
+    def delete_job(
+        self,
+        job_id: str,
+        manifest_table: str | None = None,
+        force: bool = False,
+    ) -> dict:
         """Delete a job document and clean up its manifests.
 
         The reference reacts to a Job row REMOVE (DynamoDB TTL or manual
@@ -326,16 +336,26 @@ class Engine:
         Deviation (documented): deleting a job in an active status is
         refused — the reference's TTL cannot fire mid-job, but a manual
         CLI call could, and removing a running job's manifests would
-        corrupt the audit trail.
+        corrupt the audit trail. ``force=True`` overrides the guard for
+        WEDGED jobs (a crashed driver leaves the doc in QUEUED/RUNNING
+        forever, which would otherwise block every future
+        ``process_queue`` with AlreadyRunningError and be unsweepable).
+
+        ``manifest_table`` defaults to the ``ManifestTable`` setting, so
+        catalog partitions are dropped wherever the engine registered
+        them without every caller having to thread the table name.
         """
         if not all(c.isalnum() or c in "-_" for c in job_id):
             raise ValueError(f"Invalid job id {job_id!r}")
+        if manifest_table is None:
+            manifest_table = self.get_settings().get("ManifestTable")
         job = self._load(os.path.join("jobs", job_id), None)
         if job is None:
             raise KeyError(job_id)
-        if job.get("JobStatus") in self.ACTIVE_STATUSES:
+        if job.get("JobStatus") in self.ACTIVE_STATUSES and not force:
             raise AlreadyRunningError(
-                f"Job {job_id} is {job['JobStatus']}; refusing to delete"
+                f"Job {job_id} is {job['JobStatus']}; refusing to delete "
+                "(pass force=True / --force for a wedged job)"
             )
         import shutil
 
@@ -378,13 +398,22 @@ class Engine:
             return 0
         if not self.spark.catalog.tableExists(manifest_table):
             return 0
+        from urllib.parse import unquote
+
         parts = self.spark.sql(f"SHOW PARTITIONS {manifest_table}").collect()
         dropped = 0
         for row in parts:
             spec = row[0]  # e.g. "JobId=<id>/DataMapperId=<mid>"
             if not spec.startswith(f"JobId={job_id}/"):
                 continue
-            kv = dict(seg.split("=", 1) for seg in spec.split("/"))
+            # SHOW PARTITIONS prints Hive-escaped (%XX) directory names;
+            # the DROP predicate needs the LOGICAL value, un-escaped and
+            # with single quotes doubled (mapper ids are user-chosen —
+            # a quote must not break or redirect the statement)
+            kv = {
+                k: unquote(v).replace("'", "''")
+                for k, v in (seg.split("=", 1) for seg in spec.split("/"))
+            }
             pred = ", ".join(f"{k}='{v}'" for k, v in kv.items())
             self.spark.sql(
                 f"ALTER TABLE {manifest_table} "

@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="also drop the job's partitions from this catalog table",
     )
+    dj.add_argument(
+        "--force",
+        action="store_true",
+        help="delete even an active-status job (recover a wedged run)",
+    )
 
     ej = sub.add_parser(
         "expire-jobs",
@@ -184,14 +189,23 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"unknown settings: {sorted(unknown)}")
         # settings only touch the state dir — never boot Spark for them
         eng = Engine(None, state_dir=args.state_dir)
-    elif args.cmd in ("delete-job", "expire-jobs") and not args.manifest_table:
-        # pure state-dir maintenance; Spark is only needed to drop
-        # catalog partitions when --manifest-table is given
-        from .api import Engine
-
-        eng = Engine(None, state_dir=args.state_dir)
     else:
-        eng = _engine(args)
+        # delete-job/expire-jobs are pure state-dir maintenance unless a
+        # catalog table must be touched — don't pay Spark startup for them
+        sparkless = (
+            args.cmd in ("delete-job", "expire-jobs")
+            and not args.manifest_table
+        )
+        if sparkless:
+            from .api import Engine
+
+            eng = Engine(None, state_dir=args.state_dir)
+            if eng.get_settings().get("ManifestTable"):
+                # a configured ManifestTable means deletion must drop
+                # catalog partitions — that needs a session after all
+                eng = _engine(args)
+        else:
+            eng = _engine(args)
 
     if args.cmd == "put-mapper":
         cfg = {
@@ -250,7 +264,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         _emit({"Events": events, "NextStart": next_wm})
     elif args.cmd == "delete-job":
-        _emit(eng.delete_job(args.job_id, manifest_table=args.manifest_table))
+        _emit(
+            eng.delete_job(
+                args.job_id,
+                manifest_table=args.manifest_table,
+                force=args.force,
+            )
+        )
     elif args.cmd == "expire-jobs":
         _emit(
             {"Expired": eng.expire_jobs(manifest_table=args.manifest_table)}

@@ -189,14 +189,32 @@ def compact_small_files(
     # of this engine, and casting a bin to its first file's schema would
     # raise mid-job. Fingerprint from the footer (metadata-scale read,
     # same cost class as the size listing).
+    import pyarrow as pa_mod
+
+    def _strip_field(f):
+        # remove_metadata() strips only SCHEMA-level metadata; files
+        # identical except for FIELD metadata at any nesting depth
+        # (e.g. parquet-mr/Iceberg field-id tags, which land on every
+        # nested child) must still co-compact, so strip recursively
+        t = f.type
+        if pa_mod.types.is_struct(t):
+            t = pa_mod.struct([_strip_field(c) for c in t])
+        elif pa_mod.types.is_list(t):
+            t = pa_mod.list_(_strip_field(t.value_field))
+        elif pa_mod.types.is_large_list(t):
+            t = pa_mod.large_list(_strip_field(t.value_field))
+        elif pa_mod.types.is_fixed_size_list(t):
+            t = pa_mod.list_(_strip_field(t.value_field), t.list_size)
+        elif pa_mod.types.is_map(t):
+            t = pa_mod.map_(
+                _strip_field(t.key_field).type,
+                _strip_field(t.item_field).type,
+            )
+        return pa_mod.field(f.name, t, nullable=f.nullable)
+
     def _schema_fp(path: str) -> str:
         schema = pq_mod.ParquetFile(path).schema_arrow.remove_metadata()
-        # remove_metadata() strips only SCHEMA-level metadata; files
-        # identical except for per-FIELD metadata (e.g. a writer's
-        # field-id tags) must still co-compact, so strip that too
-        import pyarrow as pa_mod
-
-        schema = pa_mod.schema([f.remove_metadata() for f in schema])
+        schema = pa_mod.schema([_strip_field(f) for f in schema])
         return hashlib.sha256(
             schema.serialize().to_pybytes()
         ).hexdigest()[:16]

@@ -104,7 +104,10 @@ def _composite_mask(table: pa.Table, columns, match_tuples) -> pa.Array:
     # (matches the per-tuple path, where equal() -> null -> False)
     tuples = [t for t in match_tuples if all(v is not None for v in t)]
     if not tuples:
-        return pa.array([False] * table.num_rows)
+        # explicit bool type: an untyped empty array infers null and
+        # pc.invert has no null kernel (0-row row groups are real —
+        # e.g. a file fully redacted by a prior job)
+        return pa.array([False] * table.num_rows, type=pa.bool_())
     key = None
     tuple_keys = [0] * len(tuples)
     max_key = 1
@@ -162,7 +165,7 @@ def delete_mask(table: pa.Table, to_delete: list[dict]) -> pa.Array:
                 _composite_mask(table, group["Columns"], group["MatchIds"])
             )
     if not masks:
-        return pa.array([False] * table.num_rows)
+        return pa.array([False] * table.num_rows, type=pa.bool_())
     return reduce(pc.or_, masks)
 
 

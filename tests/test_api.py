@@ -289,3 +289,64 @@ def test_vacuum_runs_retention_sweep(engine, spark, tmp_path):
     out = engine.vacuum(str(lake))
     assert out["jobs_expired"] == ["old2"]
     assert engine.get_job("old2") is None
+
+
+def test_delete_job_force_recovers_wedged_run(engine):
+    # a crashed driver leaves the doc QUEUED forever; force must clear it
+    engine._save(
+        os.path.join("jobs", "wedged"),
+        {"Id": "wedged", "JobStatus": "QUEUED", "CreatedAt": 0},
+    )
+    with pytest.raises(AlreadyRunningError):
+        engine.delete_job("wedged")
+    out = engine.delete_job("wedged", force=True)
+    assert out["Id"] == "wedged"
+    assert engine.get_job("wedged") is None
+    assert not engine._running_job_exists()
+
+
+def test_manifest_table_setting_registers_and_cleans_catalog(
+    engine, spark, lake
+):
+    """ManifestTable setting closes the loop: process_queue registers the
+    job's manifest partitions in the catalog, delete_job (no explicit
+    table arg) drops them again."""
+    table = "s3f2_manifests_setting_rt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    engine.put_settings({"ManifestTable": table})
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
+    assert parts == [f"JobId={job['Id']}/DataMapperId=li"]
+    out = engine.delete_job(job["Id"])
+    assert out["PartitionsDropped"] == 1
+    assert spark.sql(f"SHOW PARTITIONS {table}").count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_drop_partitions_handles_quoted_and_escaped_mapper_ids(
+    engine, spark, tmp_path
+):
+    from amazon_s3_find_and_forget_spark.matches import (
+        QueueItem,
+        build_manifest_df,
+        register_manifest_table,
+    )
+
+    table = "s3f2_manifests_quoting"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a quote and a space in the mapper id: the DROP predicate must
+    # neither break nor silently no-op on the Hive-escaped form
+    mdf = build_manifest_df(
+        spark, "jq1", "o'brien x", ["l_orderkey"], [QueueItem(match_id=1)]
+    )
+    register_manifest_table(mdf, table, path=str(tmp_path / "mq"))
+    engine._save(
+        os.path.join("jobs", "jq1"),
+        {"Id": "jq1", "JobStatus": "COMPLETED", "CreatedAt": 0},
+    )
+    out = engine.delete_job("jq1", manifest_table=table)
+    assert out["PartitionsDropped"] == 1
+    assert spark.sql(f"SHOW PARTITIONS {table}").count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

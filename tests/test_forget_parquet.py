@@ -389,3 +389,32 @@ def test_composite_mask_fuzz_equivalence():
             [_get_column(table, "a"), _get_column(table, "b")], tuples
         )
         assert vec.to_pylist() == loop.to_pylist(), f"trial {trial}"
+
+
+def test_rewrite_zero_row_file(tmp_path):
+    # a file fully redacted by a prior job: 0-row row group must rewrite
+    # cleanly (regression: untyped empty mask inferred null -> pc.invert
+    # had no kernel)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.string())})
+    path = os.path.join(tmp_path, "empty.parquet")
+    pq.write_table(t, path)
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [
+            {"Type": "Simple", "Column": "a", "MatchIds": [1]},
+            {"Type": "Composite", "Columns": ["a", "b"], "MatchIds": [(None, "x")]},
+        ],
+    )
+    assert stats == {"ProcessedRows": 0, "DeletedRows": 0}
+    assert read_back(out).schema.equals(schema)
+
+
+def test_delete_mask_zero_rows_no_groups():
+    t = pa.table({"a": pa.array([], pa.int64())})
+    mask = delete_mask(t, [])
+    import pyarrow.compute as pc
+
+    assert pc.invert(mask).to_pylist() == []

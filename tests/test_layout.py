@@ -139,3 +139,48 @@ def test_compact_small_files_preserves_rows(spark, tmp_path):
     # singleton-bin lake (already compact at a tiny target) is untouched
     stats3 = compact_small_files(spark, lake, target_bytes=1)
     assert stats3["bins_compacted"] == 0
+
+
+def test_compact_merges_files_differing_only_in_nested_field_metadata(
+    spark, tmp_path
+):
+    """parquet-mr/Iceberg-style field-id tags land on every NESTED field;
+    files identical except for that metadata must land in one bin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from amazon_s3_find_and_forget_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    plain = pa.schema(
+        [
+            pa.field("id", pa.int64()),
+            pa.field("s", pa.struct([pa.field("x", pa.int32())])),
+        ]
+    )
+    tagged = pa.schema(
+        [
+            pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field(
+                "s",
+                pa.struct(
+                    [
+                        pa.field(
+                            "x",
+                            pa.int32(),
+                            metadata={b"PARQUET:field_id": b"2"},
+                        )
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = {"id": [1, 2], "s": [{"x": 1}, {"x": 2}]}
+    pq.write_table(pa.table(rows, schema=plain), os.path.join(lake, "a.parquet"))
+    pq.write_table(pa.table(rows, schema=tagged), os.path.join(lake, "b.parquet"))
+    stats = compact_small_files(spark, lake, target_bytes=1 << 30)
+    assert stats["bins_compacted"] == 1
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(lake).count() == 4

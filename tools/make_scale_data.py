@@ -83,11 +83,21 @@ def permute_texts(texts: list, copy: int, seed: int) -> list:
 
 
 def jitter_embeddings(col: pa.ChunkedArray, copy: int, seed: int) -> pa.Array:
-    arr = col.combine_chunks()
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    # python round-trip on purpose: preserves null vectors and works for
+    # list AND fixed_size_list encodings (a raw offsets rebuild drops
+    # the validity bitmap and fixed_size_list has no offsets at all)
     rng = np.random.default_rng(seed * 7_000_003 + copy)
-    flat = flat + rng.normal(0.0, 0.02, size=flat.shape).astype(np.float32)
-    return pa.ListArray.from_arrays(arr.offsets, pa.array(flat, pa.float32()))
+    out = []
+    for vec in col.to_pylist():
+        if vec is None:
+            out.append(None)
+        else:
+            noise = rng.normal(0.0, 0.02, size=len(vec))
+            out.append(
+                (np.asarray(vec, np.float32) + noise.astype(np.float32))
+                .tolist()
+            )
+    return pa.array(out, type=col.type)
 
 
 def main() -> None:
