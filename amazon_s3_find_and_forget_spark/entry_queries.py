@@ -528,7 +528,7 @@ def q_tpch_q7(spark, sf_dir):
         .groupBy(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(F.sum(vol).alias("revenue"))
     )
@@ -564,7 +564,7 @@ def q_tpch_q8(spark, sf_dir):
         .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(s_n, sup.s_nationkey == F.col("s_nk"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             vol.alias("volume"),
             F.col("supp_nation"),
         )
@@ -600,7 +600,7 @@ def q_tpch_q9(spark, sf_dir):
         .join(nation, sup.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(F.sum(amount).alias("sum_profit"))
     )
@@ -1003,7 +1003,7 @@ def q_events_rollup(spark, sf_dir):
     SURVEY §2.4 'absent in reference, Catalyst built-in here' surface."""
     ev = load(spark, sf_dir, "events")
     return (
-        ev.rollup("event_type", F.year("ts").alias("y"))
+        ev.rollup("event_type", F.year("ts").cast("long").alias("y"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
@@ -1021,7 +1021,7 @@ def q_events_topn_per_user(spark, sf_dir):
         F.desc("value"), F.col("event_id")
     )
     return (
-        ev.withColumn("rnk", F.row_number().over(w))
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("user_id", "event_id", "rnk")
     )
@@ -1850,7 +1850,7 @@ def q_events_window_variants(spark, sf_dir):
         (
             F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
         ).alias("secs_to_next"),
-        F.ntile(4).over(wv).alias("value_quartile"),
+        F.ntile(4).over(wv).cast("long").alias("value_quartile"),
         F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
     )
 
@@ -2472,7 +2472,11 @@ ORACLES = {
         WHERE CAST(l_quantity AS DECIMAL(12,2)) IN (1.00, 2.00, 3.00)
     """,
     "forget_survivors_json": f"""
-        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        -- BIGINT casts: the engine side reads a JSONL lake, where JSON
+        -- integers surface as int64; the parquet-backed oracle view is
+        -- int32 and must widen to hash identically
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
         WHERE n_nationkey NOT IN ({", ".join(str(k) for k in JSON_FORGET_KEYS)})
     """,
     "events_watermark_page": f"""

@@ -79,11 +79,18 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    # counters as long: the Arrow type token must match the BIGINT the
+    # SQL oracle emits (int32 values hash differently in the gate)
     toks = tokens(F.col(text_col))
     return (
-        df.withColumn("n_tokens", F.size(toks))
-        .withColumn("n_tokens_bpe", bpe_ish_token_count(F.col(text_col)))
-        .withColumn("n_chars_measured", F.length(F.col(text_col)))
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(
+            "n_tokens_bpe",
+            bpe_ish_token_count(F.col(text_col)).cast("long"),
+        )
+        .withColumn(
+            "n_chars_measured", F.length(F.col(text_col)).cast("long")
+        )
     )
 
 
@@ -150,7 +157,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                 1,
             )["lang"]
         ),
-    ).withColumn("lang_score", best["score"])
+    ).withColumn("lang_score", best["score"].cast("long"))
     return out.drop(*[f"_score_{lang}" for lang in langs])
 
 
