@@ -234,12 +234,26 @@ class Engine:
         mappers_cfg = self._load("data_mappers", {})
         settings = self.get_settings()
         job_id = str(uuid.uuid4())
+        import getpass
+
         job = {
             "Id": job_id,
             "Type": "Job",
             "JobStatus": "QUEUED",
             "CreatedAt": int(time.time()),
+            # the reference records the API caller; the engine analog is
+            # the OS user driving the session (queue/handlers.py:133)
+            "CreatedBy": {"Username": getpass.getuser(), "Sub": "local"},
             "DeletionQueueSize": len(queue),
+            # settings snapshot: the job document captures the config it
+            # ran under, as the reference copies config into the Job item
+            # (queue/handlers.py:127-135, minus the retention knob which
+            # becomes the Expires stamp below)
+            **{
+                k: v
+                for k, v in settings.items()
+                if k != "JobDetailsRetentionDays"
+            },
         }
         # JobDetailsRetentionDays stamps an absolute expiry on the job
         # document at creation (parity: queue/handlers.py:136-139)

@@ -350,3 +350,14 @@ def test_drop_partitions_handles_quoted_and_escaped_mapper_ids(
     assert out["PartitionsDropped"] == 1
     assert spark.sql(f"SHOW PARTITIONS {table}").count() == 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_job_doc_records_creator_and_config_snapshot(engine, spark, lake):
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.put_settings({"QueryMaxRetries": 4})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    # parity queue/handlers.py:127-135: caller identity + config snapshot
+    assert job["CreatedBy"]["Username"]
+    assert job["QueryMaxRetries"] == 4
+    assert "JobDetailsRetentionDays" not in job
