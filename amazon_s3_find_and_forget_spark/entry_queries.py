@@ -1879,6 +1879,22 @@ def q_events_distinct_sketch(spark, sf_dir):
     )
 
 
+def q_events_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency sketch vs exact per-key counts (gate check).
+
+    One mergeable fixed-space sketch aggregate over the stream; the
+    driver hashes the exact counts (both engines compute them) plus the
+    structural CMS claim — never undercounts, overcounts by <= eps*N
+    (operators/sketches.py; the candidate set here is tiny vs the
+    sketch width e/eps, so the bound holds essentially surely)."""
+    from .operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.count_min_check(
+        ev, "event_type", eps=0.0001, confidence=0.99, seed=42
+    )
+
+
 def q_orders_quantile_sketch(spark, sf_dir):
     """Approximate quantile sketch vs exact percentiles of order totals.
 
@@ -2342,6 +2358,7 @@ QUERIES = {
     "events_window_variants": q_events_window_variants,
     "events_distinct_sketch": q_events_distinct_sketch,
     "orders_quantile_sketch": q_orders_quantile_sketch,
+    "events_heavy_hitters": q_events_heavy_hitters,
     "text_contamination": q_text_contamination,
     "text_stratified_sample": q_text_stratified_sample,
     "text_repetition": q_text_repetition,
@@ -3300,6 +3317,11 @@ ORACLES = {
         SELECT event_type, count(DISTINCT user_id) AS n_exact,
                TRUE AS hll_ok
         FROM events GROUP BY event_type
+    """,
+    "events_heavy_hitters": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+               TRUE AS cms_ok
+        FROM events WHERE event_type IS NOT NULL GROUP BY event_type
     """,
     "orders_quantile_sketch": """
         SELECT count(*) AS n_orders,

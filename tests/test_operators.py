@@ -1497,3 +1497,30 @@ def test_check_constraints_single_scan(spark):
     # Range is this plan's scan operator; two row-level rules must not
     # mean two source traversals
     assert plan.count("Range") == 1
+
+
+# --- Count-Min sketch (operators/sketches.py) ------------------------------
+
+
+def test_count_min_check_bounds_hold(spark):
+    from amazon_s3_find_and_forget_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1 + [(None,)],
+        "k string",
+    )
+    out = sketches.count_min_check(df, "k", eps=0.001).collect()
+    rows = {r["k"]: r for r in out}
+    assert set(rows) == {"a", "b", "c"}  # nulls excluded
+    assert rows["a"]["n_exact"] == 100
+    assert all(r["cms_ok"] for r in out)
+
+
+def test_frequent_items_no_false_negatives(spark):
+    from amazon_s3_find_and_forget_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [(f"cold{i}",) for i in range(10)], "k string"
+    )
+    items = sketches.frequent_items(df, ["k"], support=0.5)["k"]
+    assert "hot" in items
