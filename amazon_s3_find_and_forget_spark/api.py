@@ -467,6 +467,40 @@ class Engine:
                 expired.append(jid)
         return expired
 
+    def metrics(self) -> dict:
+        """A7: the operational gauges the reference pushes to CloudWatch
+        (queue depth, job concurrency, per-status counts).
+
+        The task-level gauges (Fargate task count, SQS in-flight) are
+        subsumed by the Spark scheduler; what remains meaningful for an
+        operator dashboard is computed here from state: deletion-queue
+        depth, whether a job is running, and the job-status histogram.
+        One pass over the (small) state dir — no Spark job.
+        """
+        queue = self._load("deletion_queue", [])
+        by_status: dict[str, int] = {}
+        expirable = 0
+        now = int(time.time())
+        for fn in os.listdir(os.path.join(self.state_dir, "jobs")):
+            if not fn.endswith(".json"):
+                continue
+            job = self._load(os.path.join("jobs", fn[: -len(".json")]), None)
+            if not job:
+                continue
+            status = job.get("JobStatus", "UNKNOWN")
+            by_status[status] = by_status.get(status, 0) + 1
+            if job.get("Expires") is not None and job["Expires"] <= now:
+                expirable += 1
+        return {
+            "DeletionQueueSize": len(queue),
+            "JobsByStatus": dict(sorted(by_status.items())),
+            "RunningJobs": sum(
+                n for s, n in by_status.items() if s in self.ACTIVE_STATUSES
+            ),
+            "ExpirableJobs": expirable,
+            "DataMappers": len(self._load("data_mappers", {})),
+        }
+
     def get_job(self, job_id: str) -> dict | None:
         job = self._load(os.path.join("jobs", job_id), None)
         if job:

@@ -109,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     ej.add_argument("--manifest-table", default=None)
 
+    sub.add_parser(
+        "metrics", help="operational gauges: queue depth, job statuses"
+    )
+
     ck = sub.add_parser(
         "check", help="declarative data-quality gate over a lake directory"
     )
@@ -190,9 +194,10 @@ def main(argv: list[str] | None = None) -> int:
         # settings only touch the state dir — never boot Spark for them
         eng = Engine(None, state_dir=args.state_dir)
     else:
-        # delete-job/expire-jobs are pure state-dir maintenance unless a
-        # catalog table must be touched — don't pay Spark startup for them
-        sparkless = (
+        # metrics/delete-job/expire-jobs are pure state-dir maintenance
+        # (unless a catalog table must be touched) — don't pay Spark
+        # startup for them
+        sparkless = args.cmd == "metrics" or (
             args.cmd in ("delete-job", "expire-jobs")
             and not args.manifest_table
         )
@@ -200,7 +205,9 @@ def main(argv: list[str] | None = None) -> int:
             from .api import Engine
 
             eng = Engine(None, state_dir=args.state_dir)
-            if eng.get_settings().get("ManifestTable"):
+            if args.cmd != "metrics" and eng.get_settings().get(
+                "ManifestTable"
+            ):
                 # a configured ManifestTable means deletion must drop
                 # catalog partitions — that needs a session after all
                 eng = _engine(args)
@@ -275,6 +282,8 @@ def main(argv: list[str] | None = None) -> int:
         _emit(
             {"Expired": eng.expire_jobs(manifest_table=args.manifest_table)}
         )
+    elif args.cmd == "metrics":
+        _emit(eng.metrics())
     elif args.cmd == "settings":
         if args.set:
             updates = {}

@@ -361,3 +361,22 @@ def test_job_doc_records_creator_and_config_snapshot(engine, spark, lake):
     assert job["CreatedBy"]["Username"]
     assert job["QueryMaxRetries"] == 4
     assert "JobDetailsRetentionDays" not in job
+
+
+def test_metrics_gauges(engine):
+    # A7: queue depth, job-status histogram, running gauge, expirables
+    engine.enqueue_matches([{"MatchId": 1}, {"MatchId": 2}])
+    engine._save(
+        os.path.join("jobs", "r1"),
+        {"Id": "r1", "JobStatus": "RUNNING", "CreatedAt": 0},
+    )
+    engine._save(
+        os.path.join("jobs", "c1"),
+        {"Id": "c1", "JobStatus": "COMPLETED", "CreatedAt": 0, "Expires": 1},
+    )
+    m = engine.metrics()
+    assert m["DeletionQueueSize"] == 2
+    assert m["JobsByStatus"] == {"COMPLETED": 1, "RUNNING": 1}
+    assert m["RunningJobs"] == 1
+    assert m["ExpirableJobs"] == 1
+    assert m["DataMappers"] == 0

@@ -175,3 +175,17 @@ def test_cli_delete_job_and_expire(tmp_path, capsys):
     out = run(capsys, "--state-dir", state, "expire-jobs")
     assert out["Expired"] == ["old1"]
     assert eng.get_job("old1") is None
+
+
+def test_cli_metrics_sparkless(tmp_path, capsys):
+    from amazon_s3_find_and_forget_spark.api import Engine
+
+    state = str(tmp_path / "state")
+    eng = Engine(None, state_dir=state)
+    eng._save(
+        os.path.join("jobs", "c1"),
+        {"Id": "c1", "JobStatus": "COMPLETED", "CreatedAt": 0},
+    )
+    out = run(capsys, "--state-dir", state, "metrics")
+    assert out["JobsByStatus"] == {"COMPLETED": 1}
+    assert out["RunningJobs"] == 0
