@@ -731,3 +731,90 @@ def test_streaming_retention_agrees_with_batch(spark, tmp_path, sf_dir):
     }
     cells = {k: v for k, v in sink.items() if k != "_batches"}
     assert cells == expect
+
+
+def test_streaming_heavy_hitters_no_false_negatives_and_restart(
+    spark, tmp_path
+):
+    """Misra-Gries summaries in the state store: bounded state, the heavy
+    key always survives eviction pressure, restarts resume from the
+    checkpointed summaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_s3_find_and_forget_spark.streaming.heavy_hitters import (
+        heavy_hitters_stream,
+        run_to_sink,
+    )
+
+    events_dir = tmp_path / "keys"
+    ckpt = str(tmp_path / "ckpt")
+    events_dir.mkdir()
+    schema = "k string"
+
+    def write_batch(fname, keys):
+        pq.write_table(
+            pa.table({"k": pa.array(keys, pa.string())}),
+            str(events_dir / fname),
+        )
+
+    # ONE group so eviction pressure is real: capacity 4, 50 distinct
+    # cold keys + a hot key at ~40% mass
+    cold = [f"cold{i}" for i in range(50)]
+    write_batch("b1.parquet", ["hot"] * 40 + cold)
+    sink = {}
+    q = run_to_sink(
+        heavy_hitters_stream(
+            spark, str(events_dir), schema, key_col="k",
+            groups=1, capacity=4,
+        ),
+        ckpt,
+        sink,
+    )
+    q.awaitTermination(120)
+    by_key = {k: v for (_, k), v in sink.items()}
+    assert "hot" in by_key
+    mg, n = by_key["hot"]
+    assert n == 90
+    # MG bounds: no overcount; undercount <= n/(capacity+1)
+    assert mg <= 40
+    assert 40 - mg <= n / 5
+    # bounded state: at most `capacity` keys tracked
+    assert len(by_key) <= 4
+
+    # restart from checkpoint: more hot + new cold mass, counts continue
+    write_batch("b2.parquet", ["hot"] * 30 + cold)
+    sink2 = {}
+    q2 = run_to_sink(
+        heavy_hitters_stream(
+            spark, str(events_dir), schema, key_col="k",
+            groups=1, capacity=4,
+        ),
+        ckpt,
+        sink2,
+    )
+    q2.awaitTermination(120)
+    by_key2 = {k: v for (_, k), v in sink2.items()}
+    mg2, n2 = by_key2["hot"]
+    assert n2 == 170  # 90 + 30 hot + 50 cold
+    assert mg2 <= 70 and 70 - mg2 <= n2 / 5
+    assert len(by_key2) <= 4
+
+
+def test_mg_insert_semantics():
+    from amazon_s3_find_and_forget_spark.streaming.heavy_hitters import (
+        _mg_insert,
+    )
+
+    s = {}
+    for k, c in [("a", 5), ("b", 3), ("c", 1)]:
+        _mg_insert(s, k, c, capacity=3)
+    # full summary, new key lighter than min: everything decrements,
+    # min evicts, new key absorbed only by its excess (here none)
+    _mg_insert(s, "d", 1, capacity=3)
+    assert s == {"a": 4, "b": 2}
+    # new key heavier than the whole summary: it must end up tracked
+    _mg_insert(s, "e", 10, capacity=3)
+    assert "e" in s and s["e"] <= 10
+    # no overcount ever
+    assert all(v > 0 for v in s.values())
