@@ -184,3 +184,62 @@ def test_compact_merges_files_differing_only_in_nested_field_metadata(
     assert stats["bins_compacted"] == 1
     assert stats["files_after"] == 1
     assert spark.read.parquet(lake).count() == 4
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-order clustering: a range predicate on EITHER column overlaps
+    only a fraction of the files' min/max footers; a single-column sort
+    only prunes its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from amazon_s3_find_and_forget_spark.operators.layout import (
+        write_zordered,
+    )
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+    )
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "xsorted")
+    write_zordered(df, zdir, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        sdir
+    )
+
+    def overlapping_files(path, col, lo, hi):
+        total, hit = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                j = next(
+                    j
+                    for j in range(md.num_columns)
+                    if rg.column(j).path_in_schema == col
+                )
+                mins.append(rg.column(j).statistics.min)
+                maxs.append(rg.column(j).statistics.max)
+            total += 1
+            if max(maxs) >= lo and min(mins) <= hi:
+                hit += 1
+        return hit, total
+
+    # a ~12% slab at the bottom of the y domain (values span ~[-999,999])
+    # — deliberately not straddling the curve's top-level median split
+    z_y, z_tot = overlapping_files(zdir, "y", -980, -740)
+    s_y, s_tot = overlapping_files(sdir, "y", -980, -740)
+    assert z_tot == 16 and s_tot == 16
+    # x-sorted layout: every file spans all of y -> nothing prunes
+    assert s_y == 16
+    # z-order: most files fall outside the y slab
+    assert z_y <= 8
+    # and x still prunes too (the trade: ~sqrt on each column)
+    z_x, _ = overlapping_files(zdir, "x", -980, -740)
+    assert z_x <= 8
+    # rows are preserved exactly
+    assert spark.read.parquet(zdir).count() == n
