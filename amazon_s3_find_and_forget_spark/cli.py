@@ -157,6 +157,18 @@ def main(argv: list[str] | None = None) -> int:
         help="skip the old-version purge (compaction only)",
     )
 
+    zo = sub.add_parser(
+        "zorder",
+        help="re-cluster a parquet lake on a Z-order curve for "
+        "multi-column min/max pruning",
+    )
+    zo.add_argument("--location", required=True)
+    zo.add_argument(
+        "--by", required=True, help="comma-separated columns to cluster on"
+    )
+    zo.add_argument("--out", required=True, help="output directory")
+    zo.add_argument("--files", type=int, default=16)
+
     args = p.parse_args(argv)
 
     # validate argument semantics BEFORE paying Spark session startup
@@ -284,6 +296,20 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "metrics":
         _emit(eng.metrics())
+    elif args.cmd == "zorder":
+        from .operators.layout import write_zordered
+
+        cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        df = eng.spark.read.parquet(args.location)
+        write_zordered(df, args.out, cols, n_files=args.files)
+        _emit(
+            {
+                "Location": args.out,
+                "ClusteredBy": cols,
+                "Files": args.files,
+                "Rows": eng.spark.read.parquet(args.out).count(),
+            }
+        )
     elif args.cmd == "settings":
         if args.set:
             updates = {}

@@ -189,3 +189,22 @@ def test_cli_metrics_sparkless(tmp_path, capsys):
     out = run(capsys, "--state-dir", state, "metrics")
     assert out["JobsByStatus"] == {"COMPLETED": 1}
     assert out["RunningJobs"] == 0
+
+
+def test_cli_zorder(spark, tmp_path, sf_dir, capsys):
+    lake = str(tmp_path / "zlake")
+    os.makedirs(lake)
+    shutil.copy(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(lake, "part-0.parquet"),
+    )
+    n = spark.read.parquet(lake).count()
+    out = run(
+        capsys,
+        "--state-dir", str(tmp_path / "state"), "--cpus", "4",
+        "zorder", "--location", lake,
+        "--by", "l_orderkey,l_partkey",
+        "--out", str(tmp_path / "zout"), "--files", "4",
+    )
+    assert out["Rows"] == n
+    assert out["ClusteredBy"] == ["l_orderkey", "l_partkey"]
