@@ -209,12 +209,24 @@ class Engine:
         "FORGET_COMPLETED_CLEANUP_IN_PROGRESS",
     )
 
+    def _iter_jobs(self):
+        """Yield (job_id, job_doc) for every readable job document —
+        the ONE definition of the jobs-dir layout (filename = id +
+        '.json', corrupt/empty docs skipped), shared by the running
+        guard, the listing, the gauges and the retention sweep."""
+        for fn in sorted(os.listdir(os.path.join(self.state_dir, "jobs"))):
+            if not fn.endswith(".json"):
+                continue
+            jid = fn[: -len(".json")]
+            job = self._load(os.path.join("jobs", jid), None)
+            if job:
+                yield jid, job
+
     def _running_job_exists(self) -> bool:
-        for jid in os.listdir(os.path.join(self.state_dir, "jobs")):
-            job = self._load(os.path.join("jobs", jid[: -len(".json")]), None)
-            if job and job.get("JobStatus") in self.ACTIVE_STATUSES:
-                return True
-        return False
+        return any(
+            job.get("JobStatus") in self.ACTIVE_STATUSES
+            for _, job in self._iter_jobs()
+        )
 
     def process_queue(self) -> dict:
         """DELETE /v1/queue: run a deletion job over the whole queue.
@@ -236,6 +248,10 @@ class Engine:
         job_id = str(uuid.uuid4())
         import getpass
 
+        try:
+            username = getpass.getuser()
+        except (KeyError, OSError):  # containerized UID with no passwd entry
+            username = "unknown"
         job = {
             "Id": job_id,
             "Type": "Job",
@@ -243,7 +259,7 @@ class Engine:
             "CreatedAt": int(time.time()),
             # the reference records the API caller; the engine analog is
             # the OS user driving the session (queue/handlers.py:133)
-            "CreatedBy": {"Username": getpass.getuser(), "Sub": "local"},
+            "CreatedBy": {"Username": username, "Sub": "local"},
             "DeletionQueueSize": len(queue),
             # settings snapshot: the job document captures the config it
             # ran under, as the reference copies config into the Job item
@@ -450,13 +466,7 @@ class Engine:
         """
         now = int(time.time()) if now is None else now
         expired = []
-        for fn in sorted(os.listdir(os.path.join(self.state_dir, "jobs"))):
-            if not fn.endswith(".json"):
-                continue
-            jid = fn[: -len(".json")]
-            job = self._load(os.path.join("jobs", jid), None)
-            if not job:
-                continue
+        for jid, job in list(self._iter_jobs()):
             expires = job.get("Expires")
             if (
                 expires is not None
@@ -481,15 +491,16 @@ class Engine:
         by_status: dict[str, int] = {}
         expirable = 0
         now = int(time.time())
-        for fn in os.listdir(os.path.join(self.state_dir, "jobs")):
-            if not fn.endswith(".json"):
-                continue
-            job = self._load(os.path.join("jobs", fn[: -len(".json")]), None)
-            if not job:
-                continue
+        for _, job in self._iter_jobs():
             status = job.get("JobStatus", "UNKNOWN")
             by_status[status] = by_status.get(status, 0) + 1
-            if job.get("Expires") is not None and job["Expires"] <= now:
+            if (
+                job.get("Expires") is not None
+                and job["Expires"] <= now
+                and status not in self.ACTIVE_STATUSES
+            ):
+                # mirror expire_jobs' own predicate: a wedged active job
+                # with a past stamp is NOT sweepable, so don't gauge it
                 expirable += 1
         return {
             "DeletionQueueSize": len(queue),
@@ -509,11 +520,10 @@ class Engine:
 
     def list_jobs(self, page_size: int = 10) -> list[dict]:
         """O1: newest-first top-K job listing."""
-        jobs = []
-        for fn in os.listdir(os.path.join(self.state_dir, "jobs")):
-            job = self._load(os.path.join("jobs", fn[: -len(".json")]), None)
-            if job:
-                jobs.append({k: v for k, v in job.items() if k != "Events"})
+        jobs = [
+            {k: v for k, v in job.items() if k != "Events"}
+            for _, job in self._iter_jobs()
+        ]
         jobs.sort(key=lambda j: j["CreatedAt"], reverse=True)
         return jobs[:page_size]
 

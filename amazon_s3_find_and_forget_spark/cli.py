@@ -192,6 +192,10 @@ def main(argv: list[str] | None = None) -> int:
         bad = [s for s in args.accepted if ":" not in s]
         if bad:
             p.error(f"--accepted takes COL:V1[,V2...], got {bad[0]!r}")
+    if args.cmd == "zorder" and not [
+        c for c in args.by.split(",") if c.strip()
+    ]:
+        p.error("--by needs at least one column")
     if args.cmd == "settings":
         bad = [kv for kv in args.set if "=" not in kv]
         if bad:
@@ -297,6 +301,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "metrics":
         _emit(eng.metrics())
     elif args.cmd == "zorder":
+        import glob
+        import os
+
         from .operators.layout import write_zordered
 
         cols = [c.strip() for c in args.by.split(",") if c.strip()]
@@ -306,7 +313,8 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "Location": args.out,
                 "ClusteredBy": cols,
-                "Files": args.files,
+                # report what was WRITTEN (range partitions can be empty)
+                "Files": len(glob.glob(os.path.join(args.out, "*.parquet"))),
                 "Rows": eng.spark.read.parquet(args.out).count(),
             }
         )

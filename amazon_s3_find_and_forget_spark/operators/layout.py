@@ -354,14 +354,41 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     Quantization is linear between the column's min/max (ONE driver-side
     aggregate of 2x|cols| scalars; the key itself is map-only JVM bit
     arithmetic — no shuffle added beyond the caller's range
-    repartition). Nulls quantize to rank 0.
+    repartition). Nulls quantize to rank 0. Numeric, date and timestamp
+    columns are supported (dates ride through an epoch cast); string
+    columns are rejected explicitly — a silent cast-to-double would
+    quantize them all to rank 0 and the clustering the caller asked for
+    would never exist. ``bits`` is clamped so the full interleaved key
+    fits in 63 bits (Java shift semantics wrap the shift amount mod 64,
+    which would silently scramble the curve).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, NumericType, TimestampType
 
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many Z-order columns ({len(cols)}; max 63)")
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema]))
+    exprs = {}
+    for c in cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"Z-order column {c!r} not in schema")
+        if isinstance(t, NumericType):
+            exprs[c] = F.col(c).cast("double")
+        elif isinstance(t, (DateType, TimestampType)):
+            exprs[c] = F.col(c).cast("timestamp").cast("double")
+        else:
+            raise ValueError(
+                f"Z-order column {c!r} has unsupported type "
+                f"{t.simpleString()} (numeric/date/timestamp only)"
+            )
     aggs = []
     for c in cols:
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+        aggs.append(F.min(exprs[c]).alias(f"_mn_{c}"))
+        aggs.append(F.max(exprs[c]).alias(f"_mx_{c}"))
     row = df.agg(*aggs).head()
     levels = (1 << bits) - 1
     qcols = []
@@ -372,7 +399,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
             continue
         span = (mx - mn) or 1.0
         q = (
-            (F.col(c).cast("double") - F.lit(float(mn)))
+            (exprs[c] - F.lit(float(mn)))
             / F.lit(float(span))
             * F.lit(float(levels))
         ).cast("long")

@@ -69,8 +69,9 @@ def count_min_check(
         est = cms.estimateCount(r[col])
         ok = est >= r["n_exact"] and est <= r["n_exact"] + bound
         out.append((r[col], r["n_exact"], bool(ok)))
+    key_type = df.schema[col].dataType.simpleString()
     return spark.createDataFrame(
-        out, f"{col} string, n_exact long, cms_ok boolean"
+        out, f"{col} {key_type}, n_exact long, cms_ok boolean"
     )
 
 

@@ -102,17 +102,26 @@ def heavy_hitters_stream(
         state.update(
             ([k for k, _ in items], [v for _, v in items], n)
         )
-        yield pd.DataFrame(
-            [
-                {
-                    "grp": key[0],
-                    "key": k,
-                    "mg_count": v,
-                    "n_group": n,
-                }
-                for k, v in items
-            ]
-        )
+        if items:
+            yield pd.DataFrame(
+                [
+                    {
+                        "grp": key[0],
+                        "key": k,
+                        "mg_count": v,
+                        "n_group": n,
+                    }
+                    for k, v in items
+                ]
+            )
+        else:
+            # a fully-decremented (empty) summary still must reach the
+            # sink — an empty DataFrame is dropped by the serializer,
+            # which would leave the sink's old keys stale forever; the
+            # null-key sentinel says "group refreshed, nothing tracked"
+            yield pd.DataFrame(
+                [{"grp": key[0], "key": None, "mg_count": 0, "n_group": n}]
+            )
 
     return stream.groupBy("grp").applyInPandasWithState(
         update,
@@ -130,18 +139,16 @@ def run_to_sink(stream_df: DataFrame, checkpoint: str, sink: dict):
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.collect()
+        latest: dict = {}
         for r in rows:
-            sink[(r["grp"], r["key"])] = (r["mg_count"], r["n_group"])
-        # drop stale keys evicted from a refreshed group summary
-        touched = {r["grp"] for r in rows}
-        latest = {
-            g: max(
-                ng for (gg, _), (_, ng) in sink.items() if gg == g
-            )
-            for g in touched
-        }
+            latest[r["grp"]] = max(latest.get(r["grp"], 0), r["n_group"])
+        for r in rows:
+            if r["key"] is not None:  # null key = emptied-summary sentinel
+                sink[(r["grp"], r["key"])] = (r["mg_count"], r["n_group"])
+        # drop keys evicted from a refreshed group summary (their stored
+        # n_group predates this batch's)
         for (g, k), (_, ng) in list(sink.items()):
-            if g in touched and ng < latest[g]:
+            if g in latest and ng < latest[g]:
                 del sink[(g, k)]
 
     return (

@@ -1524,3 +1524,37 @@ def test_frequent_items_no_false_negatives(spark):
     )
     items = sketches.frequent_items(df, ["k"], support=0.5)["k"]
     assert "hot" in items
+
+
+def test_count_min_check_non_string_key(spark):
+    from amazon_s3_find_and_forget_spark.operators import sketches
+
+    df = spark.createDataFrame([(7,)] * 5 + [(9,)] * 2, "uid bigint")
+    out = {r["uid"]: r for r in sketches.count_min_check(df, "uid").collect()}
+    assert out[7]["n_exact"] == 5 and out[9]["n_exact"] == 2
+    assert all(r["cms_ok"] for r in out.values())
+
+
+def test_zorder_rejects_strings_and_clamps_bits(spark, tmp_path):
+    import datetime
+
+    import pytest as _pytest
+
+    from amazon_s3_find_and_forget_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, "x", datetime.date(2024, 1, 1))], "a int, s string, d date"
+    )
+    with _pytest.raises(ValueError, match="unsupported type"):
+        zorder_key(df, ["a", "s"])
+    with _pytest.raises(ValueError, match="not in schema"):
+        zorder_key(df, ["nope"])
+    # date columns ride through the epoch cast
+    assert zorder_key(df, ["a", "d"]).select("_zkey").head()[0] is not None
+    # >63 total bits would wrap Java shifts: bits must clamp, not scramble
+    six = spark.createDataFrame(
+        [tuple(range(6))], ", ".join(f"c{i} int" for i in range(6))
+    )
+    assert zorder_key(six, [f"c{i}" for i in range(6)], bits=12).select(
+        "_zkey"
+    ).head()[0] is not None  # 12 bits clamps to 10 per column

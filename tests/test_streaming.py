@@ -818,3 +818,49 @@ def test_mg_insert_semantics():
     assert "e" in s and s["e"] <= 10
     # no overcount ever
     assert all(v > 0 for v in s.values())
+
+
+def test_streaming_heavy_hitters_emptied_summary_clears_sink(
+    spark, tmp_path
+):
+    """A batch that decrements a group's whole summary away must still
+    refresh the sink (null-key sentinel) — stale keys may not linger."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_s3_find_and_forget_spark.streaming.heavy_hitters import (
+        heavy_hitters_stream,
+        run_to_sink,
+    )
+
+    events_dir = tmp_path / "keys2"
+    ckpt = str(tmp_path / "ckpt2")
+    events_dir.mkdir()
+
+    def write_batch(fname, keys):
+        pq.write_table(
+            pa.table({"k": pa.array(keys, pa.string())}),
+            str(events_dir / fname),
+        )
+
+    write_batch("b1.parquet", ["a", "b"])  # summary {a:1, b:1}, cap 2
+    sink = {}
+    run_to_sink(
+        heavy_hitters_stream(
+            spark, str(events_dir), "k string", key_col="k",
+            groups=1, capacity=2,
+        ),
+        ckpt, sink,
+    ).awaitTermination(120)
+    assert {k for (_, k) in sink} == {"a", "b"}
+
+    write_batch("b2.parquet", ["c"])  # decrements a,b to 0 -> empty
+    sink2 = dict(sink)
+    run_to_sink(
+        heavy_hitters_stream(
+            spark, str(events_dir), "k string", key_col="k",
+            groups=1, capacity=2,
+        ),
+        ckpt, sink2,
+    ).awaitTermination(120)
+    assert sink2 == {}  # old keys evicted, nothing tracked
