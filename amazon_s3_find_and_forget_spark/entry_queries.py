@@ -264,6 +264,15 @@ def q_job_stats_fold(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
+    """Money sums aggregate through exact decimal and cast to double
+    LAST. Cross-engine hash domain bound (measured, round-7 sf1 soak):
+    the two decimal->double conversions agree bit-exactly while
+    sum * 10^scale < 2^53 (DuckDB converts int128/10^scale with two
+    roundings; Spark's BigDecimal converts exactly) — true with a ~30x
+    margin at every gate SF; at sf1 the 6-decimal sums exceed it and
+    the last printed digit can differ by one ulp. Requantizing to 2
+    decimals does NOT fix this: 6-decimal sums land on exact
+    half-cents, where Spark rounds half-up and DuckDB half-to-even."""
     li = load(spark, sf_dir, "lineitem")
     dec = lambda c, s=2: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
