@@ -218,9 +218,22 @@ class Engine:
             if not fn.endswith(".json"):
                 continue
             jid = fn[: -len(".json")]
-            job = self._load(os.path.join("jobs", jid), None)
+            try:
+                job = self._load(os.path.join("jobs", jid), None)
+            except ValueError:  # truncated/corrupt doc must not wedge
+                continue  # process_queue/metrics — skip, don't raise
             if job:
                 yield jid, job
+
+    @staticmethod
+    def _is_expirable(job: dict, now: int) -> bool:
+        """The ONE expiry predicate, shared by the sweep and the gauge:
+        a past Expires stamp on a non-active job."""
+        return (
+            job.get("Expires") is not None
+            and job["Expires"] <= now
+            and job.get("JobStatus") not in Engine.ACTIVE_STATUSES
+        )
 
     def _running_job_exists(self) -> bool:
         return any(
@@ -467,12 +480,7 @@ class Engine:
         now = int(time.time()) if now is None else now
         expired = []
         for jid, job in list(self._iter_jobs()):
-            expires = job.get("Expires")
-            if (
-                expires is not None
-                and expires <= now
-                and job.get("JobStatus") not in self.ACTIVE_STATUSES
-            ):
+            if self._is_expirable(job, now):
                 self.delete_job(jid, manifest_table=manifest_table)
                 expired.append(jid)
         return expired
@@ -494,13 +502,7 @@ class Engine:
         for _, job in self._iter_jobs():
             status = job.get("JobStatus", "UNKNOWN")
             by_status[status] = by_status.get(status, 0) + 1
-            if (
-                job.get("Expires") is not None
-                and job["Expires"] <= now
-                and status not in self.ACTIVE_STATUSES
-            ):
-                # mirror expire_jobs' own predicate: a wedged active job
-                # with a past stamp is NOT sweepable, so don't gauge it
+            if self._is_expirable(job, now):
                 expirable += 1
         return {
             "DeletionQueueSize": len(queue),

@@ -192,10 +192,13 @@ def main(argv: list[str] | None = None) -> int:
         bad = [s for s in args.accepted if ":" not in s]
         if bad:
             p.error(f"--accepted takes COL:V1[,V2...], got {bad[0]!r}")
-    if args.cmd == "zorder" and not [
-        c for c in args.by.split(",") if c.strip()
-    ]:
-        p.error("--by needs at least one column")
+    zorder_cols: list[str] = []
+    if args.cmd == "zorder":
+        zorder_cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        if not zorder_cols:
+            p.error("--by needs at least one column")
+        if args.files < 1:
+            p.error("--files must be >= 1")
     if args.cmd == "settings":
         bad = [kv for kv in args.set if "=" not in kv]
         if bad:
@@ -306,7 +309,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from .operators.layout import write_zordered
 
-        cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        cols = zorder_cols
         df = eng.spark.read.parquet(args.location)
         write_zordered(df, args.out, cols, n_files=args.files)
         _emit(

@@ -377,7 +377,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
         if t is None:
             raise ValueError(f"Z-order column {c!r} not in schema")
         if isinstance(t, NumericType):
-            exprs[c] = F.col(c).cast("double")
+            # NaN -> null so it quantizes to rank 0 like nulls; raw NaN
+            # poisons min/max (span becomes NaN) and ANSI mode then
+            # throws CAST_OVERFLOW on the long cast of every row
+            exprs[c] = F.nanvl(
+                F.col(c).cast("double"), F.lit(None).cast("double")
+            )
         elif isinstance(t, (DateType, TimestampType)):
             exprs[c] = F.col(c).cast("timestamp").cast("double")
         else:

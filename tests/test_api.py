@@ -380,3 +380,18 @@ def test_metrics_gauges(engine):
     assert m["RunningJobs"] == 1
     assert m["ExpirableJobs"] == 1
     assert m["DataMappers"] == 0
+
+
+def test_iter_jobs_skips_corrupt_docs(engine):
+    engine._save(
+        os.path.join("jobs", "ok1"),
+        {"Id": "ok1", "JobStatus": "COMPLETED", "CreatedAt": 5},
+    )
+    with open(os.path.join(engine.state_dir, "jobs", "bad.json"), "w") as f:
+        f.write('{"Id": "bad", "JobSta')  # truncated mid-write
+    open(os.path.join(engine.state_dir, "jobs", "empty.json"), "w").close()
+    # none of the four consumers may raise on the corrupt docs
+    assert [j["Id"] for j in engine.list_jobs()] == ["ok1"]
+    assert engine._running_job_exists() is False
+    assert engine.metrics()["JobsByStatus"] == {"COMPLETED": 1}
+    assert engine.expire_jobs(now=10) == []

@@ -243,3 +243,20 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
     assert z_x <= 8
     # rows are preserved exactly
     assert spark.read.parquet(zdir).count() == n
+
+
+def test_zorder_key_handles_nan(spark):
+    import math
+
+    from amazon_s3_find_and_forget_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (float("nan"), 3.0), (None, 4.0)], "a double, b double"
+    )
+    rows = zorder_key(df, ["a", "b"]).select("_zkey").collect()
+    # NaN/null quantize to rank 0 instead of poisoning min/max or
+    # throwing CAST_OVERFLOW under ANSI mode
+    assert len(rows) == 3 and all(r[0] is not None for r in rows)
+    assert not any(
+        isinstance(r[0], float) and math.isnan(r[0]) for r in rows
+    )
