@@ -78,3 +78,21 @@ def test_spark_type_tokens(spark):
 def test_arrow_list_token():
     tbl = _duck_arrow("SELECT [1.0::FLOAT, 2.0::FLOAT] AS v")
     assert arrow_type_token(tbl.schema.field("v").type) == "list<float32>"
+
+
+def test_gate_window_invariants():
+    """The driver gates the FIRST 50 queries() entries: every one must
+    carry an oracle, names must be unique, and every oracle key must
+    exist in the catalog (a dangling oracle is a silent no-op)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from amazon_s3_find_and_forget_spark import entry_queries as eq
+
+    names = list(eq.QUERIES)
+    assert len(names) == len(set(names))
+    gate = names[:50]
+    missing = [n for n in gate if n not in eq.ORACLES]
+    assert missing == [], f"gate rows without oracle: {missing}"
+    dangling = [n for n in eq.ORACLES if n not in eq.QUERIES]
+    assert dangling == [], f"oracles without query: {dangling}"
