@@ -1837,6 +1837,15 @@ def q_text_stratified_sample(spark, sf_dir):
     )
 
 
+def q_text_balanced_sample(spark, sf_dir):
+    """Fixed-count class rebalancing: every language capped at 40 docs
+    by deterministic hash rank (smaller classes keep all rows)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.balanced_sample(docs, 40, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
 def q_events_window_variants(spark, sf_dir):
     """The remaining common window shapes in one pass: lead (next-event
     gap), ntile (value quartile) and percent_rank — per user, bounded
@@ -2370,6 +2379,7 @@ QUERIES = {
     "events_heavy_hitters": q_events_heavy_hitters,
     "text_contamination": q_text_contamination,
     "text_stratified_sample": q_text_stratified_sample,
+    "text_balanced_sample": q_text_balanced_sample,
     "text_repetition": q_text_repetition,
     "text_mixture": q_text_mixture,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
@@ -3309,6 +3319,13 @@ ORACLES = {
             PARTITION BY lang
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
           ) <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
+    """,
+    "text_balanced_sample": """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ) <= 40
     """,
     "events_window_variants": """
         SELECT user_id, event_id,

@@ -449,6 +449,37 @@ def stratified_sample(
     )
 
 
+def balanced_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-count class rebalancing: cap every stratum at
+    ``n_per_stratum`` rows, chosen by hash rank (strata smaller than the
+    cap keep all their rows).
+
+    The "equal representation" subsample every multi-lingual /
+    multi-source training mix needs — ``stratified_sample``'s sibling
+    with an absolute cap instead of a fraction. Same determinism
+    contract: membership is a pure function of the key (md5 order), so
+    every run and every engine draws the identical sample; one shuffle
+    (the rank window's partition).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    rnk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(h, key_col)
+    )
+    return (
+        df.withColumn("_rnk", rnk)
+        .where(F.col("_rnk") <= n_per_stratum)
+        .drop("_rnk")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 5,

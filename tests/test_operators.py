@@ -1558,3 +1558,22 @@ def test_zorder_rejects_strings_and_clamps_bits(spark, tmp_path):
     assert zorder_key(six, [f"c{i}" for i in range(6)], bits=12).select(
         "_zkey"
     ).head()[0] is not None  # 12 bits clamps to 10 per column
+
+
+def test_balanced_sample_caps_every_stratum(spark):
+    from amazon_s3_find_and_forget_spark.operators import text as text_ops
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = text_ops.balanced_sample(df, 10, strata_col="lang")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"big": 10, "small": 3}  # cap big, keep all of small
+    # deterministic: same draw every run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in text_ops.balanced_sample(df, 10, strata_col="lang").collect()
+    )
+    assert ids1 == ids2
