@@ -155,6 +155,7 @@ class Engine:
             encrypted=bool(config.get("Encrypted", False)),
             partition_filter=config.get("PartitionFilter", ""),
             schema=config.get("Schema", ""),
+            role_arn=config.get("RoleArn", ""),
         )
 
     def get_data_mapper(self, mapper_id: str) -> dict | None:

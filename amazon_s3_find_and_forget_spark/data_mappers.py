@@ -35,11 +35,19 @@ class DataMapper:
     # lakes at scale — without it spark.read.json runs a full inference
     # pass over the lake before the Find scan even starts (the reference
     # never infers: schemas come from the Glue catalog)
+    role_arn: str = ""  # cross-account access: object-store clients for
+    # this mapper are built from STS AssumeRole credentials
+    # (sources/object_store.py::store_for_mapper; reference parity
+    # ecs_tasks/delete_files/main.py:140 + boto_utils.py:239-243)
 
     def __post_init__(self):
         if self.format not in SUPPORTED_FORMATS:
             # parity: data_mappers/handlers.py:24-27 (Parquet + JSON SerDes only)
             raise ValueError(f"Unsupported format {self.format!r}")
+        if self.role_arn and not self.role_arn.startswith("arn:"):
+            raise ValueError(
+                f"RoleArn must be an ARN, got {self.role_arn!r}"
+            )
         if not self.columns:
             raise ValueError("Data mapper requires at least one identifier column")
         if self.encrypted and self.format != "parquet":

@@ -557,3 +557,103 @@ class S3ObjectStore:
 
 def uuid_version() -> str:
     return uuid.uuid4().hex
+
+
+# --------------------------------------------------------------------------
+# cross-account access (RoleArn per data mapper)
+# --------------------------------------------------------------------------
+
+
+class AssumedRoleClient:
+    """Lazily-assumed, auto-refreshing client proxy for cross-account
+    mappers.
+
+    Parity: the reference's per-message ``get_session(body["RoleArn"])``
+    (boto_utils.py:239-243 + ecs_tasks/delete_files/main.py:140) — every
+    S3/KMS client for a mapper with a ``RoleArn`` is built from STS
+    AssumeRole credentials, re-assumed automatically before expiry.
+
+    This is a SEAM like S3ObjectStore itself: with boto3 present the
+    defaults wire to real STS/S3; in this environment the fault-
+    injectable constructor takes a fake ``sts_client`` and
+    ``client_factory`` so the assume/refresh protocol is fully tested
+    without AWS. Attribute access transparently proxies to the current
+    underlying client, re-assuming when within ``refresh_margin``
+    seconds of credential expiry (the aws-assume-role auto-refresh
+    contract).
+    """
+
+    def __init__(
+        self,
+        role_arn: str,
+        session_name: str = "s3f2",
+        sts_client=None,
+        client_factory=None,
+        service: str = "s3",
+        refresh_margin: float = 300.0,
+        now=None,
+    ):
+        import time as _time
+
+        if sts_client is None or client_factory is None:
+            try:  # pragma: no cover - env-dependent
+                import boto3
+            except ImportError as e:
+                raise RuntimeError(
+                    "AssumedRoleClient requires boto3, or pass sts_client "
+                    "and client_factory explicitly"
+                ) from e
+            sts_client = sts_client or boto3.client("sts")
+            if client_factory is None:
+
+                def client_factory(creds):  # pragma: no cover
+                    return boto3.client(
+                        service,
+                        aws_access_key_id=creds["AccessKeyId"],
+                        aws_secret_access_key=creds["SecretAccessKey"],
+                        aws_session_token=creds["SessionToken"],
+                    )
+
+        self._role_arn = role_arn
+        self._session_name = session_name
+        self._sts = sts_client
+        self._factory = client_factory
+        self._margin = refresh_margin
+        self._now = now or _time.time
+        self._client = None
+        self._expires_at = float("-inf")
+
+    def _assume(self) -> None:
+        resp = self._sts.assume_role(
+            RoleArn=self._role_arn, RoleSessionName=self._session_name
+        )
+        creds = resp["Credentials"]
+        exp = creds.get("Expiration")
+        # Expiration arrives as a datetime from boto3; fakes may pass
+        # an epoch float directly
+        self._expires_at = (
+            exp.timestamp() if hasattr(exp, "timestamp") else float(exp)
+        )
+        self._client = self._factory(creds)
+
+    def _fresh(self):
+        if self._client is None or self._now() >= self._expires_at - self._margin:
+            self._assume()
+        return self._client
+
+    def __getattr__(self, name):
+        # proxy every client method through the freshness check (the
+        # call itself happens on the current credentials)
+        return getattr(self._fresh(), name)
+
+
+def store_for_mapper(role_arn: str | None = None, **kwargs) -> S3ObjectStore:
+    """S3ObjectStore for a mapper: same-account by default, an
+    auto-refreshing assumed-role client when the mapper carries a
+    ``RoleArn`` (reference main.py:140,154)."""
+    if role_arn is None:
+        return S3ObjectStore(**kwargs)
+    sleep = kwargs.pop("sleep", time.sleep)
+    return S3ObjectStore(
+        client=AssumedRoleClient(role_arn, **kwargs), sleep=sleep
+    )

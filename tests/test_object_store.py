@@ -562,3 +562,94 @@ def test_s3_verify_integrity_retries_transient_listing():
     _seed(client, 2)
     assert store.verify_version_integrity("s3://b/k", "v1", "v2") is True
     assert waits == [2]
+
+
+# --------------------------------------------------------------------------
+# cross-account RoleArn seam (boto_utils.py:239-243, main.py:140)
+# --------------------------------------------------------------------------
+
+from amazon_s3_find_and_forget_spark.sources.object_store import (  # noqa: E402
+    AssumedRoleClient,
+    store_for_mapper,
+)
+
+
+class FakeSTS:
+    def __init__(self):
+        self.calls = []
+        self.serial = 0
+
+    def assume_role(self, *, RoleArn, RoleSessionName):
+        self.serial += 1
+        self.calls.append((RoleArn, RoleSessionName))
+        return {
+            "Credentials": {
+                "AccessKeyId": f"AKIA{self.serial}",
+                "SecretAccessKey": "s",
+                "SessionToken": "t",
+                "Expiration": 1000.0 * self.serial + 3600,
+            }
+        }
+
+
+def test_assumed_role_client_lazy_and_refreshes():
+    clock = [0.0]
+    sts = FakeSTS()
+    built = []
+
+    def factory(creds):
+        built.append(creds["AccessKeyId"])
+        client = FakeS3Client()
+        client.akid = creds["AccessKeyId"]
+        return client
+
+    proxy = AssumedRoleClient(
+        "arn:aws:iam::222222222222:role/x",
+        session_name="s3f2",
+        sts_client=sts,
+        client_factory=factory,
+        now=lambda: clock[0],
+        refresh_margin=300,
+    )
+    assert sts.calls == []  # lazy: nothing assumed until first use
+    proxy.put_object(Bucket="b", Key="k", Body=b"v1")
+    assert sts.calls == [("arn:aws:iam::222222222222:role/x", "s3f2")]
+    assert built == ["AKIA1"]
+    # inside the validity window: no re-assume
+    clock[0] = 4000.0  # expiry 4600, margin 300 -> refresh at 4300
+    proxy.put_object(Bucket="b", Key="k", Body=b"v2")
+    assert len(sts.calls) == 1
+    # past expiry-margin: transparently re-assumed with NEW credentials
+    clock[0] = 4301.0
+    proxy.put_object(Bucket="b", Key="k", Body=b"v3")
+    assert len(sts.calls) == 2
+    assert built == ["AKIA1", "AKIA2"]
+
+
+def test_store_for_mapper_same_account_and_cross_account():
+    plain = store_for_mapper(client=FakeS3Client())
+    assert isinstance(plain._client, FakeS3Client)
+    sts = FakeSTS()
+    cross = store_for_mapper(
+        role_arn="arn:aws:iam::333333333333:role/y",
+        sts_client=sts,
+        client_factory=lambda creds: FakeS3Client(),
+        now=lambda: 0.0,  # stay inside the fake credentials' validity
+    )
+    path = "s3://b/k"
+    cross._client.put_object(Bucket="b", Key="k", Body=b"v1")
+    assert cross.get_object(path) == b"v1"  # full store protocol works
+    assert sts.calls[0][0] == "arn:aws:iam::333333333333:role/y"
+
+
+def test_data_mapper_role_arn_validation():
+    import pytest as _pytest
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+
+    m = DataMapper(
+        "m", "/lake", ["c"], role_arn="arn:aws:iam::1:role/r"
+    )
+    assert m.role_arn.startswith("arn:")
+    with _pytest.raises(ValueError, match="RoleArn"):
+        DataMapper("m", "/lake", ["c"], role_arn="not-an-arn")
