@@ -2304,11 +2304,17 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # shared_ngrams). After a green round 6, every one of the 96 oracled
 # rows has been driver-hashed at least once.
 # Round-7 rotation (all 50 r6 rows were green; every oracled row now
-# driver-proven, so slots go to re-proving this round's code changes):
+# driver-proven, so slots go to re-proving this round's code changes
+# and driver-proving this round's NEW rows):
 # promoted text_chunks (chunk_id/chunk_tokens recast to long this round
 # — the exact int32-vs-int64 drift class that hash-failed r4) by
 # demoting the r6-proven tpch_q11 (TPC-H family stays covered by
-# q1/q2/q3/q12/q20/q21). forget_survivors_simple/composite (vectorized
+# q1/q2/q3/q12/q20/q21); promoted the new events_heavy_hitters
+# (Count-Min gate row) by demoting the r4/r6-proven similarity_quantize
+# (int8 quantization exercised inside both PQ recall rows); promoted
+# the new text_balanced_sample by demoting the r6-proven
+# events_variant_extract (JSON-variant family covered by
+# events_json_extract). forget_survivors_simple/composite (vectorized
 # Arrow mask) and orders_rfm (persist swap) were already gated and stay.
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
@@ -2329,7 +2335,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
-    "events_variant_extract": q_events_variant_extract,
+    "events_heavy_hitters": q_events_heavy_hitters,
     "events_funnel_timing": q_events_funnel_timing,
     "events_funnel_by_segment": q_events_funnel_by_segment,
     "events_retention_by_segment": q_events_retention_by_segment,
@@ -2358,7 +2364,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "embedding_near_dups_recall": q_embedding_near_dups_recall,
     "similarity_pq_recall": q_similarity_pq_recall,
-    "similarity_quantize": q_similarity_quantize,
+    "text_balanced_sample": q_text_balanced_sample,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     # --- past the 50-row gate: rows the driver proved green in rounds
@@ -2376,10 +2382,10 @@ QUERIES = {
     "events_window_variants": q_events_window_variants,
     "events_distinct_sketch": q_events_distinct_sketch,
     "orders_quantile_sketch": q_orders_quantile_sketch,
-    "events_heavy_hitters": q_events_heavy_hitters,
+    "events_variant_extract": q_events_variant_extract,
+    "similarity_quantize": q_similarity_quantize,
     "text_contamination": q_text_contamination,
     "text_stratified_sample": q_text_stratified_sample,
-    "text_balanced_sample": q_text_balanced_sample,
     "text_repetition": q_text_repetition,
     "text_mixture": q_text_mixture,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,

@@ -96,3 +96,20 @@ def test_gate_window_invariants():
     assert missing == [], f"gate rows without oracle: {missing}"
     dangling = [n for n in eq.ORACLES if n not in eq.QUERIES]
     assert dangling == [], f"oracles without query: {dangling}"
+
+
+def test_no_duplicate_literal_keys_in_catalog():
+    """Dict literals silently keep the LAST value for duplicate keys —
+    a rotation mistake would move a row's gate position invisibly."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(
+            root, "amazon_s3_find_and_forget_spark", "entry_queries.py"
+        )
+    ).read()
+    body = src[src.index("QUERIES = {") : src.index("def _floatsafe")]
+    keys = re.findall(r'^\s+"([a-z0-9_]+)":', body, re.M)
+    dupes = sorted({k for k in keys if keys.count(k) > 1})
+    assert dupes == [], f"duplicate catalog keys: {dupes}"
