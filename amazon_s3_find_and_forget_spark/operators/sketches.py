@@ -29,6 +29,8 @@ def count_min_check(
     eps: float = 0.0001,
     confidence: float = 0.99,
     seed: int = 42,
+    candidates: list | None = None,
+    max_keys: int = 10_000,
 ) -> DataFrame:
     """Per-key exact count + the Count-Min structural claim.
 
@@ -41,10 +43,13 @@ def count_min_check(
     ``confidence`` per key, and essentially surely when the candidate
     set is far smaller than the sketch width ``e/eps``).
 
-    The candidate relation here is the full distinct-key set of ``col``,
-    so this check is for LOW-CARDINALITY columns (types, sources,
-    langs). For high-cardinality streams, feed the sketch the raw
-    column and query only the suspected heavy keys.
+    The exact side must stay a BOUNDED relation — it is collected to
+    probe the JVM sketch. Pass ``candidates`` (the suspected heavy
+    keys) to restrict it explicitly; without one, the full distinct-key
+    set of ``col`` is used and ``max_keys`` fails fast if the column
+    turns out to be high-cardinality (a ``limit(max_keys + 1)`` probe,
+    never an unbounded collect — the round-8 guard, same shape as
+    ``text._hash_rank_sample``'s ``max_strata``).
     """
     spark = df.sparkSession
     row = df.agg(
@@ -57,12 +62,22 @@ def count_min_check(
     cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         payload
     )
+    keyed = df.where(F.col(col).isNotNull())
+    if candidates is not None:
+        keyed = keyed.where(F.col(col).isin(list(candidates)))
     exact = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(col)
+        keyed.groupBy(col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .limit(max_keys + 1)
         .collect()
     )
+    if len(exact) > max_keys:
+        raise ValueError(
+            f"count_min_check: {col!r} has more than {max_keys} distinct "
+            "keys; pass candidates=[...] (the suspected heavy keys) or "
+            "raise max_keys explicitly — the exact side is collected to "
+            "the driver and must stay bounded."
+        )
     bound = eps * total
     out = []
     for r in exact:

@@ -420,32 +420,204 @@ def contamination_screen(
     )
 
 
+# Percentile grid for the sampling prefilter: the cutoff for a stratum
+# needing fraction p of its rows is the grid point ONE STEP above p, so
+# the prefilter admits between p and p + 1/_GRID_STEPS of the stratum —
+# enough margin that approx_percentile's rank error (1/_PCTL_ACCURACY,
+# a deterministic Greenwald-Khanna bound) can never under-admit except
+# in pathological tie distributions, which the verify pass catches.
+_GRID_STEPS = 50
+_HASH_GRID = [i / _GRID_STEPS for i in range(1, _GRID_STEPS + 1)]
+_PCTL_ACCURACY = 10000
+
+# Observability seam (read by tests and operators-level tooling): after
+# each _hash_rank_sample call, per-stratum {stratum: (count, target,
+# admitted-by-prefilter)} for the most recent invocation. Proves the
+# window input stayed bounded without re-deriving the plan.
+_LAST_SAMPLE_STATS: dict = {}
+
+
+def _hash_rank_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    salt: str,
+    target_of_count,
+    max_strata: int = 10_000,
+) -> DataFrame:
+    """Shared skew-safe engine for ``stratified_sample`` / ``balanced_sample``.
+
+    Semantics (unchanged from the single-window formulation): per
+    stratum, keep the ``target_of_count(|stratum|)`` rows with the
+    smallest ``(md5(key||salt), key)`` — a pure function of the data,
+    so every run and every engine draws the identical sample.
+
+    Scale shape (the round-8 de-skew): a naive
+    ``row_number().over(Window.partitionBy(strata_col))`` serializes an
+    ENTIRE stratum through one task — with corpus-scale strata (a
+    handful of languages over 100 TB) that is a single-task sort of
+    billions of rows, and AQE cannot split a window partition. Instead:
+
+    1. one map-side-combinable aggregate per stratum: exact count + an
+       ``approx_percentile`` grid over a 60-bit numeric prefix of the
+       hash (lexicographic md5 order == numeric prefix order, so a
+       prefix cutoff is downward-closed under the full sort order);
+    2. the driver picks the grid cutoff one step above the needed
+       fraction (admits ~target + 2% of the stratum, never less);
+    3. a second map-side-combinable conditional count PROVES each
+       cutoff admits >= target rows — any stratum that under-admits
+       (approx-rank error on pathological ties) escalates to keep-all,
+       so exactness is unconditional, not probabilistic;
+    4. the exact rank window runs on the BOUNDED survivor relation
+       (<= target + 2% rows per stratum), reached by a broadcast join
+       + map-side filter — the window's hash partition is the only
+       shuffle in the final plan.
+
+    Strata are class labels (languages, sources), so the per-stratum
+    stats collect is bounded; ``max_strata`` fails fast if a
+    high-cardinality column is passed by mistake (the same guard shape
+    as ``sketches.count_min_check``).
+    """
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    # 15 hex chars = 60 bits: fits a long; equal-length lowercase-hex
+    # lexicographic order == numeric order, so prefix <= cutoff keeps a
+    # downward-closed set under the exact (md5, key) ordering.
+    hp = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    prepared = df.withColumn("_h", h).withColumn("_hp", hp)
+
+    stats = (
+        prepared.groupBy(F.col(strata_col).alias("_stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.percentile_approx(
+                "_hp", _HASH_GRID, _PCTL_ACCURACY
+            ).alias("_q"),
+        )
+        .limit(max_strata + 1)
+        .collect()
+    )
+    if len(stats) > max_strata:
+        raise ValueError(
+            f"{strata_col!r} has more than {max_strata} distinct strata; "
+            "sampling strata must be class labels (languages, sources). "
+            "Raise max_strata explicitly if this is intentional."
+        )
+
+    strata_type = df.schema[strata_col].dataType
+    cut_schema = StructType(
+        [
+            StructField("_stratum", strata_type, True),
+            StructField("_target", LongType(), False),
+            StructField("_cutoff", LongType(), True),
+        ]
+    )
+
+    def rows_for(cutoff_by_stratum):
+        out = []
+        for r in stats:
+            cnt = r["_cnt"]
+            target = min(cnt, int(target_of_count(cnt)))
+            out.append((r["_stratum"], target, cutoff_by_stratum(r, target)))
+        return out
+
+    def pick_cutoff(r, target):
+        cnt, q = r["_cnt"], r["_q"]
+        if target >= cnt or not q or all(v is None for v in q):
+            return None  # keep-all: no prefilter needed / possible
+        # smallest grid index covering the needed fraction, plus one
+        # step of margin (strictly above), capped at the 100% point
+        p_needed = target / cnt
+        idx = min(
+            max(0, math.ceil(p_needed * _GRID_STEPS) - 1) + 1,
+            _GRID_STEPS - 1,
+        )
+        return q[idx]
+
+    cut_rows = rows_for(pick_cutoff)
+
+    def survivors(cut_df):
+        joined = prepared.join(
+            F.broadcast(cut_df),
+            prepared[strata_col].eqNullSafe(cut_df["_stratum"]),
+            "left",
+        )
+        return joined.where(
+            F.col("_cutoff").isNull()
+            | F.col("_h").isNull()
+            | (F.col("_hp") <= F.col("_cutoff"))
+        )
+
+    # verify pass: prove every cutoff admits its full target (the
+    # prefilter set is downward-closed, so admitted >= target implies
+    # the exact top-target rows are all present)
+    admitted = {
+        r["_stratum"]: r["_adm"]
+        for r in survivors(spark.createDataFrame(cut_rows, cut_schema))
+        .groupBy("_stratum")
+        .agg(F.count(F.lit(1)).alias("_adm"))
+        .collect()
+    }
+    short = {
+        s: True
+        for (s, target, cutoff) in cut_rows
+        if cutoff is not None and admitted.get(s, 0) < target
+    }
+    if short:
+        cut_rows = [
+            (s, t, None if s in short else c) for (s, t, c) in cut_rows
+        ]
+
+    _LAST_SAMPLE_STATS.clear()
+    counts = {r["_stratum"]: r["_cnt"] for r in stats}
+    for s, t, c in cut_rows:
+        _LAST_SAMPLE_STATS[s] = (
+            counts[s],
+            t,
+            counts[s] if c is None else admitted.get(s, 0),
+        )
+
+    w = Window.partitionBy(strata_col).orderBy(F.col("_h"), key_col)
+    return (
+        survivors(spark.createDataFrame(cut_rows, cut_schema))
+        .withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= F.col("_target"))
+        .select(*df.columns)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float,
     strata_col: str = "lang",
     key_col: str = "doc_id",
     salt: str = "",
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """Deterministic exact-count stratified sample: ceil(fraction * |stratum|)
     rows per stratum, chosen by hash rank.
 
     Like ``deterministic_split``, membership is a pure function of the
     key (hash order, not ``rand()``), so every run and every engine
-    draws the same sample. Rank and stratum size come from two window
-    functions over the SAME partition key — one shuffle total.
+    draws the same sample. Skew-safe: the exact rank window runs over a
+    hash-cutoff-bounded survivor set (~fraction + 2% of each stratum),
+    never the full stratum — see ``_hash_rank_sample``.
     """
-    from pyspark.sql import Window
+    import math
 
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(strata_col)
-    rnk = F.row_number().over(w.orderBy(h, key_col))
-    sz = F.count(F.lit(1)).over(w)
-    return (
-        df.withColumn("_rnk", rnk)
-        .withColumn("_sz", sz)
-        .where(F.col("_rnk") <= F.ceil(F.col("_sz") * F.lit(fraction)))
-        .drop("_rnk", "_sz")
+    return _hash_rank_sample(
+        df,
+        strata_col,
+        key_col,
+        salt,
+        # same double arithmetic as the old F.ceil(_sz * lit(fraction))
+        lambda cnt: math.ceil(cnt * fraction),
+        max_strata=max_strata,
     )
 
 
@@ -455,6 +627,7 @@ def balanced_sample(
     strata_col: str = "lang",
     key_col: str = "doc_id",
     salt: str = "",
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """Fixed-count class rebalancing: cap every stratum at
     ``n_per_stratum`` rows, chosen by hash rank (strata smaller than the
@@ -463,20 +636,17 @@ def balanced_sample(
     The "equal representation" subsample every multi-lingual /
     multi-source training mix needs — ``stratified_sample``'s sibling
     with an absolute cap instead of a fraction. Same determinism
-    contract: membership is a pure function of the key (md5 order), so
-    every run and every engine draws the identical sample; one shuffle
-    (the rank window's partition).
+    contract (pure function of the md5 order) and same skew-safe
+    two-phase plan — a dominant stratum costs a bounded window over
+    ~n_per_stratum rows, not a single-task sort of the whole class.
     """
-    from pyspark.sql import Window
-
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
-    rnk = F.row_number().over(
-        Window.partitionBy(strata_col).orderBy(h, key_col)
-    )
-    return (
-        df.withColumn("_rnk", rnk)
-        .where(F.col("_rnk") <= n_per_stratum)
-        .drop("_rnk")
+    return _hash_rank_sample(
+        df,
+        strata_col,
+        key_col,
+        salt,
+        lambda cnt: n_per_stratum,
+        max_strata=max_strata,
     )
 
 

@@ -1577,3 +1577,110 @@ def test_balanced_sample_caps_every_stratum(spark):
         for r in text_ops.balanced_sample(df, 10, strata_col="lang").collect()
     )
     assert ids1 == ids2
+
+
+def test_hash_rank_sample_bounds_dominant_stratum(spark):
+    """The round-8 de-skew contract: the exact rank window runs over a
+    hash-cutoff-bounded survivor set, NOT the full stratum. A 20k-row
+    dominant class sampled at 50 rows must admit only ~2-4% of its rows
+    past the prefilter (one grid step above the needed fraction), while
+    the output stays exactly the old single-window draw."""
+    from pyspark.sql import Window
+
+    rows = [(i, "big") for i in range(20_000)] + [
+        (100_000 + i, "small") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = text.balanced_sample(df, 50, strata_col="lang")
+    # capture the plan BEFORE executing: post-collect AQE plan strings
+    # repeat the exchange in their "Initial Plan" section
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    got = sorted(r.doc_id for r in out.collect())
+
+    # reference: the pre-r8 full-stratum window formulation, inline
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("")))
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(h, "doc_id")
+    )
+    ref = sorted(
+        r.doc_id
+        for r in df.withColumn("_rnk", rnk)
+        .where(F.col("_rnk") <= 50)
+        .collect()
+    )
+    assert got == ref  # value-identical to the old draw
+
+    cnt, target, admitted = text._LAST_SAMPLE_STATS["big"]
+    assert (cnt, target) == (20_000, 50)
+    assert target <= admitted <= int(cnt * 0.05)  # bounded window input
+    # small stratum under the cap keeps everything (no prefilter)
+    assert text._LAST_SAMPLE_STATS["small"] == (30, 30, 30)
+
+    # the prefilter is IN the lazy plan (below the rank window), and the
+    # only hash-partition exchange is the window's
+    assert "_cutoff" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_matches_old_window_draw(spark):
+    """Fraction mode, skewed strata + a null key and a null stratum:
+    the two-phase plan reproduces the single-window draw exactly."""
+    from pyspark.sql import Window
+
+    rows = (
+        [(i, "en") for i in range(5_000)]
+        + [(10_000 + i, "de") for i in range(40)]
+        + [(20_000, None), (None, "en")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    nkey = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    out = sorted(
+        (
+            (r.doc_id, r.lang)
+            for r in text.stratified_sample(df, 0.1).collect()
+        ),
+        key=nkey,
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("")))
+    w = Window.partitionBy("lang")
+    rnk = F.row_number().over(w.orderBy(h, "doc_id"))
+    sz = F.count(F.lit(1)).over(w)
+    ref = sorted(
+        (
+            (r.doc_id, r.lang)
+            for r in df.withColumn("_rnk", rnk)
+            .withColumn("_sz", sz)
+            .where(F.col("_rnk") <= F.ceil(F.col("_sz") * F.lit(0.1)))
+            .collect()
+        ),
+        key=nkey,
+    )
+    assert out == ref
+    cnt, target, admitted = text._LAST_SAMPLE_STATS["en"]
+    # worst-case margin is two 2% grid steps above the needed fraction
+    assert admitted <= int(cnt * 0.145) + 2
+
+
+def test_hash_rank_sample_max_strata_guard(spark):
+    df = spark.createDataFrame(
+        [(i, i) for i in range(50)], "doc_id long, lang long"
+    )
+    with pytest.raises(ValueError, match="distinct strata"):
+        text.stratified_sample(df, 0.5, max_strata=10)
+
+
+def test_count_min_check_guards_unbounded_exact_side(spark):
+    from amazon_s3_find_and_forget_spark.operators import sketches
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="distinct keys"):
+        sketches.count_min_check(df, "k", max_keys=100)
+    # candidates restricts the exact side to the suspected heavy keys
+    out = {
+        r["k"]: r
+        for r in sketches.count_min_check(
+            df, "k", candidates=[1, 7, 999], max_keys=100
+        ).collect()
+    }
+    assert set(out) == {1, 7}  # 999 absent from the data
+    assert all(r["cms_ok"] and r["n_exact"] == 1 for r in out.values())
