@@ -391,11 +391,16 @@ class Engine:
         """
         if not all(c.isalnum() or c in "-_" for c in job_id):
             raise ValueError(f"Invalid job id {job_id!r}")
-        if manifest_table is None:
-            manifest_table = self.get_settings().get("ManifestTable")
         job = self._load(os.path.join("jobs", job_id), None)
         if job is None:
             raise KeyError(job_id)
+        if manifest_table is None:
+            # prefer the name the job RAN under (settings snapshot on the
+            # job doc): partitions registered before a ManifestTable
+            # reconfiguration must still be dropped from the old table
+            manifest_table = job.get(
+                "ManifestTable"
+            ) or self.get_settings().get("ManifestTable")
         if job.get("JobStatus") in self.ACTIVE_STATUSES and not force:
             raise AlreadyRunningError(
                 f"Job {job_id} is {job['JobStatus']}; refusing to delete "
@@ -406,14 +411,17 @@ class Engine:
         part_root = os.path.join(
             self.state_dir, "manifests", f"JobId={job_id}"
         )
-        manifests = job.get("Manifests") or []
-        if not manifests and os.path.isdir(part_root):
-            # legacy job docs (pre-Manifests field): derive from layout
-            manifests = [
+        # union the recorded absolute paths with the current layout's
+        # derivation: the stored list silently misses everything if the
+        # state dir was relocated after the job ran, and the derivation
+        # alone misses nothing only while the layout convention holds
+        manifests = set(job.get("Manifests") or [])
+        if os.path.isdir(part_root):
+            manifests.update(
                 os.path.join(part_root, d)
                 for d in os.listdir(part_root)
                 if d.startswith("DataMapperId=")
-            ]
+            )
         removed = []
         for m in sorted(manifests):
             if os.path.isdir(m):

@@ -224,6 +224,7 @@ def run_job(
     forget_parallelism: int | None = None,
     path_handoff_threshold: int = 100_000,
     manifest_table: str | None = None,
+    store_factory=None,
 ) -> JobResult:
     """The whole deletion-job lifecycle as one driver program.
 
@@ -337,6 +338,10 @@ def run_job(
                     delete_old_versions=mapper.delete_old_versions,
                     kms=kms,
                     parallelism=forget_parallelism,
+                    # cross-account mappers: each rewrite task builds its
+                    # client from the ARN (reference main.py:140,154)
+                    role_arn=getattr(mapper, "role_arn", ""),
+                    store_factory=store_factory,
                 )
                 all_stats.extend(stats)
                 stats_rel = None
@@ -353,6 +358,8 @@ def run_job(
                     delete_old_versions=mapper.delete_old_versions,
                     kms=kms,
                     parallelism=forget_parallelism,
+                    role_arn=getattr(mapper, "role_arn", ""),
+                    store_factory=store_factory,
                 )
             # the rewrite changed files behind Spark's back — drop any
             # cached file listing / metadata so subsequent reads in this

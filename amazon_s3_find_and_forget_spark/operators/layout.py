@@ -377,12 +377,18 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
         if t is None:
             raise ValueError(f"Z-order column {c!r} not in schema")
         if isinstance(t, NumericType):
-            # NaN -> null so it quantizes to rank 0 like nulls; raw NaN
-            # poisons min/max (span becomes NaN) and ANSI mode then
-            # throws CAST_OVERFLOW on the long cast of every row
-            exprs[c] = F.nanvl(
-                F.col(c).cast("double"), F.lit(None).cast("double")
-            )
+            # NaN and +/-Infinity -> null so they quantize to rank 0 like
+            # nulls; raw NaN/inf poisons min/max (span becomes NaN or
+            # infinite) and ANSI mode then throws CAST_OVERFLOW on the
+            # long cast of every row (non-ANSI silently quantizes every
+            # finite row to rank 0, destroying the clustering)
+            d = F.col(c).cast("double")
+            exprs[c] = F.when(
+                F.isnan(d)
+                | (d == F.lit(float("inf")))
+                | (d == F.lit(float("-inf"))),
+                F.lit(None).cast("double"),
+            ).otherwise(d)
         elif isinstance(t, (DateType, TimestampType)):
             exprs[c] = F.col(c).cast("timestamp").cast("double")
         else:
@@ -403,6 +409,8 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
             qcols.append(F.lit(0).cast("long"))
             continue
         span = (mx - mn) or 1.0
+        if span == float("inf"):  # finite endpoints can still overflow
+            span = 1.7976931348623157e308
         q = (
             (exprs[c] - F.lit(float(mn)))
             / F.lit(float(span))

@@ -77,6 +77,129 @@ def groups_to_spec(groups: list[ColumnGroup]) -> list[dict]:
     return spec
 
 
+def _looks_not_found(e: Exception) -> bool:
+    """Not-found across backends: S3 ClientError codes, fake-store
+    KeyError/FileNotFoundError (reference: IgnoredObjectNotFoundError
+    classification, main.py:214-222)."""
+    s = f"{type(e).__name__}: {e}"
+    return any(
+        t in s
+        for t in ("NoSuchKey", "NotFound", "FileNotFoundError", "KeyError", "404")
+    )
+
+
+def _rewrite_one_store(
+    path: str,
+    fmt: str,
+    spec: list[dict],
+    ignore_not_found: bool,
+    delete_old_versions: bool = True,
+    kms=None,
+    role_arn: str = "",
+    store_factory=None,
+):
+    """Object-store rewrite: the reference's S3 commit protocol end to end
+    (main.py:132-265; s3.py:61-98 properties replay, :301-341 integrity,
+    :344-357 rollback, :244-281 version purge) through the ObjectStore
+    seam instead of the posix fast path.
+
+    Runs INSIDE the executor task: the store client is built here from
+    the mapper's picklable ``role_arn`` string — per-task
+    ``get_session(body["RoleArn"])`` parity (main.py:140,154) — so a
+    cross-account mapper's credentials never ship from the driver.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources import cse
+    from ..sources import object_store as ostore
+    from ..sources.jsonl_file import rewrite_json_file
+    from ..sources.parquet_file import rewrite_parquet_file
+
+    try:
+        store = (
+            store_factory(role_arn or None)
+            if store_factory is not None
+            else ostore.store_for_mapper(role_arn or None)
+        )
+        try:
+            data = store.get_object(path)
+        except Exception as e:  # noqa: BLE001
+            if ignore_not_found and _looks_not_found(e):
+                return (path, fmt, 0, 0, "skipped", "ObjectNotFound")
+            raise
+        props = store.get_properties(path)
+        # version at read time: any write landing between here and
+        # save() fails verify_version_integrity below
+        cur = getattr(store, "current_version", None)
+        if cur is not None:
+            from_version = cur(path)
+        else:
+            chain = store.list_versions(path)
+            from_version = chain[-1] if chain else "null"
+        metadata = dict(props.metadata or {})
+        if cse.is_kms_cse_encrypted(metadata):
+            if kms is None:
+                raise ValueError(
+                    "Object is CSE-KMS encrypted but no KMS client provided"
+                )
+            data = cse.decrypt_bytes(data, metadata, kms)
+        suffix = ".gz" if path.endswith(".gz") else ""
+        workdir = tempfile.mkdtemp(prefix="s3f2-store-")
+        try:
+            rp = os.path.join(workdir, "in" + suffix)
+            wp = os.path.join(workdir, "out" + suffix)
+            with open(rp, "wb") as f:
+                f.write(data)
+            if fmt == "parquet":
+                stats = rewrite_parquet_file(rp, wp, spec)
+            else:
+                stats = rewrite_json_file(rp, wp, spec)
+            if stats["DeletedRows"] == 0:
+                return (
+                    path,
+                    fmt,
+                    stats["ProcessedRows"],
+                    0,
+                    "failed",
+                    "Unprocessable: no rows deleted",
+                )
+            with open(wp, "rb") as f:
+                out_bytes = f.read()
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+        if cse.is_kms_cse_encrypted(metadata):
+            # fresh data key per rewrite; the new envelope rides in the
+            # object metadata replayed by save() (reference cse.py:57-84)
+            out_bytes, props.metadata = cse.encrypt_bytes(
+                out_bytes, metadata, kms
+            )
+        new_version = store.save(path, out_bytes, props)
+        try:
+            store.verify_version_integrity(path, from_version, new_version)
+        except ostore.VersionConflictError as e:
+            try:
+                store.rollback_version(path, new_version)
+            except Exception as re:  # noqa: BLE001
+                return (
+                    path, fmt, 0, 0, "rollback_failed",
+                    f"{type(re).__name__}: {re}",
+                )
+            return (path, fmt, 0, 0, "failed", f"{type(e).__name__}: {e}")
+        if delete_old_versions:
+            store.delete_old_versions(path, new_version)
+        return (
+            path,
+            fmt,
+            stats["ProcessedRows"],
+            stats["DeletedRows"],
+            "updated",
+            None,
+        )
+    except Exception as e:  # noqa: BLE001 — per-object error isolation
+        return (path, fmt, 0, 0, "failed", f"{type(e).__name__}: {e}")
+
+
 def _rewrite_one(
     path: str,
     fmt: str,
@@ -84,11 +207,26 @@ def _rewrite_one(
     ignore_not_found: bool,
     delete_old_versions: bool = True,
     kms=None,
+    role_arn: str = "",
+    store_factory=None,
 ):
     from ..sources import cse, versions
     from ..sources.jsonl_file import rewrite_json_file
     from ..sources.parquet_file import rewrite_parquet_file
 
+    if store_factory is not None or path.startswith("s3://"):
+        # non-posix lake (or injected backend): the ObjectStore protocol
+        # carries the commit; RoleArn takes runtime effect here
+        return _rewrite_one_store(
+            path,
+            fmt,
+            spec,
+            ignore_not_found,
+            delete_old_versions,
+            kms,
+            role_arn,
+            store_factory,
+        )
     local = path[len("file:") :] if path.startswith("file:") else path
     if not os.path.exists(local):
         status = "skipped" if ignore_not_found else "failed"
@@ -199,6 +337,8 @@ def forget_files(
     delete_old_versions: bool = True,
     kms=None,
     parallelism: int | None = None,
+    role_arn: str = "",
+    store_factory=None,
 ) -> list[tuple]:
     """Rewrite each affected file on the cluster; returns stats rows.
 
@@ -214,7 +354,14 @@ def forget_files(
     slices = min(len(files), max(parallelism or sc.defaultParallelism, 1))
     rdd = sc.parallelize(files, numSlices=slices).map(
         lambda p: _rewrite_one(
-            p, fmt, spec, ignore_not_found, delete_old_versions, kms
+            p,
+            fmt,
+            spec,
+            ignore_not_found,
+            delete_old_versions,
+            kms,
+            role_arn,
+            store_factory,
         )
     )
     return rdd.collect()
@@ -229,6 +376,8 @@ def forget_files_df(
     delete_old_versions: bool = True,
     kms=None,
     parallelism: int | None = None,
+    role_arn: str = "",
+    store_factory=None,
 ) -> DataFrame:
     """Distributed Find->Forget handoff: rewrite every file in ``paths_df``
     without the path list ever materializing on the driver.
@@ -257,7 +406,14 @@ def forget_files_df(
         for pdf in batches:
             rows = [
                 _rewrite_one(
-                    p, fmt, spec, ignore_not_found, delete_old_versions, kms
+                    p,
+                    fmt,
+                    spec,
+                    ignore_not_found,
+                    delete_old_versions,
+                    kms,
+                    role_arn,
+                    store_factory,
                 )
                 for p in pdf[path_col]
             ]

@@ -641,6 +641,45 @@ class AssumedRoleClient:
             self._assume()
         return self._client
 
+    def get_paginator(self, name):
+        """Late-binding paginator: a paginator object stays bound to the
+        client captured when it was fetched, so a long pagination that
+        outlives the refresh margin would fail with ExpiredToken
+        mid-listing. Each ``paginate()`` page pull re-resolves the fresh
+        client instead (the page loop itself iterates one underlying
+        paginator per freshness epoch)."""
+        outer = self
+
+        class _LatePaginator:
+            def paginate(self, **kwargs):
+                marker = None
+                while True:
+                    client = outer._fresh()
+                    kw = dict(kwargs)
+                    if marker:
+                        pc = dict(kw.get("PaginationConfig") or {})
+                        pc["StartingToken"] = marker
+                        kw["PaginationConfig"] = pc
+                    page_iter = client.get_paginator(name).paginate(**kw)
+                    for page in page_iter:
+                        yield page
+                        if outer._now() >= outer._expires_at - outer._margin:
+                            # credentials about to lapse: resume from the
+                            # current position on a fresh client
+                            marker = (
+                                page_iter.resume_token
+                                if hasattr(page_iter, "resume_token")
+                                else None
+                            )
+                            if marker:
+                                break
+                    else:
+                        return
+                    if not marker:
+                        return
+
+        return _LatePaginator()
+
     def __getattr__(self, name):
         # proxy every client method through the freshness check (the
         # call itself happens on the current credentials)

@@ -395,3 +395,48 @@ def test_iter_jobs_skips_corrupt_docs(engine):
     assert engine._running_job_exists() is False
     assert engine.metrics()["JobsByStatus"] == {"COMPLETED": 1}
     assert engine.expire_jobs(now=10) == []
+
+
+def test_delete_job_survives_state_dir_relocation(engine, spark, lake, tmp_path):
+    """Stored Manifests paths are absolute; after a state-dir move the
+    cleanup must still find the manifest dirs via the layout derivation
+    (union, not fallback-only)."""
+    import json
+    import shutil
+
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    jid = job["Id"]
+    # relocate the whole state dir
+    new_state = str(tmp_path / "state-moved")
+    shutil.move(engine.state_dir, new_state)
+    moved = Engine(spark, new_state)
+    # stored paths still point at the OLD location
+    raw = json.load(open(os.path.join(new_state, "jobs", jid + ".json")))
+    assert raw["Manifests"] and engine.state_dir in raw["Manifests"][0]
+    out = moved.delete_job(jid)
+    # layout-derived union removed the RELOCATED manifest dirs
+    assert any(new_state in m for m in out["ManifestsRemoved"])
+    assert not os.path.isdir(
+        os.path.join(new_state, "manifests", f"JobId={jid}")
+    )
+
+
+def test_delete_job_drops_partitions_from_recorded_table(
+    engine, spark, lake
+):
+    """The job doc's settings snapshot pins the ManifestTable the job RAN
+    under; a later reconfiguration must not orphan the old partitions."""
+    table = "s3f2_manifests_recorded_rt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    engine.put_settings({"ManifestTable": table})
+    engine.put_data_mapper("li", {"Location": lake, "Columns": ["l_orderkey"]})
+    engine.enqueue_matches([{"MatchId": 1}])
+    job = engine.process_queue()
+    # reconfigure AFTER the run: delete_job must still hit the old table
+    engine.put_settings({"ManifestTable": "s3f2_manifests_other"})
+    out = engine.delete_job(job["Id"])
+    assert out["PartitionsDropped"] == 1
+    assert spark.sql(f"SHOW PARTITIONS {table}").count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

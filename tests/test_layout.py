@@ -260,3 +260,29 @@ def test_zorder_key_handles_nan(spark):
     assert not any(
         isinstance(r[0], float) and math.isnan(r[0]) for r in rows
     )
+
+
+def test_zorder_key_handles_infinity(spark):
+    """+/-inf must neutralize like NaN: an infinite value would make the
+    min/max span infinite — ANSI throws CAST_OVERFLOW on the long cast,
+    non-ANSI silently quantizes every finite row to rank 0."""
+    from amazon_s3_find_and_forget_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (0.0, 1.0),
+            (100.0, 2.0),
+            (float("inf"), 3.0),
+            (float("-inf"), 4.0),
+        ],
+        "a double, b double",
+    )
+    rows = {
+        r["a"]: r["_zkey"]
+        for r in zorder_key(df, ["a", "b"], bits=8).collect()
+    }
+    assert all(k is not None for k in rows.values())
+    # the finite rows still cluster: 0 and 100 get DIFFERENT a-ranks
+    # (with inf poisoning the span they would both quantize to 0)
+    mask_a = sum(1 << (i * 2) for i in range(8))  # a's interleaved bits
+    assert (rows[0.0] & mask_a) != (rows[100.0] & mask_a)

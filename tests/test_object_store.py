@@ -653,3 +653,244 @@ def test_data_mapper_role_arn_validation():
     assert m.role_arn.startswith("arn:")
     with _pytest.raises(ValueError, match="RoleArn"):
         DataMapper("m", "/lake", ["c"], role_arn="not-an-arn")
+
+
+# --------------------------------------------------------------------------
+# Store-routed Forget rewrite (plans/forget._rewrite_one_store):
+# the reference's full per-object commit protocol (main.py:132-265)
+# through the ObjectStore seam, with RoleArn taking runtime effect
+# --------------------------------------------------------------------------
+
+
+def _parquet_bytes(ids):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"customer_id": pa.array(ids, pa.int64())}), buf
+    )
+    return buf.getvalue()
+
+
+def _spec():
+    return [{"Type": "Simple", "Column": "customer_id", "MatchIds": [2, 3]}]
+
+
+def test_rewrite_one_store_full_protocol():
+    """s3:// path routes through the ObjectStore: rewrite drops matched
+    rows, properties replay onto the new version, old versions purge."""
+    import pyarrow.parquet as pq
+    import io
+
+    from amazon_s3_find_and_forget_spark.plans.forget import _rewrite_one
+
+    client = FakeS3Client()
+    client.put_object(
+        Bucket="lake",
+        Key="t/part-0.parquet",
+        Body=_parquet_bytes([1, 2, 3, 4]),
+        ContentType="binary/octet-stream",
+        Metadata={"team": "sre"},
+    )
+    row = _rewrite_one(
+        "s3://lake/t/part-0.parquet",
+        "parquet",
+        _spec(),
+        ignore_not_found=False,
+        delete_old_versions=True,
+        store_factory=lambda arn: S3ObjectStore(client=client),
+    )
+    assert row[4] == "updated", row
+    assert (row[2], row[3]) == (4, 2)  # processed, deleted
+    versions = client.objects[("lake", "t/part-0.parquet")]
+    assert len(versions) == 1  # prior version purged after commit
+    got = pq.read_table(io.BytesIO(versions[-1]["Body"]))
+    assert got.column("customer_id").to_pylist() == [1, 4]
+    # property replay (s3.py:61-98): headers/metadata survive the rewrite
+    assert versions[-1]["Args"]["ContentType"] == "binary/octet-stream"
+    assert versions[-1]["Args"]["Metadata"] == {"team": "sre"}
+
+
+def test_rewrite_one_store_keeps_history_when_flag_off():
+    from amazon_s3_find_and_forget_spark.plans.forget import _rewrite_one
+
+    client = FakeS3Client()
+    client.put_object(
+        Bucket="lake", Key="t/p.parquet", Body=_parquet_bytes([1, 2])
+    )
+    row = _rewrite_one(
+        "s3://lake/t/p.parquet",
+        "parquet",
+        _spec(),
+        ignore_not_found=False,
+        delete_old_versions=False,
+        store_factory=lambda arn: S3ObjectStore(client=client),
+    )
+    assert row[4] == "updated"
+    assert len(client.objects[("lake", "t/p.parquet")]) == 2
+
+
+def test_rewrite_one_store_version_conflict_rolls_back():
+    """A concurrent writer between read and save fails the object and
+    rolls the just-written version back (s3.py:301-357)."""
+    from amazon_s3_find_and_forget_spark.plans.forget import _rewrite_one
+
+    class RacingClient(FakeS3Client):
+        raced = False
+
+        def put_object(self, **kw):
+            # first engine save: a concurrent writer sneaks in just before
+            if not self.raced and kw["Body"] != b"concurrent":
+                self.raced = True
+                super().put_object(
+                    Bucket=kw["Bucket"], Key=kw["Key"], Body=b"concurrent"
+                )
+            return super().put_object(**kw)
+
+    client = RacingClient()
+    client.raced = True  # seed write is not the race
+    client.put_object(
+        Bucket="lake", Key="t/p.parquet", Body=_parquet_bytes([1, 2])
+    )
+    client.raced = False
+    row = _rewrite_one(
+        "s3://lake/t/p.parquet",
+        "parquet",
+        _spec(),
+        ignore_not_found=False,
+        store_factory=lambda arn: S3ObjectStore(client=client),
+    )
+    assert row[4] == "failed"
+    assert "VersionConflict" in row[5]
+    # the conflicted rewrite was rolled back: latest body is the
+    # concurrent writer's, and no third version exists
+    versions = client.objects[("lake", "t/p.parquet")]
+    assert versions[-1]["Body"] == b"concurrent"
+    assert len(versions) == 2
+
+
+def test_rewrite_one_store_not_found_statuses():
+    from amazon_s3_find_and_forget_spark.plans.forget import _rewrite_one
+
+    client = FakeS3Client()  # empty: IndexError -> not-found-ish? no: explicit
+    row = _rewrite_one(
+        "s3://lake/missing.parquet",
+        "parquet",
+        _spec(),
+        ignore_not_found=True,
+        store_factory=lambda arn: S3ObjectStore(client=client),
+    )
+    assert row[4] in ("skipped", "failed")
+
+
+def test_forget_files_threads_role_arn_to_store_factory(spark, tmp_path):
+    """run_job-level contract: the mapper's RoleArn string reaches the
+    executor-side store factory (per-task get_session parity,
+    main.py:140,154); a wrong ARN would fail the object."""
+    from amazon_s3_find_and_forget_spark.plans.forget import forget_files
+    from amazon_s3_find_and_forget_spark.matches import ColumnGroup
+
+    obj = tmp_path / "p.parquet"
+    obj.write_bytes(_parquet_bytes([1, 2, 3]))
+    expected = "arn:aws:iam::42:role/forget"
+
+    # closure pickled BY VALUE to the task (the test module itself is not
+    # importable from executor workers); LocalObjectStore carries the
+    # store-branch protocol on the shared local filesystem
+    def factory(arn):
+        from amazon_s3_find_and_forget_spark.sources.object_store import (
+            LocalObjectStore,
+        )
+
+        if arn != expected:
+            raise ValueError(f"wrong arn reached the store factory: {arn}")
+        return LocalObjectStore()
+
+    stats = forget_files(
+        spark,
+        [str(obj)],
+        [
+            ColumnGroup(
+                columns=["customer_id"],
+                types=["bigint"],
+                values=[2],
+                composite=False,
+            )
+        ],
+        fmt="parquet",
+        role_arn=expected,
+        store_factory=factory,
+    )
+    assert stats[0][4] == "updated", stats
+    assert stats[0][3] == 1
+    # and the rewrite really went through the store commit
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(str(obj)).column("customer_id").to_pylist() == [1, 3]
+
+
+def test_assumed_role_paginator_survives_credential_refresh():
+    """A pagination that outlives the refresh margin must NOT stay bound
+    to the expired client: each page pull re-checks freshness and resumes
+    on a new client via the paginator's resume token."""
+    from amazon_s3_find_and_forget_spark.sources.object_store import (
+        AssumedRoleClient,
+    )
+
+    clock = [0.0]
+    sts = FakeSTS()
+    built = []
+
+    class PagingClient:
+        """Three pages; advancing the clock past expiry between pages."""
+
+        def __init__(self, akid, pages):
+            self.akid = akid
+            self.pages = pages
+
+        def get_paginator(self, name):
+            client = self
+
+            class PageIter:
+                """botocore-shaped: paginate() returns an ITERABLE object
+                that carries resume_token, not a bare generator."""
+
+                resume_token = None
+
+                def __init__(self, start):
+                    self._start = start
+
+                def __iter__(self):
+                    for i in range(self._start, len(client.pages)):
+                        self.resume_token = str(i + 1)
+                        yield {"Page": client.pages[i], "By": client.akid}
+                        clock[0] += 3000.0  # creds lapse mid-listing
+
+            class P:
+                def paginate(self, **kw):
+                    tok = (kw.get("PaginationConfig") or {}).get(
+                        "StartingToken"
+                    )
+                    return PageIter(int(tok) if tok else 0)
+
+            return P()
+
+    def factory(creds):
+        built.append(creds["AccessKeyId"])
+        return PagingClient(creds["AccessKeyId"], ["a", "b", "c", "d"])
+
+    proxy = AssumedRoleClient(
+        "arn:aws:iam::1:role/r",
+        sts_client=sts,
+        client_factory=factory,
+        now=lambda: clock[0],
+        refresh_margin=300,
+    )
+    pages = list(proxy.get_paginator("list_object_versions").paginate())
+    assert [p["Page"] for p in pages] == ["a", "b", "c", "d"]  # nothing lost
+    # first page on client 1; later pages each re-assumed a fresh client
+    assert len(built) >= 2
+    assert pages[0]["By"] == "AKIA1" and pages[-1]["By"] != "AKIA1"

@@ -72,9 +72,44 @@ def run(docs, sig_mode):
     return n
 
 
+def time_kernel(docs, fn, runs):
+    """Signature-kernel throughput: materialize every signature via a
+    cheap aggregate (no driver collect of the arrays)."""
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(docs).agg(
+            F.sum(F.element_at("_sig", 1)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def kernel_ab(spark):
+    """Round-8 ask: numpy pandas_udf kernel vs pure-JVM expression path
+    (transform+xxhash64 shingles, aggregate/zip_with min-reduction)."""
+    docs = load(spark, SF, "documents")
+    variants = {
+        "numpy_pandas_udf": lambda d: dedup.minhash_signatures(
+            d, "text", "doc_id", 5, 64
+        ),
+        "jvm_expressions": lambda d: dedup.minhash_signatures_sql(
+            d, "text", "doc_id", 5, 64
+        ),
+    }
+    for name, fn in variants.items():
+        time_kernel(docs, fn, 1)  # warm
+        print(f"kernel {name}: {time_kernel(docs, fn, N):.3f}s")
+
+
 def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="ab-minhash", cpus=cpus, shuffle_partitions=cpus)
+    if os.environ.get("AB_MODE", "") == "kernel":
+        kernel_ab(spark)
+        return
     docs = load(spark, SF, "documents")
     run(docs, "current")  # warm
     for mode in ("current", "lcp", "persist"):
