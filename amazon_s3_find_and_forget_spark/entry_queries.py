@@ -265,14 +265,14 @@ def q_job_stats_fold(spark, sf_dir):
 
 def q_tpch_q1(spark, sf_dir):
     """Money sums aggregate through exact decimal and cast to double
-    LAST. Cross-engine hash domain bound (measured, round-7 sf1 soak):
-    the two decimal->double conversions agree bit-exactly while
-    sum * 10^scale < 2^53 (DuckDB converts int128/10^scale with two
-    roundings; Spark's BigDecimal converts exactly) — true with a ~30x
-    margin at every gate SF; at sf1 the 6-decimal sums exceed it and
-    the last printed digit can differ by one ulp. Requantizing to 2
-    decimals does NOT fix this: 6-decimal sums land on exact
-    half-cents, where Spark rounds half-up and DuckDB half-to-even."""
+    LAST. Cross-engine conversion note (root-caused round 8): DuckDB's
+    direct decimal->double cast divides int128 by 10^scale with TWO
+    roundings, so once sum * 10^scale exceeds 2^53 the last ulp can
+    differ from Spark's exactly-converted BigDecimal (measured: the sf1
+    R/O sum_charge). Every decimal-sum oracle therefore converts via
+    CAST(CAST(sum AS VARCHAR) AS DOUBLE) — DuckDB's decimal->varchar is
+    exact and varchar->double rounds once — which matches Spark
+    bit-exactly at EVERY scale factor (verified at sf1)."""
     li = load(spark, sf_dir, "lineitem")
     dec = lambda c, s=2: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -2316,12 +2316,86 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 # events_variant_extract (JSON-variant family covered by
 # events_json_extract). forget_survivors_simple/composite (vectorized
 # Arrow mask) and orders_rfm (persist swap) were already gated and stay.
+# Round-8 rotation (all 50 r7 rows were green): the big re-prove sweep —
+# 38 promotions. Priority 1, rows whose operators round 8 TOUCHED:
+# text_stratified_sample (de-skewed two-phase sampling),
+# dedup_ngram_pairs / dedup_shared_ngrams (forced shuffle join for the
+# O(vocabulary) gram relation; dedup_components stays gated for the same
+# change). Priority 2, the longest-unproven tail (last driver-hashed
+# r4-r6): all eleven never-recently-gated TPC-H shapes (q4-q10, q13-q19,
+# q22), the grouping-set/window family (events_cube/rollup/pivot/
+# moving_avg/window_variants/hourly/topn_per_user/interval_counts,
+# orders_running_total), both sketch rows, find_rows_composite/nested/
+# decimal, dedup_exact_groups, and the text curation rows
+# (contamination/repetition/mixture/token_count/length_percentiles).
+# Demoted to make room: 33 r7-proven rows whose families stay covered
+# (TPC-H q1/q2/q3/q12/q20/q21 by the eleven promoted shapes; the
+# events funnel/retention/session family by its r7 proof; text_tfidf/
+# unigram_nll/ccnet/quality/lang_id by their r7 proof; four similarity
+# recall rows by similarity_ivfpq_recall — which transitively exercises
+# IVF cells, PQ codebooks and the exact in-plan baseline — plus
+# semantic_dedup_complete and embedding_near_dups_recall staying;
+# dedup_simhash_complete by its r7 proof; both multimodal rows by their
+# r7 proof). Kept: the find/forget core five, the r8-touched rows
+# (events_heavy_hitters, text_balanced_sample, dedup_components), and
+# one quality gate per approx family (minhash, semantic, near-dup,
+# ivfpq).
 QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_files_simple": q_find_files_simple,
     "forget_survivors_simple": q_forget_survivors_simple,
     "forget_survivors_composite": q_forget_survivors_composite,
     "forget_survivors_json": q_forget_survivors_json,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "semantic_dedup_complete": q_semantic_dedup_complete,
+    "dedup_components": q_dedup_components,
+    "embedding_near_dups_recall": q_embedding_near_dups_recall,
+    "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
+    "text_balanced_sample": q_text_balanced_sample,
+    "text_stratified_sample": q_text_stratified_sample,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_shared_ngrams": q_dedup_shared_ngrams,
+    "find_rows_composite": q_find_rows_composite,
+    "find_rows_nested": q_find_rows_nested,
+    "find_rows_decimal": q_find_rows_decimal,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
+    "events_cube": q_events_cube,
+    "events_rollup": q_events_rollup,
+    "events_pivot": q_events_pivot,
+    "events_moving_avg": q_events_moving_avg,
+    "events_window_variants": q_events_window_variants,
+    "events_hourly": q_events_hourly,
+    "events_distinct_sketch": q_events_distinct_sketch,
+    "orders_quantile_sketch": q_orders_quantile_sketch,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "text_contamination": q_text_contamination,
+    "text_repetition": q_text_repetition,
+    "text_mixture": q_text_mixture,
+    "text_token_count": q_text_token_count,
+    "text_length_percentiles": q_text_length_percentiles,
+    "events_topn_per_user": q_events_topn_per_user,
+    "orders_running_total": q_orders_running_total,
+    "events_interval_counts": q_events_interval_counts,
+    # --- past the 50-row gate: rows driver-proven on recent
+    # rounds (demoted by the round-8 rotation above) and the raw
+    # approximate queries (seed-dependent row sets; quality is
+    # gate-checked by the *_recall / *_complete rows); still
+    # runnable via queries() for full coverage ---
     "events_watermark_page": q_events_watermark_page,
     "jobs_top_k": q_jobs_top_k,
     "job_stats_fold": q_job_stats_fold,
@@ -2335,7 +2409,6 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
-    "events_heavy_hitters": q_events_heavy_hitters,
     "events_funnel_timing": q_events_funnel_timing,
     "events_funnel_by_segment": q_events_funnel_by_segment,
     "events_retention_by_segment": q_events_retention_by_segment,
@@ -2351,7 +2424,6 @@ QUERIES = {
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "documents_source_rollup": q_documents_source_rollup,
     "dedup_exact_survivors": q_dedup_exact_survivors,
-    "dedup_minhash_recall": q_dedup_minhash_recall,
     "dedup_simhash_complete": q_dedup_simhash_complete,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -2359,74 +2431,26 @@ QUERIES = {
     "similarity_ivf_recall": q_similarity_ivf_recall,
     "similarity_lsh_recall": q_similarity_lsh_recall,
     "similarity_batch_recall": q_similarity_batch_recall,
-    "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
-    "semantic_dedup_complete": q_semantic_dedup_complete,
-    "dedup_components": q_dedup_components,
-    "embedding_near_dups_recall": q_embedding_near_dups_recall,
     "similarity_pq_recall": q_similarity_pq_recall,
-    "text_balanced_sample": q_text_balanced_sample,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
-    # --- past the 50-row gate: rows the driver proved green in rounds
-    # 4-5 (demoted by the rotations above), the raw approximate queries
-    # (their row sets are seed-dependent; quality is gate-checked by the
-    # *_recall / *_complete rows above) and remaining TPC-H plan-shape
-    # variants; still runnable via queries() for full coverage ---
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q22": q_tpch_q22,
-    "events_cube": q_events_cube,
-    "events_pivot": q_events_pivot,
-    "events_window_variants": q_events_window_variants,
-    "events_distinct_sketch": q_events_distinct_sketch,
-    "orders_quantile_sketch": q_orders_quantile_sketch,
     "events_variant_extract": q_events_variant_extract,
     "similarity_quantize": q_similarity_quantize,
-    "text_contamination": q_text_contamination,
-    "text_stratified_sample": q_text_stratified_sample,
-    "text_repetition": q_text_repetition,
-    "text_mixture": q_text_mixture,
-    "dedup_ngram_pairs": q_dedup_ngram_pairs,
-    "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "similarity_topk": q_similarity_topk,
-    "tpch_q9": q_tpch_q9,
-    "events_hourly": q_events_hourly,
-    "text_token_count": q_text_token_count,
-    "events_rollup": q_events_rollup,
     "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "similarity_pq_topk": q_similarity_pq_topk,
-    "text_length_percentiles": q_text_length_percentiles,
-    "events_interval_counts": q_events_interval_counts,
-    "events_topn_per_user": q_events_topn_per_user,
-    "orders_running_total": q_orders_running_total,
-    "find_rows_composite": q_find_rows_composite,
-    "find_rows_nested": q_find_rows_nested,
-    "find_rows_decimal": q_find_rows_decimal,
     "text_train_split": q_text_train_split,
     "text_redact": q_text_redact,
     "tpch_q11": q_tpch_q11,
     "text_pack": q_text_pack,
     "text_fingerprint": q_text_fingerprint,
-    "events_moving_avg": q_events_moving_avg,
-    "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_batch_topk": q_similarity_batch_topk,
     "embedding_near_dups": q_embedding_near_dups,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q19": q_tpch_q19,
 }
 
 
@@ -2554,13 +2578,13 @@ ORACLES = {
     """,
     "forget_survivors_simple": f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem WHERE l_orderkey NOT IN ({_IN_ORDERKEYS})
         GROUP BY l_returnflag, l_linestatus
     """,
     "forget_survivors_composite": f"""
         SELECT o_orderstatus, count(*) AS n_rows,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_total
         FROM orders WHERE NOT ({_COMPOSITE_PRED})
         GROUP BY o_orderstatus
     """,
@@ -2585,19 +2609,19 @@ ORACLES = {
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
                count(*) AS count_order,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+               round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_qty
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
     "tpch_q3": """
         SELECT o_orderkey, o_orderdate,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -2610,7 +2634,7 @@ ORACLES = {
     """,
     "tpch_q5": """
         SELECT n_name,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM region
         JOIN nation ON r_regionkey = n_regionkey
         JOIN customer ON n_nationkey = c_nationkey
@@ -2623,7 +2647,7 @@ ORACLES = {
         GROUP BY n_name
     """,
     "tpch_q6": """
-        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2634,7 +2658,7 @@ ORACLES = {
     "tpch_q7": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -2650,10 +2674,10 @@ ORACLES = {
     "tpch_q8": """
         SELECT year(o_orderdate) AS o_year,
                round(
-                 CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                 CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE),
                6) AS mkt_share
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
@@ -2670,7 +2694,7 @@ ORACLES = {
     """,
     "tpch_q9": """
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -2714,7 +2738,7 @@ ORACLES = {
           FROM branded GROUP BY 1
         )
         SELECT round(
-                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0,
                6) AS avg_yearly
         FROM branded JOIN per_part ON l_partkey = pk
         WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty
@@ -2731,7 +2755,7 @@ ORACLES = {
           FROM cust WHERE c_acctbal > 0
         )
         SELECT cntrycode, count(*) AS numcust,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
         FROM cust CROSS JOIN pos
         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
           AND NOT EXISTS (SELECT 1 FROM orders
@@ -2837,7 +2861,7 @@ ORACLES = {
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -2863,10 +2887,10 @@ ORACLES = {
     "tpch_q14": """
         SELECT round(
                  100.0
-                 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE),
                6) AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -2888,7 +2912,7 @@ ORACLES = {
         LIMIT 100
     """,
     "tpch_q19": """
-        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                count(*) AS n_rows
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -2900,7 +2924,7 @@ ORACLES = {
     """,
     "events_rollup": """
         SELECT event_type, year(ts) AS y, count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY ROLLUP (event_type, year(ts))
     """,
@@ -2932,7 +2956,7 @@ ORACLES = {
                  CAST(date_diff('day', max(od), (SELECT mx FROM ref))
                       AS BIGINT) AS recency_days,
                  count(*) AS frequency,
-                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                    AS monetary,
                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                       AS BIGINT) // 10000 AS mband
@@ -3041,7 +3065,7 @@ ORACLES = {
                               CAST(date_trunc('month', o.od) AS TIMESTAMP))
                     AS BIGINT) AS month_offset,
                CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS buyers,
-               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                  AS revenue
         FROM o JOIN firsts f USING (o_custkey)
         GROUP BY 1, 2
@@ -3200,7 +3224,7 @@ ORACLES = {
     "events_moving_avg": """
         SELECT user_id, event_id,
                round(
-                 CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
                  / count(*) OVER w, 6) AS mov_avg
         FROM events WHERE user_id < 30 AND ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id
@@ -3210,13 +3234,13 @@ ORACLES = {
     "events_cube": """
         SELECT event_type, CAST(user_id % 5 AS INT) AS ub,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY CUBE (event_type, CAST(user_id % 5 AS INT))
     """,
     "orders_running_total": """
         SELECT o_custkey, o_orderkey,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
                  AS running_total
         FROM orders WHERE o_custkey < 200
         WINDOW w AS (PARTITION BY o_custkey
@@ -3243,7 +3267,7 @@ ORACLES = {
     "events_hourly": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
     """,
     "events_sessions": """

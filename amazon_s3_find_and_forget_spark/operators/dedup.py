@@ -724,8 +724,13 @@ def ngram_jaccard_pairs(
         .select("g")
     )
     # feeds both join sides — persist lazily; the one _eager job below
-    # populates it on first access
-    posting = flat.join(eligible_grams, "g").persist()
+    # populates it on first access. The eligible-grams relation is
+    # O(vocabulary) — it GROWS with the corpus, and Spark's
+    # post-aggregation size estimate can run low enough to pick a
+    # broadcast join (measured: a 316 MiB broadcast at 50k docs, an OOM
+    # in a 1 GB session and a non-starter at 100 TB) — force the
+    # shuffle join explicitly
+    posting = flat.join(eligible_grams.hint("merge"), "g").persist()
     try:
         a = posting.select(
             F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "g"
@@ -817,7 +822,9 @@ def shared_ngram_stats(
             .select("g")
         )
         shared = (
-            occ.join(docfreq, "g")
+            # docfreq is O(shared vocabulary) — corpus-growing, same
+            # forced shuffle join as ngram_jaccard_pairs' posting build
+            occ.join(docfreq.hint("merge"), "g")
             .groupBy("_id")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("shared_grams"),

@@ -43,7 +43,39 @@ BENCH_QUERIES = [
 ]
 
 
-def bench_find_forget_job(spark) -> float:
+def ensure_sf1(base_dir: str) -> str | None:
+    """Derive (once, ~7 s, cached by marker) the 10x-tiled sf1 dataset for
+    the second bench lane. Shuffle-bound regressions (tpch_q5/q3, the
+    dedup joins) only show where they actually bite — at the bigger
+    scale — so BENCH records both lanes per round. Returns None (lane
+    skipped) when disabled, when benching a non-standard dir, or when
+    derivation fails."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "1":
+        return None
+    if os.path.basename(base_dir.rstrip("/")) != "sf0.1":
+        return None  # only the standard lane gets a derived big sibling
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/s3f2-sf1-bench")
+    marker = os.path.join(out, "_complete")
+    if os.path.exists(marker):
+        return out
+    import subprocess
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "make_scale_data.py")
+    try:
+        subprocess.run(
+            [sys.executable, tool, out, "--src", base_dir, "--mult", "10"],
+            check=True, capture_output=True, timeout=600,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+        return out
+    except Exception as e:  # noqa: BLE001 — lane is optional
+        print(f"# sf1 lane skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+
+
+def bench_find_forget_job(spark, sf_dir: str = None) -> float:
     """End-to-end deletion job over a 16-file copy of lineitem."""
     from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
     from amazon_s3_find_and_forget_spark.jobs import run_job
@@ -52,7 +84,7 @@ def bench_find_forget_job(spark) -> float:
     workdir = tempfile.mkdtemp(prefix="s3f2-bench-")
     lake = os.path.join(workdir, "lineitem")
     try:
-        src = entry_queries.load(spark, SF_DIR, "lineitem")
+        src = entry_queries.load(spark, sf_dir or SF_DIR, "lineitem")
         src.repartition(16).write.parquet(lake)
         mapper = DataMapper("lineitem", lake, ["l_orderkey"], format="parquet")
         items = [QueueItem(match_id=k) for k in entry_queries.MATCH_ORDERKEYS]
@@ -65,10 +97,45 @@ def bench_find_forget_job(spark) -> float:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def run_suite(spark, sf_dir: str, runs: int, label: str) -> dict[str, float]:
+    """Min-of-``runs`` per query over one sf dir (one lane)."""
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = entry_queries.QUERIES[name]
+        best, n = None, 0
+        for _ in range(runs):
+            start = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
+        print(f"# [{label}] {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # drop caches a query persisted so queries don't interfere
+        # (within a query's runs, plan-keyed cache reuse is a real
+        # engine feature and stays), and release the queries'
+        # localCheckpoint blocks NOW: they are freed by the
+        # ContextCleaner only after GC notices the dropped DataFrames,
+        # and letting them pile up produces multi-second GC spikes
+        # inside later queries' timed runs
+        spark.catalog.clearCache()
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    timings["find_forget_job"] = round(
+        min(bench_find_forget_job(spark, sf_dir) for _ in range(runs)), 3
+    )
+    print(
+        f"# [{label}] find_forget_job: {timings['find_forget_job']}s",
+        file=sys.stderr,
+    )
+    return timings
+
+
 def main():
     spark = get_spark(app_name="s3f2-bench", cpus=CPUS, shuffle_partitions=CPUS)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    timings: dict[str, float] = {}
 
     # warm the JVM/codegen and the Arrow python-UDF worker pool on trivial
     # actions (worker spawn + pandas import would otherwise be billed to
@@ -84,46 +151,25 @@ def main():
     # delta between runs is host/JIT noise (this rig shows 2-4x run-to-run
     # variance under neighbor load, with identical plans)
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in BENCH_QUERIES:
-        fn = entry_queries.QUERIES[name]
-        best, n = None, 0
-        for _ in range(RUNS):
-            start = time.perf_counter()
-            n = fn(spark, SF_DIR).count()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        # drop caches a query persisted so queries don't interfere
-        # (within a query's runs, plan-keyed cache reuse is a real
-        # engine feature and stays), and release the queries'
-        # localCheckpoint blocks NOW: they are freed by the
-        # ContextCleaner only after GC notices the dropped DataFrames,
-        # and letting them pile up produces multi-second GC spikes
-        # inside later queries' timed runs
-        spark.catalog.clearCache()
-        import gc as _gc
-
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
-
-    timings["find_forget_job"] = round(
-        min(bench_find_forget_job(spark) for _ in range(RUNS)), 3
-    )
-    print(f"# find_forget_job: {timings['find_forget_job']}s", file=sys.stderr)
-
+    timings = run_suite(spark, SF_DIR, RUNS, f"sf{sf}")
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"headline suite wall-clock (min of {RUNS} runs/query)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    out = {
+        "metric": f"headline suite wall-clock (min of {RUNS} runs/query)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # second lane: the same suite at 10x data (derived once, cached) so
+    # shuffle-bound scaling regressions are measured per round, not once
+    sf1_dir = ensure_sf1(SF_DIR)
+    if sf1_dir:
+        sf1 = run_suite(spark, sf1_dir, RUNS, "sf1")
+        out["sf1"] = {"value": round(sum(sf1.values()), 3), "queries": sf1}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
