@@ -731,6 +731,24 @@ def ngram_jaccard_pairs(
     # in a 1 GB session and a non-starter at 100 TB) — force the
     # shuffle join explicitly
     posting = flat.join(eligible_grams.hint("merge"), "g").persist()
+    # The candidate-pair aggregate is the heavy shuffle (every shared
+    # gram contributes a row before map-side combine): at a coarse
+    # partition count each reducer's external sort accumulates so many
+    # spill files that the merge-phase read-ahead buffers alone OOM a
+    # small executor (measured at 50k docs / 1 GB heap). With AQE on,
+    # over-partitioning is the right lever — small partitions coalesce
+    # back for free, big ones stay fine-grained — so the eager job runs
+    # under a raised initial shuffle-partition floor, restored after.
+    spark = df.sparkSession
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(int(old_parts), 1024)),
+        )
+    except ValueError:  # "auto" or non-numeric: leave it alone
+        old_parts = None
     try:
         a = posting.select(
             F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "g"
@@ -763,6 +781,8 @@ def ngram_jaccard_pairs(
         )
     finally:
         posting.unpersist()
+        if old_parts is not None:
+            conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 # --------------------------------------------------------------------------

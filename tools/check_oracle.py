@@ -155,6 +155,19 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # same inter-query hygiene as bench.py: drop caches a query
+        # persisted and release localCheckpoint blocks NOW (ContextCleaner
+        # only frees them after GC notices) — in the deliberately-vanilla
+        # 1 GB session a 105-query sequence otherwise accumulates blocks
+        # until a heavy query (the sf1 ngram index) OOMs on leftovers
+        import gc as _gc
+
+        spark.catalog.clearCache()
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - dead JVM: surfaces below anyway
+            pass
         try:
             sdf = fn(spark, sf_dir)
             dec_cols = [
