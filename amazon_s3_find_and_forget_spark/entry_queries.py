@@ -2713,7 +2713,7 @@ ORACLES = {
           GROUP BY l_suppkey
         )
         SELECT s_suppkey, s_name,
-               CAST(total_revenue AS DOUBLE) AS total_revenue
+               CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -2808,7 +2808,7 @@ ORACLES = {
           WHERE n_name = 'NATION_7'
           GROUP BY l_partkey
         )
-        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        SELECT l_partkey, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
         FROM vals
         WHERE value * 640 > (SELECT sum(value) FROM vals)
     """,
@@ -2899,7 +2899,7 @@ ORACLES = {
     "tpch_q18": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
-               CAST(sum_qty AS DOUBLE) AS sum_qty
+               CAST(CAST(sum_qty AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM (
           SELECT l_orderkey,
                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty

@@ -411,9 +411,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
         span = (mx - mn) or 1.0
         if span == float("inf"):  # finite endpoints can still overflow
             span = 1.7976931348623157e308
+        # divide BEFORE subtracting: with near-DBL_MAX endpoints the
+        # numerator (x - mn) itself overflows to Infinity and the long
+        # cast throws under ANSI before any clamp applies; x/span and
+        # mn/span are each <= ~2 in magnitude, so every intermediate
+        # stays finite
         q = (
-            (exprs[c] - F.lit(float(mn)))
-            / F.lit(float(span))
+            (exprs[c] / F.lit(float(span)) - F.lit(float(mn) / float(span)))
             * F.lit(float(levels))
         ).cast("long")
         q = F.coalesce(

@@ -78,14 +78,19 @@ def groups_to_spec(groups: list[ColumnGroup]) -> list[dict]:
 
 
 def _looks_not_found(e: Exception) -> bool:
-    """Not-found across backends: S3 ClientError codes, fake-store
-    KeyError/FileNotFoundError (reference: IgnoredObjectNotFoundError
-    classification, main.py:214-222)."""
-    s = f"{type(e).__name__}: {e}"
-    return any(
-        t in s
-        for t in ("NoSuchKey", "NotFound", "FileNotFoundError", "KeyError", "404")
-    )
+    """Not-found across backends, classified PRECISELY — by exception
+    type and the ClientError response code, never by substrings of the
+    stringified message (a store bug raising KeyError deep inside, or a
+    message merely mentioning '404', must NOT silently skip an object
+    the job is legally required to erase). Reference analog:
+    IgnoredObjectNotFoundError classification, main.py:214-222."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    try:
+        code = str(e.response["Error"]["Code"])  # botocore ClientError
+    except (AttributeError, TypeError, KeyError):
+        return False
+    return code in ("NoSuchKey", "NoSuchVersion", "NotFound", "404")
 
 
 def _rewrite_one_store(
@@ -123,20 +128,22 @@ def _rewrite_one_store(
             else ostore.store_for_mapper(role_arn or None)
         )
         try:
-            data = store.get_object(path)
+            # the version must be captured WITH (or before) the read —
+            # a listing taken after get_object would absorb a concurrent
+            # write into from_version and the integrity check would
+            # silently bless a rewrite computed from stale bytes
+            getv = getattr(store, "get_object_and_version", None)
+            if getv is not None:
+                data, from_version = getv(path)
+            else:
+                chain = store.list_versions(path)
+                from_version = chain[-1] if chain else "null"
+                data = store.get_object(path)
         except Exception as e:  # noqa: BLE001
             if ignore_not_found and _looks_not_found(e):
                 return (path, fmt, 0, 0, "skipped", "ObjectNotFound")
             raise
         props = store.get_properties(path)
-        # version at read time: any write landing between here and
-        # save() fails verify_version_integrity below
-        cur = getattr(store, "current_version", None)
-        if cur is not None:
-            from_version = cur(path)
-        else:
-            chain = store.list_versions(path)
-            from_version = chain[-1] if chain else "null"
         metadata = dict(props.metadata or {})
         if cse.is_kms_cse_encrypted(metadata):
             if kms is None:
@@ -186,8 +193,22 @@ def _rewrite_one_store(
                     f"{type(re).__name__}: {re}",
                 )
             return (path, fmt, 0, 0, "failed", f"{type(e).__name__}: {e}")
+        except Exception as e:  # noqa: BLE001
+            # post-commit failure that is NOT a conflict: the rewrite IS
+            # durable, so report the real row counts — a (0, 0, failed)
+            # row would poison every retry with "no rows deleted"
+            return (
+                path, fmt, stats["ProcessedRows"], stats["DeletedRows"],
+                "failed", f"PostCommit {type(e).__name__}: {e}",
+            )
         if delete_old_versions:
-            store.delete_old_versions(path, new_version)
+            try:
+                store.delete_old_versions(path, new_version)
+            except Exception as e:  # noqa: BLE001 — same honest accounting
+                return (
+                    path, fmt, stats["ProcessedRows"], stats["DeletedRows"],
+                    "failed", f"PostCommit {type(e).__name__}: {e}",
+                )
         return (
             path,
             fmt,

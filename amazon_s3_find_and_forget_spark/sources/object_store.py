@@ -188,6 +188,14 @@ class LocalObjectStore:
         with open(path, "rb") as f:
             return f.read()
 
+    def get_object_and_version(self, path: str) -> tuple[bytes, str]:
+        """Read content plus the version it represents. The version is
+        captured BEFORE the read: if a writer lands in between, the
+        stale version makes the commit's integrity check fail loudly
+        instead of silently clobbering the concurrent write."""
+        version = self.current_version(path)
+        return self.get_object(path), version
+
     def get_properties(self, path: str) -> ObjectProperties:
         meta = path + self._META_SUFFIX
         if os.path.exists(meta):
@@ -334,6 +342,15 @@ class S3ObjectStore:
     def get_object(self, path: str) -> bytes:
         bucket, key = self._split(path)
         return self._client.get_object(Bucket=bucket, Key=key)["Body"].read()
+
+    def get_object_and_version(self, path: str) -> tuple[bytes, str]:
+        """GetObject returning (content, VersionId) from ONE response —
+        the version is atomically the one whose bytes were read (the
+        reference records VersionId off the fetch the same way,
+        s3.py:301-341's from_version)."""
+        bucket, key = self._split(path)
+        resp = self._client.get_object(Bucket=bucket, Key=key)
+        return resp["Body"].read(), resp.get("VersionId", "null")
 
     # grantee type -> (ACL response property, Grant-header prefix), the
     # reference's prop_map (s3.py:204-221)
@@ -642,43 +659,37 @@ class AssumedRoleClient:
         return self._client
 
     def get_paginator(self, name):
-        """Late-binding paginator: a paginator object stays bound to the
-        client captured when it was fetched, so a long pagination that
-        outlives the refresh margin would fail with ExpiredToken
-        mid-listing. Each ``paginate()`` page pull re-resolves the fresh
-        client instead (the page loop itself iterates one underlying
-        paginator per freshness epoch)."""
+        """Late-binding paginator: a botocore paginator object stays
+        bound to the client captured when it was fetched, so a long
+        pagination outliving the refresh margin fails with ExpiredToken
+        mid-listing. Fix at the REQUEST level, not the page level:
+        pagination state (continuation tokens) lives in the
+        PageIterator, while every page request routes through the
+        freshness check — so a listing continues seamlessly across a
+        credential refresh. (``PageIterator.resume_token`` is NOT a
+        usable seam: botocore only sets it on MaxItems truncation,
+        verified against 1.43.11.)"""
         outer = self
 
-        class _LatePaginator:
-            def paginate(self, **kwargs):
-                marker = None
-                while True:
-                    client = outer._fresh()
-                    kw = dict(kwargs)
-                    if marker:
-                        pc = dict(kw.get("PaginationConfig") or {})
-                        pc["StartingToken"] = marker
-                        kw["PaginationConfig"] = pc
-                    page_iter = client.get_paginator(name).paginate(**kw)
-                    for page in page_iter:
-                        yield page
-                        if outer._now() >= outer._expires_at - outer._margin:
-                            # credentials about to lapse: resume from the
-                            # current position on a fresh client
-                            marker = (
-                                page_iter.resume_token
-                                if hasattr(page_iter, "resume_token")
-                                else None
-                            )
-                            if marker:
-                                break
-                    else:
-                        return
-                    if not marker:
-                        return
+        def op(**kw):
+            return getattr(outer._fresh(), name)(**kw)
 
-        return _LatePaginator()
+        pag = self._fresh().get_paginator(name)
+        if hasattr(pag, "_method"):
+            # the botocore Paginator seam: _method is the bound client
+            # operation every _make_request goes through (stable private
+            # attribute; the fallback below covers its absence)
+            pag._method = op
+            return pag
+
+        class _LateBound:
+            # non-botocore client (fakes): rebuild the paginator on each
+            # paginate() call so at least the start of every listing is
+            # fresh
+            def paginate(self, **kwargs):
+                return outer._fresh().get_paginator(name).paginate(**kwargs)
+
+        return _LateBound()
 
     def __getattr__(self, name):
         # proxy every client method through the freshness check (the

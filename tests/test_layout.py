@@ -286,3 +286,17 @@ def test_zorder_key_handles_infinity(spark):
     # (with inf poisoning the span they would both quantize to 0)
     mask_a = sum(1 << (i * 2) for i in range(8))  # a's interleaved bits
     assert (rows[0.0] & mask_a) != (rows[100.0] & mask_a)
+
+
+def test_zorder_key_handles_extreme_finite_span(spark):
+    """Finite endpoints whose span overflows a double: every
+    intermediate must stay finite (divide-before-subtract), no ANSI
+    CAST_OVERFLOW, and ordering is preserved."""
+    from amazon_s3_find_and_forget_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(-1.6e308,), (0.0,), (1.6e308,)], "a double"
+    )
+    rows = {r["a"]: r["_zkey"] for r in zorder_key(df, ["a"], bits=8).collect()}
+    assert all(v is not None for v in rows.values())
+    assert rows[-1.6e308] < rows[0.0] < rows[1.6e308]

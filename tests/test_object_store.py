@@ -130,6 +130,13 @@ class FakeBody:
         return self._data
 
 
+class FakeNoSuchKey(Exception):
+    """ClientError-shaped not-found (the forget path classifies by the
+    response Error Code, never by message substrings)."""
+
+    response = {"Error": {"Code": "NoSuchKey"}}
+
+
 class FakeS3Client:
     """Just enough of the boto3 S3 client for the seam's call mapping."""
 
@@ -140,6 +147,12 @@ class FakeS3Client:
 
     def _versions(self, bucket, key):
         return self.objects.setdefault((bucket, key), [])
+
+    def _current(self, bucket, key):
+        vs = self._versions(bucket, key)
+        if not vs:
+            raise FakeNoSuchKey(f"s3://{bucket}/{key}")
+        return vs[-1]
 
     def put_object(self, *, Bucket, Key, Body, **kwargs):
         self._clock += 1
@@ -159,10 +172,11 @@ class FakeS3Client:
         return {"VersionId": vid}
 
     def get_object(self, *, Bucket, Key, **kwargs):
-        return {"Body": FakeBody(self._versions(Bucket, Key)[-1]["Body"])}
+        cur = self._current(Bucket, Key)
+        return {"Body": FakeBody(cur["Body"]), "VersionId": cur["VersionId"]}
 
     def head_object(self, *, Bucket, Key, **kwargs):
-        args = self._versions(Bucket, Key)[-1]["Args"]
+        args = self._current(Bucket, Key)["Args"]
         return {
             "ContentType": args.get("ContentType"),
             "Metadata": args.get("Metadata", {}),
@@ -773,9 +787,15 @@ def test_rewrite_one_store_version_conflict_rolls_back():
 
 
 def test_rewrite_one_store_not_found_statuses():
-    from amazon_s3_find_and_forget_spark.plans.forget import _rewrite_one
+    """Exact contract: ClientError-code NoSuchKey skips only under
+    ignore_not_found; a non-code error must NEVER classify as
+    not-found (silently skipping an object the job must erase)."""
+    from amazon_s3_find_and_forget_spark.plans.forget import (
+        _looks_not_found,
+        _rewrite_one,
+    )
 
-    client = FakeS3Client()  # empty: IndexError -> not-found-ish? no: explicit
+    client = FakeS3Client()
     row = _rewrite_one(
         "s3://lake/missing.parquet",
         "parquet",
@@ -783,7 +803,46 @@ def test_rewrite_one_store_not_found_statuses():
         ignore_not_found=True,
         store_factory=lambda arn: S3ObjectStore(client=client),
     )
-    assert row[4] in ("skipped", "failed")
+    assert row[4] == "skipped" and row[5] == "ObjectNotFound"
+    row = _rewrite_one(
+        "s3://lake/missing.parquet",
+        "parquet",
+        _spec(),
+        ignore_not_found=False,
+        store_factory=lambda arn: S3ObjectStore(client=client),
+    )
+    assert row[4] == "failed"
+    # classification is by type/code, never message substrings
+    assert _looks_not_found(FakeNoSuchKey("x"))
+    assert _looks_not_found(FileNotFoundError("x"))
+    assert not _looks_not_found(KeyError("metadata"))
+    assert not _looks_not_found(RuntimeError("proxy said 404 NotFound"))
+
+
+def test_rewrite_one_store_postcommit_failure_keeps_row_counts():
+    """A failure AFTER the save committed (old-version purge blowing up)
+    must report the real processed/deleted counts — a (0,0,'failed') row
+    would poison every retry with 'no rows deleted'."""
+    from amazon_s3_find_and_forget_spark.plans.forget import _rewrite_one
+
+    class PurgeFailClient(FakeS3Client):
+        def delete_objects(self, **kw):
+            raise RuntimeError("batch delete exploded")
+
+    client = PurgeFailClient()
+    client.put_object(
+        Bucket="lake", Key="t/p.parquet", Body=_parquet_bytes([1, 2, 3])
+    )
+    row = _rewrite_one(
+        "s3://lake/t/p.parquet",
+        "parquet",
+        _spec(),
+        ignore_not_found=False,
+        delete_old_versions=True,
+        store_factory=lambda arn: S3ObjectStore(client=client),
+    )
+    assert row[4] == "failed" and "PostCommit" in row[5]
+    assert (row[2], row[3]) == (3, 2)  # the committed rewrite's real counts
 
 
 def test_forget_files_threads_role_arn_to_store_factory(spark, tmp_path):
@@ -834,8 +893,10 @@ def test_forget_files_threads_role_arn_to_store_factory(spark, tmp_path):
 
 def test_assumed_role_paginator_survives_credential_refresh():
     """A pagination that outlives the refresh margin must NOT stay bound
-    to the expired client: each page pull re-checks freshness and resumes
-    on a new client via the paginator's resume token."""
+    to the expired client: continuation state lives in the page iterator
+    while every page REQUEST re-resolves the fresh client (the botocore
+    `_method` seam — resume_token is not usable, botocore only sets it
+    on MaxItems truncation)."""
     from amazon_s3_find_and_forget_spark.sources.object_store import (
         AssumedRoleClient,
     )
@@ -843,44 +904,43 @@ def test_assumed_role_paginator_survives_credential_refresh():
     clock = [0.0]
     sts = FakeSTS()
     built = []
+    pages = {"0": ("a", "1"), "1": ("b", "2"), "2": ("c", "3"), "3": ("d", None)}
+
+    class BotocoreShapedPaginator:
+        """Tokens live HERE (like botocore's PageIterator); each request
+        goes through self._method (the seam the proxy must re-bind)."""
+
+        def __init__(self, method):
+            self._method = method
+
+        def paginate(self, **kw):
+            token = "0"
+            while token is not None:
+                page = self._method(Token=token, **kw)
+                yield page
+                token = page["NextToken"]
 
     class PagingClient:
-        """Three pages; advancing the clock past expiry between pages."""
-
-        def __init__(self, akid, pages):
+        def __init__(self, akid):
             self.akid = akid
-            self.pages = pages
+            self.expired = False
+
+        def list_object_versions(self, *, Token, **kw):
+            if self.expired:
+                raise RuntimeError("ExpiredToken: stale client used")
+            item, nxt = pages[Token]
+            clock[0] += 3000.0  # creds lapse between page requests
+            return {"Page": item, "By": self.akid, "NextToken": nxt}
 
         def get_paginator(self, name):
-            client = self
-
-            class PageIter:
-                """botocore-shaped: paginate() returns an ITERABLE object
-                that carries resume_token, not a bare generator."""
-
-                resume_token = None
-
-                def __init__(self, start):
-                    self._start = start
-
-                def __iter__(self):
-                    for i in range(self._start, len(client.pages)):
-                        self.resume_token = str(i + 1)
-                        yield {"Page": client.pages[i], "By": client.akid}
-                        clock[0] += 3000.0  # creds lapse mid-listing
-
-            class P:
-                def paginate(self, **kw):
-                    tok = (kw.get("PaginationConfig") or {}).get(
-                        "StartingToken"
-                    )
-                    return PageIter(int(tok) if tok else 0)
-
-            return P()
+            return BotocoreShapedPaginator(getattr(self, name))
 
     def factory(creds):
-        built.append(creds["AccessKeyId"])
-        return PagingClient(creds["AccessKeyId"], ["a", "b", "c", "d"])
+        for c in built:
+            c.expired = True  # old clients hard-fail if ever reused
+        client = PagingClient(creds["AccessKeyId"])
+        built.append(client)
+        return client
 
     proxy = AssumedRoleClient(
         "arn:aws:iam::1:role/r",
@@ -889,8 +949,7 @@ def test_assumed_role_paginator_survives_credential_refresh():
         now=lambda: clock[0],
         refresh_margin=300,
     )
-    pages = list(proxy.get_paginator("list_object_versions").paginate())
-    assert [p["Page"] for p in pages] == ["a", "b", "c", "d"]  # nothing lost
-    # first page on client 1; later pages each re-assumed a fresh client
-    assert len(built) >= 2
-    assert pages[0]["By"] == "AKIA1" and pages[-1]["By"] != "AKIA1"
+    got = list(proxy.get_paginator("list_object_versions").paginate())
+    assert [p["Page"] for p in got] == ["a", "b", "c", "d"]  # nothing lost
+    assert len(built) >= 2  # refreshed mid-listing
+    assert got[0]["By"] == "AKIA1" and got[-1]["By"] != "AKIA1"
