@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -75,6 +76,12 @@ class Engine:
         self.spark = spark
         self.state_dir = state_dir
         self.kms = kms
+        # serializes read-modify-write cycles on the JSON tables so the
+        # HTTP facade (http_api.py) can mutate from request threads while
+        # a detached job finishes on its own thread; _save stays atomic
+        # (temp+rename) so lock-free readers never see a torn file
+        self._mutex = threading.RLock()
+        self._job_thread: threading.Thread | None = None
         os.makedirs(os.path.join(state_dir, "jobs"), exist_ok=True)
 
     # --- tiny JSON "tables" ------------------------------------------------
@@ -117,8 +124,9 @@ class Engine:
         unknown = set(settings) - set(self.DEFAULT_SETTINGS)
         if unknown:
             raise ValueError(f"Unknown settings: {sorted(unknown)}")
-        merged = {**self._load("settings", {}), **settings}
-        self._save("settings", merged)
+        with self._mutex:
+            merged = {**self._load("settings", {}), **settings}
+            self._save("settings", merged)
         return self.get_settings()
 
     # --- data mappers (data_mappers/handlers.py:74-182) --------------------
@@ -128,17 +136,18 @@ class Engine:
         format supported, identifier columns resolve to identifier-able
         types in the actual table schema, partition keys exist, and the
         location does not overlap another mapper's."""
-        mappers = self._load("data_mappers", {})
         candidate = self._mapper_from(mapper_id, config)
         candidate.validate(self.spark, kms=self.kms)
-        others = [
-            self._mapper_from(mid, c)
-            for mid, c in mappers.items()
-            if mid != mapper_id
-        ]
-        check_no_overlap(others + [candidate])
-        mappers[mapper_id] = config
-        self._save("data_mappers", mappers)
+        with self._mutex:
+            mappers = self._load("data_mappers", {})
+            others = [
+                self._mapper_from(mid, c)
+                for mid, c in mappers.items()
+                if mid != mapper_id
+            ]
+            check_no_overlap(others + [candidate])
+            mappers[mapper_id] = config
+            self._save("data_mappers", mappers)
         return {mapper_id: config}
 
     def _mapper_from(self, mapper_id: str, config: dict) -> DataMapper:
@@ -164,10 +173,30 @@ class Engine:
     def list_data_mappers(self) -> dict:
         return self._load("data_mappers", {})
 
-    def delete_data_mapper(self, mapper_id: str) -> None:
+    def list_data_mappers_page(
+        self, start_at: str | None = None, page_size: int = 10
+    ) -> tuple[list[dict], str | None]:
+        """GET /v1/data_mappers pagination in the reference's shape:
+        items carry their id inline as ``DataMapperId`` and ``start_at``
+        is an exclusive id start key (data_mappers/handlers.py:46-67)."""
         mappers = self._load("data_mappers", {})
-        mappers.pop(mapper_id, None)
-        self._save("data_mappers", mappers)
+        rows = [
+            {"DataMapperId": mid, **cfg} for mid, cfg in mappers.items()
+        ]
+        rows.sort(key=lambda r: r["DataMapperId"])
+        if start_at is not None:
+            rows = [r for r in rows if r["DataMapperId"] > start_at]
+        page = rows[:page_size]
+        next_start = (
+            page[-1]["DataMapperId"] if len(page) == page_size else None
+        )
+        return page, next_start
+
+    def delete_data_mapper(self, mapper_id: str) -> None:
+        with self._mutex:
+            mappers = self._load("data_mappers", {})
+            mappers.pop(mapper_id, None)
+            self._save("data_mappers", mappers)
 
     # --- deletion queue (queue/handlers.py:59-108,144-180) ------------------
 
@@ -185,22 +214,48 @@ class Engine:
                     "DataMappers": q.data_mappers,
                 }
             )
-        queue = self._load("deletion_queue", [])
-        queue.extend(items)
-        self._save("deletion_queue", queue)
+        with self._mutex:
+            queue = self._load("deletion_queue", [])
+            queue.extend(items)
+            self._save("deletion_queue", queue)
         return items
 
     def list_queue(self, start_at: int = 0, page_size: int = 20) -> list[dict]:
         return self._load("deletion_queue", [])[start_at : start_at + page_size]
 
+    def list_queue_page(
+        self, start_at: str | None = None, page_size: int = 10
+    ) -> tuple[list[dict], str | None]:
+        """GET /v1/queue pagination in the reference's shape: ``start_at``
+        is an exclusive DeletionQueueItemId start key, and ``NextStart``
+        is the last id of a full page / None on the final short page
+        (parity: queue/handlers.py:73-101)."""
+        queue = self._load("deletion_queue", [])
+        if start_at is not None:
+            idx = next(
+                (
+                    i + 1
+                    for i, it in enumerate(queue)
+                    if it["DeletionQueueItemId"] == start_at
+                ),
+                len(queue),
+            )
+            queue = queue[idx:]
+        page = queue[:page_size]
+        next_start = (
+            page[-1]["DeletionQueueItemId"] if len(page) == page_size else None
+        )
+        return page, next_start
+
     def delete_matches(self, item_ids: list[str]) -> None:
         drop = set(item_ids)
-        queue = [
-            it
-            for it in self._load("deletion_queue", [])
-            if it["DeletionQueueItemId"] not in drop
-        ]
-        self._save("deletion_queue", queue)
+        with self._mutex:
+            queue = [
+                it
+                for it in self._load("deletion_queue", [])
+                if it["DeletionQueueItemId"] not in drop
+            ]
+            self._save("deletion_queue", queue)
 
     # --- jobs (queue/handlers.py process_handler + jobs/handlers.py) --------
 
@@ -242,55 +297,68 @@ class Engine:
             for _, job in self._iter_jobs()
         )
 
-    def process_queue(self) -> dict:
+    def process_queue(self, detach: bool = False) -> dict:
         """DELETE /v1/queue: run a deletion job over the whole queue.
 
         Enforces the single-concurrent-job rule, snapshots the queue and
         mapper config into the job document (as the reference snapshots
         config into the Job item), runs Find+Forget, folds events, and on
         a terminal-complete status removes the consumed queue items (ST3).
+
+        ``detach=True`` is the reference's actual timing: the handler
+        returns the QUEUED job document immediately (202) and the state
+        machine runs on its own (here: a daemon thread driving the same
+        Spark session; join with :meth:`wait_for_job`). The QUEUED doc is
+        already persisted, so the single-job guard holds across threads.
         """
         # retention sweep first: expired job docs (and their manifests)
         # leave the store before new work starts — the DynamoDB-TTL
         # analog fires on the engine's own write paths
         self.expire_jobs()
-        if self._running_job_exists():
-            raise AlreadyRunningError("There is already a job in progress")
-        queue = self._load("deletion_queue", [])
-        mappers_cfg = self._load("data_mappers", {})
-        settings = self.get_settings()
-        job_id = str(uuid.uuid4())
         import getpass
 
         try:
             username = getpass.getuser()
         except (KeyError, OSError):  # containerized UID with no passwd entry
             username = "unknown"
-        job = {
-            "Id": job_id,
-            "Type": "Job",
-            "JobStatus": "QUEUED",
-            "CreatedAt": int(time.time()),
-            # the reference records the API caller; the engine analog is
-            # the OS user driving the session (queue/handlers.py:133)
-            "CreatedBy": {"Username": username, "Sub": "local"},
-            "DeletionQueueSize": len(queue),
-            # settings snapshot: the job document captures the config it
-            # ran under, as the reference copies config into the Job item
-            # (queue/handlers.py:127-135, minus the retention knob which
-            # becomes the Expires stamp below)
-            **{
-                k: v
-                for k, v in settings.items()
-                if k != "JobDetailsRetentionDays"
-            },
-        }
-        # JobDetailsRetentionDays stamps an absolute expiry on the job
-        # document at creation (parity: queue/handlers.py:136-139)
-        retention_days = int(settings.get("JobDetailsRetentionDays") or 0)
-        if retention_days > 0:
-            job["Expires"] = job["CreatedAt"] + retention_days * 86400
-        self._save(os.path.join("jobs", job_id), job)
+        job_id = str(uuid.uuid4())
+        # guard-check and QUEUED-doc save are one critical section: two
+        # submitters must not both pass the guard before either persists
+        with self._mutex:
+            if self._running_job_exists():
+                raise AlreadyRunningError(
+                    "There is already a job in progress"
+                )
+            queue = self._load("deletion_queue", [])
+            mappers_cfg = self._load("data_mappers", {})
+            settings = self.get_settings()
+            job = {
+                "Id": job_id,
+                "Type": "Job",
+                "JobStatus": "QUEUED",
+                "CreatedAt": int(time.time()),
+                # the reference records the API caller; the engine analog
+                # is the OS user driving the session (queue/handlers.py:133)
+                "CreatedBy": {"Username": username, "Sub": "local"},
+                "DeletionQueueSize": len(queue),
+                # settings snapshot: the job document captures the config
+                # it ran under, as the reference copies config into the Job
+                # item (queue/handlers.py:127-135, minus the retention knob
+                # which becomes the Expires stamp below)
+                **{
+                    k: v
+                    for k, v in settings.items()
+                    if k != "JobDetailsRetentionDays"
+                },
+            }
+            # JobDetailsRetentionDays stamps an absolute expiry on the job
+            # document at creation (parity: queue/handlers.py:136-139)
+            retention_days = int(
+                settings.get("JobDetailsRetentionDays") or 0
+            )
+            if retention_days > 0:
+                job["Expires"] = job["CreatedAt"] + retention_days * 86400
+            self._save(os.path.join("jobs", job_id), job)
 
         mappers = [
             self._mapper_from(mid, cfg) for mid, cfg in mappers_cfg.items()
@@ -305,56 +373,90 @@ class Engine:
                 else [it.match_id]
             )
         ]
-        result = run_job(
-            self.spark,
-            mappers,
-            items,
-            job_id=job_id,
-            kms=self.kms,
-            manifest_dir=os.path.join(self.state_dir, "manifests"),
-            query_max_retries=int(settings["QueryMaxRetries"]),
-            forget_parallelism=settings["ForgetTaskParallelism"],
-            # when a ManifestTable is configured, manifests also register
-            # as catalog partitions at run time — and delete_job/expiry
-            # drops them again (full JobManifestsGlueTable lifecycle)
-            manifest_table=settings.get("ManifestTable"),
-        )
-        folded = fold_status(result.events, result.counters)
-        job.update(folded)
-        job["JobStatus"] = result.status
-        job.update(fold_counters(result.events))
-        # record the job's manifest partitions on the job document so
-        # deletion can clean them up (parity: the reference Job item's
-        # Manifests list, consumed by stream_processor.cleanup_manifests)
-        part_root = os.path.join(
-            self.state_dir, "manifests", f"JobId={job_id}"
-        )
-        if os.path.isdir(part_root):
-            job["Manifests"] = sorted(
-                os.path.join(part_root, d)
-                for d in os.listdir(part_root)
-                if d.startswith("DataMapperId=")
+        def _execute() -> dict:
+            result = run_job(
+                self.spark,
+                mappers,
+                items,
+                job_id=job_id,
+                kms=self.kms,
+                manifest_dir=os.path.join(self.state_dir, "manifests"),
+                query_max_retries=int(settings["QueryMaxRetries"]),
+                forget_parallelism=settings["ForgetTaskParallelism"],
+                # when a ManifestTable is configured, manifests also
+                # register as catalog partitions at run time — and
+                # delete_job/expiry drops them again (full
+                # JobManifestsGlueTable lifecycle)
+                manifest_table=settings.get("ManifestTable"),
             )
-        # match ids must never surface in persisted errors (F9)
-        events = [
-            {
-                **ev,
-                "EventData": sanitize_event_data(
-                    ev["EventData"], all_match_ids
-                ),
-            }
-            for ev in result.events
-        ]
-        sks = [f"{ev['CreatedAt']}#{uuid.uuid4()}" for ev in events]
-        job["Events"] = [
-            {**ev, "Sk": sk} for ev, sk in zip(events, sorted(sks))
-        ]
-        self._save(os.path.join("jobs", job_id), job)
-        if result.status == "COMPLETED":
-            # ST3: queue items consumed by the completed job are removed
-            consumed = {it.item_id for it in items}
-            self.delete_matches(list(consumed))
-        return job
+            folded = fold_status(result.events, result.counters)
+            job.update(folded)
+            job["JobStatus"] = result.status
+            job.update(fold_counters(result.events))
+            # record the job's manifest partitions on the job document so
+            # deletion can clean them up (parity: the reference Job item's
+            # Manifests list, consumed by
+            # stream_processor.cleanup_manifests)
+            part_root = os.path.join(
+                self.state_dir, "manifests", f"JobId={job_id}"
+            )
+            if os.path.isdir(part_root):
+                job["Manifests"] = sorted(
+                    os.path.join(part_root, d)
+                    for d in os.listdir(part_root)
+                    if d.startswith("DataMapperId=")
+                )
+            # match ids must never surface in persisted errors (F9)
+            events = [
+                {
+                    **ev,
+                    "EventData": sanitize_event_data(
+                        ev["EventData"], all_match_ids
+                    ),
+                }
+                for ev in result.events
+            ]
+            sks = [f"{ev['CreatedAt']}#{uuid.uuid4()}" for ev in events]
+            job["Events"] = [
+                {**ev, "Sk": sk} for ev, sk in zip(events, sorted(sks))
+            ]
+            self._save(os.path.join("jobs", job_id), job)
+            if result.status == "COMPLETED":
+                # ST3: queue items consumed by a completed job are removed
+                consumed = {it.item_id for it in items}
+                self.delete_matches(list(consumed))
+            return job
+
+        if not detach:
+            return _execute()
+
+        def _execute_detached() -> None:
+            try:
+                _execute()
+            except Exception as exc:  # release the single-job guard:
+                # a crashed detached run must not wedge the engine in
+                # QUEUED; persist a terminal FAILED doc instead. Only the
+                # exception TYPE is recorded — the message could embed
+                # match ids (F9).
+                job["JobStatus"] = "FAILED"
+                job["ErrorType"] = type(exc).__name__
+                self._save(os.path.join("jobs", job_id), job)
+
+        snapshot = dict(job)
+        t = threading.Thread(
+            target=_execute_detached,
+            daemon=True,
+            name=f"s3f2-job-{job_id}",
+        )
+        self._job_thread = t
+        t.start()
+        return snapshot
+
+    def wait_for_job(self, timeout: float | None = None) -> None:
+        """Join the most recent detached job thread (tests/CLI barrier)."""
+        t = self._job_thread
+        if t is not None:
+            t.join(timeout)
 
     def delete_job(
         self,
@@ -529,11 +631,19 @@ class Engine:
             job = {k: v for k, v in job.items() if k != "Events"}
         return job
 
-    def list_jobs(self, page_size: int = 10) -> list[dict]:
-        """O1: newest-first top-K job listing."""
+    def list_jobs(
+        self, page_size: int = 10, start_at: int | None = None
+    ) -> list[dict]:
+        """O1: newest-first top-K job listing.
+
+        ``start_at`` is the reference's exclusive CreatedAt upper bound
+        (jobs/handlers.py:79-88: ``Key("CreatedAt").lt(start_at)``), so a
+        client pages back in time by passing the previous page's
+        ``NextStart`` (= min CreatedAt of the page)."""
         jobs = [
             {k: v for k, v in job.items() if k != "Events"}
             for _, job in self._iter_jobs()
+            if start_at is None or job["CreatedAt"] < start_at
         ]
         jobs.sort(key=lambda j: j["CreatedAt"], reverse=True)
         return jobs[:page_size]

@@ -157,6 +157,20 @@ def main(argv: list[str] | None = None) -> int:
         help="skip the old-version purge (compaction only)",
     )
 
+    sv = sub.add_parser(
+        "serve",
+        help="serve the reference's REST API (templates/api.yaml routes) "
+        "over this engine on HTTP",
+    )
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument(
+        "--sync-jobs",
+        action="store_true",
+        help="DELETE /v1/queue blocks until the job document is "
+        "terminal instead of the reference's 202-then-poll",
+    )
+
     zo = sub.add_parser(
         "zorder",
         help="re-cluster a parquet lake on a Z-order curve for "
@@ -303,6 +317,26 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "metrics":
         _emit(eng.metrics())
+    elif args.cmd == "serve":
+        from .http_api import serve
+
+        server = serve(
+            eng,
+            host=args.host,
+            port=args.port,
+            detach_jobs=not args.sync_jobs,
+        )
+        host, port = server.server_address
+        print(
+            json.dumps({"Serving": f"http://{host}:{port}/v1"}),
+            file=sys.stderr,
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:  # pragma: no cover
+            pass
+        finally:
+            server.server_close()
     elif args.cmd == "zorder":
         import glob
         import os

@@ -1,0 +1,388 @@
+"""HTTP transport for the control plane — the reference's API Gateway.
+
+The reference exposes its control plane as API-Gateway-routed Lambda
+handlers (templates/api.yaml:1042-1257; backend/lambdas/{queue,
+data_mappers,jobs,settings}/handlers.py). This module is the same route
+surface over :class:`api.Engine`, as a dependency-free WSGI app (stdlib
+``wsgiref`` serves it; any WSGI server can host it):
+
+    ========  ==============================  =========================
+    method    path                            reference handler
+    ========  ==============================  =========================
+    PATCH     /v1/queue                       queue.enqueue_handler
+    PATCH     /v1/queue/matches               queue.enqueue_batch_handler
+    GET       /v1/queue                       queue.get_handler
+    DELETE    /v1/queue/matches               queue.cancel_handler
+    DELETE    /v1/queue                       queue.process_handler
+    PUT       /v1/data_mappers/{id}           put_data_mapper_handler
+    GET       /v1/data_mappers/{id}           get_data_mapper_handler
+    GET       /v1/data_mappers                get_data_mappers_handler
+    DELETE    /v1/data_mappers/{id}           delete_data_mapper_handler
+    GET       /v1/jobs/{job_id}               get_job_handler
+    GET       /v1/jobs                        list_jobs_handler
+    GET       /v1/jobs/{job_id}/events        list_job_events_handler
+    GET       /v1/settings                    settings.list_settings_handler
+    PUT       /v1/settings                    (engine extension — the
+                                              reference configures via
+                                              CloudFormation parameters)
+    ========  ==============================  =========================
+
+Contract parity (decorators.py:54-124): errors return a JSON body with a
+single ``Message`` key — 400 for semantic errors (``catch_errors``), 422
+for malformed request shapes (``request_validator``), 404 for missing
+documents/routes, 405 for a known path with the wrong method. Success
+codes mirror the handlers: 201 created, 202 job accepted, 204 no content.
+Pagination uses ``page_size``/``start_at`` query params and a
+``NextStart`` field that is omitted (not null) when there are no more
+pages, exactly as the handlers strip None values.
+
+``DELETE /v1/queue`` keeps the reference's asynchronous semantics: the
+response is the freshly persisted QUEUED job document and the Find/Forget
+run proceeds on a detached engine thread (the Step-Functions analog).
+Pass ``detach_jobs=False`` for a synchronous variant that only returns
+once the job document is terminal (same 202 + doc shape — useful for
+scripting without polling).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from urllib.parse import parse_qsl
+from wsgiref.simple_server import WSGIRequestHandler, make_server
+
+from .api import AlreadyRunningError, Engine
+
+_STATUS_TEXT = {
+    200: "200 OK",
+    201: "201 Created",
+    202: "202 Accepted",
+    204: "204 No Content",
+    400: "400 Bad Request",
+    404: "404 Not Found",
+    405: "405 Method Not Allowed",
+    422: "422 Unprocessable Entity",
+    500: "500 Internal Server Error",
+}
+
+# add_cors_headers parity (decorators.py): every response is browser-
+# consumable, as the reference console calls the API cross-origin
+_CORS = [
+    ("Access-Control-Allow-Origin", "*"),
+    ("Access-Control-Allow-Headers", "Content-Type"),
+]
+
+
+class _Invalid(ValueError):
+    """Request-shape error -> 422 (request_validator parity)."""
+
+
+def _require(body, key, typ, what="Request"):
+    if not isinstance(body, dict) or key not in body:
+        raise _Invalid(f"Invalid {what}: {key!r} is a required property")
+    if typ is not None and not isinstance(body[key], typ):
+        raise _Invalid(f"Invalid {what}: {key!r} has the wrong type")
+    return body[key]
+
+
+class HttpApi:
+    """WSGI callable mapping the reference routes onto an Engine."""
+
+    def __init__(self, engine: Engine, detach_jobs: bool = True):
+        self.engine = engine
+        self.detach_jobs = detach_jobs
+        self._routes = [
+            ("PATCH", re.compile(r"^/v1/queue$"), self.enqueue),
+            ("PATCH", re.compile(r"^/v1/queue/matches$"), self.enqueue_batch),
+            ("GET", re.compile(r"^/v1/queue$"), self.get_queue),
+            ("DELETE", re.compile(r"^/v1/queue/matches$"), self.cancel),
+            ("DELETE", re.compile(r"^/v1/queue$"), self.process),
+            (
+                "PUT",
+                re.compile(r"^/v1/data_mappers/(?P<id>[^/]+)$"),
+                self.put_data_mapper,
+            ),
+            (
+                "GET",
+                re.compile(r"^/v1/data_mappers/(?P<id>[^/]+)$"),
+                self.get_data_mapper,
+            ),
+            ("GET", re.compile(r"^/v1/data_mappers$"), self.get_data_mappers),
+            (
+                "DELETE",
+                re.compile(r"^/v1/data_mappers/(?P<id>[^/]+)$"),
+                self.delete_data_mapper,
+            ),
+            (
+                "GET",
+                re.compile(r"^/v1/jobs/(?P<id>[^/]+)/events$"),
+                self.list_job_events,
+            ),
+            ("GET", re.compile(r"^/v1/jobs/(?P<id>[^/]+)$"), self.get_job),
+            ("GET", re.compile(r"^/v1/jobs$"), self.list_jobs),
+            ("GET", re.compile(r"^/v1/settings$"), self.list_settings),
+            ("PUT", re.compile(r"^/v1/settings$"), self.put_settings),
+        ]
+
+    # --- WSGI plumbing ------------------------------------------------------
+
+    def __call__(self, environ, start_response):
+        method = environ["REQUEST_METHOD"].upper()
+        path = environ.get("PATH_INFO", "")
+        # multiValueQueryStringParameters parity: repeated keys collect
+        qs: dict[str, list[str]] = {}
+        for k, v in parse_qsl(environ.get("QUERY_STRING", "")):
+            qs.setdefault(k, []).append(v)
+        path_allows = set()
+        for m, rx, handler in self._routes:
+            match = rx.match(path)
+            if not match:
+                continue
+            path_allows.add(m)
+            if m != method:
+                continue
+            try:
+                body = self._read_body(environ)
+                status, payload = handler(match.groupdict(), qs, body)
+            except _Invalid as e:  # request_validator -> 422
+                status, payload = 422, {"Message": str(e)}
+            except AlreadyRunningError as e:
+                status, payload = 400, {"Message": f"Invalid request: {e}"}
+            except KeyError:
+                status, payload = 404, None
+            except ValueError as e:  # catch_errors -> 400
+                status, payload = 400, {"Message": f"Invalid request: {e}"}
+            except Exception as e:  # noqa: BLE001 — catch_errors last arm
+                status, payload = 400, {
+                    "Message": f"Unable to process request: {e}"
+                }
+            return self._respond(start_response, status, payload)
+        if path_allows:  # known path, wrong verb
+            return self._respond(
+                start_response, 405, {"Message": "Method not allowed"}
+            )
+        return self._respond(start_response, 404, {"Message": "Not found"})
+
+    @staticmethod
+    def _read_body(environ):
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            length = 0
+        if not length:
+            return None
+        raw = environ["wsgi.input"].read(length)
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise _Invalid(f"Invalid Request: body is not JSON ({e})") from e
+
+    @staticmethod
+    def _respond(start_response, status: int, payload):
+        headers = list(_CORS)
+        if status == 204 or payload is None:
+            headers.append(("Content-Length", "0"))
+            start_response(_STATUS_TEXT[status], headers)
+            return [b""]
+        data = json.dumps(payload).encode()
+        headers += [
+            ("Content-Type", "application/json"),
+            ("Content-Length", str(len(data))),
+        ]
+        start_response(_STATUS_TEXT[status], headers)
+        return [data]
+
+    # --- helpers -------------------------------------------------------------
+
+    @staticmethod
+    def _page_params(qs, default_size):
+        try:
+            page_size = int(qs.get("page_size", [str(default_size)])[0])
+        except ValueError:
+            raise _Invalid("Invalid Request: page_size must be an integer")
+        if page_size < 1:
+            raise _Invalid("Invalid Request: page_size must be positive")
+        start_at = qs.get("start_at", [None])[0]
+        return page_size, start_at
+
+    def _guard_running(self, action: str):
+        if self.engine._running_job_exists():
+            raise ValueError(
+                f"Cannot {action} whilst there is a job in progress"
+            )
+
+    # --- queue (queue/handlers.py) -------------------------------------------
+
+    def enqueue(self, path, qs, body):
+        _require(body, "MatchId", None)
+        items = self.engine.enqueue_matches([body])
+        return 201, items[0]
+
+    def enqueue_batch(self, path, qs, body):
+        matches = _require(body, "Matches", list)
+        for m in matches:
+            _require(m, "MatchId", None)
+        items = self.engine.enqueue_matches(matches)
+        return 201, {"Matches": items}
+
+    def get_queue(self, path, qs, body):
+        page_size, start_at = self._page_params(qs, 10)
+        items, next_start = self.engine.list_queue_page(start_at, page_size)
+        resp = {"MatchIds": items}
+        if next_start is not None:
+            resp["NextStart"] = next_start
+        return 200, resp
+
+    def cancel(self, path, qs, body):
+        # queue/handlers.py:104-117: refuse while a job is in progress
+        self._guard_running("delete matches")
+        matches = _require(body, "Matches", list)
+        ids = [
+            _require(m, "DeletionQueueItemId", str, what="Matches entry")
+            for m in matches
+        ]
+        self.engine.delete_matches(ids)
+        return 204, None
+
+    def process(self, path, qs, body):
+        job = self.engine.process_queue(detach=self.detach_jobs)
+        return 202, job
+
+    # --- data mappers (data_mappers/handlers.py) ------------------------------
+
+    def put_data_mapper(self, path, qs, body):
+        if body is None:
+            raise _Invalid("Invalid Request: body is required")
+        mapper_id = path["id"]
+        self.engine.put_data_mapper(mapper_id, body)
+        return 201, {"DataMapperId": mapper_id, **body}
+
+    def get_data_mapper(self, path, qs, body):
+        cfg = self.engine.get_data_mapper(path["id"])
+        if cfg is None:
+            return 404, None
+        return 200, {"DataMapperId": path["id"], **cfg}
+
+    def get_data_mappers(self, path, qs, body):
+        page_size, start_at = self._page_params(qs, 10)
+        rows, next_start = self.engine.list_data_mappers_page(
+            start_at, page_size
+        )
+        resp = {"DataMappers": rows}
+        if next_start is not None:
+            resp["NextStart"] = next_start
+        return 200, resp
+
+    def delete_data_mapper(self, path, qs, body):
+        # data_mappers/handlers.py:100-108: refuse while a job runs
+        self._guard_running("delete Data Mappers")
+        self.engine.delete_data_mapper(path["id"])
+        return 204, None
+
+    # --- jobs (jobs/handlers.py) ----------------------------------------------
+
+    def get_job(self, path, qs, body):
+        job = self.engine.get_job(path["id"])
+        if job is None:
+            return 404, None
+        return 200, job
+
+    def list_jobs(self, path, qs, body):
+        page_size, start_at = self._page_params(qs, 10)
+        if start_at is not None:
+            try:
+                start_at = int(start_at)
+            except ValueError:
+                raise _Invalid(
+                    "Invalid Request: start_at must be a timestamp"
+                )
+        jobs = self.engine.list_jobs(page_size=page_size, start_at=start_at)
+        resp = {"Jobs": jobs}
+        if len(jobs) == page_size:  # jobs/handlers.py:93-96
+            resp["NextStart"] = min(j["CreatedAt"] for j in jobs)
+        return 200, resp
+
+    def list_job_events(self, path, qs, body):
+        page_size, start_at = self._page_params(qs, 20)
+        watermark = start_at or "0"
+        # jobs/handlers.py:141-146 — repeated filter=Key=Prefix params,
+        # each applied as a begins_with on the event attribute
+        filters = []
+        for f in qs.get("filter", []):
+            if "=" not in f:
+                raise _Invalid("Invalid Request: filter must be Key=Value")
+            filters.append(tuple(f.split("=", 1)))
+
+        def keep(ev):
+            return all(
+                str(ev.get(k, "")).startswith(v) for k, v in filters
+            )
+
+        job = self.engine.get_job(path["id"])
+        if job is None:
+            return 404, None
+        # page forward through engine pages until the filtered page fills
+        # or the watermark stops advancing (the handler's page_size+1 loop)
+        items: list[dict] = []
+        wm = watermark
+        while len(items) < page_size:
+            page, next_wm = self.engine.list_job_events(
+                path["id"], wm, page_size
+            )
+            items.extend(
+                ev for ev in page if keep(ev)
+            )
+            if next_wm == wm or not page:
+                break
+            wm = next_wm
+        items = items[:page_size]
+        if items:
+            wm = items[-1]["Sk"]
+        terminal = job.get("JobFinishTime") is not None
+        exhausted = len(items) < page_size
+        resp = {"JobEvents": items}
+        # _get_watermark parity: a finished job with an exhausted page
+        # returns no watermark; an in-progress job always returns one
+        if not (terminal and exhausted):
+            resp["NextStart"] = wm
+        return 200, resp
+
+    # --- settings (settings/handlers.py) ---------------------------------------
+
+    def list_settings(self, path, qs, body):
+        return 200, {"Settings": self.engine.get_settings()}
+
+    def put_settings(self, path, qs, body):
+        if body is None:
+            raise _Invalid("Invalid Request: body is required")
+        return 200, {"Settings": self.engine.put_settings(body)}
+
+
+def create_app(engine: Engine, detach_jobs: bool = True) -> HttpApi:
+    return HttpApi(engine, detach_jobs=detach_jobs)
+
+
+class _QuietHandler(WSGIRequestHandler):
+    def log_message(self, *args):  # tests/CLI: no stderr access log
+        pass
+
+
+def serve(
+    engine: Engine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    detach_jobs: bool = True,
+    background: bool = False,
+):
+    """Serve the app with stdlib wsgiref. Returns the server; with
+    ``background=True`` requests are handled on a daemon thread and the
+    caller gets the bound server back immediately (tests)."""
+    app = create_app(engine, detach_jobs=detach_jobs)
+    server = make_server(host, port, app, handler_class=_QuietHandler)
+    if background:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        server._thread = t  # noqa: SLF001 — joinable handle for tests
+        return server
+    return server
