@@ -14,6 +14,8 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -53,6 +55,56 @@ def _eager(df: DataFrame) -> DataFrame:
 def _is_cached(df: DataFrame) -> bool:
     level = df.storageLevel
     return bool(level.useMemory or level.useDisk)
+
+
+@contextmanager
+def _pair_agg_confs(spark):
+    """Session confs for the candidate-pair aggregate jobs, restored on exit.
+
+    Two levers against the same failure (a reduce-side external sort with
+    so many spill files that the merge phase's 1 MiB read-ahead buffers
+    alone exhaust a small heap — measured at 50k docs / 1 GB):
+
+    1. raise the initial shuffle-partition floor so the pre-AQE plan
+       starts fine-grained;
+    2. drop AQE's coalesce advisory from its 64 MiB default to 4 MiB —
+       WITHOUT this, AQE coalesces the 1024-partition floor straight
+       back (measured: 9 reduce tasks at 50k docs) and re-creates the
+       giant spill-merging partitions the floor was meant to prevent.
+       4 MiB of compressed shuffle per reduce task keeps each final
+       aggregate comfortably in-memory at any corpus size, while a
+       small-SF run still coalesces to a handful of tasks.
+    """
+    conf = spark.conf
+    saved: dict[str, str | None] = {}
+
+    def _set(key: str, value: str) -> None:
+        try:
+            saved[key] = conf.get(key)
+        except Exception:  # noqa: BLE001 — unset key
+            saved[key] = None
+        conf.set(key, value)
+
+    try:
+        old_parts = conf.get("spark.sql.shuffle.partitions")
+        _set(
+            "spark.sql.shuffle.partitions",
+            str(max(int(old_parts), 1024)),
+        )
+    except ValueError:  # "auto" or non-numeric: leave it alone
+        pass
+    _set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    # parallelismFirst makes AQE ignore the advisory in favor of one
+    # partition per core — explicitly defer to the advisory here
+    _set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -729,60 +781,57 @@ def ngram_jaccard_pairs(
     # post-aggregation size estimate can run low enough to pick a
     # broadcast join (measured: a 316 MiB broadcast at 50k docs, an OOM
     # in a 1 GB session and a non-starter at 100 TB) — force the
-    # shuffle join explicitly
-    posting = flat.join(eligible_grams.hint("merge"), "g").persist()
+    # shuffle join explicitly. DISK_ONLY: the posting relation is
+    # O(corpus grams) — deserialized in-memory caching of it OOMs a
+    # small heap at 50k docs (measured: heap-OOM during block unroll in
+    # a 1 GB session) and could never fit executor memory at 100 TB;
+    # written once, read twice (both self-join sides), tiny unroll
+    # footprint.
+    from pyspark import StorageLevel
+
+    posting = flat.join(eligible_grams.hint("merge"), "g").persist(
+        StorageLevel.DISK_ONLY
+    )
     # The candidate-pair aggregate is the heavy shuffle (every shared
     # gram contributes a row before map-side combine): at a coarse
     # partition count each reducer's external sort accumulates so many
     # spill files that the merge-phase read-ahead buffers alone OOM a
-    # small executor (measured at 50k docs / 1 GB heap). With AQE on,
-    # over-partitioning is the right lever — small partitions coalesce
-    # back for free, big ones stay fine-grained — so the eager job runs
-    # under a raised initial shuffle-partition floor, restored after.
+    # small executor (measured at 50k docs / 1 GB heap) — the eager job
+    # runs under _pair_agg_confs (partition floor + small AQE advisory).
     spark = df.sparkSession
-    conf = spark.conf
-    old_parts = conf.get("spark.sql.shuffle.partitions")
     try:
-        conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(int(old_parts), 1024)),
-        )
-    except ValueError:  # "auto" or non-numeric: leave it alone
-        old_parts = None
-    try:
-        a = posting.select(
-            F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "g"
-        )
-        b = posting.select(
-            F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "g"
-        )
-        pair_counts = (
-            a.join(b, "g")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.count(F.lit(1)).alias("shared"),
-                # constant per doc — any aggregate picks the value
-                F.first("n_a").alias("n_a"),
-                F.first("n_b").alias("n_b"),
+        with _pair_agg_confs(spark):
+            a = posting.select(
+                F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "g"
             )
-        )
-        return _eager(
-            pair_counts.withColumn(
-                "jaccard",
-                F.round(
-                    F.col("shared")
-                    / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                    6,
-                ),
+            b = posting.select(
+                F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "g"
             )
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+            pair_counts = (
+                a.join(b, "g")
+                .where(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(
+                    F.count(F.lit(1)).alias("shared"),
+                    # constant per doc — any aggregate picks the value
+                    F.first("n_a").alias("n_a"),
+                    F.first("n_b").alias("n_b"),
+                )
+            )
+            return _eager(
+                pair_counts.withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("shared")
+                        / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                        6,
+                    ),
+                )
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+            )
     finally:
         posting.unpersist()
-        if old_parts is not None:
-            conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 # --------------------------------------------------------------------------
@@ -824,7 +873,11 @@ def shared_ngram_stats(
     grams_col = word_ngrams(toks, n)
     # per-(doc, gram) occurrence counts; feeds the doc-frequency agg, the
     # per-doc totals, AND the shared-mass join — persist lazily, released
-    # by the one _eager job at the end
+    # by the one _eager job at the end. DISK_ONLY for the same reason as
+    # ngram_jaccard_pairs' posting relation: O(corpus grams) rows can
+    # never live in executor memory at scale.
+    from pyspark import StorageLevel
+
     occ = (
         _spread(df)
         .select(
@@ -832,43 +885,50 @@ def shared_ngram_stats(
         )
         .groupBy("_id", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     try:
-        docfreq = (
-            occ.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") >= 2)
-            .select("g")
-        )
-        shared = (
-            # docfreq is O(shared vocabulary) — corpus-growing, same
-            # forced shuffle join as ngram_jaccard_pairs' posting build
-            occ.join(docfreq.hint("merge"), "g")
-            .groupBy("_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("shared_grams"),
-                F.sum("cnt").cast("long").alias("shared_occ"),
+        # the occ-build and shared-mass aggregates shuffle O(corpus
+        # grams) rows — same spill-merge failure shape as the pair
+        # aggregate, same confs
+        with _pair_agg_confs(df.sparkSession):
+            docfreq = (
+                occ.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") >= 2)
+                .select("g")
             )
-        )
-        totals = occ.groupBy("_id").agg(
-            F.sum("cnt").cast("long").alias("n_grams"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        )
-        return _eager(
-            totals.join(shared, "_id", "left")
-            .select(
-                F.col("_id").alias(id_col),
-                "n_grams",
-                "n_distinct",
-                F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"),
-                F.coalesce("shared_occ", F.lit(0)).alias("shared_occ"),
-                F.round(
-                    F.coalesce("shared_occ", F.lit(0)).cast("double")
-                    / F.col("n_grams"),
-                    4,
-                ).alias("shared_frac"),
+            shared = (
+                # docfreq is O(shared vocabulary) — corpus-growing, same
+                # forced shuffle join as ngram_jaccard_pairs' posting
+                # build
+                occ.join(docfreq.hint("merge"), "g")
+                .groupBy("_id")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("shared_grams"),
+                    F.sum("cnt").cast("long").alias("shared_occ"),
+                )
             )
-        )
+            totals = occ.groupBy("_id").agg(
+                F.sum("cnt").cast("long").alias("n_grams"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            )
+            return _eager(
+                totals.join(shared, "_id", "left")
+                .select(
+                    F.col("_id").alias(id_col),
+                    "n_grams",
+                    "n_distinct",
+                    F.coalesce("shared_grams", F.lit(0)).alias(
+                        "shared_grams"
+                    ),
+                    F.coalesce("shared_occ", F.lit(0)).alias("shared_occ"),
+                    F.round(
+                        F.coalesce("shared_occ", F.lit(0)).cast("double")
+                        / F.col("n_grams"),
+                        4,
+                    ).alias("shared_frac"),
+                )
+            )
     finally:
         occ.unpersist()
