@@ -218,6 +218,12 @@ class Engine:
             queue = self._load("deletion_queue", [])
             queue.extend(items)
             self._save("deletion_queue", queue)
+            # append-only enqueue-order index: lets pagination resume
+            # positionally when its anchor item was deleted mid-scan
+            # (DynamoDB's ExclusiveStartKey needs no live item either)
+            order = self._load("queue_order", [])
+            order.extend(it["DeletionQueueItemId"] for it in items)
+            self._save("queue_order", order)
         return items
 
     def list_queue(self, start_at: int = 0, page_size: int = 20) -> list[dict]:
@@ -229,7 +235,15 @@ class Engine:
         """GET /v1/queue pagination in the reference's shape: ``start_at``
         is an exclusive DeletionQueueItemId start key, and ``NextStart``
         is the last id of a full page / None on the final short page
-        (parity: queue/handlers.py:73-101)."""
+        (parity: queue/handlers.py:73-101).
+
+        A deleted anchor does not lose the rest of the scan: DynamoDB's
+        ExclusiveStartKey is a position, not a live-item reference, so a
+        client paging while ``delete_matches`` runs must resume at the
+        position the anchor occupied. The enqueue-order index
+        (``queue_order``, maintained by enqueue/delete) recovers that
+        position; a token the store has never issued scans past the end
+        (the pre-index behavior, kept for legacy state dirs)."""
         queue = self._load("deletion_queue", [])
         if start_at is not None:
             idx = next(
@@ -238,14 +252,34 @@ class Engine:
                     for i, it in enumerate(queue)
                     if it["DeletionQueueItemId"] == start_at
                 ),
-                len(queue),
+                None,
             )
+            if idx is None:  # anchor no longer live: positional resume
+                order = self._load("queue_order", [])
+                pos = {qid: i for i, qid in enumerate(order)}
+                anchor_pos = pos.get(start_at)
+                if anchor_pos is None:  # foreign/expired token
+                    idx = len(queue)
+                else:
+                    idx = next(
+                        (
+                            i
+                            for i, it in enumerate(queue)
+                            if pos.get(it["DeletionQueueItemId"], -1)
+                            > anchor_pos
+                        ),
+                        len(queue),
+                    )
             queue = queue[idx:]
         page = queue[:page_size]
         next_start = (
             page[-1]["DeletionQueueItemId"] if len(page) == page_size else None
         )
         return page, next_start
+
+    # deleted ids kept in the enqueue-order index so in-flight pagination
+    # anchors stay resolvable; bounded so the index can't grow forever
+    _QUEUE_ORDER_TOMBSTONES = 1000
 
     def delete_matches(self, item_ids: list[str]) -> None:
         drop = set(item_ids)
@@ -256,6 +290,13 @@ class Engine:
                 if it["DeletionQueueItemId"] not in drop
             ]
             self._save("deletion_queue", queue)
+            # prune the enqueue-order index: keep every live id plus the
+            # most recent tombstones (old anchors age out, order intact)
+            order = self._load("queue_order", [])
+            live = {it["DeletionQueueItemId"] for it in queue}
+            dead = [qid for qid in order if qid not in live]
+            keep = live | set(dead[-self._QUEUE_ORDER_TOMBSTONES:])
+            self._save("queue_order", [q for q in order if q in keep])
 
     # --- jobs (queue/handlers.py process_handler + jobs/handlers.py) --------
 

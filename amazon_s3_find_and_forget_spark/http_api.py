@@ -33,8 +33,13 @@ for malformed request shapes (``request_validator``), 404 for missing
 documents/routes, 405 for a known path with the wrong method. Success
 codes mirror the handlers: 201 created, 202 job accepted, 204 no content.
 Pagination uses ``page_size``/``start_at`` query params and a
-``NextStart`` field that is omitted (not null) when there are no more
-pages, exactly as the handlers strip None values.
+``NextStart`` field: the queue/jobs/data-mapper list routes serialize an
+explicit ``NextStart: null`` on the final page (their handlers json.dumps
+the None — queue/handlers.py:95, jobs/handlers.py:104,
+data_mappers/handlers.py:64), while the job-events route strips None
+values and omits the key (jobs/handlers.py:175-179). Preflight OPTIONS
+requests on any known path are answered with the CORS allow lists, as
+the reference's API Gateway Cors config does.
 
 ``DELETE /v1/queue`` keeps the reference's asynchronous semantics: the
 response is the freshly persisted QUEUED job document and the Find/Forget
@@ -66,11 +71,16 @@ _STATUS_TEXT = {
     500: "500 Internal Server Error",
 }
 
-# add_cors_headers parity (decorators.py): every response is browser-
-# consumable, as the reference console calls the API cross-origin
+# add_cors_headers parity (decorators.py:140-150): every response is
+# browser-consumable, as the reference console calls the API cross-origin.
+# The header list mirrors the API Gateway Cors config
+# (templates/api.yaml:985,996-998).
+_CORS_ALLOW_HEADERS = (
+    "Content-Type,X-Amz-Date,Authorization,X-Api-Key,X-Amz-Security-Token"
+)
 _CORS = [
     ("Access-Control-Allow-Origin", "*"),
-    ("Access-Control-Allow-Headers", "Content-Type"),
+    ("Access-Control-Allow-Headers", _CORS_ALLOW_HEADERS),
 ]
 
 
@@ -140,6 +150,8 @@ class HttpApi:
             if not match:
                 continue
             path_allows.add(m)
+            if method == "OPTIONS":
+                continue  # collect every verb first, answer below
             if m != method:
                 continue
             try:
@@ -158,6 +170,21 @@ class HttpApi:
                     "Message": f"Unable to process request: {e}"
                 }
             return self._respond(start_response, status, payload)
+        if path_allows and method == "OPTIONS":
+            # CORS preflight (templates/api.yaml:985-998 Cors config: the
+            # gateway answers OPTIONS itself with the allow lists; the
+            # reference console preflights every non-simple request)
+            headers = [
+                ("Access-Control-Allow-Origin", "*"),
+                ("Access-Control-Allow-Headers", _CORS_ALLOW_HEADERS),
+                (
+                    "Access-Control-Allow-Methods",
+                    ",".join(sorted(path_allows | {"OPTIONS"})),
+                ),
+                ("Content-Length", "0"),
+            ]
+            start_response(_STATUS_TEXT[204], headers)
+            return [b""]
         if path_allows:  # known path, wrong verb
             return self._respond(
                 start_response, 405, {"Message": "Method not allowed"}
@@ -229,10 +256,10 @@ class HttpApi:
     def get_queue(self, path, qs, body):
         page_size, start_at = self._page_params(qs, 10)
         items, next_start = self.engine.list_queue_page(start_at, page_size)
-        resp = {"MatchIds": items}
-        if next_start is not None:
-            resp["NextStart"] = next_start
-        return 200, resp
+        # queue/handlers.py:89-96 serializes NextStart even when None —
+        # the final page carries an explicit null (only the job-events
+        # route strips None values)
+        return 200, {"MatchIds": items, "NextStart": next_start}
 
     def cancel(self, path, qs, body):
         # queue/handlers.py:104-117: refuse while a job is in progress
@@ -269,10 +296,9 @@ class HttpApi:
         rows, next_start = self.engine.list_data_mappers_page(
             start_at, page_size
         )
-        resp = {"DataMappers": rows}
-        if next_start is not None:
-            resp["NextStart"] = next_start
-        return 200, resp
+        # data_mappers/handlers.py:64: NextStart is explicit null on the
+        # final page, never omitted
+        return 200, {"DataMappers": rows, "NextStart": next_start}
 
     def delete_data_mapper(self, path, qs, body):
         # data_mappers/handlers.py:100-108: refuse while a job runs
@@ -298,10 +324,14 @@ class HttpApi:
                     "Invalid Request: start_at must be a timestamp"
                 )
         jobs = self.engine.list_jobs(page_size=page_size, start_at=start_at)
-        resp = {"Jobs": jobs}
-        if len(jobs) == page_size:  # jobs/handlers.py:93-96
-            resp["NextStart"] = min(j["CreatedAt"] for j in jobs)
-        return 200, resp
+        # jobs/handlers.py:93-104: NextStart = min CreatedAt on a full
+        # page, explicit null on a short (final) page
+        next_start = (
+            min(j["CreatedAt"] for j in jobs)
+            if len(jobs) == page_size
+            else None
+        )
+        return 200, {"Jobs": jobs, "NextStart": next_start}
 
     def list_job_events(self, path, qs, body):
         page_size, start_at = self._page_params(qs, 20)

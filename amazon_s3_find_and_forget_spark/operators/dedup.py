@@ -14,6 +14,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 import numpy as np
@@ -57,6 +58,15 @@ def _is_cached(df: DataFrame) -> bool:
     return bool(level.useMemory or level.useDisk)
 
 
+# _pair_agg_confs mutates SESSION-global SQL confs; two threads driving
+# pair-aggregate operators on the same session would interleave their
+# set/restore windows and leak a transient value as the "saved" state.
+# Serializing entrants is correct (the confs are session-wide anyway, so
+# concurrent windows could not coexist) and costs nothing in the common
+# single-driver case.
+_PAIR_AGG_LOCK = threading.RLock()
+
+
 @contextmanager
 def _pair_agg_confs(spark):
     """Session confs for the candidate-pair aggregate jobs, restored on exit.
@@ -75,36 +85,40 @@ def _pair_agg_confs(spark):
        aggregate comfortably in-memory at any corpus size, while a
        small-SF run still coalesces to a handful of tasks.
     """
-    conf = spark.conf
-    saved: dict[str, str | None] = {}
+    with _PAIR_AGG_LOCK:
+        conf = spark.conf
+        saved: dict[str, str | None] = {}
 
-    def _set(key: str, value: str) -> None:
+        def _set(key: str, value: str) -> None:
+            try:
+                saved[key] = conf.get(key)
+            except Exception:  # noqa: BLE001 — unset key
+                saved[key] = None
+            conf.set(key, value)
+
         try:
-            saved[key] = conf.get(key)
-        except Exception:  # noqa: BLE001 — unset key
-            saved[key] = None
-        conf.set(key, value)
-
-    try:
-        old_parts = conf.get("spark.sql.shuffle.partitions")
+            old_parts = conf.get("spark.sql.shuffle.partitions")
+            _set(
+                "spark.sql.shuffle.partitions",
+                str(max(int(old_parts), 1024)),
+            )
+        except ValueError:  # "auto" or non-numeric: leave it alone
+            pass
+        _set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        # parallelismFirst makes AQE ignore the advisory in favor of one
+        # partition per core — explicitly defer to the advisory here
         _set(
-            "spark.sql.shuffle.partitions",
-            str(max(int(old_parts), 1024)),
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
         )
-    except ValueError:  # "auto" or non-numeric: leave it alone
-        pass
-    _set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-    # parallelismFirst makes AQE ignore the advisory in favor of one
-    # partition per core — explicitly defer to the advisory here
-    _set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    try:
-        yield
-    finally:
-        for key, old in saved.items():
-            if old is None:
-                conf.unset(key)
-            else:
-                conf.set(key, old)
+        try:
+            yield
+        finally:
+            for key, old in saved.items():
+                if old is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, old)
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -4,9 +4,10 @@ end-to-end through a real socket with urllib (no test client shortcuts).
 
 Contract checks mirror the reference handlers: status codes (201/202/
 204/400/404/405/422), error bodies with a single ``Message`` key,
-``page_size``/``start_at`` pagination with an omitted-when-done
-``NextStart``, the running-job guards on destructive routes, and the
-asynchronous 202-then-poll job lifecycle of ``DELETE /v1/queue``.
+``page_size``/``start_at`` pagination (explicit ``NextStart: null`` on
+final list pages, omitted on exhausted job-event pages), CORS preflight,
+the running-job guards on destructive routes, and the asynchronous
+202-then-poll job lifecycle of ``DELETE /v1/queue``.
 """
 
 import json
@@ -133,7 +134,70 @@ def test_queue_pagination(base):
         base, "GET", f"/v1/queue?page_size=2&start_at={page2['NextStart']}"
     )
     assert [m["MatchId"] for m in page3["MatchIds"]] == [4]
-    assert "NextStart" not in page3  # short page: omitted, not null
+    # queue/handlers.py:95: final short page carries an explicit null
+    assert page3["NextStart"] is None
+
+
+def test_queue_pagination_anchor_deleted(base):
+    """Deleting the page anchor must not lose the rest of the scan —
+    the next page resumes at the anchor's former position."""
+    call(
+        base,
+        "PATCH",
+        "/v1/queue/matches",
+        {"Matches": [{"MatchId": i} for i in range(5)]},
+    )
+    st, page1 = call(base, "GET", "/v1/queue?page_size=2")
+    anchor = page1["NextStart"]
+    st, _ = call(
+        base,
+        "DELETE",
+        "/v1/queue/matches",
+        {"Matches": [{"DeletionQueueItemId": anchor}]},
+    )
+    assert st == 204
+    st, page2 = call(
+        base, "GET", f"/v1/queue?page_size=2&start_at={anchor}"
+    )
+    assert st == 200
+    assert [m["MatchId"] for m in page2["MatchIds"]] == [2, 3]
+    # a token the store never issued still scans past the end
+    st, bogus = call(base, "GET", "/v1/queue?page_size=2&start_at=nope")
+    assert st == 200 and bogus["MatchIds"] == []
+
+
+def test_cors_preflight(base):
+    """templates/api.yaml:985-998 — the gateway answers OPTIONS with the
+    CORS allow lists; the console preflights every non-simple request."""
+    req = urllib.request.Request(base + "/v1/queue", method="OPTIONS")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+        allow = resp.headers["Access-Control-Allow-Methods"]
+        assert set(allow.split(",")) == {
+            "GET",
+            "PATCH",
+            "DELETE",
+            "OPTIONS",
+        }
+        assert "Authorization" in resp.headers["Access-Control-Allow-Headers"]
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+    # parameterized path preflights too
+    req = urllib.request.Request(
+        base + "/v1/data_mappers/some-id", method="OPTIONS"
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+        assert set(
+            resp.headers["Access-Control-Allow-Methods"].split(",")
+        ) == {"GET", "PUT", "DELETE", "OPTIONS"}
+    # unknown path: 404, not a preflight answer
+    req = urllib.request.Request(base + "/v1/nope", method="OPTIONS")
+    try:
+        urllib.request.urlopen(req)
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
 
 
 def test_cancel_matches(base):
@@ -165,7 +229,7 @@ def test_data_mapper_crud(base, lake):
     st, body = call(base, "GET", "/v1/data_mappers")
     assert st == 200
     assert [m["DataMapperId"] for m in body["DataMappers"]] == ["li"]
-    assert "NextStart" not in body
+    assert body["NextStart"] is None  # data_mappers/handlers.py:64
 
     st, _ = call(base, "DELETE", "/v1/data_mappers/li")
     assert st == 204
@@ -200,7 +264,7 @@ def test_data_mapper_pagination(base, tmp_path, sf_dir):
     assert p1["NextStart"] == "b"
     st, p2 = call(base, "GET", "/v1/data_mappers?page_size=2&start_at=b")
     assert [m["DataMapperId"] for m in p2["DataMappers"]] == ["c"]
-    assert "NextStart" not in p2
+    assert p2["NextStart"] is None
 
 
 # --- job lifecycle over HTTP ----------------------------------------------
@@ -300,7 +364,7 @@ def test_job_listing_pagination(base, engine, lake):
     st, body = call(base, "GET", "/v1/jobs")
     assert st == 200
     assert [j["Id"] for j in body["Jobs"]] == [job["Id"]]
-    assert "NextStart" not in body  # short page
+    assert body["NextStart"] is None  # jobs/handlers.py:104 short page
 
     # page_size=1 with one job: full page -> NextStart = min CreatedAt
     st, body = call(base, "GET", "/v1/jobs?page_size=1")

@@ -131,6 +131,53 @@ def test_dedup_releases_caches(spark):
     assert leaked_persists() == []
 
 
+def test_pair_agg_confs_serializes_concurrent_windows(spark):
+    """_pair_agg_confs mutates session-global confs; concurrent entrants
+    must serialize so one window's transient values never leak into
+    another's saved state (or survive after both exit)."""
+    import threading
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    entered = threading.Event()
+    release = threading.Event()
+    order = []
+
+    def holder():
+        with dedup._pair_agg_confs(spark):
+            order.append("holder-in")
+            entered.set()
+            release.wait(timeout=30)
+        order.append("holder-out")
+
+    def waiter():
+        entered.wait(timeout=30)
+        with dedup._pair_agg_confs(spark):
+            order.append("waiter-in")
+        order.append("waiter-out")
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=waiter)
+    t1.start()
+    t2.start()
+    entered.wait(timeout=30)
+    # give the waiter a moment to (incorrectly) slip in, then release
+    t2.join(timeout=0.5)
+    assert "waiter-in" not in order  # blocked while holder is inside
+    release.set()
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    assert order == ["holder-in", "holder-out", "waiter-in", "waiter-out"]
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before  # fully restored, no leaked transient
+
+
 def test_simhash_near_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 6
     near = base.replace("theta", "iota")
