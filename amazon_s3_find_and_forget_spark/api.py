@@ -338,8 +338,16 @@ class Engine:
             for _, job in self._iter_jobs()
         )
 
-    def process_queue(self, detach: bool = False) -> dict:
+    def process_queue(
+        self, detach: bool = False, created_by: dict | None = None
+    ) -> dict:
         """DELETE /v1/queue: run a deletion job over the whole queue.
+
+        ``created_by`` records the API caller on the job document (the
+        reference's ``CreatedBy = get_user_info(event)``,
+        queue/handlers.py:133) — the HTTP transport passes its
+        authorizer's principal; direct/CLI callers default to the OS
+        user driving the session.
 
         Enforces the single-concurrent-job rule, snapshots the queue and
         mapper config into the job document (as the reference snapshots
@@ -380,7 +388,8 @@ class Engine:
                 "CreatedAt": int(time.time()),
                 # the reference records the API caller; the engine analog
                 # is the OS user driving the session (queue/handlers.py:133)
-                "CreatedBy": {"Username": username, "Sub": "local"},
+                "CreatedBy": created_by
+                or {"Username": username, "Sub": "local"},
                 "DeletionQueueSize": len(queue),
                 # settings snapshot: the job document captures the config
                 # it ran under, as the reference copies config into the Job

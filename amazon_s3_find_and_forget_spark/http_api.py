@@ -51,6 +51,7 @@ scripting without polling).
 
 from __future__ import annotations
 
+import contextvars
 import json
 import re
 import threading
@@ -65,6 +66,8 @@ _STATUS_TEXT = {
     202: "202 Accepted",
     204: "204 No Content",
     400: "400 Bad Request",
+    401: "401 Unauthorized",
+    403: "403 Forbidden",
     404: "404 Not Found",
     405: "405 Method Not Allowed",
     422: "422 Unprocessable Entity",
@@ -88,6 +91,39 @@ class _Invalid(ValueError):
     """Request-shape error -> 422 (request_validator parity)."""
 
 
+class Forbidden(Exception):
+    """Raised by an authorizer to deny an authenticated principal -> 403
+    (the API Gateway ACCESS_DENIED gateway response)."""
+
+
+# the authenticated principal for the request being dispatched; a
+# contextvar so concurrent WSGI worker threads never see each other's
+# caller (new threads start from a fresh context -> default None)
+_PRINCIPAL: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "s3f2_principal", default=None
+)
+
+
+class BearerTokenAuthorizer:
+    """Reference authorizer: a static ``Authorization: Bearer <token>``
+    table, the engine analog of the Cognito user-pool authorizer the
+    reference attaches to every route (templates/api.yaml:965-976 —
+    ``apiKey`` in the ``Authorization`` header; templates/auth.yaml
+    provisions the pool). Maps token -> principal dict in the reference's
+    claim shape (``{"Username": ..., "Sub": ...}`` —
+    boto_utils.get_user_info, boto_utils.py:214-223)."""
+
+    def __init__(self, tokens: dict[str, dict]):
+        self._tokens = dict(tokens)
+
+    def __call__(self, environ) -> dict | None:
+        header = environ.get("HTTP_AUTHORIZATION", "")
+        scheme, _, token = header.partition(" ")
+        if scheme.lower() != "bearer":
+            return None
+        return self._tokens.get(token.strip())
+
+
 def _require(body, key, typ, what="Request"):
     if not isinstance(body, dict) or key not in body:
         raise _Invalid(f"Invalid {what}: {key!r} is a required property")
@@ -97,11 +133,31 @@ def _require(body, key, typ, what="Request"):
 
 
 class HttpApi:
-    """WSGI callable mapping the reference routes onto an Engine."""
+    """WSGI callable mapping the reference routes onto an Engine.
 
-    def __init__(self, engine: Engine, detach_jobs: bool = True):
+    ``authorizer`` is the seam the reference fills with its Cognito /
+    IAM authorizer (every route in templates/api.yaml carries
+    ``security: [Authorizer]``): a callable ``environ -> principal |
+    None``. Returning None rejects the request 401 with the gateway's
+    ``{"Message": "Unauthorized"}`` body before any handler runs;
+    raising :class:`Forbidden` rejects it 403. The returned principal is
+    exposed to handlers for the request's duration (``DELETE /v1/queue``
+    records it as the job's ``CreatedBy``, the get_user_info parity).
+    ``None`` (default) leaves the transport open — the reference's
+    behind-a-private-gateway deployment mode; pass
+    :class:`BearerTokenAuthorizer` or your own callable for anything
+    reachable. CORS preflight is answered without authentication, as API
+    Gateway answers OPTIONS itself ahead of the authorizer."""
+
+    def __init__(
+        self,
+        engine: Engine,
+        detach_jobs: bool = True,
+        authorizer=None,
+    ):
         self.engine = engine
         self.detach_jobs = detach_jobs
+        self.authorizer = authorizer
         self._routes = [
             ("PATCH", re.compile(r"^/v1/queue$"), self.enqueue),
             ("PATCH", re.compile(r"^/v1/queue/matches$"), self.enqueue_batch),
@@ -154,6 +210,22 @@ class HttpApi:
                 continue  # collect every verb first, answer below
             if m != method:
                 continue
+            # authorize before touching the body — the gateway's
+            # authorizer runs ahead of request validation, so a missing
+            # token 401s even with a malformed payload
+            try:
+                principal = self._authorize(environ)
+            except Forbidden as e:
+                return self._respond(
+                    start_response, 403, {"Message": str(e) or "Forbidden"}
+                )
+            if self.authorizer is not None and principal is None:
+                # UNAUTHORIZED gateway response shape
+                # (templates/api.yaml:991-993 DEFAULT_4XX Message body)
+                return self._respond(
+                    start_response, 401, {"Message": "Unauthorized"}
+                )
+            token = _PRINCIPAL.set(principal)
             try:
                 body = self._read_body(environ)
                 status, payload = handler(match.groupdict(), qs, body)
@@ -169,6 +241,8 @@ class HttpApi:
                 status, payload = 400, {
                     "Message": f"Unable to process request: {e}"
                 }
+            finally:
+                _PRINCIPAL.reset(token)
             return self._respond(start_response, status, payload)
         if path_allows and method == "OPTIONS":
             # CORS preflight (templates/api.yaml:985-998 Cors config: the
@@ -222,6 +296,12 @@ class HttpApi:
 
     # --- helpers -------------------------------------------------------------
 
+    def _authorize(self, environ):
+        """Run the configured authorizer; None configured -> open."""
+        if self.authorizer is None:
+            return None
+        return self.authorizer(environ)
+
     @staticmethod
     def _page_params(qs, default_size):
         try:
@@ -273,7 +353,12 @@ class HttpApi:
         return 204, None
 
     def process(self, path, qs, body):
-        job = self.engine.process_queue(detach=self.detach_jobs)
+        # the job document records the API caller (queue/handlers.py:133
+        # CreatedBy = get_user_info(event)); unauthenticated transports
+        # fall back to the engine's OS-user default
+        job = self.engine.process_queue(
+            detach=self.detach_jobs, created_by=_PRINCIPAL.get()
+        )
         return 202, job
 
     # --- data mappers (data_mappers/handlers.py) ------------------------------
@@ -389,8 +474,10 @@ class HttpApi:
         return 200, {"Settings": self.engine.put_settings(body)}
 
 
-def create_app(engine: Engine, detach_jobs: bool = True) -> HttpApi:
-    return HttpApi(engine, detach_jobs=detach_jobs)
+def create_app(
+    engine: Engine, detach_jobs: bool = True, authorizer=None
+) -> HttpApi:
+    return HttpApi(engine, detach_jobs=detach_jobs, authorizer=authorizer)
 
 
 class _QuietHandler(WSGIRequestHandler):
@@ -404,11 +491,12 @@ def serve(
     port: int = 0,
     detach_jobs: bool = True,
     background: bool = False,
+    authorizer=None,
 ):
     """Serve the app with stdlib wsgiref. Returns the server; with
     ``background=True`` requests are handled on a daemon thread and the
     caller gets the bound server back immediately (tests)."""
-    app = create_app(engine, detach_jobs=detach_jobs)
+    app = create_app(engine, detach_jobs=detach_jobs, authorizer=authorizer)
     server = make_server(host, port, app, handler_class=_QuietHandler)
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True)

@@ -21,7 +21,12 @@ from urllib.parse import quote
 import pytest
 
 from amazon_s3_find_and_forget_spark.api import Engine
-from amazon_s3_find_and_forget_spark.http_api import create_app, serve
+from amazon_s3_find_and_forget_spark.http_api import (
+    BearerTokenAuthorizer,
+    Forbidden,
+    create_app,
+    serve,
+)
 
 
 @pytest.fixture()
@@ -52,12 +57,14 @@ def base(server):
     return f"http://{host}:{port}"
 
 
-def call(base, method, path, body=None):
+def call(base, method, path, body=None, headers=None):
     """Returns (status, parsed_body_or_None)."""
     data = None if body is None else json.dumps(body).encode()
     req = urllib.request.Request(base + path, data=data, method=method)
     if data is not None:
         req.add_header("Content-Type", "application/json")
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
     try:
         with urllib.request.urlopen(req) as resp:
             raw = resp.read()
@@ -436,3 +443,123 @@ def test_wsgi_app_direct():
     )
     assert captured["status"].startswith("404")
     assert json.loads(b"".join(body))["Message"] == "Not found"
+
+
+# --- authorization (templates/api.yaml: Authorizer on every route) --------
+
+
+@pytest.fixture()
+def auth_base(engine):
+    auth = BearerTokenAuthorizer(
+        {"sekrit": {"Username": "alice", "Sub": "sub-1"}}
+    )
+    srv = serve(engine, port=0, background=True, authorizer=auth)
+    try:
+        host, port = srv.server_address
+        yield f"http://{host}:{port}"
+    finally:
+        srv.shutdown()
+
+
+AUTH = {"Authorization": "Bearer sekrit"}
+
+
+def test_auth_missing_token_401_on_every_route(auth_base):
+    """Every reference route carries security: [Authorizer]
+    (templates/api.yaml:122-511) — no token means 401 with the gateway's
+    Message shape, before any handler (or body validation) runs."""
+    routes = [
+        ("PATCH", "/v1/queue", {"MatchId": 1}),
+        ("PATCH", "/v1/queue/matches", {"Matches": []}),
+        ("GET", "/v1/queue", None),
+        ("DELETE", "/v1/queue/matches", {"Matches": []}),
+        ("DELETE", "/v1/queue", None),
+        ("PUT", "/v1/data_mappers/x", {"Location": "/", "Columns": []}),
+        ("GET", "/v1/data_mappers/x", None),
+        ("GET", "/v1/data_mappers", None),
+        ("DELETE", "/v1/data_mappers/x", None),
+        ("GET", "/v1/jobs", None),
+        ("GET", "/v1/jobs/some-id", None),
+        ("GET", "/v1/jobs/some-id/events", None),
+        ("GET", "/v1/settings", None),
+        ("PUT", "/v1/settings", {}),
+    ]
+    for method, path, body in routes:
+        st, resp = call(auth_base, method, path, body)
+        assert st == 401, (method, path, st)
+        assert resp == {"Message": "Unauthorized"}, (method, path)
+    # a malformed body still 401s: the authorizer runs ahead of
+    # request validation
+    req = urllib.request.Request(
+        auth_base + "/v1/queue", data=b"{nope", method="PATCH"
+    )
+    try:
+        urllib.request.urlopen(req)
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 401
+
+
+def test_auth_wrong_token_and_scheme_401(auth_base):
+    st, resp = call(
+        auth_base, "GET", "/v1/queue",
+        headers={"Authorization": "Bearer wrong"},
+    )
+    assert st == 401 and resp == {"Message": "Unauthorized"}
+    st, resp = call(
+        auth_base, "GET", "/v1/queue",
+        headers={"Authorization": "Basic sekrit"},
+    )
+    assert st == 401
+
+
+def test_auth_valid_token_passes_and_preflight_stays_open(auth_base):
+    st, body = call(
+        auth_base, "PATCH", "/v1/queue", {"MatchId": 5}, headers=AUTH
+    )
+    assert st == 201 and body["MatchId"] == 5
+    st, body = call(auth_base, "GET", "/v1/queue", headers=AUTH)
+    assert st == 200 and len(body["MatchIds"]) == 1
+    # handler-level errors keep their contract behind auth
+    st, body = call(auth_base, "PATCH", "/v1/queue", {"Nope": 1}, headers=AUTH)
+    assert st == 422
+    # CORS preflight needs no token (the gateway answers OPTIONS itself)
+    req = urllib.request.Request(auth_base + "/v1/queue", method="OPTIONS")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+
+
+def test_auth_job_records_principal(auth_base, engine, lake):
+    """CreatedBy parity: the job document records the authorizer's
+    principal (queue/handlers.py:133 get_user_info)."""
+    call(
+        auth_base,
+        "PUT",
+        "/v1/data_mappers/li",
+        {"Location": lake, "Columns": ["l_orderkey"]},
+        headers=AUTH,
+    )
+    call(auth_base, "PATCH", "/v1/queue", {"MatchId": 3}, headers=AUTH)
+    st, job = call(auth_base, "DELETE", "/v1/queue", headers=AUTH)
+    assert st == 202
+    assert job["CreatedBy"] == {"Username": "alice", "Sub": "sub-1"}
+    engine.wait_for_job(timeout=120)
+
+
+def test_auth_forbidden_403(engine):
+    def deny_writes(environ):
+        if environ["REQUEST_METHOD"] in ("GET", "HEAD"):
+            return {"Username": "reader", "Sub": "r-1"}
+        raise Forbidden("read-only principal")
+
+    srv = serve(engine, port=0, background=True, authorizer=deny_writes)
+    try:
+        host, port = srv.server_address
+        base = f"http://{host}:{port}"
+        st, body = call(base, "GET", "/v1/queue")
+        assert st == 200
+        st, body = call(base, "PATCH", "/v1/queue", {"MatchId": 1})
+        assert st == 403 and body == {"Message": "read-only principal"}
+    finally:
+        srv.shutdown()
