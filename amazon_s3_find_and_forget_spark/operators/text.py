@@ -420,20 +420,27 @@ def contamination_screen(
     )
 
 
-# Percentile grid for the sampling prefilter: the cutoff for a stratum
-# needing fraction p of its rows is the grid point ONE STEP above p, so
-# the prefilter admits between p and p + 1/_GRID_STEPS of the stratum —
-# enough margin that approx_percentile's rank error (1/_PCTL_ACCURACY,
-# a deterministic Greenwald-Khanna bound) can never under-admit except
-# in pathological tie distributions, which the verify pass catches.
-_GRID_STEPS = 50
-_HASH_GRID = [i / _GRID_STEPS for i in range(1, _GRID_STEPS + 1)]
-_PCTL_ACCURACY = 10000
+# Sampling histogram grid: md5 is uniform over its output space, so
+# FIXED equi-width buckets over the 60-bit hash prefix hold ~|stratum|/
+# _SAMPLE_GRID rows each — no data-dependent percentile sketch needed,
+# and the per-bucket counts are EXACT (a plain map-side-combinable
+# groupBy count), so cutoff selection needs no verify pass and no
+# probabilistic keep-all escalation.
+_SAMPLE_GRID = 1024
+# a boundary bucket bigger than this is re-histogrammed (one more
+# column-pruned aggregate scan, grid-x finer) before it is windowed;
+# 2M rows rank comfortably inside a single task
+_BOUNDARY_BUDGET = 2_000_000
+_MAX_REFINE = 3
+_HSPACE = 16**15  # the hash-prefix domain: 15 hex chars = 60 bits
 
 # Observability seam (read by tests and operators-level tooling): after
 # each _hash_rank_sample call, per-stratum {stratum: (count, target,
-# admitted-by-prefilter)} for the most recent invocation. Proves the
-# window input stayed bounded without re-deriving the plan.
+# admitted, window_rows)} for the most recent invocation — ``admitted``
+# is the prefilter survivor count (definite + boundary), ``window_rows``
+# the rows that actually enter the rank window (the boundary bucket
+# only; 0 for keep-all strata). Proves the window input stayed bounded
+# without re-deriving the plan.
 _LAST_SAMPLE_STATS: dict = {}
 
 
@@ -444,6 +451,9 @@ def _hash_rank_sample(
     salt: str,
     target_of_count,
     max_strata: int = 10_000,
+    grid: int = _SAMPLE_GRID,
+    boundary_budget: int = _BOUNDARY_BUDGET,
+    max_refine: int = _MAX_REFINE,
 ) -> DataFrame:
     """Shared skew-safe engine for ``stratified_sample`` / ``balanced_sample``.
 
@@ -452,143 +462,246 @@ def _hash_rank_sample(
     smallest ``(md5(key||salt), key)`` — a pure function of the data,
     so every run and every engine draws the identical sample.
 
-    Scale shape (the round-8 de-skew): a naive
-    ``row_number().over(Window.partitionBy(strata_col))`` serializes an
-    ENTIRE stratum through one task — with corpus-scale strata (a
-    handful of languages over 100 TB) that is a single-task sort of
-    billions of rows, and AQE cannot split a window partition. Instead:
+    Scale shape (round-10 redesign; supersedes the round-8
+    approx-percentile prefilter, whose rank window still serialized
+    O(fraction * |stratum|) survivor rows through one task): md5 is
+    uniform, so a FIXED equi-width histogram over the 60-bit hash
+    prefix gives exact per-bucket counts in ONE map-side-combinable
+    aggregate. From those exact counts the driver derives, per stratum:
 
-    1. one map-side-combinable aggregate per stratum: exact count + an
-       ``approx_percentile`` grid over a 60-bit numeric prefix of the
-       hash (lexicographic md5 order == numeric prefix order, so a
-       prefix cutoff is downward-closed under the full sort order);
-    2. the driver picks the grid cutoff one step above the needed
-       fraction (admits ~target + 2% of the stratum, never less);
-    3. a second map-side-combinable conditional count PROVES each
-       cutoff admits >= target rows — any stratum that under-admits
-       (approx-rank error on pathological ties) escalates to keep-all,
-       so exactness is unconditional, not probabilistic;
-    4. the exact rank window runs on the BOUNDED survivor relation
-       (<= target + 2% rows per stratum), reached by a broadcast join
-       + map-side filter — the window's hash partition is the only
-       shuffle in the final plan.
+    - the boundary bucket where the target'th smallest hash lands, and
+    - ``c_below``, the exact count of rows ordered strictly below it.
+
+    Rows below the boundary are DEFINITELY in the sample (a hash-prefix
+    bound is downward-closed under the full ``(md5, key)`` order), so
+    they are admitted by a map-only filter with NO shuffle. Only the
+    boundary bucket — ~|stratum|/grid rows, independent of the sampled
+    fraction — enters the exact rank window, which admits the remaining
+    ``target - c_below``. A boundary bucket above ``boundary_budget``
+    rows is first re-histogrammed grid-x finer (another column-pruned
+    aggregate scan, at most ``max_refine`` rounds), so the windowed set
+    stays bounded for strata of any size. Exactness is unconditional:
+    every count involved is exact, so the old verify pass is gone.
+
+    Cost at scale: one column-pruned stats scan + (rarely) refinement
+    scans, then a final job whose union reads the input twice (the
+    definite map-only branch and the boundary window branch) — the
+    extra read buys zero shuffle on ~all of the sample. The only
+    exchange in the final plan is the boundary window's hash partition.
 
     Strata are class labels (languages, sources), so the per-stratum
     stats collect is bounded; ``max_strata`` fails fast if a
     high-cardinality column is passed by mistake (the same guard shape
     as ``sketches.count_min_check``).
     """
-    import math
-
     from pyspark.sql import Window
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     spark = df.sparkSession
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     # 15 hex chars = 60 bits: fits a long; equal-length lowercase-hex
-    # lexicographic order == numeric order, so prefix <= cutoff keeps a
+    # lexicographic order == numeric order, so a prefix bound keeps a
     # downward-closed set under the exact (md5, key) ordering.
     hp = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     prepared = df.withColumn("_h", h).withColumn("_hp", hp)
 
-    stats = (
-        prepared.groupBy(F.col(strata_col).alias("_stratum"))
+    width0 = -(-_HSPACE // grid)  # ceil: bucket ids stay in [0, grid)
+    # null hash (null key) sorts FIRST in the rank order (Spark window
+    # default asc_nulls_first) -> bucket -1, below every real bucket
+    bucket0 = F.when(F.col("_h").isNull(), F.lit(-1)).otherwise(
+        F.floor(F.col("_hp") / F.lit(width0))
+    )
+    per_stratum = (
+        prepared.groupBy(
+            F.col(strata_col).alias("_stratum"), bucket0.alias("_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("_stratum")
         .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.percentile_approx(
-                "_hp", _HASH_GRID, _PCTL_ACCURACY
-            ).alias("_q"),
+            F.sum("_n").alias("_cnt"),
+            F.sort_array(F.collect_list(F.struct("_b", "_n"))).alias(
+                "_hist"
+            ),
         )
         .limit(max_strata + 1)
         .collect()
     )
-    if len(stats) > max_strata:
+    if len(per_stratum) > max_strata:
         raise ValueError(
             f"{strata_col!r} has more than {max_strata} distinct strata; "
             "sampling strata must be class labels (languages, sources). "
             "Raise max_strata explicitly if this is intentional."
         )
 
+    # driver-side cutoff selection from the exact histogram
+    plans: list[dict] = []
+    for r in per_stratum:
+        cnt = int(r["_cnt"])
+        target = min(cnt, int(target_of_count(cnt)))
+        st = {"stratum": r["_stratum"], "cnt": cnt, "target": target}
+        if target >= cnt:
+            st["keepall"] = True
+        else:
+            st["keepall"] = False
+            cum = 0
+            for e in r["_hist"]:
+                b, n = int(e["_b"]), int(e["_n"])
+                if cum + n >= target:
+                    st["c_below"] = cum
+                    st["bcount"] = n
+                    if b < 0:  # boundary is the null-hash bucket
+                        st["lo"] = st["hi"] = None
+                    else:
+                        st["lo"] = b * width0
+                        st["hi"] = min(_HSPACE, (b + 1) * width0)
+                    break
+                cum += n
+        plans.append(st)
+
     strata_type = df.schema[strata_col].dataType
-    cut_schema = StructType(
+
+    # refinement: re-histogram oversized boundary buckets grid-x finer
+    # until each windowed set fits the budget (each round is one
+    # column-pruned, map-side-filtered aggregate over the input)
+    for _ in range(max_refine):
+        todo = [
+            st
+            for st in plans
+            if not st["keepall"]
+            and st["lo"] is not None
+            and st["bcount"] > boundary_budget
+            and st["hi"] - st["lo"] > 1
+        ]
+        if not todo:
+            break
+        rng_schema = StructType(
+            [
+                StructField("_stratum", strata_type, True),
+                StructField("_rlo", LongType(), False),
+                StructField("_rhi", LongType(), False),
+                StructField("_rw", LongType(), False),
+            ]
+        )
+        rng_rows = [
+            (
+                st["stratum"],
+                st["lo"],
+                st["hi"],
+                max(1, -(-(st["hi"] - st["lo"]) // grid)),
+            )
+            for st in todo
+        ]
+        ranges = spark.createDataFrame(rng_rows, rng_schema)
+        sub = (
+            prepared.join(
+                F.broadcast(ranges),
+                prepared[strata_col].eqNullSafe(ranges["_stratum"]),
+                "inner",
+            )
+            .where(
+                (F.col("_hp") >= F.col("_rlo"))
+                & (F.col("_hp") < F.col("_rhi"))
+            )
+            .groupBy(
+                "_stratum",
+                F.floor(
+                    (F.col("_hp") - F.col("_rlo")) / F.col("_rw")
+                ).alias("_b"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.first("_rlo").alias("_lo"),
+                F.first("_rw").alias("_w"),
+            )
+            .collect()
+        )
+        by_stratum: dict = {}
+        for r in sub:
+            by_stratum.setdefault(r["_stratum"], []).append(r)
+        for st in todo:
+            entries = sorted(
+                by_stratum.get(st["stratum"], []), key=lambda r: r["_b"]
+            )
+            need = st["target"] - st["c_below"]
+            cum = 0
+            for r in entries:
+                n = int(r["_n"])
+                if cum + n >= need:
+                    w = int(r["_w"])
+                    st["c_below"] += cum
+                    st["bcount"] = n
+                    st["lo"] = int(r["_lo"]) + int(r["_b"]) * w
+                    st["hi"] = min(
+                        st["hi"], int(r["_lo"]) + (int(r["_b"]) + 1) * w
+                    )
+                    break
+                cum += n
+
+    # final selection relation, broadcast to both branches
+    sel_schema = StructType(
         [
             StructField("_stratum", strata_type, True),
-            StructField("_target", LongType(), False),
-            StructField("_cutoff", LongType(), True),
+            StructField("_keep_all", BooleanType(), False),
+            StructField("_lo", LongType(), True),
+            StructField("_cutoff", LongType(), True),  # exclusive hi
+            StructField("_need", LongType(), True),
+            StructField("_null_boundary", BooleanType(), False),
         ]
     )
-
-    def rows_for(cutoff_by_stratum):
-        out = []
-        for r in stats:
-            cnt = r["_cnt"]
-            target = min(cnt, int(target_of_count(cnt)))
-            out.append((r["_stratum"], target, cutoff_by_stratum(r, target)))
-        return out
-
-    def pick_cutoff(r, target):
-        cnt, q = r["_cnt"], r["_q"]
-        if target >= cnt or not q or all(v is None for v in q):
-            return None  # keep-all: no prefilter needed / possible
-        # smallest grid index covering the needed fraction, plus one
-        # step of margin (strictly above), capped at the 100% point
-        p_needed = target / cnt
-        idx = min(
-            max(0, math.ceil(p_needed * _GRID_STEPS) - 1) + 1,
-            _GRID_STEPS - 1,
-        )
-        return q[idx]
-
-    cut_rows = rows_for(pick_cutoff)
-
-    def survivors(cut_df):
-        joined = prepared.join(
-            F.broadcast(cut_df),
-            prepared[strata_col].eqNullSafe(cut_df["_stratum"]),
-            "left",
-        )
-        return joined.where(
-            F.col("_cutoff").isNull()
-            | F.col("_h").isNull()
-            | (F.col("_hp") <= F.col("_cutoff"))
-        )
-
-    # verify pass: prove every cutoff admits its full target (the
-    # prefilter set is downward-closed, so admitted >= target implies
-    # the exact top-target rows are all present)
-    admitted = {
-        r["_stratum"]: r["_adm"]
-        for r in survivors(spark.createDataFrame(cut_rows, cut_schema))
-        .groupBy("_stratum")
-        .agg(F.count(F.lit(1)).alias("_adm"))
-        .collect()
-    }
-    short = {
-        s: True
-        for (s, target, cutoff) in cut_rows
-        if cutoff is not None and admitted.get(s, 0) < target
-    }
-    if short:
-        cut_rows = [
-            (s, t, None if s in short else c) for (s, t, c) in cut_rows
-        ]
-
+    sel_rows = []
     _LAST_SAMPLE_STATS.clear()
-    counts = {r["_stratum"]: r["_cnt"] for r in stats}
-    for s, t, c in cut_rows:
-        _LAST_SAMPLE_STATS[s] = (
-            counts[s],
-            t,
-            counts[s] if c is None else admitted.get(s, 0),
-        )
+    for st in plans:
+        s = st["stratum"]
+        if st["keepall"]:
+            sel_rows.append((s, True, None, None, None, False))
+            _LAST_SAMPLE_STATS[s] = (st["cnt"], st["target"], st["cnt"], 0)
+        else:
+            admitted = st["c_below"] + st["bcount"]
+            need = st["target"] - st["c_below"]
+            if st["lo"] is None:  # null-hash boundary bucket
+                sel_rows.append((s, False, None, None, need, True))
+            else:
+                sel_rows.append(
+                    (s, False, st["lo"], st["hi"], need, False)
+                )
+            _LAST_SAMPLE_STATS[s] = (
+                st["cnt"],
+                st["target"],
+                admitted,
+                st["bcount"],
+            )
+    sel = F.broadcast(spark.createDataFrame(sel_rows, sel_schema))
 
+    joined = prepared.join(
+        sel, prepared[strata_col].eqNullSafe(sel["_stratum"]), "left"
+    )
+    is_null_h = F.col("_h").isNull()
+    definite = F.col("_keep_all") | (
+        F.when(is_null_h, ~F.col("_null_boundary")).otherwise(
+            F.col("_lo").isNotNull() & (F.col("_hp") < F.col("_lo"))
+        )
+    )
+    boundary = (~F.col("_keep_all")) & (
+        F.when(is_null_h, F.col("_null_boundary")).otherwise(
+            F.col("_lo").isNotNull()
+            & (F.col("_hp") >= F.col("_lo"))
+            & (F.col("_hp") < F.col("_cutoff"))
+        )
+    )
     w = Window.partitionBy(strata_col).orderBy(F.col("_h"), key_col)
-    return (
-        survivors(spark.createDataFrame(cut_rows, cut_schema))
+    definite_branch = joined.where(definite).select(*df.columns)
+    boundary_branch = (
+        joined.where(boundary)
         .withColumn("_rnk", F.row_number().over(w))
-        .where(F.col("_rnk") <= F.col("_target"))
+        .where(F.col("_rnk") <= F.col("_need"))
         .select(*df.columns)
     )
+    return definite_branch.unionByName(boundary_branch)
 
 
 def stratified_sample(
@@ -604,9 +717,10 @@ def stratified_sample(
 
     Like ``deterministic_split``, membership is a pure function of the
     key (hash order, not ``rand()``), so every run and every engine
-    draws the same sample. Skew-safe: the exact rank window runs over a
-    hash-cutoff-bounded survivor set (~fraction + 2% of each stratum),
-    never the full stratum — see ``_hash_rank_sample``.
+    draws the same sample. Skew-safe: rows below the exact histogram
+    boundary are admitted map-only (no shuffle); only the boundary
+    bucket (~|stratum|/grid rows, independent of ``fraction``) enters
+    the rank window — see ``_hash_rank_sample``.
     """
     import math
 
@@ -637,8 +751,8 @@ def balanced_sample(
     multi-source training mix needs — ``stratified_sample``'s sibling
     with an absolute cap instead of a fraction. Same determinism
     contract (pure function of the md5 order) and same skew-safe
-    two-phase plan — a dominant stratum costs a bounded window over
-    ~n_per_stratum rows, not a single-task sort of the whole class.
+    two-phase plan — a dominant stratum costs a bounded window over one
+    histogram bucket, not a single-task sort of the whole class.
     """
     return _hash_rank_sample(
         df,

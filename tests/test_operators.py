@@ -1657,11 +1657,13 @@ def test_hash_rank_sample_bounds_dominant_stratum(spark):
     )
     assert got == ref  # value-identical to the old draw
 
-    cnt, target, admitted = text._LAST_SAMPLE_STATS["big"]
+    cnt, target, admitted, window_rows = text._LAST_SAMPLE_STATS["big"]
     assert (cnt, target) == (20_000, 50)
-    assert target <= admitted <= int(cnt * 0.05)  # bounded window input
+    assert target <= admitted <= int(cnt * 0.05)  # bounded survivor set
+    # the rank window sees ONE histogram bucket, ~cnt/grid rows
+    assert 0 < window_rows <= 4 * cnt / text._SAMPLE_GRID
     # small stratum under the cap keeps everything (no prefilter)
-    assert text._LAST_SAMPLE_STATS["small"] == (30, 30, 30)
+    assert text._LAST_SAMPLE_STATS["small"] == (30, 30, 30, 0)
 
     # the prefilter is IN the lazy plan (below the rank window), and the
     # only hash-partition exchange is the window's
@@ -1703,9 +1705,106 @@ def test_stratified_sample_matches_old_window_draw(spark):
         key=nkey,
     )
     assert out == ref
-    cnt, target, admitted = text._LAST_SAMPLE_STATS["en"]
-    # worst-case margin is two 2% grid steps above the needed fraction
-    assert admitted <= int(cnt * 0.145) + 2
+    cnt, target, admitted, window_rows = text._LAST_SAMPLE_STATS["en"]
+    # admitted = exact c_below + one boundary bucket (~cnt/grid rows)
+    assert admitted <= target + 4 * cnt / text._SAMPLE_GRID + 2
+    assert window_rows <= 4 * cnt / text._SAMPLE_GRID + 2
+
+
+def test_sample_window_bounded_at_half_fraction(spark):
+    """Round-10 contract: at fraction 0.5 the rank window must see ONE
+    histogram bucket (~cnt/grid rows), NOT the O(fraction*stratum)
+    survivor set — the round-8 formulation serialized half the dominant
+    stratum through a single window task."""
+    from pyspark.sql import Window
+
+    n = 20_000
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(n)], "doc_id long, lang string"
+    )
+    out = sorted(r.doc_id for r in text.stratified_sample(df, 0.5).collect())
+    cnt, target, admitted, window_rows = text._LAST_SAMPLE_STATS["en"]
+    assert (cnt, target) == (n, 10_000)
+    # window input is bucket-sized: independent of the 0.5 fraction
+    assert window_rows <= 4 * n / text._SAMPLE_GRID
+    assert admitted < target + 4 * n / text._SAMPLE_GRID
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("")))
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(h, "doc_id")
+    )
+    ref = sorted(
+        r.doc_id
+        for r in df.withColumn("_rnk", rnk)
+        .where(F.col("_rnk") <= 10_000)
+        .collect()
+    )
+    assert out == ref
+
+
+def test_sample_scan_counts_no_verify_pass(spark):
+    """Round-10 contract: planning runs exactly ONE aggregate scan over
+    the input (the exact histogram — the old verify pass is folded away)
+    and executing the returned sample adds the two union branches."""
+    scans = spark.sparkContext.accumulator(0)
+
+    def tick(batches):
+        scans.add(1)
+        yield from batches
+
+    base = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3_000)],
+        "doc_id long, lang string",
+    ).repartition(4)
+    counted = base.mapInPandas(tick, schema=base.schema)
+
+    out = text.stratified_sample(counted, 0.25)
+    assert scans.value == 4  # stats histogram only: 1 scan x 4 partitions
+
+    rows = out.collect()
+    assert len(rows) == 500 + 250  # ceil(0.25 * 2000) + ceil(0.25 * 1000)
+    # definite branch + boundary branch: 2 more scans, nothing else
+    assert scans.value == 12
+
+
+def test_sample_refinement_bounds_huge_boundary_buckets(spark):
+    """A boundary bucket over the budget is re-histogrammed grid-x finer
+    before windowing; the draw stays exactly the single-window draw."""
+    from pyspark.sql import Window
+
+    n = 20_000
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(n)], "doc_id long, lang string"
+    )
+    out = sorted(
+        r.doc_id
+        for r in text._hash_rank_sample(
+            df,
+            "lang",
+            "doc_id",
+            "",
+            lambda cnt: 5_000,
+            grid=16,
+            boundary_budget=100,
+            max_refine=3,
+        ).collect()
+    )
+    cnt, target, admitted, window_rows = text._LAST_SAMPLE_STATS["en"]
+    assert (cnt, target) == (n, 5_000)
+    # level-0 bucket holds ~n/16 = 1250 rows; refinement must shrink the
+    # windowed set to ~n/256
+    assert window_rows < 400
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("")))
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(h, "doc_id")
+    )
+    ref = sorted(
+        r.doc_id
+        for r in df.withColumn("_rnk", rnk)
+        .where(F.col("_rnk") <= 5_000)
+        .collect()
+    )
+    assert out == ref
 
 
 def test_hash_rank_sample_max_strata_guard(spark):
