@@ -72,10 +72,21 @@ class AlreadyRunningError(RuntimeError):
 class Engine:
     """Control plane over a state directory + a SparkSession."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, kms=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        kms=None,
+        store_factory=None,
+    ):
         self.spark = spark
         self.state_dir = state_dir
         self.kms = kms
+        # optional (role_arn | None) -> ObjectStore factory threaded to
+        # every Forget rewrite (run_job -> forget_files); the per-task
+        # AssumedRole/S3 resolution seam — tests inject fakes, real
+        # deployments the boto builders
+        self.store_factory = store_factory
         # serializes read-modify-write cycles on the JSON tables so the
         # HTTP facade (http_api.py) can mutate from request threads while
         # a detached job finishes on its own thread; _save stays atomic
@@ -438,6 +449,7 @@ class Engine:
                 # delete_job/expiry drops them again (full
                 # JobManifestsGlueTable lifecycle)
                 manifest_table=settings.get("ManifestTable"),
+                store_factory=self.store_factory,
             )
             folded = fold_status(result.events, result.counters)
             job.update(folded)

@@ -237,9 +237,14 @@ def _rewrite_one(
 
     if store_factory is not None or path.startswith("s3://"):
         # non-posix lake (or injected backend): the ObjectStore protocol
-        # carries the commit; RoleArn takes runtime effect here
-        return _rewrite_one_store(
-            path,
+        # carries the commit; RoleArn takes runtime effect here. Spark's
+        # $path column names local objects as file:// URIs — a local
+        # backend needs the posix path, while events keep the URI.
+        store_path = (
+            path[len("file:") :] if path.startswith("file:") else path
+        )
+        row = _rewrite_one_store(
+            store_path,
             fmt,
             spec,
             ignore_not_found,
@@ -248,6 +253,7 @@ def _rewrite_one(
             role_arn,
             store_factory,
         )
+        return (path,) + tuple(row[1:])
     local = path[len("file:") :] if path.startswith("file:") else path
     if not os.path.exists(local):
         status = "skipped" if ignore_not_found else "failed"

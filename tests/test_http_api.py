@@ -563,3 +563,148 @@ def test_auth_forbidden_403(engine):
         assert st == 403 and body == {"Message": "read-only principal"}
     finally:
         srv.shutdown()
+
+
+# --- full mixed-lake job, HTTP-only (round-10 e2e) ------------------------
+
+
+def test_http_e2e_mixed_lake_job(spark, tmp_path, sf_dir):
+    """The whole reference workflow over the wire: register a parquet
+    mapper and a cross-account JSON mapper (RoleArn through the fake
+    store factory), enqueue Simple + Composite matches, DELETE
+    /v1/queue, poll the job to COMPLETED, then assert survivors
+    byte-exactly in both lakes."""
+    import pyarrow.parquet as pq
+
+    # parquet lake
+    pq_lake = tmp_path / "pq-lake"
+    pq_lake.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        pq_lake / "part-0.parquet",
+    )
+    li = pq.read_table(str(pq_lake / "part-0.parquet"))
+    okeys = li.column("l_orderkey").to_pylist()
+    lnums = li.column("l_linenumber").to_pylist()
+    simple_val = max(okeys)  # never collides with l_linenumber (1..7)
+    comp_key = next(
+        k for k, ln in zip(okeys, lnums) if ln == 1 and k != simple_val
+    )
+
+    # JSON lake (raw-line-preserving format), cross-account
+    js_lake = tmp_path / "js-lake"
+    js_lake.mkdir()
+    lines = [
+        json.dumps({"customer_id": i, "name": f"n{i}"}) for i in range(1, 6)
+    ]
+    (js_lake / "a.json").write_text("\n".join(lines[:3]) + "\n")
+    (js_lake / "b.json").write_text("\n".join(lines[3:]) + "\n")
+
+    expected_arn = "arn:aws:iam::42:role/forget"
+    seen = tmp_path / "arn-seen"
+
+    def factory(arn, _expected=expected_arn, _seen=str(seen)):
+        from amazon_s3_find_and_forget_spark.sources.object_store import (
+            LocalObjectStore,
+        )
+
+        if arn not in (None, _expected):
+            raise ValueError(f"wrong arn reached the store factory: {arn}")
+        if arn == _expected:
+            open(_seen, "w").write(arn)
+        return LocalObjectStore()
+
+    engine = Engine(
+        spark, str(tmp_path / "state"), store_factory=factory
+    )
+    srv = serve(engine, port=0, background=True)
+    try:
+        host, port = srv.server_address
+        base = f"http://{host}:{port}"
+
+        st, _ = call(
+            base,
+            "PUT",
+            "/v1/data_mappers/li",
+            {
+                "Location": str(pq_lake),
+                "Columns": ["l_orderkey", "l_linenumber"],
+            },
+        )
+        assert st == 201
+        st, _ = call(
+            base,
+            "PUT",
+            "/v1/data_mappers/jl",
+            {
+                "Location": str(js_lake),
+                "Columns": ["customer_id"],
+                "Format": "json",
+                "RoleArn": expected_arn,
+            },
+        )
+        assert st == 201
+
+        # Simple match: applies to BOTH mappers' identifier columns
+        st, _ = call(base, "PATCH", "/v1/queue", {"MatchId": simple_val})
+        assert st == 201
+        st, _ = call(base, "PATCH", "/v1/queue", {"MatchId": 2})
+        assert st == 201  # deletes customer 2 in the JSON lake
+        st, _ = call(
+            base,
+            "PATCH",
+            "/v1/queue",
+            {
+                "MatchId": [
+                    {"Column": "l_orderkey", "Value": comp_key},
+                    {"Column": "l_linenumber", "Value": 1},
+                ],
+                "Type": "Composite",
+                "DataMappers": ["li"],
+            },
+        )
+        assert st == 201
+
+        st, job = call(base, "DELETE", "/v1/queue")
+        assert st == 202 and job["JobStatus"] == "QUEUED"
+        job_id = job["Id"]
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            st, doc = call(base, "GET", f"/v1/jobs/{job_id}")
+            if doc["JobStatus"] not in (
+                "QUEUED",
+                "RUNNING",
+                "FORGET_COMPLETED_CLEANUP_IN_PROGRESS",
+            ):
+                break
+            time.sleep(1)
+        assert doc["JobStatus"] == "COMPLETED", doc
+        assert doc["TotalObjectUpdatedCount"] >= 2
+
+        # queue consumed (ST3), explicit null NextStart on the empty page
+        st, q = call(base, "GET", "/v1/queue")
+        assert q == {"MatchIds": [], "NextStart": None}
+
+        # parquet survivors byte-exact: BOTH simple matches apply to
+        # every identifier column of the mapper, plus the composite
+        got = pq.read_table(str(pq_lake / "part-0.parquet"))
+        keep = [
+            i
+            for i, (k, ln) in enumerate(zip(okeys, lnums))
+            if k not in (simple_val, 2)
+            and ln not in (simple_val, 2)
+            and not (k == comp_key and ln == 1)
+        ]
+        assert got.equals(li.take(keep))
+
+        # JSON survivors: untouched raw lines, in order (S4/S6 contract)
+        remaining = (js_lake / "a.json").read_text() + (
+            js_lake / "b.json"
+        ).read_text()
+        assert remaining.splitlines() == [
+            ln for i, ln in zip(range(1, 6), lines) if i != 2
+        ]
+        # the cross-account mapper really resolved through RoleArn
+        assert seen.read_text() == expected_arn
+    finally:
+        srv.shutdown()
