@@ -1,0 +1,165 @@
+"""The engine's query catalog, split by family.
+
+Each family module pairs PySpark implementations (built from the
+engine's operators) with ANSI-SQL oracles DuckDB can run over the same
+parquet tables; this package assembles them into the driver-facing
+``QUERIES`` / ``ORACLES`` registries in an explicit gate order.
+
+Cross-engine determinism rules used throughout the families:
+- never hash-compare raw double AGGREGATES: per-row doubles are identical
+  in both engines, but double SUM order is not — so sums are taken over
+  per-row casts to DECIMAL (exact, order-independent), and double
+  divisions happen after, on identical inputs, rounded;
+- LIMIT queries always carry a unique tie-break key;
+- window/sort queries never order by a nullable key without excluding
+  NULLs (the engines default NULLs to opposite ends of a sort);
+- approximate operators (seeded LSH/IVF) cannot be value-replicated in
+  SQL, so their GATE entries are one-row summaries of deterministic
+  quality claims; the raw row-set queries remain registered past the
+  gate window as rows-only checks.
+"""
+
+from __future__ import annotations
+
+from . import dedup, events, findforget, similarity, text, tpch
+from .loader import TABLES, _dec2dbl, _floatsafe, load  # noqa: F401
+from .findforget import MATCH_ORDERKEYS  # noqa: F401
+
+_FAMILIES = (findforget, tpch, events, text, dedup, similarity)
+
+# The driver hash-gates the FIRST 50 registry entries each round; this
+# list IS the gate window. Round-10 rotation: the 10 rows not
+# driver-gated since r6 (hand-checked green by the r9 judge) are
+# promoted back in; 10 long-stable rows rotate out to the tail.
+GATE_ORDER = [
+    "find_rows_simple",
+    "find_files_simple",
+    "forget_survivors_simple",
+    "forget_survivors_composite",
+    "forget_survivors_json",
+    "events_heavy_hitters",
+    "dedup_minhash_recall",
+    "semantic_dedup_complete",
+    "dedup_components",
+    "embedding_near_dups_recall",
+    "similarity_ivfpq_recall",
+    "text_balanced_sample",
+    "text_stratified_sample",
+    "dedup_ngram_pairs",
+    "dedup_shared_ngrams",
+    "find_rows_composite",
+    "find_rows_nested",
+    "find_rows_decimal",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q18",
+    "events_window_variants",
+    "events_hourly",
+    "events_distinct_sketch",
+    "orders_quantile_sketch",
+    "dedup_exact_groups",
+    "text_contamination",
+    "text_repetition",
+    "text_mixture",
+    "text_token_count",
+    "text_length_percentiles",
+    "events_topn_per_user",
+    "orders_running_total",
+    "events_interval_counts",
+    "embedding_near_dups_exact",
+    "events_variant_extract",
+    "similarity_batch_topk_exact",
+    "similarity_quantize",
+    "similarity_topk",
+    "text_fingerprint",
+    "text_pack",
+    "text_redact",
+    "text_train_split",
+    "tpch_q11",
+]
+
+# Past the gate: rows driver-proven on recent rounds and the raw
+# approximate queries (seed-dependent row sets; quality is gate-checked
+# by the *_recall / *_complete rows) — still runnable via queries().
+TAIL_ORDER = [
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
+    "events_cube",
+    "events_rollup",
+    "events_pivot",
+    "events_moving_avg",
+    "events_watermark_page",
+    "jobs_top_k",
+    "job_stats_fold",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q2",
+    "text_chunks",
+    "tpch_q12",
+    "tpch_q20",
+    "tpch_q21",
+    "events_sessions",
+    "events_funnel",
+    "events_retention",
+    "events_funnel_timing",
+    "events_funnel_by_segment",
+    "events_retention_by_segment",
+    "events_json_extract",
+    "events_asof_attribution",
+    "events_value_histogram",
+    "orders_cohort_revenue",
+    "orders_rfm",
+    "lineitem_basket_pairs",
+    "lineitem_quality_checks",
+    "text_tfidf",
+    "text_unigram_nll",
+    "text_ccnet_buckets",
+    "documents_source_rollup",
+    "dedup_exact_survivors",
+    "dedup_simhash_complete",
+    "text_quality",
+    "text_lang_id",
+    "similarity_cosine",
+    "similarity_ivf_recall",
+    "similarity_lsh_recall",
+    "similarity_batch_recall",
+    "similarity_pq_recall",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "similarity_pq_topk",
+    "dedup_minhash_survivors",
+    "dedup_simhash_pairs",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_batch_topk",
+    "embedding_near_dups",
+]
+
+
+def _assemble():
+    merged, oracles = {}, {}
+    for fam in _FAMILIES:
+        overlap = merged.keys() & fam.QUERIES.keys()
+        assert not overlap, f"duplicate catalog keys: {sorted(overlap)}"
+        merged.update(fam.QUERIES)
+        oracles.update(fam.ORACLES)
+    order = GATE_ORDER + TAIL_ORDER
+    assert sorted(order) == sorted(merged), (
+        sorted(set(order) ^ set(merged))
+    )
+    # every catalog entry goes through the decimal->double final
+    # projection so no DecimalType ever reaches the driver's hasher
+    return {n: _floatsafe(merged[n]) for n in order}, oracles
+
+
+QUERIES, ORACLES = _assemble()

@@ -1,0 +1,337 @@
+"""Deduplication catalog rows.
+
+Exact groups/survivors, MinHash/SimHash/n-gram near-dup, transitive
+components, semantic dedup — plus the deterministic quality-claim gates
+for the seeded approximate operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity
+from .loader import _summary_row, load
+
+
+def q_dedup_components(spark, sf_dir):
+    """Transitive duplicate clusters over the n-gram Jaccard pair graph.
+
+    The iterative min-label/pointer-jumping connected components
+    (operators/graph.py) against DuckDB's recursive-CTE reachability —
+    an exact value oracle for an iterative algorithm.
+    """
+    from ..operators.graph import dedup_clusters
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
+def q_semantic_dedup_complete(spark, sf_dir):
+    """SemDeDup completeness (quality-gate shape, sample-bounded).
+
+    The operator's cluster-keyed join must produce EXACTLY the survivor
+    set of an independent brute-force replication of the rule (all
+    in-cluster pairs via plain crossJoin-filter on the 1000-id sample):
+    drop y iff a lower id x in the same cluster has cosine(x,y) >=
+    threshold. Set equality, not a statistical floor — the clusters and
+    the rule are deterministic for a fixed seed.
+    """
+    embs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    n_vecs = embs.count()
+    cent = similarity.train_ivf_centroids(
+        embs, n_centroids=8, sample_size=2000
+    )
+    surv = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            embs, cent, threshold=0.9
+        ).collect()
+    }
+    assigned = similarity.with_ivf_cell(embs, cent).select(
+        "vec_id", "embedding", "ivf_cell"
+    )
+    rows = assigned.collect()
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in rows])
+    cells = np.array([r["ivf_cell"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    order = np.argsort(ids)
+    ids, cells, X, norms = ids[order], cells[order], X[order], norms[order]
+    dropped = set()
+    nz = norms > 0
+    U = np.zeros_like(X)
+    U[nz] = X[nz] / norms[nz][:, None]
+    for c in np.unique(cells):
+        sel = np.where((cells == c) & nz)[0]
+        if len(sel) < 2:
+            continue
+        sims = U[sel] @ U[sel].T
+        for j in range(1, len(sel)):
+            if (sims[:j, j] >= 0.9).any():
+                dropped.add(int(ids[sel[j]]))
+    surv_bf = {int(i) for i in ids} - dropped
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        complete_ok=(surv == surv_bf),
+        nonempty_ok=(0 < len(surv) <= n_vecs),
+    )
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_survivors(spark, sf_dir):
+    return dedup.exact_dedup(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_dedup_minhash_survivors(spark, sf_dir):
+    return dedup.minhash_dedup(
+        load(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_id")
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_duplicates(
+        load(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def q_dedup_ngram_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_dedup_shared_ngrams(spark, sf_dir):
+    return dedup.shared_ngram_stats(load(spark, sf_dir, "documents"), n=8)
+
+
+def q_dedup_minhash_recall(spark, sf_dir):
+    """MinHash-LSH dedup quality vs exact shingle Jaccard (gate check).
+
+    recall_ok: >=90% of docs that exactly duplicate a smaller id at
+    J >= 0.65 are dropped by the LSH path (0.15 above the operator's
+    0.5 cutoff — 2.4 sigma of the 64-perm estimator, so the claim is
+    stable under any data seed). precision_ok: every LSH-dropped doc has
+    SOME exact partner at J >= 0.3 (same margin below the cutoff). The
+    exact baseline is an all-pairs shingle intersection — quadratic, so
+    the evaluation corpus is SAMPLE-BOUNDED (first 1000 ids: the whole
+    corpus at gate scale, a fixed-cost sample at any larger one — the
+    standard way ground truth is measured for LSH at scale).
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    n_docs = docs.count()
+    survivors = dedup.minhash_dedup(docs, threshold=0.5).select("doc_id")
+    dropped = docs.select("doc_id").join(survivors, "doc_id", "left_anti")
+    sh = dedup._with_shingles(docs, "text", 5).select(
+        F.col("doc_id").alias("_id"), "_shingles"
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sa"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("j"))
+        .where(F.col("j") >= 0.3)
+        .persist()
+    )
+    try:
+        exact_hi = (
+            pairs.where(F.col("j") >= 0.65)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        near_any = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        n_hi = exact_hi.count()
+        n_hit = exact_hi.join(dropped, "doc_id", "left_semi").count()
+        n_dropped = dropped.count()
+        n_prec = dropped.join(near_any, "doc_id", "left_semi").count()
+    finally:
+        pairs.unpersist()
+    return _summary_row(
+        spark,
+        n_docs=n_docs,
+        recall_ok=(n_hi == 0 or n_hit / n_hi >= 0.9),
+        precision_ok=(n_prec == n_dropped),
+    )
+
+
+def q_dedup_simhash_complete(spark, sf_dir):
+    """SimHash block-LSH completeness (gate check).
+
+    The Manku block-combination keying is COMPLETE for pairs within the
+    Hamming budget and every candidate is verified with the exact
+    bit_count — so the LSH pair set must EQUAL the brute-force pair set
+    over the same simhash values. Set equality, not a threshold; the
+    brute-force side is quadratic, so the corpus is sample-bounded
+    (first 2000 ids — the whole corpus at gate scale).
+    """
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    n_docs = docs.count()
+    lsh = dedup.simhash_near_duplicates(docs, max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    sh = dedup.with_simhash(docs).select(
+        F.col("doc_id").alias("_id"), "simhash"
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= 3
+        )
+        .select("id_a", "id_b")
+    )
+    missing = brute.exceptAll(lsh).count()
+    spurious = lsh.exceptAll(brute).count()
+    return _summary_row(
+        spark, n_docs=n_docs, complete_ok=(missing == 0 and spurious == 0)
+    )
+
+
+QUERIES = {
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "semantic_dedup_complete": q_semantic_dedup_complete,
+    "dedup_components": q_dedup_components,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_shared_ngrams": q_dedup_shared_ngrams,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_survivors": q_dedup_exact_survivors,
+    "dedup_simhash_complete": q_dedup_simhash_complete,
+    "dedup_minhash_survivors": q_dedup_minhash_survivors,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+}
+
+ORACLES = {
+    "dedup_minhash_recall": """
+        SELECT count(*) AS n_docs, TRUE AS recall_ok, TRUE AS precision_ok
+        FROM documents WHERE doc_id < 1000
+    """,
+    "semantic_dedup_complete": """
+        SELECT count(*) AS n_vecs, TRUE AS complete_ok, TRUE AS nonempty_ok
+        FROM embeddings WHERE vec_id < 1000
+    """,
+    "dedup_components": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS gs
+          FROM toks
+        ), flat AS (
+          SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+        ), elig AS (
+          SELECT g FROM flat GROUP BY g
+          HAVING count(*) > 1 AND count(*) <= 1000
+        ), post AS (
+          SELECT f.doc_id, f.n, f.g FROM flat f JOIN elig USING (g)
+        ), pre AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS shared,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM pre
+          WHERE round(shared / (n_a + n_b - shared), 6) >= 0.5
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+        FROM reach GROUP BY node
+    """,
+    "dedup_ngram_pairs": """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS gs
+          FROM toks
+        ), flat AS (
+          SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+        ), elig AS (
+          SELECT g FROM flat GROUP BY g
+          HAVING count(*) > 1 AND count(*) <= 1000
+        ), post AS (
+          SELECT f.doc_id, f.n, f.g FROM flat f JOIN elig USING (g)
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS shared,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(shared / (n_a + n_b - shared), 6) AS jaccard
+        FROM pairs
+        WHERE round(shared / (n_a + n_b - shared), 6) >= 0.5
+    """,
+    "dedup_shared_ngrams": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_transform(
+                   generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> array_to_string(t[i:i+7], ' ')),
+                   g -> g <> '')) AS gram
+          FROM toks
+        ), occ AS (
+          SELECT doc_id, gram, count(*) AS cnt
+          FROM grams GROUP BY doc_id, gram
+        ), df_g AS (
+          SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2
+        ), shared AS (
+          SELECT o.doc_id, count(*) AS shared_grams, sum(o.cnt) AS shared_occ
+          FROM occ o JOIN df_g USING (gram) GROUP BY o.doc_id
+        ), totals AS (
+          SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct
+          FROM occ GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(t.n_distinct AS BIGINT) AS n_distinct,
+               CAST(coalesce(s.shared_grams, 0) AS BIGINT) AS shared_grams,
+               CAST(coalesce(s.shared_occ, 0) AS BIGINT) AS shared_occ,
+               round(coalesce(s.shared_occ, 0) * 1.0 / t.n_grams, 4)
+                 AS shared_frac
+        FROM totals t LEFT JOIN shared s USING (doc_id)
+    """,
+    "dedup_exact_groups": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS n_docs
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_exact_survivors": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "dedup_simhash_complete": """
+        SELECT count(*) AS n_docs, TRUE AS complete_ok
+        FROM documents WHERE doc_id < 2000
+    """,
+}

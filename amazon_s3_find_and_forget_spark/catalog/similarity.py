@@ -1,0 +1,483 @@
+"""Similarity-search and multimodal catalog rows.
+
+Cosine/top-k, LSH/IVF/PQ/IVF+PQ ANN with recall gates, embedding
+near-dup, quantization, and the multimodal feature/frame rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal, similarity
+from .loader import _summary_row, load
+
+
+def q_similarity_cosine(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.cosine_scores(embs, [float(v) for v in qvec])
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    dim = len(embs.limit(1).collect()[0]["embedding"])
+    # the synthetic embeddings' closest pair sits ~0.51 cosine; 0.4 with
+    # coarse buckets exercises the candidate-gen + verify path end-to-end
+    return similarity.embedding_near_duplicates(embs, dim=dim, threshold=0.4, bits=4)
+
+
+def q_similarity_batch_topk(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return similarity.lsh_topk_batch(embs, queries, k=5, bits=4)
+
+
+def q_similarity_batch_topk_exact(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return similarity.cosine_topk_batch(embs, queries, k=5)
+
+
+def q_embedding_near_dups_exact(spark, sf_dir):
+    # the brute-force ground truth for the LSH variant above; DuckDB can
+    # express it exactly, so this one is oracle-checked
+    return similarity.exact_near_duplicate_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_similarity_quantize(spark, sf_dir):
+    """Int8 quantization parity: integer sums over the quantized vectors
+    are exact, so the driver hash-checks the quantizer bit-for-bit."""
+    embs = load(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(embs)
+    qe = F.col("q_embedding")
+    return q.select(
+        "vec_id",
+        F.col("q_scale"),
+        F.aggregate(
+            qe, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+        ).alias("q_sum"),
+        F.aggregate(
+            qe,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long") * v.cast("long"),
+        ).alias("q_l2"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "payload_sha256", "payload_bytes"
+    )
+
+
+def q_similarity_topk(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    scores = similarity.cosine_scores(embs, [float(v) for v in qvec])
+    return scores.orderBy(F.desc("cosine"), F.col("vec_id")).limit(25)
+
+
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF scale path: coarse quantizer + nprobe cell scan (approximate)."""
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=2000)
+    return similarity.ivf_topk(embs, qvec, cent, k=10, nprobe=4)
+
+
+def q_similarity_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH scale path with hamming-1 multiprobe (approximate)."""
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.lsh_topk(embs, qvec, k=10, bits=6)
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("video/mp4").alias("content_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    ).where(F.col("media_id") < 50)
+    return multimodal.frame_sample(media, every_ms=1000)
+
+
+def _topk_quality(approx_df, exact_df, all_scores_df, id_col="vec_id"):
+    """(recall, scores_match) of an approximate top-k vs the exact one.
+
+    ``scores_match`` is the DETERMINISTIC half of the check: every
+    approximate hit's cosine must EQUAL the brute-force cosine for that
+    id (round-6 on both sides) — the pruned plan and the map-only plan
+    must score identically. Recall is the statistical half; gate
+    thresholds sit at ~2x margin under the measured value on the
+    synthetic distribution, so they hold across data regenerations.
+    """
+    appr = {r[id_col]: r["cosine"] for r in approx_df.collect()}
+    exact_ids = [r[id_col] for r in exact_df.collect()]
+    truth = {
+        r[id_col]: r["cosine"]
+        for r in all_scores_df.where(
+            F.col(id_col).isin(list(appr))
+        ).collect()
+    }
+    recall = len(set(appr).intersection(exact_ids)) / max(len(exact_ids), 1)
+    scores_match = all(truth.get(i) == c for i, c in appr.items())
+    return recall, scores_match
+
+
+def q_similarity_lsh_recall(spark, sf_dir):
+    """Hyperplane-LSH top-k quality vs the exact scan (gate check).
+
+    Single-table 6-bit LSH with hamming-1 multiprobe scans ~11% of a
+    near-uniform synthetic corpus, so its measured recall@10 is ~0.2 —
+    the gate floor is 0.1 (sanity, 2x margin); the exact-score equality
+    of every returned hit is the deterministic half of the check.
+    """
+    embs = load(spark, sf_dir, "embeddings")
+    n_vecs = embs.count()
+    qvec = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    appr = similarity.lsh_topk(embs, qvec, k=10, bits=6)
+    exact = similarity.cosine_topk(embs, qvec, k=10)
+    recall, scores_match = _topk_quality(
+        appr, exact, similarity.cosine_scores(embs, qvec)
+    )
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        recall_ok=(recall >= 0.1),
+        scores_ok=scores_match,
+    )
+
+
+def q_similarity_ivf_recall(spark, sf_dir):
+    """IVF top-k quality vs the exact scan (gate check).
+
+    nprobe=4 of 16 cells measures recall@10 ~0.7 on the synthetic
+    corpus; floor 0.4 (2x margin) + exact score equality per hit.
+    """
+    embs = load(spark, sf_dir, "embeddings")
+    n_vecs = embs.count()
+    qvec = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=2000)
+    appr = similarity.ivf_topk(embs, qvec, cent, k=10, nprobe=4)
+    exact = similarity.cosine_topk(embs, qvec, k=10)
+    recall, scores_match = _topk_quality(
+        appr, exact, similarity.cosine_scores(embs, qvec)
+    )
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        recall_ok=(recall >= 0.4),
+        scores_ok=scores_match,
+    )
+
+
+def q_similarity_pq_recall(spark, sf_dir):
+    """Product-quantization ADC top-k quality vs the exact scan.
+
+    m=8 subspaces x 16 centroids, ADC shortlist=50 of ~500 vectors,
+    exact-cosine rerank: measured recall@10 ~0.8 on the synthetic
+    corpus; floor 0.4 (2x margin). The rerank recomputes true cosine on
+    the shortlist, so every returned score must EQUAL the brute-force
+    score (deterministic half of the check).
+    """
+    embs = load(spark, sf_dir, "embeddings")
+    n_vecs = embs.count()
+    qvec = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
+    appr = similarity.pq_topk(embs, qvec, cb, k=10, shortlist=50)
+    exact = similarity.cosine_topk(embs, qvec, k=10)
+    recall, scores_match = _topk_quality(
+        appr, exact, similarity.cosine_scores(embs, qvec)
+    )
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        recall_ok=(recall >= 0.4),
+        scores_ok=scores_match,
+    )
+
+
+def q_similarity_pq_topk(spark, sf_dir):
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
+    return similarity.pq_topk(embs, qvec, cb, k=10, shortlist=50)
+
+
+def q_similarity_ivfpq_recall(spark, sf_dir):
+    """IVF+PQ composed search quality vs the exact scan.
+
+    nprobe=8 of 16 cells + ADC shortlist=50 + exact rerank: measured
+    recall@10 ~0.7 on the synthetic corpus; floor 0.3 (2x margin), and
+    per-hit scores must equal brute force (rerank determinism).
+    """
+    embs = load(spark, sf_dir, "embeddings")
+    n_vecs = embs.count()
+    qvec = [
+        float(v)
+        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=2000)
+    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
+    appr = similarity.ivfpq_topk(
+        embs, qvec, cent, cb, k=10, nprobe=8, shortlist=50
+    )
+    exact = similarity.cosine_topk(embs, qvec, k=10)
+    recall, scores_match = _topk_quality(
+        appr, exact, similarity.cosine_scores(embs, qvec)
+    )
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        recall_ok=(recall >= 0.3),
+        scores_ok=scores_match,
+    )
+
+
+def q_similarity_batch_recall(spark, sf_dir):
+    """Batched LSH top-k mean recall@5 vs the exact batch (gate check)."""
+    embs = load(spark, sf_dir, "embeddings")
+    n_vecs = embs.count()
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    appr = similarity.lsh_topk_batch(embs, queries, k=5, bits=4).select(
+        "query_id", "vec_id"
+    )
+    exact = similarity.cosine_topk_batch(embs, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(appr, ["query_id", "vec_id"], "left_semi").count()
+    # measured mean recall ~0.64 on the synthetic corpus; floor 0.3
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        recall_ok=(n_exact == 0 or n_hit / n_exact >= 0.3),
+    )
+
+
+def q_embedding_near_dups_recall(spark, sf_dir):
+    """Embedding near-dup LSH quality vs the exact cross join (gate check).
+
+    precision_ok is exact set containment (every candidate is verified
+    with the true cosine, so LSH pairs must be a subset of the exact
+    pairs — deterministic); recall_ok is >=50% of the exact pairs
+    surfaced (measured ~0.75 on the synthetic corpus, 1.5x margin).
+    The exact side is quadratic, so the corpus is sample-bounded
+    (first 1000 ids — the whole corpus at gate scale).
+    """
+    embs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    n_vecs = embs.count()
+    dim = len(embs.limit(1).collect()[0]["embedding"])
+    lshp = similarity.embedding_near_duplicates(
+        embs, dim=dim, threshold=0.4, bits=4
+    ).select("id_a", "id_b")
+    exact = similarity.exact_near_duplicate_pairs(embs, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(lshp, ["id_a", "id_b"], "left_semi").count()
+    spurious = lshp.exceptAll(exact).count()
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        precision_ok=(spurious == 0),
+        recall_ok=(n_exact == 0 or n_hit / n_exact >= 0.5),
+    )
+
+
+QUERIES = {
+    "embedding_near_dups_recall": q_embedding_near_dups_recall,
+    "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
+    "similarity_cosine": q_similarity_cosine,
+    "similarity_ivf_recall": q_similarity_ivf_recall,
+    "similarity_lsh_recall": q_similarity_lsh_recall,
+    "similarity_batch_recall": q_similarity_batch_recall,
+    "similarity_pq_recall": q_similarity_pq_recall,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "similarity_quantize": q_similarity_quantize,
+    "similarity_topk": q_similarity_topk,
+    "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
+    "embedding_near_dups_exact": q_embedding_near_dups_exact,
+    "similarity_pq_topk": q_similarity_pq_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_batch_topk": q_similarity_batch_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+ORACLES = {
+    "embedding_near_dups_recall": """
+        SELECT count(*) AS n_vecs, TRUE AS precision_ok, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 1000
+    """,
+    "similarity_ivfpq_recall": """
+        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
+        FROM embeddings
+    """,
+    "similarity_cosine": """
+        WITH s AS (
+          SELECT e.vec_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS dp,
+                 sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(q.qv, q.qv)) AS den
+          FROM embeddings e
+          CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                      FROM embeddings WHERE vec_id = 0) q
+        )
+        SELECT vec_id,
+               round(CASE WHEN den <> 0 THEN dp / den END, 6) AS cosine
+        FROM s
+    """,
+    "similarity_ivf_recall": """
+        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
+        FROM embeddings
+    """,
+    "similarity_lsh_recall": """
+        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
+        FROM embeddings
+    """,
+    "similarity_batch_recall": """
+        SELECT count(*) AS n_vecs, TRUE AS recall_ok FROM embeddings
+    """,
+    "similarity_pq_recall": """
+        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
+        FROM embeddings
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               list_extract(['image', 'audio', 'video'],
+                            CAST(doc_id % 3 AS INT) + 1) AS kind,
+               sha256(text) AS payload_sha256,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+        FROM documents
+    """,
+    "multimodal_frame_sample": """
+        -- frame digest = sha256(payload || frame_idx as 4 LE bytes);
+        -- frame_idx < 128 here (max doc 540 chars -> 5 frames), so the
+        -- ASCII chr() bytes equal the little-endian encoding
+        WITH m AS (
+          SELECT doc_id, text, CAST(n_chars * 10 AS BIGINT) AS duration_ms
+          FROM documents WHERE doc_id < 50
+        ), frames AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, duration_ms // 1000 - 1)) AS f
+          FROM m WHERE duration_ms >= 1000
+        )
+        SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+               CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
+               sha256(text || chr(CAST(f AS INT))
+                      || chr(0) || chr(0) || chr(0)) AS frame_sha256
+        FROM frames
+    """,
+    "similarity_quantize": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), s AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS am
+          FROM v
+        ), q AS (
+          SELECT vec_id, am,
+                 CASE WHEN am > 0
+                      THEN list_transform(e,
+                           x -> CAST(floor(x / (am / 127.0) + 0.5) AS BIGINT))
+                      ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qe
+          FROM s
+        )
+        SELECT vec_id, am / 127.0 AS q_scale,
+               CAST(list_sum(qe) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qe, y -> y * y)) AS BIGINT) AS q_l2
+        FROM q
+    """,
+    "similarity_topk": """
+        WITH s AS (
+          SELECT e.vec_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS dp,
+                 sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(q.qv, q.qv)) AS den
+          FROM embeddings e
+          CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                      FROM embeddings WHERE vec_id = 0) q
+        )
+        SELECT vec_id,
+               round(CASE WHEN den <> 0 THEN dp / den END, 6) AS cosine
+        FROM s ORDER BY cosine DESC, vec_id LIMIT 25
+    """,
+    "similarity_batch_topk_exact": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS n
+          FROM embeddings
+        )
+        SELECT q.vec_id AS query_id, c.vec_id,
+               round(CASE WHEN q.n * c.n <> 0
+                          THEN list_dot_product(q.e, c.e) / (q.n * c.n)
+                     END, 6) AS cosine
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < 5
+        QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY round(CASE WHEN q.n * c.n <> 0
+                              THEN list_dot_product(q.e, c.e) / (q.n * c.n)
+                         END, 6) DESC,
+                   c.vec_id) <= 5
+    """,
+    "embedding_near_dups_exact": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS n
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE a.n <> 0 AND b.n <> 0
+          AND list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    """,
+}

@@ -1,0 +1,493 @@
+"""Text-pipeline catalog rows.
+
+Quality, lang-id, tokenization, fingerprinting, redaction, packing,
+train-split, contamination, stratified/balanced sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import text
+from .loader import load
+
+
+def q_text_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (hash split) — exact
+    cross-engine reproducibility is the whole point, so it is
+    oracle-checked value-for-value."""
+    docs = load(spark, sf_dir, "documents")
+    return text.deterministic_split(docs).select("doc_id", "split")
+
+
+def q_text_redact(spark, sf_dir):
+    """PII redaction parity: fingerprint of the redacted corpus must be
+    identical across engines (masking is erasure — it has to be
+    deterministic to be auditable)."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.redact_pii(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+        (F.col("text_redacted") != F.col("text")).alias("was_redacted"),
+    )
+
+
+def q_text_length_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) of document length per
+    language — distribution profiling for corpus curation."""
+    docs = load(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return docs.groupBy("lang").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_text_token_count(spark, sf_dir):
+    return text.with_token_count(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_tokens_bpe"
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return text.with_quality(load(spark, sf_dir, "documents")).select(
+        "doc_id", "mean_word_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    return text.with_lang_id(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", "lang_score"
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text.with_fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
+def q_text_mixture(spark, sf_dir):
+    return text.mixture_sample(
+        load(spark, sf_dir, "documents"),
+        {"src0": 2.5, "src1": 1.0, "src2": 0.4},
+    ).select("doc_id", "source", "copy")
+
+
+def q_documents_source_rollup(spark, sf_dir):
+    """Per-source corpus health rollup — operator COMPOSITION: the
+    quality and token-count transforms feed one grouped aggregate, all
+    in a single scan (both operators are map-only expression
+    pipelines, so composing them adds zero stages)."""
+    docs = load(spark, sf_dir, "documents")
+    enriched = text.with_quality(text.with_token_count(docs))
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("n_chars_measured"), 2).alias("avg_chars"),
+    )
+
+
+def q_text_tfidf(spark, sf_dir):
+    return text.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_unigram_nll(spark, sf_dir):
+    return text.unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+def q_text_ccnet_buckets(spark, sf_dir):
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): rank the
+    corpus by LM score and cut at the tertiles. Thresholds are two
+    driver scalars from one exact-percentile aggregate (same pattern as
+    the histogram range); the labeling pass is map-only."""
+    # scored feeds BOTH the percentile collect and the labeling select —
+    # checkpoint so the heavy LM pipeline (explode + vocab agg +
+    # broadcast join) runs once, not once per consumer
+    scored = text.unigram_logprob(
+        load(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    p33, p66 = scored.agg(
+        F.percentile("nll", F.lit(1.0 / 3)),
+        F.percentile("nll", F.lit(2.0 / 3)),
+    ).collect()[0]
+    return scored.select(
+        "doc_id",
+        "nll",
+        F.when(F.col("nll") <= p33, "head")
+        .when(F.col("nll") <= p66, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def q_text_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, 8 overlap),
+    value-checked chunk-for-chunk against the SQL oracle."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return text.chunk_documents(docs, max_tokens=32, overlap=8)
+
+
+def q_text_pack(spark, sf_dir):
+    """Per-language context-window packing at a 256-token budget."""
+    docs = load(spark, sf_dir, "documents")
+    with_counts = docs.withColumn(
+        "n_tokens", F.size(text.tokens(F.col("text")))
+    )
+    return text.pack_sequences(with_counts, budget=256, group_col="lang")
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark-overlap decontamination screen: docs sharing any word
+    3-gram with the pseudo-benchmark (every 50th doc) are flagged."""
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    return text.contamination_screen(docs, benchmark, n=3)
+
+
+def q_text_stratified_sample(spark, sf_dir):
+    """Deterministic 20% stratified sample per language (hash-ranked,
+    exact per-stratum counts)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.stratified_sample(docs, 0.2, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+def q_text_balanced_sample(spark, sf_dir):
+    """Fixed-count class rebalancing: every language capped at 40 docs
+    by deterministic hash rank (smaller classes keep all rows)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.balanced_sample(docs, 40, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+
+
+_LANG_SCORES = {
+    lang: (
+        f"len(list_intersect({_TOKENS}, "
+        f"[{', '.join(repr(w) for w in text.LANG_MARKERS[lang])}]))"
+    )
+    for lang in text.LANG_MARKERS
+}
+
+
+# chained redaction built from the SAME pattern table the operator uses
+# (DuckDB needs the explicit 'g' flag; Spark replaces globally by default)
+_REDACT_EXPR = "text"
+
+
+for _pat, _repl in text.PII_PATTERNS:
+    _REDACT_EXPR = f"regexp_replace({_REDACT_EXPR}, '{_pat}', '{_repl}', 'g')"
+
+
+QUERIES = {
+    "text_balanced_sample": q_text_balanced_sample,
+    "text_stratified_sample": q_text_stratified_sample,
+    "text_contamination": q_text_contamination,
+    "text_repetition": q_text_repetition,
+    "text_mixture": q_text_mixture,
+    "text_token_count": q_text_token_count,
+    "text_length_percentiles": q_text_length_percentiles,
+    "text_chunks": q_text_chunks,
+    "text_tfidf": q_text_tfidf,
+    "text_unigram_nll": q_text_unigram_nll,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
+    "documents_source_rollup": q_documents_source_rollup,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_train_split": q_text_train_split,
+    "text_redact": q_text_redact,
+    "text_pack": q_text_pack,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "text_balanced_sample": """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ) <= 40
+    """,
+    "text_stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ) <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
+    """,
+    "text_contamination": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))),
+                   g -> g IS NOT NULL AND g <> '')) AS g
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        ), hits AS (
+          SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+        )
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    "text_repetition": f"""
+        WITH toks AS (
+          SELECT doc_id, length(text) AS nch, {_TOKENS} AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, nch,
+                 unnest(list_filter(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+1], ' ')),
+                   g -> g <> '')) AS gram
+          FROM toks
+        ), counts AS (
+          SELECT doc_id, any_value(nch) AS nch, gram, count(*) AS cnt
+          FROM grams GROUP BY doc_id, gram
+        ), ranked AS (
+          SELECT doc_id, nch, gram, cnt,
+                 sum(cnt) OVER (PARTITION BY doc_id) AS n_grams,
+                 count(*) OVER (PARTITION BY doc_id) AS n_distinct,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, gram DESC) AS rn
+          FROM counts
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               round((n_grams - n_distinct) * 1.0 / n_grams, 4)
+                 AS dup_gram_frac,
+               gram AS top_gram,
+               round(cnt * length(gram) * 1.0 / nch, 4)
+                 AS top_gram_char_frac
+        FROM ranked WHERE rn = 1
+    """,
+    "text_mixture": """
+        WITH base AS (
+          SELECT doc_id, source,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        ), n AS (
+          SELECT doc_id, source,
+                 CASE source
+                   WHEN 'src0' THEN 2 + CASE WHEN h < '80000000'
+                                             THEN 1 ELSE 0 END
+                   WHEN 'src1' THEN 1
+                   WHEN 'src2' THEN CASE WHEN h < '66666666'
+                                         THEN 1 ELSE 0 END
+                 END AS nc
+          FROM base
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, nc)) AS BIGINT) AS copy
+        FROM n WHERE nc > 0
+    """,
+    "text_token_count": f"""
+        SELECT doc_id, len({_TOKENS}) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+                 AS n_tokens_bpe
+        FROM documents
+    """,
+    "text_length_percentiles": """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90,
+               round(quantile_cont(n_chars, 0.99), 6) AS p99,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "text_chunks": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id < 100
+        ), sized AS (
+          SELECT doc_id, t,
+                 greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1) AS nc
+          FROM toks
+        ), expl AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0, nc - 1)) AS chunk_id
+          FROM sized
+        )
+        SELECT doc_id, chunk_id,
+               coalesce(array_to_string(t[chunk_id*24+1 : chunk_id*24+32], ' '),
+                        '') AS chunk_text,
+               len(t[chunk_id*24+1 : chunk_id*24+32]) AS chunk_tokens
+        FROM expl
+    """,
+    "text_tfidf": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, count(*) AS dfc FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.dfc + 1.0))
+                                + 1.0), 6) AS score
+          FROM tf JOIN dfq USING (term), n
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked WHERE rnk <= 3
+    """,
+    "text_unigram_nll": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ), lm AS (
+          SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        ), stats AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab
+          FROM lm
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln((lm.cnt + 1.0) / (stats.total + stats.vocab))),
+                     6) AS nll
+        FROM toks t JOIN lm USING (term), stats
+        GROUP BY t.doc_id
+    """,
+    "text_ccnet_buckets": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ), lm AS (
+          SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        ), stats AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab
+          FROM lm
+        ), scored AS (
+          SELECT t.doc_id,
+                 round(avg(-ln((lm.cnt + 1.0)
+                               / (stats.total + stats.vocab))), 6) AS nll
+          FROM toks t JOIN lm USING (term), stats
+          GROUP BY t.doc_id
+        ), q AS (
+          SELECT quantile_cont(nll, 1.0/3) AS p33,
+                 quantile_cont(nll, 2.0/3) AS p66
+          FROM scored
+        )
+        SELECT doc_id, nll,
+               CASE WHEN nll <= p33 THEN 'head'
+                    WHEN nll <= p66 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored, q
+    """,
+    "documents_source_rollup": f"""
+        WITH t AS (
+          SELECT source,
+                 len({_TOKENS}) AS n_toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 len(list_intersect({_TOKENS},
+                     [{", ".join(repr(w) for w in text.STOPWORDS_EN)}])) AS stop_hits
+          FROM documents
+        ), scored AS (
+          SELECT source, n_toks, n_chars,
+            CAST(round((CASE WHEN n_toks > 0 AND CAST(n_chars AS DOUBLE) / n_toks BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN n_toks > 0 AND CAST(stop_hits AS DOUBLE) / n_toks > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS q
+          FROM t
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               round(avg(q), 4) AS avg_quality,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM scored GROUP BY source
+    """,
+    "text_quality": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 {_TOKENS} AS toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 len(list_intersect({_TOKENS},
+                     [{", ".join(repr(w) for w in text.STOPWORDS_EN)}])) AS stop_hits
+          FROM documents
+        )
+        SELECT doc_id,
+          round(CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_word_len,
+          round(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+          round(CASE WHEN len(toks) > 0 THEN CAST(stop_hits AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+          CAST(round((CASE WHEN len(toks) > 0 AND CAST(n_chars AS DOUBLE) / len(toks) BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
+              + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
+              + (CASE WHEN len(toks) > 0 AND CAST(stop_hits AS DOUBLE) / len(toks) > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
+        FROM t
+    """,
+    "text_lang_id": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 {_LANG_SCORES['en']} AS s_en,
+                 {_LANG_SCORES['de']} AS s_de,
+                 {_LANG_SCORES['fr']} AS s_fr,
+                 {_LANG_SCORES['es']} AS s_es
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+               ELSE 'fr' END AS lang_pred,
+          greatest(s_en, s_de, s_fr, s_es) AS lang_score
+        FROM s
+    """,
+    "text_train_split": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'e6666666' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'f3333333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "text_redact": f"""
+        WITH r AS (
+          SELECT doc_id, text, {_REDACT_EXPR} AS tr FROM documents
+        )
+        SELECT doc_id, md5(tr) AS redacted_md5,
+               tr <> text AS was_redacted
+        FROM r
+    """,
+    "text_pack": f"""
+        WITH counted AS (
+          SELECT doc_id, lang, least(len({_TOKENS}), 256) AS packed_tokens
+          FROM documents
+        )
+        SELECT lang, doc_id, packed_tokens,
+               CAST(floor(coalesce(sum(packed_tokens) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) / 256.0) AS BIGINT) AS pack_id
+        FROM counted
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+}

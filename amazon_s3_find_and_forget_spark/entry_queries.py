@@ -1,3847 +1,27 @@
-"""The engine's query catalog for the driver's correctness harness.
+"""Back-compat facade over the family-split query catalog.
 
-Each entry pairs a PySpark implementation (built from the engine's
-operators) with an ANSI-SQL oracle DuckDB can run over the same parquet
-tables. Column names are aliased identically on both sides (the driver
-hash-compares values with columns sorted by name).
-
-Cross-engine determinism rules used throughout:
-- never hash-compare raw double AGGREGATES: per-row doubles are identical
-  in both engines, but double SUM order is not — so sums are taken over
-  per-row casts to DECIMAL (exact, order-independent), and double
-  divisions happen after, on identical inputs, rounded;
-- LIMIT queries always carry a unique tie-break key;
-- window/sort queries never order by a nullable key without excluding
-  NULLs (the engines default NULLs to opposite ends of a sort);
-- approximate operators (seeded LSH/IVF) cannot be value-replicated in
-  SQL, so their GATE entries are one-row summaries of deterministic
-  quality claims (recall vs an exact baseline computed in the same
-  plan, set-completeness, per-hit score equality) hashed against the
-  claim plus an engine-checkable input count; the raw row-set queries
-  remain registered past the gate window as rows-only checks.
+The catalog itself lives in :mod:`amazon_s3_find_and_forget_spark.catalog`
+— one module per family (``findforget``, ``tpch``, ``events``, ``text``,
+``dedup``, ``similarity``) plus the shared loaders in
+``catalog/loader.py`` — assembled there into the driver-facing
+``QUERIES`` / ``ORACLES`` registries in an explicit gate order. This
+module re-exports the public surface (`__spark_entry__.py`, ``bench.py``
+and ``tools/check_oracle.py`` import from here) so the split is
+invisible to callers.
 """
 
 from __future__ import annotations
 
-import logging
-import os
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from .jobs import fold_stats
-from .matches import QueueItem, build_column_groups
-from .operators import dedup, funnel, multimodal, similarity, text
-from .plans.find import find_affected_files, find_matching_rows
-from .plans.forget import forget_table
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-_LOG = logging.getLogger(__name__)
-
-
-def _ensure_session_confs(spark: SparkSession) -> None:
-    """Make any SparkSession able to run the catalog, not just ours.
-
-    The driver harness hands us a vanilla session: without
-    ``nanosAsLong`` the events table (physical INT64 TIMESTAMP(NANOS))
-    fails with PARQUET_TYPE_ILLEGAL, and without UTC the time-bucketing
-    queries disagree with the DuckDB oracle. Both are runtime-settable.
-    """
-    for key, value in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.session.timeZone", "UTC"),
-    ):
-        try:
-            spark.conf.set(key, value)
-        except Exception:  # pragma: no cover - conf rejected (static conf)
-            pass
-
-
-def _load_events_via_arrow(spark: SparkSession, path: str) -> DataFrame:
-    """Fallback events reader when ``nanosAsLong`` is rejected.
-
-    Reads the parquet through PyArrow, casts ns -> us driver-side, and
-    re-creates the DataFrame. Only used when the conf path fails, so the
-    driver-side materialization is an emergency path, not the hot path.
-    """
-    import pyarrow.compute  # noqa: F401  (ensure compute kernels loaded)
-    import pyarrow.parquet as pq
-
-    table = pq.read_table(path)
-    fields = []
-    for field in table.schema:
-        if str(field.type).startswith("timestamp[ns"):
-            import pyarrow as pa
-
-            fields.append(field.with_type(pa.timestamp("us")))
-        else:
-            fields.append(field)
-    import pyarrow as pa
-
-    table = table.cast(pa.schema(fields))
-    return spark.createDataFrame(table.to_pandas())
-
-
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Schema-adaptive table loader.
-
-    The events table's ``ts`` column has shipped with different PHYSICAL
-    parquet encodings across testdata generations (INT64 TIMESTAMP(NANOS),
-    which Spark reads as BIGINT under ``nanosAsLong``; and plain
-    timestamp[us], which reads as TIMESTAMP_NTZ or TIMESTAMP depending on
-    ``inferTimestampNTZ``). Plan against the schema the read actually
-    reports — the same schema-driven planning the reference does against
-    Glue (reference: backend/lambdas/tasks/generate_queries.py:141-148) —
-    never against an assumed encoding. All downstream catalog queries see
-    one logical type: session-timezone TIMESTAMP (UTC, per
-    ``_ensure_session_confs``), micros resolution.
-    """
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    _ensure_session_confs(spark)
-    if name != "events":
-        return spark.read.parquet(path)
-    try:
-        df = spark.read.parquet(path)
-        return _normalize_ts(df)
-    except Exception as e:
-        # the read itself failed (e.g. nanos parquet with nanosAsLong
-        # rejected as a static conf) -> driver-side Arrow emergency path.
-        # This materializes the whole table on the driver — an OOM at
-        # scale — so it must never be taken silently.
-        _LOG.warning(
-            "distributed events read failed (%s: %s); falling back to "
-            "DRIVER-SIDE Arrow materialization of %s — this path does not "
-            "scale and indicates a session-conf or encoding problem",
-            type(e).__name__,
-            e,
-            path,
-        )
-        return _load_events_via_arrow(spark, path)
-
-
-def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Normalize the ``ts`` column to TIMESTAMP (micros, session-UTC)."""
-    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
-
-    dtype = df.schema[col].dataType
-    if isinstance(dtype, TimestampType):
-        return df
-    if isinstance(dtype, TimestampNTZType):
-        # NTZ -> TZ under a UTC session timezone is a pure re-tag: the
-        # wall-clock micros are reinterpreted as UTC instants, matching
-        # DuckDB's naive-timestamp epoch() semantics
-        return df.withColumn(col, F.col(col).cast("timestamp"))
-    if isinstance(dtype, LongType):
-        # nanosAsLong read of INT64 TIMESTAMP(NANOS): integer ns -> us
-        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-    raise TypeError(f"unsupported physical type for '{col}': {dtype}")
-
-
-def _dec2dbl(df: DataFrame) -> DataFrame:
-    """Cast every top-level DecimalType output column to DOUBLE.
-
-    Internal arithmetic stays exact-decimal (order-independent sums); only
-    the FINAL projection is converted. At catalog magnitudes the decimal's
-    unscaled value is < 2^53, so decimal->double is exact and bit-identical
-    in Spark and DuckDB — which makes the driver's value hash stable, where
-    decimal canonicalization (trailing zeros, precision) was not.
-
-    The oracle SQL applies the same CAST(... AS DOUBLE) on its side.
-    """
-    from pyspark.sql.types import DecimalType
-
-    if not any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
-        return df
-    return df.select(
-        *[
-            F.col(f.name).cast("double").alias(f.name)
-            if isinstance(f.dataType, DecimalType)
-            else F.col(f.name)
-            for f in df.schema.fields
-        ]
-    )
-
-
-# --- fixed match sets for the find/forget checks --------------------------
-
-MATCH_ORDERKEYS = [1, 3, 7, 32, 69, 194, 418]
-COMPOSITE_ORDER_MATCH = [("F", "1-URGENT"), ("O", "5-LOW")]
-
-
-def _lineitem_groups(df):
-    items = [QueueItem(match_id=k) for k in MATCH_ORDERKEYS]
-    return build_column_groups(df.schema, ["l_orderkey"], items)
-
-
-def _orders_composite_groups(df):
-    items = [
-        QueueItem(
-            match_id=[
-                {"Column": "o_orderstatus", "Value": s},
-                {"Column": "o_orderpriority", "Value": p},
-            ],
-            type="Composite",
-            data_mappers=["orders"],
-        )
-        for s, p in COMPOSITE_ORDER_MATCH
-    ]
-    return build_column_groups(df.schema, ["o_orderkey"], items)
-
-
-# --- query implementations ------------------------------------------------
-
-def q_find_rows_simple(spark, sf_dir):
-    df = load(spark, sf_dir, "lineitem")
-    rows = find_matching_rows(df, _lineitem_groups(df))
-    return rows.select("l_orderkey", "l_linenumber")
-
-
-def q_find_rows_composite(spark, sf_dir):
-    df = load(spark, sf_dir, "orders")
-    rows = find_matching_rows(df, _orders_composite_groups(df))
-    return rows.select("o_orderkey")
-
-
-def q_forget_survivors_simple(spark, sf_dir):
-    df = load(spark, sf_dir, "lineitem")
-    survivors = forget_table(df, _lineitem_groups(df))
-    return survivors.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-    )
-
-
-def q_forget_survivors_composite(spark, sf_dir):
-    df = load(spark, sf_dir, "orders")
-    survivors = forget_table(df, _orders_composite_groups(df))
-    return survivors.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_total"),
-    )
-
-
-def q_find_files_simple(spark, sf_dir):
-    """S1/P1/A1: distinct affected files, projected to the file NAME so
-    DuckDB can oracle-check it (the absolute path is environment-local;
-    the basename set is the engine-independent fact)."""
-    df = load(spark, sf_dir, "lineitem")
-    files = find_affected_files(df, _lineitem_groups(df))
-    return files.select(
-        F.element_at(F.split("file_path", "/"), -1).alias("file_name")
-    )
-
-
-def q_job_stats_fold(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    mapped = ev.select(
-        (F.col("user_id") % 10).cast("string").alias("Id"),
-        F.concat(
-            F.lpad((F.col("event_id")).cast("string"), 12, "0"), F.lit("#e")
-        ).alias("Sk"),
-        F.when(F.col("event_type") == "click", "QuerySucceeded")
-        .when(F.col("event_type") == "view", "QueryFailed")
-        .when(F.col("event_type") == "purchase", "ObjectUpdated")
-        .when(F.col("event_type") == "signup", "ObjectUpdateSkipped")
-        .otherwise("ObjectUpdateFailed")
-        .alias("EventName"),
-        F.unix_timestamp("ts").alias("CreatedAt"),
-        F.to_json(
-            F.struct(
-                F.struct(
-                    F.floor(F.col("value") * 1000).alias("DataScannedInBytes"),
-                    F.floor(F.col("value") * 10).alias(
-                        "EngineExecutionTimeInMillis"
-                    ),
-                ).alias("Statistics")
-            )
-        ).alias("EventData"),
-    )
-    return fold_stats(mapped)
-
-
-def q_tpch_q1(spark, sf_dir):
-    """Money sums aggregate through exact decimal and cast to double
-    LAST. Cross-engine conversion note (root-caused round 8): DuckDB's
-    direct decimal->double cast divides int128 by 10^scale with TWO
-    roundings, so once sum * 10^scale exceeds 2^53 the last ulp can
-    differ from Spark's exactly-converted BigDecimal (measured: the sf1
-    R/O sum_charge). Every decimal-sum oracle therefore converts via
-    CAST(CAST(sum AS VARCHAR) AS DOUBLE) — DuckDB's decimal->varchar is
-    exact and varchar->double rounds once — which matches Spark
-    bit-exactly at EVERY scale factor (verified at sf1)."""
-    li = load(spark, sf_dir, "lineitem")
-    dec = lambda c, s=2: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
-    out = (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-    return out.withColumn(
-        "avg_qty",
-        F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6),
-    )
-
-
-def q_tpch_q3(spark, sf_dir):
-    cust = load(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = load(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    li = load(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-def q_tpch_q5(spark, sf_dir):
-    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    nation = load(spark, sf_dir, "nation")
-    cust = load(spark, sf_dir, "customer")
-    sup = load(spark, sf_dir, "supplier")
-    orders = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = load(spark, sf_dir, "lineitem")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    return (
-        region.join(nation, region.r_regionkey == nation.n_regionkey)
-        .join(cust, nation.n_nationkey == cust.c_nationkey)
-        .join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .join(
-            sup,
-            (li.l_suppkey == sup.s_suppkey)
-            & (sup.s_nationkey == nation.n_nationkey),
-        )
-        .groupBy("n_name")
-        .agg(F.sum(revenue).alias("revenue"))
-    )
-
-
-def q_tpch_q6(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .select(
-            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)").alias("rev")
-        )
-        .agg(F.sum("rev").alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
-    )
-
-
-def q_tpch_q4(spark, sf_dir):
-    """Q4's shape (EXISTS semi-join into an order-priority count), adapted
-    to the synthetic schema: no l_commitdate/l_receiptdate here, so the
-    late-line predicate becomes l_shipdate > o_orderdate."""
-    orders = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
-    )
-    li = load(spark, sf_dir, "lineitem")
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > orders.o_orderdate),
-        "left_semi",
-    )
-    return late.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("order_count")
-    )
-
-
-def q_tpch_q10(spark, sf_dir):
-    cust = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
-    orders = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.sum(revenue).alias("revenue"),
-            F.max(F.col("c_acctbal").cast("decimal(18,2)")).alias("acctbal"),
-        )
-        .orderBy(F.desc("revenue"), F.col("c_custkey"))
-        .limit(20)
-    )
-
-
-def q_tpch_q13(spark, sf_dir):
-    """Customer order-count distribution (left outer + double aggregate)."""
-    cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
-    )
-
-
-def q_tpch_q14(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
-    )
-    part = load(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    joined = li.join(part, li.l_partkey == part.p_partkey).select(
-        rev.alias("rev"),
-        F.when(F.col("p_type").startswith("PROMO"), rev)
-        .otherwise(F.lit(0).cast("decimal(18,6)"))
-        .alias("promo_rev"),
-    )
-    return joined.agg(
-        F.round(
-            F.lit(100.0)
-            * F.sum("promo_rev").cast("double")
-            / F.sum("rev").cast("double"),
-            6,
-        ).alias("promo_revenue_pct")
-    )
-
-
-def q_tpch_q18(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
-        .where(F.col("sum_qty") > 150)
-    )
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
-            "sum_qty",
-        )
-        .orderBy(F.desc("totalprice"), F.col("o_orderkey"))
-        .limit(100)
-    )
-
-
-def q_tpch_q19(spark, sf_dir):
-    """Q19's disjunctive join predicate, adapted to the synthetic part
-    schema (brand/size/quantity clauses; no container/shipmode columns)."""
-    li = load(spark, sf_dir, "lineitem")
-    part = load(spark, sf_dir, "part")
-    joined = li.join(part, li.l_partkey == part.p_partkey)
-    b1 = (
-        (F.col("p_brand") == "Brand#1")
-        & (F.col("p_size").between(1, 15))
-        & (F.col("l_quantity").between(1, 11))
-    )
-    b2 = (
-        (F.col("p_brand") == "Brand#2")
-        & (F.col("p_size").between(1, 25))
-        & (F.col("l_quantity").between(10, 20))
-    )
-    b3 = (
-        (F.col("p_brand") == "Brand#3")
-        & (F.col("p_size").between(1, 35))
-        & (F.col("l_quantity").between(20, 30))
-    )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    return joined.where(b1 | b2 | b3).agg(
-        F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_rows")
-    )
-
-
-def q_tpch_q7(spark, sf_dir):
-    """Q7 volume shipping: revenue between two nations in both directions,
-    grouped by (supplier nation, customer nation, ship year)."""
-    n1, n2 = "NATION_1", "NATION_2"
-    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sup = load(spark, sf_dir, "supplier")
-    cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    s_n = nation.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    ).where(F.col("n_name").isin(n1, n2))
-    c_n = nation.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    ).where(F.col("n_name").isin(n1, n2))
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(sup, li.l_suppkey == sup.s_suppkey)
-        .join(s_n, sup.s_nationkey == F.col("s_nk"))
-        .join(c_n, cust.c_nationkey == F.col("c_nk"))
-        .where(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(F.sum(vol).alias("revenue"))
-    )
-
-
-def q_tpch_q8(spark, sf_dir):
-    """Q8 national market share: NATION_5's share of ECONOMY-part revenue
-    sold into AMERICA-region customers, by order year."""
-    target = "NATION_5"
-    region = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
-    nation = load(spark, sf_dir, "nation")
-    cust = load(spark, sf_dir, "customer")
-    sup = load(spark, sf_dir, "supplier")
-    orders = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = load(spark, sf_dir, "lineitem")
-    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
-    s_n = nation.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    zero = F.lit(0).cast("decimal(18,6)")
-    joined = (
-        part.join(li, part.p_partkey == li.l_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .join(sup, li.l_suppkey == sup.s_suppkey)
-        .join(s_n, sup.s_nationkey == F.col("s_nk"))
-        .select(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            vol.alias("volume"),
-            F.col("supp_nation"),
-        )
-    )
-    return joined.groupBy("o_year").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("supp_nation") == target, F.col("volume"))
-                .otherwise(zero)
-            ).cast("double")
-            / F.sum("volume").cast("double"),
-            6,
-        ).alias("mkt_share")
-    )
-
-
-def q_tpch_q9(spark, sf_dir):
-    """Q9's shape (profit by supplier nation × order year over a part-name
-    filter), adapted: the synthetic schema has no partsupp/ps_supplycost,
-    so profit is the discounted revenue alone."""
-    nation = load(spark, sf_dir, "nation")
-    sup = load(spark, sf_dir, "supplier")
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    part = load(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
-    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    return (
-        part.join(li, part.p_partkey == li.l_partkey)
-        .join(sup, li.l_suppkey == sup.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(nation, sup.s_nationkey == nation.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
-        )
-        .agg(F.sum(amount).alias("sum_profit"))
-    )
-
-
-def q_tpch_q15(spark, sf_dir):
-    """Q15 top supplier: supplier(s) with the maximum 3-month revenue
-    (exact-decimal revenue makes the max-equality cross-engine safe)."""
-    sup = load(spark, sf_dir, "supplier")
-    li = load(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(vol).alias("total_revenue")
-    ).localCheckpoint(eager=False)  # feeds both max() and the equality join
-    maxrev = rev.agg(F.max("total_revenue").alias("mx"))
-    return (
-        rev.join(F.broadcast(maxrev), rev.total_revenue == F.col("mx"))
-        .join(sup, rev.l_suppkey == sup.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-def q_tpch_q16(spark, sf_dir):
-    """Q16's shape (distinct supplier count per part attribute bucket),
-    adapted: no partsupp table, so lineitem is the part↔supplier link."""
-    part = load(spark, sf_dir, "part").where(
-        (F.col("p_brand") != "Brand#3")
-        & (~F.col("p_type").startswith("PROMO"))
-        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
-    )
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        part.join(li, part.p_partkey == li.l_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-def q_tpch_q17(spark, sf_dir):
-    """Q17 small-quantity-order revenue for one brand. The per-part 20%%
-    average-quantity threshold is cross-multiplied (5·n·qty < sum_qty)
-    so both engines compare exact decimals instead of a double average."""
-    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
-    li = load(spark, sf_dir, "lineitem")
-    branded = part.join(li, part.p_partkey == li.l_partkey).select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    per_part = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_li"),
-    )
-    small = branded.join(
-        F.broadcast(per_part), branded.l_partkey == F.col("pk")
-    ).where(
-        F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("n_li")
-        < F.col("sum_qty")
-    )
-    return small.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            / 7.0,
-            6,
-        ).alias("avg_yearly")
-    )
-
-
-def q_tpch_q22(spark, sf_dir):
-    """Q22 global sales opportunity, adapted: no c_phone column, so the
-    country code is c_nationkey mod 10, and "no orders" means no orders
-    placed since 1999 (every synthetic customer has some order). The
-    above-average-balance threshold is cross-multiplied (bal·n > sum) to
-    stay exact-decimal."""
-    codes = [0, 3, 5, 7, 9]
-    cust = load(spark, sf_dir, "customer").withColumn(
-        "cntrycode", (F.col("c_nationkey") % 10).cast("int")
-    ).where(F.col("cntrycode").isin(codes))
-    orders = load(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
-    )
-    bal = F.col("c_acctbal").cast("decimal(18,2)")
-    pos = cust.where(F.col("c_acctbal") > 0).agg(
-        F.sum(bal).alias("sum_bal"), F.count(F.lit(1)).alias("n_bal")
-    )
-    rich = cust.join(F.broadcast(pos)).where(
-        bal * F.col("n_bal") > F.col("sum_bal")
-    )
-    no_orders = rich.join(
-        orders, rich.c_custkey == orders.o_custkey, "left_anti"
-    )
-    return no_orders.groupBy("cntrycode").agg(
-        F.count(F.lit(1)).alias("numcust"),
-        F.sum(bal).alias("totacctbal"),
-    )
-
-
-def q_tpch_q2(spark, sf_dir):
-    """Q2's shape (min-cost supplier per part within a region), adapted:
-    no partsupp table in the synthetic schema, so the supply cost is the
-    minimum lineitem unit price per (part, supplier). The correlated
-    min-subquery becomes a partition window — the idiomatic Spark
-    translation. min over doubles is exact (no summation order), so the
-    cost equality is cross-engine safe."""
-    from pyspark.sql.window import Window
-
-    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    nation = load(spark, sf_dir, "nation")
-    sup = load(spark, sf_dir, "supplier")
-    euro = (
-        sup.join(nation, sup.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    part = load(spark, sf_dir, "part").where(
-        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
-    )
-    # prune lineitem to the filtered parts BEFORE the aggregation: the
-    # broadcast semi-join shrinks the shuffle input ~20x (at 100 TB the
-    # difference between aggregating the whole fact table and a sliver)
-    costs = (
-        load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part.select("p_partkey")),
-              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
-        )
-    )
-    j = part.join(costs, part.p_partkey == costs.l_partkey).join(
-        F.broadcast(euro), costs.l_suppkey == euro.s_suppkey
-    )
-    ranked = j.withColumn(
-        "min_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
-    )
-    return (
-        ranked.where(F.col("cost") == F.col("min_cost"))
-        .select(
-            F.round(F.col("s_acctbal").cast("double"), 6).alias("acctbal"),
-            "s_name",
-            "n_name",
-            "p_partkey",
-            "p_name",
-            F.round("cost", 6).alias("supply_cost"),
-        )
-        .orderBy(F.desc("acctbal"), "s_name", "p_partkey")
-        .limit(100)
-    )
-
-
-def q_tpch_q11(spark, sf_dir):
-    """Q11's shape (parts whose shipped value within one nation exceeds a
-    global-total fraction, via a scalar subquery), adapted: lineitem value
-    stands in for partsupp stock value. The fraction threshold is
-    cross-multiplied (value·640 > total, i.e. share > 0.15625%%) so both
-    engines compare exact decimals."""
-    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
-    sup = load(spark, sf_dir, "supplier")
-    li = load(spark, sf_dir, "lineitem")
-    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    vals = (
-        li.join(
-            F.broadcast(
-                sup.join(nation, sup.s_nationkey == nation.n_nationkey)
-            ),
-            li.l_suppkey == sup.s_suppkey,
-        )
-        .groupBy("l_partkey")
-        .agg(F.sum(val).alias("value"))
-        # feeds both the scalar total and the threshold filter; checkpoint
-        # the small aggregate instead of running the scan+join twice
-        .localCheckpoint(eager=False)
-    )
-    total = vals.agg(F.sum("value").alias("total"))
-    return (
-        vals.join(F.broadcast(total))
-        .where(F.col("value") * 640 > F.col("total"))
-        .select("l_partkey", "value")
-    )
-
-
-def q_tpch_q12(spark, sf_dir):
-    """Q12's shape (late lines bucketed, priority split via conditional
-    aggregates), adapted: no l_shipmode/commitdate/receiptdate, so the
-    bucket is l_returnflag and "late" is l_shipdate > o_orderdate (as in
-    the Q4 adaptation)."""
-    orders = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = load(spark, sf_dir, "lineitem")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .where(F.col("l_shipdate") > F.col("o_orderdate"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
-        )
-    )
-
-
-def q_tpch_q20(spark, sf_dir):
-    """Q20's shape (suppliers who shipped excess volume of a part family,
-    via a nested semi-join chain), adapted: no partsupp availqty, so
-    "excess" is a fixed total-quantity threshold over the year."""
-    part_small = load(spark, sf_dir, "part").where(
-        F.col("p_name").startswith("small")
-    )
-    li = load(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    qty = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty")
-    )
-    excess = (
-        qty.join(
-            F.broadcast(part_small), qty.l_partkey == part_small.p_partkey
-        )
-        .where(F.col("total_qty") > 50)
-        .select("l_suppkey")
-    )
-    sup = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation")
-    return (
-        # the excess-supplier key set is tiny (bounded by |supplier|) —
-        # broadcast it so the semi-join never shuffles the supplier table
-        sup.join(
-            F.broadcast(excess), sup.s_suppkey == excess.l_suppkey, "left_semi"
-        )
-        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
-        .select("s_name", "n_name")
-    )
-
-
-def q_tpch_q21(spark, sf_dir):
-    """Q21's shape (the sole late supplier on multi-supplier finished
-    orders: EXISTS another supplier, NOT EXISTS another LATE supplier),
-    adapted: "late" is l_shipdate > o_orderdate. The EXISTS pair becomes
-    a left-semi + left-anti join chain — Spark's native translation."""
-    orders_f = load(spark, sf_dir, "orders").where(
-        F.col("o_orderstatus") == "F"
-    )
-    li = load(spark, sf_dir, "lineitem")
-    l1 = (
-        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
-        .where(F.col("l_shipdate") > F.col("o_orderdate"))
-        .select("l_orderkey", "l_suppkey")
-        # l1 feeds three plan branches (itself, the semi probe, the anti
-        # build); Catalyst does not reuse the subplan, so checkpoint the
-        # narrow two-column relation once instead of running the
-        # lineitem-orders join three times
-        .localCheckpoint(eager=False)
-    )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2")
-    )
-    with_other = l1.join(
-        others,
-        (l1.l_orderkey == F.col("o2_key")) & (l1.l_suppkey != F.col("s2")),
-        "left_semi",
-    )
-    late_others = l1.select(
-        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3")
-    )
-    sole_late = with_other.join(
-        late_others,
-        (with_other.l_orderkey == F.col("o3_key"))
-        & (with_other.l_suppkey != F.col("s3")),
-        "left_anti",
-    )
-    sup = load(spark, sf_dir, "supplier")
-    return (
-        sole_late.join(F.broadcast(sup), sole_late.l_suppkey == sup.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
-        .limit(100)
-    )
-
-
-def q_dedup_components(spark, sf_dir):
-    """Transitive duplicate clusters over the n-gram Jaccard pair graph.
-
-    The iterative min-label/pointer-jumping connected components
-    (operators/graph.py) against DuckDB's recursive-CTE reachability —
-    an exact value oracle for an iterative algorithm.
-    """
-    from .operators.graph import dedup_clusters
-
-    pairs = dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
-    return dedup_clusters(pairs.select("id_a", "id_b"))
-
-
-def q_semantic_dedup_complete(spark, sf_dir):
-    """SemDeDup completeness (quality-gate shape, sample-bounded).
-
-    The operator's cluster-keyed join must produce EXACTLY the survivor
-    set of an independent brute-force replication of the rule (all
-    in-cluster pairs via plain crossJoin-filter on the 1000-id sample):
-    drop y iff a lower id x in the same cluster has cosine(x,y) >=
-    threshold. Set equality, not a statistical floor — the clusters and
-    the rule are deterministic for a fixed seed.
-    """
-    embs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
-    n_vecs = embs.count()
-    cent = similarity.train_ivf_centroids(
-        embs, n_centroids=8, sample_size=2000
-    )
-    surv = {
-        r["vec_id"]
-        for r in similarity.semantic_dedup(
-            embs, cent, threshold=0.9
-        ).collect()
-    }
-    assigned = similarity.with_ivf_cell(embs, cent).select(
-        "vec_id", "embedding", "ivf_cell"
-    )
-    rows = assigned.collect()
-    import numpy as np
-
-    ids = np.array([r["vec_id"] for r in rows])
-    cells = np.array([r["ivf_cell"] for r in rows])
-    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(X, axis=1)
-    order = np.argsort(ids)
-    ids, cells, X, norms = ids[order], cells[order], X[order], norms[order]
-    dropped = set()
-    nz = norms > 0
-    U = np.zeros_like(X)
-    U[nz] = X[nz] / norms[nz][:, None]
-    for c in np.unique(cells):
-        sel = np.where((cells == c) & nz)[0]
-        if len(sel) < 2:
-            continue
-        sims = U[sel] @ U[sel].T
-        for j in range(1, len(sel)):
-            if (sims[:j, j] >= 0.9).any():
-                dropped.add(int(ids[sel[j]]))
-    surv_bf = {int(i) for i in ids} - dropped
-    return _summary_row(
-        spark,
-        n_vecs=n_vecs,
-        complete_ok=(surv == surv_bf),
-        nonempty_ok=(0 < len(surv) <= n_vecs),
-    )
-
-
-def q_events_hourly(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-        F.col("event_type"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
-    )
-
-
-def q_events_sessions(spark, sf_dir):
-    from pyspark.sql import Window
-
-    # sessionization is undefined for events without a timestamp, and the
-    # engines default NULLs to OPPOSITE ends of a sort (Spark nulls-first
-    # asc, DuckDB nulls-last) — exclude them explicitly on both sides
-    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
-    with_start = ev.withColumn(
-        "is_new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
-    )
-    return with_start.groupBy("user_id").agg(
-        F.sum("is_new_session").alias("n_sessions"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-def q_events_funnel(spark, sf_dir):
-    return funnel.funnel_counts(
-        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
-    )
-
-
-def q_events_retention(spark, sf_dir):
-    return funnel.cohort_retention(load(spark, sf_dir, "events"))
-
-
-def q_events_rollup(spark, sf_dir):
-    """Multi-level aggregate (ROLLUP) over the event stream — the
-    SURVEY §2.4 'absent in reference, Catalyst built-in here' surface."""
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.rollup("event_type", F.year("ts").cast("long").alias("y"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
-        )
-    )
-
-
-def q_events_topn_per_user(spark, sf_dir):
-    """Ranking window: top-3 events by value per user (bounded user set),
-    with a unique tie-break so ranks are cross-engine deterministic."""
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 50)
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("value"), F.col("event_id")
-    )
-    return (
-        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 3)
-        .select("user_id", "event_id", "rnk")
-    )
-
-
-def q_events_json_extract(spark, sf_dir):
-    """Semi-structured access: extract a field from the JSON props column
-    JVM-side (get_json_object) and aggregate it."""
-    ev = load(spark, sf_dir, "events")
-    # parse through try_cast(DOUBLE) then floor: Spark's direct
-    # string->long cast NULLs '1.5' while DuckDB's rounds it, and a plain
-    # cast THROWS on 'abc' under ANSI mode — floor(try_cast) agrees on
-    # every numeric string on both engines, NULL on every non-numeric one
-    k = F.floor(F.get_json_object(F.col("props"), "$.k").try_cast("double"))
-    return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-def q_events_variant_extract(spark, sf_dir):
-    """Semi-structured access via Spark 4's VARIANT type: parse the JSON
-    props column once into the binary variant encoding and path-extract
-    typed values — the engine-native fast path next to
-    ``get_json_object`` string re-parsing (events_json_extract). At 100 TB
-    the variant parse happens once per row inside codegen and typed
-    extraction avoids per-access JSON tokenization.
-
-    try_-variants throughout: malformed JSON and non-numeric values
-    yield NULL (matching DuckDB's TRY_CAST), never an ANSI error."""
-    ev = load(spark, sf_dir, "events")
-    k = F.floor(
-        F.try_variant_get(
-            F.try_parse_json(F.col("props")), "$.k", "double"
-        )
-    )
-    return ev.groupBy("event_type").agg(
-        F.count(k).alias("n_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
-    )
-
-
-def q_events_funnel_by_segment(spark, sf_dir):
-    """Cross-table behavioral breakdown: the funnel per customer market
-    segment, the user dimension joined by BROADCAST at count time."""
-    return funnel.funnel_counts_by(
-        load(spark, sf_dir, "events"),
-        ["view", "click", "purchase"],
-        load(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("user_id"),
-            F.col("c_mktsegment").alias("segment"),
-        ),
-    )
-
-
-def q_events_retention_by_segment(spark, sf_dir):
-    return funnel.cohort_retention_by(
-        load(spark, sf_dir, "events"),
-        load(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("user_id"),
-            F.col("c_mktsegment").alias("segment"),
-        ),
-    )
-
-
-def _quintile_thresholds(per_cust, col, n):
-    """Upper-inclusive quintile cut values for one integer metric.
-
-    Quintile of a value v is ``ceil(5 * cum(v) / n)`` where ``cum`` is
-    the cumulative row count through v — pure integer arithmetic, so the
-    Spark plan and the DuckDB oracle agree bit-for-bit with no float
-    interpolation hazard, and tied values share a score (standard RFM
-    practice; ntile's arbitrary tie-splitting needed a global sort).
-
-    Computed from the metric's grouped counts, collected to the driver.
-    The collect is BOUNDED by the metric's distinct cardinality, not by
-    the customer count: recency is bounded by the lake's date span in
-    days, frequency by the max orders-per-customer, and monetary is
-    discretized to $100 bands bounded by the max customer spend — each
-    thousands of values at any scale, the same bounded-scalar pattern
-    as the histogram range and CCNet tertiles. Returns the (at most 4)
-    largest values scoring <= j for j in 1..4; None where a quintile is
-    empty (heavy ties), which the CASE chain skips naturally.
-    """
-    rows = sorted(
-        per_cust.groupBy(col).count().collect(), key=lambda r: r[col]
-    )
-    thresholds = [None] * 4
-    cum = 0
-    for row in rows:
-        cum += row["count"]
-        q = (5 * cum + n - 1) // n
-        if q <= 4:
-            thresholds[q - 1] = row[col]
-    return thresholds
-
-
-def _quintile_score(col, thresholds):
-    """Map-only CASE chain scoring a metric against its cut values."""
-    expr = None
-    for j, t in enumerate(thresholds, start=1):
-        if t is None:
-            continue
-        clause = F.col(col) <= F.lit(t)
-        expr = F.when(clause, j) if expr is None else expr.when(clause, j)
-    scored = expr.otherwise(5) if expr is not None else F.lit(5)
-    return scored.cast("long")
-
-
-def q_orders_rfm(spark, sf_dir):
-    """RFM customer scoring (recency / frequency / monetary quintiles).
-
-    Scale shape: one shuffle builds the per-customer relation, three
-    map-side-combined grouped counts derive the quintile cut values
-    (bounded driver collects — see ``_quintile_thresholds``), and the
-    scoring pass is map-only CASE expressions. No window, no global
-    sort, no join — a plan SHAPE that holds at billions of customers,
-    replacing the r5 unpartitioned-ntile version the judge flagged
-    (single-partition WindowExec). Money aggregates through decimal
-    (exact); the monetary quintile is computed over exact $100 cent
-    bands so the cut arithmetic stays integral end-to-end."""
-    o = load(spark, sf_dir, "orders").where(
-        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
-    )
-    ref = o.agg(F.max("o_orderdate")).collect()[0][0]
-    per_cust = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.datediff(F.lit(ref), F.max("o_orderdate"))
-            .cast("long")
-            .alias("recency_days"),
-            F.count(F.lit(1)).cast("long").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "monetary_dec"
-            ),
-        )
-        .select(
-            "o_custkey",
-            "recency_days",
-            "frequency",
-            F.col("monetary_dec").cast("double").alias("monetary"),
-            F.expr("CAST(monetary_dec * 100 AS BIGINT) DIV 10000").alias(
-                "mband"
-            ),
-        )
-        # feeds the count, three threshold aggregates and the scoring
-        # select — persist so the orders scan+shuffle runs once; persist
-        # (unlike localCheckpoint) keeps lineage, so on a real cluster a
-        # lost executor recomputes its partitions instead of failing the
-        # downstream selects unrecoverably
-        .persist()
-    )
-    n = per_cust.count()
-    r_cuts = _quintile_thresholds(per_cust, "recency_days", n)
-    f_cuts = _quintile_thresholds(per_cust, "frequency", n)
-    m_cuts = _quintile_thresholds(per_cust, "mband", n)
-    return per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        (F.lit(6) - _quintile_score("recency_days", r_cuts))
-        .cast("long")
-        .alias("r_score"),
-        _quintile_score("frequency", f_cuts).alias("f_score"),
-        _quintile_score("mband", m_cuts).alias("m_score"),
-    )
-
-
-def q_lineitem_quality_checks(spark, sf_dir):
-    """Declarative quality gate over the lineitem fact: every row-level
-    rule is one conditional sum of a single scan; uniqueness is one
-    keyed aggregate."""
-    from .operators import quality
-
-    return quality.check_constraints(
-        load(spark, sf_dir, "lineitem"),
-        not_null=["l_orderkey", "l_linenumber", "l_quantity"],
-        unique=[["l_orderkey", "l_linenumber"]],
-        ranges={"l_quantity": (0, 50), "l_discount": (0.0, 0.1)},
-        accepted={"l_returnflag": ["A", "N", "R"]},
-    )
-
-
-def q_lineitem_basket_pairs(spark, sf_dir):
-    """Market-basket co-occurrence: the 20 part pairs most often ordered
-    together. The same inverted-index discipline as the n-gram dedup
-    family: per-order DISTINCT parts, a bounded self-join keyed on the
-    order (baskets are small — the per-key fan-out is |basket| choose 2,
-    never corpus-quadratic), map-side partial counting, and a fully
-    tie-broken top-k (count desc, then both part keys) so the cut is
-    deterministic across engines."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_b")
-    )
-    return (
-        a.join(b, "_o")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        .orderBy(F.desc("n_orders"), "part_a", "part_b")
-        .limit(20)
-    )
-
-
-def q_orders_cohort_revenue(spark, sf_dir):
-    """Revenue cohorts over the orders fact: customers grouped by their
-    first-order month, revenue summed per (cohort, month offset).
-    Money sums go through decimal (exact, order-independent) — a double
-    sum would be partitioning-dependent in its last ulp and flip the
-    rounded cross-engine comparison."""
-    o = load(spark, sf_dir, "orders").where(
-        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
-    )
-    firsts = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
-    )
-    return (
-        o.join(firsts, "o_custkey")
-        .select(
-            "o_custkey",
-            "cohort_month",
-            F.months_between(
-                F.date_trunc("month", F.col("o_orderdate")),
-                F.col("cohort_month"),
-            )
-            .cast("long")
-            .alias("month_offset"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("_price"),
-        )
-        .groupBy("cohort_month", "month_offset")
-        .agg(
-            F.count_distinct("o_custkey").cast("long").alias("buyers"),
-            F.sum("_price").cast("double").alias("revenue"),
-        )
-    )
-
-
-def q_events_funnel_timing(spark, sf_dir):
-    return funnel.funnel_transition_stats(
-        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
-    )
-
-
-def q_events_value_histogram(spark, sf_dir):
-    """Equal-width 20-bin histogram of the value column. The [min, max]
-    range is two driver scalars from one aggregate job (the same
-    pattern as IDF's corpus size); binning itself is a map-only
-    expression + one keyed aggregate. Degenerate range (min == max)
-    guards to bin 0 — never a division, which ANSI mode would throw on."""
-    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
-    if lo is None:
-        return ev.select(
-            F.lit(0).cast("long").alias("bin"),
-            F.lit(0).cast("long").alias("n"),
-            F.lit(0.0).alias("avg_value"),
-        ).limit(0)
-    width = (hi - lo) / 20.0
-    bin_col = (
-        F.least(
-            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(19)
-        )
-        if width > 0
-        else F.lit(0)
-    )
-    return ev.groupBy(bin_col.cast("long").alias("bin")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
-    )
-
-
-def q_events_asof_attribution(spark, sf_dir):
-    """As-of join: each purchase attributed to the user's most recent
-    click at or before it (point-in-time-correct lookup). Clicks are
-    deduped per (user, ts) by max event_id so the pick is
-    cross-engine deterministic."""
-    from .operators import temporal
-
-    ev = load(spark, sf_dir, "events")
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-    )
-    purchases = ev.where(
-        (F.col("event_type") == "purchase") & (F.col("user_id") < 100)
-    ).select("user_id", "event_id", "ts")
-    out = temporal.asof_join(
-        purchases, clicks, on=["user_id"], ts_col="ts", right_cols=["click_id"]
-    )
-    return out.select("user_id", "event_id", "click_id")
-
-
-def q_events_interval_counts(spark, sf_dir):
-    """Interval join: clicks in the hour before each purchase (bounds
-    inclusive), counted per purchase — the bucketized range-join path."""
-    from .operators import temporal
-
-    ev = load(spark, sf_dir, "events")
-    purchases = ev.where(
-        (F.col("event_type") == "purchase") & (F.col("user_id") < 100)
-    ).select("user_id", F.col("event_id").alias("purchase_id"), "ts")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
-    )
-    pairs = temporal.interval_join(
-        purchases,
-        clicks,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        lower_s=-3600,
-        upper_s=0,
-        right_cols=["click_id"],
-    )
-    return pairs.groupBy("user_id", "purchase_id").agg(
-        F.count(F.lit(1)).alias("n_clicks"),
-        F.max("click_id").alias("last_click_id"),
-    )
-
-
-def q_events_pivot(spark, sf_dir):
-    """Pivot: per user-bucket event-type count matrix (explicit pivot
-    values so the output schema is static, as it must be at scale)."""
-    types = ["click", "view", "purchase", "signup", "error"]
-    ev = load(spark, sf_dir, "events")
-    pv = (
-        ev.withColumn("ub", (F.col("user_id") % 10).cast("int"))
-        .groupBy("ub")
-        .pivot("event_type", types)
-        .count()
-    )
-    return pv.select(
-        "ub",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
-    )
-
-
-def q_events_moving_avg(spark, sf_dir):
-    """Frame-bounded window: 3-row moving average of event value per
-    user (exact-decimal sum inside the frame, double division after —
-    the cross-engine determinism rule applied to window frames)."""
-    from pyspark.sql import Window
-
-    # NULL-ts rows are excluded: the engines disagree on default NULL
-    # sort placement, and a moving average over an unordered row is
-    # meaningless anyway
-    ev = load(spark, sf_dir, "events").where(
-        (F.col("user_id") < 30) & F.col("ts").isNotNull()
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, 0)
-    )
-    dec = F.col("value").cast("decimal(18,2)")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(
-            F.sum(dec).over(w).cast("double")
-            / F.count(F.lit(1)).over(w),
-            6,
-        ).alias("mov_avg"),
-    )
-
-
-def q_events_cube(spark, sf_dir):
-    """CUBE aggregate (all grouping-set combinations) — the multi-level
-    profile a curation pipeline reads in one pass."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ub", (F.col("user_id") % 5).cast("int")
-    )
-    return ev.cube("event_type", "ub").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
-    )
-
-
-def q_orders_running_total(spark, sf_dir):
-    """Cumulative window: per-customer running order total in date order
-    (exact decimal prefix sums -> identical doubles both engines)."""
-    from pyspark.sql import Window
-
-    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .alias("running_total"),
-    )
-
-
-def q_text_train_split(spark, sf_dir):
-    """Deterministic train/val/test assignment (hash split) — exact
-    cross-engine reproducibility is the whole point, so it is
-    oracle-checked value-for-value."""
-    docs = load(spark, sf_dir, "documents")
-    return text.deterministic_split(docs).select("doc_id", "split")
-
-
-def q_text_redact(spark, sf_dir):
-    """PII redaction parity: fingerprint of the redacted corpus must be
-    identical across engines (masking is erasure — it has to be
-    deterministic to be auditable)."""
-    docs = load(spark, sf_dir, "documents")
-    out = text.redact_pii(docs)
-    return out.select(
-        "doc_id",
-        F.md5(F.col("text_redacted")).alias("redacted_md5"),
-        (F.col("text_redacted") != F.col("text")).alias("was_redacted"),
-    )
-
-
-def q_text_length_percentiles(spark, sf_dir):
-    """Exact percentiles (linear interpolation) of document length per
-    language — distribution profiling for corpus curation."""
-    docs = load(spark, sf_dir, "documents")
-    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
-    return docs.groupBy("lang").agg(
-        F.round(pct[0], 6).alias("p50"),
-        F.round(pct[1], 6).alias("p90"),
-        F.round(pct[2], 6).alias("p99"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-
-
-def q_dedup_exact_groups(spark, sf_dir):
-    return dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
-
-
-def q_dedup_exact_survivors(spark, sf_dir):
-    return dedup.exact_dedup(load(spark, sf_dir, "documents")).select(
-        "doc_id", "n_chars"
-    )
-
-
-def q_text_token_count(spark, sf_dir):
-    return text.with_token_count(load(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", "n_tokens_bpe"
-    )
-
-
-def q_text_quality(spark, sf_dir):
-    return text.with_quality(load(spark, sf_dir, "documents")).select(
-        "doc_id", "mean_word_len", "punct_ratio", "stopword_ratio", "quality_score"
-    )
-
-
-def q_text_lang_id(spark, sf_dir):
-    return text.with_lang_id(load(spark, sf_dir, "documents")).select(
-        "doc_id", "lang_pred", "lang_score"
-    )
-
-
-def q_text_fingerprint(spark, sf_dir):
-    return text.with_fingerprint(load(spark, sf_dir, "documents")).select(
-        "doc_id", "fingerprint"
-    )
-
-
-def q_similarity_cosine(spark, sf_dir):
-    embs = load(spark, sf_dir, "embeddings")
-    qvec = embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return similarity.cosine_scores(embs, [float(v) for v in qvec])
-
-
-def q_dedup_minhash_survivors(spark, sf_dir):
-    return dedup.minhash_dedup(
-        load(spark, sf_dir, "documents"), threshold=0.5
-    ).select("doc_id")
-
-
-def q_dedup_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_near_duplicates(
-        load(spark, sf_dir, "documents"), max_hamming=3
-    )
-
-
-def q_dedup_ngram_pairs(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
-
-
-def q_text_repetition(spark, sf_dir):
-    return text.repetition_stats(load(spark, sf_dir, "documents"), n=2)
-
-
-def q_text_mixture(spark, sf_dir):
-    return text.mixture_sample(
-        load(spark, sf_dir, "documents"),
-        {"src0": 2.5, "src1": 1.0, "src2": 0.4},
-    ).select("doc_id", "source", "copy")
-
-
-def q_documents_source_rollup(spark, sf_dir):
-    """Per-source corpus health rollup — operator COMPOSITION: the
-    quality and token-count transforms feed one grouped aggregate, all
-    in a single scan (both operators are map-only expression
-    pipelines, so composing them adds zero stages)."""
-    docs = load(spark, sf_dir, "documents")
-    enriched = text.with_quality(text.with_token_count(docs))
-    return enriched.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
-        F.round(F.avg("n_chars_measured"), 2).alias("avg_chars"),
-    )
-
-
-def q_text_tfidf(spark, sf_dir):
-    return text.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
-
-
-def q_text_unigram_nll(spark, sf_dir):
-    return text.unigram_logprob(load(spark, sf_dir, "documents"))
-
-
-def q_text_ccnet_buckets(spark, sf_dir):
-    """The CCNet head/middle/tail split (Wenzek et al. 2020): rank the
-    corpus by LM score and cut at the tertiles. Thresholds are two
-    driver scalars from one exact-percentile aggregate (same pattern as
-    the histogram range); the labeling pass is map-only."""
-    # scored feeds BOTH the percentile collect and the labeling select —
-    # checkpoint so the heavy LM pipeline (explode + vocab agg +
-    # broadcast join) runs once, not once per consumer
-    scored = text.unigram_logprob(
-        load(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
-    p33, p66 = scored.agg(
-        F.percentile("nll", F.lit(1.0 / 3)),
-        F.percentile("nll", F.lit(2.0 / 3)),
-    ).collect()[0]
-    return scored.select(
-        "doc_id",
-        "nll",
-        F.when(F.col("nll") <= p33, "head")
-        .when(F.col("nll") <= p66, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    )
-
-
-def q_dedup_shared_ngrams(spark, sf_dir):
-    return dedup.shared_ngram_stats(load(spark, sf_dir, "documents"), n=8)
-
-
-def q_embedding_near_dups(spark, sf_dir):
-    embs = load(spark, sf_dir, "embeddings")
-    dim = len(embs.limit(1).collect()[0]["embedding"])
-    # the synthetic embeddings' closest pair sits ~0.51 cosine; 0.4 with
-    # coarse buckets exercises the candidate-gen + verify path end-to-end
-    return similarity.embedding_near_duplicates(embs, dim=dim, threshold=0.4, bits=4)
-
-
-def q_similarity_batch_topk(spark, sf_dir):
-    embs = load(spark, sf_dir, "embeddings")
-    queries = embs.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_embedding"),
-    )
-    return similarity.lsh_topk_batch(embs, queries, k=5, bits=4)
-
-
-def q_similarity_batch_topk_exact(spark, sf_dir):
-    embs = load(spark, sf_dir, "embeddings")
-    queries = embs.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_embedding"),
-    )
-    return similarity.cosine_topk_batch(embs, queries, k=5)
-
-
-def q_embedding_near_dups_exact(spark, sf_dir):
-    # the brute-force ground truth for the LSH variant above; DuckDB can
-    # express it exactly, so this one is oracle-checked
-    return similarity.exact_near_duplicate_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.4
-    )
-
-
-def q_similarity_quantize(spark, sf_dir):
-    """Int8 quantization parity: integer sums over the quantized vectors
-    are exact, so the driver hash-checks the quantizer bit-for-bit."""
-    embs = load(spark, sf_dir, "embeddings")
-    q = similarity.quantize_embeddings(embs)
-    qe = F.col("q_embedding")
-    return q.select(
-        "vec_id",
-        F.col("q_scale"),
-        F.aggregate(
-            qe, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
-        ).alias("q_sum"),
-        F.aggregate(
-            qe,
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v.cast("long") * v.cast("long"),
-        ).alias("q_l2"),
-    )
-
-
-def q_multimodal_features(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("application/octet-stream").alias("content_type"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
-    )
-    return multimodal.extract_features(media).select(
-        "media_id", "kind", "payload_sha256", "payload_bytes"
-    )
-
-
-def q_find_rows_nested(spark, sf_dir):
-    """Nested struct dot-path identifier (schema.resolve_column walk)."""
-    li = load(spark, sf_dir, "lineitem").select(
-        F.struct("l_orderkey", "l_partkey").alias("Info"),
-        "l_linenumber",
-    )
-    items = [QueueItem(match_id=k) for k in MATCH_ORDERKEYS]
-    groups = build_column_groups(li.schema, ["info.l_orderkey"], items)
-    rows = find_matching_rows(li, groups)
-    return rows.select(
-        F.col("Info.l_orderkey").alias("l_orderkey"), "l_linenumber"
-    )
-
-
-DECIMAL_QTY_MATCHES = ["1.00", "2.00", "3.00"]
-
-
-def q_find_rows_decimal(spark, sf_dir):
-    """Decimal identifier column with exact scale-aware match equality."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
-    )
-    items = [QueueItem(match_id=v) for v in DECIMAL_QTY_MATCHES]
-    groups = build_column_groups(li.schema, ["qty_dec"], items)
-    return find_matching_rows(li, groups).select(
-        "l_orderkey", "l_linenumber", "qty_dec"
-    )
-
-
-JSON_FORGET_KEYS = [1, 5, 9, 14, 20]
-
-
-def q_forget_survivors_json(spark, sf_dir):
-    """End-to-end deletion job over a JSON-Lines lake (raw-line rewrite).
-
-    Materializes nation as JSONL in a tempdir, runs the full Find+Forget
-    job through the JSON per-file rewrite path, and returns the
-    surviving rows read back from the rewritten lake.
-    """
-    import shutil
-    import tempfile
-
-    from .data_mappers import DataMapper
-    from .jobs import run_job
-
-    nation = load(spark, sf_dir, "nation")
-    workdir = tempfile.mkdtemp(prefix="s3f2-jsonlake-")
-    lake = f"{workdir}/nation"
-    try:
-        nation.coalesce(2).write.json(lake)
-        mapper = DataMapper("nation", lake, ["n_nationkey"], format="json")
-        items = [QueueItem(match_id=k) for k in JSON_FORGET_KEYS]
-        result = run_job(spark, [mapper], items)
-        assert result.status == "COMPLETED", result.events
-        survivors = spark.read.json(lake).select(
-            F.col("n_nationkey").cast("long"),
-            "n_name",
-            F.col("n_regionkey").cast("long"),
-        )
-        survivors = spark.createDataFrame(
-            survivors.collect(), survivors.schema
-        )
-        return survivors
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-
-
-# inside the event_id range at every driver scale factor (max 999 at sf0.001)
-EVENTS_PAGE_WATERMARK = "000000000000500#e"
-
-
-def q_events_watermark_page(spark, sf_dir):
-    """W1: event-time ordered page forward from a Sk watermark."""
-    from .jobs import list_events
-
-    ev = load(spark, sf_dir, "events")
-    shaped = ev.select(
-        (F.col("user_id") % 5).cast("string").alias("Id"),
-        F.concat(
-            F.lpad(F.col("event_id").cast("string"), 15, "0"), F.lit("#e")
-        ).alias("Sk"),
-        F.col("event_type").alias("EventName"),
-    )
-    return list_events(
-        shaped, job_id="3", watermark=EVENTS_PAGE_WATERMARK, page_size=50
-    )
-
-
-def q_jobs_top_k(spark, sf_dir):
-    """O1: newest-first top-K job listing (deterministic CreatedAt key)."""
-    from .jobs import list_jobs
-
-    ev = load(spark, sf_dir, "events")
-    jobs = ev.groupBy((F.col("user_id") % 100).cast("string").alias("Id")).agg(
-        F.max("event_id").alias("CreatedAt")
-    )
-    return list_jobs(jobs, page_size=10)
-
-
-def q_similarity_topk(spark, sf_dir):
-    embs = load(spark, sf_dir, "embeddings")
-    qvec = embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    scores = similarity.cosine_scores(embs, [float(v) for v in qvec])
-    return scores.orderBy(F.desc("cosine"), F.col("vec_id")).limit(25)
-
-
-def q_similarity_ivf_topk(spark, sf_dir):
-    """IVF scale path: coarse quantizer + nprobe cell scan (approximate)."""
-    embs = load(spark, sf_dir, "embeddings")
-    qvec = [float(v) for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=2000)
-    return similarity.ivf_topk(embs, qvec, cent, k=10, nprobe=4)
-
-
-def q_similarity_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH scale path with hamming-1 multiprobe (approximate)."""
-    embs = load(spark, sf_dir, "embeddings")
-    qvec = [float(v) for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.lsh_topk(embs, qvec, k=10, bits=6)
-
-
-def q_multimodal_frame_sample(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("video/mp4").alias("content_type"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
-    ).where(F.col("media_id") < 50)
-    return multimodal.frame_sample(media, every_ms=1000)
-
-
-def q_text_chunks(spark, sf_dir):
-    """Overlapping token-window chunking (32-token windows, 8 overlap),
-    value-checked chunk-for-chunk against the SQL oracle."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return text.chunk_documents(docs, max_tokens=32, overlap=8)
-
-
-def q_text_pack(spark, sf_dir):
-    """Per-language context-window packing at a 256-token budget."""
-    docs = load(spark, sf_dir, "documents")
-    with_counts = docs.withColumn(
-        "n_tokens", F.size(text.tokens(F.col("text")))
-    )
-    return text.pack_sequences(with_counts, budget=256, group_col="lang")
-
-
-def q_text_contamination(spark, sf_dir):
-    """Benchmark-overlap decontamination screen: docs sharing any word
-    3-gram with the pseudo-benchmark (every 50th doc) are flagged."""
-    docs = load(spark, sf_dir, "documents")
-    benchmark = docs.where(F.col("doc_id") % 50 == 0)
-    return text.contamination_screen(docs, benchmark, n=3)
-
-
-def q_text_stratified_sample(spark, sf_dir):
-    """Deterministic 20% stratified sample per language (hash-ranked,
-    exact per-stratum counts)."""
-    docs = load(spark, sf_dir, "documents")
-    return text.stratified_sample(docs, 0.2, strata_col="lang").select(
-        "doc_id", "lang"
-    )
-
-
-def q_text_balanced_sample(spark, sf_dir):
-    """Fixed-count class rebalancing: every language capped at 40 docs
-    by deterministic hash rank (smaller classes keep all rows)."""
-    docs = load(spark, sf_dir, "documents")
-    return text.balanced_sample(docs, 40, strata_col="lang").select(
-        "doc_id", "lang"
-    )
-
-
-def q_events_window_variants(spark, sf_dir):
-    """The remaining common window shapes in one pass: lead (next-event
-    gap), ntile (value quartile) and percent_rank — per user, bounded
-    user set, NULL-ts rows excluded (nullable order keys sort to
-    opposite ends on the two engines)."""
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events").where(
-        (F.col("user_id") < 25)
-        & F.col("ts").isNotNull()
-        & F.col("value").isNotNull()
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wv = Window.partitionBy("user_id").orderBy(
-        F.col("value").cast("decimal(18,2)"), F.col("event_id")
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        (
-            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
-        ).alias("secs_to_next"),
-        F.ntile(4).over(wv).cast("long").alias("value_quartile"),
-        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
-    )
-
-
-def q_events_distinct_sketch(spark, sf_dir):
-    """HyperLogLog++ distinct counting vs exact, per event type.
-
-    At 100 TB an exact COUNT(DISTINCT) is a full shuffle of the key;
-    the HLL sketch is a map-side-combinable fixed-size aggregate — the
-    standard trade. The driver hashes the EXACT count (both engines
-    compute it) plus the deterministic claim that the sketch lands
-    within its configured 2% relative standard deviation x4.
-    """
-    ev = load(spark, sf_dir, "events")
-    out = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("_n_hll"),
-    )
-    return out.select(
-        "event_type",
-        "n_exact",
-        (
-            F.abs(F.col("_n_hll") - F.col("n_exact"))
-            <= F.greatest(F.col("n_exact") * 0.08, F.lit(2.0))
-        ).alias("hll_ok"),
-    )
-
-
-def q_events_heavy_hitters(spark, sf_dir):
-    """Count-Min frequency sketch vs exact per-key counts (gate check).
-
-    One mergeable fixed-space sketch aggregate over the stream; the
-    driver hashes the exact counts (both engines compute them) plus the
-    structural CMS claim — never undercounts, overcounts by <= eps*N
-    (operators/sketches.py; the candidate set here is tiny vs the
-    sketch width e/eps, so the bound holds essentially surely)."""
-    from .operators import sketches
-
-    ev = load(spark, sf_dir, "events")
-    return sketches.count_min_check(
-        ev, "event_type", eps=0.0001, confidence=0.99, seed=42
-    )
-
-
-def q_orders_quantile_sketch(spark, sf_dir):
-    """Approximate quantile sketch vs exact percentiles of order totals.
-
-    ``approx_percentile`` (a mergeable quantile summary) against the
-    exact interpolated percentile both engines compute; the claim is a
-    1% relative-error bound at the configured accuracy.
-    """
-    orders = load(spark, sf_dir, "orders")
-    out = orders.agg(
-        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("_ex"),
-        F.expr(
-            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("_ap"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-    checks = F.zip_with(
-        "_ex",
-        "_ap",
-        lambda e, a: F.abs(a - e) <= F.abs(e) * 0.01,
-    )
-    return out.select(
-        "n_orders",
-        F.round(F.element_at("_ex", 1), 4).alias("p50"),
-        F.round(F.element_at("_ex", 2), 4).alias("p90"),
-        F.round(F.element_at("_ex", 3), 4).alias("p99"),
-        F.forall(checks, lambda ok: ok).alias("sketch_ok"),
-    )
-
-
-# --- approximate-operator quality gates ------------------------------------
-#
-# The LSH/IVF operators are APPROXIMATE: their row sets depend on seeded
-# hyperplanes / permutations DuckDB cannot replicate, so value-for-value
-# oracles are impossible by construction. What IS deterministic — and
-# therefore driver-hashable — is the quality claim: each gate query below
-# computes the operator's recall (or completeness) against the exact
-# baseline COMPUTED IN THE SAME PLAN, and returns a single summary row
-# whose oracle is the claim itself plus an engine-checkable input count.
-# The exact baselines are independently value-checked by their own green
-# rows (dedup_ngram_pairs, embedding_near_dups_exact,
-# similarity_batch_topk_exact, similarity_topk). Thresholds carry wide
-# noise margins so they hold under testdata regeneration, not just the
-# current seed.
-
-def _summary_row(spark, **cols):
-    """One-row DataFrame of named long/boolean columns (dict order)."""
-    from pyspark.sql import types as T
-
-    fields = [
-        T.StructField(
-            k, T.BooleanType() if isinstance(v, bool) else T.LongType()
-        )
-        for k, v in cols.items()
-    ]
-    return spark.createDataFrame([tuple(cols.values())], T.StructType(fields))
-
-
-def q_dedup_minhash_recall(spark, sf_dir):
-    """MinHash-LSH dedup quality vs exact shingle Jaccard (gate check).
-
-    recall_ok: >=90% of docs that exactly duplicate a smaller id at
-    J >= 0.65 are dropped by the LSH path (0.15 above the operator's
-    0.5 cutoff — 2.4 sigma of the 64-perm estimator, so the claim is
-    stable under any data seed). precision_ok: every LSH-dropped doc has
-    SOME exact partner at J >= 0.3 (same margin below the cutoff). The
-    exact baseline is an all-pairs shingle intersection — quadratic, so
-    the evaluation corpus is SAMPLE-BOUNDED (first 1000 ids: the whole
-    corpus at gate scale, a fixed-cost sample at any larger one — the
-    standard way ground truth is measured for LSH at scale).
-    """
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    n_docs = docs.count()
-    survivors = dedup.minhash_dedup(docs, threshold=0.5).select("doc_id")
-    dropped = docs.select("doc_id").join(survivors, "doc_id", "left_anti")
-    sh = dedup._with_shingles(docs, "text", 5).select(
-        F.col("doc_id").alias("_id"), "_shingles"
-    )
-    a = sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sa"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = F.size(F.array_union("_sa", "_sb")).cast("double")
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (inter / union).alias("j"))
-        .where(F.col("j") >= 0.3)
-        .persist()
-    )
-    try:
-        exact_hi = (
-            pairs.where(F.col("j") >= 0.65)
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
-        )
-        near_any = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        n_hi = exact_hi.count()
-        n_hit = exact_hi.join(dropped, "doc_id", "left_semi").count()
-        n_dropped = dropped.count()
-        n_prec = dropped.join(near_any, "doc_id", "left_semi").count()
-    finally:
-        pairs.unpersist()
-    return _summary_row(
-        spark,
-        n_docs=n_docs,
-        recall_ok=(n_hi == 0 or n_hit / n_hi >= 0.9),
-        precision_ok=(n_prec == n_dropped),
-    )
-
-
-def q_dedup_simhash_complete(spark, sf_dir):
-    """SimHash block-LSH completeness (gate check).
-
-    The Manku block-combination keying is COMPLETE for pairs within the
-    Hamming budget and every candidate is verified with the exact
-    bit_count — so the LSH pair set must EQUAL the brute-force pair set
-    over the same simhash values. Set equality, not a threshold; the
-    brute-force side is quadratic, so the corpus is sample-bounded
-    (first 2000 ids — the whole corpus at gate scale).
-    """
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
-    n_docs = docs.count()
-    lsh = dedup.simhash_near_duplicates(docs, max_hamming=3).select(
-        "id_a", "id_b"
-    )
-    sh = dedup.with_simhash(docs).select(
-        F.col("doc_id").alias("_id"), "simhash"
-    )
-    a = sh.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_ha"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_hb"))
-    brute = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= 3
-        )
-        .select("id_a", "id_b")
-    )
-    missing = brute.exceptAll(lsh).count()
-    spurious = lsh.exceptAll(brute).count()
-    return _summary_row(
-        spark, n_docs=n_docs, complete_ok=(missing == 0 and spurious == 0)
-    )
-
-
-def _topk_quality(approx_df, exact_df, all_scores_df, id_col="vec_id"):
-    """(recall, scores_match) of an approximate top-k vs the exact one.
-
-    ``scores_match`` is the DETERMINISTIC half of the check: every
-    approximate hit's cosine must EQUAL the brute-force cosine for that
-    id (round-6 on both sides) — the pruned plan and the map-only plan
-    must score identically. Recall is the statistical half; gate
-    thresholds sit at ~2x margin under the measured value on the
-    synthetic distribution, so they hold across data regenerations.
-    """
-    appr = {r[id_col]: r["cosine"] for r in approx_df.collect()}
-    exact_ids = [r[id_col] for r in exact_df.collect()]
-    truth = {
-        r[id_col]: r["cosine"]
-        for r in all_scores_df.where(
-            F.col(id_col).isin(list(appr))
-        ).collect()
-    }
-    recall = len(set(appr).intersection(exact_ids)) / max(len(exact_ids), 1)
-    scores_match = all(truth.get(i) == c for i, c in appr.items())
-    return recall, scores_match
-
-
-def q_similarity_lsh_recall(spark, sf_dir):
-    """Hyperplane-LSH top-k quality vs the exact scan (gate check).
-
-    Single-table 6-bit LSH with hamming-1 multiprobe scans ~11% of a
-    near-uniform synthetic corpus, so its measured recall@10 is ~0.2 —
-    the gate floor is 0.1 (sanity, 2x margin); the exact-score equality
-    of every returned hit is the deterministic half of the check.
-    """
-    embs = load(spark, sf_dir, "embeddings")
-    n_vecs = embs.count()
-    qvec = [
-        float(v)
-        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    ]
-    appr = similarity.lsh_topk(embs, qvec, k=10, bits=6)
-    exact = similarity.cosine_topk(embs, qvec, k=10)
-    recall, scores_match = _topk_quality(
-        appr, exact, similarity.cosine_scores(embs, qvec)
-    )
-    return _summary_row(
-        spark,
-        n_vecs=n_vecs,
-        recall_ok=(recall >= 0.1),
-        scores_ok=scores_match,
-    )
-
-
-def q_similarity_ivf_recall(spark, sf_dir):
-    """IVF top-k quality vs the exact scan (gate check).
-
-    nprobe=4 of 16 cells measures recall@10 ~0.7 on the synthetic
-    corpus; floor 0.4 (2x margin) + exact score equality per hit.
-    """
-    embs = load(spark, sf_dir, "embeddings")
-    n_vecs = embs.count()
-    qvec = [
-        float(v)
-        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    ]
-    cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=2000)
-    appr = similarity.ivf_topk(embs, qvec, cent, k=10, nprobe=4)
-    exact = similarity.cosine_topk(embs, qvec, k=10)
-    recall, scores_match = _topk_quality(
-        appr, exact, similarity.cosine_scores(embs, qvec)
-    )
-    return _summary_row(
-        spark,
-        n_vecs=n_vecs,
-        recall_ok=(recall >= 0.4),
-        scores_ok=scores_match,
-    )
-
-
-def q_similarity_pq_recall(spark, sf_dir):
-    """Product-quantization ADC top-k quality vs the exact scan.
-
-    m=8 subspaces x 16 centroids, ADC shortlist=50 of ~500 vectors,
-    exact-cosine rerank: measured recall@10 ~0.8 on the synthetic
-    corpus; floor 0.4 (2x margin). The rerank recomputes true cosine on
-    the shortlist, so every returned score must EQUAL the brute-force
-    score (deterministic half of the check).
-    """
-    embs = load(spark, sf_dir, "embeddings")
-    n_vecs = embs.count()
-    qvec = [
-        float(v)
-        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    ]
-    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
-    appr = similarity.pq_topk(embs, qvec, cb, k=10, shortlist=50)
-    exact = similarity.cosine_topk(embs, qvec, k=10)
-    recall, scores_match = _topk_quality(
-        appr, exact, similarity.cosine_scores(embs, qvec)
-    )
-    return _summary_row(
-        spark,
-        n_vecs=n_vecs,
-        recall_ok=(recall >= 0.4),
-        scores_ok=scores_match,
-    )
-
-
-def q_similarity_pq_topk(spark, sf_dir):
-    embs = load(spark, sf_dir, "embeddings")
-    qvec = [
-        float(v)
-        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    ]
-    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
-    return similarity.pq_topk(embs, qvec, cb, k=10, shortlist=50)
-
-
-def q_similarity_ivfpq_recall(spark, sf_dir):
-    """IVF+PQ composed search quality vs the exact scan.
-
-    nprobe=8 of 16 cells + ADC shortlist=50 + exact rerank: measured
-    recall@10 ~0.7 on the synthetic corpus; floor 0.3 (2x margin), and
-    per-hit scores must equal brute force (rerank determinism).
-    """
-    embs = load(spark, sf_dir, "embeddings")
-    n_vecs = embs.count()
-    qvec = [
-        float(v)
-        for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    ]
-    cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=2000)
-    cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
-    appr = similarity.ivfpq_topk(
-        embs, qvec, cent, cb, k=10, nprobe=8, shortlist=50
-    )
-    exact = similarity.cosine_topk(embs, qvec, k=10)
-    recall, scores_match = _topk_quality(
-        appr, exact, similarity.cosine_scores(embs, qvec)
-    )
-    return _summary_row(
-        spark,
-        n_vecs=n_vecs,
-        recall_ok=(recall >= 0.3),
-        scores_ok=scores_match,
-    )
-
-
-def q_similarity_batch_recall(spark, sf_dir):
-    """Batched LSH top-k mean recall@5 vs the exact batch (gate check)."""
-    embs = load(spark, sf_dir, "embeddings")
-    n_vecs = embs.count()
-    queries = embs.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_embedding"),
-    )
-    appr = similarity.lsh_topk_batch(embs, queries, k=5, bits=4).select(
-        "query_id", "vec_id"
-    )
-    exact = similarity.cosine_topk_batch(embs, queries, k=5).select(
-        "query_id", "vec_id"
-    )
-    n_exact = exact.count()
-    n_hit = exact.join(appr, ["query_id", "vec_id"], "left_semi").count()
-    # measured mean recall ~0.64 on the synthetic corpus; floor 0.3
-    return _summary_row(
-        spark,
-        n_vecs=n_vecs,
-        recall_ok=(n_exact == 0 or n_hit / n_exact >= 0.3),
-    )
-
-
-def q_embedding_near_dups_recall(spark, sf_dir):
-    """Embedding near-dup LSH quality vs the exact cross join (gate check).
-
-    precision_ok is exact set containment (every candidate is verified
-    with the true cosine, so LSH pairs must be a subset of the exact
-    pairs — deterministic); recall_ok is >=50% of the exact pairs
-    surfaced (measured ~0.75 on the synthetic corpus, 1.5x margin).
-    The exact side is quadratic, so the corpus is sample-bounded
-    (first 1000 ids — the whole corpus at gate scale).
-    """
-    embs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
-    n_vecs = embs.count()
-    dim = len(embs.limit(1).collect()[0]["embedding"])
-    lshp = similarity.embedding_near_duplicates(
-        embs, dim=dim, threshold=0.4, bits=4
-    ).select("id_a", "id_b")
-    exact = similarity.exact_near_duplicate_pairs(embs, threshold=0.4).select(
-        "id_a", "id_b"
-    )
-    n_exact = exact.count()
-    n_hit = exact.join(lshp, ["id_a", "id_b"], "left_semi").count()
-    spurious = lshp.exceptAll(exact).count()
-    return _summary_row(
-        spark,
-        n_vecs=n_vecs,
-        precision_ok=(spurious == 0),
-        recall_ok=(n_exact == 0 or n_hit / n_exact >= 0.5),
-    )
-
-
-# --- the catalog ----------------------------------------------------------
-
-# ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-# entries only. Every operator family must land inside that window.
-# The window is ROTATED between rounds so no oracled query is a
-# permanent blind spot: rows proven green by the driver in a prior
-# round can yield their slot to tail queries the driver has never
-# hashed. Round-5 rotation (all 50 r4 rows were green): demoted ten
-# redundant shapes (three find_rows_* variants — the simple shape and
-# forget_survivors_composite keep the family covered; five text_* rows
-# of the eleven; one of the two running-window shapes; the exact-dedup
-# groups row whose survivors row covers the operator) and promoted
-# tpch_q7/q8/q13/q18/q22, events_cube/pivot/window_variants, and both
-# sketch aggregates. Round-5 delta: promoted the two newest operators
-# (semantic_dedup_complete, dedup_components — added after the r4
-# rotation, never driver-hashed) by demoting similarity_batch_topk_exact
-# (batch family stays covered by similarity_batch_recall +
-# similarity_topk) and events_rollup (grouping-set family stays covered
-# by events_cube); promoted the two round-5 operators (text_repetition,
-# dedup_shared_ngrams) by demoting events_topn_per_user (rank-window
-# family stays covered by events_window_variants) and
-# orders_running_total (running-window family stays covered by
-# events_window_variants + the tail's events_moving_avg) — both
-# r4-proven green; promoted the new similarity_pq_recall (product
-# quantization) by demoting embedding_near_dups_exact (near-dup family
-# stays covered by embedding_near_dups_recall); promoted the new
-# text_tfidf and text_unigram_nll by demoting the r4-proven
-# text_length_percentiles and events_interval_counts (as-of interval
-# family stays covered by events_asof_attribution); promoted the new
-# events_funnel / events_retention / events_variant_extract /
-# text_mixture by demoting the r4-proven tpch_q9 (seven TPC-H shapes
-# remain gated), events_hourly (events-agg family covered by
-# cube/pivot/sessions), text_token_count (counting exercised inside
-# tfidf/unigram; quality row stays), and similarity_topk (exact scoring
-# covered by similarity_cosine + every recall row's in-plan baseline).
-# job_stats_fold, events_sessions, events_json_extract stay gated: they
-# are the r4 hash-fail rows whose oracle-cast fix the driver must prove.
-# Round-6 rotation (all 50 r5 rows were green): promoted the SIXTEEN
-# oracled rows the driver had never hashed — the round-5 tail
-# (events_funnel_timing/by_segment, events_retention_by_segment,
-# orders_cohort_revenue, lineitem_basket_pairs, lineitem_quality_checks,
-# orders_rfm, text_ccnet_buckets, events_value_histogram,
-# similarity_ivfpq_recall, documents_source_rollup) and the five
-# never-gated TPC-H shapes (q2/q11/q12/q20/q21) — by demoting sixteen
-# r5-driver-proven rows (tpch_q7/q8/q13/q18/q22, events_cube/pivot/
-# window_variants, both sketch rows, text_contamination/
-# stratified_sample/repetition/mixture, dedup_ngram_pairs/
-# shared_ngrams). After a green round 6, every one of the 96 oracled
-# rows has been driver-hashed at least once.
-# Round-7 rotation (all 50 r6 rows were green; every oracled row now
-# driver-proven, so slots go to re-proving this round's code changes
-# and driver-proving this round's NEW rows):
-# promoted text_chunks (chunk_id/chunk_tokens recast to long this round
-# — the exact int32-vs-int64 drift class that hash-failed r4) by
-# demoting the r6-proven tpch_q11 (TPC-H family stays covered by
-# q1/q2/q3/q12/q20/q21); promoted the new events_heavy_hitters
-# (Count-Min gate row) by demoting the r4/r6-proven similarity_quantize
-# (int8 quantization exercised inside both PQ recall rows); promoted
-# the new text_balanced_sample by demoting the r6-proven
-# events_variant_extract (JSON-variant family covered by
-# events_json_extract). forget_survivors_simple/composite (vectorized
-# Arrow mask) and orders_rfm (persist swap) were already gated and stay.
-# Round-8 rotation (all 50 r7 rows were green): the big re-prove sweep —
-# 38 promotions. Priority 1, rows whose operators round 8 TOUCHED:
-# text_stratified_sample (de-skewed two-phase sampling),
-# dedup_ngram_pairs / dedup_shared_ngrams (forced shuffle join for the
-# O(vocabulary) gram relation; dedup_components stays gated for the same
-# change). Priority 2, the longest-unproven tail (last driver-hashed
-# r4-r6): all eleven never-recently-gated TPC-H shapes (q4-q10, q13-q19,
-# q22), the grouping-set/window family (events_cube/rollup/pivot/
-# moving_avg/window_variants/hourly/topn_per_user/interval_counts,
-# orders_running_total), both sketch rows, find_rows_composite/nested/
-# decimal, dedup_exact_groups, and the text curation rows
-# (contamination/repetition/mixture/token_count/length_percentiles).
-# Demoted to make room: 33 r7-proven rows whose families stay covered
-# (TPC-H q1/q2/q3/q12/q20/q21 by the eleven promoted shapes; the
-# events funnel/retention/session family by its r7 proof; text_tfidf/
-# unigram_nll/ccnet/quality/lang_id by their r7 proof; four similarity
-# recall rows by similarity_ivfpq_recall — which transitively exercises
-# IVF cells, PQ codebooks and the exact in-plan baseline — plus
-# semantic_dedup_complete and embedding_near_dups_recall staying;
-# dedup_simhash_complete by its r7 proof; both multimodal rows by their
-# r7 proof). Kept: the find/forget core five, the r8-touched rows
-# (events_heavy_hitters, text_balanced_sample, dedup_components), and
-# one quality gate per approx family (minhash, semantic, near-dup,
-# ivfpq).
-QUERIES = {
-    "find_rows_simple": q_find_rows_simple,
-    "find_files_simple": q_find_files_simple,
-    "forget_survivors_simple": q_forget_survivors_simple,
-    "forget_survivors_composite": q_forget_survivors_composite,
-    "forget_survivors_json": q_forget_survivors_json,
-    "events_heavy_hitters": q_events_heavy_hitters,
-    "dedup_minhash_recall": q_dedup_minhash_recall,
-    "semantic_dedup_complete": q_semantic_dedup_complete,
-    "dedup_components": q_dedup_components,
-    "embedding_near_dups_recall": q_embedding_near_dups_recall,
-    "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
-    "text_balanced_sample": q_text_balanced_sample,
-    "text_stratified_sample": q_text_stratified_sample,
-    "dedup_ngram_pairs": q_dedup_ngram_pairs,
-    "dedup_shared_ngrams": q_dedup_shared_ngrams,
-    "find_rows_composite": q_find_rows_composite,
-    "find_rows_nested": q_find_rows_nested,
-    "find_rows_decimal": q_find_rows_decimal,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q22": q_tpch_q22,
-    "events_cube": q_events_cube,
-    "events_rollup": q_events_rollup,
-    "events_pivot": q_events_pivot,
-    "events_moving_avg": q_events_moving_avg,
-    "events_window_variants": q_events_window_variants,
-    "events_hourly": q_events_hourly,
-    "events_distinct_sketch": q_events_distinct_sketch,
-    "orders_quantile_sketch": q_orders_quantile_sketch,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "text_contamination": q_text_contamination,
-    "text_repetition": q_text_repetition,
-    "text_mixture": q_text_mixture,
-    "text_token_count": q_text_token_count,
-    "text_length_percentiles": q_text_length_percentiles,
-    "events_topn_per_user": q_events_topn_per_user,
-    "orders_running_total": q_orders_running_total,
-    "events_interval_counts": q_events_interval_counts,
-    # --- past the 50-row gate: rows driver-proven on recent
-    # rounds (demoted by the round-8 rotation above) and the raw
-    # approximate queries (seed-dependent row sets; quality is
-    # gate-checked by the *_recall / *_complete rows); still
-    # runnable via queries() for full coverage ---
-    "events_watermark_page": q_events_watermark_page,
-    "jobs_top_k": q_jobs_top_k,
-    "job_stats_fold": q_job_stats_fold,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q2": q_tpch_q2,
-    "text_chunks": q_text_chunks,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "events_sessions": q_events_sessions,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "events_funnel_timing": q_events_funnel_timing,
-    "events_funnel_by_segment": q_events_funnel_by_segment,
-    "events_retention_by_segment": q_events_retention_by_segment,
-    "events_json_extract": q_events_json_extract,
-    "events_asof_attribution": q_events_asof_attribution,
-    "events_value_histogram": q_events_value_histogram,
-    "orders_cohort_revenue": q_orders_cohort_revenue,
-    "orders_rfm": q_orders_rfm,
-    "lineitem_basket_pairs": q_lineitem_basket_pairs,
-    "lineitem_quality_checks": q_lineitem_quality_checks,
-    "text_tfidf": q_text_tfidf,
-    "text_unigram_nll": q_text_unigram_nll,
-    "text_ccnet_buckets": q_text_ccnet_buckets,
-    "documents_source_rollup": q_documents_source_rollup,
-    "dedup_exact_survivors": q_dedup_exact_survivors,
-    "dedup_simhash_complete": q_dedup_simhash_complete,
-    "text_quality": q_text_quality,
-    "text_lang_id": q_text_lang_id,
-    "similarity_cosine": q_similarity_cosine,
-    "similarity_ivf_recall": q_similarity_ivf_recall,
-    "similarity_lsh_recall": q_similarity_lsh_recall,
-    "similarity_batch_recall": q_similarity_batch_recall,
-    "similarity_pq_recall": q_similarity_pq_recall,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "events_variant_extract": q_events_variant_extract,
-    "similarity_quantize": q_similarity_quantize,
-    "similarity_topk": q_similarity_topk,
-    "similarity_batch_topk_exact": q_similarity_batch_topk_exact,
-    "embedding_near_dups_exact": q_embedding_near_dups_exact,
-    "similarity_pq_topk": q_similarity_pq_topk,
-    "text_train_split": q_text_train_split,
-    "text_redact": q_text_redact,
-    "tpch_q11": q_tpch_q11,
-    "text_pack": q_text_pack,
-    "text_fingerprint": q_text_fingerprint,
-    "dedup_minhash_survivors": q_dedup_minhash_survivors,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "similarity_ivf_topk": q_similarity_ivf_topk,
-    "similarity_lsh_topk": q_similarity_lsh_topk,
-    "similarity_batch_topk": q_similarity_batch_topk,
-    "embedding_near_dups": q_embedding_near_dups,
-}
-
-
-def _floatsafe(fn):
-    def wrapped(spark, sf_dir):
-        return _dec2dbl(fn(spark, sf_dir))
-
-    wrapped.__name__ = fn.__name__
-    wrapped.__doc__ = fn.__doc__
-    return wrapped
-
-
-# every catalog entry goes through the decimal->double final projection so
-# no DecimalType ever reaches the driver's hasher (see _dec2dbl)
-QUERIES = {name: _floatsafe(fn) for name, fn in QUERIES.items()}
-
-_IN_ORDERKEYS = ", ".join(str(k) for k in MATCH_ORDERKEYS)
-_COMPOSITE_PRED = " OR ".join(
-    f"(o_orderstatus = '{s}' AND o_orderpriority = '{p}')"
-    for s, p in COMPOSITE_ORDER_MATCH
+from .catalog import (  # noqa: F401
+    MATCH_ORDERKEYS,
+    ORACLES,
+    QUERIES,
+    TABLES,
+    load,
 )
-
-_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
-
-_LANG_SCORES = {
-    lang: (
-        f"len(list_intersect({_TOKENS}, "
-        f"[{', '.join(repr(w) for w in text.LANG_MARKERS[lang])}]))"
-    )
-    for lang in text.LANG_MARKERS
-}
-
-# chained redaction built from the SAME pattern table the operator uses
-# (DuckDB needs the explicit 'g' flag; Spark replaces globally by default)
-_REDACT_EXPR = "text"
-for _pat, _repl in text.PII_PATTERNS:
-    _REDACT_EXPR = f"regexp_replace({_REDACT_EXPR}, '{_pat}', '{_repl}', 'g')"
-
-ORACLES = {
-    "find_rows_simple": f"""
-        SELECT l_orderkey, l_linenumber FROM lineitem
-        WHERE l_orderkey IN ({_IN_ORDERKEYS})
-    """,
-    "find_rows_composite": f"""
-        SELECT o_orderkey FROM orders WHERE {_COMPOSITE_PRED}
-    """,
-    "find_rows_nested": f"""
-        SELECT l_orderkey, l_linenumber FROM lineitem
-        WHERE l_orderkey IN ({_IN_ORDERKEYS})
-    """,
-    "find_files_simple": f"""
-        SELECT DISTINCT 'lineitem.parquet' AS file_name
-        FROM lineitem WHERE l_orderkey IN ({_IN_ORDERKEYS})
-    """,
-    "multimodal_features": """
-        SELECT doc_id AS media_id,
-               list_extract(['image', 'audio', 'video'],
-                            CAST(doc_id % 3 AS INT) + 1) AS kind,
-               sha256(text) AS payload_sha256,
-               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
-        FROM documents
-    """,
-    "multimodal_frame_sample": """
-        -- frame digest = sha256(payload || frame_idx as 4 LE bytes);
-        -- frame_idx < 128 here (max doc 540 chars -> 5 frames), so the
-        -- ASCII chr() bytes equal the little-endian encoding
-        WITH m AS (
-          SELECT doc_id, text, CAST(n_chars * 10 AS BIGINT) AS duration_ms
-          FROM documents WHERE doc_id < 50
-        ), frames AS (
-          SELECT doc_id, text,
-                 unnest(generate_series(0, duration_ms // 1000 - 1)) AS f
-          FROM m WHERE duration_ms >= 1000
-        )
-        SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
-               CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
-               sha256(text || chr(CAST(f AS INT))
-                      || chr(0) || chr(0) || chr(0)) AS frame_sha256
-        FROM frames
-    """,
-    "find_rows_decimal": """
-        SELECT l_orderkey, l_linenumber,
-               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec
-        FROM lineitem
-        WHERE CAST(l_quantity AS DECIMAL(12,2)) IN (1.00, 2.00, 3.00)
-    """,
-    "forget_survivors_json": f"""
-        -- BIGINT casts: the engine side reads a JSONL lake, where JSON
-        -- integers surface as int64; the parquet-backed oracle view is
-        -- int32 and must widen to hash identically
-        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-               CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
-        WHERE n_nationkey NOT IN ({", ".join(str(k) for k in JSON_FORGET_KEYS)})
-    """,
-    "events_watermark_page": f"""
-        SELECT CAST(user_id % 5 AS VARCHAR) AS Id,
-               lpad(CAST(event_id AS VARCHAR), 15, '0') || '#e' AS Sk,
-               event_type AS EventName
-        FROM events
-        WHERE user_id % 5 = 3
-          AND lpad(CAST(event_id AS VARCHAR), 15, '0') || '#e'
-              > '{EVENTS_PAGE_WATERMARK}'
-        ORDER BY Sk LIMIT 50
-    """,
-    "jobs_top_k": """
-        SELECT CAST(user_id % 100 AS VARCHAR) AS Id,
-               max(event_id) AS CreatedAt
-        FROM events GROUP BY 1
-        ORDER BY CreatedAt DESC LIMIT 10
-    """,
-    "similarity_topk": """
-        WITH s AS (
-          SELECT e.vec_id,
-                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS dp,
-                 sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                       CAST(e.embedding AS DOUBLE[])))
-                   * sqrt(list_dot_product(q.qv, q.qv)) AS den
-          FROM embeddings e
-          CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                      FROM embeddings WHERE vec_id = 0) q
-        )
-        SELECT vec_id,
-               round(CASE WHEN den <> 0 THEN dp / den END, 6) AS cosine
-        FROM s ORDER BY cosine DESC, vec_id LIMIT 25
-    """,
-    "forget_survivors_simple": f"""
-        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
-        FROM lineitem WHERE l_orderkey NOT IN ({_IN_ORDERKEYS})
-        GROUP BY l_returnflag, l_linestatus
-    """,
-    "forget_survivors_composite": f"""
-        SELECT o_orderstatus, count(*) AS n_rows,
-               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_total
-        FROM orders WHERE NOT ({_COMPOSITE_PRED})
-        GROUP BY o_orderstatus
-    """,
-    "job_stats_fold": """
-        SELECT CAST(user_id % 10 AS VARCHAR) AS Id,
-          count(*) FILTER (WHERE event_type IN ('click','view')) AS TotalQueryCount,
-          count(*) FILTER (WHERE event_type = 'click') AS TotalQuerySucceededCount,
-          count(*) FILTER (WHERE event_type = 'view') AS TotalQueryFailedCount,
-          CAST(coalesce(sum(CAST(floor(value * 1000) AS BIGINT))
-              FILTER (WHERE event_type IN ('click','view')), 0)
-            AS BIGINT) AS TotalQueryScannedInBytes,
-          CAST(coalesce(sum(CAST(floor(value * 10) AS BIGINT))
-              FILTER (WHERE event_type IN ('click','view')), 0)
-            AS BIGINT) AS TotalQueryTimeInMillis,
-          count(*) FILTER (WHERE event_type = 'purchase') AS TotalObjectUpdatedCount,
-          count(*) FILTER (WHERE event_type = 'signup') AS TotalObjectUpdateSkippedCount,
-          count(*) FILTER (WHERE event_type IS NULL
-              OR event_type NOT IN ('click','view','purchase','signup'))
-            AS TotalObjectUpdateFailedCount,
-          CAST(0 AS BIGINT) AS TotalObjectRollbackFailedCount
-        FROM events GROUP BY user_id % 10
-    """,
-    "tpch_q1": """
-        SELECT l_returnflag, l_linestatus,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-               count(*) AS count_order,
-               round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_qty
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
-    """,
-    "tpch_q3": """
-        SELECT o_orderkey, o_orderdate,
-               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-03-15'
-          AND l_shipdate > TIMESTAMP '1998-03-15'
-        GROUP BY o_orderkey, o_orderdate
-        ORDER BY revenue DESC, o_orderkey
-        LIMIT 10
-    """,
-    "tpch_q5": """
-        SELECT n_name,
-               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
-        FROM region
-        JOIN nation ON r_regionkey = n_regionkey
-        JOIN customer ON n_nationkey = c_nationkey
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY n_name
-    """,
-    "tpch_q6": """
-        SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
-               count(*) AS n_rows
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-          AND l_discount >= 0.05 AND l_discount <= 0.07
-          AND l_quantity < 24
-    """,
-    "tpch_q7": """
-        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-               year(l_shipdate) AS l_year,
-               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation sn ON s_nationkey = sn.n_nationkey
-        JOIN nation cn ON c_nationkey = cn.n_nationkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1998-01-01'
-          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
-        GROUP BY 1, 2, 3
-    """,
-    "tpch_q8": """
-        SELECT year(o_orderdate) AS o_year,
-               round(
-                 CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
-                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE),
-               6) AS mkt_share
-        FROM part
-        JOIN lineitem ON p_partkey = l_partkey
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation cn ON c_nationkey = cn.n_nationkey
-        JOIN region ON cn.n_regionkey = r_regionkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation sn ON s_nationkey = sn.n_nationkey
-        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
-          AND o_orderdate >= TIMESTAMP '1995-01-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY 1
-    """,
-    "tpch_q9": """
-        SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
-        FROM part
-        JOIN lineitem ON p_partkey = l_partkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE p_name LIKE '%red%'
-        GROUP BY 1, 2
-    """,
-    "tpch_q15": """
-        WITH revenue AS (
-          SELECT l_suppkey,
-                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-            AND l_shipdate < TIMESTAMP '1996-04-01'
-          GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name,
-               CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
-        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-    "tpch_q16": """
-        SELECT p_brand, p_type, p_size,
-               count(DISTINCT l_suppkey) AS supplier_cnt
-        FROM part JOIN lineitem ON p_partkey = l_partkey
-        WHERE p_brand <> 'Brand#3'
-          AND p_type NOT LIKE 'PROMO%'
-          AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
-        GROUP BY p_brand, p_type, p_size
-    """,
-    "tpch_q17": """
-        WITH branded AS (
-          SELECT l_partkey, l_quantity, l_extendedprice
-          FROM part JOIN lineitem ON p_partkey = l_partkey
-          WHERE p_brand = 'Brand#3'
-        ), per_part AS (
-          SELECT l_partkey AS pk,
-                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                 count(*) AS n_li
-          FROM branded GROUP BY 1
-        )
-        SELECT round(
-                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0,
-               6) AS avg_yearly
-        FROM branded JOIN per_part ON l_partkey = pk
-        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty
-    """,
-    "tpch_q22": """
-        WITH cust AS (
-          SELECT c_custkey, c_acctbal,
-                 CAST(c_nationkey % 10 AS INT) AS cntrycode
-          FROM customer
-          WHERE c_nationkey % 10 IN (0, 3, 5, 7, 9)
-        ), pos AS (
-          SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
-                 count(*) AS n_bal
-          FROM cust WHERE c_acctbal > 0
-        )
-        SELECT cntrycode, count(*) AS numcust,
-               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
-        FROM cust CROSS JOIN pos
-        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
-          AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey
-                            AND o_orderdate >= TIMESTAMP '1999-01-01')
-        GROUP BY cntrycode
-    """,
-    "tpch_q4": """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-          AND o_orderdate < TIMESTAMP '1996-10-01'
-          AND EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey
-                        AND l_shipdate > o_orderdate)
-        GROUP BY o_orderpriority
-    """,
-    "tpch_q2": """
-        WITH euro AS (
-          SELECT s_suppkey, s_name, s_acctbal, n_name
-          FROM supplier
-          JOIN nation ON s_nationkey = n_nationkey
-          JOIN region ON n_regionkey = r_regionkey
-          WHERE r_name = 'EUROPE'
-        ), costs AS (
-          SELECT l_partkey, l_suppkey,
-                 min(l_extendedprice / l_quantity) AS cost
-          FROM lineitem GROUP BY l_partkey, l_suppkey
-        ), ranked AS (
-          SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost,
-                 min(cost) OVER (PARTITION BY p_partkey) AS min_cost
-          FROM part
-          JOIN costs ON p_partkey = l_partkey
-          JOIN euro ON l_suppkey = s_suppkey
-          WHERE p_size <= 15 AND p_type = 'STANDARD'
-        )
-        SELECT round(CAST(s_acctbal AS DOUBLE), 6) AS acctbal, s_name,
-               n_name, p_partkey, p_name, round(cost, 6) AS supply_cost
-        FROM ranked WHERE cost = min_cost
-        ORDER BY acctbal DESC, s_name, p_partkey LIMIT 100
-    """,
-    "tpch_q11": """
-        WITH vals AS (
-          SELECT l_partkey,
-                 sum(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(18,6))) AS value
-          FROM lineitem
-          JOIN supplier ON l_suppkey = s_suppkey
-          JOIN nation ON s_nationkey = n_nationkey
-          WHERE n_name = 'NATION_7'
-          GROUP BY l_partkey
-        )
-        SELECT l_partkey, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
-        FROM vals
-        WHERE value * 640 > (SELECT sum(value) FROM vals)
-    """,
-    "tpch_q12": """
-        SELECT l_returnflag,
-          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE l_shipdate > o_orderdate
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY l_returnflag
-    """,
-    "tpch_q20": """
-        WITH qty AS (
-          SELECT l_suppkey, l_partkey,
-                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-            AND l_shipdate < TIMESTAMP '1997-01-01'
-          GROUP BY l_suppkey, l_partkey
-        )
-        SELECT s_name, n_name
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        WHERE s_suppkey IN (
-          SELECT l_suppkey FROM qty JOIN part ON l_partkey = p_partkey
-          WHERE p_name LIKE 'small%' AND total_qty > 50
-        )
-    """,
-    "tpch_q21": """
-        WITH l1 AS (
-          SELECT l_orderkey, l_suppkey
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate
-        )
-        SELECT s_name, count(*) AS numwait
-        FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
-        WHERE EXISTS (
-          SELECT 1 FROM lineitem l2
-          WHERE l2.l_orderkey = l1.l_orderkey
-            AND l2.l_suppkey <> l1.l_suppkey
-        ) AND NOT EXISTS (
-          SELECT 1 FROM l1 l3
-          WHERE l3.l_orderkey = l1.l_orderkey
-            AND l3.l_suppkey <> l1.l_suppkey
-        )
-        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
-    """,
-    "tpch_q10": """
-        SELECT c_custkey, c_name, n_name,
-               CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
-               CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        JOIN nation ON c_nationkey = n_nationkey
-        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-          AND l_returnflag = 'R'
-        GROUP BY c_custkey, c_name, n_name
-        ORDER BY revenue DESC, c_custkey
-        LIMIT 20
-    """,
-    "tpch_q13": """
-        SELECT c_count, count(*) AS custdist
-        FROM (
-          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-          FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
-          GROUP BY c.c_custkey
-        )
-        GROUP BY c_count
-        ORDER BY custdist DESC, c_count DESC
-    """,
-    "tpch_q14": """
-        SELECT round(
-                 100.0
-                 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE),
-               6) AS promo_revenue_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
-          AND l_shipdate < TIMESTAMP '1996-10-01'
-    """,
-    "tpch_q18": """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
-               CAST(CAST(sum_qty AS VARCHAR) AS DOUBLE) AS sum_qty
-        FROM (
-          SELECT l_orderkey,
-                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
-          FROM lineitem GROUP BY l_orderkey
-          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
-        ) big
-        JOIN orders ON big.l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        ORDER BY totalprice DESC, o_orderkey
-        LIMIT 100
-    """,
-    "tpch_q19": """
-        SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
-               count(*) AS n_rows
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 1 AND 11)
-           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
-               AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
-               AND l_quantity BETWEEN 20 AND 30)
-    """,
-    "events_rollup": """
-        SELECT event_type, year(ts) AS y, count(*) AS n_events,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY ROLLUP (event_type, year(ts))
-    """,
-    "events_topn_per_user": """
-        SELECT user_id, event_id, rnk FROM (
-          SELECT user_id, event_id,
-                 row_number() OVER (PARTITION BY user_id
-                                    ORDER BY value DESC, event_id) AS rnk
-          FROM events WHERE user_id < 50
-        ) WHERE rnk <= 3
-    """,
-    "events_json_extract": """
-        SELECT event_type,
-               CAST(sum(CAST(floor(TRY_CAST(json_extract_string(props, '$.k')
-                   AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
-               count(*) AS n_events
-        FROM events GROUP BY event_type
-    """,
-    "orders_rfm": """
-        WITH o AS (
-          SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS od,
-                 o_totalprice
-          FROM orders
-          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-        ), ref AS (
-          SELECT max(od) AS mx FROM o
-        ), per_cust AS (
-          SELECT o_custkey,
-                 CAST(date_diff('day', max(od), (SELECT mx FROM ref))
-                      AS BIGINT) AS recency_days,
-                 count(*) AS frequency,
-                 CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
-                   AS monetary,
-                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
-                      AS BIGINT) // 10000 AS mband
-          FROM o GROUP BY o_custkey
-        ), n AS (
-          SELECT count(*) AS c FROM per_cust
-        ), rq AS (
-          SELECT v, CAST((5 * cum + (SELECT c FROM n) - 1)
-                         // (SELECT c FROM n) AS BIGINT) AS q
-          FROM (SELECT recency_days AS v,
-                       sum(count(*)) OVER (ORDER BY recency_days
-                         ROWS UNBOUNDED PRECEDING) AS cum
-                FROM per_cust GROUP BY recency_days)
-        ), fq AS (
-          SELECT v, CAST((5 * cum + (SELECT c FROM n) - 1)
-                         // (SELECT c FROM n) AS BIGINT) AS q
-          FROM (SELECT frequency AS v,
-                       sum(count(*)) OVER (ORDER BY frequency
-                         ROWS UNBOUNDED PRECEDING) AS cum
-                FROM per_cust GROUP BY frequency)
-        ), mq AS (
-          SELECT v, CAST((5 * cum + (SELECT c FROM n) - 1)
-                         // (SELECT c FROM n) AS BIGINT) AS q
-          FROM (SELECT mband AS v,
-                       sum(count(*)) OVER (ORDER BY mband
-                         ROWS UNBOUNDED PRECEDING) AS cum
-                FROM per_cust GROUP BY mband)
-        )
-        SELECT p.o_custkey, p.recency_days, p.frequency, p.monetary,
-               CAST(6 - rq.q AS BIGINT) AS r_score,
-               fq.q AS f_score,
-               mq.q AS m_score
-        FROM per_cust p
-        JOIN rq ON p.recency_days = rq.v
-        JOIN fq ON p.frequency = fq.v
-        JOIN mq ON p.mband = mq.v
-    """,
-    "lineitem_quality_checks": """
-        SELECT * FROM (
-          SELECT 'accepted_values(l_returnflag)' AS rule,
-                 CAST(coalesce(sum(CASE WHEN l_returnflag IS NOT NULL
-                        AND l_returnflag NOT IN ('A','N','R')
-                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
-          FROM lineitem
-          UNION ALL
-          SELECT 'not_null(l_orderkey)',
-                 CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL
-                        THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM lineitem
-          UNION ALL
-          SELECT 'not_null(l_linenumber)',
-                 CAST(coalesce(sum(CASE WHEN l_linenumber IS NULL
-                        THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM lineitem
-          UNION ALL
-          SELECT 'not_null(l_quantity)',
-                 CAST(coalesce(sum(CASE WHEN l_quantity IS NULL
-                        THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM lineitem
-          UNION ALL
-          SELECT 'range(l_quantity)',
-                 CAST(coalesce(sum(CASE WHEN l_quantity IS NOT NULL
-                        AND (l_quantity < 0 OR l_quantity > 50)
-                        THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM lineitem
-          UNION ALL
-          SELECT 'range(l_discount)',
-                 CAST(coalesce(sum(CASE WHEN l_discount IS NOT NULL
-                        AND (l_discount < 0.0 OR l_discount > 0.1)
-                        THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM lineitem
-          UNION ALL
-          SELECT 'unique(l_orderkey, l_linenumber)',
-                 CAST(coalesce((SELECT sum(n - 1) FROM (
-                   SELECT count(*) AS n FROM lineitem
-                   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
-                 )), 0) AS BIGINT)
-        ) ORDER BY rule
-    """,
-    "lineitem_basket_pairs": """
-        WITH li AS (
-          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        )
-        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-               CAST(count(*) AS BIGINT) AS n_orders
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2
-        ORDER BY n_orders DESC, part_a, part_b
-        LIMIT 20
-    """,
-    "orders_cohort_revenue": """
-        WITH o AS (
-          SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS od,
-                 o_totalprice
-          FROM orders
-          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-        ), firsts AS (
-          SELECT o_custkey,
-                 CAST(date_trunc('month', min(od)) AS TIMESTAMP)
-                   AS cohort_month
-          FROM o GROUP BY o_custkey
-        )
-        SELECT f.cohort_month,
-               CAST(date_diff('month', f.cohort_month,
-                              CAST(date_trunc('month', o.od) AS TIMESTAMP))
-                    AS BIGINT) AS month_offset,
-               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS buyers,
-               CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
-                 AS revenue
-        FROM o JOIN firsts f USING (o_custkey)
-        GROUP BY 1, 2
-    """,
-    "events_retention_by_segment": """
-        WITH ev AS (
-          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets
-          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        ), firsts AS (
-          SELECT u, CAST(date_trunc('week', min(ets)) AS TIMESTAMP)
-                      AS cohort
-          FROM ev GROUP BY u
-        ), dim AS (
-          SELECT c_custkey AS u, c_mktsegment AS seg FROM customer
-        )
-        SELECT f.cohort AS cohort_week,
-               CAST(date_diff('day', f.cohort,
-                              CAST(date_trunc('week', e.ets) AS TIMESTAMP))
-                    / 7 AS BIGINT) AS week_offset,
-               coalesce(d.seg, 'unknown') AS segment,
-               CAST(count(DISTINCT e.u) AS BIGINT) AS active_users
-        FROM ev e JOIN firsts f ON e.u = f.u
-        LEFT JOIN dim d ON e.u = d.u
-        GROUP BY 1, 2, 3
-    """,
-    "events_funnel_by_segment": """
-        WITH ev AS (
-          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets,
-                 event_type AS ty
-          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        ), s1 AS (
-          SELECT u, min(ets) AS t FROM ev WHERE ty = 'view' GROUP BY u
-        ), s2 AS (
-          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s1 ON e.u = s1.u
-          WHERE e.ty = 'click' AND e.ets > s1.t GROUP BY e.u
-        ), s3 AS (
-          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s2 ON e.u = s2.u
-          WHERE e.ty = 'purchase' AND e.ets > s2.t GROUP BY e.u
-        ), dim AS (
-          SELECT c_custkey AS u, c_mktsegment AS seg FROM customer
-        )
-        SELECT * FROM (
-          SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-                 coalesce(d.seg, 'unknown') AS segment,
-                 CAST(count(*) AS BIGINT) AS users
-          FROM s1 LEFT JOIN dim d ON s1.u = d.u GROUP BY 3
-          UNION ALL
-          SELECT CAST(2 AS BIGINT), 'click', coalesce(d.seg, 'unknown'),
-                 CAST(count(*) AS BIGINT)
-          FROM s2 LEFT JOIN dim d ON s2.u = d.u GROUP BY 3
-          UNION ALL
-          SELECT CAST(3 AS BIGINT), 'purchase', coalesce(d.seg, 'unknown'),
-                 CAST(count(*) AS BIGINT)
-          FROM s3 LEFT JOIN dim d ON s3.u = d.u GROUP BY 3
-        ) ORDER BY step, segment
-    """,
-    "events_funnel_timing": """
-        WITH ev AS (
-          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets,
-                 event_type AS ty
-          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        ), s1 AS (
-          SELECT u, min(ets) AS t FROM ev WHERE ty = 'view' GROUP BY u
-        ), s2 AS (
-          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s1 ON e.u = s1.u
-          WHERE e.ty = 'click' AND e.ets > s1.t GROUP BY e.u
-        ), s3 AS (
-          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s2 ON e.u = s2.u
-          WHERE e.ty = 'purchase' AND e.ets > s2.t GROUP BY e.u
-        ), d2 AS (
-          SELECT epoch(s2.t) - epoch(s1.t) AS secs
-          FROM s2 JOIN s1 USING (u)
-        ), d3 AS (
-          SELECT epoch(s3.t) - epoch(s2.t) AS secs
-          FROM s3 JOIN s2 USING (u)
-        )
-        SELECT * FROM (
-          SELECT CAST(2 AS BIGINT) AS step, 'click' AS step_name,
-                 CAST(count(*) AS BIGINT) AS n_users,
-                 round(avg(secs), 4) AS avg_secs,
-                 round(quantile_cont(secs, 0.5), 4) AS p50_secs
-          FROM d2
-          UNION ALL
-          SELECT CAST(3 AS BIGINT), 'purchase',
-                 CAST(count(*) AS BIGINT),
-                 round(avg(secs), 4), round(quantile_cont(secs, 0.5), 4)
-          FROM d3
-        ) ORDER BY step
-    """,
-    "events_value_histogram": """
-        WITH s AS (
-          SELECT min(value) AS lo, max(value) AS hi
-          FROM events WHERE value IS NOT NULL
-        )
-        SELECT CAST(CASE WHEN hi > lo
-                    THEN least(floor((value - lo) / ((hi - lo) / 20.0)), 19)
-                    ELSE 0 END AS BIGINT) AS bin,
-               count(*) AS n,
-               round(avg(value), 6) AS avg_value
-        FROM events, s WHERE value IS NOT NULL
-        GROUP BY 1
-    """,
-    "events_variant_extract": """
-        WITH x AS (
-          SELECT event_type,
-                 CAST(floor(TRY_CAST(json_extract_string(props, '$.k')
-                     AS DOUBLE)) AS BIGINT) AS k
-          FROM events
-        )
-        SELECT event_type,
-               CAST(count(k) AS BIGINT) AS n_k,
-               CAST(min(k) AS BIGINT) AS min_k,
-               CAST(max(k) AS BIGINT) AS max_k,
-               round(avg(k), 4) AS avg_k
-        FROM x GROUP BY event_type
-    """,
-    "events_asof_attribution": """
-        WITH ev AS (
-          SELECT event_id, user_id, event_type,
-                 CAST(ts AS TIMESTAMP) AS ts
-          FROM events
-        ), clicks AS (
-          SELECT user_id, ts, max(event_id) AS click_id
-          FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
-        ), purchases AS (
-          SELECT user_id, event_id, ts
-          FROM ev WHERE event_type = 'purchase' AND user_id < 100
-        )
-        SELECT p.user_id, p.event_id, c.click_id
-        FROM purchases p
-        ASOF LEFT JOIN clicks c
-          ON p.user_id = c.user_id AND p.ts >= c.ts
-    """,
-    "events_interval_counts": """
-        WITH ev AS (
-          SELECT event_id, user_id, event_type,
-                 CAST(ts AS TIMESTAMP) AS ts
-          FROM events
-        ), purchases AS (
-          SELECT user_id, event_id AS purchase_id, ts
-          FROM ev WHERE event_type = 'purchase' AND user_id < 100
-        ), clicks AS (
-          SELECT user_id, ts, event_id AS click_id
-          FROM ev WHERE event_type = 'click'
-        )
-        SELECT p.user_id, p.purchase_id,
-               count(*) AS n_clicks,
-               max(c.click_id) AS last_click_id
-        FROM purchases p
-        JOIN clicks c
-          ON p.user_id = c.user_id
-         AND c.ts >= p.ts - INTERVAL 1 HOUR
-         AND c.ts <= p.ts
-        GROUP BY p.user_id, p.purchase_id
-    """,
-    "events_moving_avg": """
-        SELECT user_id, event_id,
-               round(
-                 CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
-                 / count(*) OVER w, 6) AS mov_avg
-        FROM events WHERE user_id < 30 AND ts IS NOT NULL
-        WINDOW w AS (PARTITION BY user_id
-                     ORDER BY CAST(ts AS TIMESTAMP), event_id
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-    """,
-    "events_cube": """
-        SELECT event_type, CAST(user_id % 5 AS INT) AS ub,
-               count(*) AS n_events,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY CUBE (event_type, CAST(user_id % 5 AS INT))
-    """,
-    "orders_running_total": """
-        SELECT o_custkey, o_orderkey,
-               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
-                 AS running_total
-        FROM orders WHERE o_custkey < 200
-        WINDOW w AS (PARTITION BY o_custkey
-                     ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-    "events_pivot": """
-        SELECT CAST(user_id % 10 AS INT) AS ub,
-               count(*) FILTER (WHERE event_type = 'click') AS click,
-               count(*) FILTER (WHERE event_type = 'view') AS view,
-               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-               count(*) FILTER (WHERE event_type = 'signup') AS signup,
-               count(*) FILTER (WHERE event_type = 'error') AS error
-        FROM events GROUP BY 1
-    """,
-    "text_length_percentiles": """
-        SELECT lang,
-               round(quantile_cont(n_chars, 0.5), 6) AS p50,
-               round(quantile_cont(n_chars, 0.9), 6) AS p90,
-               round(quantile_cont(n_chars, 0.99), 6) AS p99,
-               count(*) AS n_docs
-        FROM documents GROUP BY lang
-    """,
-    "events_hourly": """
-        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-               count(*) AS n_events,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
-        FROM events GROUP BY 1, 2
-    """,
-    "events_sessions": """
-        WITH secs AS (
-          SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
-          FROM events WHERE ts IS NOT NULL
-        ), gaps AS (
-          SELECT user_id,
-                 CASE WHEN lag(sec) OVER w IS NULL
-                           OR sec - lag(sec) OVER w > 1800
-                      THEN 1 ELSE 0 END AS is_new_session
-          FROM secs
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        )
-        SELECT user_id, CAST(sum(is_new_session) AS BIGINT) AS n_sessions,
-               count(*) AS n_events
-        FROM gaps GROUP BY user_id
-    """,
-    "dedup_exact_groups": """
-        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
-               count(*) AS n_docs
-        FROM documents GROUP BY md5(text)
-    """,
-    "dedup_exact_survivors": """
-        SELECT doc_id, n_chars FROM documents
-        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
-    """,
-    "text_chunks": f"""
-        WITH toks AS (
-          SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id < 100
-        ), sized AS (
-          SELECT doc_id, t,
-                 greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1) AS nc
-          FROM toks
-        ), expl AS (
-          SELECT doc_id, t,
-                 unnest(generate_series(0, nc - 1)) AS chunk_id
-          FROM sized
-        )
-        SELECT doc_id, chunk_id,
-               coalesce(array_to_string(t[chunk_id*24+1 : chunk_id*24+32], ' '),
-                        '') AS chunk_text,
-               len(t[chunk_id*24+1 : chunk_id*24+32]) AS chunk_tokens
-        FROM expl
-    """,
-    "text_pack": f"""
-        WITH counted AS (
-          SELECT doc_id, lang, least(len({_TOKENS}), 256) AS packed_tokens
-          FROM documents
-        )
-        SELECT lang, doc_id, packed_tokens,
-               CAST(floor(coalesce(sum(packed_tokens) OVER (
-                      PARTITION BY lang ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                    ), 0) / 256.0) AS BIGINT) AS pack_id
-        FROM counted
-    """,
-    "text_contamination": f"""
-        WITH toks AS (
-          SELECT doc_id, {_TOKENS} AS t FROM documents
-        ), grams AS (
-          SELECT doc_id,
-                 unnest(list_filter(list_distinct(list_transform(
-                   generate_series(1, greatest(len(t) - 2, 1)),
-                   i -> array_to_string(t[i:i+2], ' '))),
-                   g -> g IS NOT NULL AND g <> '')) AS g
-          FROM toks
-        ), bench AS (
-          SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
-        ), hits AS (
-          SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
-        )
-        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-    """,
-    "text_stratified_sample": """
-        SELECT doc_id, lang FROM documents
-        QUALIFY row_number() OVER (
-            PARTITION BY lang
-            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-          ) <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
-    """,
-    "text_balanced_sample": """
-        SELECT doc_id, lang FROM documents
-        QUALIFY row_number() OVER (
-            PARTITION BY lang
-            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-          ) <= 40
-    """,
-    "events_window_variants": """
-        SELECT user_id, event_id,
-               CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
-                 - CAST(floor(epoch(ts)) AS BIGINT) AS secs_to_next,
-               ntile(4) OVER wv AS value_quartile,
-               round(percent_rank() OVER wv, 6) AS value_pct_rank
-        FROM events
-        WHERE user_id < 25 AND ts IS NOT NULL AND value IS NOT NULL
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-               wv AS (PARTITION BY user_id
-                      ORDER BY CAST(value AS DECIMAL(18,2)), event_id)
-    """,
-    "events_distinct_sketch": """
-        SELECT event_type, count(DISTINCT user_id) AS n_exact,
-               TRUE AS hll_ok
-        FROM events GROUP BY event_type
-    """,
-    "events_heavy_hitters": """
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
-               TRUE AS cms_ok
-        FROM events WHERE event_type IS NOT NULL GROUP BY event_type
-    """,
-    "orders_quantile_sketch": """
-        SELECT count(*) AS n_orders,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
-               TRUE AS sketch_ok
-        FROM orders
-    """,
-    "text_token_count": f"""
-        SELECT doc_id, len({_TOKENS}) AS n_tokens,
-               len(regexp_extract_all(text,
-                   '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
-                 AS n_tokens_bpe
-        FROM documents
-    """,
-    "text_quality": f"""
-        WITH t AS (
-          SELECT doc_id,
-                 {_TOKENS} AS toks,
-                 length(text) AS n_chars,
-                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
-                 len(list_intersect({_TOKENS},
-                     [{", ".join(repr(w) for w in text.STOPWORDS_EN)}])) AS stop_hits
-          FROM documents
-        )
-        SELECT doc_id,
-          round(CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_word_len,
-          round(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
-          round(CASE WHEN len(toks) > 0 THEN CAST(stop_hits AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
-          CAST(round((CASE WHEN len(toks) > 0 AND CAST(n_chars AS DOUBLE) / len(toks) BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
-              + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
-              + (CASE WHEN len(toks) > 0 AND CAST(stop_hits AS DOUBLE) / len(toks) > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
-        FROM t
-    """,
-    "documents_source_rollup": f"""
-        WITH t AS (
-          SELECT source,
-                 len({_TOKENS}) AS n_toks,
-                 length(text) AS n_chars,
-                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
-                 len(list_intersect({_TOKENS},
-                     [{", ".join(repr(w) for w in text.STOPWORDS_EN)}])) AS stop_hits
-          FROM documents
-        ), scored AS (
-          SELECT source, n_toks, n_chars,
-            CAST(round((CASE WHEN n_toks > 0 AND CAST(n_chars AS DOUBLE) / n_toks BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
-                + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
-                + (CASE WHEN n_toks > 0 AND CAST(stop_hits AS DOUBLE) / n_toks > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS q
-          FROM t
-        )
-        SELECT source,
-               count(*) AS n_docs,
-               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
-               round(avg(q), 4) AS avg_quality,
-               round(avg(n_chars), 2) AS avg_chars
-        FROM scored GROUP BY source
-    """,
-    "text_lang_id": f"""
-        WITH s AS (
-          SELECT doc_id,
-                 {_LANG_SCORES['en']} AS s_en,
-                 {_LANG_SCORES['de']} AS s_de,
-                 {_LANG_SCORES['fr']} AS s_fr,
-                 {_LANG_SCORES['es']} AS s_es
-          FROM documents
-        )
-        SELECT doc_id,
-          CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
-               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-               WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-               ELSE 'fr' END AS lang_pred,
-          greatest(s_en, s_de, s_fr, s_es) AS lang_score
-        FROM s
-    """,
-    "text_redact": f"""
-        WITH r AS (
-          SELECT doc_id, text, {_REDACT_EXPR} AS tr FROM documents
-        )
-        SELECT doc_id, md5(tr) AS redacted_md5,
-               tr <> text AS was_redacted
-        FROM r
-    """,
-    "text_train_split": """
-        SELECT doc_id,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                         < 'e6666666' THEN 'train'
-                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                         < 'f3333333' THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
-    """,
-    "text_fingerprint": """
-        SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-        FROM documents
-    """,
-    "similarity_cosine": """
-        WITH s AS (
-          SELECT e.vec_id,
-                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS dp,
-                 sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                       CAST(e.embedding AS DOUBLE[])))
-                   * sqrt(list_dot_product(q.qv, q.qv)) AS den
-          FROM embeddings e
-          CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                      FROM embeddings WHERE vec_id = 0) q
-        )
-        SELECT vec_id,
-               round(CASE WHEN den <> 0 THEN dp / den END, 6) AS cosine
-        FROM s
-    """,
-    "similarity_batch_topk_exact": """
-        WITH v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS n
-          FROM embeddings
-        )
-        SELECT q.vec_id AS query_id, c.vec_id,
-               round(CASE WHEN q.n * c.n <> 0
-                          THEN list_dot_product(q.e, c.e) / (q.n * c.n)
-                     END, 6) AS cosine
-        FROM v q CROSS JOIN v c
-        WHERE q.vec_id < 5
-        QUALIFY row_number() OVER (
-          PARTITION BY q.vec_id
-          ORDER BY round(CASE WHEN q.n * c.n <> 0
-                              THEN list_dot_product(q.e, c.e) / (q.n * c.n)
-                         END, 6) DESC,
-                   c.vec_id) <= 5
-    """,
-    "embedding_near_dups_exact": """
-        WITH v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS n
-          FROM embeddings
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE a.n <> 0 AND b.n <> 0
-          AND list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
-    """,
-    # approximate-operator quality gates: the value the driver hashes is
-    # the deterministic quality CLAIM (recall/completeness booleans) plus
-    # an input count both engines compute — see the q_*_recall docstrings
-    "dedup_minhash_recall": """
-        SELECT count(*) AS n_docs, TRUE AS recall_ok, TRUE AS precision_ok
-        FROM documents WHERE doc_id < 1000
-    """,
-    "dedup_simhash_complete": """
-        SELECT count(*) AS n_docs, TRUE AS complete_ok
-        FROM documents WHERE doc_id < 2000
-    """,
-    "similarity_lsh_recall": """
-        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
-        FROM embeddings
-    """,
-    "similarity_ivf_recall": """
-        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
-        FROM embeddings
-    """,
-    "similarity_pq_recall": """
-        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
-        FROM embeddings
-    """,
-    "similarity_ivfpq_recall": """
-        SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS scores_ok
-        FROM embeddings
-    """,
-    "semantic_dedup_complete": """
-        SELECT count(*) AS n_vecs, TRUE AS complete_ok, TRUE AS nonempty_ok
-        FROM embeddings WHERE vec_id < 1000
-    """,
-    "similarity_batch_recall": """
-        SELECT count(*) AS n_vecs, TRUE AS recall_ok FROM embeddings
-    """,
-    "embedding_near_dups_recall": """
-        SELECT count(*) AS n_vecs, TRUE AS precision_ok, TRUE AS recall_ok
-        FROM embeddings WHERE vec_id < 1000
-    """,
-    "similarity_quantize": """
-        WITH v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        ), s AS (
-          SELECT vec_id, e,
-                 list_max(list_transform(e, x -> abs(x))) AS am
-          FROM v
-        ), q AS (
-          SELECT vec_id, am,
-                 CASE WHEN am > 0
-                      THEN list_transform(e,
-                           x -> CAST(floor(x / (am / 127.0) + 0.5) AS BIGINT))
-                      ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qe
-          FROM s
-        )
-        SELECT vec_id, am / 127.0 AS q_scale,
-               CAST(list_sum(qe) AS BIGINT) AS q_sum,
-               CAST(list_sum(list_transform(qe, y -> y * y)) AS BIGINT) AS q_l2
-        FROM q
-    """,
-    "events_funnel": """
-        WITH ev AS (
-          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets,
-                 event_type AS ty
-          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        ), s1 AS (
-          SELECT u, min(ets) AS t FROM ev WHERE ty = 'view' GROUP BY u
-        ), s2 AS (
-          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s1 ON e.u = s1.u
-          WHERE e.ty = 'click' AND e.ets > s1.t GROUP BY e.u
-        ), s3 AS (
-          SELECT e.u, min(e.ets) AS t FROM ev e JOIN s2 ON e.u = s2.u
-          WHERE e.ty = 'purchase' AND e.ets > s2.t GROUP BY e.u
-        )
-        SELECT * FROM (
-          SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-                 CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
-          UNION ALL
-          SELECT CAST(2 AS BIGINT), 'click',
-                 CAST((SELECT count(*) FROM s2) AS BIGINT)
-          UNION ALL
-          SELECT CAST(3 AS BIGINT), 'purchase',
-                 CAST((SELECT count(*) FROM s3) AS BIGINT)
-        ) ORDER BY step
-    """,
-    "events_retention": """
-        WITH ev AS (
-          SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ets
-          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        ), firsts AS (
-          -- DuckDB's date_trunc('week', ts) yields DATE; Spark yields
-          -- TIMESTAMP — cast so the typed hash agrees
-          SELECT u, CAST(date_trunc('week', min(ets)) AS TIMESTAMP)
-                      AS cohort
-          FROM ev GROUP BY u
-        )
-        SELECT f.cohort AS cohort_week,
-               CAST(date_diff('day', f.cohort,
-                              CAST(date_trunc('week', e.ets) AS TIMESTAMP))
-                    / 7 AS BIGINT)
-                 AS week_offset,
-               CAST(count(DISTINCT e.u) AS BIGINT) AS active_users
-        FROM ev e JOIN firsts f ON e.u = f.u
-        GROUP BY 1, 2
-    """,
-    "text_mixture": """
-        WITH base AS (
-          SELECT doc_id, source,
-                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
-          FROM documents WHERE source IN ('src0', 'src1', 'src2')
-        ), n AS (
-          SELECT doc_id, source,
-                 CASE source
-                   WHEN 'src0' THEN 2 + CASE WHEN h < '80000000'
-                                             THEN 1 ELSE 0 END
-                   WHEN 'src1' THEN 1
-                   WHEN 'src2' THEN CASE WHEN h < '66666666'
-                                         THEN 1 ELSE 0 END
-                 END AS nc
-          FROM base
-        )
-        SELECT doc_id, source,
-               CAST(unnest(generate_series(1, nc)) AS BIGINT) AS copy
-        FROM n WHERE nc > 0
-    """,
-    "text_tfidf": f"""
-        WITH toks AS (
-          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
-        ), tf AS (
-          SELECT doc_id, term, count(*) AS tf FROM toks
-          GROUP BY doc_id, term
-        ), dfq AS (
-          SELECT term, count(*) AS dfc FROM tf GROUP BY term
-        ), n AS (
-          SELECT count(*) AS n_docs FROM documents
-        ), scored AS (
-          SELECT tf.doc_id, tf.term, tf.tf,
-                 round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.dfc + 1.0))
-                                + 1.0), 6) AS score
-          FROM tf JOIN dfq USING (term), n
-        ), ranked AS (
-          SELECT *, row_number() OVER (PARTITION BY doc_id
-                                       ORDER BY score DESC, term ASC) AS rnk
-          FROM scored
-        )
-        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
-               CAST(rnk AS BIGINT) AS rank
-        FROM ranked WHERE rnk <= 3
-    """,
-    "text_unigram_nll": f"""
-        WITH toks AS (
-          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
-        ), lm AS (
-          SELECT term, count(*) AS cnt FROM toks GROUP BY term
-        ), stats AS (
-          SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab
-          FROM lm
-        )
-        SELECT t.doc_id,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               round(avg(-ln((lm.cnt + 1.0) / (stats.total + stats.vocab))),
-                     6) AS nll
-        FROM toks t JOIN lm USING (term), stats
-        GROUP BY t.doc_id
-    """,
-    "text_ccnet_buckets": f"""
-        WITH toks AS (
-          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
-        ), lm AS (
-          SELECT term, count(*) AS cnt FROM toks GROUP BY term
-        ), stats AS (
-          SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab
-          FROM lm
-        ), scored AS (
-          SELECT t.doc_id,
-                 round(avg(-ln((lm.cnt + 1.0)
-                               / (stats.total + stats.vocab))), 6) AS nll
-          FROM toks t JOIN lm USING (term), stats
-          GROUP BY t.doc_id
-        ), q AS (
-          SELECT quantile_cont(nll, 1.0/3) AS p33,
-                 quantile_cont(nll, 2.0/3) AS p66
-          FROM scored
-        )
-        SELECT doc_id, nll,
-               CASE WHEN nll <= p33 THEN 'head'
-                    WHEN nll <= p66 THEN 'middle'
-                    ELSE 'tail' END AS bucket
-        FROM scored, q
-    """,
-    "text_repetition": f"""
-        WITH toks AS (
-          SELECT doc_id, length(text) AS nch, {_TOKENS} AS t
-          FROM documents
-        ), grams AS (
-          SELECT doc_id, nch,
-                 unnest(list_filter(list_transform(
-                   generate_series(1, greatest(len(t) - 1, 1)),
-                   i -> array_to_string(t[i:i+1], ' ')),
-                   g -> g <> '')) AS gram
-          FROM toks
-        ), counts AS (
-          SELECT doc_id, any_value(nch) AS nch, gram, count(*) AS cnt
-          FROM grams GROUP BY doc_id, gram
-        ), ranked AS (
-          SELECT doc_id, nch, gram, cnt,
-                 sum(cnt) OVER (PARTITION BY doc_id) AS n_grams,
-                 count(*) OVER (PARTITION BY doc_id) AS n_distinct,
-                 row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY cnt DESC, gram DESC) AS rn
-          FROM counts
-        )
-        SELECT doc_id,
-               CAST(n_grams AS BIGINT) AS n_grams,
-               CAST(n_distinct AS BIGINT) AS n_distinct,
-               round((n_grams - n_distinct) * 1.0 / n_grams, 4)
-                 AS dup_gram_frac,
-               gram AS top_gram,
-               round(cnt * length(gram) * 1.0 / nch, 4)
-                 AS top_gram_char_frac
-        FROM ranked WHERE rn = 1
-    """,
-    "dedup_shared_ngrams": """
-        WITH toks AS (
-          SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                             x -> x <> '') AS t
-          FROM documents
-        ), grams AS (
-          SELECT doc_id,
-                 unnest(list_filter(list_transform(
-                   generate_series(1, greatest(len(t) - 7, 1)),
-                   i -> array_to_string(t[i:i+7], ' ')),
-                   g -> g <> '')) AS gram
-          FROM toks
-        ), occ AS (
-          SELECT doc_id, gram, count(*) AS cnt
-          FROM grams GROUP BY doc_id, gram
-        ), df_g AS (
-          SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2
-        ), shared AS (
-          SELECT o.doc_id, count(*) AS shared_grams, sum(o.cnt) AS shared_occ
-          FROM occ o JOIN df_g USING (gram) GROUP BY o.doc_id
-        ), totals AS (
-          SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct
-          FROM occ GROUP BY doc_id
-        )
-        SELECT t.doc_id,
-               CAST(t.n_grams AS BIGINT) AS n_grams,
-               CAST(t.n_distinct AS BIGINT) AS n_distinct,
-               CAST(coalesce(s.shared_grams, 0) AS BIGINT) AS shared_grams,
-               CAST(coalesce(s.shared_occ, 0) AS BIGINT) AS shared_occ,
-               round(coalesce(s.shared_occ, 0) * 1.0 / t.n_grams, 4)
-                 AS shared_frac
-        FROM totals t LEFT JOIN shared s USING (doc_id)
-    """,
-    "dedup_ngram_pairs": """
-        WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
-          FROM documents
-        ), grams AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   generate_series(1, greatest(len(t) - 2, 1)),
-                   i -> array_to_string(t[i:i+2], ' '))) AS gs
-          FROM toks
-        ), flat AS (
-          SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
-        ), elig AS (
-          SELECT g FROM flat GROUP BY g
-          HAVING count(*) > 1 AND count(*) <= 1000
-        ), post AS (
-          SELECT f.doc_id, f.n, f.g FROM flat f JOIN elig USING (g)
-        ), pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 count(*) AS shared,
-                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
-          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT id_a, id_b,
-               round(shared / (n_a + n_b - shared), 6) AS jaccard
-        FROM pairs
-        WHERE round(shared / (n_a + n_b - shared), 6) >= 0.5
-    """,
-    "dedup_components": """
-        WITH RECURSIVE toks AS (
-          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
-          FROM documents
-        ), grams AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   generate_series(1, greatest(len(t) - 2, 1)),
-                   i -> array_to_string(t[i:i+2], ' '))) AS gs
-          FROM toks
-        ), flat AS (
-          SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
-        ), elig AS (
-          SELECT g FROM flat GROUP BY g
-          HAVING count(*) > 1 AND count(*) <= 1000
-        ), post AS (
-          SELECT f.doc_id, f.n, f.g FROM flat f JOIN elig USING (g)
-        ), pre AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 count(*) AS shared,
-                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
-          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ), pairs AS (
-          SELECT id_a, id_b FROM pre
-          WHERE round(shared / (n_a + n_b - shared), 6) >= 0.5
-        ), edges AS (
-          SELECT id_a AS u, id_b AS v FROM pairs
-          UNION SELECT id_b, id_a FROM pairs
-        ), reach(node, lbl) AS (
-          SELECT u, u FROM edges
-          UNION
-          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
-        )
-        SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
-        FROM reach GROUP BY node
-    """,
-}
+from .catalog.loader import (  # noqa: F401
+    _dec2dbl,
+    _ensure_session_confs,
+    _load_events_via_arrow,
+    _normalize_ts,
+)

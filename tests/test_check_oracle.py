@@ -99,17 +99,45 @@ def test_gate_window_invariants():
 
 
 def test_no_duplicate_literal_keys_in_catalog():
-    """Dict literals silently keep the LAST value for duplicate keys —
-    a rotation mistake would move a row's gate position invisibly."""
-    import re
+    """Dict/list literals silently keep the LAST value for duplicate
+    keys — a rotation mistake would move a row's gate position
+    invisibly. Scan every family module's QUERIES literal and the
+    GATE_ORDER/TAIL_ORDER literals in catalog/__init__.py."""
+    import ast
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    src = open(
-        os.path.join(
-            root, "amazon_s3_find_and_forget_spark", "entry_queries.py"
-        )
-    ).read()
-    body = src[src.index("QUERIES = {") : src.index("def _floatsafe")]
-    keys = re.findall(r'^\s+"([a-z0-9_]+)":', body, re.M)
-    dupes = sorted({k for k in keys if keys.count(k) > 1})
-    assert dupes == [], f"duplicate catalog keys: {dupes}"
+    catalog_dir = os.path.join(
+        root, "amazon_s3_find_and_forget_spark", "catalog"
+    )
+    all_keys = []
+    for fname in sorted(os.listdir(catalog_dir)):
+        if not fname.endswith(".py") or fname in ("__init__.py", "loader.py"):
+            continue
+        tree = ast.parse(open(os.path.join(catalog_dir, fname)).read())
+        for node in tree.body:
+            if (
+                isinstance(node, ast.Assign)
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id == "QUERIES"
+            ):
+                keys = [k.value for k in node.value.keys]
+                dupes = sorted({k for k in keys if keys.count(k) > 1})
+                assert dupes == [], f"{fname}: duplicate keys {dupes}"
+                all_keys.extend(keys)
+    dupes = sorted({k for k in all_keys if all_keys.count(k) > 1})
+    assert dupes == [], f"keys registered by two families: {dupes}"
+
+    init = ast.parse(open(os.path.join(catalog_dir, "__init__.py")).read())
+    orders = {}
+    for node in init.body:
+        if isinstance(node, ast.Assign) and isinstance(
+            node.targets[0], ast.Name
+        ):
+            name = node.targets[0].id
+            if name in ("GATE_ORDER", "TAIL_ORDER"):
+                orders[name] = [e.value for e in node.value.elts]
+    assert len(orders["GATE_ORDER"]) == 50, "gate window must be exactly 50"
+    ordered = orders["GATE_ORDER"] + orders["TAIL_ORDER"]
+    dupes = sorted({k for k in ordered if ordered.count(k) > 1})
+    assert dupes == [], f"duplicate order entries: {dupes}"
+    assert sorted(ordered) == sorted(all_keys)

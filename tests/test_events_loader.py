@@ -59,12 +59,12 @@ def test_load_events_takes_distributed_path(spark, tmp_path, unit, monkeypatch):
     """Both physical encodings must read through spark.read.parquet — the
     driver-side Arrow fallback is an emergency path only (it materializes
     the whole table on the driver, an OOM at 100x)."""
-    from amazon_s3_find_and_forget_spark import entry_queries
+    from amazon_s3_find_and_forget_spark.catalog import loader
 
     def _boom(*a, **k):  # pragma: no cover - failing is the assertion
         raise AssertionError("Arrow fallback taken on a healthy session")
 
-    monkeypatch.setattr(entry_queries, "_load_events_via_arrow", _boom)
+    monkeypatch.setattr(loader, "_load_events_via_arrow", _boom)
     sf_dir = str(tmp_path / f"dist-{unit}")
     _write_events(sf_dir, unit)
     df = load(spark, sf_dir, "events")
@@ -76,7 +76,7 @@ def test_arrow_fallback_logs_loudly(spark, tmp_path, monkeypatch, caplog):
     itself with the triggering exception, not degrade silently."""
     import logging
 
-    from amazon_s3_find_and_forget_spark import entry_queries
+    from amazon_s3_find_and_forget_spark.catalog import loader
 
     sf_dir = str(tmp_path / "fallback")
     _write_events(sf_dir, "us")
@@ -97,9 +97,9 @@ def test_arrow_fallback_logs_loudly(spark, tmp_path, monkeypatch, caplog):
         called["path"] = path
         return load(spark, sf_dir, "events")  # any DataFrame will do
 
-    monkeypatch.setattr(entry_queries, "_load_events_via_arrow", _fake_arrow)
+    monkeypatch.setattr(loader, "_load_events_via_arrow", _fake_arrow)
     with caplog.at_level(logging.WARNING,
-                         logger="amazon_s3_find_and_forget_spark.entry_queries"):
+                         logger="amazon_s3_find_and_forget_spark.catalog.loader"):
         load(_SparkShim(), sf_dir, "events")
     assert called["path"].endswith("events.parquet")
     msgs = [r.getMessage() for r in caplog.records]

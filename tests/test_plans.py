@@ -90,9 +90,9 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir):
     every dimension side as a broadcast hash join — at this scale no
     dimension should ever trigger a sort-merge shuffle; the only
     exchange is the final aggregation's."""
-    from amazon_s3_find_and_forget_spark import entry_queries as eq
+    from amazon_s3_find_and_forget_spark.catalog import tpch
 
-    df = eq.q_tpch_q7(spark, sf_dir)
+    df = tpch.q_tpch_q7(spark, sf_dir)
     df.collect()  # finalize the adaptive plan
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan
