@@ -133,6 +133,70 @@ def run_suite(spark, sf_dir: str, runs: int, label: str) -> dict[str, float]:
     return timings
 
 
+def evaluate_tripwire(out: dict, repo_dir: str, factor: float = 1.5) -> None:
+    """Per-query regression tripwire against the multi-round band.
+
+    Round 9 measured identical code moving -51%/+11% per query between
+    rounds, so a single prior sample cannot be a baseline. Instead each
+    lane's floor is the MIN across every recorded ``BENCH_r*.json``
+    (each itself a min-of-N), and the flag fires only when the current
+    min exceeds ``factor`` x that floor with >= 2 prior rounds of
+    evidence — a sustained shape change, not rig noise. Results land in
+    ``out["tripwire"]`` so every BENCH record shows it evaluated."""
+    import glob
+
+    hist: dict[str, dict[str, list[float]]] = {}
+    rounds = 0
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:  # noqa: BLE001 — a corrupt record is not fatal
+            continue
+        parsed = doc.get("parsed", doc)
+        if not isinstance(parsed, dict):
+            continue
+        lanes = {
+            "sf0.1": parsed.get("queries"),
+            "sf1": (parsed.get("sf1") or {}).get("queries"),
+        }
+        if any(lanes.values()):
+            rounds += 1
+        for lane, queries in lanes.items():
+            if queries:
+                for q, v in queries.items():
+                    hist.setdefault(lane, {}).setdefault(q, []).append(v)
+
+    flagged: dict[str, dict] = {}
+    current_lanes = {
+        "sf0.1": out.get("queries"),
+        "sf1": (out.get("sf1") or {}).get("queries"),
+    }
+    for lane, current in current_lanes.items():
+        if not current:
+            continue
+        for q, v in current.items():
+            prior = hist.get(lane, {}).get(q, [])
+            if len(prior) < 2:
+                continue  # not enough band to distinguish noise
+            floor = min(prior)
+            if v > factor * floor:
+                flagged.setdefault(lane, {})[q] = {
+                    "current": v,
+                    "band_floor": floor,
+                    "ratio": round(v / floor, 2),
+                    "n_prior": len(prior),
+                }
+    out["tripwire"] = {
+        "evaluated": True,
+        "factor": factor,
+        "rounds_seen": rounds,
+        "flagged": flagged,
+    }
+    if flagged:
+        print(f"# TRIPWIRE flagged: {json.dumps(flagged)}", file=sys.stderr)
+
+
 def main():
     spark = get_spark(app_name="s3f2-bench", cpus=CPUS, shuffle_partitions=CPUS)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -169,6 +233,7 @@ def main():
         sf1 = run_suite(spark, sf1_dir, RUNS, "sf1")
         out["sf1"] = {"value": round(sum(sf1.values()), 3), "queries": sf1}
 
+    evaluate_tripwire(out, os.path.dirname(os.path.abspath(__file__)))
     print(json.dumps(out))
 
 

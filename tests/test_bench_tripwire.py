@@ -1,0 +1,71 @@
+"""The bench regression tripwire must compare against the multi-round
+band floor (min across recorded rounds), never a single prior sample —
+round 9 measured identical code moving -51%/+11% per query round-over-
+round, so one sample would both false-positive and false-negative."""
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def _load_bench():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(root, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load_bench()
+
+
+def _record(tmp_path, n, queries, sf1_queries=None):
+    parsed = {"queries": queries}
+    if sf1_queries is not None:
+        parsed["sf1"] = {"queries": sf1_queries}
+    doc = {"n": n, "rc": 0, "parsed": parsed}
+    (tmp_path / f"BENCH_r{n:02d}.json").write_text(json.dumps(doc))
+
+
+def test_flags_only_sustained_regressions(tmp_path):
+    # q1's band floor is 0.4 (r1..r3: noisy 0.4-1.0); current 0.55 is
+    # inside 1.5x the floor even though it is above the LAST sample —
+    # no flag. q2 genuinely regressed: floor 0.2, current 0.9.
+    _record(tmp_path, 1, {"q1": 1.0, "q2": 0.25}, {"q1": 4.0})
+    _record(tmp_path, 2, {"q1": 0.4, "q2": 0.2}, {"q1": 3.0})
+    _record(tmp_path, 3, {"q1": 0.5, "q2": 0.22}, {"q1": 8.0})
+    out = {
+        "queries": {"q1": 0.55, "q2": 0.9},
+        "sf1": {"queries": {"q1": 4.2}},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    tw = out["tripwire"]
+    assert tw["evaluated"] is True and tw["rounds_seen"] == 3
+    assert "q1" not in tw["flagged"].get("sf0.1", {})
+    assert tw["flagged"]["sf0.1"]["q2"]["band_floor"] == 0.2
+    assert tw["flagged"]["sf0.1"]["q2"]["ratio"] == 4.5
+    # sf1 lane: floor 3.0, current 4.2 = 1.4x -> inside the band
+    assert "sf1" not in tw["flagged"]
+
+
+def test_needs_two_prior_rounds(tmp_path):
+    # one prior sample is not a band: a -51% lucky run last round would
+    # make every healthy query look 2x regressed this round
+    _record(tmp_path, 1, {"q1": 0.1})
+    out = {"queries": {"q1": 0.5}}
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+
+
+def test_new_query_and_corrupt_record_tolerated(tmp_path):
+    _record(tmp_path, 1, {"q1": 0.4})
+    _record(tmp_path, 2, {"q1": 0.4})
+    (tmp_path / "BENCH_r03.json").write_text("{not json")
+    out = {"queries": {"q1": 0.41, "brand_new": 9.0}}
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+    assert out["tripwire"]["rounds_seen"] == 2
