@@ -176,6 +176,8 @@ class Engine:
             partition_filter=config.get("PartitionFilter", ""),
             schema=config.get("Schema", ""),
             role_arn=config.get("RoleArn", ""),
+            delete_mode=config.get("DeleteMode", "delete"),
+            redact_columns=list(config.get("RedactColumns", [])),
         )
 
     def get_data_mapper(self, mapper_id: str) -> dict | None:

@@ -35,6 +35,7 @@ GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
     "forget_survivors_simple",
+    "forget_redact_simple",
     "forget_survivors_composite",
     "forget_survivors_json",
     "events_heavy_hitters",
@@ -57,7 +58,6 @@ GATE_ORDER = [
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
-    "tpch_q13",
     "tpch_q18",
     "events_window_variants",
     "events_hourly",
@@ -88,6 +88,7 @@ GATE_ORDER = [
 # approximate queries (seed-dependent row sets; quality is gate-checked
 # by the *_recall / *_complete rows) — still runnable via queries().
 TAIL_ORDER = [
+    "tpch_q13",
     "tpch_q14",
     "tpch_q15",
     "tpch_q16",

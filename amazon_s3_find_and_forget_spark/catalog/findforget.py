@@ -62,6 +62,22 @@ def q_forget_survivors_simple(spark, sf_dir):
     )
 
 
+def q_forget_redact_simple(spark, sf_dir):
+    """Redact-mode Forget (DataMapper delete_mode='redact'): rows
+    matching the deletion queue KEEP their record; the configured
+    columns are nulled in one map-only pass. An extension beyond the
+    reference's delete-only rewrite (parquet_handler.py:133-152) for
+    lakes where the record must survive erasure of identifying values.
+    """
+    df = load(spark, sf_dir, "lineitem")
+    redacted = forget_table(
+        df, _lineitem_groups(df), redact_columns=["l_returnflag", "l_shipdate"]
+    )
+    return redacted.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"
+    )
+
+
 def q_forget_survivors_composite(spark, sf_dir):
     df = load(spark, sf_dir, "orders")
     survivors = forget_table(df, _orders_composite_groups(df))
@@ -224,6 +240,7 @@ QUERIES = {
     "find_rows_simple": q_find_rows_simple,
     "find_files_simple": q_find_files_simple,
     "forget_survivors_simple": q_forget_survivors_simple,
+    "forget_redact_simple": q_forget_redact_simple,
     "forget_survivors_composite": q_forget_survivors_composite,
     "forget_survivors_json": q_forget_survivors_json,
     "find_rows_composite": q_find_rows_composite,
@@ -248,6 +265,14 @@ ORACLES = {
                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem WHERE l_orderkey NOT IN ({_IN_ORDERKEYS})
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "forget_redact_simple": f"""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey IN ({_IN_ORDERKEYS}) THEN NULL
+                    ELSE l_returnflag END AS l_returnflag,
+               CASE WHEN l_orderkey IN ({_IN_ORDERKEYS}) THEN NULL
+                    ELSE l_shipdate END AS l_shipdate
+        FROM lineitem
     """,
     "forget_survivors_composite": f"""
         SELECT o_orderstatus, count(*) AS n_rows,

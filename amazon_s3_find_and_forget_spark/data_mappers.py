@@ -39,6 +39,12 @@ class DataMapper:
     # this mapper are built from STS AssumeRole credentials
     # (sources/object_store.py::store_for_mapper; reference parity
     # ecs_tasks/delete_files/main.py:140 + boto_utils.py:239-243)
+    delete_mode: str = "delete"  # "delete" drops matching rows (the
+    # reference's only behavior); "redact" keeps them and nulls
+    # redact_columns instead — an extension for lakes where the record
+    # must survive erasure of the identifying values
+    redact_columns: list = field(default_factory=list)  # columns nulled
+    # in redact mode; empty -> the identifier columns themselves
 
     def __post_init__(self):
         if self.format not in SUPPORTED_FORMATS:
@@ -65,6 +71,32 @@ class DataMapper:
                     "keys are not stored in data files and cannot be match "
                     "identifiers"
                 )
+        if self.delete_mode not in ("delete", "redact"):
+            raise ValueError(
+                f"Unsupported delete mode {self.delete_mode!r} "
+                "(expected 'delete' or 'redact')"
+            )
+        if self.redact_columns and self.delete_mode != "redact":
+            raise ValueError(
+                "RedactColumns requires DeleteMode 'redact'"
+            )
+        for col in self.redact_columns:
+            if col.lower() in lowered:
+                raise ValueError(
+                    f"Redact column {col} is a partition key; partition "
+                    "keys are not stored in data files and cannot be "
+                    "redacted"
+                )
+
+    def effective_redact_columns(self) -> list | None:
+        """Columns to null in redact mode; None in delete mode.
+
+        Redacting defaults to the identifier columns — erase the values
+        the deletion queue matched on, keep the record.
+        """
+        if self.delete_mode != "redact":
+            return None
+        return list(self.redact_columns) or list(self.columns)
 
     def read(self, spark: SparkSession, kms=None) -> DataFrame:
         if self.encrypted:
@@ -103,6 +135,13 @@ class DataMapper:
         for pk in self.partition_keys:
             if pk.lower() not in [f.name.lower() for f in schema.fields]:
                 raise ValueError(f"Partition key {pk} not found in table schema")
+        for col in self.redact_columns:
+            # must resolve, but any leaf type may be redacted (nulling a
+            # free-text or array column is the point) — unlike match
+            # identifiers, which must be primitive comparable types
+            from .schema import resolve_column
+
+            resolve_column(schema, col)
 
 
 def check_no_overlap(mappers: list[DataMapper]) -> None:

@@ -342,6 +342,7 @@ def run_job(
                     # client from the ARN (reference main.py:140,154)
                     role_arn=getattr(mapper, "role_arn", ""),
                     store_factory=store_factory,
+                    redact_columns=mapper.effective_redact_columns(),
                 )
                 all_stats.extend(stats)
                 stats_rel = None
@@ -360,6 +361,7 @@ def run_job(
                     parallelism=forget_parallelism,
                     role_arn=getattr(mapper, "role_arn", ""),
                     store_factory=store_factory,
+                    redact_columns=mapper.effective_redact_columns(),
                 )
             # the rewrite changed files behind Spark's back — drop any
             # cached file listing / metadata so subsequent reads in this

@@ -40,18 +40,43 @@ STATS_SCHEMA = (
 )
 
 
-def forget_table(df: DataFrame, groups: list[ColumnGroup]) -> DataFrame:
+def forget_table(
+    df: DataFrame,
+    groups: list[ColumnGroup],
+    redact_columns: list[str] | None = None,
+) -> DataFrame:
     """Survivors of the table after deleting every matching row (J3/P10).
 
     All groups are OR-combined into a single pass — semantically identical
     to the reference's sequential per-group filtering (a row is deleted if
     ANY group matches; parquet_handler.py:133-152) but one scan instead of
     N.
+
+    With ``redact_columns`` matching rows are KEPT and the listed columns
+    nulled instead (erase the identifying values, preserve the record) —
+    still one map-only pass, no shuffle: each redacted column is a
+    ``when(matched, NULL)`` projection over the same combined predicate.
     """
     if not groups:
         return df
     combined = reduce(or_, [null_safe_predicate(g) for g in groups])
-    return df.where(~combined)
+    if redact_columns is None:
+        return df.where(~combined)
+    # the match flag must be FROZEN before any column is rewritten:
+    # redacting an identifier column first would make later columns'
+    # lazily-resolved predicate see the already-nulled identifier and
+    # stop matching — so project it once, redact against it, drop it
+    flag = "__s3f2_matched__"
+    out = df.withColumn(flag, F.coalesce(combined, F.lit(False)))
+    matched = F.col(flag)
+    for c in redact_columns:
+        nulled = F.when(matched, F.lit(None)).otherwise(F.col(c))
+        if "." in c:
+            top, rest = c.split(".", 1)
+            out = out.withColumn(top, F.col(top).withField(rest, nulled))
+        else:
+            out = out.withColumn(c, nulled)
+    return out.drop(flag)
 
 
 def groups_to_spec(groups: list[ColumnGroup]) -> list[dict]:
@@ -102,6 +127,7 @@ def _rewrite_one_store(
     kms=None,
     role_arn: str = "",
     store_factory=None,
+    redact_columns: list[str] | None = None,
 ):
     """Object-store rewrite: the reference's S3 commit protocol end to end
     (main.py:132-265; s3.py:61-98 properties replay, :301-341 integrity,
@@ -159,9 +185,9 @@ def _rewrite_one_store(
             with open(rp, "wb") as f:
                 f.write(data)
             if fmt == "parquet":
-                stats = rewrite_parquet_file(rp, wp, spec)
+                stats = rewrite_parquet_file(rp, wp, spec, redact_columns)
             else:
-                stats = rewrite_json_file(rp, wp, spec)
+                stats = rewrite_json_file(rp, wp, spec, redact_columns)
             if stats["DeletedRows"] == 0:
                 return (
                     path,
@@ -230,6 +256,7 @@ def _rewrite_one(
     kms=None,
     role_arn: str = "",
     store_factory=None,
+    redact_columns: list[str] | None = None,
 ):
     from ..sources import cse, versions
     from ..sources.jsonl_file import rewrite_json_file
@@ -252,6 +279,7 @@ def _rewrite_one(
             kms,
             role_arn,
             store_factory,
+            redact_columns,
         )
         return (path,) + tuple(row[1:])
     local = path[len("file:") :] if path.startswith("file:") else path
@@ -284,9 +312,11 @@ def _rewrite_one(
         else:
             read_path, write_path = local, tmp
         if fmt == "parquet":
-            stats = rewrite_parquet_file(read_path, write_path, spec)
+            stats = rewrite_parquet_file(read_path, write_path, spec,
+                                         redact_columns)
         else:
-            stats = rewrite_json_file(read_path, write_path, spec)
+            stats = rewrite_json_file(read_path, write_path, spec,
+                                      redact_columns)
         if stats["DeletedRows"] == 0:
             # Find said this object matches but Forget deleted nothing —
             # fail the object rather than silently no-op (main.py:182-187).
@@ -366,6 +396,7 @@ def forget_files(
     parallelism: int | None = None,
     role_arn: str = "",
     store_factory=None,
+    redact_columns: list[str] | None = None,
 ) -> list[tuple]:
     """Rewrite each affected file on the cluster; returns stats rows.
 
@@ -389,6 +420,7 @@ def forget_files(
             kms,
             role_arn,
             store_factory,
+            redact_columns,
         )
     )
     return rdd.collect()
@@ -405,6 +437,7 @@ def forget_files_df(
     parallelism: int | None = None,
     role_arn: str = "",
     store_factory=None,
+    redact_columns: list[str] | None = None,
 ) -> DataFrame:
     """Distributed Find->Forget handoff: rewrite every file in ``paths_df``
     without the path list ever materializing on the driver.
@@ -441,6 +474,7 @@ def forget_files_df(
                     kms,
                     role_arn,
                     store_factory,
+                    redact_columns,
                 )
                 for p in pdf[path_col]
             ]

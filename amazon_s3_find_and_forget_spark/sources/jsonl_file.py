@@ -79,8 +79,40 @@ def iter_json_lines(content: str):
             raise ValueError(f"Invalid JSON on line {i + 1}: {e}") from e
 
 
-def rewrite_json_file(in_path: str, out_path: str, to_delete: list[dict]) -> dict:
-    """Rewrite one JSONL file without matching rows; byte-exact survivors."""
+def redact_value(dot_path: str, obj) -> bool:
+    """Case-insensitively null the key at ``dot_path`` in-place.
+
+    Returns True if the leaf key existed (and is now None). A missing
+    segment is a no-op — mirroring ``get_value``, where a missing key
+    simply never matches.
+    """
+    segments = dot_path.split(".")
+    for segment in segments[:-1]:
+        current_key = find_key(segment, obj)
+        if not current_key:
+            return False
+        obj = obj[current_key]
+        if not isinstance(obj, dict):
+            return False
+    leaf = find_key(segments[-1], obj)
+    if leaf is None:
+        return False
+    obj[leaf] = None
+    return True
+
+
+def rewrite_json_file(
+    in_path: str,
+    out_path: str,
+    to_delete: list[dict],
+    redact_columns: list[str] | None = None,
+) -> dict:
+    """Rewrite one JSONL file without matching rows; byte-exact survivors.
+
+    With ``redact_columns`` a matching row is KEPT and re-serialized
+    with the listed keys nulled (compact separators, non-ASCII
+    preserved); non-matching rows stay byte-exact. ``DeletedRows`` then
+    counts redacted rows."""
     compressed = in_path.endswith(".gz")
     opener = gzip.open if compressed else open
     with opener(in_path, "rb") as f:
@@ -105,6 +137,15 @@ def rewrite_json_file(in_path: str, out_path: str, to_delete: list[dict]) -> dic
             processed += 1
             if row_should_delete(parsed, groups):
                 deleted += 1
+                if redact_columns:
+                    for dot_path in redact_columns:
+                        redact_value(dot_path, parsed)
+                    out.write(
+                        json.dumps(
+                            parsed, ensure_ascii=False, separators=(",", ":")
+                        ).encode("utf-8")
+                        + b"\n"
+                    )
             else:
                 out.write(raw.encode("utf-8") + b"\n")
     return {"ProcessedRows": processed, "DeletedRows": deleted}

@@ -169,8 +169,64 @@ def delete_mask(table: pa.Table, to_delete: list[dict]) -> pa.Array:
     return reduce(pc.or_, masks)
 
 
+def _redact_array(arr: pa.Array, segments: list[str], mask: pa.Array):
+    """Null out ``segments`` under ``arr`` where ``mask`` is True.
+
+    Leaf: one vectorized ``if_else`` against a null array. Struct
+    segment: rebuild the struct with only the targeted child replaced
+    (recursively), preserving sibling fields and the struct's own
+    validity bitmap — Arrow arrays are immutable, so redaction is a
+    columnar copy-on-write, never a per-row loop.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not segments:
+        return pc.if_else(mask, pa.nulls(len(arr), arr.type), arr)
+    if not pa.types.is_struct(arr.type):
+        raise ValueError(
+            f"Redact path segment {segments[0]!r} is not under a struct"
+        )
+    name = _ci_field([f.name for f in arr.type], segments[0])
+    children = []
+    for field in arr.type:
+        child = arr.field(field.name)
+        if field.name == name:
+            child = _redact_array(child, segments[1:], mask)
+        children.append(child)
+    return pa.StructArray.from_arrays(
+        children,
+        names=[f.name for f in arr.type],
+        mask=pc.is_null(arr),
+    )
+
+
+def redact_table(
+    table: pa.Table, mask: pa.Array, redact_columns: list[str]
+) -> pa.Table:
+    """Copy of ``table`` with ``redact_columns`` nulled where ``mask``."""
+    for dot_path in redact_columns:
+        segments = dot_path.split(".")
+        top = _ci_field(table.column_names, segments[0])
+        idx = table.column_names.index(top)
+        field = table.schema.field(idx)
+        if not field.nullable and not segments[1:]:
+            # schema is preserved byte-for-byte on rewrite, so a
+            # required column cannot silently become nullable
+            raise ValueError(
+                f"Cannot redact non-nullable column {dot_path}"
+            )
+        new_col = _redact_array(
+            table.column(idx).combine_chunks(), segments[1:], mask
+        )
+        table = table.set_column(idx, field, new_col)
+    return table
+
+
 def rewrite_parquet_file(
-    in_path: str, out_path: str, to_delete: list[dict]
+    in_path: str,
+    out_path: str,
+    to_delete: list[dict],
+    redact_columns: list[str] | None = None,
 ) -> dict:
     """Rewrite one Parquet file without the matching rows.
 
@@ -178,6 +234,12 @@ def rewrite_parquet_file(
     never materializes the whole file), preserves the input schema with
     metadata stripped, writes snappy. Returns
     ``{"ProcessedRows": n, "DeletedRows": m}``.
+
+    With ``redact_columns`` the matching rows are KEPT and the listed
+    columns (dot paths allowed) are nulled instead — erasure of the
+    identifying values without destroying the record; ``DeletedRows``
+    then counts redacted rows (same Find/Forget consistency contract:
+    zero affected rows fails the object).
     """
     pf = pq.ParquetFile(in_path)
     schema = pf.schema_arrow.remove_metadata()
@@ -187,7 +249,12 @@ def rewrite_parquet_file(
         for rg in range(pf.num_row_groups):
             table = pf.read_row_group(rg)
             mask = delete_mask(table, to_delete)
-            kept = table.filter(pc.invert(mask))
-            deleted += table.num_rows - kept.num_rows
-            writer.write_table(kept.cast(schema))
+            if redact_columns:
+                matched = pc.sum(mask).as_py() or 0
+                out = redact_table(table, mask, redact_columns)
+                deleted += matched
+            else:
+                out = table.filter(pc.invert(mask))
+                deleted += table.num_rows - out.num_rows
+            writer.write_table(out.cast(schema))
     return {"ProcessedRows": processed, "DeletedRows": deleted}

@@ -440,3 +440,52 @@ def test_delete_job_drops_partitions_from_recorded_table(
     assert out["PartitionsDropped"] == 1
     assert spark.sql(f"SHOW PARTITIONS {table}").count() == 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_redact_mode_mapper_through_engine(engine, spark, tmp_path):
+    """DeleteMode=redact flows PUT-config -> DataMapper -> job: matched
+    rows survive with RedactColumns nulled; invalid configs 400 at PUT."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lake = tmp_path / "redact-lake"
+    lake.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "customer_id": pa.array(["c1", "c2", "c3"]),
+                "email": pa.array(["a@x", "b@x", "c@x"]),
+            }
+        ),
+        str(lake / "f.parquet"),
+    )
+    with pytest.raises(ValueError):
+        engine.put_data_mapper(
+            "bad", {"Location": str(lake), "Columns": ["customer_id"],
+                    "DeleteMode": "nope"}
+        )
+    with pytest.raises(ValueError):
+        # redact column must resolve in the table schema
+        engine.put_data_mapper(
+            "bad", {"Location": str(lake), "Columns": ["customer_id"],
+                    "DeleteMode": "redact", "RedactColumns": ["ghost"]}
+        )
+    engine.put_data_mapper(
+        "r",
+        {
+            "Location": str(lake),
+            "Columns": ["customer_id"],
+            "DeleteMode": "redact",
+            "RedactColumns": ["email"],
+        },
+    )
+    engine.enqueue_matches([{"MatchId": "c2"}])
+    job = engine.process_queue()
+    assert job["JobStatus"] == "COMPLETED"
+    spark.catalog.clearCache()
+    got = {
+        r["customer_id"]: r["email"]
+        for r in spark.read.parquet(str(lake)).collect()
+    }
+    # row kept, identifier kept (not listed), email erased
+    assert got == {"c1": "a@x", "c2": None, "c3": "c@x"}

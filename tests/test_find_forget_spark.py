@@ -418,3 +418,101 @@ def test_job_on_schema_evolved_lake(spark, tmp_path):
     assert pq_mod.read_schema(old_file).names == ["cid", "name"]
     new_file = glob_mod.glob(loc + "/new/*.parquet")[0]
     assert pq_mod.read_schema(new_file).names == ["cid", "name", "email"]
+
+
+def test_forget_table_redact_mode(spark):
+    df = spark.createDataFrame(
+        [("a", "s1", 1), (None, "s2", 2), ("b", "s3", 3)],
+        "customer_id string, secret string, n bigint",
+    )
+    items = [QueueItem(match_id="a")]
+    groups = build_column_groups(df.schema, ["customer_id"], items)
+    out = forget_table(df, groups, redact_columns=["customer_id", "secret"])
+    rows = sorted(out.collect(), key=lambda r: r["n"])
+    # matched row: both columns nulled, row kept; NULL identifier never
+    # matches (null-safe), untouched row intact
+    assert [tuple(r) for r in rows] == [
+        (None, None, 1),
+        (None, "s2", 2),
+        ("b", "s3", 3),
+    ]
+    assert out.count() == 3
+    assert out.schema == df.schema
+
+
+def test_forget_table_redact_nested_field(spark):
+    df = spark.createDataFrame(
+        [(1, {"email": "e1", "age": 30}), (2, {"email": "e2", "age": 40})],
+        "id bigint, user struct<email: string, age: bigint>",
+    )
+    items = [QueueItem(match_id=1)]
+    groups = build_column_groups(df.schema, ["id"], items)
+    out = forget_table(df, groups, redact_columns=["user.email"])
+    rows = {r["id"]: r["user"].asDict() for r in out.collect()}
+    assert rows[1] == {"email": None, "age": 30}
+    assert rows[2] == {"email": "e2", "age": 40}
+    assert out.schema == df.schema
+
+
+def test_job_redact_mode_end_to_end(spark, tmp_path):
+    loc = str(tmp_path / "people")
+    spark.createDataFrame(
+        [("u1", "a@x", "bio1"), ("u2", "b@x", "bio2"), ("u3", "c@x", "bio3")],
+        "user_id string, email string, bio string",
+    ).coalesce(1).write.parquet(loc)
+    mapper = DataMapper(
+        "people",
+        loc,
+        ["user_id"],
+        format="parquet",
+        delete_mode="redact",
+        redact_columns=["email", "bio"],
+    )
+    mapper.validate(spark)
+    items = [QueueItem(match_id="u1"), QueueItem(match_id="u3")]
+    result = run_job(spark, [mapper], items)
+    assert result.status == "COMPLETED"
+    # stats count redacted rows through the same deleted_rows channel
+    assert sum(s[3] for s in result.file_stats) == 2
+    spark.catalog.clearCache()
+    after = spark.read.parquet(loc)
+    assert after.count() == 3  # no row deleted
+    got = {r["user_id"]: (r["email"], r["bio"]) for r in after.collect()}
+    assert got == {
+        "u1": (None, None),
+        "u2": ("b@x", "bio2"),
+        "u3": (None, None),
+    }
+
+
+def test_job_redact_default_columns_are_identifiers(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("u1", 1), ("u2", 2)], "user_id string, n bigint"
+    ).coalesce(1).write.parquet(loc)
+    mapper = DataMapper(
+        "t", loc, ["user_id"], format="parquet", delete_mode="redact"
+    )
+    result = run_job(spark, [mapper], [QueueItem(match_id="u1")])
+    assert result.status == "COMPLETED"
+    spark.catalog.clearCache()
+    got = sorted(
+        spark.read.parquet(loc).collect(), key=lambda r: r["n"]
+    )
+    assert [tuple(r) for r in got] == [(None, 1), ("u2", 2)]
+
+
+def test_redact_mapper_validation():
+    with pytest.raises(ValueError, match="delete mode"):
+        DataMapper("x", "/tmp/x", ["a"], delete_mode="purge")
+    with pytest.raises(ValueError, match="RedactColumns requires"):
+        DataMapper("x", "/tmp/x", ["a"], redact_columns=["b"])
+    with pytest.raises(ValueError, match="partition key"):
+        DataMapper(
+            "x",
+            "/tmp/x",
+            ["a"],
+            partition_keys=["dt"],
+            delete_mode="redact",
+            redact_columns=["dt"],
+        )

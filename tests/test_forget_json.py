@@ -183,3 +183,77 @@ def test_composite_nullable_or_undefined_identifiers(tmp_path):
         '{"user": {"id": "45678", "name": "John"}, "parents": {}}\n'
         '{"user": {"id": "45678", "name": "John"}, "parents": null}\n'
     )
+
+
+# --- redact mode -----------------------------------------------------------
+
+
+def test_redact_simple_keeps_row(tmp_path):
+    src = write_lines(
+        tmp_path,
+        "in.json",
+        '{"customer_id": "12345", "name": "n1"}\n'
+        '{"customer_id": "99",  "name": "n2"}\n',
+    )
+    out = os.path.join(tmp_path, "out.json")
+    stats = rewrite_json_file(
+        src, out, SIMPLE, redact_columns=["customer_id", "name"]
+    )
+    assert stats == {"ProcessedRows": 2, "DeletedRows": 1}
+    lines = read_text(out).splitlines()
+    assert lines[0] == '{"customer_id":null,"name":null}'
+    # non-matching line stays byte-exact (double space preserved)
+    assert lines[1] == '{"customer_id": "99",  "name": "n2"}'
+
+
+def test_redact_nested_case_insensitive(tmp_path):
+    src = write_lines(
+        tmp_path,
+        "in.json",
+        '{"customer_id": "12345", "User": {"Email": "e", "age": 3}}\n',
+    )
+    out = os.path.join(tmp_path, "out.json")
+    stats = rewrite_json_file(
+        src, out, SIMPLE, redact_columns=["user.email"]
+    )
+    assert stats["DeletedRows"] == 1
+    # original key casing survives; siblings untouched
+    assert read_text(out) == (
+        '{"customer_id":"12345","User":{"Email":null,"age":3}}\n'
+    )
+
+
+def test_redact_missing_key_is_noop(tmp_path):
+    src = write_lines(tmp_path, "in.json", '{"customer_id": "12345"}\n')
+    out = os.path.join(tmp_path, "out.json")
+    stats = rewrite_json_file(
+        src, out, SIMPLE, redact_columns=["not_there", "a.b.c"]
+    )
+    assert stats["DeletedRows"] == 1
+    assert read_text(out) == '{"customer_id":"12345"}\n'
+
+
+def test_redact_unicode_preserved(tmp_path):
+    src = write_lines(
+        tmp_path,
+        "in.json",
+        '{"customer_id": "12345", "bio": "café", "keep": "ü"}\n',
+    )
+    out = os.path.join(tmp_path, "out.json")
+    rewrite_json_file(src, out, SIMPLE, redact_columns=["bio"])
+    assert read_text(out) == (
+        '{"customer_id":"12345","bio":null,"keep":"ü"}\n'
+    )
+
+
+def test_redact_gzip_round_trip(tmp_path):
+    src = write_lines(
+        tmp_path,
+        "in.json.gz",
+        '{"customer_id": "12345"}\n{"customer_id": "9"}\n',
+        compressed=True,
+    )
+    out = os.path.join(tmp_path, "out.json.gz")
+    stats = rewrite_json_file(src, out, SIMPLE, redact_columns=["customer_id"])
+    assert stats == {"ProcessedRows": 2, "DeletedRows": 1}
+    assert read_text(out) == '{"customer_id":null}\n{"customer_id": "9"}\n'

@@ -418,3 +418,127 @@ def test_delete_mask_zero_rows_no_groups():
     import pyarrow.compute as pc
 
     assert pc.invert(mask).to_pylist() == []
+
+
+# --- redact mode -----------------------------------------------------------
+
+
+def test_redact_simple(tmp_path):
+    path, _ = write_tbl(
+        tmp_path,
+        "t.parquet",
+        {
+            "customer_id": ["12345", "23456", "34567"],
+            "name": ["a", "b", "c"],
+        },
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["12345", "23456"]}],
+        redact_columns=["customer_id", "name"],
+    )
+    # DeletedRows counts REDACTED rows; all rows survive
+    assert stats == {"ProcessedRows": 3, "DeletedRows": 2}
+    got = read_back(out)
+    assert got.column("customer_id").to_pylist() == [None, None, "34567"]
+    assert got.column("name").to_pylist() == [None, None, "c"]
+
+
+def test_redact_subset_of_columns_preserves_rest(tmp_path):
+    path, src = write_tbl(
+        tmp_path,
+        "t.parquet",
+        {"customer_id": ["1", "2"], "age": [30, 40], "city": ["x", "y"]},
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    rewrite_parquet_file(
+        path,
+        out,
+        [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["1"]}],
+        redact_columns=["city"],
+    )
+    got = read_back(out)
+    # matched row keeps its identifier and age; only city nulled
+    assert got.column("customer_id").to_pylist() == ["1", "2"]
+    assert got.column("age").to_pylist() == [30, 40]
+    assert got.column("city").to_pylist() == [None, "y"]
+    assert got.schema == src.schema
+
+
+def test_redact_nested_struct_field(tmp_path):
+    path, _ = write_tbl(
+        tmp_path,
+        "t.parquet",
+        {
+            "user_info": [
+                {"email": "e1", "name": "n1"},
+                {"email": "e2", "name": "n2"},
+                None,
+            ],
+            "customer_id": ["1", "2", "3"],
+        },
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["1", "3"]}],
+        redact_columns=["user_info.EMAIL"],  # case-insensitive dot path
+    )
+    assert stats["DeletedRows"] == 2
+    got = read_back(out)
+    assert got.column("user_info").to_pylist() == [
+        {"email": None, "name": "n1"},
+        {"email": "e2", "name": "n2"},
+        None,  # struct-null row stays struct-null
+    ]
+
+
+def test_redact_zero_matches_counts_zero(tmp_path):
+    path, src = write_tbl(
+        tmp_path, "t.parquet", {"customer_id": ["1", "2"]}
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["99"]}],
+        redact_columns=["customer_id"],
+    )
+    assert stats == {"ProcessedRows": 2, "DeletedRows": 0}
+    assert read_back(out).equals(src)
+
+
+def test_redact_non_nullable_column_raises(tmp_path):
+    schema = pa.schema([pa.field("customer_id", pa.string(), nullable=False)])
+    path, _ = write_tbl(
+        tmp_path, "t.parquet", {"customer_id": ["1", "2"]}, schema=schema
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    with pytest.raises(ValueError, match="non-nullable"):
+        rewrite_parquet_file(
+            path,
+            out,
+            [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["1"]}],
+            redact_columns=["customer_id"],
+        )
+
+
+def test_redact_multi_row_group_streaming(tmp_path):
+    table = pa.table({"id": list(range(100)), "v": [str(i) for i in range(100)]})
+    path = os.path.join(tmp_path, "t.parquet")
+    pq.write_table(table, path, row_group_size=10)
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [{"Type": "Simple", "Column": "id", "MatchIds": [5, 55, 95]}],
+        redact_columns=["v"],
+    )
+    assert stats == {"ProcessedRows": 100, "DeletedRows": 3}
+    got = read_back(out)
+    assert got.num_rows == 100
+    vals = got.column("v").to_pylist()
+    assert [i for i, v in enumerate(vals) if v is None] == [5, 55, 95]
