@@ -51,19 +51,19 @@ GATE_ORDER = [
     "find_rows_composite",
     "find_rows_nested",
     "find_rows_decimal",
-    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
-    "tpch_q18",
     "events_window_variants",
     "events_hourly",
     "events_distinct_sketch",
     "orders_quantile_sketch",
     "dedup_exact_groups",
+    "dedup_incremental_exact",
+    "dedup_incremental_complete",
     "text_contamination",
     "text_repetition",
     "text_mixture",
@@ -88,6 +88,8 @@ GATE_ORDER = [
 # approximate queries (seed-dependent row sets; quality is gate-checked
 # by the *_recall / *_complete rows) — still runnable via queries().
 TAIL_ORDER = [
+    "tpch_q4",
+    "tpch_q18",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",

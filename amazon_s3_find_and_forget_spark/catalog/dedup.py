@@ -114,6 +114,91 @@ def q_dedup_shared_ngrams(spark, sf_dir):
     return dedup.shared_ngram_stats(load(spark, sf_dir, "documents"), n=8)
 
 
+
+def q_dedup_incremental_exact(spark, sf_dir):
+    """Batch-incremental exact dedup against a persisted hash index
+    (operators/incremental.py): history (doc_id % 3 != 0) is indexed,
+    the arriving batch (doc_id % 3 == 0) is screened without shuffling
+    the index — pushed In-predicate or broadcast probe, the same
+    switch as the Find phase. Novel = first-per-content within the
+    batch and unseen in the index; fully SQL-expressible, so this row
+    carries an exact value oracle."""
+    from ..operators import incremental as inc
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    arriving = docs.where(F.col("doc_id") % 3 == 0)
+    novel, _ = inc.incremental_exact_dedup(arriving, inc.exact_index(hist))
+    return novel.select("doc_id")
+
+
+def q_dedup_incremental_complete(spark, sf_dir):
+    """Incremental MinHash screening quality (gate check).
+
+    exact_complete: every arriving doc whose text EXACTLY matches an
+    indexed doc or a smaller-id batch doc must be dropped — exact
+    duplicates have identical signatures, so every band collides and
+    the inline verify sees similarity 1.0; deterministic under any
+    seed. sound: every dropped doc has a witness at signature
+    similarity >= threshold somewhere in history or earlier batch —
+    verified by a bounded cross-check of the (small) dropped set
+    against all signatures, independent of the banding that proposed
+    it. Sample-bounded (doc_id < 1500: the whole corpus at gate scale).
+    """
+    from ..operators import incremental as inc
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 1500)
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    arriving = docs.where(F.col("doc_id") % 3 == 0)
+    n_arriving = arriving.count()
+    index = inc.minhash_index(hist)
+    novel, _ = inc.incremental_minhash_dedup(
+        arriving, index, threshold=0.8
+    )
+    novel_ids = {r[0] for r in novel.select("doc_id").collect()}
+    arr_ids = {r[0] for r in arriving.select("doc_id").collect()}
+    dropped = arr_ids - novel_ids
+
+    # exact-dup completeness via md5 (JVM-side, seed-free)
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    ).collect()
+    by_hash = {}
+    for r in hashed:
+        by_hash.setdefault(r["h"], []).append(r["doc_id"])
+    exact_dup_batch = set()
+    for ids in by_hash.values():
+        ids.sort()
+        for d in ids[1:]:
+            if d % 3 == 0 and (
+                any(x % 3 != 0 for x in ids if x != d)
+                or any(x % 3 == 0 and x < d for x in ids)
+            ):
+                exact_dup_batch.add(d)
+    exact_complete = exact_dup_batch.isdisjoint(novel_ids)
+
+    # soundness: every dropped doc has a global witness at sim>=0.8
+    sigs = {r["_id"]: r["_sig"] for r in
+            inc.minhash_index(docs).collect()}
+    def sim(a, b):
+        sa, sb = sigs[a], sigs[b]
+        return sum(x == y for x, y in zip(sa, sb)) / len(sa)
+    sound = all(
+        any(
+            sim(d, o) >= 0.8
+            for o in sigs
+            if o % 3 != 0 or (o % 3 == 0 and o < d)
+        )
+        for d in dropped
+    )
+    return _summary_row(
+        spark,
+        n_arriving=n_arriving,
+        exact_complete=exact_complete,
+        sound=sound,
+    )
+
+
 def q_dedup_minhash_recall(spark, sf_dir):
     """MinHash-LSH dedup quality vs exact shingle Jaccard (gate check).
 
@@ -206,6 +291,8 @@ QUERIES = {
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_incremental_exact": q_dedup_incremental_exact,
+    "dedup_incremental_complete": q_dedup_incremental_complete,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_simhash_complete": q_dedup_simhash_complete,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -213,6 +300,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_incremental_exact": """
+        WITH hist AS (
+          SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+        ), arr AS (
+          SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+        ), first_arr AS (
+          SELECT h, min(doc_id) AS doc_id FROM arr GROUP BY h
+        )
+        SELECT doc_id FROM first_arr
+        WHERE h NOT IN (SELECT h FROM hist)
+    """,
+    "dedup_incremental_complete": """
+        SELECT count(*) AS n_arriving, TRUE AS exact_complete,
+               TRUE AS sound
+        FROM documents WHERE doc_id < 1500 AND doc_id % 3 = 0
+    """,
     "dedup_minhash_recall": """
         SELECT count(*) AS n_docs, TRUE AS recall_ok, TRUE AS precision_ok
         FROM documents WHERE doc_id < 1000

@@ -1,0 +1,215 @@
+"""Batch-incremental deduplication against a persisted index.
+
+The batch operators in :mod:`dedup` re-scan the whole corpus; at 100 TB
+a daily 1 % ingest must not cost a daily 100 % dedup. These operators
+keep a parquet-backed INDEX relation — content hashes for exact dedup,
+MinHash signatures for near-dedup — and screen each arriving batch
+against it without ever shuffling the index:
+
+- the arriving batch is the SMALL side by construction, so every probe
+  of the index is either a pushed ``In`` predicate (parquet row-group /
+  file pruning on a hash-sorted index — the same predicate-vs-join
+  switch the Find phase uses, plans/find.py:42,100-112) or a broadcast
+  hash probe riding the index SCAN (map-only; the index never moves);
+- the index update is append-only: the novel documents' hashes /
+  signatures are returned as a delta relation the caller appends to the
+  index location (parquet append at scale; no rewrite, no merge).
+
+Survivor policy matches the batch operators: indexed documents always
+outrank arriving ones (they were seen first); within a batch the
+smallest id survives — so incremental screening over a stream of
+batches converges to exactly the batch result over the union (proven
+by the ``dedup_incremental_*`` catalog rows' oracles and the
+batch-agreement tests).
+
+Streaming counterpart: streaming/dedup.py screens a LIVE feed with
+watermark-bounded state; these operators are the unbounded-horizon
+batch path (state lives in the lake, not the state store).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _eager, exact_dedup, minhash_signatures
+
+# Above this many distinct batch hashes, an In-predicate stops pruning
+# and the broadcast probe wins (same trade as plans/find.py:42).
+PREDICATE_VALUE_LIMIT = 2048
+
+
+def exact_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build the exact-dedup index relation: one row per distinct
+    content hash with its surviving (minimum) id.
+
+    Persist this sorted by ``content_hash`` (``.sortWithinPartitions``
+    after a range repartition, or layout.zorder) so later per-batch
+    ``In`` probes prune row groups via parquet zone maps.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias(id_col)
+    )
+
+
+def _seen_hashes(
+    batch_hashes: DataFrame,
+    index: DataFrame,
+    predicate_value_limit: int,
+) -> DataFrame:
+    """Subset of ``batch_hashes`` already present in the index.
+
+    Small batch (<= limit distinct hashes): collect the hash list and
+    push it as an ``In`` predicate into the index scan — parquet stats
+    prune whole files/row groups on a hash-sorted index. Large batch:
+    broadcast the batch hashes and left-semi the index against them —
+    one map-only pass over the index, no shuffle of either side's bulk.
+    """
+    hashes = [r[0] for r in batch_hashes.limit(predicate_value_limit + 1).collect()]
+    if len(hashes) <= predicate_value_limit:
+        return index.where(
+            F.col("content_hash").isin(hashes)
+        ).select("content_hash")
+    return index.select("content_hash").join(
+        F.broadcast(batch_hashes), "content_hash", "left_semi"
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    predicate_value_limit: int = PREDICATE_VALUE_LIMIT,
+) -> tuple[DataFrame, DataFrame]:
+    """Screen an arriving batch against the exact index.
+
+    Returns ``(novel, index_delta)``: the batch documents whose content
+    was never seen (neither in the index nor earlier in this batch —
+    min id survives within the batch), and their index rows to append.
+
+    Plan shape: one shuffle of the BATCH (within-batch first-per-hash
+    window), zero shuffles of the index (pushed ``In`` or broadcast
+    probe), and a broadcast anti-join of the batch against the seen-set
+    (bounded by the batch's own distinct count).
+    """
+    batch_first = exact_dedup(new_df, text_col, id_col).withColumn(
+        "content_hash", F.md5(F.col(text_col))
+    )
+    # the screened batch is re-read by the anti-join after driving the
+    # seen-probe; checkpoint once so the window runs once
+    batch_first = _eager(batch_first)
+    batch_hashes = batch_first.select("content_hash").distinct()
+    seen = _seen_hashes(batch_hashes, index, predicate_value_limit)
+    novel = batch_first.join(
+        F.broadcast(seen), "content_hash", "left_anti"
+    )
+    delta = novel.select("content_hash", id_col)
+    return novel.drop("content_hash"), delta
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Build the near-dup index relation: (_id, _sig) MinHash signatures
+    (the same kernel the batch path uses, so incremental and batch
+    screening can never disagree about a signature)."""
+    return minhash_signatures(df, text_col, id_col, k, num_perm)
+
+
+def _banded(sigs: DataFrame, bands: int, num_perm: int) -> DataFrame:
+    r = num_perm // bands
+    return sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice(F.col("_sig"), b * r + 1, r), F.lit(b))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_hash"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Screen an arriving batch for near-duplicates of the indexed corpus.
+
+    Returns ``(novel, index_delta)``: batch documents that near-match
+    nothing in the index and nothing earlier (smaller id) in the batch,
+    plus their signatures to append to the index.
+
+    Plan shape: the batch's banded signatures BROADCAST (batch x bands
+    rows of three longs + one signature — small by construction) and
+    probe the index's banded projection as a map-only hash join riding
+    the index scan; signatures travel WITH the bands on both sides, so
+    the Jaccard estimate (fraction of agreeing components, the same
+    inline verify as minhash_dedup's fused path) happens on the join
+    row itself — one scan of the index, no pair materialization, no
+    join-back. Within-batch screening reuses the batch fused pipeline
+    on the (small) batch signatures.
+    """
+    new_sigs = minhash_signatures(new_df, text_col, id_col, k, num_perm)
+    new_sigs = _eager(new_sigs)  # one UDF pass; feeds three consumers
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    sim = agree / F.lit(float(num_perm))
+
+    # vs index: every band collision is verified inline; indexed docs
+    # always outrank batch docs, so any hit drops the batch doc
+    banded_new = _banded(new_sigs, bands, num_perm).select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"),
+        "band_hash",
+    )
+    banded_idx = _banded(index_sigs, bands, num_perm).select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
+        "band_hash",
+    )
+    dup_vs_index = (
+        banded_idx.join(F.broadcast(banded_new), "band_hash")
+        .where(sim >= threshold)
+        .select("id_b")
+    )
+
+    # within batch: smaller id survives (the batch fused-verify shape)
+    a = banded_new.select(
+        F.col("id_b").alias("id_a"), F.col("_sig_b").alias("_sig_a"),
+        "band_hash",
+    )
+    dup_in_batch = (
+        a.join(banded_new, "band_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim >= threshold)
+        .select("id_b")
+    )
+
+    drop = _eager(
+        dup_vs_index.unionAll(dup_in_batch)
+        .distinct()
+        .withColumnRenamed("id_b", id_col)
+    )
+    novel = new_df.join(drop, on=id_col, how="left_anti")
+    delta = new_sigs.join(
+        drop.withColumnRenamed(id_col, "_id"), on="_id", how="left_anti"
+    )
+    return novel, delta

@@ -1,0 +1,140 @@
+"""Batch-incremental dedup must converge to the batch result: screening
+arriving batches against the index == one batch dedup over the union."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_s3_find_and_forget_spark.operators import dedup as dd
+from amazon_s3_find_and_forget_spark.operators import incremental as inc
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+HISTORY = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+]
+BATCH = [
+    (10, "the quick brown fox jumps over the lazy dog"),  # dup of history
+    (11, "a brand new never before seen document"),
+    (12, "a brand new never before seen document"),  # dup within batch
+    (13, "pack my box with five dozen liquor jugs"),  # dup of history
+    (14, "another totally novel piece of text"),
+]
+
+
+def test_incremental_exact_screens_batch(spark):
+    index = inc.exact_index(docs(spark, HISTORY))
+    novel, delta = inc.incremental_exact_dedup(docs(spark, BATCH), index)
+    assert sorted(r["doc_id"] for r in novel.collect()) == [11, 14]
+    d = {r["content_hash"]: r["doc_id"] for r in delta.collect()}
+    assert sorted(d.values()) == [11, 14]
+    # delta schema matches the index relation -> append composes
+    assert set(delta.columns) == set(index.columns)
+
+
+def test_incremental_exact_broadcast_path_agrees(spark):
+    """Forcing the probe past the In-predicate limit (broadcast path)
+    must give identical novelty decisions."""
+    index = inc.exact_index(docs(spark, HISTORY))
+    novel, _ = inc.incremental_exact_dedup(
+        docs(spark, BATCH), index, predicate_value_limit=1
+    )
+    assert sorted(r["doc_id"] for r in novel.collect()) == [11, 14]
+
+
+def test_incremental_exact_converges_to_batch(spark):
+    """history + batch1 + batch2 screened incrementally == one batch
+    exact_dedup over the union (restricted to each arrival's rows)."""
+    batch2 = [
+        (20, "another totally novel piece of text"),  # dup of batch1's 14
+        (21, "second wave original content"),
+    ]
+    all_rows = HISTORY + BATCH + batch2
+    union_survivors = {
+        r["doc_id"]
+        for r in dd.exact_dedup(docs(spark, all_rows)).collect()
+    }
+
+    index = inc.exact_index(docs(spark, HISTORY))
+    n1, d1 = inc.incremental_exact_dedup(docs(spark, BATCH), index)
+    index = index.unionByName(d1.select(*index.columns))
+    n2, _ = inc.incremental_exact_dedup(docs(spark, batch2), index)
+
+    got = {r["doc_id"] for r in HISTORY_SURVIVORS(spark)} | {
+        r["doc_id"] for r in n1.collect()
+    } | {r["doc_id"] for r in n2.collect()}
+    assert got == union_survivors
+
+
+def HISTORY_SURVIVORS(spark):
+    return dd.exact_dedup(docs(spark, HISTORY)).collect()
+
+
+NEAR_A = (
+    "spark structured streaming processes data incrementally with "
+    "exactly once fault tolerance guarantees across micro batches"
+)
+NEAR_A2 = (
+    "spark structured streaming processes data incrementally with "
+    "exactly once fault tolerance guarantees across micro batch"
+)
+UNIQ_1 = "completely different subject matter about cooking pasta at home"
+UNIQ_2 = "yet another unrelated text concerning mountain hiking trails"
+
+
+def test_incremental_minhash_screens_batch(spark):
+    history = docs(spark, [(1, NEAR_A), (2, UNIQ_1)])
+    index = inc.minhash_index(history, num_perm=64)
+    batch = docs(
+        spark,
+        [
+            (10, NEAR_A2),  # near-dup of indexed 1
+            (11, UNIQ_2),  # novel
+            (12, UNIQ_2 + "!"),  # near-dup of 11 within the batch
+        ],
+    )
+    novel, delta = inc.incremental_minhash_dedup(
+        batch, index, num_perm=64, bands=16, threshold=0.7
+    )
+    assert sorted(r["doc_id"] for r in novel.collect()) == [11]
+    assert [r["_id"] for r in delta.collect()] == [11]
+
+
+def test_incremental_minhash_converges_to_batch(spark):
+    """Incremental screening == batch minhash_dedup over the union when
+    the index holds the deduped history (same kernel, same banding,
+    same inline verify)."""
+    history = docs(spark, [(1, NEAR_A), (2, UNIQ_1), (3, NEAR_A2)])
+    batch = docs(
+        spark,
+        [(10, NEAR_A + "?"), (11, UNIQ_2), (12, UNIQ_1 + " today")],
+    )
+    union = history.unionByName(batch)
+    kw = dict(num_perm=64, bands=16, threshold=0.7)
+    batch_survivors = {
+        r["doc_id"] for r in dd.minhash_dedup(union, **kw).collect()
+    }
+
+    hist_kept = dd.minhash_dedup(history, **kw)
+    index = inc.minhash_index(hist_kept, num_perm=64)
+    novel, _ = inc.incremental_minhash_dedup(batch, index, **kw)
+    got = {r["doc_id"] for r in hist_kept.collect()} | {
+        r["doc_id"] for r in novel.collect()
+    }
+    assert got == batch_survivors
+
+
+def test_incremental_exact_empty_batch_and_empty_index(spark):
+    empty = docs(spark, [])
+    index = inc.exact_index(docs(spark, HISTORY))
+    novel, delta = inc.incremental_exact_dedup(empty, index)
+    assert novel.count() == 0 and delta.count() == 0
+    # empty index: everything first-per-hash is novel
+    novel2, _ = inc.incremental_exact_dedup(
+        docs(spark, BATCH), inc.exact_index(empty)
+    )
+    assert sorted(r["doc_id"] for r in novel2.collect()) == [10, 11, 13, 14]
