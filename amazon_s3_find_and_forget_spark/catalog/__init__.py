@@ -43,6 +43,7 @@ GATE_ORDER = [
     "semantic_dedup_complete",
     "dedup_components",
     "embedding_near_dups_recall",
+    "embedding_incremental_complete",
     "similarity_ivfpq_recall",
     "text_balanced_sample",
     "text_stratified_sample",
@@ -56,7 +57,6 @@ GATE_ORDER = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
-    "tpch_q10",
     "events_window_variants",
     "events_hourly",
     "events_distinct_sketch",
@@ -88,6 +88,7 @@ GATE_ORDER = [
 # approximate queries (seed-dependent row sets; quality is gate-checked
 # by the *_recall / *_complete rows) — still runnable via queries().
 TAIL_ORDER = [
+    "tpch_q10",
     "tpch_q4",
     "tpch_q18",
     "tpch_q13",

@@ -26,6 +26,68 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_duplicates(embs, dim=dim, threshold=0.4, bits=4)
 
 
+
+def q_embedding_incremental_complete(spark, sf_dir):
+    """Incremental embedding near-dup screening quality (gate check).
+
+    The screen (operators/incremental.py::incremental_embedding_dedup)
+    drops an arriving vector only after an EXACT cosine verify against
+    an LSH-colliding partner, so two deterministic claims hold under
+    any seed: sound — every dropped arriving vector has a true-cosine
+    partner >= threshold in the history or among smaller-id arrivals
+    (checked against the brute-force pair set, independent of the LSH
+    that proposed it); exact_complete — an arriving vector IDENTICAL to
+    an indexed or smaller-id arriving one collides in every table and
+    verifies at cosine 1.0, so it is always dropped. Sample-bounded
+    (vec_id < 1000: the whole corpus at gate scale)."""
+    from ..operators import incremental as inc
+
+    embs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    hist = embs.where(F.col("vec_id") % 3 != 0)
+    arriving = embs.where(F.col("vec_id") % 3 == 0)
+    n_arriving = arriving.count()
+    dim = len(embs.limit(1).collect()[0]["embedding"])
+    index = inc.embedding_index(hist, dim=dim, bits=4)
+    novel, _ = inc.incremental_embedding_dedup(
+        arriving, index, dim=dim, threshold=0.4, bits=4
+    )
+    novel_ids = {r[0] for r in novel.select("vec_id").collect()}
+    arr_ids = {r[0] for r in arriving.select("vec_id").collect()}
+    dropped = arr_ids - novel_ids
+
+    pairs = similarity.exact_near_duplicate_pairs(
+        embs, threshold=0.4
+    ).select("id_a", "id_b").collect()
+    witnesses = {}
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        for x, y in ((a, b), (b, a)):
+            # y is the screened side; x qualifies as its witness if x is
+            # history or an earlier arrival
+            if y % 3 == 0 and (x % 3 != 0 or x < y):
+                witnesses.setdefault(y, set()).add(x)
+    sound = all(d in witnesses for d in dropped)
+
+    rows = embs.select("vec_id", "embedding").collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(tuple(r["embedding"]), []).append(r["vec_id"])
+    exact_complete = True
+    for ids in by_vec.values():
+        ids.sort()
+        for d in ids[1:]:
+            if d % 3 == 0 and any(
+                x % 3 != 0 or x < d for x in ids if x != d
+            ):
+                exact_complete = exact_complete and (d in dropped)
+    return _summary_row(
+        spark,
+        n_arriving=n_arriving,
+        sound=sound,
+        exact_complete=exact_complete,
+    )
+
+
 def q_similarity_batch_topk(spark, sf_dir):
     embs = load(spark, sf_dir, "embeddings")
     queries = embs.where(F.col("vec_id") < 5).select(
@@ -328,6 +390,7 @@ def q_embedding_near_dups_recall(spark, sf_dir):
 
 QUERIES = {
     "embedding_near_dups_recall": q_embedding_near_dups_recall,
+    "embedding_incremental_complete": q_embedding_incremental_complete,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
     "similarity_cosine": q_similarity_cosine,
     "similarity_ivf_recall": q_similarity_ivf_recall,
@@ -348,6 +411,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_incremental_complete": """
+        SELECT count(*) AS n_arriving, TRUE AS sound,
+               TRUE AS exact_complete
+        FROM embeddings WHERE vec_id < 1000 AND vec_id % 3 = 0
+    """,
     "embedding_near_dups_recall": """
         SELECT count(*) AS n_vecs, TRUE AS precision_ok, TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 1000

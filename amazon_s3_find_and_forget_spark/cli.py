@@ -58,6 +58,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     pm.add_argument("--schema", default="", help="DDL schema (JSON lakes)")
     pm.add_argument("--partition-filter", default="")
+    pm.add_argument(
+        "--delete-mode",
+        default="delete",
+        choices=["delete", "redact"],
+        help="redact keeps matching rows and nulls --redact-column "
+        "(defaults to the identifier columns)",
+    )
+    pm.add_argument(
+        "--redact-column",
+        action="append",
+        default=[],
+        help="column nulled in redact mode (dot path); repeatable",
+    )
 
     sub.add_parser("list-mappers", help="list registered mappers")
 
@@ -257,6 +270,10 @@ def main(argv: list[str] | None = None) -> int:
             cfg["Schema"] = args.schema
         if args.partition_filter:
             cfg["PartitionFilter"] = args.partition_filter
+        if args.delete_mode != "delete":
+            cfg["DeleteMode"] = args.delete_mode
+        if args.redact_column:
+            cfg["RedactColumns"] = args.redact_column
         _emit(eng.put_data_mapper(args.mapper_id, cfg))
     elif args.cmd == "list-mappers":
         _emit(eng.list_data_mappers())

@@ -3,8 +3,9 @@
 The batch operators in :mod:`dedup` re-scan the whole corpus; at 100 TB
 a daily 1 % ingest must not cost a daily 100 % dedup. These operators
 keep a parquet-backed INDEX relation — content hashes for exact dedup,
-MinHash signatures for near-dedup — and screen each arriving batch
-against it without ever shuffling the index:
+MinHash signatures for near-dedup, LSH-keyed unit vectors for embedding
+near-dedup — and screen each arriving batch against it without ever
+shuffling the index:
 
 - the arriving batch is the SMALL side by construction, so every probe
   of the index is either a pushed ``In`` predicate (parquet row-group /
@@ -210,6 +211,120 @@ def incremental_minhash_dedup(
     )
     novel = new_df.join(drop, on=id_col, how="left_anti")
     delta = new_sigs.join(
+        drop.withColumnRenamed(id_col, "_id"), on="_id", how="left_anti"
+    )
+    return novel, delta
+
+
+def embedding_index(
+    df: DataFrame,
+    dim: int,
+    bits: int = 10,
+    n_tables: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Build the embedding near-dup index relation:
+    ``(_id, _u unit-normalized vector, _k array of n_tables bucket keys)``.
+
+    The hyperplane family is a pure function of (dim, bits, seed), so an
+    index built today and a batch keyed tomorrow land in the SAME
+    buckets — the property that makes the screen incremental. Zero-norm
+    vectors have no cosine and are excluded (they can never be anyone's
+    near-duplicate). One Arrow gemm per table per batch; the n_tables
+    keys are one array column, so the persisted index stays narrow.
+    """
+    from .similarity import _hyperplanes, _norm, hyperplane_bucket
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        _norm(F.col(emb_col)).alias("_n"),
+    ).where(F.col("_n") > 0)
+    keys = [
+        F.xxhash64(
+            F.lit(t),
+            hyperplane_bucket(F.col("_emb"), _hyperplanes(dim, bits, seed + t)),
+        )
+        for t in range(n_tables)
+    ]
+    return base.select(
+        "_id",
+        F.transform("_emb", lambda x: x.cast("double") / F.col("_n")).alias(
+            "_u"
+        ),
+        F.array(*keys).alias("_k"),
+    )
+
+
+def incremental_embedding_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 10,
+    n_tables: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Screen arriving embeddings for near-duplicates of the indexed
+    corpus (cosine >= threshold), LSH-bucketed like
+    ``similarity.embedding_near_duplicates``.
+
+    Returns ``(novel, index_delta)``. Plan shape mirrors the MinHash
+    screen: the batch's exploded ``(bucket, id, unit-vector)`` keys
+    BROADCAST and probe the index's exploded keys as a map-only hash
+    join riding the index scan — the unit vectors travel WITH the keys
+    on both sides, so the exact-cosine verify is an inline dot product
+    on the join row. One scan of the index, no shuffle of it, no pair
+    relation, precision 1.0 (every candidate exactly verified). A batch
+    vector identical to an indexed one collides in EVERY table and
+    verifies at cosine 1.0 — exact duplicates are dropped
+    deterministically; only near-miss recall is probabilistic.
+
+    Zero-norm batch vectors are never near-duplicates (no cosine) and
+    pass through as novel, but are excluded from the index delta like
+    the index build excludes them.
+    """
+    from .similarity import _dot
+
+    batch_keyed = _eager(
+        embedding_index(new_df, dim, bits, n_tables, emb_col, id_col, seed)
+    )
+    exploded_new = batch_keyed.select(
+        F.col("_id").alias("id_b"),
+        F.col("_u").alias("_ub"),
+        F.explode("_k").alias("lsh_bucket"),
+    )
+    exploded_idx = index.select(
+        F.col("_id").alias("id_a"),
+        F.col("_u").alias("_ua"),
+        F.explode("_k").alias("lsh_bucket"),
+    )
+    cos = _dot(F.col("_ua"), F.col("_ub"))
+    dup_vs_index = (
+        exploded_idx.join(F.broadcast(exploded_new), "lsh_bucket")
+        .where(cos >= threshold)
+        .select("id_b")
+    )
+    a = exploded_new.select(
+        F.col("id_b").alias("id_a"), F.col("_ub").alias("_ua"), "lsh_bucket"
+    )
+    dup_in_batch = (
+        a.join(exploded_new, "lsh_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .select("id_b")
+    )
+    drop = _eager(
+        dup_vs_index.unionAll(dup_in_batch)
+        .distinct()
+        .withColumnRenamed("id_b", id_col)
+    )
+    novel = new_df.join(drop, on=id_col, how="left_anti")
+    delta = batch_keyed.join(
         drop.withColumnRenamed(id_col, "_id"), on="_id", how="left_anti"
     )
     return novel, delta

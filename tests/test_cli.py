@@ -208,3 +208,33 @@ def test_cli_zorder(spark, tmp_path, sf_dir, capsys):
     )
     assert out["Rows"] == n
     assert out["ClusteredBy"] == ["l_orderkey", "l_partkey"]
+
+
+def test_cli_redact_runbook(spark, tmp_path, sf_dir, capsys):
+    lake = str(tmp_path / "redact-lake")
+    os.makedirs(lake)
+    shutil.copy(
+        os.path.join(sf_dir, "customer.parquet"),
+        os.path.join(lake, "customer.parquet"),
+    )
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+
+    before = spark.read.parquet(lake).count()
+    m = run(capsys, *base, "put-mapper", "cust", "--location", lake,
+            "--column", "c_custkey", "--delete-mode", "redact",
+            "--redact-column", "c_name")
+    assert m["cust"]["DeleteMode"] == "redact"
+    assert m["cust"]["RedactColumns"] == ["c_name"]
+
+    run(capsys, *base, "enqueue", "--match-id", "1", "--match-id", "7")
+    job = run(capsys, *base, "process")
+    assert job["JobStatus"] == "COMPLETED"
+
+    after = spark.read.parquet(lake)
+    assert after.count() == before  # no row deleted
+    assert after.where("c_custkey in (1, 7)").count() == 2
+    assert after.where(
+        "c_custkey in (1, 7) and c_name is not null"
+    ).count() == 0
+    assert after.where("c_name is null").count() == 2

@@ -138,3 +138,74 @@ def test_incremental_exact_empty_batch_and_empty_index(spark):
         docs(spark, BATCH), inc.exact_index(empty)
     )
     assert sorted(r["doc_id"] for r in novel2.collect()) == [10, 11, 13, 14]
+
+
+# --- embedding incremental screen ------------------------------------------
+
+
+def vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _unit(v):
+    import math
+
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+E1 = [1.0, 0.0, 0.0, 0.0]
+E1_NEAR = _unit([0.999, 0.02, 0.0, 0.0])  # cosine ~0.9998 with E1
+E2 = [0.0, 1.0, 0.0, 0.0]
+E3 = [0.0, 0.0, 1.0, 0.0]
+
+
+def test_incremental_embedding_screens_batch(spark):
+    index = inc.embedding_index(
+        vecs(spark, [(1, E1), (2, E2)]), dim=4, bits=4, n_tables=8
+    )
+    batch = vecs(
+        spark,
+        [
+            (10, E1),       # identical to indexed 1 -> always dropped
+            (11, E1_NEAR),  # near-dup of indexed 1
+            (12, E3),       # novel
+            (13, E3),       # identical to 12 within batch -> dropped
+            (14, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: novel, not indexed
+        ],
+    )
+    novel, delta = inc.incremental_embedding_dedup(
+        batch, index, dim=4, threshold=0.95, bits=4, n_tables=8
+    )
+    assert sorted(r["vec_id"] for r in novel.collect()) == [12, 14]
+    # delta excludes the zero-norm row (it can never be matched)
+    assert [r["_id"] for r in delta.collect()] == [12]
+    assert set(delta.columns) == set(index.columns)
+
+
+def test_incremental_embedding_agrees_with_batch_pairs(spark):
+    """Every drop must correspond to a pair the batch operator finds on
+    the union (same LSH family, same threshold)."""
+    from amazon_s3_find_and_forget_spark.operators import (
+        similarity as sim_ops,
+    )
+
+    history = [(1, E1), (2, E2)]
+    batch = [(10, E1_NEAR), (11, E3)]
+    union = vecs(spark, history + batch)
+    pairs = sim_ops.embedding_near_duplicates(
+        union, dim=4, threshold=0.95, bits=4, n_tables=8
+    )
+    batch_dropped = {
+        r["id_b"] for r in pairs.collect() if r["id_b"] >= 10
+    }
+    index = inc.embedding_index(
+        vecs(spark, history), dim=4, bits=4, n_tables=8
+    )
+    novel, _ = inc.incremental_embedding_dedup(
+        vecs(spark, batch), index, dim=4, threshold=0.95, bits=4, n_tables=8
+    )
+    inc_dropped = {10, 11} - {r["vec_id"] for r in novel.collect()}
+    assert inc_dropped == batch_dropped
