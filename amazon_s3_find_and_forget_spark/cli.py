@@ -183,6 +183,15 @@ def main(argv: list[str] | None = None) -> int:
         help="DELETE /v1/queue blocks until the job document is "
         "terminal instead of the reference's 202-then-poll",
     )
+    sv.add_argument(
+        "--auth-token",
+        action="append",
+        default=[],
+        metavar="TOKEN[:USERNAME]",
+        help="require 'Authorization: Bearer TOKEN' on every route "
+        "(repeatable, one per principal); without it the API is open "
+        "(private-gateway mode)",
+    )
 
     zo = sub.add_parser(
         "zorder",
@@ -335,13 +344,24 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "metrics":
         _emit(eng.metrics())
     elif args.cmd == "serve":
-        from .http_api import serve
+        from .http_api import BearerTokenAuthorizer, serve
 
+        authorizer = None
+        if args.auth_token:
+            tokens = {}
+            for spec in args.auth_token:
+                token, _, user = spec.partition(":")
+                tokens[token] = {
+                    "Username": user or "api-user",
+                    "Sub": token[:8],
+                }
+            authorizer = BearerTokenAuthorizer(tokens)
         server = serve(
             eng,
             host=args.host,
             port=args.port,
             detach_jobs=not args.sync_jobs,
+            authorizer=authorizer,
         )
         host, port = server.server_address
         print(

@@ -133,7 +133,12 @@ def run_suite(spark, sf_dir: str, runs: int, label: str) -> dict[str, float]:
     return timings
 
 
-def evaluate_tripwire(out: dict, repo_dir: str, factor: float = 1.5) -> None:
+def evaluate_tripwire(
+    out: dict,
+    repo_dir: str,
+    factor: float = 1.5,
+    min_delta: float = 0.25,
+) -> None:
     """Per-query regression tripwire against the multi-round band.
 
     Round 9 measured identical code moving -51%/+11% per query between
@@ -141,7 +146,14 @@ def evaluate_tripwire(out: dict, repo_dir: str, factor: float = 1.5) -> None:
     lane's floor is the MIN across every recorded ``BENCH_r*.json``
     (each itself a min-of-N), and the flag fires only when the current
     min exceeds ``factor`` x that floor with >= 2 prior rounds of
-    evidence — a sustained shape change, not rig noise. Results land in
+    evidence — a sustained shape change, not rig noise. ``min_delta``
+    gates the ABSOLUTE excess too: round-10 ran the bench twice
+    back-to-back on identical code and sub-second queries crossed 1.5x
+    their floor with a DIFFERENT flag set each run (pure neighbor
+    load), so a ratio alone cannot clear the noise envelope on small
+    timings — 0.1 s of jitter must not flag, while a heavy query
+    doubling still does. Flags are advisory: re-run on a quiet rig
+    before treating one as a regression. Results land in
     ``out["tripwire"]`` so every BENCH record shows it evaluated."""
     import glob
 
@@ -180,7 +192,7 @@ def evaluate_tripwire(out: dict, repo_dir: str, factor: float = 1.5) -> None:
             if len(prior) < 2:
                 continue  # not enough band to distinguish noise
             floor = min(prior)
-            if v > factor * floor:
+            if v > factor * floor and v - floor > min_delta:
                 flagged.setdefault(lane, {})[q] = {
                     "current": v,
                     "band_floor": floor,
@@ -190,6 +202,7 @@ def evaluate_tripwire(out: dict, repo_dir: str, factor: float = 1.5) -> None:
     out["tripwire"] = {
         "evaluated": True,
         "factor": factor,
+        "min_delta": min_delta,
         "rounds_seen": rounds,
         "flagged": flagged,
     }

@@ -35,11 +35,11 @@ def test_flags_only_sustained_regressions(tmp_path):
     # q1's band floor is 0.4 (r1..r3: noisy 0.4-1.0); current 0.55 is
     # inside 1.5x the floor even though it is above the LAST sample —
     # no flag. q2 genuinely regressed: floor 0.2, current 0.9.
-    _record(tmp_path, 1, {"q1": 1.0, "q2": 0.25}, {"q1": 4.0})
-    _record(tmp_path, 2, {"q1": 0.4, "q2": 0.2}, {"q1": 3.0})
-    _record(tmp_path, 3, {"q1": 0.5, "q2": 0.22}, {"q1": 8.0})
+    _record(tmp_path, 1, {"q1": 1.0, "q2": 0.25, "q3": 0.21}, {"q1": 4.0})
+    _record(tmp_path, 2, {"q1": 0.4, "q2": 0.2, "q3": 0.19}, {"q1": 3.0})
+    _record(tmp_path, 3, {"q1": 0.5, "q2": 0.22, "q3": 0.2}, {"q1": 8.0})
     out = {
-        "queries": {"q1": 0.55, "q2": 0.9},
+        "queries": {"q1": 0.55, "q2": 0.9, "q3": 0.3},
         "sf1": {"queries": {"q1": 4.2}},
     }
     bench.evaluate_tripwire(out, str(tmp_path))
@@ -48,6 +48,9 @@ def test_flags_only_sustained_regressions(tmp_path):
     assert "q1" not in tw["flagged"].get("sf0.1", {})
     assert tw["flagged"]["sf0.1"]["q2"]["band_floor"] == 0.2
     assert tw["flagged"]["sf0.1"]["q2"]["ratio"] == 4.5
+    # q3: 1.58x its floor but only +0.11s — sub-second jitter crosses
+    # any ratio under neighbor load; the absolute min_delta gate holds
+    assert "q3" not in tw["flagged"]["sf0.1"]
     # sf1 lane: floor 3.0, current 4.2 = 1.4x -> inside the band
     assert "sf1" not in tw["flagged"]
 

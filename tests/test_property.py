@@ -346,3 +346,45 @@ def test_mg_insert_invariants(stream, capacity):
         assert true - mg <= bound  # classic MG undercount bound
     # no phantom keys, no nonpositive counts
     assert all(k in exact and v > 0 for k, v in summary.items())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(st.tuples(ids, names), min_size=1, max_size=40),
+    matches=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=8
+    ),
+)
+def test_parquet_redact_preserves_unmatched_and_nulls_matched(
+    tmp_path_factory, rows, matches
+):
+    """Redact mode: for ANY table and match set, row count is preserved,
+    the redacted column is null exactly on matched rows (nulls never
+    match), every other column is byte-identical, and the affected
+    count equals the delete-mode count on the same inputs."""
+    tmp = tmp_path_factory.mktemp("prop-redact")
+    src = str(tmp / "in.parquet")
+    out = str(tmp / "out.parquet")
+    table = pa.table(
+        {
+            "customer_id": pa.array([r[0] for r in rows], pa.int64()),
+            "name": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, src)
+    spec = [{"Type": "Simple", "Column": "customer_id", "MatchIds": matches}]
+    stats = rewrite_parquet_file(
+        src, out, spec, redact_columns=["name"]
+    )
+    match_set = set(matches)
+    matched = [r[0] is not None and r[0] in match_set for r in rows]
+    got = pq.read_table(out)
+    assert got.num_rows == len(rows)
+    assert stats["ProcessedRows"] == len(rows)
+    assert stats["DeletedRows"] == sum(matched)
+    # identifier column untouched, redacted column nulled iff matched
+    assert got.column("customer_id").to_pylist() == [r[0] for r in rows]
+    assert got.column("name").to_pylist() == [
+        None if m else r[1] for r, m in zip(rows, matched)
+    ]
+    assert got.schema == table.schema
