@@ -71,3 +71,69 @@ def run_to_table(stream_df: DataFrame, checkpoint: str, out_dir: str) -> None:
         .start()
         .awaitTermination()
     )
+
+
+def index_dedup_stream(
+    spark,
+    docs_dir: str,
+    schema,
+    index_dir: str,
+    novel_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Unbounded-horizon streaming dedup: screen each micro-batch against
+    the LAKE-persisted exact index (operators/incremental.py) instead of
+    the state store.
+
+    ``dedup_stream`` above prices recall against executor memory with a
+    watermark horizon; this variant keeps the seen-set in the lake —
+    O(40 bytes)/distinct document of parquet, no state-store growth, no
+    horizon — and screens each micro-batch with the incremental
+    operators (index probed via pushed predicate or broadcast, never
+    shuffled). The trade is exactness for latency: each batch pays an
+    index probe.
+
+    Idempotent under foreachBatch's retry contract: batch N writes its
+    novel rows and its index delta to ``batch_id=N`` partition
+    directories with overwrite, and SCREENS ONLY against deltas of
+    batches < N — a retried batch never sees its own half-written
+    output, so reruns produce byte-identical results. Micro-batch N+1
+    reads every delta <= N (the index grows append-only).
+    """
+    from ..operators import incremental as inc
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def process_batch(batch_df, batch_id: int):
+        sp = batch_df.sparkSession
+        try:
+            index = sp.read.parquet(index_dir).where(
+                F.col("batch_id") < batch_id
+            ).select("content_hash", id_col)
+        except Exception:  # first batch: no index yet
+            index = inc.exact_index(batch_df.limit(0), text_col, id_col)
+        novel, delta = inc.incremental_exact_dedup(
+            batch_df, index, text_col, id_col
+        )
+        novel.write.mode("overwrite").parquet(
+            f"{novel_dir}/batch_id={batch_id}"
+        )
+        delta.write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -864,3 +864,64 @@ def test_streaming_heavy_hitters_emptied_summary_clears_sink(
         ckpt, sink2,
     ).awaitTermination(120)
     assert sink2 == {}  # old keys evicted, nothing tracked
+
+
+def test_index_dedup_stream_screens_across_batches(spark, tmp_path):
+    """Lake-index streaming dedup: later micro-batches must drop content
+    already seen by earlier ones (no watermark horizon), survivors are
+    first arrivals, and the index grows append-only per batch."""
+    from amazon_s3_find_and_forget_spark.streaming import dedup as sdedup
+
+    src = str(tmp_path / "stream-in")
+    os.makedirs(src)
+    b0 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha doc"), (11, "gamma doc"), (12, "beta doc")],
+        "doc_id long, text string",
+    )
+    b0.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+    index_dir = str(tmp_path / "index")
+    novel_dir = str(tmp_path / "novel")
+    q = sdedup.index_dedup_stream(
+        spark,
+        src + "/*",
+        b0.schema,
+        index_dir,
+        novel_dir,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    novel = spark.read.parquet(novel_dir)
+    # 3 distinct contents, first arrival each; the cross-batch duplicate
+    # (10, 12) and within-batch duplicate (3) screened out. File order
+    # within the stream is deterministic (listing order f0 then f1).
+    assert sorted(r["doc_id"] for r in novel.collect()) == [1, 2, 11]
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == 3
+    assert idx.select("batch_id").distinct().count() == 2
+
+    # restart with a fresh file: the checkpoint resumes, the index
+    # screens the re-landed content
+    b2 = spark.createDataFrame(
+        [(20, "gamma doc"), (21, "delta doc")], "doc_id long, text string"
+    )
+    b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+    q2 = sdedup.index_dedup_stream(
+        spark,
+        src + "/*",
+        b0.schema,
+        index_dir,
+        novel_dir,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination()
+    novel2 = spark.read.parquet(novel_dir)
+    assert sorted(r["doc_id"] for r in novel2.collect()) == [1, 2, 11, 21]
