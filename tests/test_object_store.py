@@ -953,3 +953,39 @@ def test_assumed_role_paginator_survives_credential_refresh():
     assert [p["Page"] for p in got] == ["a", "b", "c", "d"]  # nothing lost
     assert len(built) >= 2  # refreshed mid-listing
     assert got[0]["By"] == "AKIA1" and got[-1]["By"] != "AKIA1"
+
+
+def test_rewrite_one_store_redact_mode():
+    """Redact mode through the full store commit protocol: matched rows
+    keep their record with the column nulled, row count preserved,
+    version purge and property replay unchanged."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from amazon_s3_find_and_forget_spark.plans.forget import _rewrite_one
+
+    client = FakeS3Client()
+    client.put_object(
+        Bucket="lake",
+        Key="t/part-0.parquet",
+        Body=_parquet_bytes([1, 2, 3, 4]),
+        ContentType="binary/octet-stream",
+        Metadata={"team": "sre"},
+    )
+    row = _rewrite_one(
+        "s3://lake/t/part-0.parquet",
+        "parquet",
+        _spec(),
+        ignore_not_found=False,
+        delete_old_versions=True,
+        store_factory=lambda arn: S3ObjectStore(client=client),
+        redact_columns=["customer_id"],
+    )
+    assert row[4] == "updated", row
+    assert (row[2], row[3]) == (4, 2)  # processed, redacted
+    versions = client.objects[("lake", "t/part-0.parquet")]
+    assert len(versions) == 1
+    got = pq.read_table(io.BytesIO(versions[-1]["Body"]))
+    assert got.column("customer_id").to_pylist() == [1, None, None, 4]
+    assert versions[-1]["Args"]["Metadata"] == {"team": "sre"}
