@@ -304,11 +304,17 @@ class Engine:
             ]
             self._save("deletion_queue", queue)
             # prune the enqueue-order index: keep every live id plus the
-            # most recent tombstones (old anchors age out, order intact)
+            # most recent tombstones (old anchors age out, order intact).
+            # The floor scales with THIS call's delete burst: one job
+            # consuming 50k matches must leave all 50k anchors
+            # resolvable — a client mid-scan through them would
+            # otherwise resume at an "unknown" anchor and silently end
+            # early; the cap only ages out anchors across LATER deletes
             order = self._load("queue_order", [])
             live = {it["DeletionQueueItemId"] for it in queue}
             dead = [qid for qid in order if qid not in live]
-            keep = live | set(dead[-self._QUEUE_ORDER_TOMBSTONES:])
+            floor = max(self._QUEUE_ORDER_TOMBSTONES, len(drop))
+            keep = live | set(dead[-floor:])
             self._save("queue_order", [q for q in order if q in keep])
 
     # --- jobs (queue/handlers.py process_handler + jobs/handlers.py) --------

@@ -302,9 +302,11 @@ QUERIES = {
 ORACLES = {
     "dedup_incremental_exact": """
         WITH hist AS (
-          SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+          SELECT coalesce(md5(text), '__NULL_TEXT__') AS h
+          FROM documents WHERE doc_id % 3 <> 0
         ), arr AS (
-          SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+          SELECT doc_id, coalesce(md5(text), '__NULL_TEXT__') AS h
+          FROM documents WHERE doc_id % 3 = 0
         ), first_arr AS (
           SELECT h, min(doc_id) AS doc_id FROM arr GROUP BY h
         )

@@ -348,12 +348,18 @@ def main(argv: list[str] | None = None) -> int:
 
         authorizer = None
         if args.auth_token:
+            import hashlib
+
             tokens = {}
             for spec in args.auth_token:
                 token, _, user = spec.partition(":")
                 tokens[token] = {
                     "Username": user or "api-user",
-                    "Sub": token[:8],
+                    # Sub must identify, never reveal: the principal is
+                    # persisted as the job's CreatedBy and served back
+                    # over GET /v1/jobs, so no bytes of the live
+                    # credential may reach it
+                    "Sub": hashlib.sha256(token.encode()).hexdigest()[:12],
                 }
             authorizer = BearerTokenAuthorizer(tokens)
         server = serve(

@@ -259,6 +259,23 @@ class HttpApi:
             ]
             start_response(_STATUS_TEXT[204], headers)
             return [b""]
+        # 404/405 only AFTER authorization: with an authorizer
+        # configured, an unauthenticated caller must not be able to
+        # enumerate which paths and verbs exist (API Gateway authorizes
+        # unknown-resource requests too — it answers 403 before any
+        # route shape leaks; preflight stays open above, matching the
+        # gateway answering OPTIONS itself)
+        if self.authorizer is not None:
+            try:
+                principal = self._authorize(environ)
+            except Forbidden as e:
+                return self._respond(
+                    start_response, 403, {"Message": str(e) or "Forbidden"}
+                )
+            if principal is None:
+                return self._respond(
+                    start_response, 401, {"Message": "Unauthorized"}
+                )
         if path_allows:  # known path, wrong verb
             return self._respond(
                 start_response, 405, {"Message": "Method not allowed"}

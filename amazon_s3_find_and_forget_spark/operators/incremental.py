@@ -40,6 +40,16 @@ from .dedup import _eager, exact_dedup, minhash_signatures
 PREDICATE_VALUE_LIMIT = 2048
 
 
+def _content_hash(text_col: str):
+    """Null-safe dedup key. Batch ``exact_dedup`` partitions by
+    ``md5(text)`` and SQL grouping folds NULLs into one group, so all
+    null-text documents are one content group there; a raw NULL key
+    here would never match any join/isin probe and re-admit null-text
+    docs every batch (and poison the oracle's NOT IN). The sentinel
+    keeps the two paths convergent."""
+    return F.coalesce(F.md5(F.col(text_col)), F.lit("__NULL_TEXT__"))
+
+
 def exact_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -50,7 +60,7 @@ def exact_index(
     after a range repartition, or layout.zorder) so later per-batch
     ``In`` probes prune row groups via parquet zone maps.
     """
-    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+    return df.groupBy(_content_hash(text_col).alias("content_hash")).agg(
         F.min(id_col).alias(id_col)
     )
 
@@ -97,7 +107,7 @@ def incremental_exact_dedup(
     (bounded by the batch's own distinct count).
     """
     batch_first = exact_dedup(new_df, text_col, id_col).withColumn(
-        "content_hash", F.md5(F.col(text_col))
+        "content_hash", _content_hash(text_col)
     )
     # the screened batch is re-read by the anti-join after driving the
     # seen-probe; checkpoint once so the window runs once

@@ -174,7 +174,10 @@ def _redact_array(arr: pa.Array, segments: list[str], mask: pa.Array):
 
     Leaf: one vectorized ``if_else`` against a null array. Struct
     segment: rebuild the struct with only the targeted child replaced
-    (recursively), preserving sibling fields and the struct's own
+    (recursively), preserving sibling FIELDS (including their
+    nullability — ``from_arrays`` with names alone would rebuild an
+    all-nullable struct and fail the later cast back to the file
+    schema whenever any member is ``not null``) and the struct's own
     validity bitmap — Arrow arrays are immutable, so redaction is a
     columnar copy-on-write, never a per-row loop.
     """
@@ -195,9 +198,28 @@ def _redact_array(arr: pa.Array, segments: list[str], mask: pa.Array):
         children.append(child)
     return pa.StructArray.from_arrays(
         children,
-        names=[f.name for f in arr.type],
+        fields=list(arr.type),
         mask=pc.is_null(arr),
     )
+
+
+def _check_redactable(field: pa.Field, segments: list[str], dot_path: str):
+    """The redact target must be nullable at EVERY level: the rewrite
+    preserves the file schema exactly, so a ``not null`` leaf (or an
+    intermediate struct that cannot hold the nulled rows) must refuse
+    with a clear error instead of failing the object downstream."""
+    if not field.nullable and not segments:
+        raise ValueError(f"Cannot redact non-nullable column {dot_path}")
+    if not segments:
+        return
+    if not pa.types.is_struct(field.type):
+        raise ValueError(
+            f"Redact path segment {segments[0]!r} of {dot_path} is not "
+            "under a struct"
+        )
+    name = _ci_field([f.name for f in field.type], segments[0])
+    child = next(f for f in field.type if f.name == name)
+    _check_redactable(child, segments[1:], dot_path)
 
 
 def redact_table(
@@ -209,12 +231,7 @@ def redact_table(
         top = _ci_field(table.column_names, segments[0])
         idx = table.column_names.index(top)
         field = table.schema.field(idx)
-        if not field.nullable and not segments[1:]:
-            # schema is preserved byte-for-byte on rewrite, so a
-            # required column cannot silently become nullable
-            raise ValueError(
-                f"Cannot redact non-nullable column {dot_path}"
-            )
+        _check_redactable(field, segments[1:], dot_path)
         new_col = _redact_array(
             table.column(idx).combine_chunks(), segments[1:], mask
         )

@@ -112,12 +112,23 @@ def index_dedup_stream(
     stream = reader.parquet(docs_dir)
 
     def process_batch(batch_df, batch_id: int):
+        from pyspark.errors import AnalysisException
+
         sp = batch_df.sparkSession
         try:
             index = sp.read.parquet(index_dir).where(
                 F.col("batch_id") < batch_id
             ).select("content_hash", id_col)
-        except Exception:  # first batch: no index yet
+        except AnalysisException as e:
+            # ONLY a missing index dir means "first batch, empty index".
+            # Any other read failure (corrupt footer, permissions,
+            # schema drift) must fail the batch so the checkpoint
+            # retries it — substituting an empty index there would
+            # silently re-admit every previously-seen document.
+            if "PATH_NOT_FOUND" not in str(e) and (
+                "Path does not exist" not in str(e)
+            ):
+                raise
             index = inc.exact_index(batch_df.limit(0), text_col, id_col)
         novel, delta = inc.incremental_exact_dedup(
             batch_df, index, text_col, id_col

@@ -489,3 +489,21 @@ def test_redact_mode_mapper_through_engine(engine, spark, tmp_path):
     }
     # row kept, identifier kept (not listed), email erased
     assert got == {"c1": "a@x", "c2": None, "c3": "c@x"}
+
+
+def test_queue_anchor_survives_large_delete_burst(engine):
+    """A single job consuming more matches than the tombstone cap must
+    leave every consumed anchor resolvable: a client mid-scan resumes
+    past its (deleted) anchor instead of silently ending early."""
+    n = Engine._QUEUE_ORDER_TOMBSTONES + 200
+    engine.enqueue_matches([{"MatchId": i} for i in range(n)])
+    page, next_start = engine.list_queue_page(page_size=10)
+    anchor = next_start  # an early anchor, position ~10
+    all_ids = [
+        it["DeletionQueueItemId"]
+        for it in engine.list_queue(page_size=n + 10)
+    ]
+    engine.delete_matches(all_ids)  # one burst larger than the cap
+    engine.enqueue_matches([{"MatchId": "fresh"}])
+    page2, _ = engine.list_queue_page(start_at=anchor, page_size=10)
+    assert [it["MatchId"] for it in page2] == ["fresh"]

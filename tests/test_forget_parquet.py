@@ -542,3 +542,72 @@ def test_redact_multi_row_group_streaming(tmp_path):
     assert got.num_rows == 100
     vals = got.column("v").to_pylist()
     assert [i for i, v in enumerate(vals) if v is None] == [5, 55, 95]
+
+
+def test_redact_nested_with_non_nullable_sibling(tmp_path):
+    """A not-null SIBLING inside the struct must not break redaction of
+    a nullable leaf (regression: names-only rebuild dropped field
+    nullability and failed the cast back to the file schema)."""
+    schema = pa.schema(
+        [
+            pa.field(
+                "info",
+                pa.struct(
+                    [
+                        pa.field("name", pa.string()),
+                        pa.field("age", pa.int64(), nullable=False),
+                    ]
+                ),
+            ),
+            pa.field("customer_id", pa.string()),
+        ]
+    )
+    path, _ = write_tbl(
+        tmp_path,
+        "t.parquet",
+        {
+            "info": [{"name": "n1", "age": 30}, {"name": "n2", "age": 40}],
+            "customer_id": ["1", "2"],
+        },
+        schema=schema,
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    stats = rewrite_parquet_file(
+        path,
+        out,
+        [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["1"]}],
+        redact_columns=["info.name"],
+    )
+    assert stats["DeletedRows"] == 1
+    got = read_back(out)
+    assert got.schema == schema
+    assert got.column("info").to_pylist() == [
+        {"name": None, "age": 30},
+        {"name": "n2", "age": 40},
+    ]
+
+
+def test_redact_nested_non_nullable_leaf_raises(tmp_path):
+    schema = pa.schema(
+        [
+            pa.field(
+                "info",
+                pa.struct([pa.field("age", pa.int64(), nullable=False)]),
+            ),
+            pa.field("customer_id", pa.string()),
+        ]
+    )
+    path, _ = write_tbl(
+        tmp_path,
+        "t.parquet",
+        {"info": [{"age": 30}], "customer_id": ["1"]},
+        schema=schema,
+    )
+    out = os.path.join(tmp_path, "out.parquet")
+    with pytest.raises(ValueError, match="non-nullable"):
+        rewrite_parquet_file(
+            path,
+            out,
+            [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["1"]}],
+            redact_columns=["info.age"],
+        )

@@ -708,3 +708,26 @@ def test_http_e2e_mixed_lake_job(spark, tmp_path, sf_dir):
         assert seen.read_text() == expected_arn
     finally:
         srv.shutdown()
+
+
+def test_auth_gates_route_enumeration(engine):
+    """With an authorizer configured, unknown paths and wrong verbs must
+    answer 401 — not 404/405 — so an unauthenticated client cannot map
+    the route surface (the gateway authorizes unknown-resource requests
+    too). Authenticated callers still get the real 404/405."""
+    auth = BearerTokenAuthorizer({"tok": {"Username": "u", "Sub": "s"}})
+    srv = serve(engine, port=0, background=True, authorizer=auth)
+    try:
+        host, port = srv.server_address
+        base = f"http://{host}:{port}"
+        st, body = call(base, "GET", "/v1/nope")
+        assert st == 401 and body == {"Message": "Unauthorized"}
+        st, body = call(base, "PUT", "/v1/queue")  # known path, bad verb
+        assert st == 401 and body == {"Message": "Unauthorized"}
+        hdr = {"Authorization": "Bearer tok"}
+        st, _ = call(base, "GET", "/v1/nope", headers=hdr)
+        assert st == 404
+        st, _ = call(base, "PUT", "/v1/queue", headers=hdr)
+        assert st == 405
+    finally:
+        srv.shutdown()

@@ -209,3 +209,18 @@ def test_incremental_embedding_agrees_with_batch_pairs(spark):
     )
     inc_dropped = {10, 11} - {r["vec_id"] for r in novel.collect()}
     assert inc_dropped == batch_dropped
+
+
+def test_incremental_exact_null_text_converges(spark):
+    """NULL text is one content group (batch exact_dedup folds NULLs
+    into one window partition); the screen must agree — a null-text doc
+    seen once is screened forever, not re-admitted every batch."""
+    hist = docs(spark, [(1, None), (2, "real text")])
+    index = inc.exact_index(hist)
+    batch = docs(spark, [(10, None), (11, None), (12, "fresh")])
+    novel, delta = inc.incremental_exact_dedup(batch, index)
+    assert sorted(r["doc_id"] for r in novel.collect()) == [12]
+    # second batch against the appended index: still screened
+    index2 = index.unionByName(delta.select(*index.columns))
+    novel2, _ = inc.incremental_exact_dedup(docs(spark, [(20, None)]), index2)
+    assert novel2.count() == 0
