@@ -159,6 +159,7 @@ def incremental_minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen an arriving batch for near-duplicates of the indexed corpus.
 
@@ -175,6 +176,13 @@ def incremental_minhash_dedup(
     row itself — one scan of the index, no pair materialization, no
     join-back. Within-batch screening reuses the batch fused pipeline
     on the (small) batch signatures.
+
+    ``broadcast`` assumes the batch side fits the broadcast limit
+    (~8 GB serialized; at num_perm=64 that is roughly 100M+ docs of
+    banded signatures — far past any sane micro-batch). For a
+    backfill-sized "batch" pass ``broadcast=False``: the band probe
+    becomes a shuffled hash join (both sides exchange on band_hash —
+    correct at any size, at the cost of shuffling the index once).
     """
     new_sigs = minhash_signatures(new_df, text_col, id_col, k, num_perm)
     new_sigs = _eager(new_sigs)  # one UDF pass; feeds three consumers
@@ -196,8 +204,9 @@ def incremental_minhash_dedup(
         F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
         "band_hash",
     )
+    probe = F.broadcast(banded_new) if broadcast else banded_new
     dup_vs_index = (
-        banded_idx.join(F.broadcast(banded_new), "band_hash")
+        banded_idx.join(probe, "band_hash")
         .where(sim >= threshold)
         .select("id_b")
     )
@@ -278,6 +287,7 @@ def incremental_embedding_dedup(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen arriving embeddings for near-duplicates of the indexed
     corpus (cosine >= threshold), LSH-bucketed like
@@ -297,6 +307,11 @@ def incremental_embedding_dedup(
     Zero-norm batch vectors are never near-duplicates (no cosine) and
     pass through as novel, but are excluded from the index delta like
     the index build excludes them.
+
+    ``broadcast=False`` switches the index probe to a shuffled hash
+    join for backfill-sized batches past the broadcast limit (the
+    exploded batch carries its unit vectors, so the limit arrives
+    sooner here than in the MinHash screen at large dim).
     """
     from .similarity import _dot
 
@@ -314,8 +329,9 @@ def incremental_embedding_dedup(
         F.explode("_k").alias("lsh_bucket"),
     )
     cos = _dot(F.col("_ua"), F.col("_ub"))
+    probe = F.broadcast(exploded_new) if broadcast else exploded_new
     dup_vs_index = (
-        exploded_idx.join(F.broadcast(exploded_new), "lsh_bucket")
+        exploded_idx.join(probe, "lsh_bucket")
         .where(cos >= threshold)
         .select("id_b")
     )

@@ -224,3 +224,33 @@ def test_incremental_exact_null_text_converges(spark):
     index2 = index.unionByName(delta.select(*index.columns))
     novel2, _ = inc.incremental_exact_dedup(docs(spark, [(20, None)]), index2)
     assert novel2.count() == 0
+
+
+def test_incremental_screens_shuffle_fallback_agrees(spark):
+    """broadcast=False (backfill-sized batches past the broadcast
+    limit) must produce identical novelty decisions."""
+    history = docs(spark, [(1, NEAR_A), (2, UNIQ_1)])
+    index = inc.minhash_index(history, num_perm=64)
+    batch = docs(spark, [(10, NEAR_A2), (11, UNIQ_2)])
+    kw = dict(num_perm=64, bands=16, threshold=0.7)
+    n_bc, _ = inc.incremental_minhash_dedup(batch, index, **kw)
+    n_sh, _ = inc.incremental_minhash_dedup(
+        batch, index, broadcast=False, **kw
+    )
+    assert sorted(r["doc_id"] for r in n_bc.collect()) == sorted(
+        r["doc_id"] for r in n_sh.collect()
+    )
+
+    vindex = inc.embedding_index(
+        vecs(spark, [(1, E1), (2, E2)]), dim=4, bits=4
+    )
+    vbatch = vecs(spark, [(10, E1_NEAR), (11, E3)])
+    v_bc, _ = inc.incremental_embedding_dedup(
+        vbatch, vindex, dim=4, threshold=0.95, bits=4
+    )
+    v_sh, _ = inc.incremental_embedding_dedup(
+        vbatch, vindex, dim=4, threshold=0.95, bits=4, broadcast=False
+    )
+    assert sorted(r["vec_id"] for r in v_bc.collect()) == sorted(
+        r["vec_id"] for r in v_sh.collect()
+    )
