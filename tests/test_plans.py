@@ -264,3 +264,52 @@ def test_funnel_frontier_joins_never_cartesian(spark, sf_dir):
     plan = r._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_screens_never_shuffle_the_index(spark, sf_dir):
+    """The incremental dedup screens' scale contract is physical: the
+    index side must reach the probe as a plain scan — broadcast hash
+    joins only, no SortMergeJoin, and the only hash exchanges are the
+    BATCH's own (first-per-hash window + distinct)."""
+    import re
+
+    from amazon_s3_find_and_forget_spark.operators import (
+        incremental as inc,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    arr = docs.where(F.col("doc_id") % 3 == 0)
+
+    # exact, broadcast path (forced past the In-predicate switch)
+    novel, _ = inc.incremental_exact_dedup(
+        arr, inc.exact_index(hist), predicate_value_limit=1
+    )
+    plan = explain_str(novel, "simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # semi probe + anti join
+    # both hash exchanges belong to the batch (window + distinct), and
+    # the checkpointed batch relation feeds them — the index subtree
+    # contributes none
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+    # minhash: the drop-set derivation is checkpointed inside the call,
+    # so audit the candidate relation itself
+    sigs = inc.minhash_index(hist)
+    from pyspark.sql import functions as _F
+
+    banded_idx = inc._banded(sigs, 16, 64).select(
+        _F.col("_id").alias("id_a"), _F.col("_sig").alias("_sig_a"),
+        "band_hash",
+    )
+    banded_new = inc._banded(
+        inc.minhash_index(arr.limit(100)), 16, 64
+    ).select(
+        _F.col("_id").alias("id_b"), _F.col("_sig").alias("_sig_b"),
+        "band_hash",
+    )
+    cand = banded_idx.join(_F.broadcast(banded_new), "band_hash")
+    plan2 = explain_str(cand, "simple")
+    assert "SortMergeJoin" not in plan2
+    assert "BroadcastHashJoin" in plan2
+    assert "Exchange hashpartitioning" not in plan2

@@ -388,3 +388,40 @@ def test_parquet_redact_preserves_unmatched_and_nulls_matched(
         None if m else r[1] for r, m in zip(rows, matched)
     ]
     assert got.schema == table.schema
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(st.tuples(ids, names), min_size=1, max_size=30),
+    matches=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=8
+    ),
+)
+def test_jsonl_redact_byte_exact_unmatched(tmp_path_factory, rows, matches):
+    """JSONL redact: unmatched lines stay byte-exact (odd spacing and
+    all), matched lines re-serialize with the key nulled, and row count
+    is preserved for ANY table and match set."""
+    tmp = tmp_path_factory.mktemp("prop-jredact")
+    src = str(tmp / "in.json")
+    out = str(tmp / "out.json")
+    # deliberately odd formatting so byte-exactness is meaningful
+    lines = [
+        f'{{"customer_id": {json.dumps(r[0])},  "name":{json.dumps(r[1])} }}'
+        for r in rows
+    ]
+    with open(src, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    spec = [{"Type": "Simple", "Column": "customer_id", "MatchIds": matches}]
+    stats = rewrite_json_file(src, out, spec, redact_columns=["name"])
+    match_set = set(matches)
+    # falsy ids (0, None) never match — the reference's `if record:`
+    matched = [bool(r[0]) and r[0] in match_set for r in rows]
+    got = open(out).read().splitlines()
+    assert stats["ProcessedRows"] == len(rows)
+    assert stats["DeletedRows"] == sum(matched)
+    assert len(got) == len(rows)
+    for line, src_line, r, m in zip(got, lines, rows, matched):
+        if m:
+            assert json.loads(line) == {"customer_id": r[0], "name": None}
+        else:
+            assert line == src_line
