@@ -148,3 +148,79 @@ def index_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def index_near_dedup_stream(
+    spark,
+    docs_dir: str,
+    schema,
+    index_dir: str,
+    novel_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Near-duplicate sibling of ``index_dedup_stream``: the lake index
+    holds MinHash signatures and each micro-batch screens through
+    ``incremental_minhash_dedup`` (banded batch signatures broadcast
+    into the index scan, inline agreement verify — the index never
+    shuffles). Same ``batch_id=N`` overwrite protocol, so foreachBatch
+    retries are idempotent and batch N never sees its own delta.
+
+    Like the batch screen, semantics are survivor-based: a new document
+    is screened against INDEXED survivors, not against documents the
+    screen already dropped — the SemDeDup-style trade that keeps the
+    index append-only.
+    """
+    from ..operators import incremental as inc
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def process_batch(batch_df, batch_id: int):
+        from pyspark.errors import AnalysisException
+
+        sp = batch_df.sparkSession
+        try:
+            index = sp.read.parquet(index_dir).where(
+                F.col("batch_id") < batch_id
+            ).select("_id", "_sig")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and (
+                "Path does not exist" not in str(e)
+            ):
+                raise
+            index = inc.minhash_index(
+                batch_df.limit(0), text_col, id_col, num_perm=num_perm
+            )
+        novel, delta = inc.incremental_minhash_dedup(
+            batch_df,
+            index,
+            text_col,
+            id_col,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+        )
+        novel.write.mode("overwrite").parquet(
+            f"{novel_dir}/batch_id={batch_id}"
+        )
+        delta.write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

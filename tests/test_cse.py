@@ -133,3 +133,35 @@ def test_restore_version_yields_decryptable_pair(spark, tmp_path):
     assert sorted(r.customer_id for r in restored) == sorted(
         r.customer_id for r in before
     )
+
+
+def test_redact_job_over_encrypted_lake(spark, tmp_path):
+    """Redact mode composes with the CSE envelope path: decrypt ->
+    null the columns on matched rows -> re-encrypt with a FRESH data
+    key; record survives, value erased, lake stays encrypted."""
+    lake, obj = _make_encrypted_lake(tmp_path)
+    md_before = cse.load_metadata(obj)
+    mapper = DataMapper(
+        "enc",
+        lake,
+        ["customer_id"],
+        format="parquet",
+        encrypted=True,
+        delete_mode="redact",
+        redact_columns=["name"],
+    )
+    result = run_job(
+        spark, [mapper], [QueueItem(match_id=2), QueueItem(match_id=4)],
+        kms=KMS,
+    )
+    assert result.status == "COMPLETED", result.events
+    assert sum(s[3] for s in result.file_stats) == 2
+    md_after = cse.load_metadata(obj)
+    assert cse.is_kms_cse_encrypted(md_after)
+    # fresh envelope: the wrapped data key must have rotated
+    assert md_after[cse.HEADER_KEY] != md_before[cse.HEADER_KEY]
+    rows = cse.read_encrypted_parquet(spark, lake, KMS).collect()
+    got = {r.customer_id: r.name for r in rows}
+    assert set(got) == {1, 2, 3, 4, 5}  # every record survives
+    assert got[2] is None and got[4] is None
+    assert got[1] is not None and got[3] is not None

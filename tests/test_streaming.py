@@ -925,3 +925,45 @@ def test_index_dedup_stream_screens_across_batches(spark, tmp_path):
     q2.awaitTermination()
     novel2 = spark.read.parquet(novel_dir)
     assert sorted(r["doc_id"] for r in novel2.collect()) == [1, 2, 11, 21]
+
+
+def test_index_near_dedup_stream_screens_across_batches(spark, tmp_path):
+    """Lake-index streaming NEAR-dedup: later batches drop near-matches
+    of indexed survivors; signature index grows per batch."""
+    from amazon_s3_find_and_forget_spark.streaming import dedup as sdedup
+
+    base = (
+        "spark structured streaming processes data incrementally with "
+        "exactly once fault tolerance guarantees across micro batches"
+    )
+    other = "completely different subject matter about cooking pasta"
+    third = "yet another unrelated text concerning mountain hiking"
+    src = str(tmp_path / "nstream-in")
+    os.makedirs(src)
+    b0 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base + "?"), (11, third)], "doc_id long, text string"
+    )
+    b0.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+    index_dir = str(tmp_path / "nindex")
+    novel_dir = str(tmp_path / "nnovel")
+    q = sdedup.index_near_dedup_stream(
+        spark,
+        src + "/*",
+        b0.schema,
+        index_dir,
+        novel_dir,
+        str(tmp_path / "nckpt"),
+        threshold=0.7,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    novel = spark.read.parquet(novel_dir)
+    # 10 near-dups indexed 1 (screened); 11 is novel
+    assert sorted(r["doc_id"] for r in novel.collect()) == [1, 2, 11]
+    idx = spark.read.parquet(index_dir)
+    assert sorted(r["_id"] for r in idx.collect()) == [1, 2, 11]
