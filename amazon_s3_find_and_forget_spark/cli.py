@@ -193,6 +193,20 @@ def main(argv: list[str] | None = None) -> int:
         "(private-gateway mode)",
     )
 
+    ds = sub.add_parser(
+        "dedup-screen",
+        help="screen a newly-landed parquet batch against a persisted "
+        "dedup index; novel docs and the index delta are appended",
+    )
+    ds.add_argument("--input", required=True, help="arriving batch (parquet)")
+    ds.add_argument("--index-dir", required=True)
+    ds.add_argument("--novel-out", required=True)
+    ds.add_argument("--mode", default="exact", choices=["exact", "minhash"])
+    ds.add_argument("--text-column", default="text")
+    ds.add_argument("--id-column", default="doc_id")
+    ds.add_argument("--threshold", type=float, default=0.8,
+                    help="minhash similarity threshold")
+
     zo = sub.add_parser(
         "zorder",
         help="re-cluster a parquet lake on a Z-order curve for "
@@ -380,6 +394,53 @@ def main(argv: list[str] | None = None) -> int:
             pass
         finally:
             server.server_close()
+    elif args.cmd == "dedup-screen":
+        import os as _os
+
+        from .operators import incremental as inc
+
+        batch = eng.spark.read.parquet(args.input)
+        have_index = _os.path.isdir(args.index_dir) and any(
+            f.endswith(".parquet")
+            for _, _, fs in _os.walk(args.index_dir)
+            for f in fs
+        )
+        if args.mode == "exact":
+            index = (
+                eng.spark.read.parquet(args.index_dir)
+                if have_index
+                else inc.exact_index(
+                    batch.limit(0), args.text_column, args.id_column
+                )
+            )
+            novel, delta = inc.incremental_exact_dedup(
+                batch, index, args.text_column, args.id_column
+            )
+        else:
+            index = (
+                eng.spark.read.parquet(args.index_dir)
+                if have_index
+                else inc.minhash_index(
+                    batch.limit(0), args.text_column, args.id_column
+                )
+            )
+            novel, delta = inc.incremental_minhash_dedup(
+                batch,
+                index,
+                args.text_column,
+                args.id_column,
+                threshold=args.threshold,
+            )
+        novel.write.mode("append").parquet(args.novel_out)
+        delta.write.mode("append").parquet(args.index_dir)
+        _emit(
+            {
+                "Mode": args.mode,
+                "BatchRows": batch.count(),
+                "NovelRows": eng.spark.read.parquet(args.novel_out).count(),
+                "IndexRows": eng.spark.read.parquet(args.index_dir).count(),
+            }
+        )
     elif args.cmd == "zorder":
         import glob
         import os

@@ -238,3 +238,34 @@ def test_cli_redact_runbook(spark, tmp_path, sf_dir, capsys):
         "c_custkey in (1, 7) and c_name is not null"
     ).count() == 0
     assert after.where("c_name is null").count() == 2
+
+
+def test_cli_dedup_screen_runbook(spark, tmp_path, capsys):
+    """Two dedup-screen invocations: the second batch screens against
+    the index the first one built (exact mode, append-only)."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b2)
+    index = str(tmp_path / "idx")
+    novel = str(tmp_path / "novel")
+
+    r1 = run(capsys, *base, "dedup-screen", "--input", b1,
+             "--index-dir", index, "--novel-out", novel)
+    assert r1 == {"Mode": "exact", "BatchRows": 3, "NovelRows": 2,
+                  "IndexRows": 2}
+    r2 = run(capsys, *base, "dedup-screen", "--input", b2,
+             "--index-dir", index, "--novel-out", novel)
+    assert r2 == {"Mode": "exact", "BatchRows": 2, "NovelRows": 3,
+                  "IndexRows": 3}
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(novel).collect()
+    )
+    assert kept == [1, 2, 11]
