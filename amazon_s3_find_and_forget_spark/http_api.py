@@ -213,18 +213,9 @@ class HttpApi:
             # authorize before touching the body — the gateway's
             # authorizer runs ahead of request validation, so a missing
             # token 401s even with a malformed payload
-            try:
-                principal = self._authorize(environ)
-            except Forbidden as e:
-                return self._respond(
-                    start_response, 403, {"Message": str(e) or "Forbidden"}
-                )
-            if self.authorizer is not None and principal is None:
-                # UNAUTHORIZED gateway response shape
-                # (templates/api.yaml:991-993 DEFAULT_4XX Message body)
-                return self._respond(
-                    start_response, 401, {"Message": "Unauthorized"}
-                )
+            err, principal = self._auth_gate(environ)
+            if err:
+                return self._respond(start_response, *err)
             token = _PRINCIPAL.set(principal)
             try:
                 body = self._read_body(environ)
@@ -265,22 +256,28 @@ class HttpApi:
         # unknown-resource requests too — it answers 403 before any
         # route shape leaks; preflight stays open above, matching the
         # gateway answering OPTIONS itself)
-        if self.authorizer is not None:
-            try:
-                principal = self._authorize(environ)
-            except Forbidden as e:
-                return self._respond(
-                    start_response, 403, {"Message": str(e) or "Forbidden"}
-                )
-            if principal is None:
-                return self._respond(
-                    start_response, 401, {"Message": "Unauthorized"}
-                )
+        err, _ = self._auth_gate(environ)
+        if err:
+            return self._respond(start_response, *err)
         if path_allows:  # known path, wrong verb
             return self._respond(
                 start_response, 405, {"Message": "Method not allowed"}
             )
         return self._respond(start_response, 404, {"Message": "Not found"})
+
+    def _auth_gate(self, environ):
+        """Run the authorizer; returns (error_response, principal) where
+        error_response is a (status, payload) pair to emit, or None when
+        the request may proceed."""
+        try:
+            principal = self._authorize(environ)
+        except Forbidden as e:
+            return (403, {"Message": str(e) or "Forbidden"}), None
+        if self.authorizer is not None and principal is None:
+            # UNAUTHORIZED gateway response shape
+            # (templates/api.yaml:991-993 DEFAULT_4XX Message body)
+            return (401, {"Message": "Unauthorized"}), None
+        return None, principal
 
     @staticmethod
     def _read_body(environ):

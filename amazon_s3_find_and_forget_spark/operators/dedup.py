@@ -342,6 +342,30 @@ def minhash_candidate_pairs(
     return band_pairs(sigs, bands, num_perm, max_bucket)
 
 
+def banded_signatures(
+    sigs: DataFrame, bands: int, num_perm: int, with_sig: bool = False
+) -> DataFrame:
+    """Explode (_id[, _sig]) signatures into one row per LSH band:
+    ``band_hash = xxhash64(slice(sig, band), band)``. The single
+    definition of the banding key — the batch self-join pipelines and
+    the incremental index screens must derive IDENTICAL band hashes
+    from the same signature or cross-path candidates silently vanish.
+    ``with_sig`` carries the signature through for inline verifies."""
+    r = num_perm // bands
+    cols = ["_id", "_sig"] if with_sig else ["_id"]
+    return sigs.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice(F.col("_sig"), b * r + 1, r), F.lit(b))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_hash"),
+    )
+
+
 def band_pairs(
     sigs: DataFrame,
     bands: int,
@@ -374,19 +398,8 @@ def band_pairs(
     ``materialize=False`` the whole pair derivation stays lazy and fuses
     into the caller's single materializing job.
     """
-    r = num_perm // bands
     input_cached = _is_cached(sigs)
-    banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.slice(F.col("_sig"), b * r + 1, r), F.lit(b))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_hash"),
-    )
+    banded = banded_signatures(sigs, bands, num_perm)
     if not input_cached:
         # feeds BOTH join sides and contains the signature-UDF subtree:
         # persist (lazily — the materializing job below populates it)
@@ -535,7 +548,6 @@ def minhash_dedup(
     # localCheckpoint, which times the same) keeps lineage, so an
     # executor loss at scale recomputes instead of failing the job.
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
-    r = num_perm // bands
     try:
         if max_bucket is not None:
             # skew-guarded path: bucket-size stats + star-pairing need the
@@ -553,20 +565,7 @@ def minhash_dedup(
         # longs, but the plan loses two whole shuffle stages; a pair
         # colliding in several bands is re-verified (cheap, JVM) instead
         # of deduplicated through an extra exchange.
-        banded = sigs.select(
-            "_id",
-            "_sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), b * r + 1, r), F.lit(b)
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_hash"),
-        )
+        banded = banded_signatures(sigs, bands, num_perm, with_sig=True)
         a = banded.select(
             F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
             "band_hash",

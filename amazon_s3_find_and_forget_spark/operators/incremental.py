@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _eager, exact_dedup, minhash_signatures
+from .dedup import (
+    _eager,
+    banded_signatures,
+    exact_dedup,
+    minhash_signatures,
+)
 
 # Above this many distinct batch hashes, an In-predicate stops pruning
 # and the broadcast probe wins (same trade as plans/find.py:42).
@@ -134,22 +139,6 @@ def minhash_index(
     return minhash_signatures(df, text_col, id_col, k, num_perm)
 
 
-def _banded(sigs: DataFrame, bands: int, num_perm: int) -> DataFrame:
-    r = num_perm // bands
-    return sigs.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.slice(F.col("_sig"), b * r + 1, r), F.lit(b))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_hash"),
-    )
-
-
 def incremental_minhash_dedup(
     new_df: DataFrame,
     index_sigs: DataFrame,
@@ -196,11 +185,15 @@ def incremental_minhash_dedup(
 
     # vs index: every band collision is verified inline; indexed docs
     # always outrank batch docs, so any hit drops the batch doc
-    banded_new = _banded(new_sigs, bands, num_perm).select(
+    banded_new = banded_signatures(
+        new_sigs, bands, num_perm, with_sig=True
+    ).select(
         F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"),
         "band_hash",
     )
-    banded_idx = _banded(index_sigs, bands, num_perm).select(
+    banded_idx = banded_signatures(
+        index_sigs, bands, num_perm, with_sig=True
+    ).select(
         F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
         "band_hash",
     )

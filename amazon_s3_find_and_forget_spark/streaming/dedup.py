@@ -73,6 +73,71 @@ def run_to_table(stream_df: DataFrame, checkpoint: str, out_dir: str) -> None:
     )
 
 
+def _index_screen_stream(
+    spark,
+    docs_dir: str,
+    schema,
+    index_dir: str,
+    novel_dir: str,
+    checkpoint: str,
+    empty_index,
+    screen,
+    index_cols: list[str],
+    available_now: bool,
+    max_files_per_trigger: int | None,
+):
+    """Shared engine for the lake-index screens: file stream ->
+    per-micro-batch screen against the persisted index -> idempotent
+    ``batch_id=N`` overwrite of novel rows and the index delta.
+
+    Idempotent under foreachBatch's retry contract: batch N writes its
+    outputs to ``batch_id=N`` partition directories with overwrite and
+    SCREENS ONLY against deltas of batches < N — a retried batch never
+    sees its own half-written output, so reruns produce byte-identical
+    results. Micro-batch N+1 reads every delta <= N (the index grows
+    append-only). ONLY a missing index dir means "first batch, empty
+    index"; any other read failure (corrupt footer, permissions, schema
+    drift) fails the batch so the checkpoint retries it — substituting
+    an empty index there would silently re-admit every previously-seen
+    document.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def process_batch(batch_df, batch_id: int):
+        from pyspark.errors import AnalysisException
+
+        sp = batch_df.sparkSession
+        try:
+            index = sp.read.parquet(index_dir).where(
+                F.col("batch_id") < batch_id
+            ).select(*index_cols)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and (
+                "Path does not exist" not in str(e)
+            ):
+                raise
+            index = empty_index(batch_df)
+        novel, delta = screen(batch_df, index)
+        novel.write.mode("overwrite").parquet(
+            f"{novel_dir}/batch_id={batch_id}"
+        )
+        delta.write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def index_dedup_stream(
     spark,
     docs_dir: str,
@@ -95,59 +160,25 @@ def index_dedup_stream(
     horizon — and screens each micro-batch with the incremental
     operators (index probed via pushed predicate or broadcast, never
     shuffled). The trade is exactness for latency: each batch pays an
-    index probe.
-
-    Idempotent under foreachBatch's retry contract: batch N writes its
-    novel rows and its index delta to ``batch_id=N`` partition
-    directories with overwrite, and SCREENS ONLY against deltas of
-    batches < N — a retried batch never sees its own half-written
-    output, so reruns produce byte-identical results. Micro-batch N+1
-    reads every delta <= N (the index grows append-only).
+    index probe. Retry/ordering protocol: see ``_index_screen_stream``.
     """
     from ..operators import incremental as inc
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(docs_dir)
-
-    def process_batch(batch_df, batch_id: int):
-        from pyspark.errors import AnalysisException
-
-        sp = batch_df.sparkSession
-        try:
-            index = sp.read.parquet(index_dir).where(
-                F.col("batch_id") < batch_id
-            ).select("content_hash", id_col)
-        except AnalysisException as e:
-            # ONLY a missing index dir means "first batch, empty index".
-            # Any other read failure (corrupt footer, permissions,
-            # schema drift) must fail the batch so the checkpoint
-            # retries it — substituting an empty index there would
-            # silently re-admit every previously-seen document.
-            if "PATH_NOT_FOUND" not in str(e) and (
-                "Path does not exist" not in str(e)
-            ):
-                raise
-            index = inc.exact_index(batch_df.limit(0), text_col, id_col)
-        novel, delta = inc.incremental_exact_dedup(
-            batch_df, index, text_col, id_col
-        )
-        novel.write.mode("overwrite").parquet(
-            f"{novel_dir}/batch_id={batch_id}"
-        )
-        delta.write.mode("overwrite").parquet(
-            f"{index_dir}/batch_id={batch_id}"
-        )
-
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _index_screen_stream(
+        spark,
+        docs_dir,
+        schema,
+        index_dir,
+        novel_dir,
+        checkpoint,
+        empty_index=lambda b: inc.exact_index(b.limit(0), text_col, id_col),
+        screen=lambda b, idx: inc.incremental_exact_dedup(
+            b, idx, text_col, id_col
+        ),
+        index_cols=["content_hash", id_col],
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def index_near_dedup_stream(
@@ -169,8 +200,7 @@ def index_near_dedup_stream(
     holds MinHash signatures and each micro-batch screens through
     ``incremental_minhash_dedup`` (banded batch signatures broadcast
     into the index scan, inline agreement verify — the index never
-    shuffles). Same ``batch_id=N`` overwrite protocol, so foreachBatch
-    retries are idempotent and batch N never sees its own delta.
+    shuffles). Same retry/ordering protocol (``_index_screen_stream``).
 
     Like the batch screen, semantics are survivor-based: a new document
     is screened against INDEXED survivors, not against documents the
@@ -179,48 +209,26 @@ def index_near_dedup_stream(
     """
     from ..operators import incremental as inc
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(docs_dir)
-
-    def process_batch(batch_df, batch_id: int):
-        from pyspark.errors import AnalysisException
-
-        sp = batch_df.sparkSession
-        try:
-            index = sp.read.parquet(index_dir).where(
-                F.col("batch_id") < batch_id
-            ).select("_id", "_sig")
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and (
-                "Path does not exist" not in str(e)
-            ):
-                raise
-            index = inc.minhash_index(
-                batch_df.limit(0), text_col, id_col, num_perm=num_perm
-            )
-        novel, delta = inc.incremental_minhash_dedup(
-            batch_df,
-            index,
+    return _index_screen_stream(
+        spark,
+        docs_dir,
+        schema,
+        index_dir,
+        novel_dir,
+        checkpoint,
+        empty_index=lambda b: inc.minhash_index(
+            b.limit(0), text_col, id_col, num_perm=num_perm
+        ),
+        screen=lambda b, idx: inc.incremental_minhash_dedup(
+            b,
+            idx,
             text_col,
             id_col,
             num_perm=num_perm,
             bands=bands,
             threshold=threshold,
-        )
-        novel.write.mode("overwrite").parquet(
-            f"{novel_dir}/batch_id={batch_id}"
-        )
-        delta.write.mode("overwrite").parquet(
-            f"{index_dir}/batch_id={batch_id}"
-        )
-
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+        ),
+        index_cols=["_id", "_sig"],
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -298,12 +298,16 @@ def test_incremental_screens_never_shuffle_the_index(spark, sf_dir):
     sigs = inc.minhash_index(hist)
     from pyspark.sql import functions as _F
 
-    banded_idx = inc._banded(sigs, 16, 64).select(
+    from amazon_s3_find_and_forget_spark.operators.dedup import (
+        banded_signatures,
+    )
+
+    banded_idx = banded_signatures(sigs, 16, 64, with_sig=True).select(
         _F.col("_id").alias("id_a"), _F.col("_sig").alias("_sig_a"),
         "band_hash",
     )
-    banded_new = inc._banded(
-        inc.minhash_index(arr.limit(100)), 16, 64
+    banded_new = banded_signatures(
+        inc.minhash_index(arr.limit(100)), 16, 64, with_sig=True
     ).select(
         _F.col("_id").alias("id_b"), _F.col("_sig").alias("_sig_b"),
         "band_hash",
