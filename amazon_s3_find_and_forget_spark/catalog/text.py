@@ -20,6 +20,17 @@ def q_text_train_split(spark, sf_dir):
     return text.deterministic_split(docs).select("doc_id", "split")
 
 
+def q_text_train_order(spark, sf_dir):
+    """Deterministic seeded training-order permutation — like the split,
+    cross-engine reproducibility IS the contract, so the full
+    (doc_id, order_rank) permutation is oracle-checked value-for-value.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return text.training_order(docs, seed="r10", epoch=1).select(
+        "doc_id", "order_rank"
+    )
+
+
 def q_text_redact(spark, sf_dir):
     """PII redaction parity: fingerprint of the redacted corpus must be
     identical across engines (masking is erasure — it has to be
@@ -208,12 +219,20 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_train_split": q_text_train_split,
+    "text_train_order": q_text_train_order,
     "text_redact": q_text_redact,
     "text_pack": q_text_pack,
     "text_fingerprint": q_text_fingerprint,
 }
 
 ORACLES = {
+    "text_train_order": """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '|r10|1'), doc_id
+               ) AS INT) AS order_rank
+        FROM documents
+    """,
     "text_balanced_sample": """
         SELECT doc_id, lang FROM documents
         QUALIFY row_number() OVER (

@@ -950,3 +950,40 @@ def mixture_sample(
         .withColumn("copy", F.col("copy").cast("long"))
         .drop("_n_copies")
     )
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "",
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle for training order.
+
+    Training runs want documents in a pseudo-random order that is (a)
+    reproducible across runs/engines/partitionings and (b) cheap to
+    re-roll per epoch. ``rand()`` is neither; instead each row's sort
+    key is ``md5(key || seed || epoch)`` — a pure function of the key,
+    so the permutation is stable, and bumping ``epoch`` re-deals the
+    whole corpus at zero extra cost. ``order_rank`` is the 1-based
+    position in that permutation (the global sample index).
+
+    Scale shape: a total order costs exactly one range exchange + sort
+    (what any global shuffle must pay); the sort key is 32 hex chars,
+    so the exchange moves narrow rows when the caller projects before
+    ordering. At 100 TB the standard deployment is to WRITE the corpus
+    ordered once per epoch (sortWithinPartitions after a range
+    repartition on the same key) rather than re-sort per consumer.
+    """
+    h = F.md5(
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit(f"|{seed}|{epoch}"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(h.alias("_k"), F.col(key_col))
+    return df.withColumn(
+        "order_rank", F.row_number().over(w)
+    )

@@ -1860,3 +1860,31 @@ def test_minhash_signatures_sql_same_family(spark):
     )
     out = dedup.minhash_signatures_sql(ne, "text", "doc_id").collect()
     assert all(r["_sig"] is not None and len(r["_sig"]) == 64 for r in out)
+
+
+def test_training_order_deterministic_and_epoch_rerolls(spark):
+    from amazon_s3_find_and_forget_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    o1 = {
+        r["doc_id"]: r["order_rank"]
+        for r in text_ops.training_order(df, epoch=1).collect()
+    }
+    o1b = {
+        r["doc_id"]: r["order_rank"]
+        for r in text_ops.training_order(
+            df.repartition(7), epoch=1
+        ).collect()
+    }
+    assert o1 == o1b  # pure function of the key: partitioning-invariant
+    assert sorted(o1.values()) == list(range(1, 101))  # a true permutation
+    o2 = {
+        r["doc_id"]: r["order_rank"]
+        for r in text_ops.training_order(df, epoch=2).collect()
+    }
+    assert o2 != o1  # epoch bump re-deals
+    assert sorted(o2.values()) == list(range(1, 101))
+    # the permutation is not the identity (actually shuffles)
+    assert [o1[i] for i in range(100)] != list(range(1, 101))
