@@ -88,6 +88,7 @@ GATE_ORDER = [
 # approximate queries (seed-dependent row sets; quality is gate-checked
 # by the *_recall / *_complete rows) — still runnable via queries().
 TAIL_ORDER = [
+    "text_curation_pipeline",
     "text_train_order",
     "tpch_q10",
     "tpch_q4",

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import text
+from ..operators import dedup, text
 from .loader import load
 
 
@@ -156,6 +156,32 @@ def q_text_pack(spark, sf_dir):
     return text.pack_sequences(with_counts, budget=256, group_col="lang")
 
 
+def q_text_curation_pipeline(spark, sf_dir):
+    """The composed curation pipeline in ONE declarative plan — what a
+    user actually runs before training: exact-dedup survivorship ->
+    quality scoring -> lang-id -> token counting -> benchmark
+    decontamination -> filter. Each stage is the same operator the
+    standalone rows gate; composing them lets Catalyst fuse the four
+    map-only stages into the survivor scan, with the dedup window and
+    the broadcast contamination semi-join as the only wide steps."""
+    docs = load(spark, sf_dir, "documents")
+    survivors = dedup.exact_dedup(docs)
+    scored = text.with_token_count(
+        text.with_lang_id(text.with_quality(survivors))
+    )
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    flags = text.contamination_screen(docs, benchmark, n=3)
+    screened = scored.join(flags, "doc_id")
+    return (
+        screened.where(
+            (F.col("quality_score") >= 0.6)
+            & (F.col("lang_pred") == "en")
+            & (~F.col("contaminated"))
+        )
+        .select("doc_id", "quality_score", "lang_pred", "n_tokens")
+    )
+
+
 def q_text_contamination(spark, sf_dir):
     """Benchmark-overlap decontamination screen: docs sharing any word
     3-gram with the pseudo-benchmark (every 50th doc) are flagged."""
@@ -207,6 +233,7 @@ QUERIES = {
     "text_balanced_sample": q_text_balanced_sample,
     "text_stratified_sample": q_text_stratified_sample,
     "text_contamination": q_text_contamination,
+    "text_curation_pipeline": q_text_curation_pipeline,
     "text_repetition": q_text_repetition,
     "text_mixture": q_text_mixture,
     "text_token_count": q_text_token_count,
@@ -226,6 +253,50 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_curation_pipeline": f"""
+        WITH survivors AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        ), t AS (
+          SELECT doc_id, text, {_TOKENS} AS toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 len(list_intersect({_TOKENS},
+                     [{", ".join(repr(w) for w in text.STOPWORDS_EN)}])) AS stop_hits,
+                 {_LANG_SCORES['en']} AS s_en, {_LANG_SCORES['de']} AS s_de,
+                 {_LANG_SCORES['fr']} AS s_fr, {_LANG_SCORES['es']} AS s_es
+          FROM survivors
+        ), scored AS (
+          SELECT doc_id,
+            CAST(round((CASE WHEN len(toks) > 0 AND CAST(n_chars AS DOUBLE) / len(toks) BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN len(toks) > 0 AND CAST(stop_hits AS DOUBLE) / len(toks) > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score,
+            CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                 ELSE 'fr' END AS lang_pred,
+            CAST(len(toks) AS BIGINT) AS n_tokens
+          FROM t
+        ), all_toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))),
+                   g -> g IS NOT NULL AND g <> '')) AS g
+          FROM all_toks
+        ), bench AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        ), hits AS (
+          SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+        )
+        SELECT s.doc_id, s.quality_score, s.lang_pred, s.n_tokens
+        FROM scored s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        WHERE s.quality_score >= 0.6 AND s.lang_pred = 'en'
+          AND h.doc_id IS NULL
+    """,
     "text_train_order": """
         SELECT doc_id,
                CAST(row_number() OVER (
