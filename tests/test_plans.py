@@ -317,3 +317,19 @@ def test_incremental_screens_never_shuffle_the_index(spark, sf_dir):
     assert "SortMergeJoin" not in plan2
     assert "BroadcastHashJoin" in plan2
     assert "Exchange hashpartitioning" not in plan2
+
+
+def test_curation_pipeline_plan_shape(spark, sf_dir):
+    """The composed curation row's claim is physical: every join plans
+    as a broadcast (contamination semi-join + flag join), never a
+    SortMergeJoin, and the only hash exchanges are the genuinely wide
+    steps (dedup window, benchmark n-gram dedup)."""
+    import re
+
+    from amazon_s3_find_and_forget_spark import entry_queries as eq
+
+    df = eq.QUERIES["text_curation_pipeline"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
