@@ -84,9 +84,11 @@ GATE_ORDER = [
     "tpch_q11",
 ]
 
-# Past the gate: rows driver-proven on recent rounds and the raw
+# Past the gate: deterministic oracle-backed rows awaiting (or rotated
+# out of) a gate slot, rows driver-proven on recent rounds, and the raw
 # approximate queries (seed-dependent row sets; quality is gate-checked
-# by the *_recall / *_complete rows) — still runnable via queries().
+# by the *_recall / *_complete rows) — every oracle-backed row here is
+# still checked by tools/check_oracle.py.
 TAIL_ORDER = [
     "text_curation_pipeline",
     "text_train_order",

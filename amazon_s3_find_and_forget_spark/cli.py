@@ -395,35 +395,54 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             server.server_close()
     elif args.cmd == "dedup-screen":
+        import hashlib
         import os as _os
+
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
 
         from .operators import incremental as inc
 
         batch = eng.spark.read.parquet(args.input)
-        have_index = _os.path.isdir(args.index_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in _os.walk(args.index_dir)
-            for f in fs
+        # idempotency: the batch's identity is its landed input path —
+        # outputs go to batch=<digest> partitions with OVERWRITE, and
+        # screening excludes the batch's own partition, so a re-run
+        # after a mid-write failure produces byte-identical results
+        # instead of appending duplicates (same protocol as the
+        # streaming screens' batch_id=N directories)
+        digest = hashlib.md5(
+            _os.path.abspath(args.input).encode()
+        ).hexdigest()[:16]
+        index_cols = (
+            ["content_hash", args.id_column]
+            if args.mode == "exact"
+            else ["_id", "_sig"]
         )
-        if args.mode == "exact":
+        try:
             index = (
                 eng.spark.read.parquet(args.index_dir)
-                if have_index
-                else inc.exact_index(
+                .where(F.col("batch") != digest)
+                .select(*index_cols)
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and (
+                "Path does not exist" not in str(e)
+            ):
+                raise
+            index = (
+                inc.exact_index(
                     batch.limit(0), args.text_column, args.id_column
                 )
-            )
-            novel, delta = inc.incremental_exact_dedup(
-                batch, index, args.text_column, args.id_column
-            )
-        else:
-            index = (
-                eng.spark.read.parquet(args.index_dir)
-                if have_index
+                if args.mode == "exact"
                 else inc.minhash_index(
                     batch.limit(0), args.text_column, args.id_column
                 )
             )
+        if args.mode == "exact":
+            novel, delta = inc.incremental_exact_dedup(
+                batch, index, args.text_column, args.id_column
+            )
+        else:
             novel, delta = inc.incremental_minhash_dedup(
                 batch,
                 index,
@@ -431,14 +450,25 @@ def main(argv: list[str] | None = None) -> int:
                 args.id_column,
                 threshold=args.threshold,
             )
-        novel.write.mode("append").parquet(args.novel_out)
-        delta.write.mode("append").parquet(args.index_dir)
+        novel.write.mode("overwrite").parquet(
+            f"{args.novel_out}/batch={digest}"
+        )
+        delta.write.mode("overwrite").parquet(
+            f"{args.index_dir}/batch={digest}"
+        )
+        # batch-scoped counters only: cumulative lake counts would
+        # re-scan the whole corpus history just to print a log line
         _emit(
             {
                 "Mode": args.mode,
+                "Batch": digest,
                 "BatchRows": batch.count(),
-                "NovelRows": eng.spark.read.parquet(args.novel_out).count(),
-                "IndexRows": eng.spark.read.parquet(args.index_dir).count(),
+                "NovelRows": eng.spark.read.parquet(
+                    f"{args.novel_out}/batch={digest}"
+                ).count(),
+                "IndexRowsAdded": eng.spark.read.parquet(
+                    f"{args.index_dir}/batch={digest}"
+                ).count(),
             }
         )
     elif args.cmd == "zorder":

@@ -173,6 +173,16 @@ def incremental_minhash_dedup(
     becomes a shuffled hash join (both sides exchange on band_hash —
     correct at any size, at the cost of shuffling the index once).
     """
+    head = index_sigs.select("_sig").head(1)
+    if head and len(head[0][0]) != num_perm:
+        # a persisted index built under a different num_perm would slice
+        # past its signatures and silently re-admit every near-duplicate
+        # of the indexed history — fail fast instead
+        raise ValueError(
+            f"index signatures have {len(head[0][0])} components but "
+            f"num_perm={num_perm}; rebuild the index or match the "
+            "parameters it was built with"
+        )
     new_sigs = minhash_signatures(new_df, text_col, id_col, k, num_perm)
     new_sigs = _eager(new_sigs)  # one UDF pass; feeds three consumers
     agree = F.size(
@@ -308,6 +318,17 @@ def incremental_embedding_dedup(
     """
     from .similarity import _dot
 
+    head = index.select("_u", "_k").head(1)
+    if head and (len(head[0][0]) != dim or len(head[0][1]) != n_tables):
+        # a mismatched hyperplane family (different dim/bits/tables/seed
+        # cannot all be detected, but dim and table count can) would
+        # bucket the two sides incompatibly and silently lose recall
+        raise ValueError(
+            f"index vectors are dim={len(head[0][0])} with "
+            f"{len(head[0][1])} tables; got dim={dim}, "
+            f"n_tables={n_tables} — match the parameters the index was "
+            "built with"
+        )
     batch_keyed = _eager(
         embedding_index(new_df, dim, bits, n_tables, emb_col, id_col, seed)
     )

@@ -975,15 +975,17 @@ def training_order(
     ordered once per epoch (sortWithinPartitions after a range
     repartition on the same key) rather than re-sort per consumer.
     """
-    h = F.md5(
-        F.concat(
-            F.col(key_col).cast("string"),
-            F.lit(f"|{seed}|{epoch}"),
-        )
-    )
+    # null-safe: concat propagates NULL through md5, and the engines
+    # disagree on where NULL sort keys land (Spark first, DuckDB last) —
+    # the same hazard incremental._content_hash guards with a sentinel.
+    # Rows sharing a NULL key still have no identity to order BETWEEN
+    # them; a unique non-null key column is the documented precondition
+    # for a fully stable permutation.
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__NULL_KEY__"))
+    h = F.md5(F.concat(key, F.lit(f"|{seed}|{epoch}")))
     from pyspark.sql import Window
 
-    w = Window.orderBy(h.alias("_k"), F.col(key_col))
+    w = Window.orderBy(h.alias("_k"), key)
     return df.withColumn(
         "order_rank", F.row_number().over(w)
     )

@@ -259,13 +259,23 @@ def test_cli_dedup_screen_runbook(spark, tmp_path, capsys):
 
     r1 = run(capsys, *base, "dedup-screen", "--input", b1,
              "--index-dir", index, "--novel-out", novel)
-    assert r1 == {"Mode": "exact", "BatchRows": 3, "NovelRows": 2,
-                  "IndexRows": 2}
+    assert (r1["Mode"], r1["BatchRows"], r1["NovelRows"],
+            r1["IndexRowsAdded"]) == ("exact", 3, 2, 2)
     r2 = run(capsys, *base, "dedup-screen", "--input", b2,
              "--index-dir", index, "--novel-out", novel)
-    assert r2 == {"Mode": "exact", "BatchRows": 2, "NovelRows": 3,
-                  "IndexRows": 3}
+    assert (r2["BatchRows"], r2["NovelRows"], r2["IndexRowsAdded"]) == (
+        2, 1, 1,
+    )
     kept = sorted(
         r["doc_id"] for r in spark.read.parquet(novel).collect()
     )
     assert kept == [1, 2, 11]
+    # idempotent: re-running a batch overwrites its own partition —
+    # no duplicate novel rows, no index growth
+    r3 = run(capsys, *base, "dedup-screen", "--input", b2,
+             "--index-dir", index, "--novel-out", novel)
+    assert r3 == r2
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(novel).collect()
+    )
+    assert kept2 == [1, 2, 11]

@@ -254,3 +254,20 @@ def test_incremental_screens_shuffle_fallback_agrees(spark):
     assert sorted(r["vec_id"] for r in v_bc.collect()) == sorted(
         r["vec_id"] for r in v_sh.collect()
     )
+
+
+def test_incremental_screens_reject_mismatched_index(spark):
+    """A persisted index built under different parameters must fail
+    fast, not silently lose recall (sliced-past signatures count as
+    disagreement and re-admit every indexed near-dup)."""
+    history = docs(spark, [(1, NEAR_A)])
+    index64 = inc.minhash_index(history, num_perm=64)
+    batch = docs(spark, [(10, NEAR_A2)])
+    with pytest.raises(ValueError, match="64 components"):
+        inc.incremental_minhash_dedup(batch, index64, num_perm=128)
+
+    vindex = inc.embedding_index(vecs(spark, [(1, E1)]), dim=4, bits=4)
+    with pytest.raises(ValueError, match="dim=4"):
+        inc.incremental_embedding_dedup(
+            vecs(spark, [(10, E1_NEAR)]), vindex, dim=8, bits=4
+        )
