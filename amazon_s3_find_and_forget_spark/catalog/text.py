@@ -299,9 +299,9 @@ ORACLES = {
     """,
     "text_train_order": """
         SELECT doc_id,
-               CAST(row_number() OVER (
+               row_number() OVER (
                  ORDER BY md5(CAST(doc_id AS VARCHAR) || '|r10|1'), doc_id
-               ) AS INT) AS order_rank
+               ) AS order_rank
         FROM documents
     """,
     "text_balanced_sample": """

@@ -957,6 +957,7 @@ def training_order(
     key_col: str = "doc_id",
     seed: str = "",
     epoch: int = 0,
+    bucket_chars: int = 4,
 ) -> DataFrame:
     """Deterministic global shuffle for training order.
 
@@ -968,12 +969,19 @@ def training_order(
     whole corpus at zero extra cost. ``order_rank`` is the 1-based
     position in that permutation (the global sample index).
 
-    Scale shape: a total order costs exactly one range exchange + sort
-    (what any global shuffle must pay); the sort key is 32 hex chars,
-    so the exchange moves narrow rows when the caller projects before
-    ordering. At 100 TB the standard deployment is to WRITE the corpus
-    ordered once per epoch (sortWithinPartitions after a range
-    repartition on the same key) rather than re-sort per consumer.
+    Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` compiles
+    to Exchange SinglePartition — the whole corpus through one task.
+    Instead the rank is computed in two levels keyed on the first
+    ``bucket_chars`` hex chars of the hash (a PREFIX of the sort key,
+    so bucket order refines hash order): (1) a map-side count per
+    bucket, cumulated into per-bucket offsets over at most
+    16^bucket_chars rows and broadcast; (2) ``row_number`` within each
+    bucket. One full-data hash exchange on the bucket key (max task
+    ~N/65536 at the default — md5 prefixes are uniform, so no skew), a
+    tiny aggregate, a broadcast join: every stage is distributed and
+    the whole thing stays lazy. At 100 TB the standard deployment is
+    still to WRITE the corpus ordered once per epoch and let consumers
+    read it back sequentially rather than re-rank per consumer.
     """
     # null-safe: concat propagates NULL through md5, and the engines
     # disagree on where NULL sort keys land (Spark first, DuckDB last) —
@@ -981,11 +989,31 @@ def training_order(
     # Rows sharing a NULL key still have no identity to order BETWEEN
     # them; a unique non-null key column is the documented precondition
     # for a fully stable permutation.
-    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__NULL_KEY__"))
-    h = F.md5(F.concat(key, F.lit(f"|{seed}|{epoch}")))
     from pyspark.sql import Window
 
-    w = Window.orderBy(h.alias("_k"), key)
-    return df.withColumn(
-        "order_rank", F.row_number().over(w)
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__NULL_KEY__"))
+    h = F.md5(F.concat(key, F.lit(f"|{seed}|{epoch}")))
+    hashed = df.withColumn("_to_k", h).withColumn(
+        "_to_b", F.substring("_to_k", 1, bucket_chars)
+    )
+    # per-bucket offsets: counts are a map-side partial aggregate; the
+    # running sum windows over <= 16^bucket_chars rows (bounded by the
+    # bucket-id space, NOT the data), so its single partition is fine.
+    cum = Window.orderBy("_to_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        hashed.groupBy("_to_b")
+        .agg(F.count(F.lit(1)).alias("_to_n"))
+        .select(
+            "_to_b",
+            F.coalesce(F.sum("_to_n").over(cum), F.lit(0)).alias("_to_off"),
+        )
+    )
+    within = Window.partitionBy("_to_b").orderBy("_to_k", key)
+    return (
+        hashed.join(F.broadcast(offsets), "_to_b")
+        .withColumn(
+            "order_rank",
+            (F.col("_to_off") + F.row_number().over(within)).cast("long"),
+        )
+        .drop("_to_b", "_to_k", "_to_off")
     )

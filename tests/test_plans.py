@@ -333,3 +333,53 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+def test_training_order_never_single_partition(spark, sf_dir):
+    """training_order's global rank must NOT compile to the naive
+    ``row_number() OVER (ORDER BY ...)`` Exchange SinglePartition — the
+    whole-corpus-through-one-task shape. The bucketed two-level rank
+    keeps every full-data stage distributed: the only SinglePartition
+    exchange allowed is the per-bucket offset cumulation, whose input
+    is bounded by the bucket-id space (<= 16^4 rows), which the plan
+    shows as a window over the tiny aggregate, not over the input."""
+    from amazon_s3_find_and_forget_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = text_ops.training_order(docs, seed="plan", epoch=1)
+    plan = explain_str(df)
+    # the data side's rank window partitions by the bucket key
+    # (hashpartitioning on _to_b — distributed), and the offsets reach
+    # it through a broadcast join, not a shuffle.
+    assert "hashpartitioning(_to_b" in plan
+    assert "BroadcastHashJoin" in plan
+    # at most ONE SinglePartition exchange: the offsets branch, which
+    # must cumulate over an Aggregate (bounded by the bucket-id space),
+    # never over the corpus scan directly.
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1
+    if singles:
+        below = plan.split("Exchange SinglePartition", 1)[1]
+        assert "HashAggregate" in below
+
+
+def test_training_order_matches_naive_rank(spark, sf_dir):
+    """The bucketed rank must equal the naive global row_number rank."""
+    from pyspark.sql import Window
+
+    from amazon_s3_find_and_forget_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {
+        r["doc_id"]: r["order_rank"]
+        for r in text_ops.training_order(docs, seed="x", epoch=3).collect()
+    }
+    key = F.col("doc_id").cast("string")
+    h = F.md5(F.concat(key, F.lit("|x|3")))
+    naive = {
+        r["doc_id"]: r["rn"]
+        for r in docs.withColumn(
+            "rn", F.row_number().over(Window.orderBy(h, key))
+        ).collect()
+    }
+    assert got == naive
