@@ -170,6 +170,15 @@ def q_text_curation_pipeline(spark, sf_dir):
         text.with_lang_id(text.with_quality(survivors))
     )
     benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    # the screen deliberately runs over RAW docs, not survivors: flags
+    # of dropped duplicates are discarded by the join (wasted map-side
+    # gram work proportional to the dup rate), but feeding survivors
+    # would re-derive the dedup window inside the screen's own branches
+    # — column pruning makes those exchanges non-identical, so
+    # ReuseExchange cannot serve them and the full-text window shuffle
+    # runs THREE times (measured: 5 hashpartitioning exchanges vs 3).
+    # A corpus-sized text exchange dwarfs map-side tokenization, so the
+    # raw-docs screen is the cheaper plan at any duplication rate.
     flags = text.contamination_screen(docs, benchmark, n=3)
     screened = scored.join(flags, "doc_id")
     return (

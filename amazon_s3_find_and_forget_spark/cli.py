@@ -206,6 +206,14 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--id-column", default="doc_id")
     ds.add_argument("--threshold", type=float, default=0.8,
                     help="minhash similarity threshold")
+    ds.add_argument(
+        "--batch-id",
+        default=None,
+        help="explicit idempotency key for this batch's output "
+        "partitions; defaults to a digest of the resolved --input path "
+        "(pass this when the same data may land at different paths, or "
+        "different data at a reused path)",
+    )
 
     zo = sub.add_parser(
         "zorder",
@@ -398,7 +406,6 @@ def main(argv: list[str] | None = None) -> int:
         import hashlib
         import os as _os
 
-        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
         from .operators import incremental as inc
@@ -409,27 +416,28 @@ def main(argv: list[str] | None = None) -> int:
         # screening excludes the batch's own partition, so a re-run
         # after a mid-write failure produces byte-identical results
         # instead of appending duplicates (same protocol as the
-        # streaming screens' batch_id=N directories)
-        digest = hashlib.md5(
-            _os.path.abspath(args.input).encode()
+        # streaming screens' batch_id=N directories). realpath, not
+        # abspath: a retry reaching the same data through a different
+        # symlink spelling must map to the SAME partition, or the
+        # exclusion stops hiding the first attempt's half-written delta
+        # and the batch's rows all match their own index entries.
+        # --batch-id overrides for the cases no path digest can solve
+        # (same data at a genuinely different path, new data at a
+        # reused path).
+        digest = args.batch_id or hashlib.md5(
+            _os.path.realpath(args.input).encode()
         ).hexdigest()[:16]
         index_cols = (
             ["content_hash", args.id_column]
             if args.mode == "exact"
             else ["_id", "_sig"]
         )
-        try:
-            index = (
-                eng.spark.read.parquet(args.index_dir)
-                .where(F.col("batch") != digest)
-                .select(*index_cols)
-            )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and (
-                "Path does not exist" not in str(e)
-            ):
-                raise
-            index = (
+        index = inc.read_index_or_empty(
+            eng.spark,
+            args.index_dir,
+            F.col("batch") != digest,
+            index_cols,
+            lambda: (
                 inc.exact_index(
                     batch.limit(0), args.text_column, args.id_column
                 )
@@ -437,7 +445,8 @@ def main(argv: list[str] | None = None) -> int:
                 else inc.minhash_index(
                     batch.limit(0), args.text_column, args.id_column
                 )
-            )
+            ),
+        )
         if args.mode == "exact":
             novel, delta = inc.incremental_exact_dedup(
                 batch, index, args.text_column, args.id_column

@@ -45,6 +45,33 @@ from .dedup import (
 PREDICATE_VALUE_LIMIT = 2048
 
 
+def read_index_or_empty(spark, index_dir, keep, index_cols, empty_index):
+    """Read the persisted index from ``index_dir``, keeping only rows
+    matching ``keep`` (the protocol predicate that hides the current
+    batch's own — possibly half-written — delta partition).
+
+    ONLY a missing directory means "first batch, empty index" (built by
+    calling ``empty_index()``); any other read failure (corrupt footer,
+    permissions, schema drift) propagates so the caller's retry
+    machinery re-runs the batch — substituting an empty index there
+    would silently re-admit every previously-seen document. Shared by
+    the CLI ``dedup-screen`` and ``streaming/dedup._index_screen_stream``
+    so the missing-path classification (whose error text has already
+    changed once across Spark versions, hence two markers) lives in one
+    place.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(index_dir).where(keep).select(*index_cols)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and (
+            "Path does not exist" not in str(e)
+        ):
+            raise
+        return empty_index()
+
+
 def _content_hash(text_col: str):
     """Null-safe dedup key. Batch ``exact_dedup`` partitions by
     ``md5(text)`` and SQL grouping folds NULLs into one group, so all
@@ -149,6 +176,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     broadcast: bool = True,
+    check_compat: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen an arriving batch for near-duplicates of the indexed corpus.
 
@@ -172,17 +200,25 @@ def incremental_minhash_dedup(
     backfill-sized "batch" pass ``broadcast=False``: the band probe
     becomes a shuffled hash join (both sides exchange on band_hash —
     correct at any size, at the cost of shuffling the index once).
+
+    ``check_compat`` probes one index row (an eager one-row job — cheap
+    on a file-backed index, but it recomputes a partition when the
+    index is a freshly COMPUTED unpersisted relation). Callers that
+    screen many batches against the same persisted index under fixed
+    parameters (the streaming screens) verify once and pass ``False``
+    afterwards.
     """
-    head = index_sigs.select("_sig").head(1)
-    if head and len(head[0][0]) != num_perm:
-        # a persisted index built under a different num_perm would slice
-        # past its signatures and silently re-admit every near-duplicate
-        # of the indexed history — fail fast instead
-        raise ValueError(
-            f"index signatures have {len(head[0][0])} components but "
-            f"num_perm={num_perm}; rebuild the index or match the "
-            "parameters it was built with"
-        )
+    if check_compat:
+        head = index_sigs.select("_sig").head(1)
+        if head and head[0][0] is not None and len(head[0][0]) != num_perm:
+            # a persisted index built under a different num_perm would
+            # slice past its signatures and silently re-admit every
+            # near-duplicate of the indexed history — fail fast instead
+            raise ValueError(
+                f"index signatures have {len(head[0][0])} components but "
+                f"num_perm={num_perm}; rebuild the index or match the "
+                "parameters it was built with"
+            )
     new_sigs = minhash_signatures(new_df, text_col, id_col, k, num_perm)
     new_sigs = _eager(new_sigs)  # one UDF pass; feeds three consumers
     agree = F.size(
@@ -291,6 +327,7 @@ def incremental_embedding_dedup(
     id_col: str = "vec_id",
     seed: int = 42,
     broadcast: bool = True,
+    check_compat: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen arriving embeddings for near-duplicates of the indexed
     corpus (cosine >= threshold), LSH-bucketed like
@@ -315,20 +352,31 @@ def incremental_embedding_dedup(
     join for backfill-sized batches past the broadcast limit (the
     exploded batch carries its unit vectors, so the limit arrives
     sooner here than in the MinHash screen at large dim).
+
+    ``check_compat``: same trade as ``incremental_minhash_dedup`` — an
+    eager one-row probe, skippable after the first batch of a
+    fixed-parameter screening run.
     """
     from .similarity import _dot
 
-    head = index.select("_u", "_k").head(1)
-    if head and (len(head[0][0]) != dim or len(head[0][1]) != n_tables):
-        # a mismatched hyperplane family (different dim/bits/tables/seed
-        # cannot all be detected, but dim and table count can) would
-        # bucket the two sides incompatibly and silently lose recall
-        raise ValueError(
-            f"index vectors are dim={len(head[0][0])} with "
-            f"{len(head[0][1])} tables; got dim={dim}, "
-            f"n_tables={n_tables} — match the parameters the index was "
-            "built with"
-        )
+    if check_compat:
+        head = index.select("_u", "_k").head(1)
+        if (
+            head
+            and head[0][0] is not None
+            and head[0][1] is not None
+            and (len(head[0][0]) != dim or len(head[0][1]) != n_tables)
+        ):
+            # a mismatched hyperplane family (different dim/bits/tables/
+            # seed cannot all be detected, but dim and table count can)
+            # would bucket the two sides incompatibly and silently lose
+            # recall
+            raise ValueError(
+                f"index vectors are dim={len(head[0][0])} with "
+                f"{len(head[0][1])} tables; got dim={dim}, "
+                f"n_tables={n_tables} — match the parameters the index "
+                "was built with"
+            )
     batch_keyed = _eager(
         embedding_index(new_df, dim, bits, n_tables, emb_col, id_col, seed)
     )

@@ -95,31 +95,26 @@ def _index_screen_stream(
     SCREENS ONLY against deltas of batches < N — a retried batch never
     sees its own half-written output, so reruns produce byte-identical
     results. Micro-batch N+1 reads every delta <= N (the index grows
-    append-only). ONLY a missing index dir means "first batch, empty
-    index"; any other read failure (corrupt footer, permissions, schema
-    drift) fails the batch so the checkpoint retries it — substituting
-    an empty index there would silently re-admit every previously-seen
-    document.
+    append-only). Missing-vs-broken index classification is
+    ``operators/incremental.read_index_or_empty`` (shared with the CLI
+    ``dedup-screen``): only a MISSING dir becomes an empty index; any
+    other read failure fails the batch so the checkpoint retries it.
     """
+    from ..operators.incremental import read_index_or_empty
+
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_dir)
 
     def process_batch(batch_df, batch_id: int):
-        from pyspark.errors import AnalysisException
-
-        sp = batch_df.sparkSession
-        try:
-            index = sp.read.parquet(index_dir).where(
-                F.col("batch_id") < batch_id
-            ).select(*index_cols)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and (
-                "Path does not exist" not in str(e)
-            ):
-                raise
-            index = empty_index(batch_df)
+        index = read_index_or_empty(
+            batch_df.sparkSession,
+            index_dir,
+            F.col("batch_id") < batch_id,
+            index_cols,
+            lambda: empty_index(batch_df),
+        )
         novel, delta = screen(batch_df, index)
         novel.write.mode("overwrite").parquet(
             f"{novel_dir}/batch_id={batch_id}"
@@ -206,8 +201,30 @@ def index_near_dedup_stream(
     is screened against INDEXED survivors, not against documents the
     screen already dropped — the SemDeDup-style trade that keeps the
     index append-only.
+
+    The index's num_perm compatibility probe (an eager one-row job)
+    runs on the FIRST micro-batch of each stream run only: within a
+    run the parameters are fixed and every appended delta is built
+    with them, so re-probing per batch buys nothing; a restart from
+    the checkpoint re-probes once.
     """
     from ..operators import incremental as inc
+
+    compat_checked = {"done": False}
+
+    def screen(b, idx):
+        out = inc.incremental_minhash_dedup(
+            b,
+            idx,
+            text_col,
+            id_col,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+            check_compat=not compat_checked["done"],
+        )
+        compat_checked["done"] = True
+        return out
 
     return _index_screen_stream(
         spark,
@@ -219,15 +236,7 @@ def index_near_dedup_stream(
         empty_index=lambda b: inc.minhash_index(
             b.limit(0), text_col, id_col, num_perm=num_perm
         ),
-        screen=lambda b, idx: inc.incremental_minhash_dedup(
-            b,
-            idx,
-            text_col,
-            id_col,
-            num_perm=num_perm,
-            bands=bands,
-            threshold=threshold,
-        ),
+        screen=screen,
         index_cols=["_id", "_sig"],
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,

@@ -279,3 +279,41 @@ def test_cli_dedup_screen_runbook(spark, tmp_path, capsys):
         r["doc_id"] for r in spark.read.parquet(novel).collect()
     )
     assert kept2 == [1, 2, 11]
+
+
+def test_cli_dedup_screen_symlink_retry_same_identity(spark, tmp_path, capsys):
+    """A retry that reaches the same landed batch through a different
+    path SPELLING (symlink) must map to the same batch partition: the
+    idempotency digest uses realpath, so the retry overwrites its own
+    outputs instead of screening the batch against its own first-run
+    delta (which would report every row as already seen). An explicit
+    --batch-id overrides the digest for relands no path can identify."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    real = tmp_path / "real"
+    real.mkdir()
+    b1 = real / "b1"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(b1))
+    link = tmp_path / "landing"
+    link.symlink_to(real)
+    index = str(tmp_path / "idx")
+    novel = str(tmp_path / "novel")
+
+    r1 = run(capsys, *base, "dedup-screen", "--input", str(link / "b1"),
+             "--index-dir", index, "--novel-out", novel)
+    r2 = run(capsys, *base, "dedup-screen", "--input", str(b1),
+             "--index-dir", index, "--novel-out", novel)
+    assert r1 == r2  # same identity -> idempotent overwrite
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
+    assert kept == [1, 2]
+
+    # --batch-id: same content deliberately relanded as a NEW batch
+    # screens against the original delta — nothing is novel
+    r3 = run(capsys, *base, "dedup-screen", "--input", str(b1),
+             "--index-dir", index, "--novel-out", novel,
+             "--batch-id", "reland-001")
+    assert (r3["NovelRows"], r3["IndexRowsAdded"]) == (0, 0)
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
+    assert kept2 == [1, 2]

@@ -271,3 +271,34 @@ def test_incremental_screens_reject_mismatched_index(spark):
         inc.incremental_embedding_dedup(
             vecs(spark, [(10, E1_NEAR)]), vindex, dim=8, bits=4
         )
+
+
+def test_incremental_compat_probe_null_safe_and_skippable(spark):
+    """The one-row compat probe must tolerate a NULL first index row
+    (ValueError is reserved for a PROVEN parameter mismatch, not a
+    TypeError on len(None)), and ``check_compat=False`` must skip the
+    eager probe entirely — the streaming screens verify once per run
+    and pass False for every later micro-batch."""
+    batch = docs(spark, [(10, NEAR_A2)])
+    null_idx = spark.createDataFrame(
+        [(1, None)], "_id long, _sig array<bigint>"
+    )
+    novel, _ = inc.incremental_minhash_dedup(batch, null_idx)
+    assert novel.count() == 1  # null signature matches nothing
+
+    vbatch = vecs(spark, [(10, E1_NEAR)])
+    null_vidx = spark.createDataFrame(
+        [(1, None, None)], "_id long, _u array<double>, _k array<bigint>"
+    )
+    vnovel, _ = inc.incremental_embedding_dedup(
+        vbatch, null_vidx, dim=4, bits=4
+    )
+    assert vnovel.count() == 1
+
+    # a mismatched index that WOULD fail the probe is accepted lazily
+    # when the caller vouches for it (the skip path must not probe)
+    index64 = inc.minhash_index(docs(spark, [(1, NEAR_A)]), num_perm=64)
+    novel128, delta128 = inc.incremental_minhash_dedup(
+        batch, index64, num_perm=128, check_compat=False
+    )
+    assert novel128 is not None and delta128 is not None
