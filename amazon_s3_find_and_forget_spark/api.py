@@ -256,8 +256,16 @@ class Engine:
         position the anchor occupied. The enqueue-order index
         (``queue_order``, maintained by enqueue/delete) recovers that
         position; a token the store has never issued scans past the end
-        (the pre-index behavior, kept for legacy state dirs)."""
-        queue = self._load("deletion_queue", [])
+        (the pre-index behavior, kept for legacy state dirs).
+
+        Both files load under the writer mutex: enqueue/delete write
+        them sequentially, and a read BETWEEN the two writes would see
+        new queue items absent from the order index (``pos.get -> -1``),
+        which a positional resume would misread as "before the anchor"
+        and silently drop from the page."""
+        with self._mutex:
+            queue = self._load("deletion_queue", [])
+            order = self._load("queue_order", [])
         if start_at is not None:
             idx = next(
                 (
@@ -268,7 +276,6 @@ class Engine:
                 None,
             )
             if idx is None:  # anchor no longer live: positional resume
-                order = self._load("queue_order", [])
                 pos = {qid: i for i, qid in enumerate(order)}
                 anchor_pos = pos.get(start_at)
                 if anchor_pos is None:  # foreign/expired token
@@ -314,7 +321,12 @@ class Engine:
             live = {it["DeletionQueueItemId"] for it in queue}
             dead = [qid for qid in order if qid not in live]
             floor = max(self._QUEUE_ORDER_TOMBSTONES, len(drop))
-            keep = live | set(dead[-floor:])
+            # THIS call's ids are kept explicitly: ``dead`` is in
+            # ENQUEUE order, so when older tombstones sit later in it,
+            # dead[-floor:] alone would evict this burst's
+            # earliest-enqueued anchors — exactly the ones a client
+            # mid-scan through the consumed matches resumes from
+            keep = live | set(dead[-floor:]) | drop
             self._save("queue_order", [q for q in order if q in keep])
 
     # --- jobs (queue/handlers.py process_handler + jobs/handlers.py) --------

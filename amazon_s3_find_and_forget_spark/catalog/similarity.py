@@ -73,7 +73,9 @@ def q_embedding_incremental_complete(spark, sf_dir):
     for r in rows:
         by_vec.setdefault(tuple(r["embedding"]), []).append(r["vec_id"])
     exact_complete = True
-    for ids in by_vec.values():
+    for vec, ids in by_vec.items():
+        if not any(vec):  # zero-norm vectors have no cosine: the screen
+            continue  # documents them as pass-through-novel, not dups
         ids.sort()
         for d in ids[1:]:
             if d % 3 == 0 and any(

@@ -350,7 +350,20 @@ def banded_signatures(
     definition of the banding key — the batch self-join pipelines and
     the incremental index screens must derive IDENTICAL band hashes
     from the same signature or cross-path candidates silently vanish.
-    ``with_sig`` carries the signature through for inline verifies."""
+    ``with_sig`` carries the signature through for inline verifies.
+
+    ``bands`` must divide ``num_perm``: a non-dividing value silently
+    ignores the signature tail, and ``bands > num_perm`` degenerates to
+    r=0 — EVERY document hashing the same empty slice, which turns any
+    band join into a full cross join. Refused here, at the one site
+    every banding path funnels through."""
+    if bands <= 0 or bands > num_perm or num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} "
+            "(1 <= bands <= num_perm): non-dividing bands drop the "
+            "signature tail; bands > num_perm band-hashes an empty "
+            "slice and every pair collides"
+        )
     r = num_perm // bands
     cols = ["_id", "_sig"] if with_sig else ["_id"]
     return sigs.select(

@@ -50,24 +50,34 @@ def read_index_or_empty(spark, index_dir, keep, index_cols, empty_index):
     matching ``keep`` (the protocol predicate that hides the current
     batch's own — possibly half-written — delta partition).
 
-    ONLY a missing directory means "first batch, empty index" (built by
-    calling ``empty_index()``); any other read failure (corrupt footer,
-    permissions, schema drift) propagates so the caller's retry
-    machinery re-runs the batch — substituting an empty index there
-    would silently re-admit every previously-seen document. Shared by
-    the CLI ``dedup-screen`` and ``streaming/dedup._index_screen_stream``
-    so the missing-path classification (whose error text has already
-    changed once across Spark versions, hence two markers) lives in one
-    place.
+    An empty index is legitimate in exactly two states, both "no delta
+    was ever committed": the directory does not exist yet (first batch,
+    nothing written), or it exists but holds no committed parquet
+    footer — a crash during the FIRST delta's write leaves only
+    ``_temporary``/marker files, and the read then fails schema
+    inference. Both classify as empty; by the append-only protocol a
+    non-empty index always has at least one committed, footer-bearing
+    part file, so "unable to infer schema" can never mask real data.
+    Any OTHER read failure (corrupt footer on committed data,
+    permissions) propagates so the caller's retry machinery re-runs the
+    batch — substituting an empty index there would silently re-admit
+    every previously-seen document. Shared by the CLI ``dedup-screen``
+    and ``streaming/dedup._index_screen_stream`` so this classification
+    (whose error text has already changed across Spark versions, hence
+    multiple markers) lives in one place.
     """
     from pyspark.errors import AnalysisException
 
+    empty_markers = (
+        "PATH_NOT_FOUND",
+        "Path does not exist",
+        "UNABLE_TO_INFER_SCHEMA",
+        "Unable to infer schema",
+    )
     try:
         return spark.read.parquet(index_dir).where(keep).select(*index_cols)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and (
-            "Path does not exist" not in str(e)
-        ):
+        if not any(m in str(e) for m in empty_markers):
             raise
         return empty_index()
 

@@ -467,7 +467,11 @@ def _hash_rank_sample(
     O(fraction * |stratum|) survivor rows through one task): md5 is
     uniform, so a FIXED equi-width histogram over the 60-bit hash
     prefix gives exact per-bucket counts in ONE map-side-combinable
-    aggregate. From those exact counts the driver derives, per stratum:
+    aggregate (materialized once; the counts and the selection share
+    the scan). Boundary selection runs ON THE CLUSTER — a cumulative
+    window over the tiny hist relation — and the driver collects only
+    per-stratum counts plus ONE boundary row each (never the full
+    strata x grid histogram), deriving per stratum:
 
     - the boundary bucket where the target'th smallest hash lands, and
     - ``c_below``, the exact count of rows ordered strictly below it.
@@ -516,54 +520,100 @@ def _hash_rank_sample(
     bucket0 = F.when(F.col("_h").isNull(), F.lit(-1)).otherwise(
         F.floor(F.col("_hp") / F.lit(width0))
     )
-    per_stratum = (
+    from .dedup import _eager
+
+    # the histogram relation is tiny (<= strata * (grid+1) counted
+    # rows) but derives from a full input scan — materialize it once so
+    # the per-stratum counts and the boundary selection below share ONE
+    # scan of the input
+    hist = _eager(
         prepared.groupBy(
             F.col(strata_col).alias("_stratum"), bucket0.alias("_b")
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .groupBy("_stratum")
-        .agg(
-            F.sum("_n").alias("_cnt"),
-            F.sort_array(F.collect_list(F.struct("_b", "_n"))).alias(
-                "_hist"
-            ),
-        )
+        ).agg(F.count(F.lit(1)).alias("_n"))
+    )
+    counts = (
+        hist.groupBy("_stratum")
+        .agg(F.sum("_n").alias("_cnt"))
         .limit(max_strata + 1)
         .collect()
     )
-    if len(per_stratum) > max_strata:
+    if len(counts) > max_strata:
         raise ValueError(
             f"{strata_col!r} has more than {max_strata} distinct strata; "
             "sampling strata must be class labels (languages, sources). "
             "Raise max_strata explicitly if this is intentional."
         )
 
-    # driver-side cutoff selection from the exact histogram
+    strata_type = df.schema[strata_col].dataType
+
     plans: list[dict] = []
-    for r in per_stratum:
+    targets_rows = []
+    for r in counts:
         cnt = int(r["_cnt"])
         target = min(cnt, int(target_of_count(cnt)))
-        st = {"stratum": r["_stratum"], "cnt": cnt, "target": target}
-        if target >= cnt:
-            st["keepall"] = True
-        else:
-            st["keepall"] = False
-            cum = 0
-            for e in r["_hist"]:
-                b, n = int(e["_b"]), int(e["_n"])
-                if cum + n >= target:
-                    st["c_below"] = cum
-                    st["bcount"] = n
-                    if b < 0:  # boundary is the null-hash bucket
-                        st["lo"] = st["hi"] = None
-                    else:
-                        st["lo"] = b * width0
-                        st["hi"] = min(_HSPACE, (b + 1) * width0)
-                    break
-                cum += n
+        st = {"stratum": r["_stratum"], "cnt": cnt, "target": target,
+              "keepall": target >= cnt}
+        if not st["keepall"]:
+            if target <= 0:  # degenerate: sample nothing from this
+                # stratum — no boundary bucket exists (cum < 0 never
+                # holds), so admit-nothing directly
+                st["c_below"] = 0
+                st["bcount"] = 0
+                st["lo"] = st["hi"] = None
+            else:
+                targets_rows.append((st["stratum"], target))
         plans.append(st)
 
-    strata_type = df.schema[strata_col].dataType
+    # boundary-bucket selection stays ON THE CLUSTER: the full
+    # histogram is up to max_strata * (grid+1) rows — collecting it
+    # would put ~10M structs on the driver at the guard limit — so the
+    # cumulative count runs as a window over the (tiny, materialized)
+    # hist relation, partitioned per stratum, and ONLY the one boundary
+    # row per non-keepall stratum (cum < target <= cum + n) is
+    # collected: O(strata) driver memory, independent of grid.
+    if targets_rows:
+        tgt_schema = StructType(
+            [
+                StructField("_t_stratum", strata_type, True),
+                StructField("_target", LongType(), False),
+            ]
+        )
+        cumw = (
+            Window.partitionBy("_stratum")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bound_rows = (
+            hist.withColumn(
+                "_cum", F.coalesce(F.sum("_n").over(cumw), F.lit(0))
+            )
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(targets_rows, tgt_schema)
+                ),
+                F.col("_stratum").eqNullSafe(F.col("_t_stratum")),
+            )
+            .where(
+                (F.col("_cum") < F.col("_target"))
+                & (F.col("_cum") + F.col("_n") >= F.col("_target"))
+            )
+            .collect()
+        )
+        by_s = {r["_stratum"]: r for r in bound_rows}
+        for st in plans:
+            if st["keepall"] or "c_below" in st:
+                continue
+            r = by_s[st["stratum"]]  # exactly one per stratum: the
+            # cumulative count is strictly monotone in _b and crosses
+            # any 1 <= target <= cnt exactly once
+            st["c_below"] = int(r["_cum"])
+            st["bcount"] = int(r["_n"])
+            b = int(r["_b"])
+            if b < 0:  # boundary is the null-hash bucket
+                st["lo"] = st["hi"] = None
+            else:
+                st["lo"] = b * width0
+                st["hi"] = min(_HSPACE, (b + 1) * width0)
 
     # refinement: re-histogram oversized boundary buckets grid-x finer
     # until each windowed set fits the budget (each round is one
@@ -618,29 +668,47 @@ def _hash_rank_sample(
                 F.first("_rlo").alias("_lo"),
                 F.first("_rw").alias("_w"),
             )
+        )
+        # same cluster-side boundary selection as the first pass: the
+        # refined histogram never reaches the driver, only its one
+        # boundary row per refined stratum does
+        need_schema = StructType(
+            [
+                StructField("_n_stratum", strata_type, True),
+                StructField("_need", LongType(), False),
+            ]
+        )
+        need_rows = [
+            (st["stratum"], st["target"] - st["c_below"]) for st in todo
+        ]
+        cumw = (
+            Window.partitionBy("_stratum")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bound_rows = (
+            sub.withColumn(
+                "_cum", F.coalesce(F.sum("_n").over(cumw), F.lit(0))
+            )
+            .join(
+                F.broadcast(spark.createDataFrame(need_rows, need_schema)),
+                F.col("_stratum").eqNullSafe(F.col("_n_stratum")),
+            )
+            .where(
+                (F.col("_cum") < F.col("_need"))
+                & (F.col("_cum") + F.col("_n") >= F.col("_need"))
+            )
             .collect()
         )
-        by_stratum: dict = {}
-        for r in sub:
-            by_stratum.setdefault(r["_stratum"], []).append(r)
+        by_stratum = {r["_stratum"]: r for r in bound_rows}
         for st in todo:
-            entries = sorted(
-                by_stratum.get(st["stratum"], []), key=lambda r: r["_b"]
-            )
-            need = st["target"] - st["c_below"]
-            cum = 0
-            for r in entries:
-                n = int(r["_n"])
-                if cum + n >= need:
-                    w = int(r["_w"])
-                    st["c_below"] += cum
-                    st["bcount"] = n
-                    st["lo"] = int(r["_lo"]) + int(r["_b"]) * w
-                    st["hi"] = min(
-                        st["hi"], int(r["_lo"]) + (int(r["_b"]) + 1) * w
-                    )
-                    break
-                cum += n
+            r = by_stratum[st["stratum"]]
+            w_ = int(r["_w"])
+            b = int(r["_b"])
+            st["c_below"] += int(r["_cum"])
+            st["bcount"] = int(r["_n"])
+            st["lo"] = int(r["_lo"]) + b * w_
+            st["hi"] = min(st["hi"], int(r["_lo"]) + (b + 1) * w_)
 
     # final selection relation, broadcast to both branches
     sel_schema = StructType(

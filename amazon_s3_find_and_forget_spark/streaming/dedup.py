@@ -97,8 +97,10 @@ def _index_screen_stream(
     results. Micro-batch N+1 reads every delta <= N (the index grows
     append-only). Missing-vs-broken index classification is
     ``operators/incremental.read_index_or_empty`` (shared with the CLI
-    ``dedup-screen``): only a MISSING dir becomes an empty index; any
-    other read failure fails the batch so the checkpoint retries it.
+    ``dedup-screen``): only a never-committed index (missing dir, or a
+    dir holding no committed parquet after a first-delta crash) becomes
+    an empty index; any other read failure fails the batch so the
+    checkpoint retries it.
     """
     from ..operators.incremental import read_index_or_empty
 

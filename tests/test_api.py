@@ -507,3 +507,27 @@ def test_queue_anchor_survives_large_delete_burst(engine):
     engine.enqueue_matches([{"MatchId": "fresh"}])
     page2, _ = engine.list_queue_page(start_at=anchor, page_size=10)
     assert [it["MatchId"] for it in page2] == ["fresh"]
+
+
+def test_queue_burst_anchors_survive_older_tombstones(engine):
+    """Tombstone pruning keeps ids in ENQUEUE order, so older
+    tombstones sitting LATER in enqueue order must not evict this
+    burst's earliest-enqueued anchors — they are exactly the ids a
+    client mid-scan through the consumed matches resumes from, and the
+    pruner keeps this call's ids explicitly."""
+    cap = Engine._QUEUE_ORDER_TOMBSTONES
+    engine.enqueue_matches([{"MatchId": f"a{i}"} for i in range(cap + 500)])
+    engine.enqueue_matches([{"MatchId": f"b{i}"} for i in range(cap + 500)])
+    ids = {
+        it["MatchId"]: it["DeletionQueueItemId"]
+        for it in engine.list_queue(page_size=2 * cap + 2000)
+    }
+    # delete the LATER-enqueued b's first: their tombstones sit after
+    # every a in the enqueue-order index
+    engine.delete_matches([v for k, v in ids.items() if k.startswith("b")])
+    _, next_start = engine.list_queue_page(page_size=10)
+    anchor = next_start  # an early a anchor, position ~10
+    engine.delete_matches([v for k, v in ids.items() if k.startswith("a")])
+    engine.enqueue_matches([{"MatchId": "fresh"}])
+    page, _ = engine.list_queue_page(start_at=anchor, page_size=10)
+    assert [it["MatchId"] for it in page] == ["fresh"]

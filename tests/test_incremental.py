@@ -302,3 +302,35 @@ def test_incremental_compat_probe_null_safe_and_skippable(spark):
         batch, index64, num_perm=128, check_compat=False
     )
     assert novel128 is not None and delta128 is not None
+
+
+def test_banding_refuses_degenerate_bands(spark):
+    """bands > num_perm band-hashes an empty signature slice — every
+    pair collides in every band, a full cross join at scale; a
+    non-dividing bands silently drops the signature tail. Both are
+    refused at the single banding site every path funnels through."""
+    index = inc.minhash_index(docs(spark, [(1, NEAR_A)]), num_perm=64)
+    batch = docs(spark, [(10, NEAR_A2)])
+    with pytest.raises(ValueError, match="must divide"):
+        inc.incremental_minhash_dedup(batch, index, bands=128)
+    with pytest.raises(ValueError, match="must divide"):
+        inc.incremental_minhash_dedup(batch, index, bands=48)
+
+
+def test_read_index_or_empty_treats_uncommitted_dir_as_empty(spark, tmp_path):
+    """A crash during the FIRST delta write leaves the index dir
+    holding no committed parquet footer; the read then fails schema
+    inference. By the append-only protocol that state IS an empty
+    index — re-raising would wedge a restarted stream forever (the
+    failure precedes any write, so every retry fails identically)."""
+    from pyspark.sql import functions as F
+
+    (tmp_path / "idx" / "batch_id=0" / "_temporary").mkdir(parents=True)
+    out = inc.read_index_or_empty(
+        spark,
+        str(tmp_path / "idx"),
+        F.lit(True),
+        ["content_hash", "doc_id"],
+        lambda: inc.exact_index(docs(spark, [(1, "x")]).limit(0)),
+    )
+    assert out.count() == 0
