@@ -424,9 +424,27 @@ def main(argv: list[str] | None = None) -> int:
         # --batch-id overrides for the cases no path digest can solve
         # (same data at a genuinely different path, new data at a
         # reused path).
-        digest = args.batch_id or hashlib.md5(
-            _os.path.realpath(args.input).encode()
-        ).hexdigest()[:16]
+        if args.batch_id is not None:
+            import re as _re
+
+            # the id is interpolated into batch=<id> partition paths
+            # AND string-compared against Spark's URL-decoded partition
+            # value: '/' nests directories, '%' round-trips decoded
+            # ('a%2Fb' reads back as 'a/b' and stops excluding the
+            # batch's own delta), '=' breaks partition parsing — refuse
+            # anything that does not round-trip verbatim
+            if not _re.fullmatch(r"[A-Za-z0-9._-]{1,64}", args.batch_id):
+                p.error(
+                    "--batch-id must be 1-64 chars of [A-Za-z0-9._-]: "
+                    "it names a batch=<id> partition directory and must "
+                    "round-trip Spark's partition-value decoding "
+                    "verbatim"
+                )
+            digest = args.batch_id
+        else:
+            digest = hashlib.md5(
+                _os.path.realpath(args.input).encode()
+            ).hexdigest()[:16]
         index_cols = (
             ["content_hash", args.id_column]
             if args.mode == "exact"

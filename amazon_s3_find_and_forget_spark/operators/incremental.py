@@ -219,8 +219,14 @@ def incremental_minhash_dedup(
     afterwards.
     """
     if check_compat:
-        head = index_sigs.select("_sig").head(1)
-        if head and head[0][0] is not None and len(head[0][0]) != num_perm:
+        # probe the first NON-NULL signature: sampling a null row and
+        # passing vacuously would silently disable the fail-fast
+        head = (
+            index_sigs.where(F.col("_sig").isNotNull())
+            .select("_sig")
+            .head(1)
+        )
+        if head and len(head[0][0]) != num_perm:
             # a persisted index built under a different num_perm would
             # slice past its signatures and silently re-admit every
             # near-duplicate of the indexed history — fail fast instead
@@ -247,8 +253,27 @@ def incremental_minhash_dedup(
         F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"),
         "band_hash",
     )
+    # in-plan per-row guard riding the index scan: a mismatched
+    # signature length mostly KILLS band collisions (different slice
+    # contents), so a bad index would lose recall with zero joined rows
+    # for any post-join check to see — the assert must run on every
+    # scanned index row, where its size() comparison is free next to
+    # the banding hashes. The when-wrapper makes _sig depend on the
+    # assert so Catalyst cannot prune it. NULL signatures pass (they
+    # match nothing); the sampled check_compat probe remains for a
+    # friendlier call-time error.
+    sig_guard = F.assert_true(
+        F.col("_sig").isNull() | (F.size("_sig") == num_perm),
+        F.lit(
+            f"index signature length != num_perm={num_perm}; rebuild "
+            "the index or match the parameters it was built with"
+        ),
+    )
+    guarded_idx = index_sigs.withColumn(
+        "_sig", F.when(sig_guard.isNull(), F.col("_sig"))
+    )
     banded_idx = banded_signatures(
-        index_sigs, bands, num_perm, with_sig=True
+        guarded_idx, bands, num_perm, with_sig=True
     ).select(
         F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
         "band_hash",
@@ -370,12 +395,16 @@ def incremental_embedding_dedup(
     from .similarity import _dot
 
     if check_compat:
-        head = index.select("_u", "_k").head(1)
-        if (
-            head
-            and head[0][0] is not None
-            and head[0][1] is not None
-            and (len(head[0][0]) != dim or len(head[0][1]) != n_tables)
+        # first NON-NULL row, as in the MinHash probe
+        head = (
+            index.where(
+                F.col("_u").isNotNull() & F.col("_k").isNotNull()
+            )
+            .select("_u", "_k")
+            .head(1)
+        )
+        if head and (
+            len(head[0][0]) != dim or len(head[0][1]) != n_tables
         ):
             # a mismatched hyperplane family (different dim/bits/tables/
             # seed cannot all be detected, but dim and table count can)
@@ -395,7 +424,21 @@ def incremental_embedding_dedup(
         F.col("_u").alias("_ub"),
         F.explode("_k").alias("lsh_bucket"),
     )
-    exploded_idx = index.select(
+    # in-plan per-row guard, same rationale as the MinHash screen: a
+    # mismatched hyperplane family mostly loses collisions, so the
+    # check must ride the index scan, not the join output
+    vec_guard = F.assert_true(
+        (F.col("_u").isNull() | (F.size("_u") == dim))
+        & (F.col("_k").isNull() | (F.size("_k") == n_tables)),
+        F.lit(
+            f"index vector dim/tables mismatch: expected dim={dim}, "
+            f"n_tables={n_tables}; rebuild the index or match the "
+            "parameters it was built with"
+        ),
+    )
+    exploded_idx = index.withColumn(
+        "_u", F.when(vec_guard.isNull(), F.col("_u"))
+    ).select(
         F.col("_id").alias("id_a"),
         F.col("_u").alias("_ua"),
         F.explode("_k").alias("lsh_bucket"),

@@ -444,6 +444,60 @@ _HSPACE = 16**15  # the hash-prefix domain: 15 hex chars = 60 bits
 _LAST_SAMPLE_STATS: dict = {}
 
 
+def _stratum_key(v):
+    """Canonical dict key for a stratum value: NaN floats collected by
+    two different Spark jobs are DISTINCT Python objects (and NaN !=
+    NaN), so a raw-value dict would KeyError pairing counts rows with
+    boundary rows; Spark itself normalizes NaN in groupBy/joins, so one
+    sentinel key mirrors its semantics."""
+    if isinstance(v, float) and v != v:
+        return ("__nan__",)
+    return v
+
+
+def _select_boundary_rows(hist, needs, strata_type):
+    """One collected row per stratum: the first bucket (ordered by
+    ``_b``) where the cumulative count crosses that stratum's need
+    (``cum < need <= cum + n``). ``hist`` is a (_stratum, _b, _n[,
+    extras]) relation; extras ride along on the returned rows. The
+    cumulative sum runs ON THE CLUSTER (windowed per stratum over the
+    tiny histogram relation) and only the crossing rows reach the
+    driver — O(strata) memory, independent of the grid. The crossing is
+    unique for 1 <= need <= total because the cumulative count is
+    strictly monotone in ``_b``. One definition for the first pass and
+    every refinement round, so their crossing semantics cannot drift."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    need_schema = StructType(
+        [
+            StructField("_q_stratum", strata_type, True),
+            StructField("_q_need", LongType(), False),
+        ]
+    )
+    cumw = (
+        Window.partitionBy("_stratum")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hist.withColumn(
+            "_cum", F.coalesce(F.sum("_n").over(cumw), F.lit(0))
+        )
+        .join(
+            F.broadcast(
+                hist.sparkSession.createDataFrame(needs, need_schema)
+            ),
+            F.col("_stratum").eqNullSafe(F.col("_q_stratum")),
+        )
+        .where(
+            (F.col("_cum") < F.col("_q_need"))
+            & (F.col("_cum") + F.col("_n") >= F.col("_q_need"))
+        )
+        .collect()
+    )
+
+
 def _hash_rank_sample(
     df: DataFrame,
     strata_col: str,
@@ -566,46 +620,16 @@ def _hash_rank_sample(
 
     # boundary-bucket selection stays ON THE CLUSTER: the full
     # histogram is up to max_strata * (grid+1) rows — collecting it
-    # would put ~10M structs on the driver at the guard limit — so the
-    # cumulative count runs as a window over the (tiny, materialized)
-    # hist relation, partitioned per stratum, and ONLY the one boundary
-    # row per non-keepall stratum (cum < target <= cum + n) is
-    # collected: O(strata) driver memory, independent of grid.
+    # would put ~10M structs on the driver at the guard limit — so only
+    # the one boundary row per non-keepall stratum is collected
+    # (_select_boundary_rows): O(strata) driver memory.
     if targets_rows:
-        tgt_schema = StructType(
-            [
-                StructField("_t_stratum", strata_type, True),
-                StructField("_target", LongType(), False),
-            ]
-        )
-        cumw = (
-            Window.partitionBy("_stratum")
-            .orderBy("_b")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        bound_rows = (
-            hist.withColumn(
-                "_cum", F.coalesce(F.sum("_n").over(cumw), F.lit(0))
-            )
-            .join(
-                F.broadcast(
-                    spark.createDataFrame(targets_rows, tgt_schema)
-                ),
-                F.col("_stratum").eqNullSafe(F.col("_t_stratum")),
-            )
-            .where(
-                (F.col("_cum") < F.col("_target"))
-                & (F.col("_cum") + F.col("_n") >= F.col("_target"))
-            )
-            .collect()
-        )
-        by_s = {r["_stratum"]: r for r in bound_rows}
+        bound_rows = _select_boundary_rows(hist, targets_rows, strata_type)
+        by_s = {_stratum_key(r["_stratum"]): r for r in bound_rows}
         for st in plans:
             if st["keepall"] or "c_below" in st:
                 continue
-            r = by_s[st["stratum"]]  # exactly one per stratum: the
-            # cumulative count is strictly monotone in _b and crosses
-            # any 1 <= target <= cnt exactly once
+            r = by_s[_stratum_key(st["stratum"])]
             st["c_below"] = int(r["_cum"])
             st["bcount"] = int(r["_n"])
             b = int(r["_b"])
@@ -669,40 +693,16 @@ def _hash_rank_sample(
                 F.first("_rw").alias("_w"),
             )
         )
-        # same cluster-side boundary selection as the first pass: the
-        # refined histogram never reaches the driver, only its one
-        # boundary row per refined stratum does
-        need_schema = StructType(
-            [
-                StructField("_n_stratum", strata_type, True),
-                StructField("_need", LongType(), False),
-            ]
-        )
+        # same cluster-side boundary selection as the first pass
+        # (_select_boundary_rows): the refined histogram never reaches
+        # the driver, only its one boundary row per refined stratum does
         need_rows = [
             (st["stratum"], st["target"] - st["c_below"]) for st in todo
         ]
-        cumw = (
-            Window.partitionBy("_stratum")
-            .orderBy("_b")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        bound_rows = (
-            sub.withColumn(
-                "_cum", F.coalesce(F.sum("_n").over(cumw), F.lit(0))
-            )
-            .join(
-                F.broadcast(spark.createDataFrame(need_rows, need_schema)),
-                F.col("_stratum").eqNullSafe(F.col("_n_stratum")),
-            )
-            .where(
-                (F.col("_cum") < F.col("_need"))
-                & (F.col("_cum") + F.col("_n") >= F.col("_need"))
-            )
-            .collect()
-        )
-        by_stratum = {r["_stratum"]: r for r in bound_rows}
+        bound_rows = _select_boundary_rows(sub, need_rows, strata_type)
+        by_stratum = {_stratum_key(r["_stratum"]): r for r in bound_rows}
         for st in todo:
-            r = by_stratum[st["stratum"]]
+            r = by_stratum[_stratum_key(st["stratum"])]
             w_ = int(r["_w"])
             b = int(r["_b"])
             st["c_below"] += int(r["_cum"])
@@ -1059,6 +1059,16 @@ def training_order(
     # for a fully stable permutation.
     from pyspark.sql import Window
 
+    if not 1 <= bucket_chars <= 5:
+        # 0 buckets on a constant '' key is the single-task shape this
+        # function exists to avoid; past 5 hex chars (16^5 = 1M
+        # buckets) the offsets relation stops being trivially
+        # broadcastable — the same guard class as banded_signatures
+        raise ValueError(
+            f"bucket_chars={bucket_chars} must be in [1, 5]: 0 ranks "
+            "the whole corpus in one task, >5 makes the broadcast "
+            "offsets relation itself large"
+        )
     key = F.coalesce(F.col(key_col).cast("string"), F.lit("__NULL_KEY__"))
     h = F.md5(F.concat(key, F.lit(f"|{seed}|{epoch}")))
     hashed = df.withColumn("_to_k", h).withColumn(

@@ -215,6 +215,7 @@ def index_near_dedup_stream(
     compat_checked = {"done": False}
 
     def screen(b, idx):
+        check = not compat_checked["done"]
         out = inc.incremental_minhash_dedup(
             b,
             idx,
@@ -223,9 +224,14 @@ def index_near_dedup_stream(
             num_perm=num_perm,
             bands=bands,
             threshold=threshold,
-            check_compat=not compat_checked["done"],
+            check_compat=check,
         )
-        compat_checked["done"] = True
+        if check and idx.where(F.col("_sig").isNotNull()).head(1):
+            # latch ONLY when the probe saw a real signature: an empty
+            # index view (first batch, or a restart landing at batch 0
+            # over surviving later-batch deltas) passes vacuously and
+            # must keep probing until actual index data is verified
+            compat_checked["done"] = True
         return out
 
     return _index_screen_stream(

@@ -1,6 +1,7 @@
 """End-to-end CLI driver test: the reference runbook, line by line."""
 
 import json
+import pytest
 import os
 import shutil
 
@@ -317,3 +318,24 @@ def test_cli_dedup_screen_symlink_retry_same_identity(spark, tmp_path, capsys):
     assert (r3["NovelRows"], r3["IndexRowsAdded"]) == (0, 0)
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
     assert kept2 == [1, 2]
+
+
+def test_cli_dedup_screen_rejects_unsafe_batch_id(spark, tmp_path, capsys):
+    """--batch-id names a batch=<id> partition directory and is
+    string-compared against Spark's URL-DECODED partition value, so ids
+    that don't round-trip verbatim ('a%2Fb' reads back as 'a/b' and
+    stops excluding the batch's own delta; '/' nests directories) are
+    refused up front."""
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b1)
+    for bad in ("a%2Fb", "a/b", "a=b", "", "x" * 65):
+        with pytest.raises(SystemExit):
+            main([
+                "--state-dir", str(tmp_path / "state"), "--cpus", "4",
+                "dedup-screen", "--input", b1,
+                "--index-dir", str(tmp_path / "idx"),
+                "--novel-out", str(tmp_path / "novel"),
+                "--batch-id", bad,
+            ])

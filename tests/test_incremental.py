@@ -295,13 +295,30 @@ def test_incremental_compat_probe_null_safe_and_skippable(spark):
     )
     assert vnovel.count() == 1
 
-    # a mismatched index that WOULD fail the probe is accepted lazily
-    # when the caller vouches for it (the skip path must not probe)
+    # skipping the eager probe does NOT disable safety: the in-plan
+    # per-row guard riding the index scan still fails the screen on a
+    # genuinely mismatched index (mismatches mostly KILL band
+    # collisions, so a silent run would lose recall with nothing for a
+    # post-join check to see)
     index64 = inc.minhash_index(docs(spark, [(1, NEAR_A)]), num_perm=64)
-    novel128, delta128 = inc.incremental_minhash_dedup(
-        batch, index64, num_perm=128, check_compat=False
+    with pytest.raises(Exception, match="num_perm=128"):
+        inc.incremental_minhash_dedup(
+            batch, index64, num_perm=128, check_compat=False
+        )
+
+
+def test_compat_probe_skips_null_rows_to_real_data(spark):
+    """The call-time probe samples the first NON-NULL index row: a
+    leading null signature must not vacuously pass a mismatched index."""
+    real64 = inc.minhash_index(docs(spark, [(1, NEAR_A)]), num_perm=64)
+    null_row = spark.createDataFrame(
+        [(99, None)], "_id long, _sig array<bigint>"
     )
-    assert novel128 is not None and delta128 is not None
+    mixed = null_row.unionByName(real64)
+    with pytest.raises(ValueError, match="num_perm=128"):
+        inc.incremental_minhash_dedup(
+            docs(spark, [(10, NEAR_A2)]), mixed, num_perm=128
+        )
 
 
 def test_banding_refuses_degenerate_bands(spark):

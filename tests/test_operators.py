@@ -1888,3 +1888,25 @@ def test_training_order_deterministic_and_epoch_rerolls(spark):
     assert sorted(o2.values()) == list(range(1, 101))
     # the permutation is not the identity (actually shuffles)
     assert [o1[i] for i in range(100)] != list(range(1, 101))
+
+
+def test_training_order_rejects_degenerate_bucket_chars(spark):
+    """bucket_chars=0 ranks the whole corpus through one task (constant
+    bucket key) and large values make the broadcast offsets relation
+    corpus-sized — both refused, like banded_signatures' bands guard."""
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="bucket_chars"):
+        text.training_order(df, bucket_chars=0)
+    with pytest.raises(ValueError, match="bucket_chars"):
+        text.training_order(df, bucket_chars=6)
+
+
+def test_stratified_sample_handles_nan_stratum(spark):
+    """A float strata column containing NaN must sample, not KeyError:
+    Spark normalizes NaN into one group, and the driver-side pairing of
+    counts rows with boundary rows must key NaN canonically (two
+    collected NaNs are distinct Python objects)."""
+    rows = [(i, float("nan") if i % 2 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, grp double")
+    out = text.stratified_sample(df, 0.5, strata_col="grp").collect()
+    assert len(out) == 100 + 100  # ceil(0.5 * 200) per stratum
