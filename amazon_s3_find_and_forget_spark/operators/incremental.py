@@ -256,12 +256,14 @@ def incremental_minhash_dedup(
     # in-plan per-row guard riding the index scan: a mismatched
     # signature length mostly KILLS band collisions (different slice
     # contents), so a bad index would lose recall with zero joined rows
-    # for any post-join check to see — the assert must run on every
-    # scanned index row, where its size() comparison is free next to
-    # the banding hashes. The when-wrapper makes _sig depend on the
-    # assert so Catalyst cannot prune it. NULL signatures pass (they
-    # match nothing); the sampled check_compat probe remains for a
-    # friendlier call-time error.
+    # for any post-join check to see — the guard must run on every
+    # scanned index row. It is a FILTER (assert_true returns NULL on
+    # success, so `.isNull()` keeps every surviving row): one size()
+    # comparison per row before the banding projection, measured ~free,
+    # where wrapping the _sig column itself re-evaluated the assert per
+    # band (+27% on the sf1 screen). NULL signatures pass (they match
+    # nothing); the sampled check_compat probe remains for a friendlier
+    # call-time error.
     sig_guard = F.assert_true(
         F.col("_sig").isNull() | (F.size("_sig") == num_perm),
         F.lit(
@@ -269,11 +271,8 @@ def incremental_minhash_dedup(
             "the index or match the parameters it was built with"
         ),
     )
-    guarded_idx = index_sigs.withColumn(
-        "_sig", F.when(sig_guard.isNull(), F.col("_sig"))
-    )
     banded_idx = banded_signatures(
-        guarded_idx, bands, num_perm, with_sig=True
+        index_sigs.where(sig_guard.isNull()), bands, num_perm, with_sig=True
     ).select(
         F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
         "band_hash",
@@ -424,9 +423,10 @@ def incremental_embedding_dedup(
         F.col("_u").alias("_ub"),
         F.explode("_k").alias("lsh_bucket"),
     )
-    # in-plan per-row guard, same rationale as the MinHash screen: a
-    # mismatched hyperplane family mostly loses collisions, so the
-    # check must ride the index scan, not the join output
+    # in-plan per-row guard, same rationale and filter form as the
+    # MinHash screen: a mismatched hyperplane family mostly loses
+    # collisions, so the check must ride the index scan, not the join
+    # output; the filter evaluates once per row, before the explode
     vec_guard = F.assert_true(
         (F.col("_u").isNull() | (F.size("_u") == dim))
         & (F.col("_k").isNull() | (F.size("_k") == n_tables)),
@@ -436,9 +436,7 @@ def incremental_embedding_dedup(
             "parameters it was built with"
         ),
     )
-    exploded_idx = index.withColumn(
-        "_u", F.when(vec_guard.isNull(), F.col("_u"))
-    ).select(
+    exploded_idx = index.where(vec_guard.isNull()).select(
         F.col("_id").alias("id_a"),
         F.col("_u").alias("_ua"),
         F.explode("_k").alias("lsh_bucket"),
