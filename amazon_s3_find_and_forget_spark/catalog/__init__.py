@@ -28,9 +28,10 @@ from .findforget import MATCH_ORDERKEYS  # noqa: F401
 _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 
 # The driver hash-gates the FIRST 50 registry entries each round; this
-# list IS the gate window. Round-10 rotation: the 10 rows not
-# driver-gated since r6 (hand-checked green by the r9 judge) are
-# promoted back in; 10 long-stable rows rotate out to the tail.
+# list IS the gate window. Round-11 rotation: round 10's two new rows
+# (text_train_order, text_curation_pipeline — judge-verified only, never
+# driver-gated) are promoted in; two long-stable r10-green rows
+# (text_fingerprint, text_pack) rotate out to the tail.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -77,8 +78,8 @@ GATE_ORDER = [
     "similarity_batch_topk_exact",
     "similarity_quantize",
     "similarity_topk",
-    "text_fingerprint",
-    "text_pack",
+    "text_train_order",
+    "text_curation_pipeline",
     "text_redact",
     "text_train_split",
     "tpch_q11",
@@ -90,8 +91,8 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
-    "text_curation_pipeline",
-    "text_train_order",
+    "text_fingerprint",
+    "text_pack",
     "tpch_q10",
     "tpch_q4",
     "tpch_q18",

@@ -25,7 +25,13 @@ mismatch is a hard FAIL (other token mismatches WARN).
 
 Usage:
 
-    python tools/check_oracle.py [--builder-session] [sf_dir] [query ...]
+    python tools/check_oracle.py [--builder-session] [--json PATH]
+                                 [sf_dir] [query ...]
+
+``--json PATH`` writes a machine-readable sweep artifact (one record per
+catalog row: status OK/ROWS/FAIL, row counts, failure detail, plus git
+HEAD and session metadata) — the per-round ``ORACLE_SWEEP_rN.json`` that
+covers the 50+ oracles sitting outside the driver's 50-row gate window.
 """
 
 from __future__ import annotations
@@ -135,8 +141,14 @@ def type_mismatches(sdf, arrow_tbl):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--builder-session"]
-    if "--builder-session" in sys.argv[1:]:
+    raw = sys.argv[1:]
+    json_path = None
+    if "--json" in raw:
+        i = raw.index("--json")
+        json_path = raw[i + 1]
+        raw = raw[:i] + raw[i + 2:]
+    args = [a for a in raw if a != "--builder-session"]
+    if "--builder-session" in raw:
         from amazon_s3_find_and_forget_spark.session import get_spark
 
         spark = get_spark(app_name="oracle-check")
@@ -144,6 +156,15 @@ def main():
         spark = bare_spark()
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    results: dict[str, dict] = {}
+
+    def record(name, status, spark_rows=None, oracle_rows=None, detail=None):
+        results[name] = {
+            "status": status,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "detail": detail,
+        }
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -182,9 +203,11 @@ def main():
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, "FAIL", detail=f"spark error {type(e).__name__}: {e}")
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            record(name, "ROWS", spark_rows=len(srows))
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
             continue
         try:
@@ -196,12 +219,16 @@ def main():
             ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, "FAIL", spark_rows=len(srows),
+                   detail=f"duckdb error {e}")
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         mism = type_mismatches(sdf, tbl)
         hard = [m for m in mism if ("decimal" in m[1]) != ("decimal" in m[2])]
         if hard:
             failures.append(name)
+            record(name, "FAIL", spark_rows=len(srows), oracle_rows=len(drows),
+                   detail=f"decimal/integer type mismatch: {hard}")
             print(f"FAIL  {name}: decimal/integer type mismatch "
                   f"(spark vs duckdb-arrow): {hard} — un-cast sum()? "
                   "Wrap the outer aggregate in CAST(... AS BIGINT)")
@@ -212,17 +239,53 @@ def main():
         dc, dd = canonical(dcols, drows)
         if [c.lower() for c in sc] != [c.lower() for c in dc]:
             failures.append(name)
+            record(name, "FAIL", spark_rows=len(sd), oracle_rows=len(dd),
+                   detail=f"columns differ spark={sc} duck={dc}")
             print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
         elif len(sd) != len(dd):
             failures.append(name)
+            record(name, "FAIL", spark_rows=len(sd), oracle_rows=len(dd),
+                   detail="rowcount mismatch")
             print(f"FAIL  {name}: rowcount spark={len(sd)} duck={len(dd)}")
         elif sd != dd:
             failures.append(name)
             diff = [(a, b) for a, b in zip(sd, dd) if a != b][:3]
+            record(name, "FAIL", spark_rows=len(sd), oracle_rows=len(dd),
+                   detail=f"values differ; first diffs: {diff}")
             print(f"FAIL  {name}: values differ; first diffs: {diff}")
         else:
+            record(name, "OK", spark_rows=len(sd), oracle_rows=len(dd))
             print(f"OK    {name}: {len(sd)} rows")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    if json_path:
+        import json
+        import subprocess
+
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001 — artifact metadata only
+            head = None
+        counts = {"OK": 0, "ROWS": 0, "FAIL": 0}
+        for rec in results.values():
+            counts[rec["status"]] += 1
+        doc = {
+            "sf_dir": sf_dir,
+            "git_head": head,
+            "session": "builder" if "--builder-session" in raw else "bare",
+            "total": len(results),
+            "ok": counts["OK"],
+            "rows_only": counts["ROWS"],
+            "fail": counts["FAIL"],
+            "failures": failures,
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"sweep artifact written: {json_path}")
     sys.exit(1 if failures else 0)
 
 
