@@ -262,10 +262,27 @@ class Engine:
         them sequentially, and a read BETWEEN the two writes would see
         new queue items absent from the order index (``pos.get -> -1``),
         which a positional resume would misread as "before the anchor"
-        and silently drop from the page."""
+        and silently drop from the page.
+
+        Legacy state dirs (items enqueued before the order index
+        existed) are backfilled on load: any live queue item missing
+        from the index is PREPENDED in queue order — every un-indexed
+        item predates the index's first write (enqueue has written both
+        files under the mutex ever since), so they sort before every
+        indexed id, and the queue file itself is append-ordered. The
+        backfill persists, so it runs once per legacy dir."""
         with self._mutex:
             queue = self._load("deletion_queue", [])
             order = self._load("queue_order", [])
+            indexed = set(order)
+            missing = [
+                it["DeletionQueueItemId"]
+                for it in queue
+                if it["DeletionQueueItemId"] not in indexed
+            ]
+            if missing:
+                order = missing + order
+                self._save("queue_order", order)
         if start_at is not None:
             idx = next(
                 (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -38,6 +39,44 @@ def _engine(args):
 
 def _emit(obj) -> None:
     print(json.dumps(obj, indent=2, default=str))
+
+
+def collect_auth_tokens(
+    argv_specs: list[str],
+    token_file: str | None,
+    env_vars: list[str],
+    error,
+) -> dict[str, dict]:
+    """Merge the three ``serve`` token sources into the
+    ``BearerTokenAuthorizer`` table. Argv specs are supported for
+    parity but file/env are the documented path — argv leaks into
+    process listings and shell history. Each spec is TOKEN[:USERNAME];
+    the principal's Sub is a truncated sha256 so no live credential
+    bytes reach the persisted job documents (CreatedBy) or GET
+    /v1/jobs responses."""
+    import hashlib
+
+    specs = list(argv_specs)
+    if token_file:
+        with open(token_file) as f:
+            specs += [
+                line.strip()
+                for line in f
+                if line.strip() and not line.lstrip().startswith("#")
+            ]
+    for var in env_vars:
+        val = os.environ.get(var)
+        if not val:
+            error(f"--auth-token-env {var}: variable unset or empty")
+        specs.append(val)
+    tokens = {}
+    for spec in specs:
+        token, _, user = spec.partition(":")
+        tokens[token] = {
+            "Username": user or "api-user",
+            "Sub": hashlib.sha256(token.encode()).hexdigest()[:12],
+        }
+    return tokens
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -189,8 +228,26 @@ def main(argv: list[str] | None = None) -> int:
         default=[],
         metavar="TOKEN[:USERNAME]",
         help="require 'Authorization: Bearer TOKEN' on every route "
-        "(repeatable, one per principal); without it the API is open "
-        "(private-gateway mode)",
+        "(repeatable, one per principal); without any token source the "
+        "API is open (private-gateway mode). NOTE: argv is visible in "
+        "process listings and shell history — prefer --auth-token-file "
+        "or --auth-token-env",
+    )
+    sv.add_argument(
+        "--auth-token-file",
+        default=None,
+        metavar="PATH",
+        help="read TOKEN[:USERNAME] specs from a file, one per line "
+        "(blank lines and #-comments skipped) — keeps credentials out "
+        "of argv",
+    )
+    sv.add_argument(
+        "--auth-token-env",
+        action="append",
+        default=[],
+        metavar="VAR",
+        help="read a TOKEN[:USERNAME] spec from the named environment "
+        "variable (repeatable)",
     )
 
     ds = sub.add_parser(
@@ -211,8 +268,10 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="explicit idempotency key for this batch's output "
         "partitions; defaults to a digest of the resolved --input path "
-        "(pass this when the same data may land at different paths, or "
-        "different data at a reused path)",
+        "plus its file listing (names, sizes, mtimes), so new data at "
+        "a reused path gets a new identity while a pure retry keeps "
+        "the old one (pass this when identical data re-lands at a "
+        "different path and must screen as the same batch)",
     )
 
     zo = sub.add_parser(
@@ -369,20 +428,11 @@ def main(argv: list[str] | None = None) -> int:
         from .http_api import BearerTokenAuthorizer, serve
 
         authorizer = None
-        if args.auth_token:
-            import hashlib
-
-            tokens = {}
-            for spec in args.auth_token:
-                token, _, user = spec.partition(":")
-                tokens[token] = {
-                    "Username": user or "api-user",
-                    # Sub must identify, never reveal: the principal is
-                    # persisted as the job's CreatedBy and served back
-                    # over GET /v1/jobs, so no bytes of the live
-                    # credential may reach it
-                    "Sub": hashlib.sha256(token.encode()).hexdigest()[:12],
-                }
+        tokens = collect_auth_tokens(
+            args.auth_token, args.auth_token_file, args.auth_token_env,
+            p.error,
+        )
+        if tokens:
             authorizer = BearerTokenAuthorizer(tokens)
         server = serve(
             eng,
@@ -411,19 +461,25 @@ def main(argv: list[str] | None = None) -> int:
         from .operators import incremental as inc
 
         batch = eng.spark.read.parquet(args.input)
-        # idempotency: the batch's identity is its landed input path —
-        # outputs go to batch=<digest> partitions with OVERWRITE, and
-        # screening excludes the batch's own partition, so a re-run
-        # after a mid-write failure produces byte-identical results
-        # instead of appending duplicates (same protocol as the
-        # streaming screens' batch_id=N directories). realpath, not
-        # abspath: a retry reaching the same data through a different
-        # symlink spelling must map to the SAME partition, or the
-        # exclusion stops hiding the first attempt's half-written delta
-        # and the batch's rows all match their own index entries.
-        # --batch-id overrides for the cases no path digest can solve
-        # (same data at a genuinely different path, new data at a
-        # reused path).
+        # idempotency: the batch's identity is its landed input path
+        # PLUS a fingerprint of the landed bytes (file listing with
+        # sizes and mtimes) — outputs go to batch=<digest> partitions
+        # with OVERWRITE, and screening excludes the batch's own
+        # partition, so a re-run after a mid-write failure produces
+        # byte-identical results instead of appending duplicates (same
+        # protocol as the streaming screens' batch_id=N directories).
+        # The fingerprint closes the reused-path trap: NEW data landing
+        # at yesterday's path gets a NEW digest instead of silently
+        # overwriting (and self-excluding) yesterday's index delta,
+        # which would re-admit yesterday's documents; a pure retry
+        # leaves the input files untouched and keeps the same digest.
+        # realpath, not abspath: a retry reaching the same data through
+        # a different symlink spelling must map to the SAME partition,
+        # or the exclusion stops hiding the first attempt's
+        # half-written delta and the batch's rows all match their own
+        # index entries. --batch-id overrides for the case no
+        # fingerprint can solve (identical data re-landed at a
+        # different path that must screen as the SAME batch).
         if args.batch_id is not None:
             import re as _re
 
@@ -442,8 +498,23 @@ def main(argv: list[str] | None = None) -> int:
                 )
             digest = args.batch_id
         else:
+            real = _os.path.realpath(args.input)
+            entries = []
+            if _os.path.isdir(real):
+                for dirpath, dirnames, filenames in _os.walk(real):
+                    dirnames.sort()
+                    for fn in sorted(filenames):
+                        fp = _os.path.join(dirpath, fn)
+                        st = _os.stat(fp)
+                        entries.append(
+                            f"{_os.path.relpath(fp, real)}"
+                            f"|{st.st_size}|{st.st_mtime_ns}"
+                        )
+            elif _os.path.exists(real):
+                st = _os.stat(real)
+                entries.append(f".|{st.st_size}|{st.st_mtime_ns}")
             digest = hashlib.md5(
-                _os.path.realpath(args.input).encode()
+                "\n".join([real] + entries).encode()
             ).hexdigest()[:16]
         index_cols = (
             ["content_hash", args.id_column]
@@ -500,7 +571,6 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "zorder":
         import glob
-        import os
 
         from .operators.layout import write_zordered
 

@@ -111,17 +111,38 @@ class BearerTokenAuthorizer:
     ``apiKey`` in the ``Authorization`` header; templates/auth.yaml
     provisions the pool). Maps token -> principal dict in the reference's
     claim shape (``{"Username": ..., "Sub": ...}`` —
-    boto_utils.get_user_info, boto_utils.py:214-223)."""
+    boto_utils.get_user_info, boto_utils.py:214-223).
+
+    Tokens are held and compared as SHA-256 digests: no live credential
+    bytes sit in the process image longer than construction, and the
+    lookup is a full scan with ``hmac.compare_digest`` on fixed-length
+    digests — per-candidate work is independent of how many prefix
+    bytes match, so response timing leaks nothing about any token."""
 
     def __init__(self, tokens: dict[str, dict]):
-        self._tokens = dict(tokens)
+        import hashlib
+
+        self._by_digest = {
+            hashlib.sha256(t.encode()).hexdigest(): dict(p)
+            for t, p in tokens.items()
+        }
 
     def __call__(self, environ) -> dict | None:
+        import hashlib
+        import hmac
+
         header = environ.get("HTTP_AUTHORIZATION", "")
         scheme, _, token = header.partition(" ")
         if scheme.lower() != "bearer":
             return None
-        return self._tokens.get(token.strip())
+        candidate = hashlib.sha256(token.strip().encode()).hexdigest()
+        found = None
+        for digest, principal in self._by_digest.items():
+            # no early exit: scan every entry so match position doesn't
+            # show in the timing either
+            if hmac.compare_digest(candidate, digest):
+                found = principal
+        return found
 
 
 def _require(body, key, typ, what="Request"):

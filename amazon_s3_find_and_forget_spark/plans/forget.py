@@ -40,6 +40,20 @@ STATS_SCHEMA = (
 )
 
 
+def _check_redact_columns(redact_columns: list[str] | None) -> None:
+    """Mode contract, enforced driver-side: ``None`` = delete mode, a
+    NON-EMPTY list = redact mode. An explicit ``[]`` would truthiness-
+    fall-through to "keep the row, redact nothing" while still counting
+    it deleted — never what the caller meant — so it is refused here
+    (before any task launches) and again in the file kernels (their own
+    public contract)."""
+    if redact_columns is not None and not redact_columns:
+        raise ValueError(
+            "redact_columns=[] is ambiguous: pass None for delete mode "
+            "or a non-empty column list for redact mode"
+        )
+
+
 def forget_table(
     df: DataFrame,
     groups: list[ColumnGroup],
@@ -57,6 +71,7 @@ def forget_table(
     still one map-only pass, no shuffle: each redacted column is a
     ``when(matched, NULL)`` projection over the same combined predicate.
     """
+    _check_redact_columns(redact_columns)
     if not groups:
         return df
     combined = reduce(or_, [null_safe_predicate(g) for g in groups])
@@ -405,6 +420,7 @@ def forget_files(
     One task per file (the reference's one-SQS-message-per-object,
     submit_query_results.py:42-54, without the queue).
     """
+    _check_redact_columns(redact_columns)
     if not files:
         return []
     spec = groups_to_spec(groups)
@@ -452,6 +468,7 @@ def forget_files_df(
     Callers aggregate the stats distributively and collect only the
     per-status rollup.
     """
+    _check_redact_columns(redact_columns)
     spec = groups_to_spec(groups)
     path_col = paths_df.columns[0]
     n = max(parallelism or spark.sparkContext.defaultParallelism, 1)

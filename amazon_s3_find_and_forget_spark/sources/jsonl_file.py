@@ -112,7 +112,14 @@ def rewrite_json_file(
     With ``redact_columns`` a matching row is KEPT and re-serialized
     with the listed keys nulled (compact separators, non-ASCII
     preserved); non-matching rows stay byte-exact. ``DeletedRows`` then
-    counts redacted rows."""
+    counts redacted rows. An explicit ``[]`` is refused (see
+    rewrite_parquet_file: redact-nothing is never what the caller
+    meant)."""
+    if redact_columns is not None and not redact_columns:
+        raise ValueError(
+            "redact_columns=[] is ambiguous: pass None for delete mode "
+            "or a non-empty column list for redact mode"
+        )
     compressed = in_path.endswith(".gz")
     opener = gzip.open if compressed else open
     with opener(in_path, "rb") as f:

@@ -257,7 +257,17 @@ def rewrite_parquet_file(
     identifying values without destroying the record; ``DeletedRows``
     then counts redacted rows (same Find/Forget consistency contract:
     zero affected rows fails the object).
+
+    The mode switch is ``is not None``, and an explicit ``[]`` is
+    refused: redact-nothing would silently keep every matched row
+    intact while still reporting it deleted, and a caller who built an
+    empty column list almost certainly meant delete mode.
     """
+    if redact_columns is not None and not redact_columns:
+        raise ValueError(
+            "redact_columns=[] is ambiguous: pass None for delete mode "
+            "or a non-empty column list for redact mode"
+        )
     pf = pq.ParquetFile(in_path)
     schema = pf.schema_arrow.remove_metadata()
     processed = pf.metadata.num_rows

@@ -531,3 +531,21 @@ def test_queue_burst_anchors_survive_older_tombstones(engine):
     engine.enqueue_matches([{"MatchId": "fresh"}])
     page, _ = engine.list_queue_page(start_at=anchor, page_size=10)
     assert [it["MatchId"] for it in page] == ["fresh"]
+
+
+def test_queue_legacy_state_dir_backfills_order_index(engine):
+    """A state dir from before the enqueue-order index existed has live
+    queue items with no index entry; pagination must backfill them (in
+    queue order, BEFORE any indexed id) instead of treating them as
+    'before every anchor' and silently dropping them from a positional
+    resume."""
+    engine.enqueue_matches([{"MatchId": f"m{i}"} for i in range(4)])
+    os.remove(os.path.join(engine.state_dir, "queue_order.json"))
+    engine.enqueue_matches([{"MatchId": "m4"}])  # only m4 gets indexed
+
+    page, next_start = engine.list_queue_page(page_size=2)
+    assert [it["MatchId"] for it in page] == ["m0", "m1"]
+    anchor = next_start  # m1's id — a legacy, now-backfilled anchor
+    engine.delete_matches([anchor])
+    page2, _ = engine.list_queue_page(start_at=anchor, page_size=10)
+    assert [it["MatchId"] for it in page2] == ["m2", "m3", "m4"]

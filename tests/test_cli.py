@@ -339,3 +339,69 @@ def test_cli_dedup_screen_rejects_unsafe_batch_id(spark, tmp_path, capsys):
                 "--novel-out", str(tmp_path / "novel"),
                 "--batch-id", bad,
             ])
+
+
+def test_cli_dedup_screen_reused_path_gets_new_identity(
+    spark, tmp_path, capsys
+):
+    """NEW data landing at a reused path must screen as a NEW batch:
+    the default idempotency digest fingerprints the landed files
+    (names, sizes, mtimes), so the second landing cannot overwrite —
+    and self-exclude — the first landing's index delta, which would
+    silently re-admit the first batch's documents."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    landing = tmp_path / "landing"
+    index = str(tmp_path / "idx")
+    novel = str(tmp_path / "novel")
+
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(landing))
+    r1 = run(capsys, *base, "dedup-screen", "--input", str(landing),
+             "--index-dir", index, "--novel-out", novel)
+    assert (r1["NovelRows"], r1["IndexRowsAdded"]) == (1, 1)
+
+    # day 2: different documents land at the SAME path
+    shutil.rmtree(landing)
+    spark.createDataFrame(
+        [(2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(landing))
+    r2 = run(capsys, *base, "dedup-screen", "--input", str(landing),
+             "--index-dir", index, "--novel-out", novel)
+    # alpha is screened by day 1's (still-visible) delta; only beta is new
+    assert (r2["NovelRows"], r2["IndexRowsAdded"]) == (1, 1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
+    assert kept == [1, 2]
+
+
+def test_cli_collect_auth_tokens_file_and_env(tmp_path, monkeypatch):
+    """serve's token table accepts file and env sources (credentials
+    stay out of argv) and refuses an unset env var; the principal's Sub
+    never contains the live token."""
+    from amazon_s3_find_and_forget_spark.cli import collect_auth_tokens
+
+    tok_file = tmp_path / "tokens.txt"
+    tok_file.write_text(
+        "# service principals\n\nfile-tok-1:alice\nfile-tok-2\n"
+    )
+    monkeypatch.setenv("S3F2_TEST_TOKEN", "env-tok:bob")
+    errors = []
+    tokens = collect_auth_tokens(
+        ["argv-tok:carol"], str(tok_file), ["S3F2_TEST_TOKEN"],
+        errors.append,
+    )
+    assert not errors
+    assert tokens["file-tok-1"]["Username"] == "alice"
+    assert tokens["file-tok-2"]["Username"] == "api-user"
+    assert tokens["env-tok"]["Username"] == "bob"
+    assert tokens["argv-tok"]["Username"] == "carol"
+    for tok, principal in tokens.items():
+        assert tok not in json.dumps(principal)
+
+    def boom(msg):
+        raise SystemExit(msg)
+
+    monkeypatch.delenv("S3F2_TEST_TOKEN")
+    with pytest.raises(SystemExit):
+        collect_auth_tokens([], None, ["S3F2_TEST_TOKEN"], boom)

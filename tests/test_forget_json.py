@@ -257,3 +257,21 @@ def test_redact_gzip_round_trip(tmp_path):
     stats = rewrite_json_file(src, out, SIMPLE, redact_columns=["customer_id"])
     assert stats == {"ProcessedRows": 2, "DeletedRows": 1}
     assert read_text(out) == '{"customer_id":null}\n{"customer_id": "9"}\n'
+
+
+def test_json_redact_empty_column_list_rejected(tmp_path):
+    """Same mode contract as the parquet kernel: an explicit
+    redact_columns=[] is refused instead of silently deleting."""
+    import pytest
+
+    from amazon_s3_find_and_forget_spark.sources.jsonl_file import (
+        rewrite_json_file,
+    )
+
+    with pytest.raises(ValueError, match="redact_columns"):
+        rewrite_json_file(
+            str(tmp_path / "never-read.json"),
+            str(tmp_path / "out.json"),
+            [{"Type": "Simple", "Column": "c", "MatchIds": ["1"]}],
+            redact_columns=[],
+        )

@@ -611,3 +611,17 @@ def test_redact_nested_non_nullable_leaf_raises(tmp_path):
             [{"Type": "Simple", "Column": "customer_id", "MatchIds": ["1"]}],
             redact_columns=["info.age"],
         )
+
+
+def test_redact_empty_column_list_rejected(tmp_path):
+    """redact_columns=[] must not truthiness-fall-through to delete
+    mode (nor to redact-nothing): the mode switch is `is not None` and
+    an explicit empty list is a contract error, raised before any
+    bytes are read."""
+    with pytest.raises(ValueError, match="redact_columns"):
+        rewrite_parquet_file(
+            os.path.join(tmp_path, "never-read.parquet"),
+            os.path.join(tmp_path, "out.parquet"),
+            [{"Type": "Simple", "Column": "c", "MatchIds": ["1"]}],
+            redact_columns=[],
+        )

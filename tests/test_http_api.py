@@ -731,3 +731,20 @@ def test_auth_gates_route_enumeration(engine):
         assert st == 405
     finally:
         srv.shutdown()
+
+
+def test_authorizer_stores_and_compares_only_digests():
+    """No raw credential bytes survive construction (the token table is
+    held as sha256 digests) and lookups go through hmac.compare_digest
+    on fixed-length digests — so neither the process image nor response
+    timing exposes token bytes. Behavior is unchanged: valid token ->
+    principal, anything else -> None."""
+    auth = BearerTokenAuthorizer(
+        {"sekrit-token-value": {"Username": "u", "Sub": "s"}}
+    )
+    assert "sekrit-token-value" not in repr(vars(auth))
+    ok = auth({"HTTP_AUTHORIZATION": "Bearer sekrit-token-value"})
+    assert ok == {"Username": "u", "Sub": "s"}
+    assert auth({"HTTP_AUTHORIZATION": "Bearer wrong"}) is None
+    assert auth({"HTTP_AUTHORIZATION": "Basic sekrit-token-value"}) is None
+    assert auth({}) is None
