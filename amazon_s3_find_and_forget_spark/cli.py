@@ -274,6 +274,30 @@ def main(argv: list[str] | None = None) -> int:
         "different path and must screen as the same batch)",
     )
 
+    ci = sub.add_parser(
+        "compact-index",
+        help="fold a dedup-screen index's per-batch delta directories "
+        "into a base partition (protocol-aware: retried batches still "
+        "never see their own output); run with the stream stopped or "
+        "between triggers",
+    )
+    ci.add_argument("--index-dir", required=True)
+    ci.add_argument(
+        "--checkpoint",
+        default=None,
+        help="the stream's checkpointLocation; its commit log bounds "
+        "the fold so a batch Spark might still retry is never folded "
+        "(required for streaming-layout indexes unless --upto is given)",
+    )
+    ci.add_argument(
+        "--upto",
+        type=int,
+        default=None,
+        help="explicit highest batch_id to fold (min-ed with the "
+        "checkpoint bound; passing it alone asserts the stream is "
+        "stopped)",
+    )
+
     zo = sub.add_parser(
         "zorder",
         help="re-cluster a parquet lake on a Z-order curve for "
@@ -496,6 +520,14 @@ def main(argv: list[str] | None = None) -> int:
                     "round-trip Spark's partition-value decoding "
                     "verbatim"
                 )
+            if args.batch_id.startswith("base-"):
+                p.error(
+                    "--batch-id must not start with 'base-': that "
+                    "prefix names compaction base partitions, and a "
+                    "batch id colliding with one would self-exclude "
+                    "the folded index (compact-index) and re-admit "
+                    "every indexed document"
+                )
             digest = args.batch_id
         else:
             real = _os.path.realpath(args.input)
@@ -568,6 +600,17 @@ def main(argv: list[str] | None = None) -> int:
                     f"{args.index_dir}/batch={digest}"
                 ).count(),
             }
+        )
+    elif args.cmd == "compact-index":
+        from .operators.incremental import compact_index
+
+        _emit(
+            compact_index(
+                eng.spark,
+                args.index_dir,
+                checkpoint_dir=args.checkpoint,
+                upto=args.upto,
+            )
         )
     elif args.cmd == "zorder":
         import glob

@@ -467,3 +467,228 @@ def incremental_embedding_dedup(
         drop.withColumnRenamed(id_col, "_id"), on="_id", how="left_anti"
     )
     return novel, delta
+
+
+# --- index compaction (protocol-aware) -----------------------------------
+#
+# The screens' idempotent-retry protocol writes one delta directory per
+# batch and re-reads every prior delta on every screen: at a cadence of
+# minutes, a year-long stream is ~500k partition directories, and the
+# file-LISTING cost grows linearly in stream age until it dominates the
+# screen itself. Naive compaction (fold everything into one dir) breaks
+# the protocol, which relies on the per-batch partition value to hide a
+# retried batch's own half-written output from itself. The fold below
+# keeps the protocol intact:
+#
+# - streaming layout (``batch_id=<int>``, screen keeps ``batch_id <
+#   N``): deltas with id <= K fold into a BASE partition named
+#   ``batch_id=-(K+1)``. Stream batch ids are never negative, so every
+#   live batch's ``batch_id < N`` view includes the base, while the
+#   retried batch's own (non-negative) delta stays hidden. K is bounded
+#   by the checkpoint's commit log: a batch Spark might still retry is
+#   never folded, so the base can never contain a batch's own output.
+# - CLI layout (``batch=<digest>``, screen keeps ``batch != digest``):
+#   committed deltas fold into ``base-<digest-of-folded-names>``. The
+#   screen refuses user batch ids with the ``base-`` prefix, so no
+#   batch can ever exclude a base.
+#
+# Crash-safety is ordering, not atomicity: (1) fold (reading only
+# _SUCCESS-committed directories; a base left by a crashed WRITE lacks
+# the marker, and its content is then fully redundant because the
+# deletes only run after a successful write), (2) overwrite-write the
+# new base, (3) delete the folded directories. A crash between (2) and
+# (3) leaves duplicate index rows — harmless to every screen (the index
+# is probed for existence, and the fold dedups by key) — and the next
+# compaction converges. All filesystem work goes through the Hadoop
+# FileSystem API so the same code runs on posix, HDFS, and S3A.
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _list_dirs(spark, root: str) -> list[str]:
+    """Immediate child directory NAMES of ``root`` ([] if absent)."""
+    fs, jvm = _hadoop_fs(spark, root)
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(hroot):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(hroot)
+        if st.isDirectory()
+    ]
+
+
+def _has_success(spark, dirpath: str) -> bool:
+    fs, jvm = _hadoop_fs(spark, dirpath)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(dirpath + "/_SUCCESS"))
+
+
+def _delete_dir(spark, dirpath: str) -> None:
+    fs, jvm = _hadoop_fs(spark, dirpath)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(dirpath), True)
+
+
+def committed_upto(spark, checkpoint_dir: str) -> int | None:
+    """Highest batch id the streaming checkpoint has COMMITTED — the
+    fold bound: Spark never retries a committed batch, so folding
+    ``batch_id <= committed`` can never put a batch's own output into
+    the base it screens against. None when no batch has committed."""
+    import re
+
+    fs, jvm = _hadoop_fs(spark, checkpoint_dir)
+    commits = jvm.org.apache.hadoop.fs.Path(checkpoint_dir + "/commits")
+    if not fs.exists(commits):
+        return None
+    ids = [
+        int(st.getPath().getName())
+        for st in fs.listStatus(commits)
+        if re.fullmatch(r"\d+", st.getPath().getName())
+    ]
+    return max(ids) if ids else None
+
+
+def _fold_rows(df: DataFrame) -> DataFrame:
+    """Dedup the unioned deltas by index key. Duplicates only exist in
+    the crash window between a base write and the delta deletes, and
+    every row of a key is then identical modulo the survivor id —
+    where the earliest (minimum) id is the survivor contract."""
+    cols = df.columns
+    if "content_hash" in cols:  # exact index: (content_hash, <id_col>)
+        others = [c for c in cols if c != "content_hash"]
+        return df.groupBy("content_hash").agg(
+            *[F.min(c).alias(c) for c in others]
+        )
+    if "_id" in cols:  # minhash (_id,_sig) / embedding (_id,_u,_k)
+        return df.dropDuplicates(["_id"])
+    return df.dropDuplicates()
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+    upto: int | None = None,
+) -> dict:
+    """Fold a screen index's delta directories into a base partition
+    without breaking the screens' idempotent-retry protocol (see module
+    note above). Detects the layout from the directory names.
+
+    Streaming layout needs a safe bound: pass ``checkpoint_dir`` (the
+    stream's checkpoint — the commit log caps the fold at the last
+    committed batch) and/or an explicit ``upto`` (the effective bound
+    is the minimum of the two; ``upto`` alone asserts the stream is
+    stopped). Run between triggers or with the stream stopped: a
+    concurrently-running screen that lists the index mid-delete fails
+    that micro-batch, and the checkpoint retries it — correct, but a
+    wasted trigger.
+
+    Returns ``{"Layout", "BasePath", "BaseRows", "FoldedDirs",
+    "RemovedDirs"}`` (all-zero no-op when there is nothing to fold).
+    """
+    import re
+
+    names = _list_dirs(spark, index_dir)
+    stream_parts = {}
+    cli_parts = {}
+    for n in names:
+        m = re.fullmatch(r"batch_id=(-?\d+)", n)
+        if m:
+            stream_parts[int(m.group(1))] = f"{index_dir}/{n}"
+            continue
+        m = re.fullmatch(r"batch=([^/]+)", n)
+        if m:
+            cli_parts[m.group(1)] = f"{index_dir}/{n}"
+    if stream_parts and cli_parts:
+        raise ValueError(
+            f"{index_dir} mixes batch_id= and batch= partitions — not "
+            "one index"
+        )
+    noop = {
+        "Layout": "stream" if stream_parts else "cli",
+        "BasePath": None, "BaseRows": 0, "FoldedDirs": 0, "RemovedDirs": 0,
+    }
+    if not stream_parts and not cli_parts:
+        return noop
+
+    if stream_parts:
+        committed = (
+            committed_upto(spark, checkpoint_dir)
+            if checkpoint_dir is not None
+            else None
+        )
+        if committed is None and upto is None:
+            raise ValueError(
+                "streaming-layout compaction needs a bound: pass "
+                "checkpoint_dir (commit-log bound) and/or upto"
+            )
+        k = min(v for v in (committed, upto) if v is not None)
+        fold = {b: p for b, p in stream_parts.items() if b <= k}
+        base_name = f"batch_id={-(k + 1)}"
+    else:
+        fold = dict(cli_parts)
+        import hashlib
+
+        digest = hashlib.md5(
+            "\n".join(sorted(fold)).encode()
+        ).hexdigest()[:16]
+        base_name = f"batch=base-{digest}"
+
+    # a crashed base WRITE has no _SUCCESS and its deltas all survive
+    # (deletes run only after a successful write) — drop it from the
+    # read set; a committed DELTA missing its marker is an integrity
+    # hole we refuse to paper over
+    sources = {}
+    for key, path in fold.items():
+        is_base = (
+            str(key).startswith("-")
+            if stream_parts
+            else str(key).startswith("base-")
+        )
+        if _has_success(spark, path):
+            sources[key] = path
+        elif not is_base:
+            raise ValueError(
+                f"delta partition {path} has no _SUCCESS marker — "
+                "refusing to fold (or silently drop) possibly-partial "
+                "index data"
+            )
+    target = f"{index_dir}/{base_name}"
+    already_base_only = list(sources) == [
+        -(k + 1) if stream_parts else f"base-{digest}"
+    ]
+    if not sources or already_base_only:
+        noop["RemovedDirs"] = 0
+        for path in fold.values():  # clear crashed partial bases
+            if path != target and path not in sources.values():
+                _delete_dir(spark, path)
+                noop["RemovedDirs"] += 1
+        return noop
+
+    key_col = "batch_id" if stream_parts else "batch"
+    folded = _fold_rows(
+        spark.read.option("basePath", index_dir)
+        .parquet(*sources.values())
+        .drop(key_col)
+    )
+    # the retry case reads the existing base and overwrites it — the
+    # fold must be MATERIALIZED before the write tears down its input
+    folded = _eager(folded)
+    base_rows = folded.count()
+    folded.write.mode("overwrite").parquet(target)
+    removed = 0
+    for path in fold.values():
+        if path != target:
+            _delete_dir(spark, path)
+            removed += 1
+    return {
+        "Layout": "stream" if stream_parts else "cli",
+        "BasePath": target,
+        "BaseRows": base_rows,
+        "FoldedDirs": len(sources),
+        "RemovedDirs": removed,
+    }

@@ -405,3 +405,47 @@ def test_cli_collect_auth_tokens_file_and_env(tmp_path, monkeypatch):
     monkeypatch.delenv("S3F2_TEST_TOKEN")
     with pytest.raises(SystemExit):
         collect_auth_tokens([], None, ["S3F2_TEST_TOKEN"], boom)
+
+
+def test_cli_compact_index_folds_screen_deltas(spark, tmp_path, capsys):
+    """compact-index folds the dedup-screen's batch=<digest> deltas into
+    one base partition; later screens still exclude only their own
+    batch (the base is always visible) and stay exact."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    index = str(tmp_path / "idx")
+    novel = str(tmp_path / "novel")
+    for i, rows in enumerate(
+        [[(1, "alpha"), (2, "beta")], [(10, "alpha"), (11, "gamma")]]
+    ):
+        b = str(tmp_path / f"b{i}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(b)
+        run(capsys, *base, "dedup-screen", "--input", b,
+            "--index-dir", index, "--novel-out", novel)
+    assert len(os.listdir(index)) == 2
+
+    c = run(capsys, *base, "compact-index", "--index-dir", index)
+    assert c["Layout"] == "cli" and c["BaseRows"] == 3
+    dirs = os.listdir(index)
+    assert len(dirs) == 1 and dirs[0].startswith("batch=base-")
+
+    # a third screen against the folded base: alpha/gamma still seen
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(20, "gamma"), (21, "delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b2)
+    r = run(capsys, *base, "dedup-screen", "--input", b2,
+            "--index-dir", index, "--novel-out", novel)
+    assert (r["NovelRows"], r["IndexRowsAdded"]) == (1, 1)
+    kept = sorted(x["doc_id"] for x in spark.read.parquet(novel).collect())
+    assert kept == [1, 2, 11, 21]
+
+    # base- prefixed batch ids are reserved for compaction bases
+    with pytest.raises(SystemExit):
+        main([
+            "--state-dir", state, "--cpus", "4", "dedup-screen",
+            "--input", b2, "--index-dir", index, "--novel-out", novel,
+            "--batch-id", "base-evil",
+        ])

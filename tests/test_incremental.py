@@ -1,6 +1,8 @@
 """Batch-incremental dedup must converge to the batch result: screening
 arriving batches against the index == one batch dedup over the union."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -351,3 +353,127 @@ def test_read_index_or_empty_treats_uncommitted_dir_as_empty(spark, tmp_path):
         lambda: inc.exact_index(docs(spark, [(1, "x")]).limit(0)),
     )
     assert out.count() == 0
+
+
+# --- compaction crash windows ---------------------------------------------
+
+
+def _write_delta(df, index_dir, batch_id):
+    df.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+
+def test_compact_index_crash_between_write_and_delete(spark, tmp_path):
+    """Ordering contract: a crash AFTER the base write but BEFORE the
+    delta deletes leaves duplicate index rows — screens must stay
+    correct on the duplicated index, and re-running compaction must
+    converge to a single deduped base."""
+    import shutil
+
+    index_dir = str(tmp_path / "idx")
+    hist = docs(spark, HISTORY)
+    _write_delta(inc.exact_index(hist.where("doc_id <= 2")), index_dir, 0)
+    _write_delta(
+        inc.exact_index(hist.where("doc_id = 3")).withColumn(
+            "doc_id", F.col("doc_id")
+        ),
+        index_dir, 1,
+    )
+    stats = inc.compact_index(spark, index_dir, upto=1)
+    assert stats["BasePath"].endswith("batch_id=-2")
+    # simulate the crash: resurrect a folded delta next to the base
+    _write_delta(inc.exact_index(hist.where("doc_id <= 2")), index_dir, 0)
+
+    index = inc.read_index_or_empty(
+        spark, index_dir, F.col("batch_id") < 5,
+        ["content_hash", "doc_id"],
+        lambda: inc.exact_index(hist.limit(0)),
+    )
+    novel, delta = inc.incremental_exact_dedup(docs(spark, BATCH), index)
+    assert sorted(r["doc_id"] for r in novel.collect()) == [11, 14]
+
+    stats2 = inc.compact_index(spark, index_dir, upto=1)
+    assert stats2["BaseRows"] == 2  # deduped by content_hash
+    assert sorted(os.listdir(index_dir)) == ["batch_id=-2"]
+    shutil.rmtree(index_dir)
+
+
+def test_compact_index_excludes_partial_base_write(spark, tmp_path):
+    """A base directory without _SUCCESS is a crashed WRITE: its deltas
+    all survive (deletes only run after a successful write), so the
+    fold must ignore its possibly-partial bytes, overwrite it, and
+    still produce the full index."""
+    index_dir = str(tmp_path / "idx")
+    hist = docs(spark, HISTORY)
+    _write_delta(inc.exact_index(hist.where("doc_id <= 2")), index_dir, 0)
+    _write_delta(inc.exact_index(hist.where("doc_id = 3")), index_dir, 1)
+    partial = tmp_path / "idx" / "batch_id=-2"
+    partial.mkdir()
+    (partial / "part-00000.parquet").write_bytes(b"\x00garbage-no-footer")
+
+    stats = inc.compact_index(spark, index_dir, upto=1)
+    assert stats["BaseRows"] == 2 and stats["FoldedDirs"] == 2
+    assert sorted(os.listdir(index_dir)) == ["batch_id=-2"]
+    rows = spark.read.parquet(index_dir).drop("batch_id").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+
+
+def test_compact_index_refuses_markerless_delta(spark, tmp_path):
+    """A DELTA without _SUCCESS inside the fold bound is an integrity
+    hole (committed batches always leave the marker) — refuse rather
+    than silently fold or drop partial data."""
+    index_dir = str(tmp_path / "idx")
+    _write_delta(inc.exact_index(docs(spark, HISTORY)), index_dir, 0)
+    os.remove(os.path.join(index_dir, "batch_id=0", "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        inc.compact_index(spark, index_dir, upto=0)
+
+
+def test_compact_index_guards(spark, tmp_path):
+    """No bound -> error; absent/empty dir -> no-op; mixed layouts ->
+    error; fold bound below every delta -> no-op."""
+    index_dir = str(tmp_path / "idx")
+    assert inc.compact_index(spark, index_dir, upto=3)["FoldedDirs"] == 0
+
+    _write_delta(inc.exact_index(docs(spark, HISTORY)), index_dir, 5)
+    with pytest.raises(ValueError, match="bound"):
+        inc.compact_index(spark, index_dir)
+    # checkpoint with no commits: still no safe bound
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    with pytest.raises(ValueError, match="bound"):
+        inc.compact_index(spark, index_dir, checkpoint_dir=str(ckpt))
+    assert inc.compact_index(spark, index_dir, upto=4)["FoldedDirs"] == 0
+
+    os.makedirs(os.path.join(index_dir, "batch=abc"))
+    with pytest.raises(ValueError, match="mixes"):
+        inc.compact_index(spark, index_dir, upto=5)
+
+
+def test_compact_index_minhash_layout(spark, tmp_path):
+    """The near-dup index folds by _id (signatures are deterministic,
+    so crash-window duplicates are identical rows) and the folded base
+    still screens near-duplicates."""
+    index_dir = str(tmp_path / "nidx")
+    hist = docs(spark, [
+        (1, "spark structured streaming processes data incrementally "
+            "with exactly once guarantees"),
+        (2, "completely different subject matter about cooking pasta"),
+    ])
+    sigs = inc.minhash_index(hist)
+    sigs.where("_id = 1").write.parquet(f"{index_dir}/batch_id=0")
+    sigs.where("_id = 2").write.parquet(f"{index_dir}/batch_id=1")
+    stats = inc.compact_index(spark, index_dir, upto=1)
+    assert stats["BaseRows"] == 2
+    assert sorted(os.listdir(index_dir)) == ["batch_id=-2"]
+
+    batch = docs(spark, [
+        (10, "spark structured streaming processes data incrementally "
+             "with exactly once guarantees!"),
+        (11, "yet another unrelated text concerning mountain hiking"),
+    ])
+    index = inc.read_index_or_empty(
+        spark, index_dir, F.col("batch_id") < 9, ["_id", "_sig"],
+        lambda: inc.minhash_index(batch.limit(0)),
+    )
+    novel, _ = inc.incremental_minhash_dedup(batch, index, threshold=0.7)
+    assert [r["doc_id"] for r in novel.collect()] == [11]

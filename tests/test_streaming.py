@@ -967,3 +967,75 @@ def test_index_near_dedup_stream_screens_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in novel.collect()) == [1, 2, 11]
     idx = spark.read.parquet(index_dir)
     assert sorted(r["_id"] for r in idx.collect()) == [1, 2, 11]
+
+
+def test_index_dedup_stream_restart_across_compaction(spark, tmp_path):
+    """The weak-mark fix: folding committed deltas into a base partition
+    must keep (a) screen results identical, (b) the retry protocol
+    intact across a checkpoint restart, and (c) the per-batch read at
+    O(1) directories per compaction epoch instead of O(batches)."""
+    from amazon_s3_find_and_forget_spark.operators.incremental import (
+        compact_index,
+    )
+    from amazon_s3_find_and_forget_spark.streaming import dedup as sdedup
+
+    src = str(tmp_path / "stream-in")
+    ckpt = str(tmp_path / "ckpt")
+    index_dir = str(tmp_path / "index")
+    novel_dir = str(tmp_path / "novel")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+
+    def drain():
+        sdedup.index_dedup_stream(
+            spark, src + "/*", schema, index_dir, novel_dir, ckpt,
+            max_files_per_trigger=1,
+        ).awaitTermination()
+
+    def index_dirs():
+        return sorted(
+            d for d in os.listdir(index_dir) if d.startswith("batch")
+        )
+
+    land("f0", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    land("f1", [(10, "alpha"), (11, "gamma")])
+    drain()
+    assert len(index_dirs()) == 2  # one delta per micro-batch
+
+    stats = compact_index(spark, index_dir, checkpoint_dir=ckpt)
+    # commit log says batches 0 and 1 committed -> fold bound K=1
+    assert stats["BasePath"].endswith("batch_id=-2")
+    assert (stats["BaseRows"], stats["FoldedDirs"]) == (3, 2)
+    assert index_dirs() == ["batch_id=-2"]
+
+    # restart from the checkpoint over the compacted index: batch ids
+    # continue (2, 3), the base screens re-landed content, and the
+    # epoch's read is base + residual deltas only
+    land("f2", [(20, "gamma"), (21, "delta")])
+    land("f3", [(30, "delta"), (31, "epsilon")])
+    drain()
+    novel = spark.read.parquet(novel_dir)
+    assert sorted(r["doc_id"] for r in novel.collect()) == [1, 2, 11, 21, 31]
+    assert index_dirs() == ["batch_id=-2", "batch_id=2", "batch_id=3"]
+
+    # second epoch folds base + new deltas into one dir again
+    stats2 = compact_index(spark, index_dir, checkpoint_dir=ckpt)
+    assert stats2["BasePath"].endswith("batch_id=-4")
+    assert (stats2["BaseRows"], stats2["FoldedDirs"]) == (5, 3)
+    assert index_dirs() == ["batch_id=-4"]
+
+    # and the screen is still exact after two compactions
+    land("f4", [(40, "epsilon"), (41, "zeta")])
+    drain()
+    novel2 = spark.read.parquet(novel_dir)
+    assert sorted(r["doc_id"] for r in novel2.collect()) == [
+        1, 2, 11, 21, 31, 41,
+    ]
+    # re-compacting an already-base-only index is a no-op
+    stats3 = compact_index(spark, index_dir, checkpoint_dir=ckpt)
+    assert stats3["FoldedDirs"] == 0 or stats3["BaseRows"] == 6
