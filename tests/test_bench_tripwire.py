@@ -72,3 +72,62 @@ def test_new_query_and_corrupt_record_tolerated(tmp_path):
     bench.evaluate_tripwire(out, str(tmp_path))
     assert out["tripwire"]["flagged"] == {}
     assert out["tripwire"]["rounds_seen"] == 2
+
+
+def _record_cal(tmp_path, n, queries, cal, sf1_queries=None):
+    parsed = {"queries": queries, "calibration": {"value": cal}}
+    if sf1_queries is not None:
+        parsed["sf1"] = {"queries": sf1_queries}
+    doc = {"n": n, "rc": 0, "parsed": parsed}
+    (tmp_path / f"BENCH_r{n:02d}.json").write_text(json.dumps(doc))
+
+
+def test_uniformly_slow_host_does_not_flag(tmp_path):
+    """Round-10 adjudication case: every query 2.5x slower AND the
+    calibration probe 2.5x slower is host weather, not a regression —
+    the normalized band must stay quiet where the raw band would have
+    flagged everything."""
+    _record_cal(tmp_path, 1, {"q1": 1.0, "q2": 0.8}, 0.5, {"q1": 4.0})
+    _record_cal(tmp_path, 2, {"q1": 1.1, "q2": 0.9}, 0.55, {"q1": 4.4})
+    out = {
+        "queries": {"q1": 2.5, "q2": 2.0},
+        "sf1": {"queries": {"q1": 10.0}},
+        "calibration": {"value": 1.25},  # probe slowed by the same 2.5x
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+
+
+def test_single_query_regression_flags_under_drift(tmp_path):
+    """The same 2.5x-slow host, but q1 ALSO regressed 3x in normalized
+    terms — it must flag (with the drift-adjusted floor) while its
+    merely-weathered neighbors stay quiet."""
+    _record_cal(tmp_path, 1, {"q1": 1.0, "q2": 0.8}, 0.5)
+    _record_cal(tmp_path, 2, {"q1": 1.1, "q2": 0.9}, 0.55)
+    out = {
+        "queries": {"q1": 7.5, "q2": 2.0},  # q1: 3x normalized
+        "calibration": {"value": 1.25},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flags = out["tripwire"]["flagged"]["sf0.1"]
+    assert list(flags) == ["q1"]
+    assert flags["q1"]["calibrated"] is True
+    # floor re-priced to the current host: (1.0/0.5) * 1.25 = 2.5s
+    assert flags["q1"]["band_floor"] == 2.5
+    assert flags["q1"]["ratio"] == 3.0
+
+
+def test_uncalibrated_history_falls_back_to_raw_band(tmp_path):
+    """Records predating the probe (and a current record without one)
+    keep the raw-seconds band — the tripwire degrades gracefully
+    across the history boundary."""
+    _record(tmp_path, 1, {"q1": 0.4})
+    _record(tmp_path, 2, {"q1": 0.45})
+    out = {
+        "queries": {"q1": 1.2},
+        "calibration": {"value": 1.0},  # current has one, history doesn't
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flags = out["tripwire"]["flagged"]["sf0.1"]
+    assert flags["q1"]["calibrated"] is False
+    assert flags["q1"]["band_floor"] == 0.4
