@@ -38,6 +38,8 @@ from .dedup import (
     banded_signatures,
     exact_dedup,
     minhash_signatures,
+    optimal_bands,
+    sig_agreement,
 )
 
 # Above this many distinct batch hashes, an In-predicate stops pruning
@@ -183,7 +185,7 @@ def incremental_minhash_dedup(
     id_col: str = "doc_id",
     k: int = 5,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.8,
     broadcast: bool = True,
     check_compat: bool = True,
@@ -218,6 +220,11 @@ def incremental_minhash_dedup(
     parameters (the streaming screens) verify once and pass ``False``
     afterwards.
     """
+    if bands is None:
+        # threshold-tuned banding (see dedup.optimal_bands); band keys
+        # are derived at call time, so a persisted index stays valid
+        # under any bands choice — only num_perm is a storage parameter
+        bands = optimal_bands(num_perm, threshold)
     if check_compat:
         # probe the first NON-NULL signature: sampling a null row and
         # passing vacuously would silently disable the fail-fast
@@ -237,13 +244,7 @@ def incremental_minhash_dedup(
             )
     new_sigs = minhash_signatures(new_df, text_col, id_col, k, num_perm)
     new_sigs = _eager(new_sigs)  # one UDF pass; feeds three consumers
-    agree = F.size(
-        F.filter(
-            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    sim = agree / F.lit(float(num_perm))
+    sim = sig_agreement("_sig_a", "_sig_b") / F.lit(float(num_perm))
 
     # vs index: every band collision is verified inline; indexed docs
     # always outrank batch docs, so any hit drops the batch doc

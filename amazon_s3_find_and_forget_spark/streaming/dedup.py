@@ -188,7 +188,7 @@ def index_near_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.8,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,

@@ -1910,3 +1910,22 @@ def test_stratified_sample_handles_nan_stratum(spark):
     df = spark.createDataFrame(rows, "doc_id long, grp double")
     out = text.stratified_sample(df, 0.5, strata_col="grp").collect()
     assert len(out) == 100 + 100  # ceil(0.5 * 200) per stratum
+
+
+def test_optimal_bands_threshold_tuning():
+    """bands=None tunes the LSH S-curve midpoint t* = (1/b)^(1/r) to sit
+    closest BELOW the verify threshold: below costs only false
+    candidates (killed by the inline verify), above costs recall."""
+    from amazon_s3_find_and_forget_spark.operators.dedup import (
+        optimal_bands,
+    )
+
+    # num_perm=64: r=4 -> t*=0.5, r=8 -> 0.771, r=16 -> 0.917
+    assert optimal_bands(64, 0.5) == 16   # the old fixed default
+    assert optimal_bands(64, 0.7) == 16   # 0.771 would overshoot
+    assert optimal_bands(64, 0.8) == 8
+    assert optimal_bands(64, 0.95) == 4   # r=16, t*=0.917
+    assert optimal_bands(128, 0.8) == 16  # r=8, t*=0.707
+    # degenerate thresholds still produce a legal banding
+    assert 64 % optimal_bands(64, 0.01) == 0
+    assert 64 % optimal_bands(64, 1.0) == 0
