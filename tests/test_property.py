@@ -425,3 +425,109 @@ def test_jsonl_redact_byte_exact_unmatched(tmp_path_factory, rows, matches):
             assert json.loads(line) == {"customer_id": r[0], "name": None}
         else:
             assert line == src_line
+
+
+# --- sampling histogram engine vs the naive rank model ---------------------
+
+
+def _expected_sample(rows, target_of_count, salt=""):
+    """Naive single-window model of _hash_rank_sample: per stratum, the
+    target_of_count(|stratum|) rows smallest under (md5(key||salt), key)
+    with nulls FIRST (Spark's asc_nulls_first) — the semantics the
+    histogram engine must reproduce exactly."""
+    import hashlib
+    import math as m
+    from collections import defaultdict
+
+    def skey(s):  # NaN != NaN would split the stratum dict
+        if isinstance(s, float) and m.isnan(s):
+            return "__NaN__"
+        return ("NULL",) if s is None else ("V", s)
+
+    by_stratum = defaultdict(list)
+    for key, stratum in rows:
+        h = (
+            hashlib.md5((str(key) + salt).encode()).hexdigest()
+            if key is not None
+            else None
+        )
+        by_stratum[skey(stratum)].append((key, h))
+    keep = []
+    for srt, members in by_stratum.items():
+        members.sort(
+            key=lambda kh: (
+                (0,) if kh[1] is None else (1, kh[1]),
+                (0,) if kh[0] is None else (1, kh[0]),
+            )
+        )
+        target = min(len(members), int(target_of_count(len(members))))
+        keep += [(k, srt) for k, _ in members[: max(target, 0)]]
+    return sorted(keep, key=str)
+
+
+def test_hash_rank_sample_equals_naive_rank_model(spark):
+    """Randomized equivalence (seeded): the skew-safe histogram engine
+    (definite map-only admit + boundary window + grid-x refinement)
+    must match the naive full-window formulation for any fraction,
+    strata skew, null key/stratum, NaN stratum, and grid size —
+    including the degenerate keep-all and sample-nothing targets."""
+    import math as m
+    import random
+
+    from amazon_s3_find_and_forget_spark.operators import text
+
+    rng = random.Random(20260815)
+    targets = [
+        ("frac", 0.01), ("frac", 0.5), ("frac", 0.99),
+        ("n", 0), ("n", 3), ("n", 10**6),
+    ]
+    for case in range(10):
+        n_rows = rng.randint(1, 260)
+        n_strata = rng.choice([1, 2, 5])
+        # skewed strata mix, sometimes with a NULL stratum
+        strata = [f"s{i}" for i in range(n_strata)]
+        if rng.random() < 0.5:
+            strata.append(None)
+        weights = [rng.random() ** 3 + 0.01 for _ in strata]
+        keys = rng.sample(range(-(10**6), 10**6), n_rows)
+        if rng.random() < 0.6:  # one null key (unique per df: the rank
+            keys[0] = None     # tie-break needs distinct keys)
+        rows = [
+            (k, rng.choices(strata, weights)[0]) for k in keys
+        ]
+        df = spark.createDataFrame(rows, "key long, stratum string")
+        kind, val = targets[case % len(targets)]
+        fn = (
+            (lambda c, v=val: m.ceil(c * v))
+            if kind == "frac"
+            else (lambda c, v=val: v)
+        )
+        grid = rng.choice([4, 1024])
+        got = sorted(
+            ((r["key"], ("NULL",) if r["stratum"] is None else ("V", r["stratum"]))
+             for r in text._hash_rank_sample(
+                 df, "stratum", "key", "", fn,
+                 grid=grid, boundary_budget=8,
+             ).collect()),
+            key=str,
+        )
+        want = _expected_sample(rows, fn)
+        assert got == want, (case, kind, val, grid, len(rows))
+
+    # NaN strata (double-typed): Spark groups all NaNs as one stratum
+    nan = float("nan")
+    rows = [(i, nan if i % 3 == 0 else (None if i % 3 == 1 else 1.5))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "key long, stratum double")
+    got = sorted(
+        ((r["key"],
+          "__NaN__" if r["stratum"] is not None and m.isnan(r["stratum"])
+          else (("NULL",) if r["stratum"] is None else ("V", r["stratum"])))
+         for r in text._hash_rank_sample(
+             df, "stratum", "key", "", lambda c: m.ceil(c * 0.5),
+             grid=4, boundary_budget=4,
+         ).collect()),
+        key=str,
+    )
+    want = _expected_sample(rows, lambda c: m.ceil(c * 0.5))
+    assert got == want

@@ -1039,3 +1039,77 @@ def test_index_dedup_stream_restart_across_compaction(spark, tmp_path):
     # re-compacting an already-base-only index is a no-op
     stats3 = compact_index(spark, index_dir, checkpoint_dir=ckpt)
     assert stats3["FoldedDirs"] == 0 or stats3["BaseRows"] == 6
+
+
+def test_streaming_screen_feeds_redact_forget(spark, tmp_path):
+    """The newly-landed-PII runbook, composed end to end: the incremental
+    screen's novel-docs output becomes the match source for a
+    REDACT-mode Forget over the landing lake — newly seen documents get
+    their PII column nulled in place while duplicates of known content
+    (already screened out) trigger no rewrite work at all."""
+    from amazon_s3_find_and_forget_spark.api import Engine
+    from amazon_s3_find_and_forget_spark.streaming import dedup as sdedup
+
+    import glob
+    import shutil
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    schema = "doc_id long, text string, email string"
+
+    def land(name, rows):
+        # flat files, as a real landing lake: the same directory must be
+        # readable both by the stream and by a DataMapper (a plain
+        # parquet read does not recurse into non-partition subdirs)
+        tmpd = str(tmp_path / ("w_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmpd)
+        part = glob.glob(os.path.join(tmpd, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+
+    # day 0: the standing corpus
+    land("f0", [(1, "known doc alpha", "a@x"), (2, "known doc beta", "b@x")])
+    # day 1: one duplicate of known content + two genuinely new docs
+    land("f1", [
+        (10, "known doc alpha", "dup@x"),
+        (11, "fresh doc with pii", "pii@x"),
+        (12, "another fresh doc", "pii2@x"),
+    ])
+    index_dir = str(tmp_path / "idx")
+    novel_dir = str(tmp_path / "novel")
+    sdedup.index_dedup_stream(
+        spark, src, schema, index_dir, novel_dir,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    ).awaitTermination()
+
+    # the latest batch's novel docs are the newly-landed unique content
+    new_docs = spark.read.parquet(f"{novel_dir}/batch_id=1")
+    new_ids = sorted(r["doc_id"] for r in new_docs.collect())
+    assert new_ids == [11, 12]  # the duplicate (10) was screened out
+
+    # feed them into a redact-mode Forget over the landing lake
+    eng = Engine(spark, str(tmp_path / "state"))
+    eng.put_data_mapper("landing", {
+        "Location": src,
+        "Columns": ["doc_id"],
+        "Format": "parquet",
+        "DeleteMode": "redact",
+        "RedactColumns": ["email"],
+    })
+    eng.enqueue_matches([{"MatchId": i} for i in new_ids])
+    job = eng.process_queue()
+    assert job["JobStatus"] == "COMPLETED"
+    assert job["TotalObjectUpdatedCount"] == 1  # only f1 holds matches
+
+    spark.catalog.clearCache()
+    got = {
+        r["doc_id"]: (r["text"], r["email"])
+        for r in spark.read.parquet(src).collect()
+    }
+    # rows kept, PII column nulled for exactly the novel ids
+    assert got[11] == ("fresh doc with pii", None)
+    assert got[12] == ("another fresh doc", None)
+    # everything else — including the screened-out duplicate — untouched
+    assert got[1] == ("known doc alpha", "a@x")
+    assert got[2] == ("known doc beta", "b@x")
+    assert got[10] == ("known doc alpha", "dup@x")
+    assert len(got) == 5
