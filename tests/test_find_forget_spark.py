@@ -516,3 +516,190 @@ def test_redact_mapper_validation():
             delete_mode="redact",
             redact_columns=["dt"],
         )
+
+
+# --- chaos tests: the distributed (DataFrame) Forget handoff ---------------
+
+
+def _chaos_synthetic_factory():
+    """store_factory for the 100k-path scale test, pickled BY VALUE into
+    each task (the test module is not importable from executor workers,
+    so everything — including the store class — is defined inside the
+    closure): serves the same tiny closure-captured parquet object for
+    every path; one path has vanished mid-job and one hits a
+    concurrent-writer conflict at commit time."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"customer_id": pa.array([1, 2, 3], pa.int64())}), buf
+    )
+    blob = buf.getvalue()  # built on the driver, ships in the closure
+
+    def factory(arn):
+        from amazon_s3_find_and_forget_spark.sources.object_store import (
+            ObjectProperties,
+            VersionConflictError,
+        )
+
+        class Store:
+            def get_object_and_version(self, path):
+                if path.endswith("/vanished.parquet"):
+                    raise FileNotFoundError(path)
+                return blob, "v1"
+
+            def get_properties(self, path):
+                return ObjectProperties()
+
+            def save(self, path, data, properties=None):
+                return "v2"
+
+            def verify_version_integrity(self, path, from_v, new_v):
+                if path.endswith("/conflict.parquet"):
+                    raise VersionConflictError("concurrent write detected")
+
+            def rollback_version(self, path, version):
+                pass
+
+            def delete_old_versions(self, path, keep_version):
+                return 0
+
+        return Store()
+
+    return factory
+
+
+def test_forget_files_df_100k_paths_with_failures(spark):
+    """Chaos e2e at the handoff scale point: 100,001 affected paths —
+    past the run_job threshold where the path list must never touch the
+    driver — with one object vanished mid-job (ignore_not_found) and
+    one concurrent-writer conflict forcing a rollback. The per-file
+    stats relation must aggregate the exact per-status counts
+    distributively."""
+    from pyspark.sql import functions as F
+
+    from amazon_s3_find_and_forget_spark.matches import ColumnGroup
+    from amazon_s3_find_and_forget_spark.plans.forget import forget_files_df
+
+    n = 100_001
+    paths_df = spark.range(n - 2).select(
+        F.concat(F.lit("s3://lake/f"), F.col("id"), F.lit(".parquet")).alias(
+            "file_path"
+        )
+    ).unionAll(
+        spark.createDataFrame(
+            [("s3://lake/vanished.parquet",), ("s3://lake/conflict.parquet",)],
+            "file_path string",
+        )
+    )
+    groups = [ColumnGroup(["customer_id"], ["bigint"], [2], composite=False)]
+    stats = forget_files_df(
+        spark,
+        paths_df,
+        groups,
+        fmt="parquet",
+        ignore_not_found=True,
+        store_factory=_chaos_synthetic_factory(),
+    )
+    rollup = {
+        r["status"]: (int(r["n"]), int(r["deleted"] or 0))
+        for r in stats.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("deleted_rows").alias("deleted")
+        ).collect()
+    }
+    assert rollup["updated"] == (n - 2, n - 2)  # one deleted row each
+    assert rollup["skipped"] == (1, 0)
+    assert rollup["failed"] == (1, 0)  # the rolled-back conflict
+    err = stats.where(F.col("status") == "failed").collect()
+    assert len(err) == 1 and "VersionConflictError" in err[0]["error"]
+
+
+def _chaos_local_factory():
+    """LocalObjectStore wrapper injecting the same two failures by
+    basename — pickled by value (see _chaos_synthetic_factory); used
+    through run_job's DataFrame handoff so the EVENTS and counters
+    aggregation is exercised end to end."""
+
+    def factory(arn):
+        import os as _os
+
+        from amazon_s3_find_and_forget_spark.sources.object_store import (
+            LocalObjectStore,
+            VersionConflictError,
+        )
+
+        class Store(LocalObjectStore):
+            def get_object_and_version(self, path):
+                if _os.path.basename(path) == "vanished.parquet":
+                    raise FileNotFoundError(path)
+                return super().get_object_and_version(path)
+
+            def verify_version_integrity(self, path, from_v, new_v):
+                if _os.path.basename(path) == "conflict.parquet":
+                    raise VersionConflictError("concurrent write detected")
+                return super().verify_version_integrity(path, from_v, new_v)
+
+        return Store()
+
+    return factory
+
+
+def test_run_job_dataframe_handoff_chaos_events(spark, tmp_path):
+    """run_job through the large-job (DataFrame) path with one vanished
+    object and one rollback: per-status summary events and counters must
+    aggregate correctly, the conflict file must roll back to its
+    pre-job bytes, and the job must end FORGET_PARTIALLY_FAILED."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
+    from amazon_s3_find_and_forget_spark.jobs import run_job
+    from amazon_s3_find_and_forget_spark.matches import QueueItem
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for name, ids in (
+        ("good.parquet", [1, 2]),
+        ("vanished.parquet", [3, 4]),
+        ("conflict.parquet", [5, 6]),
+    ):
+        pq.write_table(
+            pa.table({"customer_id": pa.array(ids, pa.int64())}),
+            str(lake / name),
+        )
+    result = run_job(
+        spark,
+        [DataMapper("t", str(lake), ["customer_id"],
+                     ignore_object_not_found=True)],
+        [QueueItem(match_id=2), QueueItem(match_id=4), QueueItem(match_id=6)],
+        path_handoff_threshold=0,  # force the DataFrame handoff
+        store_factory=_chaos_local_factory(),
+    )
+    assert result.status == "FORGET_PARTIALLY_FAILED", result.events
+    assert result.counters["TotalObjectUpdateFailedCount"] == 1
+    assert result.counters["TotalQueryFailedCount"] == 0
+    summaries = {
+        e["EventData"]["Status"]: e["EventData"]
+        for e in result.events
+        if e["EventName"] == "ObjectUpdateSummary"
+    }
+    assert summaries["updated"]["Objects"] == 1
+    assert summaries["updated"]["DeletedRows"] == 1
+    assert summaries["skipped"]["Objects"] == 1
+    assert summaries["failed"]["Objects"] == 1
+    assert "VersionConflictError" in summaries["failed"]["SampleError"]
+
+    spark.catalog.clearCache()
+    got = {
+        os.path.basename(p): sorted(
+            r.customer_id
+            for r in spark.read.parquet(str(lake / p)).collect()
+        )
+        for p in ("good.parquet", "vanished.parquet", "conflict.parquet")
+    }
+    assert got["good.parquet"] == [1]          # 2 deleted
+    assert got["vanished.parquet"] == [3, 4]   # skipped, untouched
+    assert got["conflict.parquet"] == [5, 6]   # rolled back to pre-job
