@@ -750,7 +750,24 @@ def simhash_near_duplicates(
     pairs while colliding far less than single-block (16-bit) chunking —
     the candidate set stays linear in true near-dups instead of
     quadratic in hash-value skew. Candidates verify with bit_count(xor),
-    JVM-side."""
+    JVM-side.
+
+    The combination join runs over DISTINCT simhash VALUES, not over
+    documents (round-11 redesign): mass-duplicated corpora — the normal
+    web-corpus shape, and exactly what dedup exists for — put every
+    identical document into every one of the C(B,3) buckets, so the
+    per-document join re-derived each true pair up to 20 times
+    (measured at sf1: 5.56M collision rows for 260k output pairs, 10x
+    duplication, join ~2.6 s). Distinct values compress 50k docs to 5k
+    rows there; value pairs verify once, then expand through the
+    (id, simhash) membership relation — two output-bounded equi-joins
+    (AQE broadcasts the verified value-pair relation when small) — and
+    hamming-0 pairs come from a direct self-join on the full simhash.
+    Output is IDENTICAL to the per-document formulation: a doc pair at
+    hamming 0 shares its simhash (same-relation branch); at hamming
+    1..max the two distinct values share >= 3 intact blocks (the Manku
+    guarantee), so the value pair is found, verified with the same
+    bit_count(xor), and expanded to every member pair exactly once."""
     from itertools import combinations
 
     blocks, m = _block_plan(max_hamming)
@@ -767,48 +784,69 @@ def simhash_near_duplicates(
         for ci, combo in enumerate(combos)
     ]
     # persist the PRE-explode relation (one 16-byte row per doc — the only
-    # thing worth caching at 100 TB; the exploded keys are C(B,m) rows per
-    # doc and cheap to recompute from the cached simhashes). Lazy persist:
-    # the single _eager job below populates it on first access.
+    # thing worth caching at 100 TB); the distinct-value relation feeds
+    # both sides of the combination self-join, so it persists too. Lazy:
+    # the single _eager job below populates both on first access.
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("_id"), F.col("simhash")
     ).persist()
-    keyed = sh.select(
-        "_id", "simhash", F.explode(F.array(*keys)).alias("bucket")
-    )
+    values = sh.select("simhash").distinct().persist()
     try:
-        a = keyed.select(
-            F.col("_id").alias("id_a"),
-            F.col("simhash").alias("_sim_a"),
-            "bucket",
+        keyed = values.select(
+            "simhash", F.explode(F.array(*keys)).alias("bucket")
         )
-        b = keyed.select(
-            F.col("_id").alias("id_b"),
-            F.col("simhash").alias("_sim_b"),
-            "bucket",
-        )
-        # pair generation as a bucket self-join (streams + spills; no O(s^2)
-        # per-bucket array), verified JVM-side with bit_count(xor). A pair
-        # surviving from several bucket collisions always carries the same
-        # hamming, so groupBy-min is equivalent to distinct — and cheaper:
-        # partial (map-side) aggregation shrinks the duplicate candidates
-        # before the shuffle, where distinct shuffles every copy.
-        return _eager(
+        a = keyed.select(F.col("simhash").alias("_sha"), "bucket")
+        b = keyed.select(F.col("simhash").alias("_shb"), "bucket")
+        # verified near-dup VALUE pairs (hamming 1..max): bucket
+        # self-join streams + spills (no O(s^2) per-bucket array);
+        # groupBy-min dedupes multi-bucket re-collisions map-side
+        vpairs = (
             a.join(b, "bucket")
-            .where(F.col("id_a") < F.col("id_b"))
+            .where(F.col("_sha") < F.col("_shb"))
             .select(
-                "id_a",
-                "id_b",
-                F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).alias(
+                "_sha",
+                "_shb",
+                F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias(
                     "hamming"
                 ),
             )
             .where(F.col("hamming") <= max_hamming)
-            .groupBy("id_a", "id_b")
+            .groupBy("_sha", "_shb")
             .agg(F.min("hamming").alias("hamming"))
         )
+        same = (
+            sh.select(F.col("_id").alias("id_a"), "simhash")
+            .join(sh.select(F.col("_id").alias("id_b"), "simhash"), "simhash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+        )
+        # expansion: each unordered doc pair appears exactly once (the
+        # value pair is ordered; members cross-product once), so no
+        # post-dedup is needed — least/greatest only canonicalizes ids
+        cross = (
+            vpairs.join(
+                sh.select(F.col("_id").alias("ida"),
+                          F.col("simhash").alias("_sha")),
+                "_sha",
+            )
+            .join(
+                sh.select(F.col("_id").alias("idb"),
+                          F.col("simhash").alias("_shb")),
+                "_shb",
+            )
+            .select(
+                F.least("ida", "idb").alias("id_a"),
+                F.greatest("ida", "idb").alias("id_b"),
+                "hamming",
+            )
+        )
+        return _eager(same.unionByName(cross))
     finally:
         sh.unpersist()
+        values.unpersist()
 
 
 # --------------------------------------------------------------------------
