@@ -749,6 +749,26 @@ class Engine:
 
     # --- maintenance -------------------------------------------------------
 
+    def compact_index(
+        self,
+        index_dir: str,
+        checkpoint_dir: str | None = None,
+        upto: int | None = None,
+    ) -> dict:
+        """Maintenance pass for a dedup-screen index: fold per-batch
+        delta directories into a base partition without breaking the
+        screens' idempotent-retry protocol. The ``vacuum`` sibling for
+        screen indexes — vacuum itself must NOT be pointed at one (naive
+        bin-packing would collapse the ``batch_id=N`` partitions the
+        retry exclusion depends on). See
+        ``operators.incremental.compact_index`` for the protocol and
+        crash-ordering contract."""
+        from .operators.incremental import compact_index
+
+        return compact_index(
+            self.spark, index_dir, checkpoint_dir=checkpoint_dir, upto=upto
+        )
+
     def vacuum(
         self,
         location: str,

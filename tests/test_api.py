@@ -549,3 +549,25 @@ def test_queue_legacy_state_dir_backfills_order_index(engine):
     engine.delete_matches([anchor])
     page2, _ = engine.list_queue_page(start_at=anchor, page_size=10)
     assert [it["MatchId"] for it in page2] == ["m2", "m3", "m4"]
+
+
+def test_engine_compact_index_facade(engine, spark, tmp_path):
+    """Engine.compact_index delegates to the protocol-aware fold (the
+    screen-index sibling of vacuum) — one epoch folds the deltas into a
+    single base directory and the screens keep working."""
+    from amazon_s3_find_and_forget_spark.operators import incremental as inc
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    index_dir = str(tmp_path / "idx")
+    inc.exact_index(docs.where("doc_id = 1")).write.parquet(
+        f"{index_dir}/batch_id=0"
+    )
+    inc.exact_index(docs.where("doc_id = 2")).write.parquet(
+        f"{index_dir}/batch_id=1"
+    )
+    stats = engine.compact_index(index_dir, upto=1)
+    assert stats["BasePath"].endswith("batch_id=-2")
+    assert stats["BaseRows"] == 2
+    assert sorted(os.listdir(index_dir)) == ["batch_id=-2"]
