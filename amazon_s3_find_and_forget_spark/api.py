@@ -265,24 +265,28 @@ class Engine:
         and silently drop from the page.
 
         Legacy state dirs (items enqueued before the order index
-        existed) are backfilled on load: any live queue item missing
-        from the index is PREPENDED in queue order — every un-indexed
-        item predates the index's first write (enqueue has written both
-        files under the mutex ever since), so they sort before every
-        indexed id, and the queue file itself is append-ordered. The
-        backfill persists, so it runs once per legacy dir."""
+        existed) are backfilled IN MEMORY on every load: any live queue
+        item missing from the index is PREPENDED in queue order — every
+        un-indexed item predates the index's first write (enqueue has
+        written both files under the mutex ever since), so they sort
+        before every indexed id, and the queue file itself is
+        append-ordered. Nothing is persisted: a GET must stay a pure
+        read (saving here would make it a read-modify-write that races
+        a concurrent enqueue in another PROCESS, where only this
+        in-process mutex guards the files, and could clobber the
+        enqueue's order entries). The merge costs one pass over data
+        already loaded."""
         with self._mutex:
             queue = self._load("deletion_queue", [])
             order = self._load("queue_order", [])
-            indexed = set(order)
-            missing = [
-                it["DeletionQueueItemId"]
-                for it in queue
-                if it["DeletionQueueItemId"] not in indexed
-            ]
-            if missing:
-                order = missing + order
-                self._save("queue_order", order)
+        indexed = set(order)
+        missing = [
+            it["DeletionQueueItemId"]
+            for it in queue
+            if it["DeletionQueueItemId"] not in indexed
+        ]
+        if missing:
+            order = missing + order
         if start_at is not None:
             idx = next(
                 (
@@ -321,12 +325,28 @@ class Engine:
     def delete_matches(self, item_ids: list[str]) -> None:
         drop = set(item_ids)
         with self._mutex:
+            pre = self._load("deletion_queue", [])
             queue = [
-                it
-                for it in self._load("deletion_queue", [])
-                if it["DeletionQueueItemId"] not in drop
+                it for it in pre if it["DeletionQueueItemId"] not in drop
             ]
             self._save("deletion_queue", queue)
+            # legacy backfill happens HERE (a writer already holding the
+            # files' read-modify-write), never in the read path: items
+            # enqueued before the order index existed must enter the
+            # index before pruning, or deleting such an item leaves no
+            # tombstone and a client resuming at it silently ends early.
+            # Pre-index items predate every indexed id, so they prepend
+            # in queue order (same invariant as list_queue_page's
+            # in-memory merge).
+            order = self._load("queue_order", [])
+            indexed = set(order)
+            missing = [
+                it["DeletionQueueItemId"]
+                for it in pre
+                if it["DeletionQueueItemId"] not in indexed
+            ]
+            if missing:
+                order = missing + order
             # prune the enqueue-order index: keep every live id plus the
             # most recent tombstones (old anchors age out, order intact).
             # The floor scales with THIS call's delete burst: one job
@@ -334,7 +354,6 @@ class Engine:
             # resolvable — a client mid-scan through them would
             # otherwise resume at an "unknown" anchor and silently end
             # early; the cap only ages out anchors across LATER deletes
-            order = self._load("queue_order", [])
             live = {it["DeletionQueueItemId"] for it in queue}
             dead = [qid for qid in order if qid not in live]
             floor = max(self._QUEUE_ORDER_TOMBSTONES, len(drop))

@@ -72,6 +72,14 @@ def collect_auth_tokens(
     tokens = {}
     for spec in specs:
         token, _, user = spec.partition(":")
+        if not token:
+            # a ':user' line would register the EMPTY token, which a bare
+            # 'Authorization: Bearer' header hashes to — auth would look
+            # enforced while any unauthenticated client passes
+            error(
+                f"auth token spec {spec!r} has an empty token part "
+                "(expected TOKEN[:USERNAME])"
+            )
         tokens[token] = {
             "Username": user or "api-user",
             "Sub": hashlib.sha256(token.encode()).hexdigest()[:12],
@@ -553,10 +561,39 @@ def main(argv: list[str] | None = None) -> int:
             if args.mode == "exact"
             else ["_id", "_sig"]
         )
+        # UNCOMMITTED partitions never screen: a crashed earlier run can
+        # leave a markerless batch=<d1> dir with footer-bearing part
+        # files, and a retry that maps to a DIFFERENT digest (e.g. the
+        # input was re-staged with fresh mtimes) would otherwise read
+        # that half-written delta as committed history and silently drop
+        # its own documents as already-seen. Same _SUCCESS contract as
+        # compact-index; the stale partial stays on disk for the
+        # operator (re-run that batch, or delete the dir if superseded).
+        partials = [
+            n[len("batch="):]
+            for n in inc._list_dirs(eng.spark, args.index_dir)
+            if n.startswith("batch=")
+            and not inc._has_success(
+                eng.spark, f"{args.index_dir}/{n}"
+            )
+        ]
+        keep = F.col("batch") != digest
+        if partials:
+            print(
+                json.dumps(
+                    {
+                        "Warning": "uncommitted batch partitions "
+                        "excluded from the screen (crashed run?)",
+                        "Partitions": sorted(partials),
+                    }
+                ),
+                file=sys.stderr,
+            )
+            keep = keep & ~F.col("batch").isin(partials)
         index = inc.read_index_or_empty(
             eng.spark,
             args.index_dir,
-            F.col("batch") != digest,
+            keep,
             index_cols,
             lambda: (
                 inc.exact_index(

@@ -482,16 +482,24 @@ def incremental_embedding_dedup(
 # keeps the protocol intact:
 #
 # - streaming layout (``batch_id=<int>``, screen keeps ``batch_id <
-#   N``): deltas with id <= K fold into a BASE partition named
-#   ``batch_id=-(K+1)``. Stream batch ids are never negative, so every
-#   live batch's ``batch_id < N`` view includes the base, while the
-#   retried batch's own (non-negative) delta stays hidden. K is bounded
-#   by the checkpoint's commit log: a batch Spark might still retry is
-#   never folded, so the base can never contain a batch's own output.
+#   N``): deltas with id <= K fold into a BASE partition with a fresh
+#   NEGATIVE id (at most -(K+1), always strictly below every existing
+#   partition). Stream batch ids are never negative, so every live
+#   batch's ``batch_id < N`` view includes the base, while the retried
+#   batch's own (non-negative) delta stays hidden. K is bounded by the
+#   checkpoint's commit log: a batch Spark might still retry is never
+#   folded, so the base can never contain a batch's own output.
 # - CLI layout (``batch=<digest>``, screen keeps ``batch != digest``):
-#   committed deltas fold into ``base-<digest-of-folded-names>``. The
-#   screen refuses user batch ids with the ``base-`` prefix, so no
-#   batch can ever exclude a base.
+#   committed deltas fold into ``base-<digest-of-committed-source-
+#   names>``. The screen refuses user batch ids with the ``base-``
+#   prefix, so no batch can ever exclude a base.
+#
+# A fold NEVER overwrites a committed directory (fresh names above):
+# an in-place base rewrite crashing mid-write would leave rows whose
+# source deltas are long deleted only in a markerless dir that the next
+# run discards as a crashed write — permanent index loss. Re-running
+# over an already-base-only index is an explicit no-op, so scheduled
+# compaction converges instead of rewriting the index every epoch.
 #
 # Crash-safety is ordering, not atomicity: (1) fold (reading only
 # _SUCCESS-committed directories; a base left by a crashed WRITE lacks
@@ -629,15 +637,15 @@ def compact_index(
             )
         k = min(v for v in (committed, upto) if v is not None)
         fold = {b: p for b, p in stream_parts.items() if b <= k}
-        base_name = f"batch_id={-(k + 1)}"
     else:
         fold = dict(cli_parts)
-        import hashlib
 
-        digest = hashlib.md5(
-            "\n".join(sorted(fold)).encode()
-        ).hexdigest()[:16]
-        base_name = f"batch=base-{digest}"
+    def is_base(key) -> bool:
+        return (
+            str(key).startswith("-")
+            if stream_parts
+            else str(key).startswith("base-")
+        )
 
     # a crashed base WRITE has no _SUCCESS and its deltas all survive
     # (deletes run only after a successful write) — drop it from the
@@ -645,27 +653,41 @@ def compact_index(
     # hole we refuse to paper over
     sources = {}
     for key, path in fold.items():
-        is_base = (
-            str(key).startswith("-")
-            if stream_parts
-            else str(key).startswith("base-")
-        )
         if _has_success(spark, path):
             sources[key] = path
-        elif not is_base:
+        elif not is_base(key):
             raise ValueError(
                 f"delta partition {path} has no _SUCCESS marker — "
                 "refusing to fold (or silently drop) possibly-partial "
                 "index data"
             )
+
+    # The new base must NEVER overwrite a committed directory: a crash
+    # during an in-place rewrite of the previous base would leave its
+    # rows (whose source deltas are long deleted) only in a markerless
+    # dir the next run classifies as a crashed write and discards —
+    # permanent index loss. Stream layout: pick an id strictly below
+    # every existing partition (monotone-fresh, still negative so every
+    # screen's batch_id < N view includes it). CLI layout: the digest
+    # covers the COMMITTED source names — a previous base's name encodes
+    # its own history, so a digest can only repeat for a retry of the
+    # same fold, whose target is then at most a markerless partial.
+    if stream_parts:
+        base_id = min(-(k + 1), min(stream_parts) - 1)
+        base_name = f"batch_id={base_id}"
+    else:
+        import hashlib
+
+        digest = hashlib.md5(
+            "\n".join(sorted(sources)).encode()
+        ).hexdigest()[:16]
+        base_name = f"batch=base-{digest}"
     target = f"{index_dir}/{base_name}"
-    already_base_only = list(sources) == [
-        -(k + 1) if stream_parts else f"base-{digest}"
-    ]
+    already_base_only = len(sources) == 1 and is_base(next(iter(sources)))
     if not sources or already_base_only:
         noop["RemovedDirs"] = 0
         for path in fold.values():  # clear crashed partial bases
-            if path != target and path not in sources.values():
+            if path not in sources.values():
                 _delete_dir(spark, path)
                 noop["RemovedDirs"] += 1
         return noop
@@ -676,10 +698,9 @@ def compact_index(
         .parquet(*sources.values())
         .drop(key_col)
     )
-    # the retry case reads the existing base and overwrites it — the
-    # fold must be MATERIALIZED before the write tears down its input
     folded = _eager(folded)
     base_rows = folded.count()
+    # fresh (or at-most-partial) target, never a committed dir — see note
     folded.write.mode("overwrite").parquet(target)
     removed = 0
     for path in fold.values():

@@ -32,6 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..matches import ColumnGroup
+# mode contract enforced driver-side (before any task launches) and
+# again inside the file kernels (their own public contract) — ONE
+# definition for all three sites
+from ..sources import check_redact_columns as _check_redact_columns
 from .find import null_safe_predicate
 
 STATS_SCHEMA = (
@@ -39,19 +43,6 @@ STATS_SCHEMA = (
     "status string, error string"
 )
 
-
-def _check_redact_columns(redact_columns: list[str] | None) -> None:
-    """Mode contract, enforced driver-side: ``None`` = delete mode, a
-    NON-EMPTY list = redact mode. An explicit ``[]`` would truthiness-
-    fall-through to "keep the row, redact nothing" while still counting
-    it deleted — never what the caller meant — so it is refused here
-    (before any task launches) and again in the file kernels (their own
-    public contract)."""
-    if redact_columns is not None and not redact_columns:
-        raise ValueError(
-            "redact_columns=[] is ambiguous: pass None for delete mode "
-            "or a non-empty column list for redact mode"
-        )
 
 
 def forget_table(

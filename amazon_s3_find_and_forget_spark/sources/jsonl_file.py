@@ -115,11 +115,9 @@ def rewrite_json_file(
     counts redacted rows. An explicit ``[]`` is refused (see
     rewrite_parquet_file: redact-nothing is never what the caller
     meant)."""
-    if redact_columns is not None and not redact_columns:
-        raise ValueError(
-            "redact_columns=[] is ambiguous: pass None for delete mode "
-            "or a non-empty column list for redact mode"
-        )
+    from . import check_redact_columns
+
+    check_redact_columns(redact_columns)
     compressed = in_path.endswith(".gz")
     opener = gzip.open if compressed else open
     with opener(in_path, "rb") as f:

@@ -263,11 +263,9 @@ def rewrite_parquet_file(
     intact while still reporting it deleted, and a caller who built an
     empty column list almost certainly meant delete mode.
     """
-    if redact_columns is not None and not redact_columns:
-        raise ValueError(
-            "redact_columns=[] is ambiguous: pass None for delete mode "
-            "or a non-empty column list for redact mode"
-        )
+    from . import check_redact_columns
+
+    check_redact_columns(redact_columns)
     pf = pq.ParquetFile(in_path)
     schema = pf.schema_arrow.remove_metadata()
     processed = pf.metadata.num_rows

@@ -6,6 +6,7 @@
 set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 SF_DIR="${SPARK_GRAFT_SMOKE_SF:-/root/testdata/sf0.001}"
 WORK="$(mktemp -d /tmp/s3f2-smoke-XXXXXX)"
 trap 'rm -rf "$WORK"' EXIT
@@ -58,5 +59,13 @@ doc = json.loads(sys.argv[1])
 assert doc["DryRun"] is True
 assert doc["Mappers"]["lineitem"]["AffectedFiles"] == 0, doc
 print("SMOKE OK: post-delete dry-run finds 0 affected files")
+PY
+# the dry-run must not have touched the persistent deletion queue
+QOUT="$(python3 -m amazon_s3_find_and_forget_spark --state-dir "$WORK/state" list-queue 2>/dev/null | tail -1)"
+python3 - "$QOUT" <<'PY'
+import json, sys
+q = json.loads(sys.argv[1])
+assert q == [], f"dry-run leaked into the deletion queue: {q}"
+print("SMOKE OK: dry-run left the deletion queue empty")
 PY
 echo "ALL SMOKE CHECKS PASSED"

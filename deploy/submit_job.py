@@ -75,8 +75,6 @@ def main(argv=None):
         name, cfg = parse_mapper(spec)
         eng.put_data_mapper(name, cfg)
 
-    eng.enqueue_matches([{"MatchId": m} for m in args.match_id])
-
     if args.dry_run:
         from amazon_s3_find_and_forget_spark.matches import (
             QueueItem,
@@ -102,6 +100,10 @@ def main(argv=None):
         print(json.dumps({"DryRun": True, "Mappers": counts}))
         return 0
 
+    # enqueue ONLY on the real path: a dry run must leave the persistent
+    # deletion queue untouched, or a later unrelated submit would delete
+    # data the operator merely previewed
+    eng.enqueue_matches([{"MatchId": m} for m in args.match_id])
     job = eng.process_queue()
     print(json.dumps(job))
     return 0 if job.get("JobStatus") == "COMPLETED" else 1

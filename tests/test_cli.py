@@ -431,6 +431,12 @@ def test_cli_compact_index_folds_screen_deltas(spark, tmp_path, capsys):
     dirs = os.listdir(index)
     assert len(dirs) == 1 and dirs[0].startswith("batch=base-")
 
+    # scheduled compaction must CONVERGE: re-running over a base-only
+    # index is a no-op, not a full-index rewrite under a new digest
+    c2 = run(capsys, *base, "compact-index", "--index-dir", index)
+    assert (c2["FoldedDirs"], c2["RemovedDirs"]) == (0, 0)
+    assert os.listdir(index) == dirs
+
     # a third screen against the folded base: alpha/gamma still seen
     b2 = str(tmp_path / "b2")
     spark.createDataFrame(
@@ -449,3 +455,35 @@ def test_cli_compact_index_folds_screen_deltas(spark, tmp_path, capsys):
             "--input", b2, "--index-dir", index, "--novel-out", novel,
             "--batch-id", "base-evil",
         ])
+
+
+def test_cli_dedup_screen_excludes_uncommitted_partition(
+    spark, tmp_path, capsys
+):
+    """A markerless (crashed, half-written) batch partition must not
+    screen a later run: a retry whose input was re-staged (fresh
+    mtimes -> new fingerprint digest) would otherwise match its own
+    first attempt's partial delta and silently drop its documents."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    index = str(tmp_path / "idx")
+    novel = str(tmp_path / "novel")
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b1)
+
+    # simulate the crashed first attempt: its delta has committed-looking
+    # part files but no _SUCCESS, under a DIFFERENT digest than the retry
+    from amazon_s3_find_and_forget_spark.operators import incremental as inc
+
+    docs = spark.read.parquet(b1)
+    inc.exact_index(docs).write.parquet(f"{index}/batch=deadbeef00000001")
+    os.remove(os.path.join(index, "batch=deadbeef00000001", "_SUCCESS"))
+
+    r = run(capsys, *base, "dedup-screen", "--input", b1,
+            "--index-dir", index, "--novel-out", novel)
+    # both docs are novel: the partial partition was excluded
+    assert (r["NovelRows"], r["IndexRowsAdded"]) == (2, 2)
+    kept = sorted(x["doc_id"] for x in spark.read.parquet(novel).collect())
+    assert kept == [1, 2]

@@ -393,7 +393,15 @@ def test_compact_index_crash_between_write_and_delete(spark, tmp_path):
 
     stats2 = inc.compact_index(spark, index_dir, upto=1)
     assert stats2["BaseRows"] == 2  # deduped by content_hash
-    assert sorted(os.listdir(index_dir)) == ["batch_id=-2"]
+    # the refold writes a FRESH base strictly below every existing
+    # partition — never in-place over the committed -2, whose rows'
+    # source deltas are already gone (a crashed in-place rewrite would
+    # lose them permanently)
+    assert sorted(os.listdir(index_dir)) == ["batch_id=-3"]
+    # and a further run with nothing new converges to a no-op
+    stats3 = inc.compact_index(spark, index_dir, upto=1)
+    assert (stats3["FoldedDirs"], stats3["RemovedDirs"]) == (0, 0)
+    assert sorted(os.listdir(index_dir)) == ["batch_id=-3"]
     shutil.rmtree(index_dir)
 
 
@@ -412,7 +420,8 @@ def test_compact_index_excludes_partial_base_write(spark, tmp_path):
 
     stats = inc.compact_index(spark, index_dir, upto=1)
     assert stats["BaseRows"] == 2 and stats["FoldedDirs"] == 2
-    assert sorted(os.listdir(index_dir)) == ["batch_id=-2"]
+    # fresh name below the (discarded) partial -2
+    assert sorted(os.listdir(index_dir)) == ["batch_id=-3"]
     rows = spark.read.parquet(index_dir).drop("batch_id").collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2]
 

@@ -145,6 +145,8 @@ def main():
     json_path = None
     if "--json" in raw:
         i = raw.index("--json")
+        if i + 1 >= len(raw):
+            sys.exit("usage: --json PATH (missing path)")
         json_path = raw[i + 1]
         raw = raw[:i] + raw[i + 2:]
     args = [a for a in raw if a != "--builder-session"]
