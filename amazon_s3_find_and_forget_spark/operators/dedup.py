@@ -364,21 +364,25 @@ def optimal_bands(num_perm: int, threshold: float) -> int:
     """Threshold-tuned LSH banding: the band count whose collision
     S-curve midpoint t* = (1/b)^(1/r) sits closest BELOW ``threshold``.
 
-    Banding is a filter in front of an exact inline verify, so a t*
-    below the threshold costs only extra verify work (false candidates)
-    while a t* above it costs RECALL (true pairs that never collide) —
-    hence "largest r with t* <= threshold", the recall-safe side of the
-    standard b,r optimization. The round-11 profile made the stakes
-    concrete: at threshold 0.8, the old fixed b=16 (r=4, t*=0.5)
-    generated 10.3M candidate rows from 50k sf1 docs — 99.96 % rejected
-    by the verify — and the verify was ~55 % of the whole survivors
-    query; t*-matched banding (r=8, t*=0.77) is 2.3x faster end-to-end
-    with measured recall/precision 1.0 on the exact-Jaccard baseline
-    (tools/ab_minhash_presets.py). Every threshold-bearing entry point
-    defaults ``bands=None`` -> this; pass ``bands`` explicitly to pin a
-    layout (e.g. comparing against an index screened at other
-    parameters — band keys are derived at call time, so persisted
-    signature indexes remain valid under ANY bands choice)."""
+    Banding is a filter in front of the inline agreement verify, and the
+    two are CORRELATED (both read the same signature), so the honest
+    quality metric is end-to-end detection P(collide AND est >=
+    threshold), simulated exactly for (64, 0.8) over 200k signature
+    draws (round 11): r=8/b=8 vs the old fixed r=4/b=16 detects
+    44.1 % vs 47.3 % at true J=0.8, 81.2 % vs 84.4 % at 0.85, 98.1 %
+    vs 99.0 % at 0.9, identical >= 0.95 — at the threshold boundary the
+    64-perm ESTIMATOR is the coin flip (it rejects half of true-J=0.8
+    pairs under ANY banding), and tighter banding costs at most ~3
+    points of it. What r=8 buys: at threshold 0.8 the old r=4
+    (t*=0.5) generated 10.3M candidates from 50k sf1 docs — 99.96 %
+    verify-rejected, ~55 % of the whole survivors query — and
+    t*-matched banding is 2.3x faster end-to-end with measured
+    recall/precision 1.0 on the exact-Jaccard baseline
+    (tools/ab_minhash_presets.py). Raise num_perm (sharper estimator
+    AND sharper banding) when boundary pairs matter; every
+    threshold-bearing entry point defaults ``bands=None`` -> this, and
+    an explicit ``bands`` pins a layout (band keys derive at call time,
+    so persisted signature indexes remain valid under ANY choice)."""
     best_r = 1  # r=1: t* = 1/num_perm, below any sane threshold
     for r in range(2, num_perm + 1):
         if num_perm % r:
