@@ -249,3 +249,76 @@ def index_near_dedup_stream(
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,
     )
+
+
+def index_embedding_dedup_stream(
+    spark,
+    vecs_dir: str,
+    schema,
+    index_dir: str,
+    novel_dir: str,
+    checkpoint: str,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 10,
+    n_tables: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Embedding sibling of ``index_near_dedup_stream``: the lake index
+    holds LSH-keyed unit vectors (``incremental.embedding_index``) and
+    each micro-batch screens through ``incremental_embedding_dedup``
+    (exploded batch keys broadcast into the index scan, exact-cosine
+    verify inline — precision 1.0, the index never shuffles). Completes
+    the screen trio (exact / MinHash text / embedding) under ONE
+    retry/ordering protocol (``_index_screen_stream``), so a multimodal
+    ingest can run all three against the same checkpointed stream
+    machinery.
+
+    The hyperplane family is a pure function of ``(dim, bits, seed)``,
+    so an index built by earlier runs and a batch keyed by this one
+    land in the same buckets; the dim/n_tables compat probe runs on the
+    first micro-batch of each stream run and latches once it has seen
+    real index data (same latch rule as the MinHash screen: an empty
+    view passes vacuously and must keep probing).
+    """
+    from ..operators import incremental as inc
+
+    compat_checked = {"done": False}
+
+    def screen(b, idx):
+        check = not compat_checked["done"]
+        out = inc.incremental_embedding_dedup(
+            b,
+            idx,
+            dim,
+            threshold=threshold,
+            bits=bits,
+            n_tables=n_tables,
+            emb_col=emb_col,
+            id_col=id_col,
+            seed=seed,
+            check_compat=check,
+        )
+        if check and idx.where(F.col("_u").isNotNull()).head(1):
+            compat_checked["done"] = True
+        return out
+
+    return _index_screen_stream(
+        spark,
+        vecs_dir,
+        schema,
+        index_dir,
+        novel_dir,
+        checkpoint,
+        empty_index=lambda b: inc.embedding_index(
+            b.limit(0), dim, bits, n_tables, emb_col, id_col, seed
+        ),
+        screen=screen,
+        index_cols=["_id", "_u", "_k"],
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+    )

@@ -1113,3 +1113,58 @@ def test_streaming_screen_feeds_redact_forget(spark, tmp_path):
     assert got[2] == ("known doc beta", "b@x")
     assert got[10] == ("known doc alpha", "dup@x")
     assert len(got) == 5
+
+
+def test_index_embedding_dedup_stream_screens_and_compacts(spark, tmp_path):
+    """Embedding screen completes the streaming trio: later micro-batches
+    drop near-duplicate vectors (cosine >= threshold) of indexed ones,
+    the index compacts protocol-aware mid-stream, and the screen stays
+    exact across the restart."""
+    from amazon_s3_find_and_forget_spark.operators.incremental import (
+        compact_index,
+    )
+    from amazon_s3_find_and_forget_spark.streaming import dedup as sdedup
+
+    src = str(tmp_path / "vec-in")
+    os.makedirs(src)
+    schema = "vec_id long, embedding array<float>"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+
+    def drain():
+        sdedup.index_embedding_dedup_stream(
+            spark, src + "/*", schema, index_dir, novel_dir,
+            str(tmp_path / "ckpt"), dim=4, threshold=0.95,
+            max_files_per_trigger=1,
+        ).awaitTermination()
+
+    index_dir = str(tmp_path / "vidx")
+    novel_dir = str(tmp_path / "vnovel")
+    land("f0", [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])])
+    land("f1", [
+        (10, [0.99, 0.05, 0.0, 0.0]),   # near-dup of 1 (cos ~0.999)
+        (11, [0.0, 0.0, 1.0, 0.0]),     # novel direction
+    ])
+    drain()
+    novel = spark.read.parquet(novel_dir)
+    assert sorted(r["vec_id"] for r in novel.collect()) == [1, 2, 11]
+
+    stats = compact_index(
+        spark, index_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert stats["BaseRows"] == 3
+    assert sorted(
+        d for d in os.listdir(index_dir) if d.startswith("batch")
+    ) == ["batch_id=-2"]
+
+    # restart over the compacted index: re-landed directions screen out
+    land("f2", [
+        (20, [0.0, 0.0, 0.98, 0.02]),   # near-dup of 11
+        (21, [0.0, 0.0, 0.0, 1.0]),     # novel
+    ])
+    drain()
+    novel2 = spark.read.parquet(novel_dir)
+    assert sorted(r["vec_id"] for r in novel2.collect()) == [1, 2, 11, 21]
