@@ -266,11 +266,16 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--input", required=True, help="arriving batch (parquet)")
     ds.add_argument("--index-dir", required=True)
     ds.add_argument("--novel-out", required=True)
-    ds.add_argument("--mode", default="exact", choices=["exact", "minhash"])
+    ds.add_argument("--mode", default="exact",
+                    choices=["exact", "minhash", "embedding"])
     ds.add_argument("--text-column", default="text")
     ds.add_argument("--id-column", default="doc_id")
-    ds.add_argument("--threshold", type=float, default=0.8,
-                    help="minhash similarity threshold")
+    ds.add_argument("--threshold", type=float, default=None,
+                    help="similarity threshold (minhash default 0.8, "
+                    "embedding cosine default 0.95)")
+    ds.add_argument("--embedding-column", default="embedding")
+    ds.add_argument("--dim", type=int, default=None,
+                    help="vector dimension (required for --mode embedding)")
     ds.add_argument(
         "--batch-id",
         default=None,
@@ -556,11 +561,13 @@ def main(argv: list[str] | None = None) -> int:
             digest = hashlib.md5(
                 "\n".join([real] + entries).encode()
             ).hexdigest()[:16]
-        index_cols = (
-            ["content_hash", args.id_column]
-            if args.mode == "exact"
-            else ["_id", "_sig"]
-        )
+        if args.mode == "embedding" and args.dim is None:
+            p.error("--mode embedding requires --dim")
+        index_cols = {
+            "exact": ["content_hash", args.id_column],
+            "minhash": ["_id", "_sig"],
+            "embedding": ["_id", "_u", "_k"],
+        }[args.mode]
         # UNCOMMITTED partitions never screen: a crashed earlier run can
         # leave a markerless batch=<d1> dir with footer-bearing part
         # files, and a retry that maps to a DIFFERENT digest (e.g. the
@@ -603,19 +610,35 @@ def main(argv: list[str] | None = None) -> int:
                 else inc.minhash_index(
                     batch.limit(0), args.text_column, args.id_column
                 )
+                if args.mode == "minhash"
+                else inc.embedding_index(
+                    batch.limit(0), args.dim,
+                    emb_col=args.embedding_column, id_col=args.id_column,
+                )
             ),
         )
         if args.mode == "exact":
             novel, delta = inc.incremental_exact_dedup(
                 batch, index, args.text_column, args.id_column
             )
-        else:
+        elif args.mode == "minhash":
             novel, delta = inc.incremental_minhash_dedup(
                 batch,
                 index,
                 args.text_column,
                 args.id_column,
-                threshold=args.threshold,
+                threshold=args.threshold if args.threshold is not None
+                else 0.8,
+            )
+        else:
+            novel, delta = inc.incremental_embedding_dedup(
+                batch,
+                index,
+                args.dim,
+                threshold=args.threshold if args.threshold is not None
+                else 0.95,
+                emb_col=args.embedding_column,
+                id_col=args.id_column,
             )
         novel.write.mode("overwrite").parquet(
             f"{args.novel_out}/batch={digest}"

@@ -487,3 +487,41 @@ def test_cli_dedup_screen_excludes_uncommitted_partition(
     assert (r["NovelRows"], r["IndexRowsAdded"]) == (2, 2)
     kept = sorted(x["doc_id"] for x in spark.read.parquet(novel).collect())
     assert kept == [1, 2]
+
+
+def test_cli_dedup_screen_embedding_mode(spark, tmp_path, capsys):
+    """--mode embedding completes the CLI screen trio: the second batch's
+    near-duplicate vectors (cosine >= threshold) of indexed ones are
+    dropped; the index delta is LSH-keyed unit vectors."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    index = str(tmp_path / "vidx")
+    novel = str(tmp_path / "vnovel")
+    schema = "vec_id long, embedding array<float>"
+    b1 = str(tmp_path / "vb1")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])], schema
+    ).coalesce(1).write.parquet(b1)
+    b2 = str(tmp_path / "vb2")
+    spark.createDataFrame(
+        [(10, [0.99, 0.05, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])], schema
+    ).coalesce(1).write.parquet(b2)
+
+    r1 = run(capsys, *base, "dedup-screen", "--mode", "embedding",
+             "--dim", "4", "--id-column", "vec_id",
+             "--input", b1, "--index-dir", index, "--novel-out", novel)
+    assert (r1["NovelRows"], r1["IndexRowsAdded"]) == (2, 2)
+    r2 = run(capsys, *base, "dedup-screen", "--mode", "embedding",
+             "--dim", "4", "--id-column", "vec_id",
+             "--input", b2, "--index-dir", index, "--novel-out", novel)
+    assert (r2["NovelRows"], r2["IndexRowsAdded"]) == (1, 1)
+    kept = sorted(x["vec_id"] for x in spark.read.parquet(novel).collect())
+    assert kept == [1, 2, 11]
+
+    # --dim is required in embedding mode
+    with pytest.raises(SystemExit):
+        main([
+            "--state-dir", state, "--cpus", "4", "dedup-screen",
+            "--mode", "embedding", "--input", b2,
+            "--index-dir", index, "--novel-out", novel,
+        ])
