@@ -91,6 +91,7 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "text_exact_mixture",
     "text_fingerprint",
     "text_pack",
     "tpch_q10",

@@ -92,6 +92,16 @@ def q_text_mixture(spark, sf_dir):
     ).select("doc_id", "source", "copy")
 
 
+def q_text_exact_mixture(spark, sf_dir):
+    """Exact-count mixture: remix languages to fixed integer budgets
+    (en capped hard, zh kept whole via an over-budget target, fr
+    whitelisted out) by deterministic hash rank — full value oracle."""
+    docs = load(spark, sf_dir, "documents")
+    return text.exact_mixture_sample(
+        docs, {"en": 50, "es": 20, "de": 15, "zh": 10_000}
+    ).select("doc_id", "lang")
+
+
 def q_documents_source_rollup(spark, sf_dir):
     """Per-source corpus health rollup — operator COMPOSITION: the
     quality and token-count transforms feed one grouped aggregate, all
@@ -245,6 +255,7 @@ QUERIES = {
     "text_curation_pipeline": q_text_curation_pipeline,
     "text_repetition": q_text_repetition,
     "text_mixture": q_text_mixture,
+    "text_exact_mixture": q_text_exact_mixture,
     "text_token_count": q_text_token_count,
     "text_length_percentiles": q_text_length_percentiles,
     "text_chunks": q_text_chunks,
@@ -396,6 +407,19 @@ ORACLES = {
         SELECT doc_id, source,
                CAST(unnest(generate_series(1, nc)) AS BIGINT) AS copy
         FROM n WHERE nc > 0
+    """,
+    "text_exact_mixture": """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ) <= CASE lang
+                 WHEN 'en' THEN 50
+                 WHEN 'es' THEN 20
+                 WHEN 'de' THEN 15
+                 WHEN 'zh' THEN 10000
+                 ELSE 0
+               END
     """,
     "text_token_count": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

@@ -512,9 +512,9 @@ def _hash_rank_sample(
     """Shared skew-safe engine for ``stratified_sample`` / ``balanced_sample``.
 
     Semantics (unchanged from the single-window formulation): per
-    stratum, keep the ``target_of_count(|stratum|)`` rows with the
-    smallest ``(md5(key||salt), key)`` — a pure function of the data,
-    so every run and every engine draws the identical sample.
+    stratum, keep the ``target_of_count(|stratum|, stratum)`` rows with
+    the smallest ``(md5(key||salt), key)`` — a pure function of the
+    data, so every run and every engine draws the identical sample.
 
     Scale shape (round-10 redesign; supersedes the round-8
     approx-percentile prefilter, whose rank window still serialized
@@ -604,7 +604,7 @@ def _hash_rank_sample(
     targets_rows = []
     for r in counts:
         cnt = int(r["_cnt"])
-        target = min(cnt, int(target_of_count(cnt)))
+        target = min(cnt, int(target_of_count(cnt, r["_stratum"])))
         st = {"stratum": r["_stratum"], "cnt": cnt, "target": target,
               "keepall": target >= cnt}
         if not st["keepall"]:
@@ -798,7 +798,7 @@ def stratified_sample(
         key_col,
         salt,
         # same double arithmetic as the old F.ceil(_sz * lit(fraction))
-        lambda cnt: math.ceil(cnt * fraction),
+        lambda cnt, _s: math.ceil(cnt * fraction),
         max_strata=max_strata,
     )
 
@@ -827,7 +827,50 @@ def balanced_sample(
         strata_col,
         key_col,
         salt,
-        lambda cnt: n_per_stratum,
+        lambda cnt, _s: n_per_stratum,
+        max_strata=max_strata,
+    )
+
+
+def exact_mixture_sample(
+    df: DataFrame,
+    targets: dict,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    max_strata: int = 10_000,
+) -> DataFrame:
+    """Exact-count training-mix sampling: draw EXACTLY
+    ``targets[stratum]`` rows per stratum (capped at the stratum size),
+    chosen by the same deterministic hash rank as
+    ``stratified_sample``. The downsampling complement of
+    ``mixture_sample`` below: that one materializes RATES (in
+    expectation, with upsampling by replication); this one hits integer
+    row budgets exactly — the "remix to target source proportions under
+    a fixed token budget" step of corpus assembly, with cross-engine-
+    replayable membership.
+
+    ``targets`` maps stratum VALUES to integer row counts; strata
+    absent from it contribute nothing (a whitelist, so the same call
+    also filters sources out of the mix). Integer targets are the API
+    on purpose: deriving them from float weights invites the
+    ``ceil(200 * 0.3) == 61`` float trap — callers converting weights
+    should do exact arithmetic (``Fraction``) or accept their own
+    rounding. Same skew-safe two-phase plan as the other samplers
+    (definite map-only admit below the exact histogram boundary; only
+    the ~|stratum|/grid boundary bucket is windowed).
+    """
+    bad = {s: t for s, t in targets.items() if int(t) != t or t < 0}
+    if bad:
+        raise ValueError(
+            f"mixture targets must be non-negative integers: {bad}"
+        )
+    return _hash_rank_sample(
+        df,
+        strata_col,
+        key_col,
+        salt,
+        lambda cnt, s: int(targets.get(s, 0)),
         max_strata=max_strata,
     )
 

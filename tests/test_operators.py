@@ -1783,7 +1783,7 @@ def test_sample_refinement_bounds_huge_boundary_buckets(spark):
             "lang",
             "doc_id",
             "",
-            lambda cnt: 5_000,
+            lambda cnt, _s: 5_000,
             grid=16,
             boundary_budget=100,
             max_refine=3,

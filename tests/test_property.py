@@ -445,6 +445,7 @@ def _expected_sample(rows, target_of_count, salt=""):
         return ("NULL",) if s is None else ("V", s)
 
     by_stratum = defaultdict(list)
+    raw_stratum = {}
     for key, stratum in rows:
         h = (
             hashlib.md5((str(key) + salt).encode()).hexdigest()
@@ -452,6 +453,7 @@ def _expected_sample(rows, target_of_count, salt=""):
             else None
         )
         by_stratum[skey(stratum)].append((key, h))
+        raw_stratum[skey(stratum)] = stratum
     keep = []
     for srt, members in by_stratum.items():
         members.sort(
@@ -460,7 +462,10 @@ def _expected_sample(rows, target_of_count, salt=""):
                 (0,) if kh[0] is None else (1, kh[0]),
             )
         )
-        target = min(len(members), int(target_of_count(len(members))))
+        target = min(
+            len(members),
+            int(target_of_count(len(members), raw_stratum[srt])),
+        )
         keep += [(k, srt) for k, _ in members[: max(target, 0)]]
     return sorted(keep, key=str)
 
@@ -498,9 +503,9 @@ def test_hash_rank_sample_equals_naive_rank_model(spark):
         df = spark.createDataFrame(rows, "key long, stratum string")
         kind, val = targets[case % len(targets)]
         fn = (
-            (lambda c, v=val: m.ceil(c * v))
+            (lambda c, s, v=val: m.ceil(c * v))
             if kind == "frac"
-            else (lambda c, v=val: v)
+            else (lambda c, s, v=val: v)
         )
         grid = rng.choice([4, 1024])
         got = sorted(
@@ -524,10 +529,25 @@ def test_hash_rank_sample_equals_naive_rank_model(spark):
           "__NaN__" if r["stratum"] is not None and m.isnan(r["stratum"])
           else (("NULL",) if r["stratum"] is None else ("V", r["stratum"])))
          for r in text._hash_rank_sample(
-             df, "stratum", "key", "", lambda c: m.ceil(c * 0.5),
+             df, "stratum", "key", "", lambda c, s: m.ceil(c * 0.5),
              grid=4, boundary_budget=4,
          ).collect()),
         key=str,
     )
-    want = _expected_sample(rows, lambda c: m.ceil(c * 0.5))
+    want = _expected_sample(rows, lambda c, s: m.ceil(c * 0.5))
+    assert got == want
+
+    # per-stratum integer targets (the mixture sampler): the whitelist
+    # semantics and exact counts must match the naive model too
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "key long, stratum string")
+    targets = {"s0": 7, "s1": 0, "s2": 10**6}
+    got = sorted(
+        ((r["key"], ("V", r["stratum"]))
+         for r in text.exact_mixture_sample(
+             df, targets, strata_col="stratum", key_col="key"
+         ).collect()),
+        key=str,
+    )
+    want = _expected_sample(rows, lambda c, s: targets.get(s, 0))
     assert got == want
