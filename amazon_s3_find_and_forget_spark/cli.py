@@ -276,6 +276,17 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--embedding-column", default="embedding")
     ds.add_argument("--dim", type=int, default=None,
                     help="vector dimension (required for --mode embedding)")
+    ds.add_argument("--bits", type=int, default=10,
+                    help="hyperplane bits per LSH table (embedding mode); "
+                    "MUST match what the index was built with — a "
+                    "bits/seed mismatch is undetectable from the keys "
+                    "and silently loses recall")
+    ds.add_argument("--tables", type=int, default=8,
+                    help="LSH tables (embedding mode); must match the "
+                    "index (table-count mismatches ARE detected)")
+    ds.add_argument("--lsh-seed", type=int, default=42,
+                    help="hyperplane seed (embedding mode); must match "
+                    "the index — mismatches are undetectable, see --bits")
     ds.add_argument(
         "--batch-id",
         default=None,
@@ -612,10 +623,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if args.mode == "minhash"
                 else inc.embedding_index(
-                    batch.limit(0), args.dim,
+                    batch.limit(0), args.dim, args.bits, args.tables,
                     emb_col=args.embedding_column, id_col=args.id_column,
+                    seed=args.lsh_seed,
                 )
             ),
+        )
+        threshold = (
+            args.threshold
+            if args.threshold is not None
+            else {"exact": 0.0, "minhash": 0.8, "embedding": 0.95}[args.mode]
         )
         if args.mode == "exact":
             novel, delta = inc.incremental_exact_dedup(
@@ -627,16 +644,17 @@ def main(argv: list[str] | None = None) -> int:
                 index,
                 args.text_column,
                 args.id_column,
-                threshold=args.threshold if args.threshold is not None
-                else 0.8,
+                threshold=threshold,
             )
         else:
             novel, delta = inc.incremental_embedding_dedup(
                 batch,
                 index,
                 args.dim,
-                threshold=args.threshold if args.threshold is not None
-                else 0.95,
+                threshold=threshold,
+                bits=args.bits,
+                n_tables=args.tables,
+                seed=args.lsh_seed,
                 emb_col=args.embedding_column,
                 id_col=args.id_column,
             )

@@ -772,6 +772,28 @@ def simhash_near_duplicates(
     1..max the two distinct values share >= 3 intact blocks (the Manku
     guarantee), so the value pair is found, verified with the same
     bit_count(xor), and expanded to every member pair exactly once."""
+    # persist the PRE-explode relation (one 16-byte row per doc — the only
+    # thing worth caching at 100 TB); the distinct-value relation feeds
+    # both sides of the combination self-join, so it persists too. Lazy:
+    # the single _eager job below populates both on first access.
+    sh = with_simhash(df, text_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash")
+    ).persist()
+    values = sh.select("simhash").distinct().persist()
+    try:
+        return _eager(_simhash_pair_plan(sh, values, max_hamming))
+    finally:
+        sh.unpersist()
+        values.unpersist()
+
+
+def _simhash_pair_plan(
+    sh: DataFrame, values: DataFrame, max_hamming: int
+) -> DataFrame:
+    """The LAZY pair plan over a ``(_id, simhash)`` relation and its
+    distinct values — split out so the plan-shape test pins the
+    PRODUCTION plan (``simhash_near_duplicates`` eagerly checkpoints its
+    result, which discards the lineage a test could inspect)."""
     from itertools import combinations
 
     blocks, m = _block_plan(max_hamming)
@@ -787,70 +809,58 @@ def simhash_near_duplicates(
         F.xxhash64(F.lit(ci), *[block_col(i) for i in combo])
         for ci, combo in enumerate(combos)
     ]
-    # persist the PRE-explode relation (one 16-byte row per doc — the only
-    # thing worth caching at 100 TB); the distinct-value relation feeds
-    # both sides of the combination self-join, so it persists too. Lazy:
-    # the single _eager job below populates both on first access.
-    sh = with_simhash(df, text_col).select(
-        F.col(id_col).alias("_id"), F.col("simhash")
-    ).persist()
-    values = sh.select("simhash").distinct().persist()
-    try:
-        keyed = values.select(
-            "simhash", F.explode(F.array(*keys)).alias("bucket")
+    keyed = values.select(
+        "simhash", F.explode(F.array(*keys)).alias("bucket")
+    )
+    a = keyed.select(F.col("simhash").alias("_sha"), "bucket")
+    b = keyed.select(F.col("simhash").alias("_shb"), "bucket")
+    # verified near-dup VALUE pairs (hamming 1..max): bucket
+    # self-join streams + spills (no O(s^2) per-bucket array);
+    # groupBy-min dedupes multi-bucket re-collisions map-side
+    vpairs = (
+        a.join(b, "bucket")
+        .where(F.col("_sha") < F.col("_shb"))
+        .select(
+            "_sha",
+            "_shb",
+            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias(
+                "hamming"
+            ),
         )
-        a = keyed.select(F.col("simhash").alias("_sha"), "bucket")
-        b = keyed.select(F.col("simhash").alias("_shb"), "bucket")
-        # verified near-dup VALUE pairs (hamming 1..max): bucket
-        # self-join streams + spills (no O(s^2) per-bucket array);
-        # groupBy-min dedupes multi-bucket re-collisions map-side
-        vpairs = (
-            a.join(b, "bucket")
-            .where(F.col("_sha") < F.col("_shb"))
-            .select(
-                "_sha",
-                "_shb",
-                F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias(
-                    "hamming"
-                ),
-            )
-            .where(F.col("hamming") <= max_hamming)
-            .groupBy("_sha", "_shb")
-            .agg(F.min("hamming").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("_sha", "_shb")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+    same = (
+        sh.select(F.col("_id").alias("id_a"), "simhash")
+        .join(sh.select(F.col("_id").alias("id_b"), "simhash"), "simhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.lit(0).cast("integer").alias("hamming"),
         )
-        same = (
-            sh.select(F.col("_id").alias("id_a"), "simhash")
-            .join(sh.select(F.col("_id").alias("id_b"), "simhash"), "simhash")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a", "id_b",
-                F.lit(0).cast("integer").alias("hamming"),
-            )
+    )
+    # expansion: each unordered doc pair appears exactly once (the
+    # value pair is ordered; members cross-product once), so no
+    # post-dedup is needed — least/greatest only canonicalizes ids
+    cross = (
+        vpairs.join(
+            sh.select(F.col("_id").alias("ida"),
+                      F.col("simhash").alias("_sha")),
+            "_sha",
         )
-        # expansion: each unordered doc pair appears exactly once (the
-        # value pair is ordered; members cross-product once), so no
-        # post-dedup is needed — least/greatest only canonicalizes ids
-        cross = (
-            vpairs.join(
-                sh.select(F.col("_id").alias("ida"),
-                          F.col("simhash").alias("_sha")),
-                "_sha",
-            )
-            .join(
-                sh.select(F.col("_id").alias("idb"),
-                          F.col("simhash").alias("_shb")),
-                "_shb",
-            )
-            .select(
-                F.least("ida", "idb").alias("id_a"),
-                F.greatest("ida", "idb").alias("id_b"),
-                "hamming",
-            )
+        .join(
+            sh.select(F.col("_id").alias("idb"),
+                      F.col("simhash").alias("_shb")),
+            "_shb",
         )
-        return _eager(same.unionByName(cross))
-    finally:
-        sh.unpersist()
-        values.unpersist()
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 # --------------------------------------------------------------------------

@@ -839,6 +839,7 @@ def exact_mixture_sample(
     key_col: str = "doc_id",
     salt: str = "",
     max_strata: int = 10_000,
+    missing_ok: bool = False,
 ) -> DataFrame:
     """Exact-count training-mix sampling: draw EXACTLY
     ``targets[stratum]`` rows per stratum (capped at the stratum size),
@@ -859,13 +860,26 @@ def exact_mixture_sample(
     rounding. Same skew-safe two-phase plan as the other samplers
     (definite map-only admit below the exact histogram boundary; only
     the ~|stratum|/grid boundary bucket is windowed).
+
+    A NONZERO target whose stratum does not exist in the data raises
+    (``missing_ok=True`` downgrades to allowed): a casing typo like
+    ``{"Es": 2000}`` would otherwise ship a mix silently missing the
+    whole class — the per-stratum counts are already on the driver, so
+    the check is free.
     """
-    bad = {s: t for s, t in targets.items() if int(t) != t or t < 0}
+    bad = {}
+    for st, t in targets.items():
+        try:
+            ok = float(t) == int(t) and int(t) >= 0
+        except (TypeError, ValueError, OverflowError):
+            ok = False
+        if not ok:
+            bad[st] = t
     if bad:
         raise ValueError(
             f"mixture targets must be non-negative integers: {bad}"
         )
-    return _hash_rank_sample(
+    out = _hash_rank_sample(
         df,
         strata_col,
         key_col,
@@ -873,6 +887,19 @@ def exact_mixture_sample(
         lambda cnt, s: int(targets.get(s, 0)),
         max_strata=max_strata,
     )
+    if not missing_ok:
+        observed = set(_LAST_SAMPLE_STATS)
+        missing = sorted(
+            str(s) for s, t in targets.items()
+            if int(t) > 0 and s not in observed
+        )
+        if missing:
+            raise ValueError(
+                f"mixture targets name strata absent from the data "
+                f"(typo? casing?): {missing}; pass missing_ok=True if "
+                "intentional"
+            )
+    return out
 
 
 def tfidf_top_terms(

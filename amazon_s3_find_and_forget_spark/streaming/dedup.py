@@ -178,6 +178,27 @@ def index_dedup_stream(
     )
 
 
+def _compat_latched(dedup_fn, probe_col: str):
+    """One parameter-compat probe per stream RUN, shared by the
+    signature and embedding screens: probe on the first micro-batch,
+    latch ONLY once real index data was verified — an empty index view
+    (first batch, or a restart landing at batch 0 over surviving
+    later-batch deltas) passes vacuously and must keep probing until
+    actual data is seen. ``dedup_fn(batch, index, check)`` runs the
+    screen with the probe toggled; ``probe_col`` is the index column
+    whose non-null presence proves the probe saw data."""
+    state = {"done": False}
+
+    def screen(b, idx):
+        check = not state["done"]
+        out = dedup_fn(b, idx, check)
+        if check and idx.where(F.col(probe_col).isNotNull()).head(1):
+            state["done"] = True
+        return out
+
+    return screen
+
+
 def index_near_dedup_stream(
     spark,
     docs_dir: str,
@@ -208,15 +229,12 @@ def index_near_dedup_stream(
     runs on the FIRST micro-batch of each stream run only: within a
     run the parameters are fixed and every appended delta is built
     with them, so re-probing per batch buys nothing; a restart from
-    the checkpoint re-probes once.
+    the checkpoint re-probes once (latch rule: ``_compat_latched``).
     """
     from ..operators import incremental as inc
 
-    compat_checked = {"done": False}
-
-    def screen(b, idx):
-        check = not compat_checked["done"]
-        out = inc.incremental_minhash_dedup(
+    screen = _compat_latched(
+        lambda b, idx, check: inc.incremental_minhash_dedup(
             b,
             idx,
             text_col,
@@ -225,14 +243,9 @@ def index_near_dedup_stream(
             bands=bands,
             threshold=threshold,
             check_compat=check,
-        )
-        if check and idx.where(F.col("_sig").isNotNull()).head(1):
-            # latch ONLY when the probe saw a real signature: an empty
-            # index view (first batch, or a restart landing at batch 0
-            # over surviving later-batch deltas) passes vacuously and
-            # must keep probing until actual index data is verified
-            compat_checked["done"] = True
-        return out
+        ),
+        "_sig",
+    )
 
     return _index_screen_stream(
         spark,
@@ -280,18 +293,15 @@ def index_embedding_dedup_stream(
 
     The hyperplane family is a pure function of ``(dim, bits, seed)``,
     so an index built by earlier runs and a batch keyed by this one
-    land in the same buckets; the dim/n_tables compat probe runs on the
-    first micro-batch of each stream run and latches once it has seen
-    real index data (same latch rule as the MinHash screen: an empty
-    view passes vacuously and must keep probing).
+    land in the same buckets; the dim/n_tables compat probe follows the
+    shared ``_compat_latched`` rule. A ``bits``/``seed`` mismatch is
+    UNDETECTABLE from the keys (they are xxhash64 outputs) — match the
+    index's build parameters or lose recall silently.
     """
     from ..operators import incremental as inc
 
-    compat_checked = {"done": False}
-
-    def screen(b, idx):
-        check = not compat_checked["done"]
-        out = inc.incremental_embedding_dedup(
+    screen = _compat_latched(
+        lambda b, idx, check: inc.incremental_embedding_dedup(
             b,
             idx,
             dim,
@@ -302,10 +312,9 @@ def index_embedding_dedup_stream(
             id_col=id_col,
             seed=seed,
             check_compat=check,
-        )
-        if check and idx.where(F.col("_u").isNotNull()).head(1):
-            compat_checked["done"] = True
-        return out
+        ),
+        "_u",
+    )
 
     return _index_screen_stream(
         spark,

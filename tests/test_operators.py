@@ -1929,3 +1929,30 @@ def test_optimal_bands_threshold_tuning():
     # degenerate thresholds still produce a legal banding
     assert 64 % optimal_bands(64, 0.01) == 0
     assert 64 % optimal_bands(64, 1.0) == 0
+
+
+def test_exact_mixture_sample_guards(spark):
+    """Malformed targets raise the descriptive error (not a raw
+    TypeError from the validator itself), and a nonzero target naming a
+    stratum absent from the data fails loudly (casing typo -> a mix
+    silently missing a whole class) unless missing_ok."""
+    import pytest
+
+    from amazon_s3_find_and_forget_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "es") for i in range(20)],
+        "doc_id long, lang string",
+    )
+    for bad in ({"en": None}, {"en": float("nan")}, {"en": -1},
+                {"en": 2.5}, {"en": float("inf")}):
+        with pytest.raises(ValueError, match="non-negative integers"):
+            text.exact_mixture_sample(df, bad)
+    with pytest.raises(ValueError, match="absent from the data"):
+        text.exact_mixture_sample(df, {"en": 3, "Es": 2})
+    # zero targets for absent strata are a legal whitelist; missing_ok
+    # opts out of the check entirely
+    assert text.exact_mixture_sample(df, {"en": 3, "Es": 0}).count() == 3
+    assert text.exact_mixture_sample(
+        df, {"en": 3, "Es": 2}, missing_ok=True
+    ).count() == 3

@@ -386,66 +386,27 @@ def test_training_order_matches_naive_rank(spark, sf_dir):
 
 
 def test_simhash_value_join_plan_shape(spark, sf_dir):
-    """The round-11 simhash redesign's physical contract: the
-    combination join runs over DISTINCT simhash values and the verified
-    value pairs expand through the membership relation as equi-joins —
-    never a cartesian/nested-loop anywhere, so a mass-duplicated corpus
-    cannot blow the candidate relation back up through the plan."""
-    from itertools import combinations
-
+    """The round-11 simhash redesign's physical contract, pinned on the
+    PRODUCTION plan builder (_simhash_pair_plan — the public operator
+    eagerly checkpoints its result, discarding inspectable lineage):
+    the combination join runs over DISTINCT simhash values and the
+    verified value pairs expand through the membership relation as
+    equi-joins — never a cartesian/nested-loop anywhere, so a
+    mass-duplicated corpus cannot blow the candidate relation back up
+    through the plan."""
     from pyspark.sql import functions as F
 
     from amazon_s3_find_and_forget_spark.entry_queries import load
     from amazon_s3_find_and_forget_spark.operators import dedup as dd
 
     docs = load(spark, sf_dir, "documents")
-    blocks, m = dd._block_plan(3)
-    combos = list(combinations(range(len(blocks)), m))
-
-    def bc(i):
-        off, bits = blocks[i]
-        return F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-            F.lit((1 << bits) - 1)
-        )
-
-    keys = [
-        F.xxhash64(F.lit(ci), *[bc(i) for i in combo])
-        for ci, combo in enumerate(combos)
-    ]
     sh = dd.with_simhash(docs).select(
         F.col("doc_id").alias("_id"), "simhash"
     )
-    values = sh.select("simhash").distinct()
-    keyed = values.select(
-        "simhash", F.explode(F.array(*keys)).alias("bucket")
-    )
-    a = keyed.select(F.col("simhash").alias("_sha"), "bucket")
-    b = keyed.select(F.col("simhash").alias("_shb"), "bucket")
-    vp = (
-        a.join(b, "bucket")
-        .where(F.col("_sha") < F.col("_shb"))
-        .select(
-            "_sha", "_shb",
-            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias(
-                "hamming"
-            ),
-        )
-        .where(F.col("hamming") <= 3)
-        .groupBy("_sha", "_shb")
-        .agg(F.min("hamming").alias("hamming"))
-    )
-    cross = (
-        vp.join(
-            sh.select(F.col("_id").alias("ida"),
-                      F.col("simhash").alias("_sha")),
-            "_sha",
-        )
-        .join(
-            sh.select(F.col("_id").alias("idb"),
-                      F.col("simhash").alias("_shb")),
-            "_shb",
-        )
-    )
-    plan = cross._jdf.queryExecution().executedPlan().toString()
+    lazy = dd._simhash_pair_plan(sh, sh.select("simhash").distinct(), 3)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the combination join's inputs derive from the DISTINCT values
+    # relation: the plan must aggregate (distinct) before exploding
+    assert "HashAggregate" in plan and "Generate" in plan
