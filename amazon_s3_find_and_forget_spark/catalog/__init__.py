@@ -28,10 +28,10 @@ from .findforget import MATCH_ORDERKEYS  # noqa: F401
 _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 
 # The driver hash-gates the FIRST 50 registry entries each round; this
-# list IS the gate window. Round-11 rotation: round 10's two new rows
-# (text_train_order, text_curation_pipeline — judge-verified only, never
-# driver-gated) are promoted in; two long-stable r10-green rows
-# (text_fingerprint, text_pack) rotate out to the tail.
+# list IS the gate window. Round-12 rotation: round 11's new row
+# (text_exact_mixture — sweep/judge-verified, never driver-gated) is
+# promoted in; long-stable r11-green tpch_q8 rotates out to the tail
+# (still sweep-checked every round).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -56,7 +56,7 @@ GATE_ORDER = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
-    "tpch_q8",
+    "text_exact_mixture",
     "tpch_q9",
     "events_window_variants",
     "events_hourly",
@@ -91,7 +91,7 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
-    "text_exact_mixture",
+    "tpch_q8",
     "text_fingerprint",
     "text_pack",
     "tpch_q10",
