@@ -434,13 +434,15 @@ _BOUNDARY_BUDGET = 2_000_000
 _MAX_REFINE = 3
 _HSPACE = 16**15  # the hash-prefix domain: 15 hex chars = 60 bits
 
-# Observability seam (read by tests and operators-level tooling): after
-# each _hash_rank_sample call, per-stratum {stratum: (count, target,
-# admitted, window_rows)} for the most recent invocation — ``admitted``
-# is the prefilter survivor count (definite + boundary), ``window_rows``
-# the rows that actually enter the rank window (the boundary bucket
-# only; 0 for keep-all strata). Proves the window input stayed bounded
-# without re-deriving the plan.
+# DEBUGGING VIEW ONLY: after each _hash_rank_sample call, per-stratum
+# {stratum: (count, target, admitted, window_rows)} for the most recent
+# invocation in this process — ``admitted`` is the prefilter survivor
+# count (definite + boundary), ``window_rows`` the rows that actually
+# enter the rank window (the boundary bucket only; 0 for keep-all
+# strata). Proves the window input stayed bounded without re-deriving
+# the plan. NOT read by any operator logic (concurrent sampler calls
+# overwrite each other here): code needing the stats passes
+# ``stats_out`` to _hash_rank_sample and reads its own copy.
 _LAST_SAMPLE_STATS: dict = {}
 
 
@@ -508,6 +510,7 @@ def _hash_rank_sample(
     grid: int = _SAMPLE_GRID,
     boundary_budget: int = _BOUNDARY_BUDGET,
     max_refine: int = _MAX_REFINE,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Shared skew-safe engine for ``stratified_sample`` / ``balanced_sample``.
 
@@ -722,12 +725,18 @@ def _hash_rank_sample(
         ]
     )
     sel_rows = []
-    _LAST_SAMPLE_STATS.clear()
+    # per-call stats land in a LOCAL dict first; the module-level
+    # _LAST_SAMPLE_STATS is refreshed from it afterwards purely as a
+    # debugging view. Callers needing the stats (exact_mixture_sample's
+    # missing-stratum guard, tests) pass ``stats_out`` — two samplers
+    # running concurrently on one driver then can't read each other's
+    # strata through the shared global.
+    stats: dict = {}
     for st in plans:
         s = st["stratum"]
         if st["keepall"]:
             sel_rows.append((s, True, None, None, None, False))
-            _LAST_SAMPLE_STATS[s] = (st["cnt"], st["target"], st["cnt"], 0)
+            stats[s] = (st["cnt"], st["target"], st["cnt"], 0)
         else:
             admitted = st["c_below"] + st["bcount"]
             need = st["target"] - st["c_below"]
@@ -737,12 +746,17 @@ def _hash_rank_sample(
                 sel_rows.append(
                     (s, False, st["lo"], st["hi"], need, False)
                 )
-            _LAST_SAMPLE_STATS[s] = (
+            stats[s] = (
                 st["cnt"],
                 st["target"],
                 admitted,
                 st["bcount"],
             )
+    if stats_out is not None:
+        stats_out.clear()
+        stats_out.update(stats)
+    _LAST_SAMPLE_STATS.clear()
+    _LAST_SAMPLE_STATS.update(stats)
     sel = F.broadcast(spark.createDataFrame(sel_rows, sel_schema))
 
     joined = prepared.join(
@@ -879,6 +893,7 @@ def exact_mixture_sample(
         raise ValueError(
             f"mixture targets must be non-negative integers: {bad}"
         )
+    stats: dict = {}
     out = _hash_rank_sample(
         df,
         strata_col,
@@ -886,9 +901,10 @@ def exact_mixture_sample(
         salt,
         lambda cnt, s: int(targets.get(s, 0)),
         max_strata=max_strata,
+        stats_out=stats,
     )
     if not missing_ok:
-        observed = set(_LAST_SAMPLE_STATS)
+        observed = set(stats)
         missing = sorted(
             str(s) for s, t in targets.items()
             if int(t) > 0 and s not in observed

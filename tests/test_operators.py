@@ -1956,3 +1956,39 @@ def test_exact_mixture_sample_guards(spark):
     assert text.exact_mixture_sample(
         df, {"en": 3, "Es": 2}, missing_ok=True
     ).count() == 3
+
+
+def test_exact_mixture_sample_concurrent_samplers(spark):
+    """The missing-stratum guard reads per-CALL stats, not the shared
+    module global: two samplers over DISJOINT strata racing on one
+    driver must each validate against their own strata. Before the r12
+    stats_out fix the guard read _LAST_SAMPLE_STATS, so the loser of
+    the race validated against the winner's strata — a false 'missing
+    stratum' error (or a silently-passed typo). 16 alternating rounds
+    on 2 threads make the interleaving overwhelmingly likely to occur
+    at least once if the global were still consulted."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from amazon_s3_find_and_forget_spark.operators import text
+
+    df_ab = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    df_cd = spark.createDataFrame(
+        [(i, "c" if i % 2 else "d") for i in range(40)],
+        "doc_id long, lang string",
+    )
+
+    def run(df, targets):
+        counts = []
+        for _ in range(16):
+            counts.append(text.exact_mixture_sample(df, targets).count())
+        return counts
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(run, df_ab, {"a": 5, "b": 7})
+        f2 = ex.submit(run, df_cd, {"c": 3, "d": 9})
+        # guard must not raise for either thread, and the draws are exact
+        assert f1.result() == [12] * 16
+        assert f2.result() == [12] * 16
