@@ -69,6 +69,14 @@ def collect_auth_tokens(
         if not val:
             error(f"--auth-token-env {var}: variable unset or empty")
         specs.append(val)
+    if (argv_specs or token_file or env_vars) and not specs:
+        # the operator explicitly configured auth, but every source came
+        # up empty (e.g. a token file of blank/comment lines) — starting
+        # in open mode would silently drop the intended auth wall
+        error(
+            "auth was configured (--auth-token/-file/-env) but no token "
+            "specs were found; refusing to start unauthenticated"
+        )
     tokens = {}
     for spec in specs:
         token, _, user = spec.partition(":")
@@ -502,7 +510,6 @@ def main(argv: list[str] | None = None) -> int:
             server.server_close()
     elif args.cmd == "dedup-screen":
         import hashlib
-        import os as _os
 
         from pyspark.sql import functions as F
 
@@ -554,24 +561,33 @@ def main(argv: list[str] | None = None) -> int:
                 )
             digest = args.batch_id
         else:
-            real = _os.path.realpath(args.input)
-            entries = []
-            if _os.path.isdir(real):
-                for dirpath, dirnames, filenames in _os.walk(real):
-                    dirnames.sort()
-                    for fn in sorted(filenames):
-                        fp = _os.path.join(dirpath, fn)
-                        st = _os.stat(fp)
-                        entries.append(
-                            f"{_os.path.relpath(fp, real)}"
-                            f"|{st.st_size}|{st.st_mtime_ns}"
-                        )
-            elif _os.path.exists(real):
-                st = _os.stat(real)
-                entries.append(f".|{st.st_size}|{st.st_mtime_ns}")
+            # listed through the Hadoop FS API (inc.input_fingerprint)
+            # so s3a://hdfs:// inputs fingerprint their landed bytes too
+            # — an os.walk of a remote scheme is silently empty, which
+            # would degrade the digest to path-only and re-open the
+            # reused-path trap on exactly the stores that matter.
+            # Digest format v2 (round 12): local-directory digests
+            # changed; a retry of a PRE-upgrade crashed batch must pass
+            # --batch-id <old digest> to keep excluding its own delta.
+            real, entries = inc.input_fingerprint(eng.spark, args.input)
             digest = hashlib.md5(
                 "\n".join([real] + entries).encode()
             ).hexdigest()[:16]
+        # a batch whose digest was already FOLDED into a compaction base
+        # must not re-run: its rows now live in the base, the
+        # own-partition exclusion below no longer hides them, and every
+        # document would self-match — overwriting the previously-correct
+        # novel output with an empty partition. (Re-screening the same
+        # DATA on purpose needs a fresh --batch-id; it will then —
+        # correctly — find everything already indexed.)
+        if digest in inc.folded_batch_digests(eng.spark, args.index_dir):
+            p.error(
+                f"batch {digest} was already screened and folded into a "
+                "compaction base of this index; re-running it would "
+                "self-match every row and overwrite its novel output "
+                "with an empty partition. If you intend to re-screen "
+                "this data as a NEW batch, pass a fresh --batch-id."
+            )
         if args.mode == "embedding" and args.dim is None:
             p.error("--mode embedding requires --dim")
         index_cols = {

@@ -542,6 +542,99 @@ def _delete_dir(spark, dirpath: str) -> None:
     fs.delete(jvm.org.apache.hadoop.fs.Path(dirpath), True)
 
 
+# Name of the folded-history manifest a CLI-layout compaction leaves
+# inside its base partition: one folded batch digest per line. The
+# leading underscore keeps it invisible to Spark's parquet reader (same
+# convention as _SUCCESS), so it rides inside the partition directory
+# without touching the index relation.
+FOLDED_MANIFEST = "_folded_batches"
+
+
+def _write_folded_manifest(spark, base_dir: str, digests: set[str]) -> None:
+    """Write the folded-history manifest inside ``base_dir`` (after the
+    parquet commit, before delta deletion — a crash in between leaves
+    both the manifest and the deltas, and the next fold converges)."""
+    fs, jvm = _hadoop_fs(spark, base_dir)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{FOLDED_MANIFEST}"), True
+    )
+    try:
+        out.write(bytearray("\n".join(sorted(digests)).encode()))
+    finally:
+        out.close()
+
+
+def _read_folded_manifest(spark, base_dir: str) -> set[str]:
+    fs, jvm = _hadoop_fs(spark, base_dir)
+    p = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{FOLDED_MANIFEST}")
+    if not fs.exists(p):
+        return set()
+    stream = fs.open(p)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes both ends even on failure
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, True)
+    data = bytes(bos.toByteArray()).decode()
+    return {line.strip() for line in data.splitlines() if line.strip()}
+
+
+def folded_batch_digests(spark, index_dir: str) -> set[str]:
+    """Every CLI batch digest that compaction has folded into a base of
+    this index — read from the ``_folded_batches`` manifests of all
+    committed ``batch=base-*`` partitions. ``dedup-screen`` consults
+    this before screening: a re-run of an already-folded batch would no
+    longer exclude its own rows (they live in the base now), so every
+    document would self-match and the re-run would overwrite its
+    previously-correct novel output with an empty partition."""
+    out: set[str] = set()
+    for name in _list_dirs(spark, index_dir):
+        if name.startswith("batch=base-") and _has_success(
+            spark, f"{index_dir}/{name}"
+        ):
+            out |= _read_folded_manifest(spark, f"{index_dir}/{name}")
+    return out
+
+
+def input_fingerprint(spark, path: str) -> tuple[str, list[str]]:
+    """(resolved path, sorted ``relpath|size|mtime`` entries) for a CLI
+    batch input, listed through the Hadoop FileSystem API so s3a://,
+    hdfs://, and plain posix inputs all fingerprint their landed bytes
+    (an os.walk listing is silently empty for remote schemes, degrading
+    the digest to path-only and re-opening the reused-path trap).
+
+    Local scheme-less paths are realpath-resolved first so a retry
+    reaching the same data through a different symlink spelling maps to
+    the same batch partition. NOTE (digest format v2, round 12): for
+    local DIRECTORY inputs the entry format changed from os.stat
+    (nanosecond mtimes, walk order) to Hadoop status (millisecond
+    mtimes, sorted) — a retry of a pre-upgrade crashed batch computes a
+    NEW digest and must pass ``--batch-id <old digest>`` explicitly to
+    keep excluding its own half-written delta.
+    """
+    import os as _os
+
+    if "://" not in path:
+        path = _os.path.realpath(path)
+    fs, jvm = _hadoop_fs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    entries: list[str] = []
+    if fs.exists(hpath):
+        qualified = fs.makeQualified(hpath)
+        base = str(qualified)
+        st0 = fs.getFileStatus(qualified)
+        if st0.isDirectory():
+            it = fs.listFiles(qualified, True)
+            while it.hasNext():
+                st = it.next()
+                rel = str(st.getPath())[len(base):].lstrip("/")
+                entries.append(
+                    f"{rel}|{st.getLen()}|{st.getModificationTime()}"
+                )
+            entries.sort()
+        else:
+            entries.append(f".|{st0.getLen()}|{st0.getModificationTime()}")
+    return path, entries
+
+
 def committed_upto(spark, checkpoint_dir: str) -> int | None:
     """Highest batch id the streaming checkpoint has COMMITTED — the
     fold bound: Spark never retries a committed batch, so folding
@@ -702,6 +795,23 @@ def compact_index(
     base_rows = folded.count()
     # fresh (or at-most-partial) target, never a committed dir — see note
     folded.write.mode("overwrite").parquet(target)
+    if not stream_parts:
+        # record WHICH batch digests now live in the base (carrying
+        # forward any previous base's history), so dedup-screen can
+        # refuse a re-run of a folded batch — after the fold its rows
+        # are in the base, its own-partition exclusion no longer hides
+        # them, and the re-run would self-match every document and
+        # overwrite its correct novel output with an empty partition.
+        # Written AFTER the parquet commit, BEFORE the deletes: a crash
+        # in between leaves manifest + deltas, and the next fold
+        # re-derives the same history.
+        history: set[str] = set()
+        for key, path in sources.items():
+            if is_base(key):
+                history |= _read_folded_manifest(spark, path)
+            else:
+                history.add(key)
+        _write_folded_manifest(spark, target, history)
     removed = 0
     for path in fold.values():
         if path != target:

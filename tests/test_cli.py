@@ -406,6 +406,16 @@ def test_cli_collect_auth_tokens_file_and_env(tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         collect_auth_tokens([], None, ["S3F2_TEST_TOKEN"], boom)
 
+    # auth explicitly configured but every source empty (a token file
+    # of blank/comment lines): refuse to start in open mode rather than
+    # silently dropping the intended auth wall
+    empty_file = tmp_path / "empty_tokens.txt"
+    empty_file.write_text("# nothing here\n\n   \n")
+    with pytest.raises(SystemExit, match="no token specs"):
+        collect_auth_tokens([], str(empty_file), [], boom)
+    # no auth configured at all is still a legal open-mode start
+    assert collect_auth_tokens([], None, [], boom) == {}
+
 
 def test_cli_compact_index_folds_screen_deltas(spark, tmp_path, capsys):
     """compact-index folds the dedup-screen's batch=<digest> deltas into
@@ -455,6 +465,75 @@ def test_cli_compact_index_folds_screen_deltas(spark, tmp_path, capsys):
             "--input", b2, "--index-dir", index, "--novel-out", novel,
             "--batch-id", "base-evil",
         ])
+
+
+def test_cli_dedup_screen_refuses_folded_batch_rerun(
+    spark, tmp_path, capsys
+):
+    """A re-run of a batch whose digest compaction already folded into
+    the base must be refused: its rows now live in the base, the
+    own-partition exclusion no longer hides them, and the re-run would
+    self-match every document and overwrite its previously-correct
+    novel output with an EMPTY partition. The folded history is a
+    manifest inside the base partition and carries forward across
+    compaction epochs."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    index = str(tmp_path / "idx")
+    novel = str(tmp_path / "novel")
+    b0 = str(tmp_path / "b0")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b0)
+    r0 = run(capsys, *base, "dedup-screen", "--input", b0,
+             "--index-dir", index, "--novel-out", novel)
+    assert r0["NovelRows"] == 2
+    run(capsys, *base, "compact-index", "--index-dir", index)
+
+    # same input, unchanged on disk -> same digest -> refused loudly
+    with pytest.raises(SystemExit):
+        main([*base, "dedup-screen", "--input", b0,
+              "--index-dir", index, "--novel-out", novel])
+    err = capsys.readouterr().err
+    assert "folded into a compaction base" in err
+    # the first run's novel output survives untouched
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
+    assert kept == [1, 2]
+
+    # an explicit --batch-id matching a folded digest is refused too
+    from amazon_s3_find_and_forget_spark.operators import (
+        incremental as inc,
+    )
+
+    folded = inc.folded_batch_digests(spark, index)
+    assert len(folded) == 1
+    (d0,) = folded
+    with pytest.raises(SystemExit):
+        main([*base, "dedup-screen", "--input", b0, "--batch-id", d0,
+              "--index-dir", index, "--novel-out", novel])
+
+    # history carries forward across a SECOND compaction epoch
+    # (fold = previous base + a new delta)
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(10, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b1)
+    r1 = run(capsys, *base, "dedup-screen", "--input", b1,
+             "--index-dir", index, "--novel-out", novel)
+    assert r1["NovelRows"] == 1
+    run(capsys, *base, "compact-index", "--index-dir", index)
+    folded2 = inc.folded_batch_digests(spark, index)
+    assert d0 in folded2 and len(folded2) == 2
+    with pytest.raises(SystemExit):
+        main([*base, "dedup-screen", "--input", b0,
+              "--index-dir", index, "--novel-out", novel])
+
+    # a deliberate re-screen under a FRESH --batch-id is allowed and —
+    # correctly — finds everything already indexed
+    r2 = run(capsys, *base, "dedup-screen", "--input", b0,
+             "--index-dir", index, "--novel-out", novel,
+             "--batch-id", "reland-001")
+    assert (r2["NovelRows"], r2["IndexRowsAdded"]) == (0, 0)
 
 
 def test_cli_dedup_screen_excludes_uncommitted_partition(
