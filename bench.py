@@ -189,18 +189,24 @@ def evaluate_tripwire(
     timings — 0.1 s of jitter must not flag, while a heavy query
     doubling still does.
 
-    Rig-drift normalization (round 11): when both the current record
-    and >= 2 prior records carry the ``calibration`` probe, each
-    query's band floor is computed in CALIBRATION-NORMALIZED units
-    (seconds per calibration-second) and converted back to current-host
-    seconds before comparison — a uniformly slow host scales query and
-    probe alike and does not flag, while a single-query regression
-    stands out at any host speed. Records without the probe fall back
-    to the raw-seconds band (the pre-calibration behavior), so the
-    tripwire degrades gracefully across the history boundary. Flags are
-    advisory: re-run on a quiet rig before treating one as a
-    regression. Results land in ``out["tripwire"]`` so every BENCH
-    record shows it evaluated."""
+    Rig-drift normalization (round 11, engagement widened round 12):
+    when the current record and AT LEAST ONE prior record carry the
+    ``calibration`` probe, each query's band floor is computed in
+    CALIBRATION-NORMALIZED units (seconds per calibration-second) and
+    converted back to current-host seconds before comparison — a
+    uniformly slow host scales query and probe alike and does not flag,
+    while a single-query regression stands out at any host speed. A
+    one-sample normalized band is noisier than a deep one (the
+    ``n_probed`` field says how deep it is), but it is strictly better
+    than pricing today's run against raw seconds from the rig's
+    best-ever weather — exactly the false-positive shape round 11's
+    simhash flag took. With no probed prior at all the raw-seconds band
+    remains (pre-calibration behavior), and the flag then carries
+    ``weather_suspect: true`` when the floor itself predates the probe
+    era — the reader knows the band cannot distinguish a slow plan from
+    a fast old rig. Flags are advisory: re-run on a quiet rig before
+    treating one as a regression. Results land in ``out["tripwire"]``
+    so every BENCH record shows it evaluated."""
     import glob
 
     # per lane/query: list of (value, calibration-or-None) samples
@@ -243,22 +249,33 @@ def evaluate_tripwire(
             if len(prior) < 2:
                 continue  # not enough band to distinguish noise
             normed = [pv / pc for pv, pc in prior if pc]
-            if cur_cal and len(normed) >= 2:
+            weather_suspect = False
+            if cur_cal and normed:
                 # floor in current-host seconds: best-ever cost per
                 # calibration-second, re-priced at today's probe time
                 floor = min(normed) * cur_cal
                 calibrated = True
             else:
-                floor = min(pv for pv, _ in prior)
+                floor_v, floor_cal = min(prior, key=lambda t: t[0])
+                floor = floor_v
                 calibrated = False
+                # floor measured before the probe existed: the band
+                # aggregates the rig's best-ever weather and cannot be
+                # re-priced — treat a flag as weather-suspect
+                weather_suspect = floor_cal is None
             if v > factor * floor and v - floor > min_delta:
-                flagged.setdefault(lane, {})[q] = {
+                flag = {
                     "current": v,
                     "band_floor": round(floor, 3),
                     "ratio": round(v / floor, 2),
                     "n_prior": len(prior),
                     "calibrated": calibrated,
                 }
+                if calibrated:
+                    flag["n_probed"] = len(normed)
+                elif weather_suspect:
+                    flag["weather_suspect"] = True
+                flagged.setdefault(lane, {})[q] = flag
     out["tripwire"] = {
         "evaluated": True,
         "factor": factor,

@@ -119,8 +119,9 @@ def test_single_query_regression_flags_under_drift(tmp_path):
 
 def test_uncalibrated_history_falls_back_to_raw_band(tmp_path):
     """Records predating the probe (and a current record without one)
-    keep the raw-seconds band — the tripwire degrades gracefully
-    across the history boundary."""
+    keep the raw-seconds band — the tripwire degrades gracefully across
+    the history boundary — and the flag carries weather_suspect because
+    its floor aggregates pre-probe weather that cannot be re-priced."""
     _record(tmp_path, 1, {"q1": 0.4})
     _record(tmp_path, 2, {"q1": 0.45})
     out = {
@@ -130,4 +131,36 @@ def test_uncalibrated_history_falls_back_to_raw_band(tmp_path):
     bench.evaluate_tripwire(out, str(tmp_path))
     flags = out["tripwire"]["flagged"]["sf0.1"]
     assert flags["q1"]["calibrated"] is False
+    assert flags["q1"]["weather_suspect"] is True
     assert flags["q1"]["band_floor"] == 0.4
+
+
+def test_calibration_engages_at_one_probed_prior(tmp_path):
+    """The round-12 boundary: exactly ONE prior record carries the
+    probe. The normalized band must engage (1-sample band beats pricing
+    today against pre-probe-era raw seconds): a host running 2x slower
+    than the probed prior — query and probe alike — must NOT flag even
+    though raw seconds put the current run 2x over the pre-probe floor,
+    and a real normalized regression at the same boundary MUST flag
+    with n_probed=1."""
+    _record(tmp_path, 1, {"q1": 1.0, "q2": 0.5})  # pre-probe era
+    _record_cal(tmp_path, 2, {"q1": 1.1, "q2": 0.55}, 0.5)  # first probe
+    # weather case: everything (probe included) 2x the probed prior
+    out = {
+        "queries": {"q1": 2.2, "q2": 1.1},
+        "calibration": {"value": 1.0},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+    # regression case: q1 3x in normalized terms on the same host
+    out = {
+        "queries": {"q1": 6.6, "q2": 1.1},
+        "calibration": {"value": 1.0},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flags = out["tripwire"]["flagged"]["sf0.1"]
+    assert list(flags) == ["q1"]
+    assert flags["q1"]["calibrated"] is True
+    assert flags["q1"]["n_probed"] == 1
+    # floor re-priced via the one probed prior: (1.1/0.5) * 1.0 = 2.2
+    assert flags["q1"]["band_floor"] == 2.2
