@@ -148,6 +148,7 @@ TAIL_ORDER = [
     "multimodal_frame_sample",
     "similarity_pq_topk",
     "dedup_minhash_survivors",
+    "dedup_minhash_survivors_t08",
     "dedup_simhash_pairs",
     "similarity_ivf_topk",
     "similarity_lsh_topk",

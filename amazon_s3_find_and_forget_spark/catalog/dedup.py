@@ -93,8 +93,29 @@ def q_dedup_exact_survivors(spark, sf_dir):
 
 
 def q_dedup_minhash_survivors(spark, sf_dir):
+    """Legacy operating point: threshold=0.5 deliberately maps to the
+    original r=4 banding layout (optimal_bands' output contract), so
+    this row's survivor set stays byte-stable across rounds. It is the
+    engine's SLOWEST supported MinHash configuration; the _t08 sibling
+    below benchmarks the tuned default."""
     return dedup.minhash_dedup(
         load(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_id")
+
+
+def q_dedup_minhash_survivors_t08(spark, sf_dir):
+    """The tuned PRODUCTION operating point (threshold=0.8, the
+    operator's default): optimal_bands selects the threshold-tuned
+    banding preset (b=16, r=4 at num_perm=64 resolves differently —
+    see dedup.optimal_bands), measured 2.3x faster than the legacy
+    layout at equal recall/precision in the round-11 A/B
+    (tools/ab_minhash_presets.py). Registered so the headline bench
+    exercises the configuration users actually get by default, not
+    only the slowest supported one (r11 VERDICT ask #3). Rows-only
+    like the t=0.5 row: the survivor set is seed-deterministic but
+    not SQL-replicable; quality is gated by dedup_minhash_recall."""
+    return dedup.minhash_dedup(
+        load(spark, sf_dir, "documents"), threshold=0.8
     ).select("doc_id")
 
 
@@ -296,6 +317,7 @@ QUERIES = {
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_simhash_complete": q_dedup_simhash_complete,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
+    "dedup_minhash_survivors_t08": q_dedup_minhash_survivors_t08,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "events_sessions",
     "dedup_exact_survivors",
     "dedup_minhash_survivors",
+    "dedup_minhash_survivors_t08",
     "dedup_simhash_pairs",
     "text_quality",
     "text_lang_id",
