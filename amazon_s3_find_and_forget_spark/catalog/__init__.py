@@ -29,9 +29,10 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 
 # The driver hash-gates the FIRST 50 registry entries each round; this
 # list IS the gate window. Round-12 rotation: round 11's new row
-# (text_exact_mixture — sweep/judge-verified, never driver-gated) is
-# promoted in; long-stable r11-green tpch_q8 rotates out to the tail
-# (still sweep-checked every round).
+# (text_exact_mixture — sweep/judge-verified, never driver-gated) and
+# round 12's new full-value-oracle row (dedup_span_removal) are
+# promoted in; long-stable r11-green tpch_q8/tpch_q9 rotate out to the
+# tail (still sweep-checked every round).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -57,7 +58,7 @@ GATE_ORDER = [
     "tpch_q6",
     "tpch_q7",
     "text_exact_mixture",
-    "tpch_q9",
+    "dedup_span_removal",
     "events_window_variants",
     "events_hourly",
     "events_distinct_sketch",
@@ -92,6 +93,7 @@ GATE_ORDER = [
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
     "tpch_q8",
+    "tpch_q9",
     "text_fingerprint",
     "text_pack",
     "tpch_q10",

@@ -1067,3 +1067,187 @@ def shared_ngram_stats(
             )
     finally:
         occ.unpersist()
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "cut",
+    mask_token: str = "[DUP]",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): the transform
+    a pretraining pipeline runs on what ``shared_ngram_stats`` only
+    measures. Every word position covered by a duplicated ``n``-gram is
+    cut (``mode='cut'``) or each maximal removed run is replaced by one
+    ``mask_token`` (``mode='mask'``), keeping ONE canonical occurrence
+    of every duplicated span.
+
+    Exact semantics (deliberately SQL-replicable so the catalog row
+    carries a full value oracle): tokens are the non-empty
+    whitespace-split words; gram identity is the lowercased n-gram; a
+    gram is duplicated when its TOTAL occurrence count across the
+    corpus is >= ``min_count`` (within-document repetition counts, per
+    Lee et al.); the canonical occurrence of a duplicated gram is the
+    minimum ``(doc_id, position)``; a token position is removed iff
+    some duplicated gram occurrence covers it and that occurrence is
+    not canonical. A document that is the corpus-first occurrence of a
+    span therefore keeps it; every later copy loses it; a span repeated
+    within one document keeps only its first occurrence. Documents
+    shorter than ``n`` tokens contribute no grams and pass through
+    (reconstructed with single-space joins, the one canonicalization
+    the transform imposes).
+
+    Returns ``(id, text, n_tokens, removed_tokens)``.
+
+    Scale shape (same inverted-index discipline as
+    ``shared_ngram_stats``): the gram-stats relation is a map-side-
+    combinable groupBy over occurrences (``count`` + ``min(struct)``) —
+    a corpus-wide stop-gram is ONE shuffled key, never a row blowup, so
+    no posting cap is needed; it is corpus-growing, hence the forced
+    shuffle join back (no broadcast of O(vocabulary)). The removed-
+    occurrence join output is linear in the corpus' duplicated mass.
+    Reconstruction never shuffles per-token rows: removed START
+    positions aggregate to one document-bounded array per affected doc,
+    the corpus joins that relation once on the doc id (AQE broadcasts
+    it when few documents are affected), and span expansion + token
+    reassembly are pure array expressions inside codegen
+    (``array_except`` is O(len + removed), no per-token containment
+    scans).
+    """
+    if mode not in ("cut", "mask"):
+        raise ValueError(f"mode must be 'cut' or 'mask', got {mode!r}")
+    from pyspark import StorageLevel
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_t"),
+    )
+    L = F.size("_t")
+    # lowercased shadow array for gram identity, projected ONCE per doc
+    # (lowercasing inside the per-start lambda would re-transform the
+    # whole array per gram index — O(len^2) per document); _t
+    # reconstructs. Grams materialize as an array FIRST and posexplode
+    # after — exploding start positions with _t carried along would
+    # copy the whole token array into every gram row.
+    grams_col = F.when(
+        L >= n,
+        F.transform(
+            F.sequence(F.lit(1), L - (n - 1)),
+            lambda i: F.array_join(F.slice("_tl", i, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    occ = (
+        toks.withColumn("_tl", F.transform("_t", F.lower))
+        .select("_id", F.posexplode(grams_col).alias("_i", "g"))
+        .select("_id", (F.col("_i") + 1).alias("_pos"), "g")
+        .persist(StorageLevel.DISK_ONLY)  # feeds gram stats AND the
+        # removed-occurrence join; O(corpus grams) rows stay on disk
+    )
+    try:
+        with _pair_agg_confs(df.sparkSession):
+            gstats = (
+                occ.groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).alias("_cnt"),
+                    F.min(F.struct("_id", "_pos")).alias("_c"),
+                )
+                .where(F.col("_cnt") >= min_count)
+                .select(
+                    "g",
+                    F.col("_c._id").alias("_cid"),
+                    F.col("_c._pos").alias("_cpos"),
+                )
+            )
+            removed_starts = (
+                occ.join(gstats.hint("merge"), "g")
+                .where(
+                    ~(
+                        (F.col("_id") == F.col("_cid"))
+                        & (F.col("_pos") == F.col("_cpos"))
+                    )
+                )
+                .select("_id", "_pos")
+            )
+            rset = removed_starts.groupBy("_id").agg(
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(
+                            F.collect_list(
+                                F.sequence(
+                                    F.col("_pos"),
+                                    F.col("_pos") + F.lit(n - 1),
+                                )
+                            )
+                        )
+                    )
+                ).alias("_rpos")
+            )
+            joined = toks.join(rset, "_id", "left").select(
+                "_id",
+                "_t",
+                F.coalesce(
+                    "_rpos", F.expr("CAST(array() AS array<int>)")
+                ).alias("_rpos"),
+            )
+            # guard: sequence(1, 0) would DESCEND in Spark ([1, 0]);
+            # empty docs need an explicitly empty position domain
+            positions = F.when(
+                L >= 1, F.sequence(F.lit(1), L)
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+            # ascending retained positions: array_except preserves the
+            # left argument's order and hashes the right side
+            keep = joined.withColumn(
+                "_keep", F.array_except(positions, F.col("_rpos"))
+            )
+            if mode == "cut":
+                text_out = F.array_join(
+                    F.transform(
+                        "_keep", lambda p: F.element_at("_t", p)
+                    ),
+                    " ",
+                )
+            else:
+                mk = mask_token.replace("\\", "\\\\").replace("'", "\\'")
+                # one mask token per maximal removed run: emitted before
+                # a kept token whose predecessor position was removed
+                # (gap > 1 from the previous kept position, or a leading
+                # gap), plus one trailing mask when the document ends
+                # removed; an all-removed document collapses to a single
+                # mask. transform's i is 0-based and element_at is
+                # 1-based, so element_at(_keep, i) IS the previous
+                # element.
+                text_out = F.expr(
+                    f"""CASE
+                      WHEN size(_keep) = 0
+                        THEN IF(size(_t) > 0, '{mk}', '')
+                      ELSE concat(
+                        array_join(transform(_keep, (p, i) -> CASE
+                          WHEN i = 0 THEN IF(p > 1,
+                            concat('{mk}', ' ', element_at(_t, p)),
+                            element_at(_t, p))
+                          WHEN p - element_at(_keep, i) > 1 THEN
+                            concat('{mk}', ' ', element_at(_t, p))
+                          ELSE element_at(_t, p) END), ' '),
+                        IF(element_at(_keep, -1) < size(_t),
+                           concat(' ', '{mk}'), ''))
+                      END"""
+                )
+            return _eager(
+                keep.select(
+                    F.col("_id").alias(id_col),
+                    text_out.alias(text_col),
+                    L.cast("long").alias("n_tokens"),
+                    (L - F.size("_keep")).cast("long").alias(
+                        "removed_tokens"
+                    ),
+                )
+            )
+    finally:
+        occ.unpersist()

@@ -1124,6 +1124,150 @@ def test_shared_ngram_stats_cross_doc(spark):
     assert rows[1].shared_frac == pytest.approx(round(1 / 9, 4))
 
 
+def _brute_remove_spans(docs, n, mode="cut", mask="[DUP]", min_count=2):
+    """Pure-Python replication of remove_duplicated_spans' spec."""
+    toks = {
+        d: [t for t in (txt or "").split() if t] for d, txt in docs
+    }
+    occ = []  # (doc, pos1based, gram)
+    for d, ts in sorted(toks.items()):
+        tl = [t.lower() for t in ts]
+        for i in range(len(ts) - n + 1):
+            occ.append((d, i + 1, " ".join(tl[i : i + n])))
+    from collections import Counter, defaultdict
+
+    cnt = Counter(g for _, _, g in occ)
+    canon = {}
+    for d, p, g in occ:
+        if cnt[g] >= min_count and (g not in canon or (d, p) < canon[g]):
+            canon[g] = (d, p)
+    removed = defaultdict(set)
+    for d, p, g in occ:
+        if cnt[g] >= min_count and canon[g] != (d, p):
+            removed[d].update(range(p, p + n))
+    out = {}
+    for d, ts in toks.items():
+        rm = removed[d]
+        keep = [i for i in range(1, len(ts) + 1) if i not in rm]
+        if mode == "cut":
+            text = " ".join(ts[i - 1] for i in keep)
+        else:
+            parts = []
+            prev = 0
+            for i in keep:
+                if i - prev > 1:
+                    parts.append(mask)
+                parts.append(ts[i - 1])
+                prev = i
+            if prev < len(ts):
+                parts.append(mask)
+            text = " ".join(parts)
+        out[d] = (text, len(ts), len(ts) - len(keep))
+    return out
+
+
+def test_remove_duplicated_spans_cut(spark):
+    """Canonical-occurrence semantics: the corpus-first copy of a span
+    keeps it, later docs lose exactly the covered positions, a span
+    repeated WITHIN one doc keeps only its first occurrence, and short/
+    empty/null docs pass through (space-rejoined)."""
+    span = "one two three four"
+    docs = [
+        (1, f"intro {span} tail1 tail2"),
+        (2, f"{span} other words here"),           # later copy -> cut
+        (3, f"{span} middle filler {span}"),       # cross-doc dup twice
+        (4, "unique text entirely different words"),
+        (5, "short doc"),                           # < n tokens
+        (6, ""),
+        (7, None),
+        (8, "rep rep rep rep rep rep rep rep"),     # within-doc overlap
+    ]
+    expected = _brute_remove_spans(docs, n=4)
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in dedup.remove_duplicated_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"), n=4
+        ).collect()
+    }
+    assert got == expected
+    # doc 1 is canonical: span kept verbatim
+    assert got[1][0] == f"intro {span} tail1 tail2"
+    # doc 2 lost exactly the span
+    assert got[2] == ("other words here", 7, 4)
+    # docs 5-7 untouched (modulo space-normalized join)
+    assert got[5] == ("short doc", 2, 0)
+    assert got[6] == ("", 0, 0) and got[7] == ("", 0, 0)
+
+
+def test_remove_duplicated_spans_mask_and_random(spark):
+    """Mask mode collapses each maximal removed run to one token
+    (leading/trailing/all-removed included), and both modes agree with
+    the brute-force spec on a seeded random corpus with heavy reuse."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(6)) for _ in range(4)]
+    docs = []
+    for d in range(40):
+        parts = []
+        for _ in range(rng.randint(0, 4)):
+            parts.append(
+                rng.choice(shared)
+                if rng.random() < 0.5
+                else " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 9))
+                )
+            )
+        docs.append((d, " ".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for mode in ("cut", "mask"):
+        expected = _brute_remove_spans(docs, n=5, mode=mode)
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.removed_tokens)
+            for r in dedup.remove_duplicated_spans(
+                df, n=5, mode=mode
+            ).collect()
+        }
+        assert got == expected, mode
+
+    # explicit mask shapes: leading, middle, trailing, all-removed
+    span = "a b c"
+    df2 = spark.createDataFrame(
+        [
+            (1, f"{span} x {span} y {span}"),
+            (2, f"{span}"),
+            (3, f"keep1 {span} keep2"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r.doc_id: r.text
+        for r in dedup.remove_duplicated_spans(
+            df2, n=3, mode="mask", mask_token="<M>"
+        ).collect()
+    }
+    expected2 = {
+        d: v[0]
+        for d, v in _brute_remove_spans(
+            [(1, f"{span} x {span} y {span}"), (2, span),
+             (3, f"keep1 {span} keep2")],
+            n=3, mode="mask", mask="<M>",
+        ).items()
+    }
+    assert got2 == expected2
+    # doc1 is canonical for 'a b c': later in-doc copies masked
+    assert got2[1] == "a b c x <M> y <M>"
+    assert got2[2] == "<M>"
+    assert got2[3] == "keep1 <M> keep2"
+
+
+def test_remove_duplicated_spans_rejects_bad_mode(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mode"):
+        dedup.remove_duplicated_spans(df, mode="redact")
+
+
 def test_shared_ngram_stats_releases_caches(spark):
     sc = spark.sparkContext
     baseline = set(sc._jsc.getPersistentRDDs().keySet().toArray())
