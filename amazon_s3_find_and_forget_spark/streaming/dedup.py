@@ -85,6 +85,7 @@ def _index_screen_stream(
     index_cols: list[str],
     available_now: bool,
     max_files_per_trigger: int | None,
+    compact_every: int | None = None,
 ):
     """Shared engine for the lake-index screens: file stream ->
     per-micro-batch screen against the persisted index -> idempotent
@@ -101,15 +102,40 @@ def _index_screen_stream(
     dir holding no committed parquet after a first-delta crash) becomes
     an empty index; any other read failure fails the batch so the
     checkpoint retries it.
-    """
-    from ..operators.incremental import read_index_or_empty
 
+    ``compact_every``: in-protocol compaction cadence. Every
+    ``compact_every``-th micro-batch folds the committed deltas into a
+    base partition (``operators/incremental.compact_index``) BEFORE
+    screening, inside ``foreachBatch`` — the one window where no
+    concurrent trigger can be mid-read. The fold is bounded by the
+    stream's own commit log (last committed < current batch id), so the
+    current batch's not-yet-committed delta can never fold into the
+    base it screens against, preserving the retry contract; a retried
+    trigger re-runs the fold, which converges (no-op over a base-only
+    index). A screen that runs for months then reads O(compact_every)
+    directories per trigger instead of O(total batches), with no
+    operator intervention. ``None`` keeps compaction manual (CLI
+    ``compact-index`` / ``Engine.compact_index`` between triggers).
+    """
+    from ..operators.incremental import compact_index, read_index_or_empty
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(
+            f"compact_every must be a positive batch count, got "
+            f"{compact_every}"
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_dir)
 
     def process_batch(batch_df, batch_id: int):
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # batch_id >= 1 implies batch 0 has committed, so the
+            # commit-log bound always exists here
+            compact_index(
+                batch_df.sparkSession, index_dir, checkpoint_dir=checkpoint
+            )
         index = read_index_or_empty(
             batch_df.sparkSession,
             index_dir,
@@ -146,6 +172,7 @@ def index_dedup_stream(
     id_col: str = "doc_id",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """Unbounded-horizon streaming dedup: screen each micro-batch against
     the LAKE-persisted exact index (operators/incremental.py) instead of
@@ -175,6 +202,7 @@ def index_dedup_stream(
         index_cols=["content_hash", id_col],
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,
+        compact_every=compact_every,
     )
 
 
@@ -213,6 +241,7 @@ def index_near_dedup_stream(
     threshold: float = 0.8,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """Near-duplicate sibling of ``index_dedup_stream``: the lake index
     holds MinHash signatures and each micro-batch screens through
@@ -261,6 +290,7 @@ def index_near_dedup_stream(
         index_cols=["_id", "_sig"],
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,
+        compact_every=compact_every,
     )
 
 
@@ -280,6 +310,7 @@ def index_embedding_dedup_stream(
     seed: int = 42,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """Embedding sibling of ``index_near_dedup_stream``: the lake index
     holds LSH-keyed unit vectors (``incremental.embedding_index``) and
@@ -330,4 +361,5 @@ def index_embedding_dedup_stream(
         index_cols=["_id", "_u", "_k"],
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,
+        compact_every=compact_every,
     )

@@ -1168,3 +1168,78 @@ def test_index_embedding_dedup_stream_screens_and_compacts(spark, tmp_path):
     drain()
     novel2 = spark.read.parquet(novel_dir)
     assert sorted(r["vec_id"] for r in novel2.collect()) == [1, 2, 11, 21]
+
+
+def test_index_dedup_stream_in_protocol_compaction_long_stream(
+    spark, tmp_path
+):
+    """compact_every cadence over a LONG stream: 50 micro-batches with
+    compaction every 10, restarted mid-stream. The screen must stay
+    exact across five compaction epochs, the per-trigger read must stay
+    O(compact_every) directories instead of O(batches), and the epochs
+    must continue across a checkpoint restart with no operator
+    intervention."""
+    from amazon_s3_find_and_forget_spark.streaming import dedup as sdedup
+
+    src = str(tmp_path / "stream-in")
+    ckpt = str(tmp_path / "ckpt")
+    index_dir = str(tmp_path / "index")
+    novel_dir = str(tmp_path / "novel")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+
+    def land(i):
+        # 7 distinct contents cycling over 50 batches: only the first
+        # arrival of each content is novel
+        spark.createDataFrame(
+            [(i, f"content-{i % 7}")], schema
+        ).coalesce(1).write.parquet(os.path.join(src, f"f{i:03d}"))
+
+    def drain():
+        sdedup.index_dedup_stream(
+            spark, src + "/*", schema, index_dir, novel_dir, ckpt,
+            max_files_per_trigger=1, compact_every=10,
+        ).awaitTermination()
+
+    def index_dirs():
+        return sorted(
+            d for d in os.listdir(index_dir) if d.startswith("batch")
+        )
+
+    for i in range(25):
+        land(i)
+    drain()
+    # batches 0..24; compactions ran at 10 and 20 -> one base plus the
+    # residual deltas 20..24 (compaction at 20 folds committed <= 19)
+    dirs1 = index_dirs()
+    assert sum(1 for d in dirs1 if "=-" in d) == 1
+    assert len(dirs1) == 1 + 5
+
+    for i in range(25, 50):
+        land(i)
+    drain()
+    # batches 25..49 continue from the checkpoint; compactions at 30
+    # and 40 -> one base + deltas 40..49
+    dirs2 = index_dirs()
+    assert sum(1 for d in dirs2 if "=-" in d) == 1
+    assert len(dirs2) == 1 + 10
+    # the bound a months-long run relies on: never more than
+    # compact_every + 1 directories per trigger read
+    assert len(dirs2) <= 11
+
+    # exactness after five epochs: first arrival of each of the 7
+    # contents survived, everything else screened out
+    novel = spark.read.parquet(novel_dir)
+    assert sorted(r["doc_id"] for r in novel.collect()) == list(range(7))
+    # and the index still holds exactly one row per distinct content
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == 7
+
+    # cadence parameter is validated up front
+    import pytest
+
+    with pytest.raises(ValueError, match="compact_every"):
+        sdedup.index_dedup_stream(
+            spark, src + "/*", schema, index_dir, novel_dir, ckpt,
+            compact_every=0,
+        )
