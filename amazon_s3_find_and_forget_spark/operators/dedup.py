@@ -1002,10 +1002,12 @@ def shared_ngram_stats(
     """
     from .text import word_ngrams
 
+    # tokens pre-projected ONCE per doc (word_ngrams contract: an
+    # inline tokenizer expression re-splits the text per gram index —
+    # O(len^2) per document)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    grams_col = word_ngrams(toks, n)
     # per-(doc, gram) occurrence counts; feeds the doc-frequency agg, the
     # per-doc totals, AND the shared-mass join — persist lazily, released
     # by the one _eager job at the end. DISK_ONLY for the same reason as
@@ -1015,8 +1017,10 @@ def shared_ngram_stats(
 
     occ = (
         _spread(df)
+        .select(F.col(id_col).alias("_id"), toks.alias("_toks"))
         .select(
-            F.col(id_col).alias("_id"), F.explode(grams_col).alias("g")
+            "_id",
+            F.explode(word_ngrams(F.col("_toks"), n)).alias("g"),
         )
         .groupBy("_id", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1135,11 +1139,15 @@ def remove_duplicated_spans(
     # whole array per gram index — O(len^2) per document); _t
     # reconstructs. Grams materialize as an array FIRST and posexplode
     # after — exploding start positions with _t carried along would
-    # copy the whole token array into every gram row.
+    # copy the whole token array into every gram row. The bounds below
+    # deliberately use size(_tl), not size(_t): multiple _tl references
+    # keep CollapseProject from folding the lowercase projection back
+    # into the lambda (the word_ngrams contract).
+    Ll = F.size("_tl")
     grams_col = F.when(
-        L >= n,
+        Ll >= n,
         F.transform(
-            F.sequence(F.lit(1), L - (n - 1)),
+            F.sequence(F.lit(1), Ll - (n - 1)),
             lambda i: F.array_join(F.slice("_tl", i, n), " "),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))

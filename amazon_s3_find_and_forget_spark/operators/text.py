@@ -54,6 +54,16 @@ def word_ngrams(toks: Column, n: int) -> Column:
     oracle: a document shorter than ``n`` yields one (short) gram
     (``greatest(..., 1)`` + slice clamping), and empty grams are
     filtered so a token-less document contributes nothing.
+
+    PASS A PRE-PROJECTED COLUMN, not a tokenizer expression: ``toks``
+    is referenced inside the per-index lambda, and a composite
+    expression (split/filter of the raw text) is re-evaluated on EVERY
+    gram index — O(len) tokenizations, O(len^2) work per document
+    (measured at sf10: a 5 s corpus explode became a ~300 s straggler).
+    Project the token array with ``.select(tokens(col).alias(...))``
+    first and hand the attribute in; two references to the array in
+    this expression keep CollapseProject from folding the projection
+    back into the lambda.
     """
     return F.filter(
         F.transform(
@@ -96,9 +106,18 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality heuristics: mean word length, punctuation density, stopword
-    ratio, and a composite [0,1] score. All single-pass, codegen-friendly."""
+    ratio, and a composite [0,1] score. All single-pass, codegen-friendly.
+
+    The token array materializes ONCE per row (``_q_toks``): the output
+    columns reference the attribute, not the tokenizer expression —
+    otherwise every derived column and every downstream filter that
+    Catalyst inlines re-splits the text (the sf10 lane measured the
+    inline form at ~13 tokenizations per row across a composed
+    pipeline). Multiple attribute references keep CollapseProject from
+    folding the projection away."""
     text = F.col(text_col)
-    toks = tokens(text)
+    df = df.withColumn("_q_toks", tokens(text))
+    toks = F.col("_q_toks")
     n_tok = F.size(toks)
     n_chars = F.length(text)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -120,13 +139,19 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", F.round(punct_ratio, 4))
         .withColumn("stopword_ratio", F.round(stop_ratio, 4))
         .withColumn("quality_score", F.round(score, 2))
+        .drop("_q_toks")
     )
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID by distinct-marker-word hits; deterministic tie-break by
-    language code order. One scan; scoring via array_intersect (JVM)."""
-    toks = tokens(F.col(text_col))
+    language code order. One scan; scoring via array_intersect (JVM).
+
+    Tokens materialize once per row (``_l_toks``) and every per-language
+    intersect references the attribute — the inline-expression form
+    re-tokenized per language (see ``with_quality``)."""
+    df = df.withColumn("_l_toks", tokens(F.col(text_col)))
+    toks = F.col("_l_toks")
     scores = [
         F.size(
             F.array_intersect(toks, F.array(*[F.lit(w) for w in markers]))
@@ -134,31 +159,37 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         for lang, markers in LANG_MARKERS.items()
     ]
     langs = list(LANG_MARKERS)
-    pairs = F.array(
+    # Winner pick stays INSIDE whole-stage codegen: greatest() over
+    # (score, tie_rank) structs, where codes sorted ascending carry
+    # DESCENDING ranks so equal scores resolve toward the smallest
+    # code; the code string comes back via element_at on a literal
+    # array. The previous formulations (array_max + a filter lambda
+    # comparing against it; then array_sort with a comparator lambda)
+    # both forced interpreted evaluation and — worse — once a
+    # downstream filter on lang_pred was pushed through the projection,
+    # inlined the whole multi-language tokenization tree per array
+    # element, compounding multiplicatively (the sf10 curation-pipeline
+    # straggler). Predictions are byte-identical.
+    by_code = sorted(langs)
+    rank_of = {code: len(by_code) - i for i, code in enumerate(by_code)}
+    code_by_rank = F.array(*[F.lit(c) for c in reversed(by_code)])
+    best = F.greatest(
         *[
             F.struct(
-                F.col(f"_score_{lang}").alias("score"), F.lit(lang).alias("lang")
+                F.col(f"_score_{lang}").alias("score"),
+                F.lit(rank_of[lang]).alias("rank"),
             )
             for lang in langs
         ]
     )
-    best = F.array_max(pairs)  # struct compare: max score, then max lang
-    # tie-break deterministically toward the FIRST language code on equal
-    # scores: compare against reversed preference via sort
     tmp = df.select("*", *scores)
     out = tmp.withColumn(
         "lang_pred",
         F.when(best["score"] <= 0, F.lit("und")).otherwise(
-            # among max-score langs pick lexicographically smallest code
-            F.element_at(
-                F.array_sort(
-                    F.filter(pairs, lambda p: p["score"] == best["score"])
-                ),
-                1,
-            )["lang"]
+            F.element_at(code_by_rank, best["rank"])
         ),
     ).withColumn("lang_score", best["score"].cast("long"))
-    return out.drop(*[f"_score_{lang}" for lang in langs])
+    return out.drop("_l_toks", *[f"_score_{lang}" for lang in langs])
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -345,12 +376,20 @@ def repetition_stats(
     Tie-break for the top gram is (count desc, gram desc) via a
     lexicographic struct max — deterministic across engines.
     """
-    toks = tokens(F.col(text_col))
-    grams_col = word_ngrams(toks, n)
-    exploded = df.select(
+    from .dedup import _spread
+
+    # tokens pre-projected ONCE per doc (word_ngrams contract: an
+    # inline tokenizer expression would re-split the text per gram
+    # index — O(len^2) per document); _spread parallelizes the explode
+    # when the input arrives in degenerate few-partition layouts
+    exploded = _spread(df).select(
         F.col(id_col).alias("_rid"),
         F.length(F.col(text_col)).alias("_nchars"),
-        F.explode(grams_col).alias("gram"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "_rid",
+        "_nchars",
+        F.explode(word_ngrams(F.col("_toks"), n)).alias("gram"),
     )
     counts = exploded.groupBy("_rid", "gram").agg(
         F.count("*").alias("cnt"), F.first("_nchars").alias("_nchars")
@@ -392,23 +431,35 @@ def contamination_screen(
     The benchmark's distinct n-gram set is TINY next to the corpus
     (eval suites are megabytes), so it broadcasts and the screen is a
     map-only semi-join over the corpus scan: no corpus shuffle at any
-    scale. Returns (id, contaminated) for every corpus document.
+    scale. (One exception: a corpus arriving in fewer partitions than
+    half the cores — e.g. one fat row group — is repartitioned first
+    (``dedup._spread``), or the whole gram explode serializes on one
+    task; at real scale the input always has more splits and this is a
+    no-op.) Returns (id, contaminated) for every corpus document.
     """
+    from .dedup import _spread
 
     def grams(frame):
-        toks = tokens(F.col(text_col))
+        # tokens pre-projected ONCE per doc (word_ngrams contract: an
+        # inline tokenizer expression re-splits the text per gram index
+        # — the sf10 straggler this round's scale lane caught)
         return frame.select(
             F.col(id_col).alias("_gid"),
+            tokens(F.col(text_col)).alias("_toks"),
+        ).select(
+            "_gid",
             # word_ngrams carries the shared clamp/empty-filter contract
             # (a token-less document must not "contaminate" via the
             # empty string — Spark's array_join([]) = '' where DuckDB's
             # array_to_string([]) is NULL); per-doc distinct on top
-            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("g"),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("_toks"), n))
+            ).alias("g"),
         )
 
     bench_grams = F.broadcast(grams(benchmark).select("g").distinct())
     hits = (
-        grams(df)
+        grams(_spread(df))
         .join(bench_grams, "g", "left_semi")
         .select(F.col("_gid").alias(id_col))
         .distinct()
