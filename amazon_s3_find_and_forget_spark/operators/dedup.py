@@ -487,8 +487,11 @@ def band_pairs(
         a = banded.select(F.col("_id").alias("id_a"), "band_hash")
         b = banded.select(F.col("_id").alias("id_b"), "band_hash")
         if max_bucket is None:
+            # forced sort-merge: the banded relation's planner estimate
+            # is UDF-wrecked (see minhash_dedup) and a corpus-growing
+            # side must never broadcast
             out = (
-                a.join(b, "band_hash")
+                a.join(b.hint("merge"), "band_hash")
                 .where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
@@ -512,7 +515,7 @@ def band_pairs(
                     "band_hash",
                     "left_anti",
                 )
-                .join(b, "band_hash")
+                .join(b.hint("merge"), "band_hash")
                 .where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
             )
@@ -654,8 +657,13 @@ def minhash_dedup(
             "band_hash",
         )
         agree = sig_agreement("_sig_a", "_sig_b")
+        # the banded relation is corpus-growing, but Catalyst's size
+        # estimate of it is wrecked by the signature UDF projection
+        # (measured at sf10: estimated 12 MB, actual ~2.4 GB — the
+        # planner picked a broadcast that OOM'd the build). Force the
+        # sort-merge self-join; AQE's skew-join still splits hot bands.
         dup_ids = (
-            a.join(b, "band_hash")
+            a.join(b.hint("merge"), "band_hash")
             .where(F.col("id_a") < F.col("id_b"))
             .where(agree / F.lit(float(num_perm)) >= threshold)
             .select(F.col("id_b").alias(id_col))
