@@ -394,6 +394,32 @@ def optimal_bands(num_perm: int, threshold: float) -> int:
     return num_perm // best_r
 
 
+# Serialized-build-side budget for broadcasting a banded relation in
+# the band self-joins. Catalyst cannot make this call: its size
+# estimate of the UDF-derived signature relation is off by orders of
+# magnitude (measured at sf10: estimated 12 MB, actual ~2.4 GB — the
+# planner's broadcast OOM'd an 8 GB build budget), so the operators
+# compute the size from a COUNTED row number and an exact per-row
+# payload instead. Under the budget, broadcasting wins big on small
+# corpora (sf1 A/B: 5.8 s broadcast vs 13.0 s shuffle — the exchange of
+# the signature payload dominates); over it, the join is pinned to
+# sort-merge (AQE skew-join still splits hot bands). At 100 TB the
+# estimate always exceeds any sane budget and the shuffle is the only
+# correct plan — the budget exists so toy/medium corpora keep the
+# single-stage plan without ever letting a corpus-growing relation
+# near the driver.
+BAND_BROADCAST_BUDGET = 256 << 20
+
+
+def _band_join_side(banded_b, n_rows: int, bands: int, row_bytes: int):
+    """Pick the band self-join strategy for the right side from an
+    exact size estimate (see BAND_BROADCAST_BUDGET)."""
+    est = n_rows * bands * row_bytes
+    if est <= BAND_BROADCAST_BUDGET:
+        return F.broadcast(banded_b)
+    return banded_b.hint("merge")
+
+
 def banded_signatures(
     sigs: DataFrame, bands: int, num_perm: int, with_sig: bool = False
 ) -> DataFrame:
@@ -486,12 +512,14 @@ def band_pairs(
     try:
         a = banded.select(F.col("_id").alias("id_a"), "band_hash")
         b = banded.select(F.col("_id").alias("id_b"), "band_hash")
+        # counting the banded relation populates whichever persist is
+        # live (banded's own, or the caller's cached sigs it derives
+        # from); rows already include the bands factor
+        n_banded = banded.count()
+        side = lambda rel: _band_join_side(rel, n_banded, 1, 24)  # noqa: E731
         if max_bucket is None:
-            # forced sort-merge: the banded relation's planner estimate
-            # is UDF-wrecked (see minhash_dedup) and a corpus-growing
-            # side must never broadcast
             out = (
-                a.join(b.hint("merge"), "band_hash")
+                a.join(side(b), "band_hash")
                 .where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
@@ -515,7 +543,7 @@ def band_pairs(
                     "band_hash",
                     "left_anti",
                 )
-                .join(b.hint("merge"), "band_hash")
+                .join(side(b), "band_hash")
                 .where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
             )
@@ -657,13 +685,14 @@ def minhash_dedup(
             "band_hash",
         )
         agree = sig_agreement("_sig_a", "_sig_b")
-        # the banded relation is corpus-growing, but Catalyst's size
-        # estimate of it is wrecked by the signature UDF projection
-        # (measured at sf10: estimated 12 MB, actual ~2.4 GB — the
-        # planner picked a broadcast that OOM'd the build). Force the
-        # sort-merge self-join; AQE's skew-join still splits hot bands.
+        # size-aware self-join strategy (see BAND_BROADCAST_BUDGET):
+        # the count also populates the signature persist the join reads
+        n_sigs = sigs.count()
         dup_ids = (
-            a.join(b.hint("merge"), "band_hash")
+            a.join(
+                _band_join_side(b, n_sigs, bands, 4 * num_perm + 48),
+                "band_hash",
+            )
             .where(F.col("id_a") < F.col("id_b"))
             .where(agree / F.lit(float(num_perm)) >= threshold)
             .select(F.col("id_b").alias(id_col))

@@ -76,6 +76,60 @@ def ensure_sf1(base_dir: str) -> str | None:
         return None
 
 
+def ensure_sf10(sf1_dir: str | None) -> str | None:
+    """Derive (once, ~45 s, cached by marker) the 100x dataset for the
+    third lane by tiling the sf1 lane 10x further: 60M-row lineitem,
+    500k-doc corpus, 200k embeddings (~1.5 GB parquet). The lane that
+    converts 100-TB design claims from sf1 extrapolation into measured
+    scaling exponents — round 12 it caught an O(len^2) expression
+    blowup and a planner broadcast OOM that sf1 never exposed."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SF10", "1") != "1":
+        return None
+    if sf1_dir is None:
+        return None  # sf10 tiles the sf1 lane; no sf1, no sf10
+    out = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/s3f2-sf10-bench")
+    marker = os.path.join(out, "_complete")
+    if os.path.exists(marker):
+        return out
+    import subprocess
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "make_scale_data.py")
+    try:
+        subprocess.run(
+            [sys.executable, tool, out, "--src", sf1_dir, "--mult", "10"],
+            check=True, capture_output=True, timeout=900,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+        return out
+    except Exception as e:  # noqa: BLE001 — lane is optional
+        print(f"# sf10 lane skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+
+
+# The sf10 lane runs the HEAVIES once each (min-of-1: the lane exists to
+# catch scaling-shape breaks, not to band sub-second noise).
+# dedup_minhash_survivors (t=0.5 legacy r=4 banding) is deliberately
+# absent: measured at sf10, that layout generates 1.03e9 band-collision
+# candidate pairs on this corpus (max bucket 16k docs) vs 598k pairs for
+# the tuned t=0.8 layout — a pathological operating point, not a lane
+# query; the analysis lives in SCALE.md.
+# text_contamination is NOT here although it is a heavy: its catalog
+# shape ends in a left-outer flag join that .count() lets Catalyst
+# eliminate entirely, so a bench count would time a bare scan (the
+# curation pipeline exercises the same screen through an inner join
+# that cannot be eliminated).
+SF10_QUERIES = [
+    "tpch_q5",
+    "dedup_minhash_survivors_t08",
+    "dedup_simhash_pairs",
+    "dedup_span_removal",
+    "text_curation_pipeline",
+]
+
+
 def bench_find_forget_job(spark, sf_dir: str = None) -> float:
     """End-to-end deletion job over a 16-file copy of lineitem."""
     from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
@@ -226,6 +280,7 @@ def evaluate_tripwire(
         lanes = {
             "sf0.1": parsed.get("queries"),
             "sf1": (parsed.get("sf1") or {}).get("queries"),
+            "sf10": (parsed.get("sf10") or {}).get("queries"),
         }
         if any(lanes.values()):
             rounds += 1
@@ -241,6 +296,7 @@ def evaluate_tripwire(
     current_lanes = {
         "sf0.1": out.get("queries"),
         "sf1": (out.get("sf1") or {}).get("queries"),
+        "sf10": (out.get("sf10") or {}).get("queries"),
     }
     for lane, current in current_lanes.items():
         if not current:
@@ -326,6 +382,33 @@ def main():
     if sf1_dir:
         sf1 = run_suite(spark, sf1_dir, RUNS, "sf1")
         out["sf1"] = {"value": round(sum(sf1.values()), 3), "queries": sf1}
+
+    # third lane: the heavies at 100x, min-of-1 (see SF10_QUERIES note)
+    sf10_dir = ensure_sf10(sf1_dir)
+    if sf10_dir:
+        sf10: dict[str, float] = {}
+        for name in SF10_QUERIES:
+            fn = entry_queries.QUERIES[name]
+            start = time.perf_counter()
+            n = fn(spark, sf10_dir).count()
+            sf10[name] = round(time.perf_counter() - start, 3)
+            print(f"# [sf10] {name}: {sf10[name]}s ({n} rows)",
+                  file=sys.stderr)
+            spark.catalog.clearCache()
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        sf10["find_forget_job"] = round(
+            bench_find_forget_job(spark, sf10_dir), 3
+        )
+        print(f"# [sf10] find_forget_job: {sf10['find_forget_job']}s",
+              file=sys.stderr)
+        out["sf10"] = {
+            "value": round(sum(sf10.values()), 3),
+            "queries": sf10,
+            "runs": 1,
+        }
 
     evaluate_tripwire(out, os.path.dirname(os.path.abspath(__file__)))
     print(json.dumps(out))
