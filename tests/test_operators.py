@@ -2136,3 +2136,67 @@ def test_exact_mixture_sample_concurrent_samplers(spark):
         # guard must not raise for either thread, and the draws are exact
         assert f1.result() == [12] * 16
         assert f2.result() == [12] * 16
+
+
+def test_word_ngram_callers_materialize_tokens(spark, monkeypatch):
+    """The word_ngrams contract, plan-pinned: every n-gram caller must
+    pre-project the token array (an inline tokenizer expression is
+    re-evaluated per gram index inside the lambda — O(len^2) per doc,
+    the sf10 straggler of round 12). If CollapseProject ever folds the
+    projection back into the lambda, the _toks/_tl attribute vanishes
+    from the physical plan and this test fails at toy scale instead of
+    at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from amazon_s3_find_and_forget_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(6)],
+        "doc_id long, text string",
+    )
+    bench = df.where(F.col("doc_id") % 2 == 0)
+
+    def plan(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    assert "_toks" in plan(text.contamination_screen(df, bench, n=3))
+    assert "_toks" in plan(text.repetition_stats(df, n=3))
+    # the eager operators checkpoint their result away — disable the
+    # materialization so the real plan is inspectable
+    monkeypatch.setattr(dedup, "_eager", lambda x: x)
+    assert "_toks" in plan(dedup.shared_ngram_stats(df, n=3))
+    assert "_tl" in plan(dedup.remove_duplicated_spans(df, n=3))
+
+
+def test_band_join_strategy_is_size_aware(spark, monkeypatch):
+    """The MinHash band self-join must broadcast under the exact-size
+    budget and pin sort-merge above it — Catalyst's own estimate of the
+    UDF-derived relation is off by orders of magnitude in both
+    directions (sf10: estimated 12 MB, actual 2.4 GB, broadcast OOM).
+    The budget is monkeypatched to force each branch on a toy corpus;
+    survivors must be identical either way."""
+    from amazon_s3_find_and_forget_spark.operators import dedup as d
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared words") for i in range(40)]
+        + [(100 + i, "doc number 1 with some shared words") for i in range(3)],
+        "doc_id long, text string",
+    )
+
+    def survivors_and_plan():
+        out = d.minhash_dedup(df, threshold=0.8)
+        ids = sorted(r.doc_id for r in out.collect())
+        return ids
+
+    # the side picker: under the budget -> broadcast hint, over -> merge
+    # (checked BEFORE the budget monkeypatch below)
+    rel = df.select("doc_id")
+    under = d._band_join_side(rel, n_rows=10, bands=2, row_bytes=10)
+    over = d._band_join_side(rel, n_rows=10**9, bands=16, row_bytes=300)
+    assert "UnresolvedHint BROADCAST" in under._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint merge" in over._jdf.queryExecution().logical().toString()
+
+    big = survivors_and_plan()  # default budget: broadcast branch
+    monkeypatch.setattr(d, "BAND_BROADCAST_BUDGET", 0)
+    small = survivors_and_plan()  # zero budget: sort-merge branch
+    assert big == small
