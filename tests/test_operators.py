@@ -2193,7 +2193,7 @@ def test_band_join_strategy_is_size_aware(spark, monkeypatch):
     rel = df.select("doc_id")
     under = d._band_join_side(rel, n_rows=10, bands=2, row_bytes=10)
     over = d._band_join_side(rel, n_rows=10**9, bands=16, row_bytes=300)
-    assert "UnresolvedHint BROADCAST" in under._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint broadcast" in under._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint merge" in over._jdf.queryExecution().logical().toString()
 
     big = survivors_and_plan()  # default budget: broadcast branch
