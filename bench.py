@@ -387,28 +387,51 @@ def main():
     sf10_dir = ensure_sf10(sf1_dir)
     if sf10_dir:
         sf10: dict[str, float] = {}
-        for name in SF10_QUERIES:
-            fn = entry_queries.QUERIES[name]
+        sf10_errors: dict[str, str] = {}
+
+        def sf10_run(name, thunk):
+            # a lane query failing (the lane runs heavies min-of-1 and
+            # is the likeliest to break first at a new scale) must cost
+            # its own number, not the whole BENCH record
             start = time.perf_counter()
-            n = fn(spark, sf10_dir).count()
-            sf10[name] = round(time.perf_counter() - start, 3)
-            print(f"# [sf10] {name}: {sf10[name]}s ({n} rows)",
-                  file=sys.stderr)
+            try:
+                n = thunk()
+                sf10[name] = round(time.perf_counter() - start, 3)
+                print(f"# [sf10] {name}: {sf10[name]}s ({n} rows)",
+                      file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                sf10_errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                print(f"# [sf10] {name} FAILED: {sf10_errors[name]}",
+                      file=sys.stderr)
             spark.catalog.clearCache()
             import gc as _gc
 
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
-        sf10["find_forget_job"] = round(
-            bench_find_forget_job(spark, sf10_dir), 3
-        )
-        print(f"# [sf10] find_forget_job: {sf10['find_forget_job']}s",
-              file=sys.stderr)
+
+        for name in SF10_QUERIES:
+            fn = entry_queries.QUERIES[name]
+            sf10_run(name, lambda f=fn: f(spark, sf10_dir).count())
+        # find_forget_job times itself (its lake setup is excluded)
+        try:
+            sf10["find_forget_job"] = round(
+                bench_find_forget_job(spark, sf10_dir), 3
+            )
+            print(f"# [sf10] find_forget_job: {sf10['find_forget_job']}s",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            sf10_errors["find_forget_job"] = (
+                f"{type(exc).__name__}: {exc}"[:400]
+            )
+            print(f"# [sf10] find_forget_job FAILED: "
+                  f"{sf10_errors['find_forget_job']}", file=sys.stderr)
         out["sf10"] = {
             "value": round(sum(sf10.values()), 3),
             "queries": sf10,
             "runs": 1,
         }
+        if sf10_errors:
+            out["sf10"]["errors"] = sf10_errors
 
     evaluate_tripwire(out, os.path.dirname(os.path.abspath(__file__)))
     print(json.dumps(out))
