@@ -92,6 +92,7 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "dedup_span_mask",
     "tpch_q8",
     "tpch_q9",
     "text_fingerprint",

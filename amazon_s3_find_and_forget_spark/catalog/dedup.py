@@ -147,6 +147,17 @@ def q_dedup_span_removal(spark, sf_dir):
     )
 
 
+def q_dedup_span_mask(spark, sf_dir):
+    """Mask-mode sibling of dedup_span_removal: each maximal removed
+    run collapses to ONE '[DUP]' token (leading/trailing/all-removed
+    shapes included), preserving where cuts happened for downstream
+    audit. Same full value oracle discipline — the masked text is
+    hash-compared."""
+    return dedup.remove_duplicated_spans(
+        load(spark, sf_dir, "documents"), n=8, mode="mask"
+    )
+
+
 
 def q_dedup_incremental_exact(spark, sf_dir):
     """Batch-incremental exact dedup against a persisted hash index
@@ -325,6 +336,7 @@ QUERIES = {
     "dedup_shared_ngrams": q_dedup_shared_ngrams,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_span_removal": q_dedup_span_removal,
+    "dedup_span_mask": q_dedup_span_mask,
     "dedup_incremental_exact": q_dedup_incremental_exact,
     "dedup_incremental_complete": q_dedup_incremental_complete,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -383,6 +395,68 @@ ORACLES = {
         )
         SELECT t.doc_id,
                coalesce(a.text, '') AS text,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
+                 AS removed_tokens
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    "dedup_span_mask": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                   x -> x <> '') AS t
+          FROM documents
+        ), lowered AS (
+          SELECT doc_id, t, list_transform(t, x -> lower(x)) AS tl
+          FROM toks
+        ), occ AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(tl) - 7),
+                   i -> struct_pack(
+                     pos := i,
+                     g := array_to_string(tl[i:i+7], ' ')))) AS o
+          FROM lowered WHERE len(tl) >= 8
+        ), ranked AS (
+          SELECT doc_id, o.pos AS pos, o.g AS g,
+                 row_number() OVER (
+                   PARTITION BY o.g ORDER BY doc_id, o.pos) AS rn,
+                 count(*) OVER (PARTITION BY o.g) AS cnt
+          FROM occ
+        ), removed_pos AS (
+          SELECT DISTINCT doc_id, pos + off AS p
+          FROM (SELECT doc_id, pos FROM ranked
+                WHERE cnt >= 2 AND rn > 1)
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off)
+        ), tokrows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t)),
+                   i -> struct_pack(p := i, tok := t[i]))) AS x
+          FROM toks
+        ), kept AS (
+          SELECT tr.doc_id, tr.x.p AS p, tr.x.tok AS tok
+          FROM tokrows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM removed_pos r
+            WHERE r.doc_id = tr.doc_id AND r.p = tr.x.p)
+        ), marked AS (
+          SELECT doc_id, p, tok,
+                 CASE WHEN p - lag(p, 1, 0) OVER (
+                        PARTITION BY doc_id ORDER BY p) > 1
+                      THEN '[DUP] ' || tok ELSE tok END AS piece
+          FROM kept
+        ), agg AS (
+          SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS body,
+                 max(p) AS maxp, count(*) AS kept_n
+          FROM marked GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CASE WHEN len(t.t) = 0 THEN ''
+                    WHEN a.doc_id IS NULL THEN '[DUP]'
+                    WHEN a.maxp < len(t.t) THEN a.body || ' [DUP]'
+                    ELSE a.body END AS text,
                CAST(len(t.t) AS BIGINT) AS n_tokens,
                CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
                  AS removed_tokens
