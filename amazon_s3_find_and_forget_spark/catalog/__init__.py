@@ -28,11 +28,10 @@ from .findforget import MATCH_ORDERKEYS  # noqa: F401
 _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 
 # The driver hash-gates the FIRST 50 registry entries each round; this
-# list IS the gate window. Round-12 rotation: round 11's new row
-# (text_exact_mixture — sweep/judge-verified, never driver-gated) and
-# round 12's new full-value-oracle row (dedup_span_removal) are
-# promoted in; long-stable r11-green tpch_q8/tpch_q9 rotate out to the
-# tail (still sweep-checked every round).
+# list IS the gate window. Round-13 rotation: dedup_span_mask (the
+# mask-mode reassembly kernel — distinct CASE path from the gated cut
+# mode) promoted in per the every-new-row rule; long-stable r12-green
+# tpch_q7 rotates out to the tail (still sweep-checked every round).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -56,9 +55,9 @@ GATE_ORDER = [
     "find_rows_decimal",
     "tpch_q5",
     "tpch_q6",
-    "tpch_q7",
     "text_exact_mixture",
     "dedup_span_removal",
+    "dedup_span_mask",
     "events_window_variants",
     "events_hourly",
     "events_distinct_sketch",
@@ -92,7 +91,7 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
-    "dedup_span_mask",
+    "tpch_q7",
     "tpch_q8",
     "tpch_q9",
     "text_fingerprint",

@@ -690,7 +690,11 @@ def minhash_dedup(
         n_sigs = sigs.count()
         dup_ids = (
             a.join(
-                _band_join_side(b, n_sigs, bands, 4 * num_perm + 48),
+                # signatures are array<long>: 8 bytes/element + ~48
+                # bytes of row/array overhead (a 4-byte/element price
+                # undercounted the payload 2x and let a near-budget
+                # corpus broadcast ~512 MB)
+                _band_join_side(b, n_sigs, bands, 8 * num_perm + 48),
                 "band_hash",
             )
             .where(F.col("id_a") < F.col("id_b"))
@@ -1259,7 +1263,6 @@ def remove_duplicated_spans(
                     " ",
                 )
             else:
-                mk = mask_token.replace("\\", "\\\\").replace("'", "\\'")
                 # one mask token per maximal removed run: emitted before
                 # a kept token whose predecessor position was removed
                 # (gap > 1 from the previous kept position, or a leading
@@ -1267,22 +1270,33 @@ def remove_duplicated_spans(
                 # removed; an all-removed document collapses to a single
                 # mask. transform's i is 0-based and element_at is
                 # 1-based, so element_at(_keep, i) IS the previous
-                # element.
-                text_out = F.expr(
-                    f"""CASE
-                      WHEN size(_keep) = 0
-                        THEN IF(size(_t) > 0, '{mk}', '')
-                      ELSE concat(
-                        array_join(transform(_keep, (p, i) -> CASE
-                          WHEN i = 0 THEN IF(p > 1,
-                            concat('{mk}', ' ', element_at(_t, p)),
-                            element_at(_t, p))
-                          WHEN p - element_at(_keep, i) > 1 THEN
-                            concat('{mk}', ' ', element_at(_t, p))
-                          ELSE element_at(_t, p) END), ' '),
-                        IF(element_at(_keep, -1) < size(_t),
-                           concat(' ', '{mk}'), ''))
-                      END"""
+                # element (the i == 0 WHEN branch guards the 0 index —
+                # CASE evaluates lazily). DataFrame-API lambdas with
+                # F.lit(mask_token): the earlier interpolated-SQL form
+                # carried backslash/quote escaping that parses wrong
+                # under spark.sql.parser.escapedStringLiterals=true.
+                mask = F.lit(mask_token)
+
+                def _piece(p, i):
+                    tok = F.element_at("_t", p)
+                    gap = F.when(i == F.lit(0), p > 1).otherwise(
+                        p - F.element_at("_keep", i) > 1
+                    )
+                    return F.when(
+                        gap, F.concat(mask, F.lit(" "), tok)
+                    ).otherwise(tok)
+
+                text_out = F.when(
+                    F.size("_keep") == 0,
+                    F.when(F.size("_t") > 0, mask).otherwise(F.lit("")),
+                ).otherwise(
+                    F.concat(
+                        F.array_join(F.transform("_keep", _piece), " "),
+                        F.when(
+                            F.element_at("_keep", -1) < F.size("_t"),
+                            F.concat(F.lit(" "), mask),
+                        ).otherwise(F.lit("")),
+                    )
                 )
             return _eager(
                 keep.select(

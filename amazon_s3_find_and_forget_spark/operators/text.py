@@ -104,6 +104,19 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _free_col(df: DataFrame, base: str) -> str:
+    """A staging-column name absent from ``df`` (``base``, else
+    ``base2``, ``base3``…): an input that already carries the staging
+    name must pass through untouched, not be silently overwritten and
+    then dropped from the output."""
+    name, n = base, 1
+    existing = set(df.columns)
+    while name in existing:
+        n += 1
+        name = f"{base}{n}"
+    return name
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality heuristics: mean word length, punctuation density, stopword
     ratio, and a composite [0,1] score. All single-pass, codegen-friendly.
@@ -116,8 +129,9 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     pipeline). Multiple attribute references keep CollapseProject from
     folding the projection away."""
     text = F.col(text_col)
-    df = df.withColumn("_q_toks", tokens(text))
-    toks = F.col("_q_toks")
+    tcol = _free_col(df, "_q_toks")
+    df = df.withColumn(tcol, tokens(text))
+    toks = F.col(tcol)
     n_tok = F.size(toks)
     n_chars = F.length(text)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -139,7 +153,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", F.round(punct_ratio, 4))
         .withColumn("stopword_ratio", F.round(stop_ratio, 4))
         .withColumn("quality_score", F.round(score, 2))
-        .drop("_q_toks")
+        .drop(tcol)
     )
 
 
@@ -150,8 +164,9 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Tokens materialize once per row (``_l_toks``) and every per-language
     intersect references the attribute — the inline-expression form
     re-tokenized per language (see ``with_quality``)."""
-    df = df.withColumn("_l_toks", tokens(F.col(text_col)))
-    toks = F.col("_l_toks")
+    tcol = _free_col(df, "_l_toks")
+    df = df.withColumn(tcol, tokens(F.col(text_col)))
+    toks = F.col(tcol)
     scores = [
         F.size(
             F.array_intersect(toks, F.array(*[F.lit(w) for w in markers]))
@@ -189,7 +204,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.element_at(code_by_rank, best["rank"])
         ),
     ).withColumn("lang_score", best["score"].cast("long"))
-    return out.drop("_l_toks", *[f"_score_{lang}" for lang in langs])
+    return out.drop(tcol, *[f"_score_{lang}" for lang in langs])
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -485,18 +500,6 @@ _BOUNDARY_BUDGET = 2_000_000
 _MAX_REFINE = 3
 _HSPACE = 16**15  # the hash-prefix domain: 15 hex chars = 60 bits
 
-# DEBUGGING VIEW ONLY: after each _hash_rank_sample call, per-stratum
-# {stratum: (count, target, admitted, window_rows)} for the most recent
-# invocation in this process — ``admitted`` is the prefilter survivor
-# count (definite + boundary), ``window_rows`` the rows that actually
-# enter the rank window (the boundary bucket only; 0 for keep-all
-# strata). Proves the window input stayed bounded without re-deriving
-# the plan. NOT read by any operator logic (concurrent sampler calls
-# overwrite each other here): code needing the stats passes
-# ``stats_out`` to _hash_rank_sample and reads its own copy.
-_LAST_SAMPLE_STATS: dict = {}
-
-
 def _stratum_key(v):
     """Canonical dict key for a stratum value: NaN floats collected by
     two different Spark jobs are DISTINCT Python objects (and NaN !=
@@ -776,12 +779,14 @@ def _hash_rank_sample(
         ]
     )
     sel_rows = []
-    # per-call stats land in a LOCAL dict first; the module-level
-    # _LAST_SAMPLE_STATS is refreshed from it afterwards purely as a
-    # debugging view. Callers needing the stats (exact_mixture_sample's
-    # missing-stratum guard, tests) pass ``stats_out`` — two samplers
-    # running concurrently on one driver then can't read each other's
-    # strata through the shared global.
+    # per-call stats: {stratum: (count, target, admitted, window_rows)}
+    # — ``admitted`` is the prefilter survivor count (definite +
+    # boundary), ``window_rows`` the rows that actually enter the rank
+    # window (the boundary bucket only; 0 for keep-all strata). Callers
+    # needing them (exact_mixture_sample's missing-stratum guard,
+    # tests proving the window input stayed bounded) pass ``stats_out``
+    # and read their own copy — there is deliberately NO module-level
+    # view, so concurrent samplers can't read each other's strata.
     stats: dict = {}
     for st in plans:
         s = st["stratum"]
@@ -806,8 +811,6 @@ def _hash_rank_sample(
     if stats_out is not None:
         stats_out.clear()
         stats_out.update(stats)
-    _LAST_SAMPLE_STATS.clear()
-    _LAST_SAMPLE_STATS.update(stats)
     sel = F.broadcast(spark.createDataFrame(sel_rows, sel_schema))
 
     joined = prepared.join(
@@ -844,6 +847,7 @@ def stratified_sample(
     key_col: str = "doc_id",
     salt: str = "",
     max_strata: int = 10_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Deterministic exact-count stratified sample: ceil(fraction * |stratum|)
     rows per stratum, chosen by hash rank.
@@ -865,6 +869,7 @@ def stratified_sample(
         # same double arithmetic as the old F.ceil(_sz * lit(fraction))
         lambda cnt, _s: math.ceil(cnt * fraction),
         max_strata=max_strata,
+        stats_out=stats_out,
     )
 
 
@@ -875,6 +880,7 @@ def balanced_sample(
     key_col: str = "doc_id",
     salt: str = "",
     max_strata: int = 10_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Fixed-count class rebalancing: cap every stratum at
     ``n_per_stratum`` rows, chosen by hash rank (strata smaller than the
@@ -894,6 +900,7 @@ def balanced_sample(
         salt,
         lambda cnt, _s: n_per_stratum,
         max_strata=max_strata,
+        stats_out=stats_out,
     )
 
 

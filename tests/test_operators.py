@@ -1262,6 +1262,30 @@ def test_remove_duplicated_spans_mask_and_random(spark):
     assert got2[3] == "keep1 <M> keep2"
 
 
+def test_remove_duplicated_spans_mask_escaped_string_literals(spark):
+    """Mask reassembly is built from DataFrame-API lambdas, so it must
+    be inert to spark.sql.parser.escapedStringLiterals AND to mask
+    tokens carrying quotes/backslashes (the r12 interpolated-SQL form
+    broke on both)."""
+    span = "a b c"
+    df = spark.createDataFrame(
+        [(1, f"{span} x {span}"), (2, span)], "doc_id long, text string"
+    )
+    tricky = "<'\\M>"
+    prev = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got = {
+            r.doc_id: r.text
+            for r in dedup.remove_duplicated_spans(
+                df, n=3, mode="mask", mask_token=tricky
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", prev)
+    assert got == {1: f"a b c x {tricky}", 2: tricky}
+
+
 def test_remove_duplicated_spans_rejects_bad_mode(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="mode"):
@@ -1782,7 +1806,8 @@ def test_hash_rank_sample_bounds_dominant_stratum(spark):
         (100_000 + i, "small") for i in range(30)
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string")
-    out = text.balanced_sample(df, 50, strata_col="lang")
+    stats: dict = {}
+    out = text.balanced_sample(df, 50, strata_col="lang", stats_out=stats)
     # capture the plan BEFORE executing: post-collect AQE plan strings
     # repeat the exchange in their "Initial Plan" section
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -1801,13 +1826,13 @@ def test_hash_rank_sample_bounds_dominant_stratum(spark):
     )
     assert got == ref  # value-identical to the old draw
 
-    cnt, target, admitted, window_rows = text._LAST_SAMPLE_STATS["big"]
+    cnt, target, admitted, window_rows = stats["big"]
     assert (cnt, target) == (20_000, 50)
     assert target <= admitted <= int(cnt * 0.05)  # bounded survivor set
     # the rank window sees ONE histogram bucket, ~cnt/grid rows
     assert 0 < window_rows <= 4 * cnt / text._SAMPLE_GRID
     # small stratum under the cap keeps everything (no prefilter)
-    assert text._LAST_SAMPLE_STATS["small"] == (30, 30, 30, 0)
+    assert stats["small"] == (30, 30, 30, 0)
 
     # the prefilter is IN the lazy plan (below the rank window), and the
     # only hash-partition exchange is the window's
@@ -1827,10 +1852,13 @@ def test_stratified_sample_matches_old_window_draw(spark):
     )
     df = spark.createDataFrame(rows, "doc_id long, lang string")
     nkey = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    stats: dict = {}
     out = sorted(
         (
             (r.doc_id, r.lang)
-            for r in text.stratified_sample(df, 0.1).collect()
+            for r in text.stratified_sample(
+                df, 0.1, stats_out=stats
+            ).collect()
         ),
         key=nkey,
     )
@@ -1849,7 +1877,7 @@ def test_stratified_sample_matches_old_window_draw(spark):
         key=nkey,
     )
     assert out == ref
-    cnt, target, admitted, window_rows = text._LAST_SAMPLE_STATS["en"]
+    cnt, target, admitted, window_rows = stats["en"]
     # admitted = exact c_below + one boundary bucket (~cnt/grid rows)
     assert admitted <= target + 4 * cnt / text._SAMPLE_GRID + 2
     assert window_rows <= 4 * cnt / text._SAMPLE_GRID + 2
@@ -1866,8 +1894,12 @@ def test_sample_window_bounded_at_half_fraction(spark):
     df = spark.createDataFrame(
         [(i, "en") for i in range(n)], "doc_id long, lang string"
     )
-    out = sorted(r.doc_id for r in text.stratified_sample(df, 0.5).collect())
-    cnt, target, admitted, window_rows = text._LAST_SAMPLE_STATS["en"]
+    stats: dict = {}
+    out = sorted(
+        r.doc_id
+        for r in text.stratified_sample(df, 0.5, stats_out=stats).collect()
+    )
+    cnt, target, admitted, window_rows = stats["en"]
     assert (cnt, target) == (n, 10_000)
     # window input is bucket-sized: independent of the 0.5 fraction
     assert window_rows <= 4 * n / text._SAMPLE_GRID
@@ -1920,6 +1952,7 @@ def test_sample_refinement_bounds_huge_boundary_buckets(spark):
     df = spark.createDataFrame(
         [(i, "en") for i in range(n)], "doc_id long, lang string"
     )
+    stats: dict = {}
     out = sorted(
         r.doc_id
         for r in text._hash_rank_sample(
@@ -1931,9 +1964,10 @@ def test_sample_refinement_bounds_huge_boundary_buckets(spark):
             grid=16,
             boundary_budget=100,
             max_refine=3,
+            stats_out=stats,
         ).collect()
     )
-    cnt, target, admitted, window_rows = text._LAST_SAMPLE_STATS["en"]
+    cnt, target, admitted, window_rows = stats["en"]
     assert (cnt, target) == (n, 5_000)
     # level-0 bucket holds ~n/16 = 1250 rows; refinement must shrink the
     # windowed set to ~n/256
@@ -2106,7 +2140,8 @@ def test_exact_mixture_sample_concurrent_samplers(spark):
     """The missing-stratum guard reads per-CALL stats, not the shared
     module global: two samplers over DISJOINT strata racing on one
     driver must each validate against their own strata. Before the r12
-    stats_out fix the guard read _LAST_SAMPLE_STATS, so the loser of
+    stats_out fix the guard read a shared module global (deleted in
+    r13), so the loser of
     the race validated against the winner's strata — a false 'missing
     stratum' error (or a silently-passed typo). 16 alternating rounds
     on 2 threads make the interleaving overwhelmingly likely to occur
