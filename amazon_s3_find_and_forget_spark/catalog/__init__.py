@@ -30,8 +30,12 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # The driver hash-gates the FIRST 50 registry entries each round; this
 # list IS the gate window. Round-13 rotation: dedup_span_mask (the
 # mask-mode reassembly kernel — distinct CASE path from the gated cut
-# mode) promoted in per the every-new-row rule; long-stable r12-green
-# tpch_q7 rotates out to the tail (still sweep-checked every round).
+# mode) promoted in per the every-new-row rule; the new
+# dedup_components_minhash (transitive clustering over the scale-viable
+# MinHash pair source) and text_token_count_bpe (tokenizer-exact BPE
+# counts, full value oracle) promoted in the same way; long-stable
+# r12-green tpch_q7, tpch_q11 and text_train_split rotate out to the
+# tail (still sweep-checked every round).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -58,6 +62,7 @@ GATE_ORDER = [
     "text_exact_mixture",
     "dedup_span_removal",
     "dedup_span_mask",
+    "dedup_components_minhash",
     "events_window_variants",
     "events_hourly",
     "events_distinct_sketch",
@@ -69,6 +74,7 @@ GATE_ORDER = [
     "text_repetition",
     "text_mixture",
     "text_token_count",
+    "text_token_count_bpe",
     "text_length_percentiles",
     "events_topn_per_user",
     "orders_running_total",
@@ -81,8 +87,6 @@ GATE_ORDER = [
     "text_train_order",
     "text_curation_pipeline",
     "text_redact",
-    "text_train_split",
-    "tpch_q11",
 ]
 
 # Past the gate: deterministic oracle-backed rows awaiting (or rotated
@@ -91,6 +95,8 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "text_train_split",
+    "tpch_q11",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
@@ -152,6 +158,7 @@ TAIL_ORDER = [
     "dedup_minhash_survivors",
     "dedup_minhash_survivors_t08",
     "dedup_simhash_pairs",
+    "dedup_clusters_minhash",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "similarity_batch_topk",

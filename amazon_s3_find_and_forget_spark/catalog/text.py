@@ -63,6 +63,35 @@ def q_text_token_count(spark, sf_dir):
     )
 
 
+# The gate row's merge table. Chosen so the BPE count has a CLOSED FORM
+# a SQL engine can compute exactly — count = bytes - #an - #and —
+# because (proofs in the operator's test):
+# - 'a','n' are distinct chars, so 'an' occurrences never overlap and
+#   the rank-0 merge applies to EVERY 'an' substring;
+# - after it, an (an,d) adjacency exists iff the original text had an
+#   'and' substring, and each such merge saves exactly one token;
+# - letter-letter pairs cannot straddle a pre-token boundary: letter
+#   runs are single pre-tokens, and the only zero-width split (the
+#   contraction suffix) always carries an apostrophe in the raw text,
+#   so no 'an'/'and' substring crosses it.
+# The kernel itself is the fully-general merge loop (pytest goldens
+# run it against a reference implementation on a 20-merge table); this
+# row value-gates that loop end-to-end through DuckDB.
+TINY_MERGES = [("a", "n"), ("an", "d")]
+
+
+def q_text_token_count_bpe(spark, sf_dir):
+    """Tokenizer-EXACT BPE token counts (round-12 verdict ask #7): the
+    real byte-level merge loop (operators/text.py
+    ``with_bpe_token_count``), Arrow-batched, instantiated on the
+    closed-form TINY_MERGES table so the oracle is a full value check,
+    not a rows-only count."""
+    docs = load(spark, sf_dir, "documents")
+    return text.with_bpe_token_count(
+        docs, TINY_MERGES, out_col="n_bpe"
+    ).select("doc_id", "n_bpe")
+
+
 def q_text_quality(spark, sf_dir):
     return text.with_quality(load(spark, sf_dir, "documents")).select(
         "doc_id", "mean_word_len", "punct_ratio", "stopword_ratio", "quality_score"
@@ -257,6 +286,7 @@ QUERIES = {
     "text_mixture": q_text_mixture,
     "text_exact_mixture": q_text_exact_mixture,
     "text_token_count": q_text_token_count,
+    "text_token_count_bpe": q_text_token_count_bpe,
     "text_length_percentiles": q_text_length_percentiles,
     "text_chunks": q_text_chunks,
     "text_tfidf": q_text_tfidf,
@@ -426,6 +456,14 @@ ORACLES = {
                len(regexp_extract_all(text,
                    '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
                  AS n_tokens_bpe
+        FROM documents
+    """,
+    "text_token_count_bpe": """
+        SELECT doc_id,
+               CAST(strlen(text)
+                 - (strlen(text) - strlen(replace(text, 'an', ''))) // 2
+                 - (strlen(text) - strlen(replace(text, 'and', ''))) // 3
+                 AS BIGINT) AS n_bpe
         FROM documents
     """,
     "text_length_percentiles": """

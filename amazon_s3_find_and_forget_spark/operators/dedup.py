@@ -711,6 +711,79 @@ def minhash_dedup(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    threshold: float = 0.8,
+    bands: int | None = None,
+    max_bucket: int | None = None,
+    verify: str = "signature",
+) -> DataFrame:
+    """Verified near-dup pairs (id_a, id_b, jaccard) via MinHash-LSH.
+
+    The scale-viable PAIR source (round-12 verdict ask #3): exact
+    all-pairs n-gram Jaccard is the ground-truth family LSH exists to
+    replace — its pair volume grows with sum(df^2) and DNFs at 500k
+    docs — while this path generates candidates through the banding
+    (collision-bounded) and verifies each one in O(num_perm) or
+    O(|shingle set|) work. Feed the output to
+    ``graph.dedup_clusters`` for transitive duplicate clusters at any
+    corpus size the LSH handles.
+
+    ``verify='signature'``: Jaccard estimated as the agreeing-component
+    fraction (unbiased, se ~ sqrt(j(1-j)/num_perm)) — the production
+    path. ``verify='exact'``: exact k-shingle Jaccard per candidate
+    (``verified_jaccard_pairs``) — candidate-bounded, still scale-safe.
+    """
+    if verify not in ("signature", "exact"):
+        raise ValueError(f"verify={verify!r}: use 'signature' or 'exact'")
+    if bands is None:
+        bands = optimal_bands(num_perm, threshold)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
+    try:
+        pairs = band_pairs(sigs, bands, num_perm, max_bucket)
+        if verify == "signature":
+            out = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
+        else:
+            out = verified_jaccard_pairs(
+                df, pairs, text_col, id_col, k, threshold
+            )
+        # the eager checkpoint is the release point for the sigs persist
+        return _eager(out)
+    finally:
+        sigs.unpersist()
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    threshold: float = 0.8,
+    bands: int | None = None,
+    max_bucket: int | None = None,
+    verify: str = "signature",
+) -> DataFrame:
+    """(doc_id, cluster) transitive near-dup clusters over MinHash pairs.
+
+    Composition: ``minhash_near_dup_pairs`` -> pointer-jumping connected
+    components (``operators/graph.py``). Cluster = min doc id reachable
+    through the verified near-dup graph; docs with no near-dup partner
+    don't appear (they are their own singleton cluster by convention).
+    """
+    from .graph import dedup_clusters
+
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, k, num_perm, threshold, bands, max_bucket,
+        verify,
+    )
+    return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
@@ -915,6 +988,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting: int = 1000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold, via inverted index.
 
@@ -922,6 +996,19 @@ def ngram_jaccard_pairs(
     to bound hot-key blowup; at 100 TB a stopword-like ngram would
     otherwise create a quadratic bucket) -> intra-list pairs -> count
     shared ngrams per pair -> jaccard = shared / (|a| + |b| - shared).
+
+    ``candidates`` (id_a, id_b) switches to candidate-restricted exact
+    verification: the inverted-index self-join — whose pair volume grows
+    with sum(df^2) over eligible grams and makes the all-pairs form a
+    bounded-corpus tool (measured DNF at 500k docs, SCALE.md) — is
+    replaced by two broadcast lookups of the candidate relation against
+    the per-doc gram arrays, exactly the ``verified_jaccard_pairs``
+    shape. Only candidate-bounded rows ever cross the wire, so exact
+    n-gram verification of an LSH candidate set scales to any corpus
+    the LSH itself handles. Semantics match the all-pairs form when no
+    posting cap engages (guaranteed whenever the corpus has <=
+    ``max_posting`` docs; a capped hot gram is excluded from ``shared``
+    by the index form but counted by array_intersect here).
     """
     # Tokens are pre-projected ONCE per doc: referencing split() inside the
     # transform lambda would re-split the whole text per n-gram index
@@ -936,6 +1023,28 @@ def ngram_jaccard_pairs(
             f"i -> array_join(slice(_t, i, {n}), ' ')))"
         ).alias("_grams"),
     )
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+        a = grams.select(
+            F.col("_id").alias("id_a"), F.col("_grams").alias("_ga")
+        )
+        b = grams.select(
+            F.col("_id").alias("id_b"), F.col("_grams").alias("_gb")
+        )
+        half_a = a.join(F.broadcast(cand), "id_a").select(
+            "id_a", "id_b", "_ga"
+        )
+        half_b = b.join(F.broadcast(cand), "id_b").select(
+            "id_a", "id_b", "_gb"
+        )
+        inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+        union = F.size(F.array_union("_ga", "_gb")).cast("double")
+        return (
+            half_a.join(half_b, ["id_a", "id_b"])
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     # Inverted index as a flat (gram, id, doc-gram-count) relation; the
     # per-doc gram count rides WITH every posting row, so the final
     # Jaccard needs no join back to a sizes relation — two whole shuffle
@@ -1045,9 +1154,12 @@ def shared_ngram_stats(
 
     # tokens pre-projected ONCE per doc (word_ngrams contract: an
     # inline tokenizer expression re-splits the text per gram index —
-    # O(len^2) per document)
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    # O(len^2) per document). regexp_extract_all of \S+ runs, NOT
+    # filter(split(\s+)): identical results, but StringSplit recompiles
+    # its regex per row while regexp_* caches the compiled pattern
+    # (14x on the tokenization pass — see text.tokens).
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"\S+"), F.lit(0)
     )
     # per-(doc, gram) occurrence counts; feeds the doc-frequency agg, the
     # per-doc totals, AND the shared-mass join — persist lazily, released
@@ -1167,11 +1279,12 @@ def remove_duplicated_spans(
         raise ValueError(f"mode must be 'cut' or 'mask', got {mode!r}")
     from pyspark import StorageLevel
 
+    # \S+ runs via the pattern-cached regexp path (identical to the
+    # empty-filtered split; see text.tokens for the recompile trap)
     toks = _spread(df).select(
         F.col(id_col).alias("_id"),
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-            lambda t: t != F.lit(""),
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), F.lit(0)
         ).alias("_t"),
     )
     L = F.size("_t")

@@ -68,4 +68,102 @@ q = json.loads(sys.argv[1])
 assert q == [], f"dry-run leaked into the deletion queue: {q}"
 print("SMOKE OK: dry-run left the deletion queue empty")
 PY
+
+# ---- stage 2: the screen -> compact -> redact lifecycle (the engine's
+# most differentiated capability) driven end-to-end through the CLI,
+# outside pytest: two landed batches with one cross-batch duplicate are
+# dedup-screened against a persisted index, the index is compacted, a
+# re-run of a folded batch is REFUSED, and the novel corpus is then
+# scrubbed by a redact-mode forget job with its event log asserted.
+STATE2="$WORK/state2"
+IDX="$WORK/idx"
+NOVEL="$WORK/novel"
+python3 - "$WORK" <<'PY'
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+w = sys.argv[1]
+import os
+os.makedirs(f"{w}/b1"); os.makedirs(f"{w}/b2")
+pq.write_table(
+    pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+              "text": ["alpha doc", "beta doc", "gamma doc"]}),
+    f"{w}/b1/part-0.parquet",
+)
+pq.write_table(
+    pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+              "text": ["alpha doc", "delta doc"]}),
+    f"{w}/b2/part-0.parquet",
+)
+PY
+CLI2=(python3 -m amazon_s3_find_and_forget_spark --state-dir "$STATE2" --cpus 4)
+
+R1="$("${CLI2[@]}" dedup-screen --input "$WORK/b1" --index-dir "$IDX" \
+    --novel-out "$NOVEL" 2>>"$WORK/submit.log")"
+R2="$("${CLI2[@]}" dedup-screen --input "$WORK/b2" --index-dir "$IDX" \
+    --novel-out "$NOVEL" 2>>"$WORK/submit.log")"
+python3 - "$R1" "$R2" <<'PY'
+import json, sys
+r1, r2 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+assert (r1["BatchRows"], r1["NovelRows"]) == (3, 3), r1
+assert (r2["BatchRows"], r2["NovelRows"]) == (2, 1), r2  # alpha screened out
+print("SMOKE OK: dedup-screen caught the cross-batch duplicate")
+PY
+
+C="$("${CLI2[@]}" compact-index --index-dir "$IDX" \
+    2>>"$WORK/submit.log")"
+python3 - "$C" <<'PY'
+import json, sys
+c = json.loads(sys.argv[1])
+assert c["BaseRows"] == 4, c  # alpha/beta/gamma/delta content hashes
+assert c["FoldedDirs"] == 2, c
+print("SMOKE OK: compact-index folded both batch deltas")
+PY
+
+# re-running a batch already folded into the base must be refused (it
+# would self-match every row and blank its own novel output)
+if "${CLI2[@]}" dedup-screen --input "$WORK/b2" --index-dir "$IDX" \
+    --novel-out "$NOVEL" >>"$WORK/submit.log" 2>"$WORK/folded.err"; then
+    echo "SMOKE FAIL: folded-batch re-run was not refused" >&2
+    exit 1
+fi
+grep -q "folded" "$WORK/folded.err"
+echo "SMOKE OK: folded-batch re-run refused"
+
+# redact-mode forget over the screened novel corpus: doc 11 (batch 2's
+# genuinely-novel doc — 10 was screened out as a duplicate and never
+# reached the lake) keeps its row, loses its text; the event log
+# records the lifecycle
+"${CLI2[@]}" put-mapper novel_docs --location "$NOVEL" --column doc_id \
+    --delete-mode redact --redact-column text \
+    >>"$WORK/submit.log" 2>&1
+"${CLI2[@]}" enqueue --match-id 11 >>"$WORK/submit.log" 2>&1
+J="$("${CLI2[@]}" process 2>>"$WORK/submit.log")"
+JID="$(python3 - "$J" <<'PY'
+import json, sys
+j = json.loads(sys.argv[1])
+assert j["JobStatus"] == "COMPLETED", j
+assert j["TotalObjectUpdatedCount"] >= 1, j
+print(j["Id"])
+PY
+)"
+E="$("${CLI2[@]}" job-events "$JID" --page-size 50 2>>"$WORK/submit.log")"
+python3 - "$E" "$NOVEL" <<'PY'
+import glob, json, sys
+import pyarrow.parquet as pq
+doc = json.loads(sys.argv[1])
+types = [e["EventName"] for e in doc["Events"]]
+for expected in ("JobStarted", "QuerySucceeded", "ObjectUpdated",
+                 "ForgetPhaseEnded"):
+    assert expected in types, (expected, types)
+rows = {}
+for f in glob.glob(f"{sys.argv[2]}/**/*.parquet", recursive=True):
+    for r in pq.read_table(f).to_pylist():
+        rows[r["doc_id"]] = r["text"]
+assert set(rows) == {1, 2, 3, 11}, rows  # redact keeps every novel row
+assert rows[11] is None, rows  # matched doc's text nulled
+assert rows[1] == "alpha doc", rows  # unmatched novel doc untouched
+print("SMOKE OK: redact-mode forget scrubbed the screened corpus "
+      "and the event log records it")
+PY
 echo "ALL SMOKE CHECKS PASSED"

@@ -2235,3 +2235,91 @@ def test_band_join_strategy_is_size_aware(spark, monkeypatch):
     monkeypatch.setattr(d, "BAND_BROADCAST_BUDGET", 0)
     small = survivors_and_plan()  # zero budget: sort-merge branch
     assert big == small
+
+
+def test_bpe_token_count_hand_goldens(spark):
+    """Tokenizer-exact BPE counts against hand-computed expectations:
+    merge order (lowest rank first, all occurrences per round),
+    pre-token isolation (merges never straddle pre-tokens), byte-level
+    unicode, the Ġ (space-byte) alphabet, and NULL/empty texts."""
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")]
+    cases = [
+        # 'the' -> th+e -> the: 1 token
+        (0, "the", 1),
+        # 'ththe': th,th,e -> th,the: 2
+        (1, "ththe", 2),
+        # 'thing': th,ing: 2
+        (2, "thing", 2),
+        # pre-tokens: 'the' + ' thing' (Ġ blocks nothing inside runs)
+        # 'the'=1; ' thing' units Ġ,t,h,i,n,g -> Ġ,th,ing = 3
+        (3, "the thing", 4),
+        # contraction split: "can't" -> 'can' + "'t": no 'th' merge
+        # across the boundary; 'can'=3, "'t"=2
+        (4, "can't", 5),
+        # unicode: 'é' is 2 bytes, no merges apply
+        (5, "héllo", 6),
+        (6, "", 0),
+        (7, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in text.with_bpe_token_count(
+            df, merges, out_col="n"
+        ).collect()
+    }
+    assert got == {i: n for i, _, n in cases}
+
+
+def test_bpe_token_count_space_merge(spark):
+    """Merges over the byte-unicode alphabet: ('Ġ','t') fuses the
+    space byte with a following t inside a ' t...' pre-token."""
+    b2u = text._bytes_to_unicode()
+    g = b2u[ord(" ")]
+    df = spark.createDataFrame([(0, "a tree")], "doc_id long, text string")
+    got = text.with_bpe_token_count(df, [(g, "t")], out_col="n").collect()
+    # 'a'=1; ' tree' -> Ġ,t,r,e,e -> Ġt,r,e,e = 4
+    assert got[0]["n"] == 5
+
+
+def test_bpe_token_count_closed_form(spark):
+    """Property check of the gate row's closed form on seeded texts:
+    for merges [('a','n'),('an','d')] the count equals
+    bytes - #'an' - #'and' (non-overlapping substring counts) — the
+    identity the DuckDB value oracle relies on."""
+    from amazon_s3_find_and_forget_spark.catalog.text import TINY_MERGES
+
+    rng = np.random.default_rng(13)
+    vocab = ["and", "an", "a", "n", "d", "band", "anand", "land's",
+             "nd", "da", "sand", "banana"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+        for _ in range(50)
+    ] + ["andand", "anand", "aand", "tthe and", "an'd", "can't and"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in text.with_bpe_token_count(
+            df, TINY_MERGES, out_col="n"
+        ).collect()
+    }
+
+    def count_nonoverlap(s, sub):
+        return s.count(sub)  # str.count is non-overlapping left-to-right
+
+    for i, t in enumerate(texts):
+        expected = (
+            len(t.encode()) - count_nonoverlap(t, "an")
+            - count_nonoverlap(t, "and")
+        )
+        assert got[i] == expected, (i, t, got[i], expected)
+
+
+def test_bpe_load_merges(tmp_path):
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\na n\nan d\n\nĠ t\n", encoding="utf-8")
+    assert text.load_merges(str(p)) == [("a", "n"), ("an", "d"), ("Ġ", "t")]

@@ -169,9 +169,12 @@ def main():
         }
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t)}.parquet'"
-        )
+        path = f"{os.path.join(sf_dir, t)}.parquet"
+        if os.path.isdir(path):
+            # derived scale dirs write multi-file corpora (directory
+            # layout, tools/make_scale_data.py) — DuckDB needs a glob
+            path = os.path.join(path, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []

@@ -17,7 +17,21 @@ from an existing sf dir with the SAME schemas and distributions:
   would make every LSH bucket 10x denser and the candidate-pair count
   100x — a measurement artifact, not a scaling fact);
 - embeddings in copies k>0 get small deterministic gaussian noise
-  (sigma=0.02) for the same reason.
+  (sigma=0.02) for the same reason;
+- a SECOND corpus ``documents_v2`` is derived for near-dup operators:
+  word permutation preserves the bag of words, so every copy of a doc
+  SimHash-collides with every other copy and the pair count grows
+  quadratically in the tile factor — an artifact of the generator, not
+  a scaling fact (round-12 SCALE.md). In v2 each copy is EITHER a
+  genuine near-dup of its source (10% of copies: a few words replaced,
+  staying within SimHash Hamming / MinHash Jaccard near-dup range) or
+  a per-copy token-salted rewrite (every token distinct from every
+  other copy's), so the near-dup PAIR mass stays linear in corpus
+  size across tiling decades;
+- the documents corpora are written as multi-file directories with
+  bounded row groups (8192 rows): the round-12 single-1M-row-row-group
+  layout serialized every map-only text plan onto one task at sf10 —
+  a layout artifact the lane then measured instead of the engine.
 
 Timestamps are NOT shifted: event/order densities per hour scale N-x,
 which is what "the same workload, more traffic" means.
@@ -66,6 +80,69 @@ ENTITY_SOURCE = {
     "documents": ("documents", "doc_id"),
     "embeddings": ("embeddings", "vec_id"),
 }
+
+
+# fraction of v2-corpus copies that are near-dups of their source text
+ND_RATE = 0.1
+
+
+def variant_texts(texts: list, copy: int, seed: int) -> list:
+    """Near-dup variant rule for the ``documents_v2`` corpus.
+
+    Per (doc, copy) a deterministic coin picks:
+    - near-dup (ND_RATE): replace ~len/64 words (>=1) with fresh
+      ``nd<copy>w<pos>`` tokens — the copy stays within SimHash Hamming
+      and MinHash Jaccard near-dup range of its source;
+    - rewrite (otherwise): suffix-salt EVERY token with the copy index,
+      giving the copy a vocabulary disjoint from every other copy's —
+      its SimHash is uncorrelated with the source's, so it collides
+      with nothing outside its own copy stratum.
+
+    Result: each source doc gains O(ND_RATE * mult) near-dup partners
+    per tiling step — pair mass linear in corpus size — instead of the
+    permutation corpus's all-copies-collide quadratic blowup.
+    """
+    rng = np.random.default_rng(seed * 9_000_011 + copy)
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        words = t.split()
+        if not words:
+            out.append(t)
+            continue
+        if rng.random() < ND_RATE:
+            n_rep = min(max(1, len(words) // 64), len(words))
+            for i in rng.choice(len(words), size=n_rep, replace=False):
+                words[int(i)] = f"nd{copy}w{int(i)}"
+        else:
+            words = [f"{w}k{copy}" for w in words]
+        out.append(" ".join(words))
+    return out
+
+
+def write_docs_dir(table: pa.Table, out: str, rows_per_file: int = 8192):
+    """Write a documents corpus as a directory of bounded-row-group
+    files (``out/part-NNNNN.parquet``). Spark reads the directory
+    transparently; DuckDB needs a ``dir/**/*.parquet`` glob (handled in
+    tools/check_oracle.py). 8192-row groups over ~600-char docs are
+    ~5 MB — enough granularity that a 500k-doc corpus fans out over
+    every core instead of serializing on one whole-corpus row group."""
+    if os.path.isfile(out):
+        os.remove(out)  # pre-round-13 single-file layout at this path
+    os.makedirs(out, exist_ok=True)
+    for old in os.listdir(out):
+        if old.endswith(".parquet"):
+            os.remove(os.path.join(out, old))
+    n = table.num_rows
+    for i, start in enumerate(range(0, n, rows_per_file)):
+        pq.write_table(
+            table.slice(start, rows_per_file),
+            os.path.join(out, f"part-{i:05d}.parquet"),
+            row_group_size=rows_per_file,
+        )
+    return (n + rows_per_file - 1) // rows_per_file
 
 
 def permute_texts(texts: list, copy: int, seed: int) -> list:
@@ -161,12 +238,59 @@ def main() -> None:
                 )
             copies.append(t)
         tiled = pa.concat_tables(copies)
-        pq.write_table(
-            tiled,
-            os.path.join(args.outdir, f"{name}.parquet"),
-            row_group_size=1 << 20,
-        )
-        print(f"{name}: {base.num_rows} -> {tiled.num_rows} rows")
+        out = os.path.join(args.outdir, f"{name}.parquet")
+        if name == "documents":
+            n_files = write_docs_dir(tiled, out)
+            print(
+                f"{name}: {base.num_rows} -> {tiled.num_rows} rows "
+                f"({n_files} files, 8192-row groups)"
+            )
+        else:
+            pq.write_table(tiled, out, row_group_size=1 << 20)
+            print(f"{name}: {base.num_rows} -> {tiled.num_rows} rows")
+
+    # ---- documents_v2: the near-dup variant corpus (see module doc) ----
+    v2_src = os.path.join(args.src, "documents_v2.parquet")
+    base = (
+        pq.read_table(v2_src)
+        if os.path.exists(v2_src)
+        else tables["documents"]
+    )
+    stride = int(pc.max(base.column("doc_id")).as_py()) + 1
+    copies = []
+    for k in range(args.mult):
+        t = base
+        idx = t.column_names.index("doc_id")
+        shifted = pc.add(
+            pc.cast(t.column("doc_id"), pa.int64()),
+            pa.scalar(k * stride, pa.int64()),
+        ).cast(t.schema.field("doc_id").type)
+        t = t.set_column(idx, t.schema.field("doc_id"), shifted)
+        if k > 0:
+            texts = variant_texts(t.column("text").to_pylist(), k, args.seed)
+            t = t.set_column(
+                t.column_names.index("text"),
+                t.schema.field("text"),
+                pa.array(texts, pa.string()),
+            )
+            if "n_chars" in t.column_names:
+                t = t.set_column(
+                    t.column_names.index("n_chars"),
+                    t.schema.field("n_chars"),
+                    pa.array(
+                        [None if x is None else len(x) for x in texts],
+                        pa.int64(),
+                    ),
+                )
+        copies.append(t)
+    tiled = pa.concat_tables(copies)
+    n_files = write_docs_dir(
+        tiled, os.path.join(args.outdir, "documents_v2.parquet")
+    )
+    print(
+        f"documents_v2: {base.num_rows} -> {tiled.num_rows} rows "
+        f"({n_files} files, near-dup rate {ND_RATE}/copy)"
+    )
 
 
 if __name__ == "__main__":
