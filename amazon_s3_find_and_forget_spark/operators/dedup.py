@@ -888,11 +888,21 @@ def simhash_near_duplicates(
     bit_count(xor), and expanded to every member pair exactly once."""
     # persist the PRE-explode relation (one 16-byte row per doc — the only
     # thing worth caching at 100 TB); the distinct-value relation feeds
-    # both sides of the combination self-join, so it persists too. Lazy:
-    # the single _eager job below populates both on first access.
+    # both sides of the combination self-join, so it persists too.
+    # The simhash persist is populated EAGERLY (one count() job): five
+    # plan branches read it (values, both same-hash sides, both
+    # expansion sides), and under a lazy persist they race to compute
+    # the pandas-UDF subtree concurrently before the cache fills —
+    # measured at sf10 (500k docs, 18.6 s UDF): 60-90 s for the full
+    # query vs ~27 s with the barrier. At gate scale the barrier job
+    # costs a fixed ~0.2 s — the lazy-persist trade the operators
+    # default to (see _eager) inverts as soon as the UDF subtree costs
+    # more than one scheduling round. ``values`` stays lazy: it reads
+    # the already-populated cache.
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("_id"), F.col("simhash")
     ).persist()
+    sh.count()
     values = sh.select("simhash").distinct().persist()
     try:
         return _eager(_simhash_pair_plan(sh, values, max_hamming))
