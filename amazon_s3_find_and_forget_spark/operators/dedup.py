@@ -690,11 +690,16 @@ def minhash_dedup(
         n_sigs = sigs.count()
         dup_ids = (
             a.join(
-                # signatures are array<long>: 8 bytes/element + ~48
-                # bytes of row/array overhead (a 4-byte/element price
-                # undercounted the payload 2x and let a near-budget
-                # corpus broadcast ~512 MB)
-                _band_join_side(b, n_sigs, bands, 8 * num_perm + 48),
+                # the carried signature is the array<int> DOWNCAST
+                # (banded_signatures with_sig=True): 4 bytes/element +
+                # ~48 bytes of row/array overhead. Price the relation
+                # that actually ships, not minhash_signatures'
+                # array<long> source — the round-12 8-byte re-price
+                # targeted the long form, over-estimated this side 2x,
+                # and flipped the sf1 legacy-banding row from a
+                # legitimate 243 MB broadcast to sort-merge
+                # (5.3 s -> 13.7 s, tripwire-flagged).
+                _band_join_side(b, n_sigs, bands, 4 * num_perm + 48),
                 "band_hash",
             )
             .where(F.col("id_a") < F.col("id_b"))

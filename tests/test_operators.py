@@ -2323,3 +2323,79 @@ def test_bpe_load_merges(tmp_path):
     p = tmp_path / "merges.txt"
     p.write_text("#version: 0.2\na n\nan d\n\nĠ t\n", encoding="utf-8")
     assert text.load_merges(str(p)) == [("a", "n"), ("an", "d"), ("Ġ", "t")]
+
+
+def test_minhash_near_dup_pairs_verify_modes(spark):
+    """The scale-viable pair source: signature-estimate and exact-
+    shingle verification agree on a corpus with unambiguous structure
+    (exact copies J=1.0 >= any threshold; unrelated docs J~0), and the
+    exact mode's jaccard is exactly 1.0 for the copies."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{c}" for c in "abcdefghijklmnopqrstuvwxyz"]
+    base = [
+        (i, " ".join(rng.choice(vocab, size=12, replace=False)) + f" doc{i}")
+        for i in range(20)
+    ]
+    dups = [(100 + i, base[i][1]) for i in range(5)]  # exact copies
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    expected = {(i, 100 + i) for i in range(5)}
+
+    sig = dedup.minhash_near_dup_pairs(df, threshold=0.8)
+    got_sig = {(r.id_a, r.id_b) for r in sig.collect()}
+    assert got_sig == expected
+
+    exact = dedup.minhash_near_dup_pairs(df, threshold=0.8, verify="exact")
+    rows = exact.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == expected
+    assert all(r.jaccard == 1.0 for r in rows)
+
+    with pytest.raises(ValueError, match="verify"):
+        dedup.minhash_near_dup_pairs(df, verify="nope")
+
+
+def test_minhash_dedup_clusters_transitive(spark):
+    """a~b and b~c must cluster a,b,c together through the MinHash pair
+    graph even if a~c was never emitted; cluster id = min doc id."""
+    text_a = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_a),
+         (50, "another entirely different document about other things")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.cluster
+        for r in dedup.minhash_dedup_clusters(df, threshold=0.8).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}  # 50 has no pair -> singleton, absent
+
+
+def test_ngram_jaccard_candidates_matches_full(spark):
+    """Candidate-restricted exact verification must agree with the
+    all-pairs inverted-index form on the candidates' subset (no posting
+    cap engages at this corpus size), and emit nothing for candidate
+    pairs below the threshold."""
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog again today"),
+        (1, "the quick brown fox jumps over the lazy dog again tomorrow"),
+        (2, "a completely different text about spark query planning"),
+        (3, "a completely different text about spark query planning too"),
+        (4, "nothing in common with anything else at all here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3), (0, 4)], "id_a long, id_b long"
+    )
+    restricted = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.5, candidates=cand
+        ).collect()
+    }
+    assert set(restricted) <= {(0, 1), (2, 3), (0, 4)}
+    for pair, j in restricted.items():
+        assert full[pair] == j  # same jaccard as the all-pairs form
+    assert set(restricted) == {p for p in [(0, 1), (2, 3)] if p in full}
