@@ -564,6 +564,21 @@ def band_pairs(
             banded.unpersist()
 
 
+def _candidate_join_side(pairs: DataFrame) -> DataFrame:
+    """Size-aware join side for a candidate-pair lookup: broadcast when
+    the EXACT size (counted rows x ~48-byte two-long row) fits
+    BAND_BROADCAST_BUDGET, shuffled merge join otherwise — the same
+    counted-size discipline as the band self-join (Catalyst's estimate
+    of UDF-derived relations is unreliable in both directions). The
+    count is cheap at the internal call sites (the banding returns a
+    checkpointed pair relation); callers passing a lazy candidate
+    relation pay one evaluation for it."""
+    n = pairs.count()
+    if n * 48 <= BAND_BROADCAST_BUDGET:
+        return F.broadcast(pairs)
+    return pairs.hint("merge")
+
+
 def verified_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -574,21 +589,27 @@ def verified_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keeps >= threshold.
 
-    The candidate relation is the small side (two longs per pair, bounded
-    by the banding) — both shingle lookups broadcast it, so the big
-    shingle relation never shuffles for the lookup. The two halves
-    (pair + one side's shingles each, |pairs| rows) then equi-join on the
-    pair key itself; only pair-bounded rows ever cross the wire.
+    The candidate relation is usually the small side (two longs per
+    pair, bounded by the banding) — under the broadcast budget both
+    shingle lookups broadcast it, so the big shingle relation never
+    shuffles for the lookup; a candidate set whose EXACT size (counted
+    rows x 48-byte pair row) exceeds the budget switches to shuffled
+    joins instead — the only correct plan once the pair list itself is
+    corpus-scale (the count is cheap at every internal call site: the
+    banding materializes its pair relation). The two halves (pair + one
+    side's shingles each, |pairs| rows) then equi-join on the pair key
+    itself; only pair-bounded rows ever cross the wire.
     """
     sh = _with_shingles(_spread(df), text_col, k).select(
         F.col(id_col).alias("_jid"), F.col("_shingles").alias("_sh")
     )
     a = sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a")
     b = sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b")
-    half_a = a.join(F.broadcast(pairs), "id_a").select(
+    cand = _candidate_join_side(pairs)
+    half_a = a.join(cand, "id_a").select(
         "id_a", "id_b", "_sh_a"
     )
-    half_b = b.join(F.broadcast(pairs), "id_b").select(
+    half_b = b.join(cand, "id_b").select(
         "id_a", "id_b", "_sh_b"
     )
     joined = half_a.join(half_b, ["id_a", "id_b"])
@@ -1039,17 +1060,19 @@ def ngram_jaccard_pairs(
         ).alias("_grams"),
     )
     if candidates is not None:
-        cand = candidates.select("id_a", "id_b")
+        # size-aware like verified_jaccard_pairs: broadcast a bounded
+        # candidate set, shuffle a corpus-scale one
+        cand = _candidate_join_side(candidates.select("id_a", "id_b"))
         a = grams.select(
             F.col("_id").alias("id_a"), F.col("_grams").alias("_ga")
         )
         b = grams.select(
             F.col("_id").alias("id_b"), F.col("_grams").alias("_gb")
         )
-        half_a = a.join(F.broadcast(cand), "id_a").select(
+        half_a = a.join(cand, "id_a").select(
             "id_a", "id_b", "_ga"
         )
-        half_b = b.join(F.broadcast(cand), "id_b").select(
+        half_b = b.join(cand, "id_b").select(
             "id_a", "id_b", "_gb"
         )
         inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")

@@ -2399,3 +2399,38 @@ def test_ngram_jaccard_candidates_matches_full(spark):
     for pair, j in restricted.items():
         assert full[pair] == j  # same jaccard as the all-pairs form
     assert set(restricted) == {p for p in [(0, 1), (2, 3)] if p in full}
+
+
+def test_candidate_join_side_switch(spark, monkeypatch):
+    """The candidate lookup joins must derive their strategy from the
+    counted size: broadcast under the budget, shuffled merge above
+    (verified_jaccard_pairs and the candidate-restricted n-gram path
+    share _candidate_join_side)."""
+    from amazon_s3_find_and_forget_spark.operators import dedup as d
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    under = d._candidate_join_side(pairs)
+    assert "UnresolvedHint broadcast" in (
+        under._jdf.queryExecution().logical().toString()
+    )
+    monkeypatch.setattr(d, "BAND_BROADCAST_BUDGET", 0)
+    over = d._candidate_join_side(pairs)
+    assert "UnresolvedHint merge" in (
+        over._jdf.queryExecution().logical().toString()
+    )
+
+    # and the exact-verify output is identical on both branches
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    shuffled = {(r.id_a, r.id_b, r.jaccard)
+                for r in d.verified_jaccard_pairs(df, cand, k=3,
+                                                  threshold=0.5).collect()}
+    monkeypatch.setattr(d, "BAND_BROADCAST_BUDGET", 256 << 20)
+    bcast = {(r.id_a, r.id_b, r.jaccard)
+             for r in d.verified_jaccard_pairs(df, cand, k=3,
+                                               threshold=0.5).collect()}
+    assert shuffled == bcast == {(1, 2, 1.0)}
