@@ -35,7 +35,12 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # MinHash pair source) and text_token_count_bpe (tokenizer-exact BPE
 # counts, full value oracle) promoted in the same way; long-stable
 # r12-green tpch_q7, tpch_q11 and text_train_split rotate out to the
-# tail (still sweep-checked every round).
+# tail (still sweep-checked every round). Late round-13 additions:
+# text_dsir_weights + text_dsir_sample (DSIR hashed-n-gram importance
+# resampling, both full value oracles incl. the Gumbel draw) enter the
+# window; text_gopher_quality (Gopher rule filters, full value oracle)
+# likewise; long-stable events_hourly, orders_running_total and tpch_q6
+# rotate to the tail.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -58,13 +63,11 @@ GATE_ORDER = [
     "find_rows_nested",
     "find_rows_decimal",
     "tpch_q5",
-    "tpch_q6",
     "text_exact_mixture",
     "dedup_span_removal",
     "dedup_span_mask",
     "dedup_components_minhash",
     "events_window_variants",
-    "events_hourly",
     "events_distinct_sketch",
     "orders_quantile_sketch",
     "dedup_exact_groups",
@@ -72,12 +75,14 @@ GATE_ORDER = [
     "dedup_incremental_complete",
     "text_contamination",
     "text_repetition",
+    "text_dsir_weights",
+    "text_dsir_sample",
+    "text_gopher_quality",
     "text_mixture",
     "text_token_count",
     "text_token_count_bpe",
     "text_length_percentiles",
     "events_topn_per_user",
-    "orders_running_total",
     "events_interval_counts",
     "embedding_near_dups_exact",
     "events_variant_extract",
@@ -95,6 +100,9 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "events_hourly",
+    "orders_running_total",
+    "tpch_q6",
     "text_train_split",
     "tpch_q11",
     "tpch_q7",

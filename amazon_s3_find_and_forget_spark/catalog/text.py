@@ -154,6 +154,48 @@ def q_text_unigram_nll(spark, sf_dir):
     return text.unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def q_text_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveWeb rule filters (Rae et al. 2021): per-rule
+    booleans + the conjunction, full value oracle (scalar regexp counts
+    reproduce exactly; ratios round to 4)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_ratio",
+        "stop_word_hits",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_alpha_words",
+        "ok_stop_words",
+        "gopher_pass",
+    )
+
+
+def q_text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score the whole pool
+    against an English-document target — full value oracle (bucket ids
+    reproduce exactly via the fixed-width-hex md5 hash; log-weight sums
+    round to 6 like unigram_logprob's nll)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en")
+    )
+
+
+def q_text_dsir_sample(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling: 120 docs drawn without replacement
+    proportional to softmax importance weight, noise a pure function of
+    (doc_id, salt) — the selection itself is value-oracled row-for-row."""
+    docs = load(spark, sf_dir, "documents")
+    return text.dsir_select(
+        docs, docs.where(F.col("lang") == "en"), 120, salt="r13"
+    )
+
+
 def q_text_ccnet_buckets(spark, sf_dir):
     """The CCNet head/middle/tail split (Wenzek et al. 2020): rank the
     corpus by LM score and cut at the tertiles. Thresholds are two
@@ -291,6 +333,9 @@ QUERIES = {
     "text_chunks": q_text_chunks,
     "text_tfidf": q_text_tfidf,
     "text_unigram_nll": q_text_unigram_nll,
+    "text_gopher_quality": q_text_gopher_quality,
+    "text_dsir_weights": q_text_dsir_weights,
+    "text_dsir_sample": q_text_dsir_sample,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "documents_source_rollup": q_documents_source_rollup,
     "text_quality": q_text_quality,
@@ -301,6 +346,46 @@ QUERIES = {
     "text_pack": q_text_pack,
     "text_fingerprint": q_text_fingerprint,
 }
+
+# DSIR hashed-n-gram weights, shared by the weights row and the Gumbel
+# selection row. Bucket hash = int(md5(gram)[:8], 16) % 4096 — identical
+# in Spark (conv(substring(md5(g),1,8),16,10)) and DuckDB (the 0x-cast);
+# verified bit-exact at sf0.001/0.01 before the rows were registered.
+_DSIR_WEIGHTS_SQL = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(t) AS g FROM toks
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM toks WHERE len(t) >= 2
+        ), occ AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bkt
+          FROM grams
+        ), qcnt AS (
+          SELECT bkt, count(*) AS qc FROM occ GROUP BY bkt
+        ), tcnt AS (
+          SELECT bkt, count(*) AS tc FROM occ
+          WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+          GROUP BY bkt
+        ), tot AS (
+          SELECT (SELECT coalesce(sum(qc), 0) FROM qcnt) AS Q,
+                 (SELECT coalesce(sum(tc), 0) FROM tcnt) AS T
+        ), ratio AS (
+          SELECT qcnt.bkt,
+                 ln((coalesce(tc, 0) + 1.0) / (T + 1.0 * 4096))
+               - ln((qc + 1.0) / (Q + 1.0 * 4096)) AS contrib
+          FROM qcnt LEFT JOIN tcnt USING (bkt), tot
+        ), w AS (
+          SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 round(sum(r.contrib), 6) AS log_w
+          FROM occ o JOIN ratio r USING (bkt)
+          GROUP BY o.doc_id
+        )
+"""
+
 
 ORACLES = {
     "text_curation_pipeline": f"""
@@ -650,5 +735,58 @@ ORACLES = {
         SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
+    """,
+    "text_gopher_quality": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS n_words,
+                 length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS nwc,
+                 len(regexp_extract_all(coalesce(text, ''), '\\S*[A-Za-z]\\S*')) AS alpha_words,
+                 len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.')) AS symbols,
+                 greatest(len(list_intersect({_TOKENS},
+                     [{", ".join(repr(w) for w in text.GOPHER_STOP_WORDS)}])), 0) AS stop_word_hits
+          FROM documents
+        ), r AS (
+          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                 CASE WHEN n_words > 0
+                      THEN round(CAST(nwc AS DOUBLE) / n_words, 4)
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN n_words > 0
+                      THEN round(CAST(alpha_words AS DOUBLE) / n_words, 4)
+                      ELSE 0.0 END AS alpha_word_frac,
+                 CASE WHEN n_words > 0
+                      THEN round(CAST(symbols AS DOUBLE) / n_words, 4)
+                      ELSE 0.0 END AS symbol_ratio,
+                 CAST(stop_word_hits AS BIGINT) AS stop_word_hits
+          FROM m
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+               symbol_ratio, stop_word_hits,
+               (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+               (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+               (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+               (alpha_word_frac >= 0.8) AS ok_alpha_words,
+               (stop_word_hits >= 2) AS ok_stop_words,
+               ((n_words BETWEEN 50 AND 100000)
+                AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                AND (symbol_ratio <= 0.1)
+                AND (alpha_word_frac >= 0.8)
+                AND (stop_word_hits >= 2)) AS gopher_pass
+        FROM r
+    """,
+    "text_dsir_weights": f"""
+        {_DSIR_WEIGHTS_SQL}
+        SELECT * FROM w
+    """,
+    "text_dsir_sample": f"""
+        {_DSIR_WEIGHTS_SQL}
+        SELECT doc_id, n_grams, log_w,
+               round(log_w + (-ln(-ln(
+                 (CAST(concat('0x', substr(md5(
+                    CAST(doc_id AS VARCHAR) || '|dsir|r13'), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0))), 6) AS score
+        FROM w
+        ORDER BY score DESC, doc_id
+        LIMIT 120
     """,
 }

@@ -20,6 +20,10 @@ Operators:
 - ``tfidf_top_terms``      per-doc top-k TF-IDF keyword extraction
 - ``unigram_logprob``      CCNet-style corpus-LM perplexity proxy
 - ``mixture_sample``       per-source rate mixing w/ deterministic epochs
+- ``dsir_importance_weights`` / ``dsir_select``  DSIR hashed-n-gram
+  importance weighting + Gumbel-top-k resampling (Xie et al. 2023)
+- ``gopher_quality_flags``  Gopher/MassiveWeb rule filters (Rae et al.
+  2021) as per-rule booleans + the conjunction
 """
 
 from __future__ import annotations
@@ -38,6 +42,10 @@ LANG_MARKERS = {
 }
 
 STOPWORDS_EN = LANG_MARKERS["en"]
+
+# Gopher's rule-E stop set (Rae et al. 2021, Appendix A1.1): a document
+# must contain at least two of these to pass the stop-word screen.
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def tokens(col: Column) -> Column:
@@ -1396,4 +1404,302 @@ def training_order(
             (F.col("_to_off") + F.row_number().over(within)).cast("long"),
         )
         .drop("_to_b", "_to_k", "_to_off")
+    )
+
+
+def _hashed_gram_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """``(_id, bkt)`` stream: one row per unigram AND bigram occurrence,
+    each gram hashed into ``n_buckets`` by the fixed-width-hex md5 trick
+    (``int(md5(gram)[:8], 16) % n_buckets``) — the same engine-portable
+    hash family as ``deterministic_split``, so a DuckDB oracle
+    reproduces every bucket id exactly.
+
+    Bigrams are STRICT (a ``len(t)-1`` window over docs with >= 2
+    tokens), not the ``word_ngrams`` short-doc clamp: DSIR features are
+    occurrence counts, and a 1-token doc contributing its unigram twice
+    (once as a clamped "bigram") would double-weight it. The token
+    array is pre-projected and the per-index lambda references only the
+    attribute (the ``word_ngrams`` O(len^2) contract).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    Lt = F.size("_t")
+    bigrams = F.when(
+        Lt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), Lt - 1),
+            lambda i: F.array_join(F.slice("_t", i, 2), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return toks.select(
+        "_id", F.explode(F.concat("_t", bigrams)).alias("_g")
+    ).select(
+        "_id",
+        (
+            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).alias("bkt"),
+    )
+
+
+def dsir_importance_weights(
+    pool: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    lam: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    pool document by how much more likely its hashed-n-gram features are
+    under the TARGET distribution than under the pool itself —
+    the data-selection step that tilts a raw crawl toward a
+    high-quality / in-domain corpus.
+
+    Features: unigram + bigram occurrences hashed into ``n_buckets``
+    (the paper's hashed n-gram generative model). Bucket models are
+    add-``lam`` smoothed multinomials fit on each side's occurrence
+    counts; a pool doc's log importance weight is::
+
+        log_w = sum_over_doc_grams( ln p_target(bkt) - ln p_pool(bkt) )
+
+    rounded to 6 decimals (the ``unigram_logprob`` cross-engine float
+    convention). Documents with >= 1 token are returned (a token-less
+    doc has no features, same contract as ``unigram_logprob``); buckets
+    the target never saw still score via smoothing, and target grams in
+    buckets absent from the pool contribute to the target total only
+    (they can never match a pool gram).
+
+    Returns ``(id, n_grams, log_w)``.
+
+    Scale shape: each bucket-count model is ONE map-side-combinable
+    aggregate collapsing the gram stream to <= ``n_buckets`` keys — a
+    corpus-wide hot bucket is one shuffled key. The model relation
+    (<= ``n_buckets`` rows, both counts + the log-ratio expression) is
+    broadcast, so the scoring pass is the gram explode + a map-only
+    broadcast-hash join + a doc-keyed partial-agg sum: the pool is
+    scanned twice (once to fit, once to score) and the corpus-sized
+    stream is never persisted or shuffled raw — at 100 TB the only
+    full-width exchange is the O(docs) weight rows themselves.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets={n_buckets} must be >= 1")
+    if not lam > 0:
+        # lam == 0 puts ln(0) = -inf on every target-unseen bucket
+        raise ValueError(f"lam={lam} must be > 0 (add-lambda smoothing)")
+    pg = _hashed_gram_buckets(pool, n_buckets, text_col, id_col)
+    tg = _hashed_gram_buckets(target, n_buckets, text_col, id_col)
+    qcnt = pg.groupBy("bkt").agg(F.count(F.lit(1)).alias("_qc"))
+    tcnt = tg.groupBy("bkt").agg(F.count(F.lit(1)).alias("_tc"))
+    # totals ride in as a broadcast 1-row cross join (the SQL `, stats`
+    # shape) — no driver collect, the whole plan stays lazy. T counts
+    # ALL target grams (incl. buckets the pool lacks), so it comes from
+    # tcnt before the pool-keyed join.
+    totals = qcnt.agg(
+        F.coalesce(F.sum("_qc"), F.lit(0)).cast("double").alias("_Q")
+    ).crossJoin(
+        tcnt.agg(
+            F.coalesce(F.sum("_tc"), F.lit(0)).cast("double").alias("_T")
+        )
+    )
+    denom_b = float(lam) * float(n_buckets)
+    ratios = (
+        qcnt.join(tcnt, "bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(float(lam)))
+                    / (F.col("_T") + F.lit(denom_b))
+                )
+                - F.log(
+                    (F.col("_qc") + F.lit(float(lam)))
+                    / (F.col("_Q") + F.lit(denom_b))
+                )
+            ).alias("_contrib"),
+        )
+    )
+    return (
+        pg.join(F.broadcast(ratios), "bkt")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("_contrib"), 6).alias("log_w"),
+        )
+        .select(F.col("_id").alias(id_col), "n_grams", "log_w")
+    )
+
+
+def dsir_select(
+    pool: DataFrame,
+    target: DataFrame,
+    k: int,
+    method: str = "gumbel",
+    salt: str = "",
+    n_buckets: int = 4096,
+    lam: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select ``k`` pool documents by DSIR importance weight.
+
+    ``method='topk'`` takes the hard top-k by ``log_w`` (deterministic
+    ranking). ``method='gumbel'`` is the paper's importance
+    RESAMPLING: adding independent Gumbel(0,1) noise to each log weight
+    and taking the top-k draws k documents without replacement with
+    probability proportional to their (softmax-normalized) importance
+    weights — the Gumbel-top-k trick. The noise is a pure function of
+    ``(key, salt)``: uniform ``u = (int(md5(key || '|dsir|' || salt)[:8],
+    16) + 0.5) / 2^32`` (never 0 or 1 by the half-offset), then
+    ``g = -ln(-ln(u))`` — re-runs, retries, and the DuckDB oracle agree
+    row-for-row, and changing ``salt`` re-deals the sample.
+
+    Both orderings tie-break on the id so the cut is total. Returns
+    ``(id, n_grams, log_w, score)`` — ``score`` is ``log_w`` itself for
+    'topk', ``log_w + gumbel`` for 'gumbel', rounded to 6.
+
+    Scale shape: weights as in ``dsir_importance_weights``; the
+    selection compiles to TakeOrderedAndProject (per-partition top-k,
+    merge of k-row heaps — never a global sort of the corpus).
+    """
+    if method not in ("topk", "gumbel"):
+        raise ValueError(f"method must be 'topk' or 'gumbel', got {method!r}")
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    w = dsir_importance_weights(
+        pool,
+        target,
+        n_buckets=n_buckets,
+        lam=lam,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    if method == "topk":
+        score = F.col("log_w")
+    else:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit(f"|dsir|{salt}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(2**32))
+        score = F.col("log_w") + (-F.log(-F.log(u)))
+    return (
+        w.withColumn("score", F.round(score, 6))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_word_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveWeb rule-based quality filters (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", Appendix A — public): the standard pre-LLM-training document
+    screens, each surfaced as its own boolean so a pipeline can audit
+    WHICH rule fired, plus the conjunction ``gopher_pass``.
+
+    Rules (words = maximal ``\\S+`` runs, the span-removal tokenizer):
+
+    - ``ok_word_count``: ``min_words <= n_words <= max_words``
+    - ``ok_mean_word_len``: mean word length in
+      ``[min_mean_word_len, max_mean_word_len]`` (computed as
+      non-whitespace chars / words — one scalar regexp strip, no array)
+    - ``ok_symbol_ratio``: (# of ``#`` + ``...`` occurrences) / words
+      ``<= max_symbol_ratio``
+    - ``ok_alpha_words``: fraction of words containing >= 1 ASCII letter
+      ``>= min_alpha_word_frac``
+    - ``ok_stop_words``: >= ``min_stop_word_hits`` DISTINCT members of
+      Gopher's stop set {the, be, to, of, and, that, have, with} appear
+
+    Ratios are rounded to 4 (the cross-engine float convention).
+    Word-less documents fail the count rule and report 0-valued ratios.
+
+    Scale shape: every rule is a scalar built-in expression over the raw
+    text (pattern-cached ``regexp_*`` family — the round-13 recompile
+    lesson), so the whole operator is one map-only projection inside
+    whole-stage codegen: no shuffle, no UDF, no array materialization
+    except the single stop-word intersect.
+    """
+    text = F.col(text_col)
+    # COUNT of \S+ runs as a scalar (regexp_count, cached pattern) —
+    # the array itself is never built
+    n_words = F.regexp_count(F.coalesce(text, F.lit("")), F.lit(r"\S+"))
+    non_ws_chars = F.length(
+        F.regexp_replace(F.coalesce(text, F.lit("")), r"\s", "")
+    )
+    mean_wl = F.when(
+        n_words > 0, F.round(non_ws_chars.cast("double") / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    # a match of \S*[A-Za-z]\S* consumes a full token (greedy \S* cannot
+    # cross whitespace, and any token containing a letter matches from
+    # its first char), so the count == # words with >= 1 ASCII letter;
+    # the pattern family is lookaround-free on purpose — the DuckDB
+    # oracle runs RE2
+    alpha_words = F.regexp_count(
+        F.coalesce(text, F.lit("")), F.lit(r"\S*[A-Za-z]\S*")
+    )
+    alpha_frac = F.when(
+        n_words > 0, F.round(alpha_words.cast("double") / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    symbols = F.regexp_count(
+        F.coalesce(text, F.lit("")), F.lit(r"#|\.\.\.")
+    )
+    symbol_ratio = F.when(
+        n_words > 0, F.round(symbols.cast("double") / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            tokens(text),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    )
+    stop_hits = F.greatest(stop_hits, F.lit(0))  # size(NULL array) is -1
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_sym = symbol_ratio <= max_symbol_ratio
+    ok_alpha = alpha_frac >= min_alpha_word_frac
+    ok_stop = stop_hits >= min_stop_word_hits
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("stop_word_hits", stop_hits.cast("long"))
+        .withColumn("ok_word_count", ok_wc)
+        .withColumn("ok_mean_word_len", ok_mwl)
+        .withColumn("ok_symbol_ratio", ok_sym)
+        .withColumn("ok_alpha_words", ok_alpha)
+        .withColumn("ok_stop_words", ok_stop)
+        .withColumn(
+            "gopher_pass", ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop
+        )
     )

@@ -2434,3 +2434,113 @@ def test_candidate_join_side_switch(spark, monkeypatch):
              for r in d.verified_jaccard_pairs(df, cand, k=3,
                                                threshold=0.5).collect()}
     assert shuffled == bcast == {(1, 2, 1.0)}
+
+
+def test_dsir_weights_hand_case(spark):
+    import math
+
+    # pool: two docs; target: the first one. B large enough that no
+    # hash collision occurs among the 5 distinct grams (checked by the
+    # distinct-bucket assertion, so the hand model below is exact).
+    pool = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    target = pool.where(F.col("doc_id") == 1)
+    B = 4096
+    got = {
+        r.doc_id: r for r in text.dsir_importance_weights(
+            pool, target, n_buckets=B
+        ).collect()
+    }
+    buckets = (
+        text._hashed_gram_buckets(pool, B, "text", "doc_id")
+        .select("bkt").distinct().count()
+    )
+    assert buckets == 4  # alpha, beta, 'alpha beta', gamma — no collision
+    # doc 1 grams: alpha, beta, 'alpha beta' (3 grams, each qc=1 tc=1)
+    # doc 2 grams: gamma (qc=1, tc=0); T=3, Q=4, lam=1
+    c_seen = math.log((1 + 1) / (3 + B)) - math.log((1 + 1) / (4 + B))
+    c_unseen = math.log((0 + 1) / (3 + B)) - math.log((1 + 1) / (4 + B))
+    assert got[1].n_grams == 3 and got[2].n_grams == 1
+    assert got[1].log_w == pytest.approx(round(3 * c_seen, 6), abs=1e-6)
+    assert got[2].log_w == pytest.approx(round(c_unseen, 6), abs=1e-6)
+    # target-like doc outranks the target-unseen doc
+    assert got[1].log_w > got[2].log_w
+
+
+def test_dsir_weights_skips_tokenless_and_validates(docs):
+    spark = docs.sparkSession
+    extra = spark.createDataFrame(
+        [(900001, "   "), (900002, None)], "doc_id long, text string"
+    )
+    pool = docs.select("doc_id", "text", "lang").unionByName(
+        extra.withColumn("lang", F.lit("en"))
+    )
+    target = pool.where(F.col("lang") == "en")
+    ids = {r.doc_id for r in text.dsir_importance_weights(pool, target).collect()}
+    assert 900001 not in ids and 900002 not in ids
+    with pytest.raises(ValueError, match="lam"):
+        text.dsir_importance_weights(pool, target, lam=0.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        text.dsir_importance_weights(pool, target, n_buckets=0)
+
+
+def test_dsir_select_deterministic_and_salted(docs):
+    target = docs.where(F.col("lang") == "en")
+    a = text.dsir_select(docs, target, 30, salt="s1").collect()
+    b = text.dsir_select(docs, target, 30, salt="s1").collect()
+    c = text.dsir_select(docs, target, 30, salt="s2").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert [r.doc_id for r in a] != [r.doc_id for r in c]
+    assert len(a) == 30
+    # scores descend, ties broken by id
+    scores = [(r.score, r.doc_id) for r in a]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    with pytest.raises(ValueError, match="method"):
+        text.dsir_select(docs, target, 5, method="uniform")
+    with pytest.raises(ValueError, match="k="):
+        text.dsir_select(docs, target, 0)
+
+
+def test_dsir_topk_tilts_toward_target(spark):
+    # target-vocabulary docs must dominate a hard top-k over a pool
+    # built from two disjoint vocabularies
+    rows = [(i, "apple banana cherry date", "t") for i in range(20)]
+    rows += [(100 + i, "quark gluon lepton boson", "o") for i in range(20)]
+    pool = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    target = pool.where(F.col("grp") == "t")
+    sel = text.dsir_select(pool, target, 20, method="topk").collect()
+    assert {r.doc_id for r in sel} == set(range(20))
+
+
+def test_gopher_quality_flags_hand_rules(spark):
+    words50 = " ".join(["the"] * 25 + ["that"] * 25)  # mean word len 3.5
+    rows = [
+        (1, words50),                                   # 50 words, 2 stops -> pass
+        (2, "the be " + " ".join(["word"] * 10)),       # too few words
+        (3, " ".join(["the be"] + ["##"] * 48)),        # symbols + alpha fail
+        (4, None),                                      # null text
+        (5, " ".join(["the"] * 50)),                    # only 1 distinct stop word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.gopher_quality_flags(df).collect()}
+    assert got[1].n_words == 50 and got[1].gopher_pass
+    assert got[1].stop_word_hits == 2 and got[1].alpha_word_frac == 1.0
+    assert not got[2].ok_word_count and got[2].ok_stop_words
+    assert not got[3].ok_symbol_ratio  # 48 '#' words / 50 words
+    assert not got[3].ok_alpha_words   # 48/50 = 0.96 alpha-less
+    assert got[3].alpha_word_frac == pytest.approx(0.04)
+    assert got[4].n_words == 0 and not got[4].gopher_pass
+    assert got[4].mean_word_len == 0.0
+    assert not got[5].ok_stop_words  # distinct stop words, not occurrences
+
+
+def test_gopher_quality_mean_word_len_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["ab"] * 60)), (2, " ".join(["abcdefghijklmno"] * 60))],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.gopher_quality_flags(df).collect()}
+    assert got[1].mean_word_len == 2.0 and not got[1].ok_mean_word_len
+    assert got[2].mean_word_len == 15.0 and not got[2].ok_mean_word_len
+    assert got[1].ok_word_count and got[2].ok_word_count
