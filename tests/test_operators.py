@@ -2544,3 +2544,18 @@ def test_gopher_quality_mean_word_len_bounds(spark):
     assert got[1].mean_word_len == 2.0 and not got[1].ok_mean_word_len
     assert got[2].mean_word_len == 15.0 and not got[2].ok_mean_word_len
     assert got[1].ok_word_count and got[2].ok_word_count
+
+
+def test_dsir_xxhash64_path_deterministic_and_consistent(spark):
+    # production hash: same selection semantics, deterministic re-runs;
+    # vocabulary-split pools still tilt hard toward the target
+    rows = [(i, "apple banana cherry date", "t") for i in range(10)]
+    rows += [(100 + i, "quark gluon lepton boson", "o") for i in range(10)]
+    pool = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    target = pool.where(F.col("grp") == "t")
+    a = text.dsir_select(pool, target, 10, method="topk", hash_fn="xxhash64")
+    b = text.dsir_select(pool, target, 10, method="topk", hash_fn="xxhash64")
+    assert [r.doc_id for r in a.collect()] == [r.doc_id for r in b.collect()]
+    assert {r.doc_id for r in a.collect()} == set(range(10))
+    with pytest.raises(ValueError, match="hash_fn"):
+        text.dsir_importance_weights(pool, target, hash_fn="sha1")
