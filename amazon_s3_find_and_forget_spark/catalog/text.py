@@ -272,6 +272,33 @@ def q_text_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_text_curation_pipeline_v2(spark, sf_dir):
+    """The same composed curation pipeline over the ``documents_v2``
+    near-dup variant corpus. LANE-ONLY (documents_v2 exists only in
+    derived scale dirs; the pipeline itself is oracle-gated by
+    text_curation_pipeline): v2 tiles are token-salted rewrites, not
+    word permutations, so most docs share no 3-gram with the
+    pseudo-benchmark and the sf10 result is NON-empty — a live
+    regression canary where the permuted corpus's 0-row output was a
+    dead one (round-12 verdict, What's wrong #3a)."""
+    docs = load(spark, sf_dir, "documents_v2")
+    survivors = dedup.exact_dedup(docs)
+    scored = text.with_token_count(
+        text.with_lang_id(text.with_quality(survivors))
+    )
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    flags = text.contamination_screen(docs, benchmark, n=3)
+    screened = scored.join(flags, "doc_id")
+    return (
+        screened.where(
+            (F.col("quality_score") >= 0.6)
+            & (F.col("lang_pred") == "en")
+            & (~F.col("contaminated"))
+        )
+        .select("doc_id", "quality_score", "lang_pred", "n_tokens")
+    )
+
+
 def q_text_contamination(spark, sf_dir):
     """Benchmark-overlap decontamination screen: docs sharing any word
     3-gram with the pseudo-benchmark (every 50th doc) are flagged."""

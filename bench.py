@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "text_lang_id",
     "similarity_cosine",
     "job_stats_fold",
+    # round 13: DSIR Gumbel-top-k selection (fit + score + cut), the
+    # round's new heavy text operator, timed where the driver measures
+    "text_dsir_sample",
 ]
 
 
@@ -132,7 +135,9 @@ SF10_QUERIES = [
     "dedup_clusters_minhash",
     "dedup_span_removal",
     "text_curation_pipeline",
+    "text_curation_pipeline_v2",
     "text_stratified_sample",
+    "text_dsir_sample",
 ]
 # Round-13 lane additions:
 # - dedup_simhash_pairs_v2 runs over the documents_v2 near-dup variant
@@ -146,6 +151,11 @@ SF10_QUERIES = [
 # - text_stratified_sample gives the lane a map-heavy text query whose
 #   sf10 output is NON-empty (the curation pipeline's 0-row sf10 result
 #   is semantically explained but a dead regression canary on its own).
+# - text_curation_pipeline_v2 runs the SAME composed pipeline over the
+#   v2 corpus, where the screen doesn't flag everything — a non-empty
+#   curation canary (the permuted-corpus row stays for floor
+#   comparability). Lane-only, like dedup_simhash_pairs_v2.
+# - text_dsir_sample soaks the round-13 DSIR fit+score+cut at 500k docs.
 
 
 def bench_find_forget_job(spark, sf_dir: str = None) -> float:
@@ -451,8 +461,14 @@ def main():
         from amazon_s3_find_and_forget_spark.catalog.dedup import (
             q_dedup_simhash_pairs_v2,
         )
+        from amazon_s3_find_and_forget_spark.catalog.text import (
+            q_text_curation_pipeline_v2,
+        )
 
-        lane_extras = {"dedup_simhash_pairs_v2": q_dedup_simhash_pairs_v2}
+        lane_extras = {
+            "dedup_simhash_pairs_v2": q_dedup_simhash_pairs_v2,
+            "text_curation_pipeline_v2": q_text_curation_pipeline_v2,
+        }
         for name in SF10_QUERIES:
             fn = lane_extras.get(name) or entry_queries.QUERIES[name]
             sf10_run(name, lambda f=fn: f(spark, sf10_dir).count())
