@@ -39,8 +39,10 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # text_dsir_weights + text_dsir_sample (DSIR hashed-n-gram importance
 # resampling, both full value oracles incl. the Gumbel draw) enter the
 # window; text_gopher_quality (Gopher rule filters, full value oracle)
-# likewise; long-stable events_hourly, orders_running_total and tpch_q6
-# rotate to the tail.
+# and text_quality_classifier (GPT-3-style classifier, claim-gated like
+# the *_recall rows) likewise; long-stable events_hourly,
+# orders_running_total, tpch_q6 and events_window_variants rotate to
+# the tail.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -67,7 +69,6 @@ GATE_ORDER = [
     "dedup_span_removal",
     "dedup_span_mask",
     "dedup_components_minhash",
-    "events_window_variants",
     "events_distinct_sketch",
     "orders_quantile_sketch",
     "dedup_exact_groups",
@@ -78,6 +79,7 @@ GATE_ORDER = [
     "text_dsir_weights",
     "text_dsir_sample",
     "text_gopher_quality",
+    "text_quality_classifier",
     "text_mixture",
     "text_token_count",
     "text_token_count_bpe",
@@ -103,6 +105,7 @@ TAIL_ORDER = [
     "events_hourly",
     "orders_running_total",
     "tpch_q6",
+    "events_window_variants",
     "text_train_split",
     "tpch_q11",
     "tpch_q7",

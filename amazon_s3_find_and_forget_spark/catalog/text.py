@@ -175,6 +175,58 @@ def q_text_gopher_quality(spark, sf_dir):
     )
 
 
+def q_text_quality_classifier(spark, sf_dir):
+    """GPT-3-style quality classifier, gated by deterministic claims
+    (the *_recall pattern: the trained weights are engine-internal —
+    iterative float math has no cross-engine oracle — so the row
+    asserts exact class counts plus margin-sized quality claims).
+
+    Threshold provenance (sized across three corpora like the PQ
+    recall gates): the en-vs-rest task's signal is SPARSE by generator
+    construction (~0.8 distinct en-marker hits per doc in EVERY
+    language), so train-set AUC is 0.93 on the 500-doc gate corpus
+    (small-corpus memorization headroom in 4096 buckets) but 0.69 at
+    sf0.1 — near the data ceiling, not model failure. Claims: AUC >=
+    0.62 (chance is 0.5; measured 0.69-0.94), precision@100 of the
+    score ranking >= base_rate + 0.15 (self-normalizing across corpora;
+    measured margins 0.17-0.48), GD loss strictly improved, and the
+    Pareto filter keeps >= 1 doc (measured 9-130)."""
+    docs = load(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
+    )
+    model = text.train_quality_classifier(labeled, "y", iters=15, lr=2.0)
+    scored = text.score_quality_classifier(docs, model).join(
+        labeled.select("doc_id", "y"), "doc_id"
+    )
+    auc_row = text.binary_auc(scored, "quality_prob", "y")
+    p100 = (
+        scored.orderBy(F.desc("quality_prob"), F.asc("doc_id"))
+        .limit(100)
+        .agg(F.avg("y").alias("_p100"))
+    )
+    kept_n = text.pareto_quality_filter(docs, model, salt="r13").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    loss_ok = bool(model["losses"][-1] < model["losses"][0] - 1e-9)
+    return (
+        auc_row.crossJoin(p100)
+        .crossJoin(kept_n)
+        .select(
+            "n_pos",
+            "n_neg",
+            (F.col("auc") >= 0.62).alias("auc_ok"),
+            F.lit(loss_ok).alias("loss_ok"),
+            (
+                F.col("_p100")
+                >= F.col("n_pos") / (F.col("n_pos") + F.col("n_neg"))
+                + F.lit(0.15)
+            ).alias("tilt_ok"),
+            (F.col("_k") >= 1).alias("kept_ok"),
+        )
+    )
+
+
 def q_text_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): score the whole pool
     against an English-document target — full value oracle (bucket ids
@@ -361,6 +413,7 @@ QUERIES = {
     "text_tfidf": q_text_tfidf,
     "text_unigram_nll": q_text_unigram_nll,
     "text_gopher_quality": q_text_gopher_quality,
+    "text_quality_classifier": q_text_quality_classifier,
     "text_dsir_weights": q_text_dsir_weights,
     "text_dsir_sample": q_text_dsir_sample,
     "text_ccnet_buckets": q_text_ccnet_buckets,
@@ -762,6 +815,15 @@ ORACLES = {
         SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
+    """,
+    "text_quality_classifier": """
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+               true AS auc_ok, true AS loss_ok, true AS tilt_ok,
+               true AS kept_ok
+        FROM documents
+        WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                              x -> x <> '')) > 0
     """,
     "text_gopher_quality": f"""
         WITH m AS (

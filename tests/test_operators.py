@@ -2559,3 +2559,53 @@ def test_dsir_xxhash64_path_deterministic_and_consistent(spark):
     assert {r.doc_id for r in a.collect()} == set(range(10))
     with pytest.raises(ValueError, match="hash_fn"):
         text.dsir_importance_weights(pool, target, hash_fn="sha1")
+
+
+def test_binary_auc_hand_case(spark):
+    # scores: perfect separation -> 1.0; one tie handled by mid-rank
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)], "s double, y int"
+    )
+    assert text.binary_auc(df, "s", "y").collect()[0].auc == 1.0
+    tied = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.1, 0)], "s double, y int"
+    )
+    # ranks: 0.1 -> 1; the two 0.5s mid-rank 2.5 -> auc = (2.5 - 1) / 2
+    assert tied.count() == 3
+    assert text.binary_auc(tied, "s", "y").collect()[0].auc == 0.75
+
+
+def test_quality_classifier_separable_and_validates(spark):
+    rows = [(i, "apple banana cherry date elderberry", 1) for i in range(15)]
+    rows += [(100 + i, "quark gluon lepton boson muon", 0) for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = text.train_quality_classifier(df, "y", iters=10, lr=2.0)
+    assert model["losses"][-1] < model["losses"][0]
+    scored = text.score_quality_classifier(df, model).join(
+        df.select("doc_id", "y"), "doc_id"
+    )
+    assert text.binary_auc(scored, "quality_prob", "y").collect()[0].auc == 1.0
+    # separable vocab: every positive outscores every negative
+    probs = {r.doc_id: r.quality_prob for r in scored.collect()}
+    assert min(probs[i] for i in range(15)) > max(
+        probs[100 + i] for i in range(15)
+    )
+    with pytest.raises(ValueError, match="iters"):
+        text.train_quality_classifier(df, "y", iters=0)
+    with pytest.raises(ValueError, match="both classes"):
+        text.train_quality_classifier(df.where(F.col("y") == 1), "y")
+
+
+def test_pareto_quality_filter_deterministic_and_tilted(spark):
+    rows = [(i, "apple banana cherry date elderberry", 1) for i in range(20)]
+    rows += [(100 + i, "quark gluon lepton boson muon", 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = text.train_quality_classifier(df, "y", iters=10, lr=2.0)
+    a = {r.doc_id for r in text.pareto_quality_filter(df, model, salt="x").collect()}
+    b = {r.doc_id for r in text.pareto_quality_filter(df, model, salt="x").collect()}
+    assert a == b and len(a) >= 1
+    pos_kept = sum(1 for d in a if d < 100)
+    neg_kept = len(a) - pos_kept
+    assert pos_kept > neg_kept  # high scores survive more often
+    with pytest.raises(ValueError, match="alpha"):
+        text.pareto_quality_filter(df, model, alpha=0.0)
