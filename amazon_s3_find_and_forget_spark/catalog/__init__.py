@@ -39,10 +39,11 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # text_dsir_weights + text_dsir_sample (DSIR hashed-n-gram importance
 # resampling, both full value oracles incl. the Gumbel draw) enter the
 # window; text_gopher_quality (Gopher rule filters, full value oracle)
-# and text_quality_classifier (GPT-3-style classifier, claim-gated like
-# the *_recall rows) likewise; long-stable events_hourly,
-# orders_running_total, tpch_q6 and events_window_variants rotate to
-# the tail.
+# text_quality_classifier (GPT-3-style classifier, claim-gated like
+# the *_recall rows) and dedup_decontaminate_spans (span-level
+# benchmark decontamination, full value oracle) likewise; long-stable
+# events_hourly, orders_running_total, tpch_q6, events_window_variants
+# and similarity_quantize rotate to the tail.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -68,6 +69,7 @@ GATE_ORDER = [
     "text_exact_mixture",
     "dedup_span_removal",
     "dedup_span_mask",
+    "dedup_decontaminate_spans",
     "dedup_components_minhash",
     "events_distinct_sketch",
     "orders_quantile_sketch",
@@ -89,7 +91,6 @@ GATE_ORDER = [
     "embedding_near_dups_exact",
     "events_variant_extract",
     "similarity_batch_topk_exact",
-    "similarity_quantize",
     "similarity_topk",
     "text_train_order",
     "text_curation_pipeline",
@@ -106,6 +107,7 @@ TAIL_ORDER = [
     "orders_running_total",
     "tpch_q6",
     "events_window_variants",
+    "similarity_quantize",
     "text_train_split",
     "tpch_q11",
     "tpch_q7",

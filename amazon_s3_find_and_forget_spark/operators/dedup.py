@@ -1325,7 +1325,6 @@ def remove_duplicated_spans(
             F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), F.lit(0)
         ).alias("_t"),
     )
-    L = F.size("_t")
     # lowercased shadow array for gram identity, projected ONCE per doc
     # (lowercasing inside the per-start lambda would re-transform the
     # whole array per gram index — O(len^2) per document); _t
@@ -1375,89 +1374,204 @@ def remove_duplicated_spans(
                 )
                 .select("_id", "_pos")
             )
-            rset = removed_starts.groupBy("_id").agg(
-                F.array_sort(
-                    F.array_distinct(
-                        F.flatten(
-                            F.collect_list(
-                                F.sequence(
-                                    F.col("_pos"),
-                                    F.col("_pos") + F.lit(n - 1),
-                                )
-                            )
-                        )
-                    )
-                ).alias("_rpos")
-            )
-            joined = toks.join(rset, "_id", "left").select(
-                "_id",
-                "_t",
-                F.coalesce(
-                    "_rpos", F.expr("CAST(array() AS array<int>)")
-                ).alias("_rpos"),
-            )
-            # guard: sequence(1, 0) would DESCEND in Spark ([1, 0]);
-            # empty docs need an explicitly empty position domain
-            positions = F.when(
-                L >= 1, F.sequence(F.lit(1), L)
-            ).otherwise(F.expr("CAST(array() AS array<int>)"))
-            # ascending retained positions: array_except preserves the
-            # left argument's order and hashes the right side
-            keep = joined.withColumn(
-                "_keep", F.array_except(positions, F.col("_rpos"))
-            )
-            if mode == "cut":
-                text_out = F.array_join(
-                    F.transform(
-                        "_keep", lambda p: F.element_at("_t", p)
-                    ),
-                    " ",
-                )
-            else:
-                # one mask token per maximal removed run: emitted before
-                # a kept token whose predecessor position was removed
-                # (gap > 1 from the previous kept position, or a leading
-                # gap), plus one trailing mask when the document ends
-                # removed; an all-removed document collapses to a single
-                # mask. transform's i is 0-based and element_at is
-                # 1-based, so element_at(_keep, i) IS the previous
-                # element (the i == 0 WHEN branch guards the 0 index —
-                # CASE evaluates lazily). DataFrame-API lambdas with
-                # F.lit(mask_token): the earlier interpolated-SQL form
-                # carried backslash/quote escaping that parses wrong
-                # under spark.sql.parser.escapedStringLiterals=true.
-                mask = F.lit(mask_token)
-
-                def _piece(p, i):
-                    tok = F.element_at("_t", p)
-                    gap = F.when(i == F.lit(0), p > 1).otherwise(
-                        p - F.element_at("_keep", i) > 1
-                    )
-                    return F.when(
-                        gap, F.concat(mask, F.lit(" "), tok)
-                    ).otherwise(tok)
-
-                text_out = F.when(
-                    F.size("_keep") == 0,
-                    F.when(F.size("_t") > 0, mask).otherwise(F.lit("")),
-                ).otherwise(
-                    F.concat(
-                        F.array_join(F.transform("_keep", _piece), " "),
-                        F.when(
-                            F.element_at("_keep", -1) < F.size("_t"),
-                            F.concat(F.lit(" "), mask),
-                        ).otherwise(F.lit("")),
-                    )
-                )
-            return _eager(
-                keep.select(
-                    F.col("_id").alias(id_col),
-                    text_out.alias(text_col),
-                    L.cast("long").alias("n_tokens"),
-                    (L - F.size("_keep")).cast("long").alias(
-                        "removed_tokens"
-                    ),
-                )
+            return _reconstruct_without_spans(
+                toks, removed_starts, n, mode, mask_token, text_col, id_col
             )
     finally:
         occ.unpersist()
+
+
+def _reconstruct_without_spans(
+    toks: DataFrame,
+    removed_starts: DataFrame,
+    n: int,
+    mode: str,
+    mask_token: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared span-removal reconstruction: expand removed START
+    positions (``(_id, _pos)``) to covered token positions, rebuild
+    each document's text from the retained tokens (cut mode) or with
+    one ``mask_token`` per maximal removed run (mask mode). ``toks`` is
+    the ``(_id, _t)`` token-array relation. Removed starts aggregate to
+    one document-bounded array per affected doc, the corpus joins that
+    relation once on the doc id (AQE broadcasts it when few documents
+    are affected), and span expansion + token reassembly are pure array
+    expressions inside codegen (``array_except`` is O(len + removed)).
+    Returns the eagerly-materialized ``(id, text, n_tokens,
+    removed_tokens)``."""
+    L = F.size("_t")
+    rset = removed_starts.groupBy("_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(
+                            F.col("_pos"),
+                            F.col("_pos") + F.lit(n - 1),
+                        )
+                    )
+                )
+            )
+        ).alias("_rpos")
+    )
+    joined = toks.join(rset, "_id", "left").select(
+        "_id",
+        "_t",
+        F.coalesce(
+            "_rpos", F.expr("CAST(array() AS array<int>)")
+        ).alias("_rpos"),
+    )
+    # guard: sequence(1, 0) would DESCEND in Spark ([1, 0]);
+    # empty docs need an explicitly empty position domain
+    positions = F.when(
+        L >= 1, F.sequence(F.lit(1), L)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    # ascending retained positions: array_except preserves the
+    # left argument's order and hashes the right side
+    keep = joined.withColumn(
+        "_keep", F.array_except(positions, F.col("_rpos"))
+    )
+    if mode == "cut":
+        text_out = F.array_join(
+            F.transform("_keep", lambda p: F.element_at("_t", p)),
+            " ",
+        )
+    else:
+        # one mask token per maximal removed run: emitted before
+        # a kept token whose predecessor position was removed
+        # (gap > 1 from the previous kept position, or a leading
+        # gap), plus one trailing mask when the document ends
+        # removed; an all-removed document collapses to a single
+        # mask. transform's i is 0-based and element_at is
+        # 1-based, so element_at(_keep, i) IS the previous
+        # element (the i == 0 WHEN branch guards the 0 index —
+        # CASE evaluates lazily). DataFrame-API lambdas with
+        # F.lit(mask_token): the earlier interpolated-SQL form
+        # carried backslash/quote escaping that parses wrong
+        # under spark.sql.parser.escapedStringLiterals=true.
+        mask = F.lit(mask_token)
+
+        def _piece(p, i):
+            tok = F.element_at("_t", p)
+            gap = F.when(i == F.lit(0), p > 1).otherwise(
+                p - F.element_at("_keep", i) > 1
+            )
+            return F.when(
+                gap, F.concat(mask, F.lit(" "), tok)
+            ).otherwise(tok)
+
+        text_out = F.when(
+            F.size("_keep") == 0,
+            F.when(F.size("_t") > 0, mask).otherwise(F.lit("")),
+        ).otherwise(
+            F.concat(
+                F.array_join(F.transform("_keep", _piece), " "),
+                F.when(
+                    F.element_at("_keep", -1) < F.size("_t"),
+                    F.concat(F.lit(" "), mask),
+                ).otherwise(F.lit("")),
+            )
+        )
+    return _eager(
+        keep.select(
+            F.col("_id").alias(id_col),
+            text_out.alias(text_col),
+            L.cast("long").alias("n_tokens"),
+            (L - F.size("_keep")).cast("long").alias("removed_tokens"),
+        )
+    )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "cut",
+    mask_token: str = "[DUP]",
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION: cut (or mask) every word
+    position of the training pool covered by an ``n``-gram that occurs
+    anywhere in the ``benchmark`` relation — the surgical form of
+    test-set decontamination (removing the overlapping spans) where
+    ``text.contamination_screen`` only FLAGS whole documents. Unlike
+    :func:`remove_duplicated_spans` there is no canonical-occurrence
+    keep: the benchmark is the contaminant, so EVERY matching pool
+    occurrence is removed.
+
+    Same exact conventions as span removal (deliberately SQL-replicable
+    for the full value oracle): tokens are non-empty whitespace-split
+    words, gram identity is the lowercased n-gram, documents shorter
+    than ``n`` contribute no grams and pass through reconstructed with
+    single-space joins. Returns ``(id, text, n_tokens,
+    removed_tokens)``.
+
+    Scale shape: the pool side is one gram posexplode with NO corpus
+    aggregate at all (contrast span removal's gram stats — here gram
+    badness comes from the benchmark, not corpus counts). The benchmark
+    gram relation is DISTINCT-aggregated to O(benchmark vocabulary) and
+    the join strategy derives from its COUNTED size against the band
+    budget (the round-12 size-aware discipline: Catalyst's estimate of
+    an exploded relation is unusable) — benchmarks are normally tiny
+    next to the pool, so the probe broadcasts and the pool stream never
+    shuffles; a corpus-scale "benchmark" degrades to a merge join
+    instead of an OOM. Reconstruction shares
+    ``_reconstruct_without_spans``.
+    """
+    if mode not in ("cut", "mask"):
+        raise ValueError(f"mode must be 'cut' or 'mask', got {mode!r}")
+
+    def gram_occurrences(frame, with_pos):
+        toks = _spread(frame).select(
+            F.col(id_col).alias("_id"),
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(r"\S+"),
+                F.lit(0),
+            ).alias("_t"),
+        )
+        Ll = F.size("_tl")
+        grams_col = F.when(
+            Ll >= n,
+            F.transform(
+                F.sequence(F.lit(1), Ll - (n - 1)),
+                lambda i: F.array_join(F.slice("_tl", i, n), " "),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        lowered = toks.withColumn("_tl", F.transform("_t", F.lower))
+        if with_pos:
+            occ = lowered.select(
+                "_id", F.posexplode(grams_col).alias("_i", "g")
+            ).select("_id", (F.col("_i") + 1).alias("_pos"), "g")
+        else:
+            occ = lowered.select(F.explode(grams_col).alias("g"))
+        return toks, occ
+
+    toks, occ = gram_occurrences(df, with_pos=True)
+    bench_grams = gram_occurrences(benchmark, with_pos=False)[1].distinct()
+    # size-aware probe side: count the DISTINCT benchmark grams and
+    # price them at their serialized string width (n tokens + joins)
+    bench_grams = bench_grams.persist()
+    try:
+        n_grams = bench_grams.count()
+        sample_width = (
+            bench_grams.select(
+                F.avg(F.length("g")).alias("w")
+            ).collect()[0]["w"]
+            or 0.0
+        )
+        est_bytes = int(n_grams * (sample_width + 40))
+        with _pair_agg_confs(df.sparkSession):
+            if est_bytes <= BAND_BROADCAST_BUDGET:
+                matched = occ.join(F.broadcast(bench_grams), "g")
+            else:
+                matched = occ.join(bench_grams.hint("merge"), "g")
+            removed_starts = matched.select("_id", "_pos")
+            return _reconstruct_without_spans(
+                toks, removed_starts, n, mode, mask_token, text_col, id_col
+            )
+    finally:
+        bench_grams.unpersist()

@@ -2609,3 +2609,50 @@ def test_pareto_quality_filter_deterministic_and_tilted(spark):
     assert pos_kept > neg_kept  # high scores survive more often
     with pytest.raises(ValueError, match="alpha"):
         text.pareto_quality_filter(df, model, alpha=0.0)
+
+
+def test_decontaminate_spans_hand_case(spark):
+    bench = spark.createDataFrame(
+        [(100, "secret answer tokens one two")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram (lowercased match) + extras
+            (1, "intro SECRET ANSWER tokens one two outro"),
+            (2, "totally unrelated words here now"),
+            (3, "short doc"),  # < n tokens: passes through
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.decontaminate_spans(pool, bench, n=5).collect()
+    }
+    assert got[1].text == "intro outro"
+    assert got[1].removed_tokens == 5 and got[1].n_tokens == 7
+    assert got[2].text == "totally unrelated words here now"
+    assert got[2].removed_tokens == 0
+    assert got[3].text == "short doc" and got[3].removed_tokens == 0
+    # mask mode: one [DUP] for the maximal removed run
+    masked = {
+        r.doc_id: r.text
+        for r in dedup.decontaminate_spans(
+            pool, bench, n=5, mode="mask"
+        ).collect()
+    }
+    assert masked[1] == "intro [DUP] outro"
+    with pytest.raises(ValueError, match="mode"):
+        dedup.decontaminate_spans(pool, bench, mode="drop")
+
+
+def test_decontaminate_spans_removes_all_occurrences(spark):
+    # unlike remove_duplicated_spans there is NO canonical keep: every
+    # matching occurrence goes, including the pool-first one
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e")], "doc_id long, text string"
+    )
+    r = dedup.decontaminate_spans(pool, bench, n=5).collect()[0]
+    assert r.text == "x" and r.removed_tokens == 10
