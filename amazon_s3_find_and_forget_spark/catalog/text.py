@@ -190,7 +190,15 @@ def q_text_quality_classifier(spark, sf_dir):
     0.62 (chance is 0.5; measured 0.69-0.94), precision@100 of the
     score ranking >= base_rate + 0.15 (self-normalizing across corpora;
     measured margins 0.17-0.48), GD loss strictly improved, and the
-    Pareto filter keeps >= 1 doc (measured 9-130)."""
+    Pareto filter keeps >= 1 doc (measured 9-130).
+
+    Claim scope: the REGISTRY corpora (driver gate sf0.01, sweep
+    sf0.1, adversarial variants) — where the row is actually checked.
+    The derived sf1/sf10 TILED lane corpora attenuate the signal
+    further (salted rewrites perturb the sparse markers; measured AUC
+    0.58 at sf1), so the lane may time this row but must not assert
+    its claims; tools/make_scale_data.py tiles for VOLUME, not for
+    label fidelity."""
     docs = load(spark, sf_dir, "documents")
     labeled = docs.withColumn(
         "y", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
