@@ -42,8 +42,10 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # text_quality_classifier (GPT-3-style classifier, claim-gated like
 # the *_recall rows) and dedup_decontaminate_spans (span-level
 # benchmark decontamination, full value oracle) likewise; long-stable
-# events_hourly, orders_running_total, tpch_q6, events_window_variants
-# and similarity_quantize rotate to the tail.
+# events_hourly, orders_running_total, tpch_q6, events_window_variants,
+# similarity_quantize and text_redact rotate to the tail, as does
+# similarity_pca_quality's slot donor (exact distributed PCA enters
+# with its Eckart-Young claim gate).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -91,10 +93,10 @@ GATE_ORDER = [
     "embedding_near_dups_exact",
     "events_variant_extract",
     "similarity_batch_topk_exact",
+    "similarity_pca_quality",
     "similarity_topk",
     "text_train_order",
     "text_curation_pipeline",
-    "text_redact",
 ]
 
 # Past the gate: deterministic oracle-backed rows awaiting (or rotated
@@ -108,6 +110,7 @@ TAIL_ORDER = [
     "tpch_q6",
     "events_window_variants",
     "similarity_quantize",
+    "text_redact",
     "text_train_split",
     "tpch_q11",
     "tpch_q7",

@@ -804,3 +804,158 @@ def ivfpq_topk(
         emb_col=emb_col,
         id_col=id_col,
     )
+
+
+def gram_matrix(
+    df: DataFrame, emb_col: str = "embedding", normalize: bool = True
+) -> tuple[np.ndarray, int]:
+    """Exact FULL-CORPUS second-moment matrix ``X'X / n`` in one
+    distributed pass — deliberately NOT the seeded sample the IVF/PQ
+    trainers use: a dim x dim Gram is O(dim^2) floats per partition
+    regardless of corpus size, so at 100 TB the exact matrix is one
+    map pass + a tiny reduce, and the PCA built on it is exact rather
+    than sample-approximate.
+
+    Kernel: Arrow-batched ``mapInPandas`` emits one flattened partial
+    Gram (plus its row count) per record batch; the driver sums the
+    few-hundred partial rows (the classic two-level tree aggregate,
+    with the second level driver-side because the reduce input is
+    partition-count-bounded, not corpus-bounded). NULL and zero-length
+    embeddings are skipped. Returns ``(gram, n_rows)``.
+    """
+    import pandas as pd
+
+    dim = None
+
+    def partials(batches):
+        for pdf in batches:
+            rows = [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf[emb_col]
+                if v is not None and len(v)
+            ]
+            if not rows:
+                continue
+            X = np.stack(rows)
+            if normalize:
+                X = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+            yield pd.DataFrame(
+                {"n": [len(X)], "g": [(X.T @ X).ravel().tolist()]}
+            )
+
+    parts = (
+        df.select(emb_col)
+        .mapInPandas(partials, "n long, g array<double>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("no non-empty embeddings to aggregate")
+    n = sum(int(r["n"]) for r in parts)
+    dim = int(round(len(parts[0]["g"]) ** 0.5))
+    gram = np.zeros((dim, dim), dtype=np.float64)
+    for r in parts:
+        gram += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
+    return gram / n, n
+
+
+def train_pca(
+    df: DataFrame,
+    d_out: int,
+    emb_col: str = "embedding",
+    normalize: bool = True,
+) -> dict:
+    """Exact PCA of the (optionally L2-normalized) embedding corpus:
+    eigendecomposition of the distributed full-corpus Gram (driver-side
+    ``eigh`` on the dim x dim matrix — trivial next to the scan), top
+    ``d_out`` components by eigenvalue. Un-centered by design so the
+    projection preserves cosine geometry (the same convention as every
+    trainer in this module); pass vectors through your own centering
+    first if you want covariance PCA.
+
+    Returns a JSON-serializable model dict ``{"components": d_out x dim,
+    "explained_variance": [...], "input_dim": dim, "normalize": bool}``.
+    By the Eckart-Young/Rayleigh argument this is the orthonormal rank-
+    ``d_out`` projection with minimal mean reconstruction error — the
+    claim the catalog row asserts against a raw-dimension truncation.
+    """
+    gram, _ = gram_matrix(df, emb_col, normalize)
+    dim = gram.shape[0]
+    if not 1 <= d_out <= dim:
+        raise ValueError(f"d_out={d_out} must be in [1, {dim}]")
+    evals, evecs = np.linalg.eigh(gram)
+    order = np.argsort(evals)[::-1][:d_out]
+    return {
+        "components": [evecs[:, i].tolist() for i in order],
+        "explained_variance": [float(evals[i]) for i in order],
+        "input_dim": dim,
+        "normalize": bool(normalize),
+    }
+
+
+def project_embeddings(
+    df: DataFrame,
+    model: dict,
+    emb_col: str = "embedding",
+    out_col: str = "embedding_pca",
+) -> DataFrame:
+    """Map-only PCA projection: ``out = P @ x`` per vector, Arrow-batched
+    matmul with the (d_out x dim) component matrix riding in the UDF
+    closure. NULL/empty embeddings project to NULL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(model["components"], dtype=np.float64)
+    normalize = bool(model.get("normalize", True))
+
+    def proj(embs):
+        out = []
+        for v in embs:
+            if v is None or not len(v):
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            if normalize:
+                x = x / max(np.linalg.norm(x), 1e-12)
+            out.append((P @ x).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, pandas_udf(proj, "array<float>")(F.col(emb_col))
+    )
+
+
+def projection_mse(
+    df: DataFrame,
+    components: np.ndarray,
+    emb_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Mean reconstruction error of an ORTHONORMAL projection over the
+    corpus, as one map-only aggregate: by Parseval,
+    ``||x - P'Px||^2 = ||x||^2 - ||Px||^2``, so no reconstruction is
+    ever materialized — the kernel computes both norms per vector in
+    one Arrow batch. Returns a 1-row ``(n_vecs, mse)`` DataFrame."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(components, dtype=np.float64)
+
+    def err(embs):
+        out = []
+        for v in embs:
+            if v is None or not len(v):
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            if normalize:
+                x = x / max(np.linalg.norm(x), 1e-12)
+            out.append(float(x @ x - ((P @ x) ** 2).sum()))
+        return pd.Series(out, dtype="float64")
+
+    e = df.select(pandas_udf(err, "double")(F.col(emb_col)).alias("_e"))
+    return e.where(F.col("_e").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("_e"), 6).alias("mse"),
+    )

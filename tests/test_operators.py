@@ -2656,3 +2656,63 @@ def test_decontaminate_spans_removes_all_occurrences(spark):
     )
     r = dedup.decontaminate_spans(pool, bench, n=5).collect()[0]
     assert r.text == "x" and r.removed_tokens == 10
+
+
+def test_gram_matrix_exact_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 8).astype(np.float32)
+    rows = [(i, X[i].tolist()) for i in range(40)] + [(99, None), (98, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    gram, n = similarity.gram_matrix(df, normalize=False)
+    assert n == 40
+    Xd = X.astype(np.float64)
+    assert np.abs(gram - Xd.T @ Xd / 40).max() < 1e-9
+
+
+def test_train_pca_recovers_dominant_direction(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # rank-heavy direction e0: variance 100x the others
+    X = rng.randn(200, 8) * 0.1
+    X[:, 0] += rng.randn(200) * 10
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.train_pca(df, 2, normalize=False)
+    P = np.asarray(model["components"])
+    assert abs(abs(P[0, 0]) - 1.0) < 0.05  # first component ~ e0
+    assert model["explained_variance"][0] > model["explained_variance"][1]
+    with pytest.raises(ValueError, match="d_out"):
+        similarity.train_pca(df, 0)
+    # Eckart-Young: PCA mse <= any same-rank orthonormal projection
+    mse_pca = similarity.projection_mse(df, P, normalize=False).collect()[0]
+    trunc = np.eye(8)[-2:]  # worst truncation: the low-variance dims
+    mse_tr = similarity.projection_mse(df, trunc, normalize=False).collect()[0]
+    assert mse_pca.mse < mse_tr.mse
+    assert mse_pca.n_vecs == 200
+
+
+def test_project_embeddings_parseval(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(30, 6)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(30)] + [(99, None)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.train_pca(df, 6)  # full rank: lossless
+    out = {r.vec_id: r.embedding_pca for r in
+           similarity.project_embeddings(df, model).collect()}
+    assert out[99] is None
+    # full-rank orthonormal projection preserves norms (Parseval)
+    for i in range(30):
+        assert abs(np.linalg.norm(out[i]) - 1.0) < 1e-5
+    full = similarity.projection_mse(
+        df, np.asarray(model["components"])).collect()[0]
+    assert abs(full.mse) < 1e-9 and full.n_vecs == 30
