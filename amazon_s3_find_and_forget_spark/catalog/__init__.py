@@ -84,6 +84,7 @@ GATE_ORDER = [
     "text_dsir_sample",
     "text_gopher_quality",
     "text_quality_classifier",
+    "text_llm_pipeline",
     "text_mixture",
     "text_token_count",
     "text_token_count_bpe",
@@ -95,7 +96,6 @@ GATE_ORDER = [
     "similarity_batch_topk_exact",
     "similarity_pca_quality",
     "similarity_topk",
-    "text_train_order",
     "text_curation_pipeline",
 ]
 
@@ -111,6 +111,7 @@ TAIL_ORDER = [
     "events_window_variants",
     "similarity_quantize",
     "text_redact",
+    "text_train_order",
     "text_train_split",
     "tpch_q11",
     "tpch_q7",

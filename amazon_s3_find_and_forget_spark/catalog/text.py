@@ -359,6 +359,36 @@ def q_text_curation_pipeline_v2(spark, sf_dir):
     )
 
 
+def q_text_llm_pipeline(spark, sf_dir):
+    """The round-13 additions composed end-to-end AS A PIPELINE, with
+    one FULL value oracle across all three stages: span-level benchmark
+    decontamination (cut mode) -> Gopher rule filtering on the
+    REWRITTEN text (the four live rules; the stop-word rule is vacuous
+    on this corpus — 0/500 docs carry two distinct Gopher stop words —
+    and a pipeline stage that drops everything would gate nothing) ->
+    DSIR Gumbel-top-k selection (English target) over the survivors.
+    Every stage is deterministic and SQL-replicable, so the final
+    40-row selection is hash-compared row-for-row — the composition
+    itself is what this row gates (each stage is already gated alone)."""
+    docs = load(spark, sf_dir, "documents")
+    pool = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    clean = dedup.decontaminate_spans(pool, bench, n=8).select(
+        "doc_id", "text"
+    )
+    flagged = text.gopher_quality_flags(clean)
+    survivors = flagged.where(
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+    ).select("doc_id", "text")
+    pool2 = survivors.join(docs.select("doc_id", "lang"), "doc_id")
+    return text.dsir_select(
+        pool2, pool2.where(F.col("lang") == "en"), 40, salt="r13pipe"
+    )
+
+
 def q_text_contamination(spark, sf_dir):
     """Benchmark-overlap decontamination screen: docs sharing any word
     3-gram with the pseudo-benchmark (every 50th doc) are flagged."""
@@ -424,6 +454,7 @@ QUERIES = {
     "text_quality_classifier": q_text_quality_classifier,
     "text_dsir_weights": q_text_dsir_weights,
     "text_dsir_sample": q_text_dsir_sample,
+    "text_llm_pipeline": q_text_llm_pipeline,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "documents_source_rollup": q_documents_source_rollup,
     "text_quality": q_text_quality,
@@ -870,6 +901,123 @@ ORACLES = {
                 AND (alpha_word_frac >= 0.8)
                 AND (stop_word_hits >= 2)) AS gopher_pass
         FROM r
+    """,
+    "text_llm_pipeline": """
+        WITH pool0 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        ), toks0 AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                   x -> x <> '') AS t
+          FROM pool0
+        ), lowered AS (
+          SELECT doc_id, t, list_transform(t, x -> lower(x)) AS tl
+          FROM toks0
+        ), occ0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(tl) - 7),
+                   i -> struct_pack(
+                     pos := i,
+                     g := array_to_string(tl[i:i+7], ' ')))) AS o
+          FROM lowered WHERE len(tl) >= 8
+        ), btoks AS (
+          SELECT list_transform(
+                   list_filter(
+                     regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> ''), x -> lower(x)) AS tl
+          FROM documents WHERE doc_id % 50 = 0
+        ), bgrams AS (
+          SELECT DISTINCT unnest(list_transform(
+                   generate_series(1, len(tl) - 7),
+                   i -> array_to_string(tl[i:i+7], ' '))) AS g
+          FROM btoks WHERE len(tl) >= 8
+        ), removed_pos AS (
+          SELECT DISTINCT doc_id, o.pos + off AS p
+          FROM occ0 JOIN bgrams ON occ0.o.g = bgrams.g
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off)
+        ), tokrows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t)),
+                   i -> struct_pack(p := i, tok := t[i]))) AS x
+          FROM toks0
+        ), kept AS (
+          SELECT tr.doc_id, tr.x.p AS p, tr.x.tok AS tok
+          FROM tokrows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM removed_pos r
+            WHERE r.doc_id = tr.doc_id AND r.p = tr.x.p)
+        ), reagg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+          FROM kept GROUP BY doc_id
+        ), clean AS (
+          SELECT t.doc_id, coalesce(a.text, '') AS text
+          FROM toks0 t LEFT JOIN reagg a USING (doc_id)
+        ), gm AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS n_words,
+                 length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS nwc,
+                 len(regexp_extract_all(coalesce(text, ''), '\\S*[A-Za-z]\\S*')) AS alpha_words,
+                 len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.')) AS symbols
+          FROM clean
+        ), survivors AS (
+          SELECT doc_id, text FROM gm
+          WHERE n_words BETWEEN 50 AND 100000
+            AND (CASE WHEN n_words > 0
+                      THEN round(CAST(nwc AS DOUBLE) / n_words, 4)
+                      ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+            AND (CASE WHEN n_words > 0
+                      THEN round(CAST(symbols AS DOUBLE) / n_words, 4)
+                      ELSE 0.0 END) <= 0.1
+            AND (CASE WHEN n_words > 0
+                      THEN round(CAST(alpha_words AS DOUBLE) / n_words, 4)
+                      ELSE 0.0 END) >= 0.8
+        ), stoks AS (
+          SELECT s.doc_id,
+                 list_filter(regexp_split_to_array(lower(s.text),
+                   '[^a-z0-9'']+'), x -> x <> '') AS t,
+                 d.lang
+          FROM survivors s JOIN documents d USING (doc_id)
+        ), grams AS (
+          SELECT doc_id, unnest(t) AS g FROM stoks
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM stoks WHERE len(t) >= 2
+        ), docc AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bkt
+          FROM grams
+        ), qcnt AS (
+          SELECT bkt, count(*) AS qc FROM docc GROUP BY bkt
+        ), tcnt AS (
+          SELECT bkt, count(*) AS tc FROM docc
+          WHERE doc_id IN (SELECT doc_id FROM stoks WHERE lang = 'en')
+          GROUP BY bkt
+        ), tot AS (
+          SELECT (SELECT coalesce(sum(qc), 0) FROM qcnt) AS Q,
+                 (SELECT coalesce(sum(tc), 0) FROM tcnt) AS T
+        ), ratio AS (
+          SELECT qcnt.bkt,
+                 ln((coalesce(tc, 0) + 1.0) / (T + 1.0 * 4096))
+               - ln((qc + 1.0) / (Q + 1.0 * 4096)) AS contrib
+          FROM qcnt LEFT JOIN tcnt USING (bkt), tot
+        ), w AS (
+          SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 round(sum(r.contrib), 6) AS log_w
+          FROM docc o JOIN ratio r USING (bkt)
+          GROUP BY o.doc_id
+        )
+        SELECT doc_id, n_grams, log_w,
+               round(log_w + (-ln(-ln(
+                 (CAST(concat('0x', substr(md5(
+                    CAST(doc_id AS VARCHAR) || '|dsir|r13pipe'), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0))), 6) AS score
+        FROM w
+        ORDER BY score DESC, doc_id
+        LIMIT 40
     """,
     "text_dsir_weights": f"""
         {_DSIR_WEIGHTS_SQL}
