@@ -138,6 +138,7 @@ SF10_QUERIES = [
     "text_curation_pipeline_v2",
     "text_stratified_sample",
     "text_dsir_sample",
+    "text_llm_pipeline",
 ]
 # Round-13 lane additions:
 # - dedup_simhash_pairs_v2 runs over the documents_v2 near-dup variant
@@ -156,6 +157,9 @@ SF10_QUERIES = [
 #   curation canary (the permuted-corpus row stays for floor
 #   comparability). Lane-only, like dedup_simhash_pairs_v2.
 # - text_dsir_sample soaks the round-13 DSIR fit+score+cut at 500k docs.
+# - text_llm_pipeline soaks the composed decontaminate -> Gopher-filter
+#   -> DSIR-select chain (sf1 9.9s -> sf10 26.4s, 2.7x for 10x; each
+#   stage's gram/feature work is corpus-linear, the cut is k-bounded).
 
 
 def bench_find_forget_job(spark, sf_dir: str = None) -> float:
