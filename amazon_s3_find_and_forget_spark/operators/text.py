@@ -1475,6 +1475,7 @@ def dsir_importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    eager: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", public): score every
@@ -1523,7 +1524,12 @@ def dsir_importance_weights(
     from .dedup import _eager
 
     pg = _hashed_gram_buckets(pool, n_buckets, text_col, id_col, hash_fn)
-    pg = pg.persist(StorageLevel.DISK_ONLY)
+    if eager:
+        # the gram stream feeds BOTH the fit and the score; ``eager=False``
+        # skips the persist + checkpoint and returns the pure lazy plan
+        # (for plan inspection / composition into a larger lazy pipeline
+        # at the cost of recomputing the stream per consumer)
+        pg = pg.persist(StorageLevel.DISK_ONLY)
     tg = _hashed_gram_buckets(target, n_buckets, text_col, id_col, hash_fn)
     qcnt = pg.groupBy("bkt").agg(F.count(F.lit(1)).alias("_qc"))
     tcnt = tg.groupBy("bkt").agg(F.count(F.lit(1)).alias("_tc"))
@@ -1556,16 +1562,19 @@ def dsir_importance_weights(
             ).alias("_contrib"),
         )
     )
-    try:
-        return _eager(
-            pg.join(F.broadcast(ratios), "bkt")
-            .groupBy("_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_grams"),
-                F.round(F.sum("_contrib"), 6).alias("log_w"),
-            )
-            .select(F.col("_id").alias(id_col), "n_grams", "log_w")
+    out = (
+        pg.join(F.broadcast(ratios), "bkt")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("_contrib"), 6).alias("log_w"),
         )
+        .select(F.col("_id").alias(id_col), "n_grams", "log_w")
+    )
+    if not eager:
+        return out
+    try:
+        return _eager(out)
     finally:
         pg.unpersist()
 

@@ -410,3 +410,68 @@ def test_simhash_value_join_plan_shape(spark, sf_dir):
     # the combination join's inputs derive from the DISTINCT values
     # relation: the plan must aggregate (distinct) before exploding
     assert "HashAggregate" in plan and "Generate" in plan
+
+
+def test_dsir_weights_plan_shape(spark, sf_dir):
+    """DSIR's scale contract is physical: the <= B-row log-ratio model
+    joins the gram stream as a BROADCAST (never a SortMergeJoin of the
+    corpus-sized side), and the wide steps are bounded — the two
+    bucket-count aggregates (each collapsing to <= n_buckets keys
+    map-side) plus the doc-keyed weight sum."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from amazon_s3_find_and_forget_spark.catalog.loader import load
+    from amazon_s3_find_and_forget_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    w = text.dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en"), eager=False
+    )
+    plan = explain_str(w, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 5
+
+
+def test_dsir_select_compiles_to_take_ordered(spark, sf_dir):
+    """The selection must be TakeOrderedAndProject (per-partition top-k
+    heaps), never a global Sort of the scored corpus."""
+    from pyspark.sql import functions as F
+
+    from amazon_s3_find_and_forget_spark.catalog.loader import load
+    from amazon_s3_find_and_forget_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    sel = text.dsir_select(docs, docs.where(F.col("lang") == "en"), 10)
+    plan = explain_str(sel, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_gopher_flags_plan_is_map_only(spark, sf_dir):
+    """Every Gopher rule is a scalar expression: the whole operator
+    must compile to ONE map-only projection — zero exchanges, zero
+    joins, zero UDFs (scan + project inside WholeStageCodegen)."""
+    from amazon_s3_find_and_forget_spark.catalog.loader import load
+    from amazon_s3_find_and_forget_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    plan = explain_str(text.gopher_quality_flags(docs), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "*(1)" in plan  # the whole projection in one codegen stage
+
+
+def test_pca_projection_plan_is_map_only(spark, sf_dir):
+    """PCA projection is one Arrow-batched map pass: no exchange, no
+    join — the component matrix rides in the UDF closure."""
+    from amazon_s3_find_and_forget_spark.catalog.loader import load
+    from amazon_s3_find_and_forget_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = similarity.train_pca(emb, 8)
+    plan = explain_str(similarity.project_embeddings(emb, model), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
