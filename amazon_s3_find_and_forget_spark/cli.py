@@ -330,6 +330,52 @@ def main(argv: list[str] | None = None) -> int:
         "stopped)",
     )
 
+    sd = sub.add_parser(
+        "select-data",
+        help="training-data selection over a parquet corpus: DSIR "
+        "importance resampling against a target, Gopher rule "
+        "filtering, or a trained quality-classifier Pareto filter",
+    )
+    sd.add_argument("--input", required=True, help="pool corpus (parquet)")
+    sd.add_argument("--out", required=True, help="output directory")
+    sd.add_argument(
+        "--method", required=True, choices=["dsir", "gopher", "classifier"]
+    )
+    sd.add_argument(
+        "--target-filter",
+        default=None,
+        help="SQL predicate over the input defining the target/positive "
+        "set (dsir + classifier), e.g. \"lang = 'en'\"",
+    )
+    sd.add_argument(
+        "--target",
+        default=None,
+        help="separate target corpus (parquet path; dsir alternative to "
+        "--target-filter)",
+    )
+    sd.add_argument("--k", type=int, default=None,
+                    help="documents to select (dsir; required)")
+    sd.add_argument("--salt", default="",
+                    help="re-deal the deterministic draws (dsir gumbel / "
+                    "classifier pareto)")
+    sd.add_argument("--buckets", type=int, default=4096)
+    sd.add_argument("--hash", default="md5", choices=["md5", "xxhash64"],
+                    help="gram bucket hash: md5 is engine-portable, "
+                    "xxhash64 is the faster production path")
+    sd.add_argument(
+        "--rules",
+        default="word_count,mean_word_len,symbol_ratio,alpha_words,"
+        "stop_words",
+        help="comma-separated Gopher rules the survivors must pass "
+        "(gopher mode)",
+    )
+    sd.add_argument("--pareto-alpha", type=float, default=9.0,
+                    help="Pareto shape for the classifier keep rule")
+    sd.add_argument("--iters", type=int, default=15,
+                    help="classifier calibration GD iterations")
+    sd.add_argument("--text-column", default="text")
+    sd.add_argument("--id-column", default="doc_id")
+
     zo = sub.add_parser(
         "zorder",
         help="re-cluster a parquet lake on a Z-order curve for "
@@ -365,6 +411,28 @@ def main(argv: list[str] | None = None) -> int:
         bad = [s for s in args.accepted if ":" not in s]
         if bad:
             p.error(f"--accepted takes COL:V1[,V2...], got {bad[0]!r}")
+    gopher_rules: list[str] = []
+    if args.cmd == "select-data":
+        if args.method == "dsir":
+            if args.k is None or args.k < 1:
+                p.error("--method dsir requires --k >= 1")
+            if not (args.target_filter or args.target):
+                p.error("--method dsir requires --target-filter or --target")
+        if args.method == "classifier" and not args.target_filter:
+            p.error("--method classifier requires --target-filter")
+        if args.method == "gopher":
+            known = {
+                "word_count", "mean_word_len", "symbol_ratio",
+                "alpha_words", "stop_words",
+            }
+            gopher_rules = [
+                r.strip() for r in args.rules.split(",") if r.strip()
+            ]
+            bad_rules = sorted(set(gopher_rules) - known)
+            if not gopher_rules:
+                p.error("--rules needs at least one rule")
+            if bad_rules:
+                p.error(f"unknown Gopher rules: {bad_rules}")
     zorder_cols: list[str] = []
     if args.cmd == "zorder":
         zorder_cols = [c.strip() for c in args.by.split(",") if c.strip()]
@@ -705,6 +773,78 @@ def main(argv: list[str] | None = None) -> int:
                 checkpoint_dir=args.checkpoint,
                 upto=args.upto,
             )
+        )
+    elif args.cmd == "select-data":
+        from pyspark.sql import functions as F
+
+        from .operators import text as text_ops
+
+        df = eng.spark.read.parquet(args.input)
+        n_in = df.count()
+        if args.method == "gopher":
+            flagged = text_ops.gopher_quality_flags(
+                df, text_col=args.text_column
+            )
+            cond = None
+            for rule in gopher_rules:
+                c = F.col(f"ok_{rule}")
+                cond = c if cond is None else (cond & c)
+            selected = flagged.where(cond)
+        elif args.method == "dsir":
+            target = (
+                eng.spark.read.parquet(args.target)
+                if args.target
+                else df.where(F.expr(args.target_filter))
+            )
+            picks = text_ops.dsir_select(
+                df,
+                target,
+                args.k,
+                salt=args.salt,
+                n_buckets=args.buckets,
+                hash_fn=args.hash,
+                text_col=args.text_column,
+                id_col=args.id_column,
+            )
+            # carry the original columns alongside the scores
+            selected = df.join(
+                picks.select(args.id_column, "log_w", "score"),
+                args.id_column,
+            )
+        else:  # classifier
+            labeled = df.withColumn(
+                "_y",
+                F.coalesce(
+                    F.expr(args.target_filter).cast("int"), F.lit(0)
+                ),
+            )
+            model = text_ops.train_quality_classifier(
+                labeled,
+                "_y",
+                n_buckets=args.buckets,
+                iters=args.iters,
+                text_col=args.text_column,
+                id_col=args.id_column,
+                hash_fn=args.hash,
+            )
+            kept = text_ops.pareto_quality_filter(
+                df,
+                model,
+                alpha=args.pareto_alpha,
+                salt=args.salt,
+                text_col=args.text_column,
+                id_col=args.id_column,
+            )
+            selected = df.join(kept, args.id_column)
+        selected.write.mode("error").parquet(args.out)
+        n_out = eng.spark.read.parquet(args.out).count()
+        _emit(
+            {
+                "Method": args.method,
+                "InputRows": n_in,
+                "SelectedRows": n_out,
+                "Out": args.out,
+            }
         )
     elif args.cmd == "zorder":
         import glob

@@ -604,3 +604,55 @@ def test_cli_dedup_screen_embedding_mode(spark, tmp_path, capsys):
             "--mode", "embedding", "--input", b2,
             "--index-dir", index, "--novel-out", novel,
         ])
+
+
+def test_cli_select_data_modes(spark, tmp_path, sf_dir, capsys):
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    docs = os.path.join(sf_dir, "documents.parquet")
+
+    out1 = str(tmp_path / "dsir")
+    r = run(capsys, *base, "select-data", "--input", docs, "--out", out1,
+            "--method", "dsir", "--target-filter", "lang = 'en'",
+            "--k", "25", "--salt", "cli")
+    assert r["Method"] == "dsir" and r["SelectedRows"] == 25
+    sel = spark.read.parquet(out1)
+    assert {"doc_id", "text", "log_w", "score"} <= set(sel.columns)
+    # deterministic: same salt, same selection
+    out1b = str(tmp_path / "dsir2")
+    r2 = run(capsys, *base, "select-data", "--input", docs, "--out", out1b,
+             "--method", "dsir", "--target-filter", "lang = 'en'",
+             "--k", "25", "--salt", "cli")
+    a = {x.doc_id for x in sel.collect()}
+    b = {x.doc_id for x in spark.read.parquet(out1b).collect()}
+    assert a == b and r2["SelectedRows"] == 25
+
+    out2 = str(tmp_path / "gopher")
+    r = run(capsys, *base, "select-data", "--input", docs, "--out", out2,
+            "--method", "gopher",
+            "--rules", "word_count,mean_word_len,symbol_ratio,alpha_words")
+    assert 0 < r["SelectedRows"] < r["InputRows"]
+    g = spark.read.parquet(out2)
+    assert g.where("NOT ok_word_count").count() == 0
+
+    out3 = str(tmp_path / "clf")
+    r = run(capsys, *base, "select-data", "--input", docs, "--out", out3,
+            "--method", "classifier", "--target-filter", "lang = 'en'",
+            "--iters", "8", "--salt", "cli")
+    assert r["SelectedRows"] >= 1
+    assert "quality_prob" in spark.read.parquet(out3).columns
+
+
+def test_cli_select_data_validation(tmp_path, capsys):
+    import pytest as _pytest
+
+    base = ["--state-dir", str(tmp_path / "s")]
+    with _pytest.raises(SystemExit):
+        main(base + ["select-data", "--input", "x", "--out", "y",
+                     "--method", "dsir"])  # no k / target
+    with _pytest.raises(SystemExit):
+        main(base + ["select-data", "--input", "x", "--out", "y",
+                     "--method", "gopher", "--rules", "nonsense"])
+    with _pytest.raises(SystemExit):
+        main(base + ["select-data", "--input", "x", "--out", "y",
+                     "--method", "classifier"])
