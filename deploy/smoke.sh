@@ -166,4 +166,44 @@ assert rows[1] == "alpha doc", rows  # unmatched novel doc untouched
 print("SMOKE OK: redact-mode forget scrubbed the screened corpus "
       "and the event log records it")
 PY
+
+# ---- stage 3: training-data selection from the packaged CLI --------------
+# select-data over a small labeled corpus: DSIR picks from the pool
+# deterministically (salted), Gopher rule filtering enforces its rules.
+SEL="$WORK/seldata"
+python3 - "$WORK" <<'PY'
+import pyarrow as pa, pyarrow.parquet as pq
+import os, sys
+w = sys.argv[1]
+os.makedirs(f"{w}/pool")
+long_en = " ".join(["the", "and", "word", "token", "stream"] * 12)
+long_xx = " ".join(["zag", "zog", "zug", "zip", "zap"] * 12)
+pq.write_table(
+    pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": [long_en] * 10 + [long_xx] * 10,
+        "lang": ["en"] * 10 + ["xx"] * 10,
+    }),
+    f"{w}/pool/part-0.parquet",
+)
+PY
+S1="$("${CLI2[@]}" select-data --input "$WORK/pool" --out "$SEL/dsir" \
+    --method dsir --target-filter "lang = 'en'" --k 8 --salt smoke \
+    2>>"$WORK/submit.log")"
+S2="$("${CLI2[@]}" select-data --input "$WORK/pool" --out "$SEL/gopher" \
+    --method gopher --rules word_count,mean_word_len,alpha_words \
+    2>>"$WORK/submit.log")"
+python3 - "$S1" "$S2" "$SEL" <<'PY'
+import glob, json, sys
+import pyarrow.parquet as pq
+s1, s2 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+assert s1["SelectedRows"] == 8, s1
+picked = set()
+for f in glob.glob(f"{sys.argv[3]}/dsir/**/*.parquet", recursive=True):
+    picked |= {r["doc_id"] for r in pq.read_table(f).to_pylist()}
+# the en-vocabulary pool docs dominate an en-target DSIR draw
+assert sum(1 for d in picked if d < 10) >= 6, picked
+assert s2["SelectedRows"] == 20, s2  # every 60-word doc passes the rules
+print("SMOKE OK: select-data DSIR tilts to the target; Gopher rules pass")
+PY
 echo "ALL SMOKE CHECKS PASSED"
