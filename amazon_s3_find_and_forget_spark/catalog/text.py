@@ -204,8 +204,13 @@ def q_text_quality_classifier(spark, sf_dir):
         "y", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
     )
     model = text.train_quality_classifier(labeled, "y", iters=15, lr=2.0)
-    scored = text.score_quality_classifier(docs, model).join(
-        labeled.select("doc_id", "y"), "doc_id"
+    # scored feeds the AUC, the p@100 cut, AND the Pareto draw —
+    # checkpoint so the gram-scoring pass runs once, not three times
+    # (the ccnet_buckets multi-consumer pattern)
+    scored = (
+        text.score_quality_classifier(docs, model)
+        .join(labeled.select("doc_id", "y"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     auc_row = text.binary_auc(scored, "quality_prob", "y")
     p100 = (
@@ -213,9 +218,9 @@ def q_text_quality_classifier(spark, sf_dir):
         .limit(100)
         .agg(F.avg("y").alias("_p100"))
     )
-    kept_n = text.pareto_quality_filter(docs, model, salt="r13").agg(
-        F.count(F.lit(1)).alias("_k")
-    )
+    kept_n = text.pareto_quality_filter(
+        docs, model, salt="r13", scored=scored
+    ).agg(F.count(F.lit(1)).alias("_k"))
     loss_ok = bool(model["losses"][-1] < model["losses"][0] - 1e-9)
     return (
         auc_row.crossJoin(p100)

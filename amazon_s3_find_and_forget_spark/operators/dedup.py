@@ -1317,38 +1317,9 @@ def remove_duplicated_spans(
         raise ValueError(f"mode must be 'cut' or 'mask', got {mode!r}")
     from pyspark import StorageLevel
 
-    # \S+ runs via the pattern-cached regexp path (identical to the
-    # empty-filtered split; see text.tokens for the recompile trap)
-    toks = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.regexp_extract_all(
-            F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), F.lit(0)
-        ).alias("_t"),
-    )
-    # lowercased shadow array for gram identity, projected ONCE per doc
-    # (lowercasing inside the per-start lambda would re-transform the
-    # whole array per gram index — O(len^2) per document); _t
-    # reconstructs. Grams materialize as an array FIRST and posexplode
-    # after — exploding start positions with _t carried along would
-    # copy the whole token array into every gram row. The bounds below
-    # deliberately use size(_tl), not size(_t): multiple _tl references
-    # keep CollapseProject from folding the lowercase projection back
-    # into the lambda (the word_ngrams contract).
-    Ll = F.size("_tl")
-    grams_col = F.when(
-        Ll >= n,
-        F.transform(
-            F.sequence(F.lit(1), Ll - (n - 1)),
-            lambda i: F.array_join(F.slice("_tl", i, n), " "),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    occ = (
-        toks.withColumn("_tl", F.transform("_t", F.lower))
-        .select("_id", F.posexplode(grams_col).alias("_i", "g"))
-        .select("_id", (F.col("_i") + 1).alias("_pos"), "g")
-        .persist(StorageLevel.DISK_ONLY)  # feeds gram stats AND the
-        # removed-occurrence join; O(corpus grams) rows stay on disk
-    )
+    toks, occ = _gram_occurrences(df, n, text_col, id_col)
+    occ = occ.persist(StorageLevel.DISK_ONLY)  # feeds gram stats AND the
+    # removed-occurrence join; O(corpus grams) rows stay on disk
     try:
         with _pair_agg_confs(df.sparkSession):
             gstats = (
@@ -1379,6 +1350,56 @@ def remove_duplicated_spans(
             )
     finally:
         occ.unpersist()
+
+
+def _gram_occurrences(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    with_pos: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span-operator tokenization: returns ``(toks, occ)`` where
+    ``toks`` is the ``(_id, _t)`` whitespace-token-array relation (what
+    reconstruction rebuilds from) and ``occ`` is the lowercased n-gram
+    occurrence stream — ``(_id, _pos, g)`` with 1-based start positions,
+    or just ``(g)`` when ``with_pos=False`` (a benchmark side that only
+    needs gram identity).
+
+    \\S+ runs via the pattern-cached regexp path (identical to the
+    empty-filtered split; see text.tokens for the recompile trap). The
+    lowercased shadow array is projected ONCE per doc (lowercasing
+    inside the per-start lambda would re-transform the whole array per
+    gram index — O(len^2) per document); ``_t`` reconstructs. Grams
+    materialize as an array FIRST and posexplode after — exploding
+    start positions with ``_t`` carried along would copy the whole
+    token array into every gram row. The bounds below deliberately use
+    ``size(_tl)``, not ``size(_t)``: multiple ``_tl`` references keep
+    CollapseProject from folding the lowercase projection back into the
+    lambda (the word_ngrams contract).
+    """
+    toks = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), F.lit(0)
+        ).alias("_t"),
+    )
+    Ll = F.size("_tl")
+    grams_col = F.when(
+        Ll >= n,
+        F.transform(
+            F.sequence(F.lit(1), Ll - (n - 1)),
+            lambda i: F.array_join(F.slice("_tl", i, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    lowered = toks.withColumn("_tl", F.transform("_t", F.lower))
+    if with_pos:
+        occ = lowered.select(
+            "_id", F.posexplode(grams_col).alias("_i", "g")
+        ).select("_id", (F.col("_i") + 1).alias("_pos"), "g")
+    else:
+        occ = lowered.select(F.explode(grams_col).alias("g"))
+    return toks, occ
 
 
 def _reconstruct_without_spans(
@@ -1524,46 +1545,21 @@ def decontaminate_spans(
     if mode not in ("cut", "mask"):
         raise ValueError(f"mode must be 'cut' or 'mask', got {mode!r}")
 
-    def gram_occurrences(frame, with_pos):
-        toks = _spread(frame).select(
-            F.col(id_col).alias("_id"),
-            F.regexp_extract_all(
-                F.coalesce(F.col(text_col), F.lit("")),
-                F.lit(r"\S+"),
-                F.lit(0),
-            ).alias("_t"),
-        )
-        Ll = F.size("_tl")
-        grams_col = F.when(
-            Ll >= n,
-            F.transform(
-                F.sequence(F.lit(1), Ll - (n - 1)),
-                lambda i: F.array_join(F.slice("_tl", i, n), " "),
-            ),
-        ).otherwise(F.expr("CAST(array() AS array<string>)"))
-        lowered = toks.withColumn("_tl", F.transform("_t", F.lower))
-        if with_pos:
-            occ = lowered.select(
-                "_id", F.posexplode(grams_col).alias("_i", "g")
-            ).select("_id", (F.col("_i") + 1).alias("_pos"), "g")
-        else:
-            occ = lowered.select(F.explode(grams_col).alias("g"))
-        return toks, occ
-
-    toks, occ = gram_occurrences(df, with_pos=True)
-    bench_grams = gram_occurrences(benchmark, with_pos=False)[1].distinct()
+    toks, occ = _gram_occurrences(df, n, text_col, id_col)
+    bench_grams = _gram_occurrences(
+        benchmark, n, text_col, id_col, with_pos=False
+    )[1].distinct()
     # size-aware probe side: count the DISTINCT benchmark grams and
-    # price them at their serialized string width (n tokens + joins)
+    # price them at their serialized string width — one aggregate over
+    # the persisted relation gets both numbers in one job
     bench_grams = bench_grams.persist()
     try:
-        n_grams = bench_grams.count()
-        sample_width = (
-            bench_grams.select(
-                F.avg(F.length("g")).alias("w")
-            ).collect()[0]["w"]
-            or 0.0
-        )
-        est_bytes = int(n_grams * (sample_width + 40))
+        stats = bench_grams.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("g")).alias("w"),
+        ).collect()[0]
+        n_grams = int(stats["n"])
+        est_bytes = int(n_grams * (float(stats["w"] or 0.0) + 40))
         with _pair_agg_confs(df.sparkSession):
             if est_bytes <= BAND_BROADCAST_BUDGET:
                 matched = occ.join(F.broadcast(bench_grams), "g")

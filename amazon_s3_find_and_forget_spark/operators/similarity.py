@@ -825,8 +825,6 @@ def gram_matrix(
     """
     import pandas as pd
 
-    dim = None
-
     def partials(batches):
         for pdf in batches:
             rows = [

@@ -1938,9 +1938,15 @@ def score_quality_classifier(
     ``quality_prob = sigmoid(bias + sum_b tf[b] * w[b])``.
 
     The corpus-scale pass: one gram explode, a broadcast join against
-    the <= B-row nonzero-weight relation, one doc-keyed partial-agg sum
-    — the same map-only shape as DSIR scoring. Documents with no
-    tokens are not returned (no features, same contract as
+    the <= B-row nonzero-weight relation, one doc-keyed partial-agg —
+    the same map-only shape as DSIR scoring. Since the feature is the
+    tf vector (``x[b] = cnt[b] / n_grams``), the margin
+    ``sum_b x[b] * w[b]`` equals the plain AVERAGE of ``w[bucket]``
+    over the raw gram-occurrence stream — so no per-(doc, bucket)
+    count relation, no window, and no second exchange are ever built
+    (the earlier tf materialization cost a groupBy + Window sort of
+    the corpus for an algebraically identical number). Documents with
+    no tokens are not returned (no features, same contract as
     ``dsir_importance_weights``).
     """
     import numpy as np
@@ -1954,20 +1960,12 @@ def score_quality_classifier(
     g = _hashed_gram_buckets(
         df, model["n_buckets"], text_col, id_col, model.get("hash_fn", "md5")
     )
-    per_doc = g.groupBy("_id", "bkt").agg(
-        F.count(F.lit(1)).cast("double").alias("_cnt")
-    )
-    from pyspark.sql import Window
-
-    tf = per_doc.withColumn(
-        "_x", F.col("_cnt") / F.sum("_cnt").over(Window.partitionBy("_id"))
-    )
     return (
-        tf.join(F.broadcast(wdf), "bkt", "left")
+        g.join(F.broadcast(wdf), "bkt", "left")
         .groupBy("_id")
         .agg(
             (
-                F.sum(F.col("_x") * F.coalesce(F.col("_w"), F.lit(0.0)))
+                F.avg(F.coalesce(F.col("_w"), F.lit(0.0)))
                 + F.lit(float(model["bias"]))
             ).alias("_m")
         )
@@ -1987,6 +1985,7 @@ def pareto_quality_filter(
     salt: str = "",
     text_col: str = "text",
     id_col: str = "doc_id",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """The GPT-3 keep rule (Brown et al. 2020, Appendix A): keep a
     document iff ``pareto_draw(alpha) > 1 - quality_prob`` — high-score
@@ -1998,10 +1997,16 @@ def pareto_quality_filter(
     ``draw = (1 - u)^(-1/alpha) - 1`` — re-runs and engines agree
     row-for-row, ``salt`` re-deals. Map-only on top of the scoring
     pass; returns the scored survivors ``(id, quality_prob)``.
+
+    Pass ``scored`` (a relation carrying ``id_col`` + ``quality_prob``,
+    e.g. the output of :func:`score_quality_classifier`) when the
+    caller already scored the corpus — the draw is map-only over it,
+    so reusing it halves the corpus scans for score-and-filter flows.
     """
     if not alpha > 0:
         raise ValueError(f"alpha={alpha} must be > 0")
-    scored = score_quality_classifier(df, model, text_col, id_col)
+    if scored is None:
+        scored = score_quality_classifier(df, model, text_col, id_col)
     u = (
         F.conv(
             F.substring(
