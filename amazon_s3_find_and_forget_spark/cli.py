@@ -373,6 +373,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="Pareto shape for the classifier keep rule")
     sd.add_argument("--iters", type=int, default=15,
                     help="classifier calibration GD iterations")
+    sd.add_argument("--model-out", default=None,
+                    help="save the trained classifier model (JSON) so "
+                    "later runs can score without retraining")
+    sd.add_argument("--model-in", default=None,
+                    help="load a saved classifier model instead of "
+                    "training (classifier mode; --target-filter not "
+                    "needed)")
     sd.add_argument("--text-column", default="text")
     sd.add_argument("--id-column", default="doc_id")
 
@@ -418,8 +425,14 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--method dsir requires --k >= 1")
             if not (args.target_filter or args.target):
                 p.error("--method dsir requires --target-filter or --target")
-        if args.method == "classifier" and not args.target_filter:
-            p.error("--method classifier requires --target-filter")
+        if (
+            args.method == "classifier"
+            and not args.target_filter
+            and not args.model_in
+        ):
+            p.error(
+                "--method classifier requires --target-filter or --model-in"
+            )
         if args.method == "gopher":
             known = {
                 "word_count", "mean_word_len", "symbol_ratio",
@@ -812,21 +825,30 @@ def main(argv: list[str] | None = None) -> int:
                 args.id_column,
             )
         else:  # classifier
-            labeled = df.withColumn(
-                "_y",
-                F.coalesce(
-                    F.expr(args.target_filter).cast("int"), F.lit(0)
-                ),
-            )
-            model = text_ops.train_quality_classifier(
-                labeled,
-                "_y",
-                n_buckets=args.buckets,
-                iters=args.iters,
-                text_col=args.text_column,
-                id_col=args.id_column,
-                hash_fn=args.hash,
-            )
+            if args.model_in:
+                with open(args.model_in) as fh:
+                    model = json.load(fh)
+            else:
+                labeled = df.withColumn(
+                    "_y",
+                    F.coalesce(
+                        F.expr(args.target_filter).cast("int"), F.lit(0)
+                    ),
+                )
+                model = text_ops.train_quality_classifier(
+                    labeled,
+                    "_y",
+                    n_buckets=args.buckets,
+                    iters=args.iters,
+                    text_col=args.text_column,
+                    id_col=args.id_column,
+                    hash_fn=args.hash,
+                )
+            if args.model_out:
+                tmp_model = args.model_out + ".tmp"
+                with open(tmp_model, "w") as fh:
+                    json.dump(model, fh)
+                os.replace(tmp_model, args.model_out)
             kept = text_ops.pareto_quality_filter(
                 df,
                 model,

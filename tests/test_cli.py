@@ -656,3 +656,27 @@ def test_cli_select_data_validation(tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(base + ["select-data", "--input", "x", "--out", "y",
                      "--method", "classifier"])
+
+
+def test_cli_select_data_model_roundtrip(spark, tmp_path, sf_dir, capsys):
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    docs = os.path.join(sf_dir, "documents.parquet")
+    model_path = str(tmp_path / "model.json")
+
+    out1 = str(tmp_path / "clf1")
+    r1 = run(capsys, *base, "select-data", "--input", docs, "--out", out1,
+             "--method", "classifier", "--target-filter", "lang = 'en'",
+             "--iters", "6", "--salt", "rt", "--model-out", model_path)
+    assert os.path.exists(model_path)
+    m = json.load(open(model_path))
+    assert set(m) >= {"weights", "bias", "n_buckets", "hash_fn"}
+
+    # re-apply the SAVED model: no --target-filter, identical survivors
+    out2 = str(tmp_path / "clf2")
+    r2 = run(capsys, *base, "select-data", "--input", docs, "--out", out2,
+             "--method", "classifier", "--salt", "rt",
+             "--model-in", model_path)
+    a = {x.doc_id for x in spark.read.parquet(out1).collect()}
+    b = {x.doc_id for x in spark.read.parquet(out2).collect()}
+    assert a == b and r1["SelectedRows"] == r2["SelectedRows"]
