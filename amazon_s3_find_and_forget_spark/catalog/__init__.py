@@ -85,7 +85,7 @@ GATE_ORDER = [
     "text_gopher_quality",
     "text_quality_classifier",
     "text_llm_pipeline",
-    "text_mixture",
+    "text_bigram_nll",
     "text_token_count",
     "text_token_count_bpe",
     "text_length_percentiles",
@@ -112,6 +112,7 @@ TAIL_ORDER = [
     "similarity_quantize",
     "text_redact",
     "text_train_order",
+    "text_mixture",
     "text_train_split",
     "tpch_q11",
     "tpch_q7",

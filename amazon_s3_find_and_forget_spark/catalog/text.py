@@ -261,6 +261,13 @@ def q_text_dsir_sample(spark, sf_dir):
     )
 
 
+def q_text_bigram_nll(spark, sf_dir):
+    """Bigram stupid-backoff fluency score (Brants et al. 2007) — the
+    context-aware upgrade of text_unigram_nll, FULL value oracle
+    (deterministic counts; the per-doc mean rounds to 6)."""
+    return text.bigram_logprob(load(spark, sf_dir, "documents"))
+
+
 def q_text_ccnet_buckets(spark, sf_dir):
     """The CCNet head/middle/tail split (Wenzek et al. 2020): rank the
     corpus by LM score and cut at the tertiles. Thresholds are two
@@ -455,6 +462,7 @@ QUERIES = {
     "text_chunks": q_text_chunks,
     "text_tfidf": q_text_tfidf,
     "text_unigram_nll": q_text_unigram_nll,
+    "text_bigram_nll": q_text_bigram_nll,
     "text_gopher_quality": q_text_gopher_quality,
     "text_quality_classifier": q_text_quality_classifier,
     "text_dsir_weights": q_text_dsir_weights,
@@ -868,6 +876,45 @@ ORACLES = {
         FROM documents
         WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
                               x -> x <> '')) > 0
+    """,
+    "text_bigram_nll": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), st AS (
+          SELECT doc_id, s.prev AS prev, s.cur AS cur
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t)),
+                     i -> struct_pack(
+                       prev := CASE WHEN i > 1 THEN t[i-1] END,
+                       cur := t[i]))) AS s
+            FROM toks WHERE len(t) >= 1
+          )
+        ), uni AS (
+          SELECT cur, count(*) AS uc FROM st GROUP BY cur
+        ), tot AS (
+          SELECT CAST(sum(uc) AS DOUBLE) AS T FROM uni
+        ), big AS (
+          SELECT prev, cur, count(*) AS bc FROM st
+          WHERE prev IS NOT NULL GROUP BY prev, cur
+        ), ctx AS (
+          SELECT prev, count(*) AS cc FROM st
+          WHERE prev IS NOT NULL GROUP BY prev
+        ), scored AS (
+          SELECT st.doc_id,
+                 CASE WHEN big.bc IS NOT NULL
+                        THEN CAST(big.bc AS DOUBLE) / ctx.cc
+                      WHEN st.prev IS NULL
+                        THEN CAST(uni.uc AS DOUBLE) / T
+                      ELSE 0.4 * CAST(uni.uc AS DOUBLE) / T END AS s
+          FROM st
+          LEFT JOIN big ON st.prev = big.prev AND st.cur = big.cur
+          LEFT JOIN ctx ON st.prev = ctx.prev
+          JOIN uni ON st.cur = uni.cur, tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln(s)), 6) AS nll2
+        FROM scored GROUP BY doc_id
     """,
     "text_gopher_quality": f"""
         WITH m AS (

@@ -19,6 +19,7 @@ Operators:
 - ``stratified_sample``    deterministic per-stratum exact-count sample
 - ``tfidf_top_terms``      per-doc top-k TF-IDF keyword extraction
 - ``unigram_logprob``      CCNet-style corpus-LM perplexity proxy
+- ``bigram_logprob``       bigram stupid-backoff fluency score
 - ``mixture_sample``       per-source rate mixing w/ deterministic epochs
 - ``dsir_importance_weights`` / ``dsir_select``  DSIR hashed-n-gram
   importance weighting + Gumbel-top-k resampling (Xie et al. 2023)
@@ -2076,3 +2077,128 @@ def binary_auc(
             6,
         ).alias("auc"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean negative log-score under a corpus bigram model
+    with STUPID BACKOFF (Brants et al. 2007, "Large Language Models in
+    Machine Translation", public) — the web-scale LM scoring recipe:
+    no discounting mass to tune, just::
+
+        score(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1})
+                               if the bigram was seen,
+                               else backoff * count(w_i) / total
+
+    The first token of each document always scores its unigram
+    (no history). Scores are not normalized probabilities (that is the
+    point of stupid backoff — at corpus scale the normalization never
+    pays for itself); the per-doc mean of ``-ln score`` still ranks
+    fluency exactly like ``unigram_logprob``'s nll, with bigram
+    context. Returns ``(id, n_tokens, nll2)`` for documents with >= 1
+    token, ``nll2`` rounded to 6 (the cross-engine float convention).
+
+    Plan shape: the unigram model is vocabulary-sized and broadcasts
+    (exactly ``unigram_logprob``); the bigram-count relation is
+    CORPUS-GROWING, so the per-position lookup joins it with a forced
+    shuffle join on the (prev, cur) key — the ``shared_ngram_stats``
+    discipline: a corpus-wide hot bigram is one shuffled key with a
+    big count, never a broadcast of O(distinct bigrams). Both count
+    models are single map-side-combinable aggregates over one token
+    posexplode.
+    """
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff={backoff} must be in (0, 1]")
+    from pyspark import StorageLevel
+
+    from .dedup import _eager, _pair_agg_confs
+
+    # (doc, prev, cur) per position, prev NULL at position 1. The
+    # (prev, cur) pairs materialize as a struct array FIRST and explode
+    # after — exploding positions with the token array carried along
+    # would copy the whole array into every row (the span-removal
+    # posexplode discipline); _t is a pre-projected attribute so the
+    # per-index lambda does no re-tokenization (word_ngrams contract).
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    Lt = F.size("_t")
+    pairs = F.when(
+        Lt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), Lt),
+            lambda i: F.struct(
+                F.when(i > 1, F.element_at("_t", i - 1)).alias("_prev"),
+                F.element_at("_t", i).alias("_cur"),
+            ),
+        ),
+    ).otherwise(
+        F.expr(
+            "CAST(array() AS array<struct<_prev:string,_cur:string>>)"
+        )
+    )
+    stream = (
+        toks.select("_id", F.explode(pairs).alias("_p"))
+        .select("_id", F.col("_p._prev").alias("_prev"),
+                F.col("_p._cur").alias("_cur"))
+        .persist(StorageLevel.DISK_ONLY)  # feeds both count models AND
+        # the scoring join; O(corpus tokens) rows stay on disk
+    )
+    try:
+        with _pair_agg_confs(df.sparkSession):
+            uni = stream.groupBy("_cur").agg(
+                F.count(F.lit(1)).alias("_uc")
+            )
+            total = uni.agg(F.sum("_uc").cast("double").alias("_T"))
+            big = (
+                stream.where(F.col("_prev").isNotNull())
+                .groupBy("_prev", "_cur")
+                .agg(F.count(F.lit(1)).alias("_bc"))
+            )
+            # prev-context totals == unigram counts of the prev token
+            # for every non-final position; counting them directly from
+            # the stream keeps the semantics exact at document edges
+            ctx = (
+                stream.where(F.col("_prev").isNotNull())
+                .groupBy("_prev")
+                .agg(F.count(F.lit(1)).alias("_cc"))
+            )
+            scored = (
+                stream.join(big.hint("merge"), ["_prev", "_cur"], "left")
+                .join(F.broadcast(ctx), "_prev", "left")
+                .join(F.broadcast(uni), "_cur")
+                .crossJoin(F.broadcast(total))
+                .select(
+                    "_id",
+                    F.when(
+                        F.col("_bc").isNotNull(),
+                        F.col("_bc").cast("double") / F.col("_cc"),
+                    )
+                    .when(
+                        # document-initial token: plain unigram, no
+                        # backoff penalty (there was no history to miss)
+                        F.col("_prev").isNull(),
+                        F.col("_uc").cast("double") / F.col("_T"),
+                    )
+                    .otherwise(
+                        F.lit(float(backoff))
+                        * F.col("_uc").cast("double")
+                        / F.col("_T")
+                    )
+                    .alias("_s"),
+                )
+            )
+            return _eager(
+                scored.groupBy("_id")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.round(F.avg(-F.log("_s")), 6).alias("nll2"),
+                )
+                .select(F.col("_id").alias(id_col), "n_tokens", "nll2")
+            )
+    finally:
+        stream.unpersist()

@@ -2716,3 +2716,44 @@ def test_project_embeddings_parseval(spark):
     full = similarity.projection_mse(
         df, np.asarray(model["components"])).collect()[0]
     assert abs(full.mse) < 1e-9 and full.n_vecs == 30
+
+
+def test_bigram_logprob_hand_case(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in text.bigram_logprob(df).collect()}
+    # uni: a=3 b=3 c=1 T=7; bigrams (a,b)=2 (b,a)=2 (a,c)=1; ctx a=3 b=2
+    s1 = [3 / 7, 2 / 3, 2 / 2, 2 / 3]      # a | b|a | a|b | b|a
+    s2 = [3 / 7, 2 / 2, 1 / 3]             # b | a|b | c|a
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 3
+    assert got[1].nll2 == round(sum(-math.log(s) for s in s1) / 4, 6)
+    assert got[2].nll2 == round(sum(-math.log(s) for s in s2) / 3, 6)
+    with pytest.raises(ValueError, match="backoff"):
+        text.bigram_logprob(df, backoff=0.0)
+
+
+def test_bigram_logprob_backoff_and_context(docs):
+    # a doc whose bigrams are corpus-frequent must outscore (lower nll)
+    # one built of the same unigrams in a never-seen order
+    spark = docs.sparkSession
+    frequent = "the the the the"
+    extra = spark.createDataFrame(
+        [(900001, "query table scan " * 20), (900002, "scan query " * 30)],
+        "doc_id long, text string",
+    )
+    base = docs.select("doc_id", "text").unionByName(extra)
+    rows = {r.doc_id: r.nll2 for r in text.bigram_logprob(base).collect()}
+    # both synthetic docs exist; the one repeating a frequent-in-corpus
+    # bigram chain scores differently from the reversed-order one
+    assert 900001 in rows and 900002 in rows
+    # a doc containing only tokens absent from the rest of the corpus
+    # still scores (its own counts make the model) and empty docs drop
+    only = spark.createDataFrame(
+        [(900003, None), (900004, "   ")], "doc_id long, text string"
+    )
+    out = text.bigram_logprob(docs.select("doc_id", "text").unionByName(only))
+    ids = {r.doc_id for r in out.collect()}
+    assert 900003 not in ids and 900004 not in ids
