@@ -2757,3 +2757,45 @@ def test_bigram_logprob_backoff_and_context(docs):
     out = text.bigram_logprob(docs.select("doc_id", "text").unionByName(only))
     ids = {r.doc_id for r in out.collect()}
     assert 900003 not in ids and 900004 not in ids
+
+
+def test_dsir_weights_partitioning_invariant(docs):
+    # weights are a pure function of the corpus CONTENT: repartitioning
+    # and reordering the input must not move a single rounded value
+    # (the round-6 convention absorbs partial-agg association)
+    target = docs.where(F.col("lang") == "en")
+    a = {r.doc_id: (r.n_grams, r.log_w)
+         for r in text.dsir_importance_weights(docs, target).collect()}
+    shuffled = docs.repartition(7).sortWithinPartitions(F.desc("doc_id"))
+    b = {r.doc_id: (r.n_grams, r.log_w)
+         for r in text.dsir_importance_weights(shuffled, target).collect()}
+    assert a == b
+
+
+def test_gopher_flags_match_python_reference(spark):
+    import random
+    import re as _re
+
+    rng = random.Random(1309)
+    words = ["the", "zag", "##", "a1", "...", "toolongwordhere", "of", "x"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 70))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.gopher_quality_flags(df).collect()}
+    for i, t in rows:
+        ws = _re.findall(r"\S+", t)
+        n = len(ws)
+        assert got[i].n_words == n, (i, t)
+        if n:
+            non_ws = len(_re.sub(r"\s", "", t))
+            assert got[i].mean_word_len == round(non_ws / n, 4)
+            alpha = sum(1 for w in ws if _re.search(r"[A-Za-z]", w))
+            assert got[i].alpha_word_frac == round(alpha / n, 4)
+            syms = len(_re.findall(r"#|\.\.\.", t))
+            assert got[i].symbol_ratio == round(syms / n, 4)
+        stops = {w for w in _re.findall(r"[a-z0-9']+", t.lower())}
+        assert got[i].stop_word_hits == len(
+            stops & set(text.GOPHER_STOP_WORDS)
+        )
