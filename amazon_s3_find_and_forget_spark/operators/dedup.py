@@ -1315,6 +1315,8 @@ def remove_duplicated_spans(
     """
     if mode not in ("cut", "mask"):
         raise ValueError(f"mode must be 'cut' or 'mask', got {mode!r}")
+    if n < 1:
+        raise ValueError(f"n={n} must be >= 1")
     from pyspark import StorageLevel
 
     toks, occ = _gram_occurrences(df, n, text_col, id_col)
@@ -1544,6 +1546,8 @@ def decontaminate_spans(
     """
     if mode not in ("cut", "mask"):
         raise ValueError(f"mode must be 'cut' or 'mask', got {mode!r}")
+    if n < 1:
+        raise ValueError(f"n={n} must be >= 1")
 
     toks, occ = _gram_occurrences(df, n, text_col, id_col)
     bench_grams = _gram_occurrences(

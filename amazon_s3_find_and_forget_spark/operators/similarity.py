@@ -806,26 +806,18 @@ def ivfpq_topk(
     )
 
 
-def gram_matrix(
-    df: DataFrame, emb_col: str = "embedding", normalize: bool = True
-) -> tuple[np.ndarray, int]:
-    """Exact FULL-CORPUS second-moment matrix ``X'X / n`` in one
-    distributed pass — deliberately NOT the seeded sample the IVF/PQ
-    trainers use: a dim x dim Gram is O(dim^2) floats per partition
-    regardless of corpus size, so at 100 TB the exact matrix is one
-    map pass + a tiny reduce, and the PCA built on it is exact rather
-    than sample-approximate.
-
-    Kernel: Arrow-batched ``mapInPandas`` emits one flattened partial
-    Gram (plus its row count) per record batch; the driver sums the
-    few-hundred partial rows (the classic two-level tree aggregate,
-    with the second level driver-side because the reduce input is
-    partition-count-bounded, not corpus-bounded). NULL and zero-length
-    embeddings are skipped. Returns ``(gram, n_rows)``.
-    """
+def _gram_partials(
+    df: DataFrame, emb_col: str, normalize: bool
+) -> DataFrame:
+    """The distributed half of :func:`gram_matrix`: ONE ``(n, g)`` row
+    per input partition (the accumulator spans the partition's whole
+    Arrow batch iterator), so collecting it is partition-count-bounded
+    no matter how the corpus splits into record batches."""
     import pandas as pd
 
     def partials(batches):
+        acc = None
+        n_rows = 0
         for pdf in batches:
             rows = [
                 np.asarray(v, dtype=np.float64)
@@ -839,15 +831,39 @@ def gram_matrix(
                 X = X / np.maximum(
                     np.linalg.norm(X, axis=1, keepdims=True), 1e-12
                 )
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+            n_rows += len(X)
+        if acc is not None:
             yield pd.DataFrame(
-                {"n": [len(X)], "g": [(X.T @ X).ravel().tolist()]}
+                {"n": [n_rows], "g": [acc.ravel().tolist()]}
             )
 
-    parts = (
-        df.select(emb_col)
-        .mapInPandas(partials, "n long, g array<double>")
-        .collect()
+    return df.select(emb_col).mapInPandas(
+        partials, "n long, g array<double>"
     )
+
+
+def gram_matrix(
+    df: DataFrame, emb_col: str = "embedding", normalize: bool = True
+) -> tuple[np.ndarray, int]:
+    """Exact FULL-CORPUS second-moment matrix ``X'X / n`` in one
+    distributed pass — deliberately NOT the seeded sample the IVF/PQ
+    trainers use: a dim x dim Gram is O(dim^2) floats per partition
+    regardless of corpus size, so at 100 TB the exact matrix is one
+    map pass + a tiny reduce, and the PCA built on it is exact rather
+    than sample-approximate.
+
+    Kernel: Arrow-batched ``mapInPandas`` accumulates ONE flattened
+    partial Gram (plus its row count) across the partition's whole
+    record-batch iterator and yields a single row per partition, so
+    the driver-side second level of the tree aggregate sums a
+    partition-count-bounded relation — NOT one row per Arrow batch,
+    which would make the collect corpus-bounded (rows /
+    maxRecordsPerBatch) and OOM the driver at lake scale. NULL and
+    zero-length embeddings are skipped. Returns ``(gram, n_rows)``.
+    """
+    parts = _gram_partials(df, emb_col, normalize).collect()
     if not parts:
         raise ValueError("no non-empty embeddings to aggregate")
     n = sum(int(r["n"]) for r in parts)

@@ -1211,6 +1211,24 @@ def tfidf_top_terms(
     )
 
 
+def _sized_model_side(model, n_rows: int, avg_key_width: float):
+    """Join-side wrapper for a COUNTED model relation: broadcast when
+    the priced size (rows x (avg key width + 48 B count/row overhead))
+    fits the shared ``BAND_BROADCAST_BUDGET``, shuffled merge join
+    above — the ``decontaminate_spans`` size-aware discipline
+    (``operators/dedup.py``). An explicit ``F.broadcast`` hint is
+    never demoted by AQE, so a model relation whose cardinality grows
+    with the corpus (token vocabularies under Heaps' law) must be
+    priced from a real count before hinting; Catalyst's own estimate
+    of an aggregate over an exploded stream is unusable.
+    """
+    from .dedup import BAND_BROADCAST_BUDGET
+
+    if n_rows * (avg_key_width + 48) <= BAND_BROADCAST_BUDGET:
+        return F.broadcast(model)
+    return model.hint("merge")
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
@@ -1227,11 +1245,19 @@ def unigram_logprob(
 
     Plan shape: the LM is ONE aggregate over the exploded token stream
     (partial agg map-side; vocabulary-sized result). The per-token
-    probability lookup is a term-keyed join; the model relation is
-    vocabulary-sized — tiny next to the corpus at any scale — so Spark's
-    AQE broadcasts it and the scoring pass stays map-only (a hot
-    stopword key never skews a broadcast join). Totals ride into the
-    score expression as two literal scalars, exactly like IDF's N.
+    probability lookup is a term-keyed join whose strategy derives
+    from the model relation's COUNTED size (the
+    ``BAND_BROADCAST_BUDGET`` discipline shared with
+    ``decontaminate_spans``): the ``\\S+`` vocabulary of raw web text
+    GROWS with the corpus (URLs, numbers, typos — Heaps' law), so a
+    forced broadcast hint — which AQE never demotes — would be a
+    driver/executor OOM at the 100-TB design point. The model stats
+    collect already runs for the smoothing denominator, so pricing the
+    relation is free: under budget the lookup broadcasts and scoring
+    stays map-only (a hot stopword key never skews a broadcast join);
+    above budget it degrades to a shuffled merge join instead of an
+    OOM. Totals ride into the score expression as two literal scalars,
+    exactly like IDF's N.
 
     Returns (id, n_tokens, nll) for every document with >= 1 token.
     """
@@ -1243,8 +1269,10 @@ def unigram_logprob(
     )
     lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
     try:
-        total, vocab = lm.select(
-            F.sum("cnt").cast("long"), F.count(F.lit(1))
+        total, vocab, avg_w = lm.select(
+            F.sum("cnt").cast("long"),
+            F.count(F.lit(1)),
+            F.avg(F.length("term")),
         ).collect()[0]
         if total is None:  # token-less corpus: no LM, no scorable docs
             return toks.groupBy("_uid").agg(
@@ -1252,7 +1280,10 @@ def unigram_logprob(
                 F.lit(0.0).alias("nll"),
             ).select(F.col("_uid").alias(id_col), "n_tokens", "nll")
         denom = float(total + vocab)
-        scored = toks.join(F.broadcast(lm), "term").select(
+        scored = toks.join(
+            _sized_model_side(lm, int(vocab), float(avg_w or 0.0)),
+            "term",
+        ).select(
             "_uid",
             (-F.log((F.col("cnt") + F.lit(1.0)) / F.lit(denom))).alias(
                 "_nl"
@@ -1814,10 +1845,15 @@ def train_quality_classifier(
 
     spark = df.sparkSession
     g = _hashed_gram_buckets(df, n_buckets, text_col, id_col, hash_fn)
+    # NULL labels are dropped HERE, before the stats aggregate: a
+    # null-label doc would otherwise count in n_docs (the GD
+    # denominator and n_neg = n_docs - n_pos) while its rows vanish
+    # from every loss/gradient sum, silently mis-scaling the Platt
+    # calibration and the class prior.
     labels = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).cast("double").alias("_y"),
-    )
+    ).where(F.col("_y").isNotNull())
     feats = (
         g.groupBy("_id", "bkt")
         .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
@@ -2102,14 +2138,21 @@ def bigram_logprob(
     context. Returns ``(id, n_tokens, nll2)`` for documents with >= 1
     token, ``nll2`` rounded to 6 (the cross-engine float convention).
 
-    Plan shape: the unigram model is vocabulary-sized and broadcasts
-    (exactly ``unigram_logprob``); the bigram-count relation is
-    CORPUS-GROWING, so the per-position lookup joins it with a forced
-    shuffle join on the (prev, cur) key — the ``shared_ngram_stats``
-    discipline: a corpus-wide hot bigram is one shuffled key with a
-    big count, never a broadcast of O(distinct bigrams). Both count
-    models are single map-side-combinable aggregates over one token
-    posexplode.
+    Plan shape: the bigram-count relation is CORPUS-GROWING, so the
+    per-position lookup joins it with a forced shuffle join on the
+    (prev, cur) key — the ``shared_ngram_stats`` discipline: a
+    corpus-wide hot bigram is one shuffled key with a big count, never
+    a broadcast of O(distinct bigrams). The unigram and prev-context
+    models are vocabulary-sized, and the ``\\S+`` vocabulary of raw
+    web text also grows with the corpus (Heaps' law), so their join
+    sides derive from the COUNTED vocabulary size via
+    ``_sized_model_side`` (broadcast under ``BAND_BROADCAST_BUDGET``,
+    merge join above — a forced broadcast hint is never AQE-demoted
+    and would OOM at the 100-TB design point). The count job is free:
+    it is the same aggregate that produces the backoff total ``T``,
+    which now rides into the score expression as a literal instead of
+    a 1-row crossJoin. All count models are single map-side-combinable
+    aggregates over one token posexplode.
     """
     if not 0 < backoff <= 1:
         raise ValueError(f"backoff={backoff} must be in (0, 1]")
@@ -2153,7 +2196,16 @@ def bigram_logprob(
             uni = stream.groupBy("_cur").agg(
                 F.count(F.lit(1)).alias("_uc")
             )
-            total = uni.agg(F.sum("_uc").cast("double").alias("_T"))
+            # one stats job prices the vocabulary-sized models AND
+            # produces the backoff total T (no separate crossJoin)
+            total, vocab, avg_w = uni.select(
+                F.sum("_uc").cast("double"),
+                F.count(F.lit(1)),
+                F.avg(F.length("_cur")),
+            ).collect()[0]
+            T = float(total) if total is not None else 1.0
+            vocab = int(vocab)
+            avg_w = float(avg_w or 0.0)
             big = (
                 stream.where(F.col("_prev").isNotNull())
                 .groupBy("_prev", "_cur")
@@ -2169,9 +2221,10 @@ def bigram_logprob(
             )
             scored = (
                 stream.join(big.hint("merge"), ["_prev", "_cur"], "left")
-                .join(F.broadcast(ctx), "_prev", "left")
-                .join(F.broadcast(uni), "_cur")
-                .crossJoin(F.broadcast(total))
+                .join(
+                    _sized_model_side(ctx, vocab, avg_w), "_prev", "left"
+                )
+                .join(_sized_model_side(uni, vocab, avg_w), "_cur")
                 .select(
                     "_id",
                     F.when(
@@ -2182,12 +2235,12 @@ def bigram_logprob(
                         # document-initial token: plain unigram, no
                         # backoff penalty (there was no history to miss)
                         F.col("_prev").isNull(),
-                        F.col("_uc").cast("double") / F.col("_T"),
+                        F.col("_uc").cast("double") / F.lit(T),
                     )
                     .otherwise(
                         F.lit(float(backoff))
                         * F.col("_uc").cast("double")
-                        / F.col("_T")
+                        / F.lit(T)
                     )
                     .alias("_s"),
                 )

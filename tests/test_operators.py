@@ -2799,3 +2799,92 @@ def test_gopher_flags_match_python_reference(spark):
         assert got[i].stop_word_hits == len(
             stops & set(text.GOPHER_STOP_WORDS)
         )
+
+
+def test_gram_partials_one_row_per_partition(spark):
+    # the driver collect must be partition-count-bounded: even when the
+    # Arrow batch size forces one record per batch, each partition's
+    # iterator accumulates into ONE (n, g) row (the r13 ADVICE defect:
+    # per-batch partials made the collect corpus-bounded)
+    rng = np.random.RandomState(11)
+    X = rng.randn(24, 4).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        parts = similarity._gram_partials(df, "embedding", False).collect()
+        assert len(parts) <= 3
+        assert sum(r.n for r in parts) == 24
+        gram, n = similarity.gram_matrix(df, normalize=False)
+        Xd = X.astype(np.float64)
+        assert np.abs(gram - Xd.T @ Xd / 24).max() < 1e-9
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_span_operators_reject_n_zero(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n=0"):
+        dedup.remove_duplicated_spans(df, n=0)
+    with pytest.raises(ValueError, match="n=0"):
+        dedup.decontaminate_spans(df, df, n=0)
+
+
+def test_classifier_ignores_null_labels(spark):
+    # docs with NULL labels must not dilute the GD denominator / class
+    # prior: training on (labeled + nulls) == training on labeled only
+    rows = [(i, f"good clean prose text {i} the of and", 1.0) for i in range(12)]
+    rows += [(100 + i, f"zzz spam {i} garbage #### junk", 0.0) for i in range(12)]
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    with_nulls = labeled.union(
+        spark.createDataFrame(
+            [(200 + i, f"unlabeled doc {i} words here", None) for i in range(10)],
+            "doc_id long, text string, label double",
+        )
+    )
+    m1 = text.train_quality_classifier(labeled, "label", n_buckets=64, iters=3)
+    m2 = text.train_quality_classifier(
+        with_nulls, "label", n_buckets=64, iters=3
+    )
+    assert m1 == m2
+
+
+def _physical(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lm_model_joins_are_size_aware(spark, monkeypatch):
+    # the vocabulary-sized model relations must NOT carry an
+    # unconditional broadcast hint (AQE never demotes one, and \S+
+    # vocabulary grows with the corpus): above budget the lookup joins
+    # degrade to shuffled merge joins, under budget they broadcast
+    from amazon_s3_find_and_forget_spark.operators import dedup as _dedup
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # unigram_logprob returns the lazy plan, so the join strategy is
+    # directly assertable in the physical plan (bigram_logprob shares
+    # _sized_model_side but localCheckpoints its small output, so it is
+    # covered by the value-identity check below)
+    uni_plan = _physical(text.unigram_logprob(df))
+    assert "BroadcastHashJoin" in uni_plan  # tiny vocab: broadcast path
+
+    monkeypatch.setattr(_dedup, "BAND_BROADCAST_BUDGET", 0)
+    assert "BroadcastHashJoin" not in _physical(text.unigram_logprob(df))
+    # and the merge path is value-identical to the broadcast path
+    a = {r.doc_id: (r.n_tokens, r.nll2)
+         for r in text.bigram_logprob(df).collect()}
+    u0 = {r.doc_id: (r.n_tokens, r.nll)
+          for r in text.unigram_logprob(df).collect()}
+    monkeypatch.undo()
+    b = {r.doc_id: (r.n_tokens, r.nll2)
+         for r in text.bigram_logprob(df).collect()}
+    u1 = {r.doc_id: (r.n_tokens, r.nll)
+          for r in text.unigram_logprob(df).collect()}
+    assert a == b
+    assert u0 == u1

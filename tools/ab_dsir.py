@@ -5,8 +5,10 @@ recompute = no persist (the gram stream is re-tokenized for the fit
 persist   = DISK_ONLY persist of the (id, bucket) gram stream between
             fit and score (the shipped default: two longs per gram
             occurrence vs re-reading + re-tokenizing the text corpus)
-xxhash64  = persisted, with the codegen integer bucket hash instead of
-            the engine-portable md5 (the oracle-portability trade)
+xxhash64  = NO persist, with the codegen integer bucket hash instead
+            of the engine-portable md5 (the oracle-portability trade;
+            unpersisted so the digest cost is isolated against
+            `recompute`, which is its md5 twin)
 
 Round-13 measurements at 500k docs (/tmp/s3f2-sf10-bench): recompute
 19.9 s, persist 8.8 s, xxhash64-without-persist 16.4 s — the explode
@@ -37,7 +39,7 @@ def main():
     variants = {
         "recompute": dict(eager=False),
         "persist": dict(eager=True),
-        "xxhash64": dict(eager=True, hash_fn="xxhash64"),
+        "xxhash64": dict(eager=False, hash_fn="xxhash64"),
     }
     for name, kw in variants.items():
         runs = []
