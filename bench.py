@@ -130,7 +130,6 @@ def ensure_sf10(sf1_dir: str | None) -> str | None:
 SF10_QUERIES = [
     "tpch_q5",
     "dedup_minhash_survivors_t08",
-    "dedup_simhash_pairs",
     "dedup_simhash_pairs_v2",
     "dedup_clusters_minhash",
     "dedup_span_removal",
@@ -144,8 +143,11 @@ SF10_QUERIES = [
 # - dedup_simhash_pairs_v2 runs over the documents_v2 near-dup variant
 #   corpus (linear pair mass by construction) so SimHash wall-clock
 #   measures the engine, not the permuted corpus's output-quadratic
-#   artifact; the old dedup_simhash_pairs row stays for floor
-#   comparability. Lane-only: documents_v2 exists only in derived dirs.
+#   artifact. Lane-only: documents_v2 exists only in derived dirs.
+#   The permuted-corpus dedup_simhash_pairs row was RETIRED round 14
+#   (r13 verdict ask #4): its recorded spreads ([35.0, 11.9] closing,
+#   [49.8, 37.1] dev — a 4x same-code JIT band) could only false-flag;
+#   floors archived in SCALE.md.
 # - dedup_clusters_minhash is the transitive-components soak at scale:
 #   CC over the MinHash pair source that completes at 500k docs (the
 #   exact n-gram pair source dedup_components gates on DNFs at sf10).
@@ -253,6 +255,41 @@ def calibration_probe(spark, runs: int = 3) -> float:
         elapsed = time.perf_counter() - start
         best = elapsed if best is None else min(best, elapsed)
     return round(best, 3)
+
+
+def io_probe(runs: int = 2, mib: int = 256) -> float:
+    """Sequential write+fsync bandwidth (MiB/s, max-of-``runs``) on the
+    filesystem the bench writes to.
+
+    The CPU calibration probe is blind to DISK weather, and exactly one
+    lane row cares: ``find_forget_job`` is the suite's only write-heavy
+    query (its forget rewrite moves ~2 GiB through the page cache at
+    sf10). Round-14 bisect data: across three sessions the row's raw
+    min tracked this probe's reading (197-536 MiB/s, oscillating by
+    minutes) while the CPU probe sat flat at 0.62-0.65 s — so its
+    floor must be adjudicated in disk-bandwidth units, not
+    CPU-calibration units. Max-of-runs because bandwidth is a capacity:
+    the best observed rate is the host's ability, the worst is neighbor
+    interference.
+    """
+    path = os.path.join(tempfile.gettempdir(), "_s3f2_io_probe.bin")
+    buf = os.urandom(1 << 20)
+    best = 0.0
+    try:
+        for _ in range(runs):
+            start = time.perf_counter()
+            with open(path, "wb") as f:
+                for _ in range(mib):
+                    f.write(buf)
+                f.flush()
+                os.fsync(f.fileno())
+            best = max(best, mib / (time.perf_counter() - start))
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+    return round(best, 1)
 
 
 def evaluate_tripwire(
@@ -406,6 +443,11 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": {"value": cal, "workload": CAL_WORKLOAD},
+        "calibration_io": {
+            "value": io_probe(),
+            "unit": "MiB/s",
+            "workload": "seq-write-fsync-256MiB-max2",
+        },
     }
 
     # second lane: the same suite at 10x data (derived once, cached) so
