@@ -46,6 +46,14 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # similarity_quantize and text_redact rotate to the tail, as does
 # similarity_pca_quality's slot donor (exact distributed PCA enters
 # with its Eckart-Young claim gate).
+# Round-14 rotation (r13 verdict asks #3 and #7):
+# text_curation_pipeline_v2 (the near-dup-corpus composed pipeline,
+# corpus-adaptive with a full value oracle over the synthesized
+# variant) and dedup_decontaminate_mask (mask-mode decontamination —
+# the every-kernel rule) enter the window; long-stable
+# text_balanced_sample and dedup_exact_groups rotate to the tail
+# (exact-dedup stays gated through dedup_incremental_exact and both
+# curation pipelines).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -60,7 +68,6 @@ GATE_ORDER = [
     "embedding_near_dups_recall",
     "embedding_incremental_complete",
     "similarity_ivfpq_recall",
-    "text_balanced_sample",
     "text_stratified_sample",
     "dedup_ngram_pairs",
     "dedup_shared_ngrams",
@@ -72,10 +79,10 @@ GATE_ORDER = [
     "dedup_span_removal",
     "dedup_span_mask",
     "dedup_decontaminate_spans",
+    "dedup_decontaminate_mask",
     "dedup_components_minhash",
     "events_distinct_sketch",
     "orders_quantile_sketch",
-    "dedup_exact_groups",
     "dedup_incremental_exact",
     "dedup_incremental_complete",
     "text_contamination",
@@ -97,6 +104,7 @@ GATE_ORDER = [
     "similarity_pca_quality",
     "similarity_topk",
     "text_curation_pipeline",
+    "text_curation_pipeline_v2",
 ]
 
 # Past the gate: deterministic oracle-backed rows awaiting (or rotated
@@ -105,6 +113,8 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "text_balanced_sample",
+    "dedup_exact_groups",
     "events_hourly",
     "orders_running_total",
     "tpch_q6",

@@ -285,6 +285,23 @@ def q_dedup_decontaminate_spans(spark, sf_dir):
     )
 
 
+def q_dedup_decontaminate_mask(spark, sf_dir):
+    """Mask-mode sibling of dedup_decontaminate_spans (the standing
+    every-kernel rule: the span twins both gate both modes, so the
+    decontaminate pair must too — r13 verdict ask #7): each maximal
+    benchmark-covered run collapses to ONE '[DUP]' token instead of
+    being cut, preserving where the contamination sat for audit. Shares
+    ``_reconstruct_without_spans`` with all three siblings; FULL value
+    oracle — the masked text is hash-compared."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.decontaminate_spans(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=8,
+        mode="mask",
+    )
+
+
 def q_dedup_incremental_exact(spark, sf_dir):
     """Batch-incremental exact dedup against a persisted hash index
     (operators/incremental.py): history (doc_id % 3 != 0) is indexed,
@@ -464,6 +481,7 @@ QUERIES = {
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_span_mask": q_dedup_span_mask,
     "dedup_decontaminate_spans": q_dedup_decontaminate_spans,
+    "dedup_decontaminate_mask": q_dedup_decontaminate_mask,
     "dedup_incremental_exact": q_dedup_incremental_exact,
     "dedup_incremental_complete": q_dedup_incremental_complete,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -645,6 +663,74 @@ ORACLES = {
         )
         SELECT t.doc_id,
                coalesce(a.text, '') AS text,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
+                 AS removed_tokens
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    "dedup_decontaminate_mask": """
+        WITH pool AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        ), toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                   x -> x <> '') AS t
+          FROM pool
+        ), lowered AS (
+          SELECT doc_id, t, list_transform(t, x -> lower(x)) AS tl
+          FROM toks
+        ), occ AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(tl) - 7),
+                   i -> struct_pack(
+                     pos := i,
+                     g := array_to_string(tl[i:i+7], ' ')))) AS o
+          FROM lowered WHERE len(tl) >= 8
+        ), btoks AS (
+          SELECT list_transform(
+                   list_filter(
+                     regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> ''), x -> lower(x)) AS tl
+          FROM documents WHERE doc_id % 50 = 0
+        ), bgrams AS (
+          SELECT DISTINCT unnest(list_transform(
+                   generate_series(1, len(tl) - 7),
+                   i -> array_to_string(tl[i:i+7], ' '))) AS g
+          FROM btoks WHERE len(tl) >= 8
+        ), removed_pos AS (
+          SELECT DISTINCT doc_id, o.pos + off AS p
+          FROM occ JOIN bgrams ON occ.o.g = bgrams.g
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off)
+        ), tokrows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t)),
+                   i -> struct_pack(p := i, tok := t[i]))) AS x
+          FROM toks
+        ), kept AS (
+          SELECT tr.doc_id, tr.x.p AS p, tr.x.tok AS tok
+          FROM tokrows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM removed_pos r
+            WHERE r.doc_id = tr.doc_id AND r.p = tr.x.p)
+        ), marked AS (
+          SELECT doc_id, p, tok,
+                 CASE WHEN p - lag(p, 1, 0) OVER (
+                        PARTITION BY doc_id ORDER BY p) > 1
+                      THEN '[DUP] ' || tok ELSE tok END AS piece
+          FROM kept
+        ), agg AS (
+          SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS body,
+                 max(p) AS maxp, count(*) AS kept_n
+          FROM marked GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CASE WHEN len(t.t) = 0 THEN ''
+                    WHEN a.doc_id IS NULL THEN '[DUP]'
+                    WHEN a.maxp < len(t.t) THEN a.body || ' [DUP]'
+                    ELSE a.body END AS text,
                CAST(len(t.t) AS BIGINT) AS n_tokens,
                CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
                  AS removed_tokens

@@ -503,17 +503,16 @@ def main():
                 _lane_gc()
 
         # lane-only queries over corpora that exist only in derived
-        # scale dirs (not in the sweep registry — see catalog/dedup.py)
+        # scale dirs (not in the sweep registry — see catalog/dedup.py).
+        # text_curation_pipeline_v2 left this set round 14: it is now a
+        # registered, gated catalog row (corpus-adaptive — it still
+        # reads documents_v2 here in the lane).
         from amazon_s3_find_and_forget_spark.catalog.dedup import (
             q_dedup_simhash_pairs_v2,
-        )
-        from amazon_s3_find_and_forget_spark.catalog.text import (
-            q_text_curation_pipeline_v2,
         )
 
         lane_extras = {
             "dedup_simhash_pairs_v2": q_dedup_simhash_pairs_v2,
-            "text_curation_pipeline_v2": q_text_curation_pipeline_v2,
         }
         for name in SF10_QUERIES:
             fn = lane_extras.get(name) or entry_queries.QUERIES[name]
