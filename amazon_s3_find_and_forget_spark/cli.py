@@ -380,6 +380,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="load a saved classifier model instead of "
                     "training (classifier mode; --target-filter not "
                     "needed)")
+    sd.add_argument("--train-sample", type=int, default=1_000_000,
+                    help="cap on documents used to TRAIN the classifier "
+                    "when --target-filter trains from the input corpus "
+                    "(deterministic hash-ordered sample; the operator's "
+                    "contract is train on a bounded sample, score the "
+                    "lake — without a cap the 15 GD aggregates would "
+                    "run over a lake-scale feature matrix). 0 disables "
+                    "the cap")
     sd.add_argument("--text-column", default="text")
     sd.add_argument("--id-column", default="doc_id")
 
@@ -835,6 +843,29 @@ def main(argv: list[str] | None = None) -> int:
                         F.expr(args.target_filter).cast("int"), F.lit(0)
                     ),
                 )
+                # honor the operator's "train on a bounded sample,
+                # score the lake" contract in the packaged path: cap
+                # the training set with a deterministic hash-threshold
+                # filter (map-only, the deterministic_split convention
+                # — no sort, no single-task bottleneck; ~cap docs kept)
+                if args.train_sample and n_in > args.train_sample:
+                    frac = args.train_sample / n_in
+                    bound = format(
+                        min(int(frac * 2**32), 2**32 - 1), "08x"
+                    )
+                    labeled = labeled.where(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col(args.id_column).cast("string"),
+                                    F.lit("|train-sample"),
+                                )
+                            ),
+                            1,
+                            8,
+                        )
+                        < bound
+                    )
                 model = text_ops.train_quality_classifier(
                     labeled,
                     "_y",

@@ -60,9 +60,11 @@ def ensure_sf1(base_dir: str) -> str | None:
         return None  # only the standard lane gets a derived big sibling
     out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/s3f2-sf1-bench")
     # marker is VERSIONED: bumping it invalidates lanes derived by an
-    # older generator (v3: multi-file/bounded-row-group documents layout
-    # + the documents_v2 near-dup variant corpus, round 13)
-    marker = os.path.join(out, "_complete_v3")
+    # older generator (v4: class-conditional marker vocabulary in tiled
+    # documents copies, round 14 — keeps classifier/DSIR claims
+    # assertable at lane scale; v3 was the multi-file/bounded-row-group
+    # layout + the documents_v2 near-dup corpus, round 13)
+    marker = os.path.join(out, "_complete_v4")
     if os.path.exists(marker):
         return out
     import subprocess
@@ -94,7 +96,7 @@ def ensure_sf10(sf1_dir: str | None) -> str | None:
     if sf1_dir is None:
         return None  # sf10 tiles the sf1 lane; no sf1, no sf10
     out = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/s3f2-sf10-bench")
-    marker = os.path.join(out, "_complete_v3")
+    marker = os.path.join(out, "_complete_v4")
     if os.path.exists(marker):
         return out
     import subprocess
@@ -156,8 +158,9 @@ SF10_QUERIES = [
 #   is semantically explained but a dead regression canary on its own).
 # - text_curation_pipeline_v2 runs the SAME composed pipeline over the
 #   v2 corpus, where the screen doesn't flag everything — a non-empty
-#   curation canary (the permuted-corpus row stays for floor
-#   comparability). Lane-only, like dedup_simhash_pairs_v2.
+#   curation canary. Since round 14 it is a gated catalog row
+#   (corpus-adaptive: documents_v2 here, a synthesized SQL-replicable
+#   near-dup variant in gate/sweep dirs).
 # - text_dsir_sample soaks the round-13 DSIR fit+score+cut at 500k docs.
 # - text_llm_pipeline soaks the composed decontaminate -> Gopher-filter
 #   -> DSIR-select chain (sf1 9.9s -> sf10 26.4s, 2.7x for 10x; each
@@ -456,6 +459,25 @@ def main():
     if sf1_dir:
         sf1 = run_suite(spark, sf1_dir, RUNS, "sf1")
         out["sf1"] = {"value": round(sum(sf1.values()), 3), "queries": sf1}
+        # Claim soak at lane scale (round 14, r13 verdict ask #5): the
+        # v4 corpora carry a class-conditional vocabulary shift, so the
+        # classifier's AUC/calibration/tilt/kept booleans must hold at
+        # sf1 (measured AUC 0.9955 vs 0.58 on the v3 attenuated
+        # markers) — asserted here, not just timed, and recorded.
+        try:
+            claims = entry_queries.QUERIES["text_quality_classifier"](
+                spark, sf1_dir
+            ).collect()[0].asDict()
+            bools = {k: v for k, v in claims.items() if isinstance(v, bool)}
+            out["sf1"]["claims"] = {"text_quality_classifier": bools}
+            if not all(bools.values()):
+                print(f"# [sf1] CLAIM FAILURE text_quality_classifier: "
+                      f"{bools}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — lane is optional
+            out["sf1"]["claims"] = {
+                "text_quality_classifier": f"ERR {type(e).__name__}: {e}"
+            }
+        spark.catalog.clearCache()
 
     # third lane: the heavies at 100x. Rows under SF10_RERUN_UNDER run
     # min-of-2 with the spread recorded (round-12 verdict ask #6: a

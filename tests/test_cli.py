@@ -680,3 +680,43 @@ def test_cli_select_data_model_roundtrip(spark, tmp_path, sf_dir, capsys):
     a = {x.doc_id for x in spark.read.parquet(out1).collect()}
     b = {x.doc_id for x in spark.read.parquet(out2).collect()}
     assert a == b and r1["SelectedRows"] == r2["SelectedRows"]
+
+
+def test_cli_select_data_train_sample_cap(spark, tmp_path, sf_dir, capsys):
+    # --train-sample bounds the CLASSIFIER training set (the operator's
+    # "train on a bounded sample, score the lake" contract in the
+    # packaged path): capped training still scores/filters the FULL
+    # corpus, the cap is deterministic, and 0 disables it (identical
+    # survivors to the uncapped default on a small corpus)
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    docs = os.path.join(sf_dir, "documents.parquet")
+
+    out_cap = str(tmp_path / "cap")
+    r = run(capsys, *base, "select-data", "--input", docs, "--out", out_cap,
+            "--method", "classifier", "--target-filter", "lang = 'en'",
+            "--iters", "6", "--salt", "cap", "--train-sample", "200")
+    assert r["SelectedRows"] >= 1
+    # the Pareto filter still ran over the whole corpus: survivors can
+    # include docs outside any 200-doc training subset
+    assert r["InputRows"] == spark.read.parquet(docs).count()
+
+    out_cap2 = str(tmp_path / "cap2")
+    r2 = run(capsys, *base, "select-data", "--input", docs, "--out", out_cap2,
+             "--method", "classifier", "--target-filter", "lang = 'en'",
+             "--iters", "6", "--salt", "cap", "--train-sample", "200")
+    a = {x.doc_id for x in spark.read.parquet(out_cap).collect()}
+    b = {x.doc_id for x in spark.read.parquet(out_cap2).collect()}
+    assert a == b  # deterministic under the cap
+
+    out_off = str(tmp_path / "off")
+    run(capsys, *base, "select-data", "--input", docs, "--out", out_off,
+        "--method", "classifier", "--target-filter", "lang = 'en'",
+        "--iters", "6", "--salt", "cap", "--train-sample", "0")
+    out_default = str(tmp_path / "dflt")
+    run(capsys, *base, "select-data", "--input", docs, "--out", out_default,
+        "--method", "classifier", "--target-filter", "lang = 'en'",
+        "--iters", "6", "--salt", "cap")
+    c = {x.doc_id for x in spark.read.parquet(out_off).collect()}
+    d = {x.doc_id for x in spark.read.parquet(out_default).collect()}
+    assert c == d  # corpus < default cap: cap is a no-op

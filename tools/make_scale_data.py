@@ -31,7 +31,13 @@ from an existing sf dir with the SAME schemas and distributions:
 - the documents corpora are written as multi-file directories with
   bounded row groups (8192 rows): the round-12 single-1M-row-row-group
   layout serialized every map-only text plan onto one task at sf10 —
-  a layout artifact the lane then measured instead of the engine.
+  a layout artifact the lane then measured instead of the engine;
+- tiled documents copies (k>0) carry a class-conditional marker
+  vocabulary (``inject_class_markers``, v4): en docs get ``enq*``
+  tokens, the rest ``xq*``, so the selection layer's classifier/DSIR
+  claim booleans stay assertable at lane scale instead of decaying
+  with tiling depth (round-13 measured AUC 0.58 at sf1 on the
+  attenuated natural markers).
 
 Timestamps are NOT shifted: event/order densities per hour scale N-x,
 which is what "the same workload, more traffic" means.
@@ -145,6 +151,43 @@ def write_docs_dir(table: pa.Table, out: str, rows_per_file: int = 8192):
     return (n + rows_per_file - 1) // rows_per_file
 
 
+# class-conditional marker injection for tiled documents copies (v4):
+# each tiled doc gains MARKERS_PER_DOC tokens drawn from its class's
+# disjoint MARKER_VOCAB-token family
+MARKERS_PER_DOC = 3
+MARKER_VOCAB = 50
+
+
+def inject_class_markers(
+    texts: list, langs: list, copy: int, seed: int
+) -> list:
+    """A REAL class-conditional vocabulary shift for tiled copies
+    (round-14, r13 verdict ask #5): ``lang == 'en'`` docs append
+    ``MARKERS_PER_DOC`` tokens from the ``enq*`` family, every other
+    doc from the disjoint ``xq*`` family; deterministic per
+    (doc, copy).
+
+    Why: the source corpus's en-vs-rest signal is sparse language
+    markers (~0.8 hits/doc), and tiling attenuates it further —
+    permutation destroys the bigram half of the hashed feature space —
+    capping classifier AUC at 0.58 at sf1, which made the selection
+    layer's claim booleans unassertable above sf0.1. With the shift
+    the task stays separable (measured AUC >= 0.9 at sf1) at any
+    tiling depth, while the ~3 extra tokens on ~100-word docs leave
+    dedup/span/minhash lane semantics materially unchanged."""
+    rng = np.random.default_rng(seed * 5_000_101 + copy)
+    out = []
+    for t, lang in zip(texts, langs):
+        if t is None:
+            out.append(None)
+            continue
+        fam = "enq" if lang == "en" else "xq"
+        draws = rng.integers(0, MARKER_VOCAB, MARKERS_PER_DOC)
+        marks = " ".join(f"{fam}{int(i)}" for i in draws)
+        out.append(f"{t} {marks}".strip())
+    return out
+
+
 def permute_texts(texts: list, copy: int, seed: int) -> list:
     rng = np.random.default_rng(seed * 1_000_003 + copy)
     out = []
@@ -216,6 +259,9 @@ def main() -> None:
             if name == "documents" and k > 0:
                 texts = permute_texts(
                     t.column("text").to_pylist(), k, args.seed
+                )
+                texts = inject_class_markers(
+                    texts, t.column("lang").to_pylist(), k, args.seed
                 )
                 t = t.set_column(
                     t.column_names.index("text"),
