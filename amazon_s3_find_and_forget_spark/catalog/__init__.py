@@ -113,6 +113,8 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "dedup_paragraphs",
+    "similarity_prototype_prune",
     "text_balanced_sample",
     "dedup_exact_groups",
     "events_hourly",

@@ -285,6 +285,44 @@ def q_dedup_decontaminate_spans(spark, sf_dir):
     )
 
 
+_PARA_FOOTER = "shared boilerplate footer"
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (C4/Dolma granularity) with a FULL
+    value oracle. The flat documents corpus has no newlines, so the row
+    first paragraph-izes it DETERMINISTICALLY in a way DuckDB replicates
+    byte-exactly: tokens chunked 3-per-paragraph joined by newline,
+    plus one constant footer paragraph appended to every doc — the
+    footer guarantees cross-doc duplicated-paragraph mass (every doc
+    but the canonical one loses it) and the 3-token chunks collide
+    organically, so the canonical-keep, within-doc-repeat, and
+    reassembly-with-empty-structure paths all carry real rows under
+    the hash compare."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    nch = F.ceil(F.size(t) / F.lit(3.0)).cast("int")
+    paras = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(
+                F.slice(t, i * 3 + 1, 3), " "
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(paras, "\n"), F.lit("\n" + _PARA_FOOTER)
+        ).alias("text"),
+    )
+    return dedup.remove_duplicated_paragraphs(corpus, sep="\n")
+
+
 def q_dedup_decontaminate_mask(spark, sf_dir):
     """Mask-mode sibling of dedup_decontaminate_spans (the standing
     every-kernel rule: the span twins both gate both modes, so the
@@ -482,6 +520,7 @@ QUERIES = {
     "dedup_span_mask": q_dedup_span_mask,
     "dedup_decontaminate_spans": q_dedup_decontaminate_spans,
     "dedup_decontaminate_mask": q_dedup_decontaminate_mask,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_incremental_exact": q_dedup_incremental_exact,
     "dedup_incremental_complete": q_dedup_incremental_complete,
     "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -667,6 +706,57 @@ ORACLES = {
                CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
                  AS removed_tokens
         FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    "dedup_paragraphs": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                   x -> x <> '') AS t
+          FROM documents
+        ), corpus AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(
+                   list_transform(
+                     generate_series(0,
+                       CAST(ceil(len(t) / 3.0) AS INT) - 1),
+                     i -> array_to_string(t[i*3+1 : i*3+3], ' ')),
+                   chr(10)), '')
+                 || chr(10) || '{_PARA_FOOTER}' AS text
+          FROM toks
+        ), paras AS (
+          SELECT doc_id, string_split(text, chr(10)) AS p FROM corpus
+        ), prows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(p)),
+                   i -> struct_pack(pos := i - 1, para := p[i]))) AS x
+          FROM paras
+        ), ranked AS (
+          SELECT doc_id, x.pos AS pos, x.para AS para,
+                 row_number() OVER (
+                   PARTITION BY x.para ORDER BY doc_id, x.pos) AS rn,
+                 count(*) OVER (PARTITION BY x.para) AS cnt
+          FROM prows WHERE len(x.para) > 0
+        ), removed AS (
+          SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1
+        ), kept AS (
+          SELECT pr.doc_id, pr.x.pos AS pos, pr.x.para AS para
+          FROM prows pr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM removed r
+            WHERE r.doc_id = pr.doc_id AND r.pos = pr.x.pos)
+        ), agg AS (
+          SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               coalesce(a.text, '') AS text,
+               CAST(len(p.p) AS BIGINT) AS n_paragraphs,
+               CAST(len(p.p) - coalesce(a.kept_n, 0) AS BIGINT)
+                 AS removed_paragraphs
+        FROM paras p LEFT JOIN agg a USING (doc_id)
     """,
     "dedup_decontaminate_mask": """
         WITH pool AS (

@@ -453,8 +453,85 @@ def q_similarity_pca_quality(spark, sf_dir):
     )
 
 
+def q_similarity_prototype_prune(spark, sf_dir):
+    """Density-based data pruning (Sorscher et al. 2022) gated by
+    deterministic claims (the *_recall pattern — seeded k-means
+    prototypes are engine-internal, so no SQL value oracle):
+
+    - ``count_ok``: exact mode keeps EXACTLY sum over cells of
+      ``ceil(0.5 * n_c)`` — the per-cluster cut is precise;
+    - ``separation_ok``: within every cell, max(kept proto_sim) <=
+      min(dropped proto_sim) — hard mode keeps the far-from-prototype
+      examples and nothing else (ties may straddle, <= holds);
+    - ``modes_ok``: mean proto_sim of the hard keep < mean of the easy
+      keep — the two modes select opposite ends of the density axis;
+    - ``approx_close_ok``: the percentile-threshold scale path keeps
+      within 10% of the corpus of the exact count (sketch rank error
+      at accuracy 10000 is far tighter; the band absorbs corpus
+      regeneration).
+    """
+    embs = load(spark, sf_dir, "embeddings")
+    cent = similarity.train_ivf_centroids(
+        embs, n_centroids=8, sample_size=2000
+    )
+    scored = similarity.prototypicality(embs, cent).localCheckpoint(
+        eager=False
+    )
+    n_vecs = scored.count()
+    hard = similarity.prune_prototypes(
+        embs, cent, 0.5, mode="hard", exact=True
+    ).localCheckpoint(eager=False)
+    easy = similarity.prune_prototypes(
+        embs, cent, 0.5, mode="easy", exact=True
+    )
+    expected = (
+        scored.groupBy("ivf_cell")
+        .agg(F.ceil(F.count(F.lit(1)) * 0.5).alias("_e"))
+        .agg(F.sum("_e"))
+        .collect()[0][0]
+    )
+    n_hard = hard.count()
+    # per-cell separation: join kept flags onto the scored relation
+    flags = scored.join(
+        hard.select("vec_id", F.lit(True).alias("_kept")),
+        "vec_id",
+        "left",
+    )
+    sep = (
+        flags.groupBy("ivf_cell")
+        .agg(
+            F.max(F.when(F.col("_kept"), F.col("proto_sim"))).alias("_mk"),
+            F.min(
+                F.when(F.col("_kept").isNull(), F.col("proto_sim"))
+            ).alias("_md"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_mk").isNull() | F.col("_md").isNull(), True
+                ).otherwise(F.col("_mk") <= F.col("_md"))
+            )
+        )
+        .collect()[0][0]
+    )
+    mean_hard = hard.agg(F.avg("proto_sim")).collect()[0][0]
+    mean_easy = easy.agg(F.avg("proto_sim")).collect()[0][0]
+    n_approx = similarity.prune_prototypes(
+        embs, cent, 0.5, mode="hard", exact=False
+    ).count()
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        count_ok=(n_hard == int(expected)),
+        separation_ok=bool(sep),
+        modes_ok=(mean_hard < mean_easy),
+        approx_close_ok=(abs(n_approx - n_hard) <= max(1, n_vecs // 10)),
+    )
+
+
 QUERIES = {
     "embedding_near_dups_recall": q_embedding_near_dups_recall,
+    "similarity_prototype_prune": q_similarity_prototype_prune,
     "similarity_pca_quality": q_similarity_pca_quality,
     "embedding_incremental_complete": q_embedding_incremental_complete,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -477,6 +554,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_prototype_prune": """
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               TRUE AS count_ok, TRUE AS separation_ok,
+               TRUE AS modes_ok, TRUE AS approx_close_ok
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
+    """,
     "similarity_pca_quality": """
         SELECT CAST(count(*) AS BIGINT) AS n_vecs,
                true AS pca_better, true AS orth_ok, true AS var_ordered

@@ -339,7 +339,9 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--input", required=True, help="pool corpus (parquet)")
     sd.add_argument("--out", required=True, help="output directory")
     sd.add_argument(
-        "--method", required=True, choices=["dsir", "gopher", "classifier"]
+        "--method",
+        required=True,
+        choices=["dsir", "gopher", "classifier", "prototypes"],
     )
     sd.add_argument(
         "--target-filter",
@@ -390,6 +392,17 @@ def main(argv: list[str] | None = None) -> int:
                     "the cap")
     sd.add_argument("--text-column", default="text")
     sd.add_argument("--id-column", default="doc_id")
+    sd.add_argument("--emb-column", default="embedding",
+                    help="embedding column (prototypes mode)")
+    sd.add_argument("--keep-frac", type=float, default=None,
+                    help="fraction of every cluster to keep "
+                    "(prototypes mode; required)")
+    sd.add_argument("--clusters", type=int, default=64,
+                    help="k-means prototype count (prototypes mode)")
+    sd.add_argument("--prune-mode", default="hard",
+                    choices=["hard", "easy"],
+                    help="keep the far-from-prototype (hard) or "
+                    "near-prototype (easy) examples")
 
     zo = sub.add_parser(
         "zorder",
@@ -441,6 +454,10 @@ def main(argv: list[str] | None = None) -> int:
             p.error(
                 "--method classifier requires --target-filter or --model-in"
             )
+        if args.method == "prototypes" and (
+            args.keep_frac is None or not 0 < args.keep_frac <= 1
+        ):
+            p.error("--method prototypes requires --keep-frac in (0, 1]")
         if args.method == "gopher":
             known = {
                 "word_count", "mean_word_len", "symbol_ratio",
@@ -811,6 +828,24 @@ def main(argv: list[str] | None = None) -> int:
                 c = F.col(f"ok_{rule}")
                 cond = c if cond is None else (cond & c)
             selected = flagged.where(cond)
+        elif args.method == "prototypes":
+            from .operators import similarity as sim_ops
+
+            cent = sim_ops.train_ivf_centroids(
+                df, n_centroids=args.clusters, emb_col=args.emb_column
+            )
+            kept = sim_ops.prune_prototypes(
+                df,
+                cent,
+                args.keep_frac,
+                mode=args.prune_mode,
+                emb_col=args.emb_column,
+                id_col=args.id_column,
+            )
+            selected = df.join(
+                kept.select(args.id_column, "ivf_cell", "proto_sim"),
+                args.id_column,
+            )
         elif args.method == "dsir":
             target = (
                 eng.spark.read.parquet(args.target)

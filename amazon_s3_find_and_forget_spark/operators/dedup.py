@@ -1575,3 +1575,103 @@ def decontaminate_spans(
             )
     finally:
         bench_grams.unpersist()
+
+
+def remove_duplicated_paragraphs(
+    df: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the C4/Dolma recipe (Raffel et al.
+    2020, "Exploring the Limits of Transfer Learning..." §2.2 removed
+    repeated three-sentence spans; the AI2 Dolma toolkit, Soldaini et
+    al. 2024, dedups newline-delimited paragraphs — both public): split
+    each document on the LITERAL ``sep``, drop every NON-CANONICAL
+    occurrence of any non-empty paragraph whose corpus-wide occurrence
+    count is >= ``min_count`` (canonical = minimum ``(doc, position)``),
+    and reassemble the survivors in original order joined by ``sep``.
+    The granularity between whole-document ``exact_dedup`` and n-gram
+    ``remove_duplicated_spans`` — boilerplate headers/footers and
+    syndicated paragraphs go, original prose stays.
+
+    Exact conventions (deliberately SQL-replicable so the catalog row
+    carries a FULL value oracle): paragraph identity is the exact
+    string — no trim, no case fold; empty paragraphs (adjacent/leading/
+    trailing separators) are document STRUCTURE, never duplicates and
+    never removed, so surviving separators reassemble byte-exactly;
+    NULL text is '' (one empty paragraph). Returns
+    ``(id, text, n_paragraphs, removed_paragraphs)``.
+
+    Scale shape: one posexplode; the paragraph-stats relation is a
+    map-side-combinable groupBy (``count`` + ``min(struct)``) — a
+    corpus-wide boilerplate footer is ONE shuffled key with a big
+    count, never a row blowup — and it is corpus-growing, so the join
+    back is a forced merge join (the ``shared_ngram_stats``
+    discipline: no broadcast of O(distinct paragraphs)).
+    Reconstruction never shuffles per-paragraph rows: removed
+    positions aggregate to one document-bounded array per affected
+    doc, the corpus joins that tiny relation once, and an indexed
+    array filter + ``array_join`` rebuild the text map-side.
+    """
+    import re as _re
+
+    from pyspark import StorageLevel
+
+    if min_count < 2:
+        raise ValueError(f"min_count={min_count} must be >= 2")
+    if not sep:
+        raise ValueError("sep must be a non-empty string")
+    paras = F.split(
+        F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep)
+    )
+    base = df.select(F.col(id_col).alias("_id"), paras.alias("_p"))
+    occ = (
+        base.select(
+            "_id", F.posexplode("_p").alias("_pos", "_para")
+        )
+        .where(F.length("_para") > 0)
+        .persist(StorageLevel.DISK_ONLY)  # feeds stats AND the
+        # removed-occurrence join; O(corpus paragraphs) stays on disk
+    )
+    try:
+        with _pair_agg_confs(df.sparkSession):
+            stats = (
+                occ.groupBy("_para")
+                .agg(
+                    F.count(F.lit(1)).alias("_cnt"),
+                    F.min(F.struct("_id", "_pos")).alias("_canon"),
+                )
+                .where(F.col("_cnt") >= min_count)
+                .select("_para", "_canon")
+            )
+            removed = (
+                occ.join(stats.hint("merge"), "_para")
+                .where(
+                    (F.col("_id") != F.col("_canon._id"))
+                    | (F.col("_pos") != F.col("_canon._pos"))
+                )
+                .groupBy("_id")
+                .agg(F.collect_set("_pos").alias("_rm"))
+            )
+            out = base.join(removed, "_id", "left").select(
+                F.col("_id").alias(id_col),
+                F.array_join(
+                    F.filter(
+                        "_p",
+                        lambda x, i: ~F.coalesce(
+                            F.array_contains("_rm", i), F.lit(False)
+                        ),
+                    ),
+                    sep,
+                ).alias(text_col),
+                F.size("_p").cast("long").alias("n_paragraphs"),
+                F.when(F.col("_rm").isNull(), F.lit(0))
+                .otherwise(F.size("_rm"))
+                .cast("long")
+                .alias("removed_paragraphs"),
+            )
+            return _eager(out)
+    finally:
+        occ.unpersist()

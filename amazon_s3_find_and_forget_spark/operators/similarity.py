@@ -444,9 +444,12 @@ def _normalized_sample(
 ) -> np.ndarray:
     """Seeded, limit-bounded driver-side sample, L2-normalized — the
     shared training input for every sample-trained index (IVF coarse
-    quantizer, PQ codebooks)."""
+    quantizer, PQ codebooks). NULL/empty embeddings are filtered before
+    the sample (a lake WILL have them; on a clean corpus the filter is
+    a no-op and the seeded sample is unchanged)."""
     rows = (
         df.select(emb_col)
+        .where(F.col(emb_col).isNotNull() & (F.size(emb_col) > 0))
         .sample(fraction=1.0, seed=seed)
         .limit(sample_size)
         .collect()
@@ -972,4 +975,154 @@ def projection_mse(
     return e.where(F.col("_e").isNotNull()).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(F.avg("_e"), 6).alias("mse"),
+    )
+
+
+# --------------------------------------------------------------------------
+# prototypicality pruning (embedding-space data selection)
+# --------------------------------------------------------------------------
+
+
+def prototypicality(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-example PROTOTYPICALITY (Sorscher et al. 2022, "Beyond
+    neural scaling laws: beating power law scaling via data pruning",
+    NeurIPS, public): assign each (L2-normalized) embedding to its
+    nearest k-means prototype and score it by the cosine to that
+    prototype — high ``proto_sim`` = close to the cluster center
+    (easy/redundant under their self-supervised metric), low = far
+    (hard/informative). Returns ``(id, ivf_cell, proto_sim)``; NULL and
+    zero-length embeddings are dropped.
+
+    One Arrow gemm per batch computes the argmax cell AND its
+    similarity together (no second assignment pass — contrast
+    ``with_ivf_cell``, which only needs the cell); the centroid matrix
+    rides the UDF closure, k x dim floats. Map-only at any corpus
+    size.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def score(it):
+        for pdf in it:
+            embs = pdf[emb_col]
+            keep = [
+                i for i, v in enumerate(embs)
+                if v is not None and len(v)
+            ]
+            out = pd.DataFrame(
+                {"ivf_cell": pd.Series(dtype="int32"),
+                 "proto_sim": pd.Series(dtype="float64"),
+                 "_keep": pd.Series(dtype="int64")}
+            )
+            if keep:
+                X = np.array(
+                    [np.asarray(embs.iloc[i], np.float64) for i in keep]
+                )
+                X = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                sims = X @ cent.T
+                cells = sims.argmax(axis=1)
+                out = pd.DataFrame({
+                    "ivf_cell": cells.astype(np.int32),
+                    "proto_sim": np.round(
+                        sims[np.arange(len(cells)), cells], 6
+                    ),
+                    "_keep": np.asarray(keep, np.int64),
+                })
+            out["_id"] = pdf["_id"].iloc[out["_keep"]].values if len(out) else []
+            yield out[["_id", "ivf_cell", "proto_sim"]]
+
+    assigned = (
+        df.select(F.col(id_col).alias("_id"), emb_col)
+        .mapInPandas(
+            score,
+            f"_id {df.schema[id_col].dataType.simpleString()}, "
+            "ivf_cell int, proto_sim double",
+        )
+    )
+    return assigned.select(
+        F.col("_id").alias(id_col), "ivf_cell", "proto_sim"
+    )
+
+
+def prune_prototypes(
+    df: DataFrame,
+    centroids: np.ndarray,
+    keep_frac: float,
+    mode: str = "hard",
+    exact: bool = False,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Density-based data pruning over embeddings (Sorscher et al.
+    2022): keep the ``keep_frac`` HARDEST (lowest ``proto_sim``,
+    ``mode='hard'`` — their recipe for large datasets) or EASIEST
+    (``mode='easy'``, their small-data regime) fraction of every
+    cluster. Per-cluster cuts preserve coverage of the embedding
+    space; a global cut would empty whole clusters.
+
+    Returns ``(id, ivf_cell, proto_sim)`` of the kept examples.
+
+    Two physical strategies:
+
+    - ``exact=False`` (default, the 100-TB path): per-cell
+      ``percentile_approx`` threshold (one map-side-combinable
+      aggregate over k cells) joined back broadcast, then a map-only
+      filter — no per-cell total order anywhere. Kept count per cell
+      is approximate within the sketch's rank error.
+    - ``exact=True``: per-cell ``row_number`` window ordered by
+      ``(proto_sim, id)`` — exact ``ceil(keep_frac * n_c)`` kept per
+      cell, deterministic tie-break. A window partitioned by k cells
+      concentrates the corpus onto k reducers, so this is for gate
+      scale and claims, not the lake (the docstring the claims row
+      leans on).
+    """
+    if not 0 < keep_frac <= 1:
+        raise ValueError(f"keep_frac={keep_frac} must be in (0, 1]")
+    if mode not in ("hard", "easy"):
+        raise ValueError(f"mode must be 'hard' or 'easy', got {mode!r}")
+    scored = prototypicality(df, centroids, emb_col, id_col)
+    asc = mode == "hard"
+    if exact:
+        from pyspark.sql import Window
+
+        order = (
+            [F.asc("proto_sim"), F.asc(id_col)]
+            if asc
+            else [F.desc("proto_sim"), F.asc(id_col)]
+        )
+        w = Window.partitionBy("ivf_cell").orderBy(*order)
+        counts = scored.groupBy("ivf_cell").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(counts), "ivf_cell")
+            .where(
+                F.col("_rn")
+                <= F.ceil(F.col("_n") * F.lit(float(keep_frac)))
+            )
+            .select(id_col, "ivf_cell", "proto_sim")
+        )
+    q = keep_frac if asc else 1.0 - keep_frac
+    thr = scored.groupBy("ivf_cell").agg(
+        F.percentile_approx("proto_sim", q, 10000).alias("_thr")
+    )
+    keep = (
+        F.col("proto_sim") <= F.col("_thr")
+        if asc
+        else F.col("proto_sim") >= F.col("_thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "ivf_cell")
+        .where(keep)
+        .select(id_col, "ivf_cell", "proto_sim")
     )

@@ -140,6 +140,13 @@ SF10_QUERIES = [
     "text_stratified_sample",
     "text_dsir_sample",
     "text_llm_pipeline",
+    # round 14: density-based pruning claims (Sorscher 2022) over the
+    # 200k-vector corpus — k-means train + 3 prune passes + separation
+    # aggregates; the claims must HOLD at scale, not just time
+    "similarity_prototype_prune",
+    # round 14: paragraph-level exact dedup (C4/Dolma granularity) over
+    # the deterministically paragraph-ized 500k-doc corpus
+    "dedup_paragraphs",
 ]
 # Round-13 lane additions:
 # - dedup_simhash_pairs_v2 runs over the documents_v2 near-dup variant

@@ -720,3 +720,26 @@ def test_cli_select_data_train_sample_cap(spark, tmp_path, sf_dir, capsys):
     c = {x.doc_id for x in spark.read.parquet(out_off).collect()}
     d = {x.doc_id for x in spark.read.parquet(out_default).collect()}
     assert c == d  # corpus < default cap: cap is a no-op
+
+
+def test_cli_select_data_prototypes(spark, tmp_path, sf_dir, capsys):
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    embs = os.path.join(sf_dir, "embeddings.parquet")
+
+    out = str(tmp_path / "proto")
+    r = run(capsys, *base, "select-data", "--input", embs, "--out", out,
+            "--method", "prototypes", "--keep-frac", "0.5",
+            "--clusters", "8", "--id-column", "vec_id")
+    assert 0 < r["SelectedRows"] < r["InputRows"]
+    sel = spark.read.parquet(out)
+    assert {"vec_id", "embedding", "ivf_cell", "proto_sim"} <= set(sel.columns)
+
+    # keep-frac is required and validated before Spark starts
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["--state-dir", state, "select-data", "--input", embs,
+              "--out", out, "--method", "prototypes"])
+    with _pytest.raises(SystemExit):
+        main(["--state-dir", state, "select-data", "--input", embs,
+              "--out", out, "--method", "prototypes", "--keep-frac", "1.5"])

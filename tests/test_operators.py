@@ -2888,3 +2888,88 @@ def test_lm_model_joins_are_size_aware(spark, monkeypatch):
           for r in text.unigram_logprob(df).collect()}
     assert a == b
     assert u0 == u1
+
+
+def test_remove_duplicated_paragraphs_hand_case(spark):
+    rows = [
+        (1, "alpha one\nFOOTER\nbeta two"),
+        (2, "gamma three\nFOOTER"),
+        (3, "FOOTER\ndelta\nFOOTER"),  # within-doc repeat + cross-doc
+        (4, "\n\nedge"),               # leading empties are structure
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.remove_duplicated_paragraphs(df).collect()}
+    # canonical (1, pos 1) keeps its FOOTER; every later occurrence goes
+    assert out[1].text == "alpha one\nFOOTER\nbeta two"
+    assert out[2].text == "gamma three"
+    assert out[3].text == "delta"  # both occurrences non-canonical
+    assert out[4].text == "\n\nedge"
+    assert out[5].text == "" and out[6].text == ""
+    assert out[3].n_paragraphs == 3 and out[3].removed_paragraphs == 2
+    assert out[2].removed_paragraphs == 1
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.remove_duplicated_paragraphs(df, min_count=1)
+    with pytest.raises(ValueError, match="sep"):
+        dedup.remove_duplicated_paragraphs(df, sep="")
+
+
+def test_remove_duplicated_paragraphs_custom_sep_and_min_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a. b. c"), (2, "b. x"), (3, "b. y")],
+        "doc_id long, text string",
+    )
+    # ". " separator; "b" appears in 3 docs — min_count=3 triggers, the
+    # doc-1 occurrence is canonical
+    out = {r.doc_id: r.text for r in
+           dedup.remove_duplicated_paragraphs(
+               df, sep=". ", min_count=3).collect()}
+    assert out == {1: "a. b. c", 2: "x", 3: "y"}
+    # min_count=4: nothing reaches the threshold, texts reassemble
+    # byte-identically
+    out4 = {r.doc_id: r.text for r in
+            dedup.remove_duplicated_paragraphs(
+                df, sep=". ", min_count=4).collect()}
+    assert out4 == {1: "a. b. c", 2: "b. x", 3: "b. y"}
+
+
+def test_prototypicality_and_prune(spark):
+    # two tight clusters far apart + per-cluster outliers: hard mode
+    # keeps the outliers, easy mode the cores, exact counts are exact
+    rng = np.random.RandomState(29)
+    a = rng.randn(20, 6) * 0.05 + np.array([5, 0, 0, 0, 0, 0])
+    b = rng.randn(20, 6) * 0.05 + np.array([0, 5, 0, 0, 0, 0])
+    out_a = np.array([[3.0, 3.0, 1, 0, 0, 0]] * 2)   # off-center of a
+    X = np.vstack([a, out_a, b]).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))]
+        + [(900, None), (901, [])],
+        "vec_id long, embedding array<float>",
+    )
+    cent = similarity.train_ivf_centroids(df, n_centroids=2, sample_size=100)
+    scored = similarity.prototypicality(df, cent)
+    rows = scored.collect()
+    assert len(rows) == len(X)  # null/empty dropped
+    assert len({r.ivf_cell for r in rows}) == 2
+    kept = similarity.prune_prototypes(df, cent, 0.25, mode="hard", exact=True)
+    krows = kept.collect()
+    # exact per-cell ceil(0.25 * n_c)
+    import collections
+    cells = collections.Counter(r.ivf_cell for r in rows)
+    assert len(krows) == sum(-(-n // 4) for n in cells.values())
+    # hard keep has lower prototypicality than easy keep
+    easy = similarity.prune_prototypes(df, cent, 0.25, mode="easy", exact=True)
+    mh = np.mean([r.proto_sim for r in krows])
+    me = np.mean([r.proto_sim for r in easy.collect()])
+    assert mh < me
+    # approx path keeps a similar count and only low-sim examples
+    approx = similarity.prune_prototypes(
+        df, cent, 0.25, mode="hard", exact=False
+    ).collect()
+    assert abs(len(approx) - len(krows)) <= 5
+    with pytest.raises(ValueError, match="keep_frac"):
+        similarity.prune_prototypes(df, cent, 0.0)
+    with pytest.raises(ValueError, match="mode"):
+        similarity.prune_prototypes(df, cent, 0.5, mode="nope")
