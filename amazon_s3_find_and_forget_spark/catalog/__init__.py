@@ -46,14 +46,19 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # similarity_quantize and text_redact rotate to the tail, as does
 # similarity_pca_quality's slot donor (exact distributed PCA enters
 # with its Eckart-Young claim gate).
-# Round-14 rotation (r13 verdict asks #3 and #7):
-# text_curation_pipeline_v2 (the near-dup-corpus composed pipeline,
-# corpus-adaptive with a full value oracle over the synthesized
-# variant) and dedup_decontaminate_mask (mask-mode decontamination —
-# the every-kernel rule) enter the window; long-stable
-# text_balanced_sample and dedup_exact_groups rotate to the tail
-# (exact-dedup stays gated through dedup_incremental_exact and both
-# curation pipelines).
+# Round-14 rotation: ALL five round-14 rows enter the window per the
+# standing every-new-row rule — text_curation_pipeline_v2 (near-dup
+# composed pipeline, corpus-adaptive full value oracle; ask #3),
+# dedup_decontaminate_mask (mask-mode decontamination, every-kernel
+# rule; ask #7), dedup_paragraphs (C4/Dolma paragraph-level dedup,
+# full value oracle over a deterministically paragraph-ized corpus),
+# similarity_prototype_prune (Sorscher density pruning, claims gate),
+# and text_temperature_mixture (T5/XLM-R alpha-sampling, full value
+# oracle with IEEE-exact cross-engine rate math). Long-stable
+# text_balanced_sample, dedup_exact_groups, text_exact_mixture,
+# events_heavy_hitters, and dedup_shared_ngrams rotate to the tail
+# (all still swept; exact-dedup stays gated through
+# dedup_incremental_exact and both curation pipelines).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -61,7 +66,7 @@ GATE_ORDER = [
     "forget_redact_simple",
     "forget_survivors_composite",
     "forget_survivors_json",
-    "events_heavy_hitters",
+    "dedup_paragraphs",
     "dedup_minhash_recall",
     "semantic_dedup_complete",
     "dedup_components",
@@ -70,12 +75,12 @@ GATE_ORDER = [
     "similarity_ivfpq_recall",
     "text_stratified_sample",
     "dedup_ngram_pairs",
-    "dedup_shared_ngrams",
+    "similarity_prototype_prune",
     "find_rows_composite",
     "find_rows_nested",
     "find_rows_decimal",
     "tpch_q5",
-    "text_exact_mixture",
+    "text_temperature_mixture",
     "dedup_span_removal",
     "dedup_span_mask",
     "dedup_decontaminate_spans",
@@ -113,8 +118,9 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
-    "dedup_paragraphs",
-    "similarity_prototype_prune",
+    "text_exact_mixture",
+    "events_heavy_hitters",
+    "dedup_shared_ngrams",
     "text_balanced_sample",
     "dedup_exact_groups",
     "events_hourly",

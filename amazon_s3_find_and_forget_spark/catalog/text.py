@@ -121,6 +121,20 @@ def q_text_mixture(spark, sf_dir):
     ).select("doc_id", "source", "copy")
 
 
+def q_text_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture (T5 / XLM-R alpha-sampling) at
+    alpha=0.5 with a FULL value oracle over the materialized mixture:
+    the data-dependent per-stratum rates reduce to IEEE-correctly-
+    rounded ops (sqrt, ordered sum, left-associated mul/div chain)
+    that DuckDB reproduces bit-exactly, so the hash-threshold copy
+    draw — and therefore every (doc, copy) row — matches across
+    engines. Small sources upsample (epoch replication), big ones
+    downsample, expected total stays at corpus size."""
+    return text.temperature_mixture(
+        load(spark, sf_dir, "documents"), alpha=0.5, salt="r14tm"
+    ).select("doc_id", "source", "copy")
+
+
 def q_text_exact_mixture(spark, sf_dir):
     """Exact-count mixture: remix languages to fixed integer budgets
     (en capped hard, zh kept whole via an over-budget target, fr
@@ -491,6 +505,7 @@ QUERIES = {
     "text_curation_pipeline_v2": q_text_curation_pipeline_v2,
     "text_repetition": q_text_repetition,
     "text_mixture": q_text_mixture,
+    "text_temperature_mixture": q_text_temperature_mixture,
     "text_exact_mixture": q_text_exact_mixture,
     "text_token_count": q_text_token_count,
     "text_token_count_bpe": q_text_token_count_bpe,
@@ -727,6 +742,41 @@ ORACLES = {
                round(cnt * length(gram) * 1.0 / nch, 4)
                  AS top_gram_char_frac
         FROM ranked WHERE rn = 1
+    """,
+    # rate math mirrored bit-exactly from operators/text.py
+    # temperature_mixture (alpha=0.5): integer total cast to double,
+    # sqrt (IEEE correctly rounded), ORDERED stratum sum, the same
+    # left-associated T * p / Z / n chain, int-truncated 2^32 threshold
+    "text_temperature_mixture": """
+        WITH counts AS (
+          SELECT source AS s, count(*) AS n
+          FROM documents WHERE source IS NOT NULL GROUP BY source
+        ), z AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS T,
+                 sum(sqrt(CAST(n AS DOUBLE)) ORDER BY s) AS Z
+          FROM counts
+        ), rates AS (
+          SELECT s, n,
+                 T * sqrt(CAST(n AS DOUBLE)) / Z / CAST(n AS DOUBLE)
+                   AS rate
+          FROM counts, z
+        ), bounds AS (
+          SELECT s, CAST(floor(rate) AS BIGINT) AS base,
+                 least(CAST(floor((rate - floor(rate)) * 4294967296.0)
+                            AS BIGINT), 4294967295) AS bound
+          FROM rates
+        ), drawn AS (
+          SELECT d.doc_id, d.source, b.base,
+                 CASE WHEN CAST(concat('0x', substring(
+                        md5(CAST(d.doc_id AS VARCHAR) || 'r14tm'), 1, 8))
+                        AS BIGINT) < b.bound
+                      THEN 1 ELSE 0 END AS extra
+          FROM documents d JOIN bounds b ON d.source = b.s
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, base + extra)) AS BIGINT)
+                 AS copy
+        FROM drawn WHERE base + extra > 0
     """,
     "text_mixture": """
         WITH base AS (

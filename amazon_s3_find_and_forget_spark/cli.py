@@ -341,7 +341,8 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument(
         "--method",
         required=True,
-        choices=["dsir", "gopher", "classifier", "prototypes"],
+        choices=["dsir", "gopher", "classifier", "prototypes",
+                 "temperature"],
     )
     sd.add_argument(
         "--target-filter",
@@ -403,6 +404,17 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["hard", "easy"],
                     help="keep the far-from-prototype (hard) or "
                     "near-prototype (easy) examples")
+    sd.add_argument("--alpha", type=float, default=0.5,
+                    help="temperature exponent (temperature mode): 1 = "
+                    "natural sampling, smaller = flatter across strata")
+    sd.add_argument("--target-total", type=int, default=None,
+                    help="expected output size (temperature mode; "
+                    "default: corpus size)")
+    sd.add_argument("--stratum-column", default="source",
+                    help="stratum column (temperature mode)")
+    sd.add_argument("--max-rate", type=float, default=None,
+                    help="cap on per-stratum sampling rate / epoch "
+                    "count (temperature mode)")
 
     zo = sub.add_parser(
         "zorder",
@@ -828,6 +840,16 @@ def main(argv: list[str] | None = None) -> int:
                 c = F.col(f"ok_{rule}")
                 cond = c if cond is None else (cond & c)
             selected = flagged.where(cond)
+        elif args.method == "temperature":
+            selected = text_ops.temperature_mixture(
+                df,
+                alpha=args.alpha,
+                target_total=args.target_total,
+                stratum_col=args.stratum_column,
+                key_col=args.id_column,
+                salt=args.salt,
+                max_rate=args.max_rate,
+            )
         elif args.method == "prototypes":
             from .operators import similarity as sim_ops
 

@@ -1301,6 +1301,78 @@ def unigram_logprob(
         lm.unpersist()
 
 
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    max_rate: float | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual/multi-
+    source rebalancing recipe of T5 (Raffel et al. 2020 §3.4.3,
+    "temperature-scaled mixing") and XLM-R (Conneau et al. 2020), both
+    public: stratum ``s`` gets mixing probability
+    ``p_s = n_s^alpha / sum_t n_t^alpha``, so its per-document sampling
+    rate is ``rate_s = target_total * p_s / n_s``. ``alpha = 1`` is
+    natural sampling (every stratum at the same rate); ``alpha -> 0``
+    approaches uniform-over-strata (heavy upsampling of small strata —
+    rates above 1 replicate deterministically via
+    :func:`mixture_sample`'s epoch mechanism). ``target_total``
+    defaults to the corpus size (a pure re-balance); ``max_rate`` caps
+    the replication factor (the XLM-R guard against epoch explosion on
+    tiny strata). NULL-stratum rows are dropped (no defined share).
+
+    The stratum-count collect is strata-bounded (the only driver
+    transfer); everything after is :func:`mixture_sample`'s map-only
+    hash-threshold materialization — no shuffle anywhere at any corpus
+    size.
+
+    Cross-engine determinism (the catalog row's full value oracle
+    hash-compares the materialized mixture): rates are data-dependent
+    doubles, so the driver mirrors IEEE-exact SQL arithmetic — strata
+    iterate in SORTED order (the normalizer is an ordered FP sum),
+    ``alpha=0.5`` uses ``math.sqrt`` (correctly rounded by IEEE 754 in
+    every engine, unlike ``pow``), and the rate expression is the same
+    left-associated ``T * p / Z / n`` chain of correctly-rounded ops on
+    both sides — bit-identical thresholds, row-identical mixtures. For
+    other alphas ``pow`` parity is libm-dependent; the operator stays
+    deterministic WITHIN the engine either way.
+    """
+    import math
+
+    if alpha <= 0:
+        raise ValueError(f"alpha={alpha} must be > 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[0] is not None
+    }
+    if not counts:
+        raise ValueError("no non-null strata to mix")
+    total = int(target_total if target_total is not None else
+                sum(counts.values()))
+    strata = sorted(counts)
+    p = {
+        s: (math.sqrt(float(counts[s])) if alpha == 0.5
+            else math.pow(float(counts[s]), alpha))
+        for s in strata
+    }
+    z = 0.0
+    for s in strata:  # ordered sum — mirrors the oracle's ORDER BY
+        z += p[s]
+    rates = {}
+    for s in strata:
+        r = float(total) * p[s] / z / float(counts[s])
+        if max_rate is not None:
+            r = min(r, float(max_rate))
+        rates[s] = r
+    return mixture_sample(df, rates, stratum_col, key_col, salt)
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

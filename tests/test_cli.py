@@ -743,3 +743,27 @@ def test_cli_select_data_prototypes(spark, tmp_path, sf_dir, capsys):
     with _pytest.raises(SystemExit):
         main(["--state-dir", state, "select-data", "--input", embs,
               "--out", out, "--method", "prototypes", "--keep-frac", "1.5"])
+
+
+def test_cli_select_data_temperature(spark, tmp_path, sf_dir, capsys):
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    docs = os.path.join(sf_dir, "documents.parquet")
+
+    out = str(tmp_path / "temp")
+    r = run(capsys, *base, "select-data", "--input", docs, "--out", out,
+            "--method", "temperature", "--alpha", "0.5", "--salt", "tm")
+    # alpha-rebalance preserves the expected total (binomial jitter)
+    assert abs(r["SelectedRows"] - r["InputRows"]) <= r["InputRows"] // 10
+    sel = spark.read.parquet(out)
+    assert "copy" in sel.columns
+    # a capped run is never larger per stratum than one epoch
+    out2 = str(tmp_path / "temp2")
+    run(capsys, *base, "select-data", "--input", docs, "--out", out2,
+        "--method", "temperature", "--alpha", "0.5", "--salt", "tm",
+        "--max-rate", "1.0")
+    n_in = spark.read.parquet(docs).groupBy("source").count().collect()
+    n_out = {r["source"]: r["count"] for r in
+             spark.read.parquet(out2).groupBy("source").count().collect()}
+    for row in n_in:
+        assert n_out.get(row["source"], 0) <= row["count"]

@@ -2973,3 +2973,47 @@ def test_prototypicality_and_prune(spark):
         similarity.prune_prototypes(df, cent, 0.0)
     with pytest.raises(ValueError, match="mode"):
         similarity.prune_prototypes(df, cent, 0.5, mode="nope")
+
+
+def test_temperature_mixture_rebalances(spark):
+    # 3 strata 160/90/8: alpha=0.5 shifts mass to the small stratum
+    # (rate > 1 replicates), total stays ~corpus size, deterministic
+    rows = (
+        [(i, "big") for i in range(160)]
+        + [(200 + i, "mid") for i in range(90)]
+        + [(400 + i, "tiny") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = text.temperature_mixture(df, alpha=0.5, salt="t")
+    got = out.groupBy("source").count().collect()
+    c = {r["source"]: r["count"] for r in got}
+    import math
+    n = {"big": 160, "mid": 90, "tiny": 8}
+    z = sum(math.sqrt(v) for v in sorted(n.values()))
+    # expected per-stratum mass = T * sqrt(n_s)/Z (binomial jitter on
+    # the fractional part only — tolerance 1 + 3*sqrt(n))
+    for s, ns in n.items():
+        exp = 258 * math.sqrt(ns) / z
+        assert abs(c[s] - exp) <= 1 + 3 * math.sqrt(exp), (s, c[s], exp)
+    assert c["tiny"] > n["tiny"]  # upsampled
+    assert c["big"] < n["big"]    # downsampled
+    # deterministic: identical re-run
+    again = {(r.doc_id, r.source, r.copy)
+             for r in text.temperature_mixture(df, alpha=0.5, salt="t").collect()}
+    first = {(r.doc_id, r.source, r.copy) for r in out.collect()}
+    assert first == again
+    # max_rate caps replication
+    capped = text.temperature_mixture(df, alpha=0.5, salt="t", max_rate=1.0)
+    assert capped.where("source = 'tiny'").count() <= 8
+    # alpha=1 is natural sampling: every stratum keeps ~its share
+    nat = text.temperature_mixture(df, alpha=1.0, salt="t")
+    cn = {r["source"]: r["count"]
+          for r in nat.groupBy("source").count().collect()}
+    for s, ns in n.items():
+        assert abs(cn[s] - ns) <= 1 + 3 * math.sqrt(ns)
+    with pytest.raises(ValueError, match="alpha"):
+        text.temperature_mixture(df, alpha=0.0)
+    with pytest.raises(ValueError, match="strata"):
+        text.temperature_mixture(
+            spark.createDataFrame([(1, None)], "doc_id long, source string")
+        )
