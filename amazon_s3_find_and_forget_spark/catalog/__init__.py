@@ -58,7 +58,10 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # text_balanced_sample, dedup_exact_groups, text_exact_mixture,
 # events_heavy_hitters, and dedup_shared_ngrams rotate to the tail
 # (all still swept; exact-dedup stays gated through
-# dedup_incremental_exact and both curation pipelines).
+# dedup_incremental_exact and both curation pipelines). Late round-14:
+# similarity_llm_pipeline (the composed PCA -> prototype-prune ->
+# SemDeDup embedding pipeline, claims-gated) enters;
+# orders_quantile_sketch rotates to the tail.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -87,7 +90,7 @@ GATE_ORDER = [
     "dedup_decontaminate_mask",
     "dedup_components_minhash",
     "events_distinct_sketch",
-    "orders_quantile_sketch",
+    "similarity_llm_pipeline",
     "dedup_incremental_exact",
     "dedup_incremental_complete",
     "text_contamination",
@@ -118,6 +121,7 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "orders_quantile_sketch",
     "text_exact_mixture",
     "events_heavy_hitters",
     "dedup_shared_ngrams",

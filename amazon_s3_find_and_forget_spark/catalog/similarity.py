@@ -529,9 +529,87 @@ def q_similarity_prototype_prune(spark, sf_dir):
     )
 
 
+def q_similarity_llm_pipeline(spark, sf_dir):
+    """The embedding-side counterpart of ``text_llm_pipeline``: the
+    composed pipeline an embedding-curation run actually executes —
+    exact distributed PCA (64 -> 16, cosine-preserving) -> map-only
+    projection -> prototypicality pruning (keep the hardest 60% of
+    every cluster, exact mode at gate scale) -> SemDeDup on the pruned
+    pool. Every stage is already gated alone
+    (``similarity_pca_quality`` / ``similarity_prototype_prune`` /
+    ``semantic_dedup_complete``); this row gates the COMPOSITION with
+    deterministic claims (seeded trainers are engine-internal, so no
+    SQL value oracle — the *_recall pattern):
+
+    - ``prune_count_ok``: the pruned pool is exactly sum over cells of
+      ``ceil(0.6 * n_c)`` of the projected corpus;
+    - ``monotone_ok``: ``n_vecs >= n_pruned >= n_final >= 1`` — each
+      stage only removes;
+    - ``proj_dims_ok``: every projected vector has exactly 16 dims
+      (SemDeDup's survivor relation carries ids + clusters only);
+    - ``deterministic_ok``: a full second build returns the identical
+      survivor id set (seeded k-means + exact PCA + hash-free rules —
+      the whole chain is a pure function of the corpus).
+
+    The cluster count SCALES with the corpus (k ~ n/500, floor 8 — so
+    the gate corpora keep their original k=8 plan bit-for-bit): the
+    SemDeDup pair stage is quadratic WITHIN a cluster, and a fixed k=8
+    at the 200k-vector lane corpus means 25k-vector clusters — 312M
+    in-cluster pairs, measured 790 s. k = n/500 caps clusters near the
+    paper's operating point and the lane cell at ~50M pairs.
+    """
+    embs = load(spark, sf_dir, "embeddings")
+    n_raw = embs.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).count()
+    k = max(8, n_raw // 500)
+
+    def build():
+        model = similarity.train_pca(embs, 16)
+        proj = similarity.project_embeddings(embs, model).select(
+            "vec_id", F.col("embedding_pca").alias("embedding")
+        ).where(F.col("embedding").isNotNull()).localCheckpoint(
+            eager=False
+        )
+        cent = similarity.train_ivf_centroids(
+            proj, n_centroids=k, sample_size=max(2000, 20 * k)
+        )
+        pruned = similarity.prune_prototypes(
+            proj, cent, 0.6, mode="hard", exact=True
+        )
+        pool = proj.join(pruned.select("vec_id"), "vec_id")
+        surv = similarity.semantic_dedup(pool, cent, threshold=0.92)
+        return proj, cent, pruned, surv
+
+    proj, cent, pruned, surv = build()
+    n_vecs = proj.count()
+    n_pruned = pruned.count()
+    surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    expected = (
+        similarity.prototypicality(proj, cent)
+        .groupBy("ivf_cell")
+        .agg(F.ceil(F.count(F.lit(1)) * 0.6).alias("_e"))
+        .agg(F.sum("_e"))
+        .collect()[0][0]
+    )
+    dims_ok = proj.where(F.size("embedding") != 16).count() == 0
+    surv_ids2 = {
+        r["vec_id"] for r in build()[3].select("vec_id").collect()
+    }
+    return _summary_row(
+        spark,
+        n_vecs=n_vecs,
+        prune_count_ok=(n_pruned == int(expected)),
+        monotone_ok=(n_vecs >= n_pruned >= len(surv_ids) >= 1),
+        proj_dims_ok=bool(dims_ok),
+        deterministic_ok=(surv_ids == surv_ids2),
+    )
+
+
 QUERIES = {
     "embedding_near_dups_recall": q_embedding_near_dups_recall,
     "similarity_prototype_prune": q_similarity_prototype_prune,
+    "similarity_llm_pipeline": q_similarity_llm_pipeline,
     "similarity_pca_quality": q_similarity_pca_quality,
     "embedding_incremental_complete": q_embedding_incremental_complete,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -558,6 +636,13 @@ ORACLES = {
         SELECT CAST(count(*) AS BIGINT) AS n_vecs,
                TRUE AS count_ok, TRUE AS separation_ok,
                TRUE AS modes_ok, TRUE AS approx_close_ok
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
+    """,
+    "similarity_llm_pipeline": """
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               TRUE AS prune_count_ok, TRUE AS monotone_ok,
+               TRUE AS proj_dims_ok, TRUE AS deterministic_ok
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) > 0
     """,

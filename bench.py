@@ -144,6 +144,9 @@ SF10_QUERIES = [
     # 200k-vector corpus — k-means train + 3 prune passes + separation
     # aggregates; the claims must HOLD at scale, not just time
     "similarity_prototype_prune",
+    # round 14: the composed embedding pipeline (exact PCA -> prune ->
+    # SemDeDup, built TWICE for the determinism claim) at 200k vectors
+    "similarity_llm_pipeline",
     # round 14: paragraph-level exact dedup (C4/Dolma granularity) over
     # the deterministically paragraph-ized 500k-doc corpus
     "dedup_paragraphs",

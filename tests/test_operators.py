@@ -3017,3 +3017,32 @@ def test_temperature_mixture_rebalances(spark):
         text.temperature_mixture(
             spark.createDataFrame([(1, None)], "doc_id long, source string")
         )
+
+
+def test_paragraph_dedup_plan_shape(spark, monkeypatch):
+    # the paragraph-stats relation is corpus-growing: the join back must
+    # be the forced shuffled merge join (the shared_ngram_stats
+    # discipline), never a broadcast of O(distinct paragraphs). _eager
+    # checkpoints the output into a scan, so neutralize it to see the
+    # real plan (the tiny per-doc removed-positions relation broadcast
+    # by AQE in the final join is fine and expected).
+    monkeypatch.setattr(dedup, "_eager", lambda d: d)
+    df = spark.createDataFrame(
+        [(i, f"p{i}\nFOOTER") for i in range(40)], "doc_id long, text string"
+    )
+    out = dedup.remove_duplicated_paragraphs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert out.count() == 40
+
+
+def test_temperature_mixture_is_map_only(spark):
+    # after the strata-count collect, the materialization must contain
+    # NO exchange: the mixture streams (no join, no window, no shuffle)
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = text.temperature_mixture(df, alpha=0.5, salt="ps")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
