@@ -61,7 +61,10 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # dedup_incremental_exact and both curation pipelines). Late round-14:
 # similarity_llm_pipeline (the composed PCA -> prototype-prune ->
 # SemDeDup embedding pipeline, claims-gated) enters;
-# orders_quantile_sketch rotates to the tail.
+# orders_quantile_sketch rotates to the tail. text_bpe_train (corpus-
+# trained BPE merge table, claims-gated: one distributed vocabulary
+# cut + bounded driver loop) enters; events_interval_counts to the
+# tail.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -105,7 +108,7 @@ GATE_ORDER = [
     "text_token_count_bpe",
     "text_length_percentiles",
     "events_topn_per_user",
-    "events_interval_counts",
+    "text_bpe_train",
     "embedding_near_dups_exact",
     "events_variant_extract",
     "similarity_batch_topk_exact",
@@ -121,6 +124,7 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "events_interval_counts",
     "orders_quantile_sketch",
     "text_exact_mixture",
     "events_heavy_hitters",

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup, text
-from .loader import load
+from .loader import _summary_row, load
 
 
 def q_text_train_split(spark, sf_dir):
@@ -119,6 +119,51 @@ def q_text_mixture(spark, sf_dir):
         load(spark, sf_dir, "documents"),
         {"src0": 2.5, "src1": 1.0, "src2": 0.4},
     ).select("doc_id", "source", "copy")
+
+
+def q_text_bpe_train(spark, sf_dir):
+    """BPE merge-table TRAINING gated by deterministic claims (the
+    learned table is engine-internal float-free symbol manipulation,
+    but the distributed vocabulary cut + driver loop have no SQL
+    equivalent — the *_recall pattern):
+
+    - ``learned_ok``: the trainer returns the requested 60 merges on
+      this corpus (it may legitimately stop early only when no pair
+      repeats — never the case here);
+    - ``compression_ok``: tokenizer-exact counts under the learned
+      table are strictly below the 0-merge (byte-unit) baseline;
+    - ``monotone_ok``: the full table compresses at least as well as
+      its own first half — merge tables are prefix-monotone by
+      construction, so a violation means the counter and trainer
+      disagree about rank semantics;
+    - ``deterministic_ok``: retraining returns the identical table
+      (the vocabulary cut and every merge pick carry total-order
+      tie-breaks).
+    """
+    from pyspark.sql import functions as _F
+
+    docs = load(spark, sf_dir, "documents")
+    merges = text.train_bpe_merges(docs, n_merges=60, max_vocab=5000)
+    merges2 = text.train_bpe_merges(docs, n_merges=60, max_vocab=5000)
+
+    def avg_tokens(table):
+        return (
+            text.with_bpe_token_count(docs, table)
+            .agg(_F.avg("n_tokens_bpe_exact"))
+            .collect()[0][0]
+        )
+
+    full = avg_tokens(merges)
+    half = avg_tokens(merges[: len(merges) // 2])
+    base = avg_tokens([])
+    return _summary_row(
+        spark,
+        n_docs=docs.count(),
+        learned_ok=(len(merges) == 60),
+        compression_ok=(full < base),
+        monotone_ok=(full <= half),
+        deterministic_ok=(merges == merges2),
+    )
 
 
 def q_text_temperature_mixture(spark, sf_dir):
@@ -505,6 +550,7 @@ QUERIES = {
     "text_curation_pipeline_v2": q_text_curation_pipeline_v2,
     "text_repetition": q_text_repetition,
     "text_mixture": q_text_mixture,
+    "text_bpe_train": q_text_bpe_train,
     "text_temperature_mixture": q_text_temperature_mixture,
     "text_exact_mixture": q_text_exact_mixture,
     "text_token_count": q_text_token_count,
@@ -742,6 +788,12 @@ ORACLES = {
                round(cnt * length(gram) * 1.0 / nch, 4)
                  AS top_gram_char_frac
         FROM ranked WHERE rn = 1
+    """,
+    "text_bpe_train": """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               TRUE AS learned_ok, TRUE AS compression_ok,
+               TRUE AS monotone_ok, TRUE AS deterministic_ok
+        FROM documents
     """,
     # rate math mirrored bit-exactly from operators/text.py
     # temperature_mixture (alpha=0.5): integer total cast to double,

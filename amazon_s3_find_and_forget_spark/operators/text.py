@@ -342,6 +342,93 @@ def _bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def train_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn a GPT-2-format BPE merge table FROM the corpus (Sennrich
+    et al. 2016, "Neural Machine Translation of Rare Words with
+    Subword Units", public — adapted to byte-level units so the output
+    feeds :func:`with_bpe_token_count` directly). Closes the tokenizer
+    loop: train merges -> count tokens exactly -> pack sequences.
+
+    Scale shape (the reason this is NOT the textbook trainer): ONE
+    distributed aggregation produces the frequency-weighted pre-token
+    vocabulary — Arrow-batched pre-tokenization (the same
+    ``BPE_ISH_PATTERN`` as the counter) -> explode -> map-side-
+    combinable groupBy (a corpus-hot word is one shuffled key) ->
+    ``max_vocab``-bounded TakeOrderedAndProject cut, deterministic
+    tie-break (count desc, pre-token asc). The merge-learning loop then
+    runs DRIVER-side over that bounded weighted vocabulary: ``n_merges``
+    iterations never touch the corpus again. The textbook trainer
+    rescans the corpus per merge — 200 corpus passes at 100 TB; this
+    shape pays exactly one.
+
+    Deterministic end to end: per merge, ties break by
+    (pair frequency desc, pair asc). Stops early when no pair repeats.
+    """
+    import pandas as pd
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges={n_merges} must be >= 1")
+    if max_vocab < 1:
+        raise ValueError(f"max_vocab={max_vocab} must be >= 1")
+    pat = _bpe_pretokenize_re()
+
+    @F.pandas_udf("array<string>")
+    def _pretoks(texts):
+        return texts.map(
+            lambda t: [] if t is None else pat.findall(t)
+        )
+
+    vocab_rows = (
+        df.select(F.explode(_pretoks(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    b2u = _bytes_to_unicode()
+    words: list[tuple[list[str], int]] = [
+        ([b2u[b] for b in r["w"].encode("utf-8")], int(r["c"]))
+        for r in vocab_rows
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for units, cnt in words:
+            for pair in zip(units, units[1:]):
+                pairs[pair] = pairs.get(pair, 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break  # nothing repeats: further merges memorize the sample
+        merges.append(best)
+        a, b = best
+        for wi, (units, cnt) in enumerate(words):
+            if len(units) < 2:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(units):
+                if (
+                    i < len(units) - 1
+                    and units[i] == a
+                    and units[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(units[i])
+                    i += 1
+            words[wi] = (out, cnt)
+    return merges
+
+
 def load_merges(path: str) -> list[tuple[str, str]]:
     """Parse a GPT-2-format merges.txt: one ``left right`` pair per
     line, rank = line order; ``#version`` header and blank lines

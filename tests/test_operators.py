@@ -3046,3 +3046,68 @@ def test_temperature_mixture_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_train_bpe_merges_hand_case(spark):
+    # 'aa aa aa ab' word soup: byte units; most frequent adjacent pair
+    # is ('a','a') (weighted by pre-token frequency)
+    df = spark.createDataFrame(
+        [(1, "aa aa"), (2, "aa ab"), (3, "aa")], "doc_id long, text string"
+    )
+    m = text.train_bpe_merges(df, n_merges=3, max_vocab=100)
+    assert m[0] == ("a", "a")
+    # determinism
+    assert m == text.train_bpe_merges(df, n_merges=3, max_vocab=100)
+    # the learned table feeds the exact counter and compresses
+    full = text.with_bpe_token_count(df, m).agg(
+        F.sum("n_tokens_bpe_exact")).collect()[0][0]
+    base = text.with_bpe_token_count(df, []).agg(
+        F.sum("n_tokens_bpe_exact")).collect()[0][0]
+    assert full < base
+    # early stop: a corpus where nothing repeats twice learns nothing
+    uniq = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    assert text.train_bpe_merges(uniq, n_merges=5) == []
+    with pytest.raises(ValueError, match="n_merges"):
+        text.train_bpe_merges(df, n_merges=0)
+    with pytest.raises(ValueError, match="max_vocab"):
+        text.train_bpe_merges(df, max_vocab=0)
+
+
+def _para_dedup_reference(rows, sep="\n", min_count=2):
+    # pure-Python reference of remove_duplicated_paragraphs semantics
+    split = {i: (t if t is not None else "").split(sep) for i, t in rows}
+    occ = {}
+    for i in sorted(split):
+        for p, para in enumerate(split[i]):
+            if para:
+                occ.setdefault(para, []).append((i, p))
+    removed = set()
+    for para, locs in occ.items():
+        if len(locs) >= min_count:
+            removed.update(locs[1:])  # locs already in (doc, pos) order
+    out = {}
+    for i, parts in split.items():
+        kept = [p for j, p in enumerate(parts) if (i, j) not in removed]
+        n_removed = len(parts) - len(kept)
+        out[i] = (sep.join(kept), len(parts), n_removed)
+    return out
+
+
+def test_remove_duplicated_paragraphs_matches_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    para = st.sampled_from(["alpha", "beta", "gamma", "", "x y"])
+    doc = st.lists(para, min_size=0, max_size=6).map("\n".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(texts):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_paragraphs, r.removed_paragraphs)
+            for r in dedup.remove_duplicated_paragraphs(df).collect()
+        }
+        assert got == _para_dedup_reference(rows)
+
+    check()
