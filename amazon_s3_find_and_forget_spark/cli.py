@@ -416,6 +416,39 @@ def main(argv: list[str] | None = None) -> int:
                     help="cap on per-stratum sampling rate / epoch "
                     "count (temperature mode)")
 
+    cu = sub.add_parser(
+        "curate",
+        help="composed corpus curation: an ordered, opt-in chain of "
+        "paragraph-dedup -> exact-dedup -> benchmark decontamination "
+        "-> Gopher filtering -> train/val/test split, one pass, one "
+        "JSON report with per-stage counts",
+    )
+    cu.add_argument("--input", required=True, help="pool corpus (parquet)")
+    cu.add_argument("--out", required=True, help="output directory")
+    cu.add_argument(
+        "--steps",
+        default="exact-dedup,gopher,split",
+        help="comma-separated subset of: paragraph-dedup, exact-dedup, "
+        "decontaminate, gopher, split (always applied in that order)",
+    )
+    cu.add_argument("--benchmark", default=None,
+                    help="benchmark corpus (parquet; required for the "
+                    "decontaminate step)")
+    cu.add_argument("--ngram", type=int, default=8,
+                    help="decontamination n-gram length")
+    cu.add_argument("--decon-mode", default="cut", choices=["cut", "mask"])
+    cu.add_argument("--paragraph-sep", default="\n")
+    cu.add_argument(
+        "--rules",
+        default="word_count,mean_word_len,symbol_ratio,alpha_words",
+        help="Gopher rules survivors must pass (gopher step)",
+    )
+    cu.add_argument("--split-ratios", default="train:0.9,val:0.05,test:0.05",
+                    help="NAME:FRACTION list for the split step")
+    cu.add_argument("--salt", default="", help="re-deal the split")
+    cu.add_argument("--text-column", default="text")
+    cu.add_argument("--id-column", default="doc_id")
+
     zo = sub.add_parser(
         "zorder",
         help="re-cluster a parquet lake on a Z-order curve for "
@@ -483,6 +516,41 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--rules needs at least one rule")
             if bad_rules:
                 p.error(f"unknown Gopher rules: {bad_rules}")
+    curate_steps: list[str] = []
+    curate_ratios: dict[str, float] = {}
+    if args.cmd == "curate":
+        _order = [
+            "paragraph-dedup", "exact-dedup", "decontaminate",
+            "gopher", "split",
+        ]
+        wanted = {s.strip() for s in args.steps.split(",") if s.strip()}
+        bad_steps = sorted(wanted - set(_order))
+        if bad_steps:
+            p.error(f"unknown curate steps: {bad_steps}")
+        if not wanted:
+            p.error("--steps needs at least one step")
+        curate_steps = [s for s in _order if s in wanted]
+        if "decontaminate" in wanted and not args.benchmark:
+            p.error("the decontaminate step requires --benchmark")
+        known = {
+            "word_count", "mean_word_len", "symbol_ratio",
+            "alpha_words", "stop_words",
+        }
+        gopher_rules = [
+            r.strip() for r in args.rules.split(",") if r.strip()
+        ]
+        bad_rules = sorted(set(gopher_rules) - known)
+        if "gopher" in wanted and (bad_rules or not gopher_rules):
+            p.error(f"bad Gopher rules: {bad_rules or 'empty'}")
+        if "split" in wanted:
+            try:
+                for part in args.split_ratios.split(","):
+                    name, frac = part.split(":")
+                    curate_ratios[name.strip()] = float(frac)
+            except ValueError:
+                p.error("--split-ratios takes NAME:FRACTION[,...]")
+            if abs(sum(curate_ratios.values()) - 1.0) > 1e-9:
+                p.error("--split-ratios must sum to 1")
     zorder_cols: list[str] = []
     if args.cmd == "zorder":
         zorder_cols = [c.strip() for c in args.by.split(",") if c.strip()]
@@ -824,6 +892,60 @@ def main(argv: list[str] | None = None) -> int:
                 upto=args.upto,
             )
         )
+    elif args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from .operators import dedup as dedup_ops
+        from .operators import text as text_ops
+
+        df = eng.spark.read.parquet(args.input)
+        tcol, icol = args.text_column, args.id_column
+        report: dict = {"InputRows": df.count(), "Steps": curate_steps}
+        if "paragraph-dedup" in curate_steps:
+            pd_out = dedup_ops.remove_duplicated_paragraphs(
+                df, sep=args.paragraph_sep, text_col=tcol, id_col=icol
+            )
+            report["ParagraphsRemoved"] = int(
+                pd_out.agg(F.sum("removed_paragraphs")).collect()[0][0]
+                or 0
+            )
+            df = df.drop(tcol).join(pd_out.select(icol, tcol), icol)
+        if "exact-dedup" in curate_steps:
+            df = dedup_ops.exact_dedup(df, text_col=tcol, id_col=icol)
+            report["ExactSurvivors"] = df.count()
+        if "decontaminate" in curate_steps:
+            bench = eng.spark.read.parquet(args.benchmark)
+            dc = dedup_ops.decontaminate_spans(
+                df, bench, n=args.ngram, text_col=tcol, id_col=icol,
+                mode=args.decon_mode,
+            )
+            report["ContaminatedTokensRemoved"] = int(
+                dc.agg(F.sum("removed_tokens")).collect()[0][0] or 0
+            )
+            df = df.drop(tcol).join(dc.select(icol, tcol), icol)
+        if "gopher" in curate_steps:
+            flagged = text_ops.gopher_quality_flags(df, text_col=tcol)
+            cond = None
+            for rule in gopher_rules:
+                c = F.col(f"ok_{rule}")
+                cond = c if cond is None else (cond & c)
+            df = flagged.where(cond).select(*df.columns)
+            report["GopherSurvivors"] = df.count()
+        if "split" in curate_steps:
+            df = text_ops.deterministic_split(
+                df, key_col=icol, ratios=curate_ratios, salt=args.salt
+            )
+        df.write.mode("error").parquet(args.out)
+        out_df = eng.spark.read.parquet(args.out)
+        report["OutputRows"] = out_df.count()
+        if "split" in curate_steps:
+            report["SplitCounts"] = {
+                r["split"]: r["count"]
+                for r in out_df.groupBy("split").count().collect()
+            }
+        report["Out"] = args.out
+        _emit(report)
+
     elif args.cmd == "select-data":
         from pyspark.sql import functions as F
 

@@ -206,4 +206,52 @@ assert sum(1 for d in picked if d < 10) >= 6, picked
 assert s2["SelectedRows"] == 20, s2  # every 60-word doc passes the rules
 print("SMOKE OK: select-data DSIR tilts to the target; Gopher rules pass")
 PY
+
+# ---- stage 4: composed curation chain from the packaged CLI --------------
+# curate runs exact-dedup -> decontaminate -> split in one pass; the
+# pool gains an exact duplicate (dropped) and a benchmark-contaminated
+# doc (its spans cut), and the split column partitions the survivors.
+python3 - "$WORK" <<'PY'
+import pyarrow as pa, pyarrow.parquet as pq
+import os, sys
+w = sys.argv[1]
+os.makedirs(f"{w}/curpool"); os.makedirs(f"{w}/curbench")
+base = " ".join(f"tok{i}" for i in range(40))
+contam = "secret bench span one two three four five" + " filler" * 30
+pq.write_table(
+    pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # 1 and 2 are exact duplicates; 4 carries the benchmark span
+        "text": [base, base, "clean " + base, contam + " " + base],
+    }),
+    f"{w}/curpool/part-0.parquet",
+)
+pq.write_table(
+    pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": ["secret bench span one two three four five"],
+    }),
+    f"{w}/curbench/part-0.parquet",
+)
+PY
+C1="$("${CLI2[@]}" curate --input "$WORK/curpool" --out "$WORK/curated" \
+    --steps exact-dedup,decontaminate,split --benchmark "$WORK/curbench" \
+    --ngram 8 --salt smoke 2>>"$WORK/submit.log")"
+python3 - "$C1" "$WORK" <<'PY'
+import glob, json, sys
+import pyarrow.parquet as pq
+r = json.loads(sys.argv[1])
+assert r["ExactSurvivors"] == 3, r          # duplicate of doc 1 dropped
+assert r["ContaminatedTokensRemoved"] >= 8, r  # the 8-gram span cut
+assert r["OutputRows"] == 3 and sum(r["SplitCounts"].values()) == 3, r
+rows = []
+for f in glob.glob(f"{sys.argv[2]}/curated/**/*.parquet", recursive=True):
+    rows += pq.read_table(f).to_pylist()
+byid = {x["doc_id"]: x for x in rows}
+assert set(byid) == {1, 3, 4}, sorted(byid)
+assert "secret" not in byid[4]["text"], byid[4]["text"][:60]
+assert all("split" in x for x in rows)
+print("SMOKE OK: curate chain dedups, decontaminates, and splits "
+      "through the packaged CLI")
+PY
 echo "ALL SMOKE CHECKS PASSED"

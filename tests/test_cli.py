@@ -767,3 +767,53 @@ def test_cli_select_data_temperature(spark, tmp_path, sf_dir, capsys):
              spark.read.parquet(out2).groupBy("source").count().collect()}
     for row in n_in:
         assert n_out.get(row["source"], 0) <= row["count"]
+
+
+def test_cli_curate_full_chain(spark, tmp_path, sf_dir, capsys):
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    docs = os.path.join(sf_dir, "documents.parquet")
+    bench = str(tmp_path / "bench")
+    spark.read.parquet(docs).where("doc_id % 50 = 0").write.parquet(bench)
+
+    out = str(tmp_path / "curated")
+    r = run(capsys, *base, "curate", "--input", docs, "--out", out,
+            "--steps", "exact-dedup,decontaminate,gopher,split",
+            "--benchmark", bench, "--ngram", "8")
+    assert r["Steps"] == ["exact-dedup", "decontaminate", "gopher", "split"]
+    assert r["ExactSurvivors"] <= r["InputRows"]
+    assert r["OutputRows"] == r["GopherSurvivors"]
+    assert set(r["SplitCounts"]) <= {"train", "val", "test"}
+    assert sum(r["SplitCounts"].values()) == r["OutputRows"]
+    sel = spark.read.parquet(out)
+    assert "split" in sel.columns and "text" in sel.columns
+
+    # validation runs before Spark
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["--state-dir", state, "curate", "--input", docs,
+              "--out", out, "--steps", "nonsense"])
+    with _pytest.raises(SystemExit):
+        main(["--state-dir", state, "curate", "--input", docs,
+              "--out", out, "--steps", "decontaminate"])  # no --benchmark
+    with _pytest.raises(SystemExit):
+        main(["--state-dir", state, "curate", "--input", docs,
+              "--out", out, "--steps", "split",
+              "--split-ratios", "train:0.5,val:0.2"])  # sums to 0.7
+
+
+def test_cli_curate_paragraph_step(spark, tmp_path, capsys):
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "alpha\nFOOTER"), (2, "beta\nFOOTER"), (3, "gamma\nFOOTER")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "p")
+    r = run(capsys, *base, "curate", "--input", src, "--out", out,
+            "--steps", "paragraph-dedup")
+    assert r["ParagraphsRemoved"] == 2  # doc 1 keeps the canonical FOOTER
+    texts = {x.doc_id: x.text for x in spark.read.parquet(out).collect()}
+    assert texts[1] == "alpha\nFOOTER"
+    assert texts[2] == "beta" and texts[3] == "gamma"
