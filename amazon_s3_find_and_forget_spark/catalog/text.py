@@ -369,39 +369,61 @@ def q_text_pack(spark, sf_dir):
     return text.pack_sequences(with_counts, budget=256, group_col="lang")
 
 
-def q_text_curation_pipeline(spark, sf_dir):
-    """The composed curation pipeline in ONE declarative plan — what a
-    user actually runs before training: exact-dedup survivorship ->
-    quality scoring -> lang-id -> token counting -> benchmark
-    decontamination -> filter. Each stage is the same operator the
-    standalone rows gate; composing them lets Catalyst fuse the four
-    map-only stages into the survivor scan, with the dedup window and
-    the broadcast contamination semi-join as the only wide steps."""
-    docs = load(spark, sf_dir, "documents")
+def _curation_pipeline(spark, docs):
+    """The composed curation chain shared by the v1 and v2 rows:
+    exact-dedup survivorship -> quality scoring -> lang-id -> token
+    counting -> benchmark decontamination -> filter.
+
+    Plan shape, tuned at sf10 (round 14): the scored relation is
+    PRUNED to its four output columns and lazily localCheckpointed
+    BEFORE the contamination join. Fully fused, the pushed-down
+    quality/lang filter re-inlines the expensive scoring expressions
+    through the join (the r13 predicate-pushdown-inlining failure
+    mode, this time at plan level) and the 500k-doc composed query
+    measured 55.5 s; the one barrier cuts it to ~21-24 s with
+    value-identical output (A/B in SCALE.md). The contaminated-id
+    filter is a LEFT ANTI join against the screen's hit set —
+    measured faster than carrying the boolean flag column through an
+    inner join, and semantically identical because the screen's flag
+    relation covers every doc.
+
+    The screen deliberately runs over RAW docs, not survivors: flags
+    of dropped duplicates are discarded by the join (wasted map-side
+    gram work proportional to the dup rate), but feeding survivors
+    would re-derive the dedup window inside the screen's own branches
+    — column pruning makes those exchanges non-identical, so
+    ReuseExchange cannot serve them and the full-text window shuffle
+    runs THREE times (measured round 12: 5 hashpartitioning exchanges
+    vs 3). A corpus-sized text exchange dwarfs map-side tokenization,
+    so the raw-docs screen is the cheaper plan at any duplication
+    rate."""
     survivors = dedup.exact_dedup(docs)
-    scored = text.with_token_count(
-        text.with_lang_id(text.with_quality(survivors))
+    scored = (
+        text.with_token_count(
+            text.with_lang_id(text.with_quality(survivors))
+        )
+        .select("doc_id", "quality_score", "lang_pred", "n_tokens")
+        .localCheckpoint(eager=False)
     )
     benchmark = docs.where(F.col("doc_id") % 50 == 0)
-    # the screen deliberately runs over RAW docs, not survivors: flags
-    # of dropped duplicates are discarded by the join (wasted map-side
-    # gram work proportional to the dup rate), but feeding survivors
-    # would re-derive the dedup window inside the screen's own branches
-    # — column pruning makes those exchanges non-identical, so
-    # ReuseExchange cannot serve them and the full-text window shuffle
-    # runs THREE times (measured: 5 hashpartitioning exchanges vs 3).
-    # A corpus-sized text exchange dwarfs map-side tokenization, so the
-    # raw-docs screen is the cheaper plan at any duplication rate.
     flags = text.contamination_screen(docs, benchmark, n=3)
-    screened = scored.join(flags, "doc_id")
+    hits = flags.where("contaminated").select("doc_id")
     return (
-        screened.where(
+        scored.join(hits, "doc_id", "left_anti")
+        .where(
             (F.col("quality_score") >= 0.6)
             & (F.col("lang_pred") == "en")
-            & (~F.col("contaminated"))
         )
         .select("doc_id", "quality_score", "lang_pred", "n_tokens")
     )
+
+
+def q_text_curation_pipeline(spark, sf_dir):
+    """The composed curation pipeline — what a user actually runs
+    before training. Each stage is the same operator the standalone
+    rows gate; the composition and its plan tuning live in
+    ``_curation_pipeline``."""
+    return _curation_pipeline(spark, load(spark, sf_dir, "documents"))
 
 
 def _neardup_corpus(spark, sf_dir):
@@ -446,23 +468,9 @@ def q_text_curation_pipeline_v2(spark, sf_dir):
     drops the exact copies, the screen flags gram-sharing docs without
     flagging everything (the permuted sf10 ``documents`` tiles trip it
     corpus-wide — the v1 row's 0-row caveat), and the quality filter
-    sees rewritten text."""
-    docs = _neardup_corpus(spark, sf_dir)
-    survivors = dedup.exact_dedup(docs)
-    scored = text.with_token_count(
-        text.with_lang_id(text.with_quality(survivors))
-    )
-    benchmark = docs.where(F.col("doc_id") % 50 == 0)
-    flags = text.contamination_screen(docs, benchmark, n=3)
-    screened = scored.join(flags, "doc_id")
-    return (
-        screened.where(
-            (F.col("quality_score") >= 0.6)
-            & (F.col("lang_pred") == "en")
-            & (~F.col("contaminated"))
-        )
-        .select("doc_id", "quality_score", "lang_pred", "n_tokens")
-    )
+    sees rewritten text. Shares ``_curation_pipeline`` (and its
+    round-14 plan tuning) with the v1 row."""
+    return _curation_pipeline(spark, _neardup_corpus(spark, sf_dir))
 
 
 def q_text_llm_pipeline(spark, sf_dir):
