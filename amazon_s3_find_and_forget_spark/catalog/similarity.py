@@ -484,11 +484,15 @@ def q_similarity_prototype_prune(spark, sf_dir):
     easy = similarity.prune_prototypes(
         embs, cent, 0.5, mode="easy", exact=True
     )
-    expected = (
+    # `or 0`: on a degenerate corpus (all-NULL/empty embeddings) the
+    # sum aggregates over zero cells and returns None — the row must
+    # report a claim over 0 expected, not die with a TypeError
+    expected = int(
         scored.groupBy("ivf_cell")
         .agg(F.ceil(F.count(F.lit(1)) * 0.5).alias("_e"))
         .agg(F.sum("_e"))
         .collect()[0][0]
+        or 0
     )
     n_hard = hard.count()
     # per-cell separation: join kept flags onto the scored relation
@@ -522,7 +526,7 @@ def q_similarity_prototype_prune(spark, sf_dir):
     return _summary_row(
         spark,
         n_vecs=n_vecs,
-        count_ok=(n_hard == int(expected)),
+        count_ok=(n_hard == expected),
         separation_ok=bool(sep),
         modes_ok=(mean_hard < mean_easy),
         approx_close_ok=(abs(n_approx - n_hard) <= max(1, n_vecs // 10)),
@@ -585,12 +589,14 @@ def q_similarity_llm_pipeline(spark, sf_dir):
     n_vecs = proj.count()
     n_pruned = pruned.count()
     surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
-    expected = (
+    # `or 0`: same degenerate-corpus guard as the prune row above
+    expected = int(
         similarity.prototypicality(proj, cent)
         .groupBy("ivf_cell")
         .agg(F.ceil(F.count(F.lit(1)) * 0.6).alias("_e"))
         .agg(F.sum("_e"))
         .collect()[0][0]
+        or 0
     )
     dims_ok = proj.where(F.size("embedding") != 16).count() == 0
     surv_ids2 = {
@@ -599,7 +605,7 @@ def q_similarity_llm_pipeline(spark, sf_dir):
     return _summary_row(
         spark,
         n_vecs=n_vecs,
-        prune_count_ok=(n_pruned == int(expected)),
+        prune_count_ok=(n_pruned == expected),
         monotone_ok=(n_vecs >= n_pruned >= len(surv_ids) >= 1),
         proj_dims_ok=bool(dims_ok),
         deterministic_ok=(surv_ids == surv_ids2),

@@ -901,6 +901,26 @@ def main(argv: list[str] | None = None) -> int:
         df = eng.spark.read.parquet(args.input)
         tcol, icol = args.text_column, args.id_column
         report: dict = {"InputRows": df.count(), "Steps": curate_steps}
+        # Non-NULL id contract, enforced up front: the rewrite steps
+        # (paragraph-dedup, decontaminate) rejoin rewritten text on the
+        # id column, and an equi-join drops NULL keys — silently, even
+        # though the underlying operators preserve NULL-id rows. A
+        # null-SAFE rejoin is no fix either (two NULL-id rows would
+        # cross-match). Fail loudly with the count instead of losing
+        # rows; the caller assigns surrogate ids and reruns.
+        rejoin_steps = {"paragraph-dedup", "decontaminate"} & set(
+            curate_steps
+        )
+        if rejoin_steps:
+            n_null_ids = df.where(F.col(icol).isNull()).count()
+            report["NullIdRows"] = n_null_ids
+            if n_null_ids:
+                raise SystemExit(
+                    f"curate: {n_null_ids} input rows have NULL "
+                    f"{icol!r}; steps {sorted(rejoin_steps)} rejoin "
+                    "rewritten text on that column and would silently "
+                    "drop them — assign non-NULL ids and rerun"
+                )
         if "paragraph-dedup" in curate_steps:
             pd_out = dedup_ops.remove_duplicated_paragraphs(
                 df, sep=args.paragraph_sep, text_col=tcol, id_col=icol

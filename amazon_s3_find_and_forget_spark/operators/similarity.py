@@ -1089,7 +1089,18 @@ def prune_prototypes(
         raise ValueError(f"keep_frac={keep_frac} must be in (0, 1]")
     if mode not in ("hard", "easy"):
         raise ValueError(f"mode must be 'hard' or 'easy', got {mode!r}")
-    scored = prototypicality(df, centroids, emb_col, id_col)
+    # Both strategies read the scored relation TWICE — once for the
+    # per-cell threshold/count aggregate, once as the filter probe side.
+    # The scorer is an Arrow gemm over every embedding (the operator's
+    # dominant stage), so a lazy plan would run it twice (the round-14
+    # double-compute seam). One pruned lazy localCheckpoint on the
+    # 3-column scored relation materializes it on the aggregate job and
+    # the probe side re-reads the blocks — the same one-barrier
+    # discipline as the curation pipeline's scored relation; blocks are
+    # released by the ContextCleaner when the result is dropped.
+    scored = prototypicality(df, centroids, emb_col, id_col).localCheckpoint(
+        eager=False
+    )
     asc = mode == "hard"
     if exact:
         from pyspark.sql import Window

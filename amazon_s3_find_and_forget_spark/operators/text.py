@@ -1346,8 +1346,16 @@ def unigram_logprob(
     OOM. Totals ride into the score expression as two literal scalars,
     exactly like IDF's N.
 
+    The result is eagerly materialized (``_eager``, the same pattern as
+    ``bigram_logprob``) BEFORE the LM cache is released: returning a
+    lazy plan and unpersisting in ``finally`` would recompute the LM
+    aggregate — and the tokenize+explode under it — when the caller
+    finally executes (the round-14 double-compute seam).
+
     Returns (id, n_tokens, nll) for every document with >= 1 token.
     """
+    from .dedup import _eager
+
     toks = (
         df.select(
             F.col(id_col).alias("_uid"),
@@ -1376,7 +1384,7 @@ def unigram_logprob(
                 "_nl"
             ),
         )
-        return (
+        return _eager(
             scored.groupBy("_uid")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_tokens"),

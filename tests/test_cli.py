@@ -817,3 +817,25 @@ def test_cli_curate_paragraph_step(spark, tmp_path, capsys):
     texts = {x.doc_id: x.text for x in spark.read.parquet(out).collect()}
     assert texts[1] == "alpha\nFOOTER"
     assert texts[2] == "beta" and texts[3] == "gamma"
+
+
+def test_cli_curate_rejects_null_ids(spark, tmp_path, capsys):
+    # the rewrite steps rejoin on the id column; an equi-join would
+    # silently drop NULL-id rows, so curate enforces the non-NULL id
+    # contract up front with the offending count in the message
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    src = str(tmp_path / "nsrc")
+    spark.createDataFrame(
+        [(1, "alpha\nFOOTER"), (None, "beta\nFOOTER")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "nout")
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="1 input rows have NULL"):
+        main(["--state-dir", state, "--cpus", "4", "curate",
+              "--input", src, "--out", out, "--steps", "paragraph-dedup"])
+    # steps with no id rejoin accept NULL ids (exact-dedup keys on text)
+    r = run(capsys, *base, "curate", "--input", src, "--out", out,
+            "--steps", "exact-dedup")
+    assert r["OutputRows"] == 2 and "NullIdRows" not in r

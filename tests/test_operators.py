@@ -2975,6 +2975,44 @@ def test_prototypicality_and_prune(spark):
         similarity.prune_prototypes(df, cent, 0.5, mode="nope")
 
 
+def test_prune_prototypes_scores_once(spark):
+    # the Arrow-gemm scorer feeds BOTH the threshold aggregate and the
+    # filter probe; the round-15 checkpoint means the caller's plan must
+    # read the scored relation as an RDD scan — zero MapInPandas nodes
+    # left to re-run the gemm (both physical strategies)
+    rng = np.random.RandomState(7)
+    X = rng.randn(30, 4)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    cent = similarity.train_ivf_centroids(df, n_centroids=2, sample_size=50)
+    for exact in (False, True):
+        out = similarity.prune_prototypes(
+            df, cent, 0.5, mode="hard", exact=exact
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan, plan
+        assert "ExistingRDD" in plan
+        assert out.count() > 0
+
+
+def test_unigram_logprob_materializes_before_release(spark):
+    # the LM persist is released inside the call, so the returned
+    # relation must already be materialized (checkpoint scan) — a lazy
+    # plan would recompute the unpersisted LM aggregate AND the
+    # tokenize+explode under it at the caller's first action (the
+    # round-14 double-compute seam; bigram_logprob's _eager pattern)
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    out = text.unigram_logprob(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "Aggregate" not in plan and "Exchange" not in plan
+    assert out.count() == 2
+
+
 def test_temperature_mixture_rebalances(spark):
     # 3 strata 160/90/8: alpha=0.5 shifts mass to the small stratum
     # (rate > 1 replicates), total stays ~corpus size, deterministic
