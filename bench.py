@@ -46,6 +46,22 @@ BENCH_QUERIES = [
     "text_dsir_sample",
 ]
 
+# The sf1 lane swaps the permuted-corpus SimHash row for the v2
+# near-dup-corpus row (round-15, r14 verdict ask #1): the sf1
+# dedup_simhash_pairs cell carried the round-14 record's only tripwire
+# flag (4.386 s vs calibrated floor 2.058 on UNTOUCHED code — the same
+# same-code JIT/weather banding that retired the sf10 sibling in round
+# 14), and a floor-continuity cell that can only false-flag is
+# measurement debt. documents_v2 exists in every derived lane dir, so
+# the lane now measures SimHash on real near-dup structure at both
+# scales; the permuted row still runs at sf0.1 (where its band is
+# stable) and stays oracle-gated via dedup_simhash_complete. Archived
+# sf1 floors: SCALE.md (round-15 entry).
+SF1_QUERIES = [
+    "dedup_simhash_pairs_v2" if q == "dedup_simhash_pairs" else q
+    for q in BENCH_QUERIES
+]
+
 
 def ensure_sf1(base_dir: str) -> str | None:
     """Derive (once, ~7 s, cached by marker) the 10x-tiled sf1 dataset for
@@ -177,6 +193,20 @@ SF10_QUERIES = [
 #   stage's gram/feature work is corpus-linear, the cut is k-bounded).
 
 
+def _resolve_query(name: str):
+    """Catalog lookup plus the lane-only rows: queries over corpora
+    that exist only in derived scale dirs (``documents_v2``) are not in
+    the sweep registry — see catalog/dedup.py — but both derived lanes
+    time them."""
+    if name == "dedup_simhash_pairs_v2":
+        from amazon_s3_find_and_forget_spark.catalog.dedup import (
+            q_dedup_simhash_pairs_v2,
+        )
+
+        return q_dedup_simhash_pairs_v2
+    return entry_queries.QUERIES[name]
+
+
 def bench_find_forget_job(spark, sf_dir: str = None) -> float:
     """End-to-end deletion job over a 16-file copy of lineitem."""
     from amazon_s3_find_and_forget_spark.data_mappers import DataMapper
@@ -199,11 +229,17 @@ def bench_find_forget_job(spark, sf_dir: str = None) -> float:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def run_suite(spark, sf_dir: str, runs: int, label: str) -> dict[str, float]:
+def run_suite(
+    spark,
+    sf_dir: str,
+    runs: int,
+    label: str,
+    queries: list[str] = BENCH_QUERIES,
+) -> dict[str, float]:
     """Min-of-``runs`` per query over one sf dir (one lane)."""
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = entry_queries.QUERIES[name]
+    for name in queries:
+        fn = _resolve_query(name)
         best, n = None, 0
         for _ in range(runs):
             start = time.perf_counter()
@@ -270,9 +306,9 @@ def calibration_probe(spark, runs: int = 3) -> float:
     return round(best, 3)
 
 
-def io_probe(runs: int = 2, mib: int = 256) -> float:
+def io_probe(runs: int = 2, mib: int = 256) -> dict:
     """Sequential write+fsync bandwidth (MiB/s, max-of-``runs``) on the
-    filesystem the bench writes to.
+    filesystem the write-heavy lane row actually writes to.
 
     The CPU calibration probe is blind to DISK weather, and exactly one
     lane row cares: ``find_forget_job`` is the suite's only write-heavy
@@ -281,19 +317,30 @@ def io_probe(runs: int = 2, mib: int = 256) -> float:
     min tracked this probe's reading (197-536 MiB/s, oscillating by
     minutes) while the CPU probe sat flat at 0.62-0.65 s — so its
     floor must be adjudicated in disk-bandwidth units, not
-    CPU-calibration units. Max-of-runs because bandwidth is a capacity:
-    the best observed rate is the host's ability, the worst is neighbor
-    interference.
+    CPU-calibration units (the tripwire's ``IO_BOUND_ROWS`` path).
+    Max-of-runs because bandwidth is a capacity: the best observed rate
+    is the host's ability, the worst is neighbor interference.
+
+    Probe hygiene (round-15, ADVICE): the buffer is ``mib`` MiB of
+    FRESH urandom — writing one reused 1-MiB buffer 256 times lets a
+    deduplicating/compressing filesystem fold the stream and report
+    memory bandwidth instead of the lane's real write path. The probed
+    directory is ``tempfile.gettempdir()`` because that IS where
+    ``bench_find_forget_job`` puts its lake (``tempfile.mkdtemp`` with
+    no ``dir``), and it is recorded in the JSON so the reading stays
+    interpretable: if that path is tmpfs, the lane's rewrite hits the
+    same tmpfs and the probe still prices the right medium.
     """
-    path = os.path.join(tempfile.gettempdir(), "_s3f2_io_probe.bin")
-    buf = os.urandom(1 << 20)
+    probe_dir = tempfile.gettempdir()
+    path = os.path.join(probe_dir, "_s3f2_io_probe.bin")
+    data = os.urandom(mib << 20)  # incompressible AND dedup-proof
     best = 0.0
     try:
         for _ in range(runs):
             start = time.perf_counter()
             with open(path, "wb") as f:
-                for _ in range(mib):
-                    f.write(buf)
+                for off in range(mib):
+                    f.write(data[off << 20:(off + 1) << 20])
                 f.flush()
                 os.fsync(f.fileno())
             best = max(best, mib / (time.perf_counter() - start))
@@ -302,7 +349,23 @@ def io_probe(runs: int = 2, mib: int = 256) -> float:
             os.remove(path)
         except OSError:
             pass
-    return round(best, 1)
+    return {
+        "value": round(best, 1),
+        "unit": "MiB/s",
+        "workload": f"seq-write-fsync-{mib}MiB-fresh-max{runs}",
+        "path": probe_dir,
+    }
+
+
+# Rows whose wall-clock is DISK-bandwidth-bound, not CPU-bound: the
+# round-14 bisect (SCALE.md:930-971) proved find_forget_job's time is
+# its ~2 GiB rewrite I/O — its raw min tracked the disk probe's
+# 197-536 MiB/s oscillation while the CPU probe sat flat — so the
+# tripwire must normalize these rows by ``calibration_io``, not the CPU
+# probe (r14 verdict ask #2): a disk-weather swing scales row and probe
+# alike and stays quiet, while a genuine plan regression (more bytes
+# moved, or a new CPU stage) still flags at any bandwidth.
+IO_BOUND_ROWS = {"find_forget_job"}
 
 
 def evaluate_tripwire(
@@ -359,6 +422,7 @@ def evaluate_tripwire(
         if not isinstance(parsed, dict):
             continue
         cal = (parsed.get("calibration") or {}).get("value")
+        io = (parsed.get("calibration_io") or {}).get("value")
         lanes = {
             "sf0.1": parsed.get("queries"),
             "sf1": (parsed.get("sf1") or {}).get("queries"),
@@ -370,10 +434,11 @@ def evaluate_tripwire(
             if queries:
                 for q, v in queries.items():
                     hist.setdefault(lane, {}).setdefault(q, []).append(
-                        (v, cal)
+                        (v, cal, io)
                     )
 
     cur_cal = (out.get("calibration") or {}).get("value")
+    cur_io = (out.get("calibration_io") or {}).get("value")
     flagged: dict[str, dict] = {}
     current_lanes = {
         "sf0.1": out.get("queries"),
@@ -387,21 +452,33 @@ def evaluate_tripwire(
             prior = hist.get(lane, {}).get(q, [])
             if len(prior) < 2:
                 continue  # not enough band to distinguish noise
-            normed = [pv / pc for pv, pc in prior if pc]
             weather_suspect = False
-            if cur_cal and normed:
-                # floor in current-host seconds: best-ever cost per
-                # calibration-second, re-priced at today's probe time
-                floor = min(normed) * cur_cal
-                calibrated = True
-            else:
-                floor_v, floor_cal = min(prior, key=lambda t: t[0])
-                floor = floor_v
-                calibrated = False
-                # floor measured before the probe existed: the band
-                # aggregates the rig's best-ever weather and cannot be
-                # re-priced — treat a flag as weather-suspect
-                weather_suspect = floor_cal is None
+            basis = None
+            if q in IO_BOUND_ROWS and cur_io:
+                # disk-bound row: cost scales with 1/bandwidth, so the
+                # band lives in implied-MiB units (seconds x MiB/s);
+                # the floor converts back at TODAY's measured bandwidth
+                normed = [pv * pio for pv, pc, pio in prior if pio]
+                if normed:
+                    floor = min(normed) / cur_io
+                    calibrated = True
+                    basis = "io"
+            if basis is None:
+                normed = [pv / pc for pv, pc, pio in prior if pc]
+                if cur_cal and normed:
+                    # floor in current-host seconds: best-ever cost per
+                    # calibration-second, re-priced at today's probe
+                    floor = min(normed) * cur_cal
+                    calibrated = True
+                    basis = "cpu"
+                else:
+                    floor_v, floor_cal, _ = min(prior, key=lambda t: t[0])
+                    floor = floor_v
+                    calibrated = False
+                    # floor measured before the probe existed: the band
+                    # aggregates the rig's best-ever weather and cannot
+                    # be re-priced — treat a flag as weather-suspect
+                    weather_suspect = floor_cal is None
             if v > factor * floor and v - floor > min_delta:
                 flag = {
                     "current": v,
@@ -412,8 +489,14 @@ def evaluate_tripwire(
                 }
                 if calibrated:
                     flag["n_probed"] = len(normed)
+                    flag["basis"] = basis
                 elif weather_suspect:
                     flag["weather_suspect"] = True
+                if q in IO_BOUND_ROWS and basis != "io":
+                    # the round-14 bisect says a CPU/raw-banded flag on
+                    # a disk-bound row is uninterpretable — keep the
+                    # flag visible but say so
+                    flag["io_unpriced"] = True
                 flagged.setdefault(lane, {})[q] = flag
     out["tripwire"] = {
         "evaluated": True,
@@ -456,18 +539,14 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": {"value": cal, "workload": CAL_WORKLOAD},
-        "calibration_io": {
-            "value": io_probe(),
-            "unit": "MiB/s",
-            "workload": "seq-write-fsync-256MiB-max2",
-        },
+        "calibration_io": io_probe(),
     }
 
     # second lane: the same suite at 10x data (derived once, cached) so
     # shuffle-bound scaling regressions are measured per round, not once
     sf1_dir = ensure_sf1(SF_DIR)
     if sf1_dir:
-        sf1 = run_suite(spark, sf1_dir, RUNS, "sf1")
+        sf1 = run_suite(spark, sf1_dir, RUNS, "sf1", SF1_QUERIES)
         out["sf1"] = {"value": round(sum(sf1.values()), 3), "queries": sf1}
         # Claim soak at lane scale (round 14, r13 verdict ask #5): the
         # v4 corpora carry a class-conditional vocabulary shift, so the
@@ -534,20 +613,8 @@ def main():
                       file=sys.stderr)
                 _lane_gc()
 
-        # lane-only queries over corpora that exist only in derived
-        # scale dirs (not in the sweep registry — see catalog/dedup.py).
-        # text_curation_pipeline_v2 left this set round 14: it is now a
-        # registered, gated catalog row (corpus-adaptive — it still
-        # reads documents_v2 here in the lane).
-        from amazon_s3_find_and_forget_spark.catalog.dedup import (
-            q_dedup_simhash_pairs_v2,
-        )
-
-        lane_extras = {
-            "dedup_simhash_pairs_v2": q_dedup_simhash_pairs_v2,
-        }
         for name in SF10_QUERIES:
-            fn = lane_extras.get(name) or entry_queries.QUERIES[name]
+            fn = _resolve_query(name)
             sf10_run(name, lambda f=fn: f(spark, sf10_dir).count())
         # find_forget_job times itself (its lake setup is excluded), so
         # it gets its own min-of-2 loop instead of sf10_run's timer
@@ -581,9 +648,47 @@ def main():
         }
         if sf10_errors:
             out["sf10"]["errors"] = sf10_errors
+        # Claim soak at the 100x decade too (round-15, r14 verdict ask
+        # #6): the v4 class markers tile into the sf10 corpus unchanged,
+        # so the classifier's quality booleans must HOLD there — the
+        # selection layer's evidence rides the decade the scale claims
+        # live on, not just sf1.
+        try:
+            start = time.perf_counter()
+            claims = entry_queries.QUERIES["text_quality_classifier"](
+                spark, sf10_dir
+            ).collect()[0].asDict()
+            bools = {k: v for k, v in claims.items() if isinstance(v, bool)}
+            out["sf10"]["claims"] = {"text_quality_classifier": bools}
+            out["sf10"]["claims_sec"] = round(
+                time.perf_counter() - start, 3
+            )
+            if not all(bools.values()):
+                print(f"# [sf10] CLAIM FAILURE text_quality_classifier: "
+                      f"{bools}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — lane is optional
+            out["sf10"]["claims"] = {
+                "text_quality_classifier": f"ERR {type(e).__name__}: {e}"
+            }
+        _lane_gc()
 
     evaluate_tripwire(out, os.path.dirname(os.path.abspath(__file__)))
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    # Persist the full payload to disk too (round-15, r14 verdict ask
+    # #7): two rounds running the driver's tail capture truncated the
+    # recorded artifact (BENCH_r13/r14 `parsed: null`, the sf0.1 block
+    # recoverable only from SCALE.md) — the on-disk copy is the
+    # artifact of record when stdout gets clipped.
+    json_out = os.environ.get("SPARK_GRAFT_BENCH_JSON_OUT")
+    for i, a in enumerate(sys.argv):
+        if a == "--json-out" and i + 1 < len(sys.argv):
+            json_out = sys.argv[i + 1]
+        elif a.startswith("--json-out="):
+            json_out = a.split("=", 1)[1]
+    if json_out:
+        with open(json_out, "w") as f:
+            f.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

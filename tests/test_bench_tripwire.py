@@ -164,3 +164,67 @@ def test_calibration_engages_at_one_probed_prior(tmp_path):
     assert flags["q1"]["n_probed"] == 1
     # floor re-priced via the one probed prior: (1.1/0.5) * 1.0 = 2.2
     assert flags["q1"]["band_floor"] == 2.2
+
+
+def _record_io(tmp_path, n, queries, cal, io):
+    parsed = {
+        "queries": queries,
+        "calibration": {"value": cal},
+        "calibration_io": {"value": io},
+    }
+    (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+        json.dumps({"n": n, "rc": 0, "parsed": parsed})
+    )
+
+
+def test_io_bound_row_normalizes_by_disk_probe(tmp_path):
+    """The round-14 bisect case: find_forget_job is disk-bandwidth-
+    bound (its raw min tracked the 197-536 MiB/s disk oscillation while
+    the CPU probe sat flat), so its band must live in seconds x MiB/s.
+    Disk weather — row 2.5x slower, disk probe 2.5x slower, CPU probe
+    FLAT (exactly what round 14 measured) — must stay quiet; a plan
+    regression (3x the bytes at the same bandwidth) must flag with the
+    io basis. CPU-bound neighbors keep the CPU band either way."""
+    _record_io(tmp_path, 1, {"find_forget_job": 4.0, "q2": 1.0}, 0.5, 500.0)
+    _record_io(tmp_path, 2, {"find_forget_job": 4.4, "q2": 1.1}, 0.5, 450.0)
+    # disk-weather run: bandwidth collapsed 500 -> 200 MiB/s, the row
+    # scaled with it (4.0 * 500/200 = 10.0), CPU probe flat — the CPU
+    # band would price the floor at 4.0 and false-flag at ratio 2.5
+    out = {
+        "queries": {"find_forget_job": 10.0, "q2": 1.05},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 200.0},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+    # regression run: same 200 MiB/s disk, but the row moved 3x the
+    # bytes — io-normalized floor is min(4.0*500, 4.4*450)/200 = 9.9s,
+    # current 30.0
+    out = {
+        "queries": {"find_forget_job": 30.0, "q2": 1.05},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 200.0},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flags = out["tripwire"]["flagged"]["sf0.1"]
+    assert list(flags) == ["find_forget_job"]
+    assert flags["find_forget_job"]["basis"] == "io"
+    assert flags["find_forget_job"]["band_floor"] == 9.9
+    assert flags["find_forget_job"]["ratio"] == 3.03
+
+
+def test_io_bound_row_without_io_history_marks_unpriced(tmp_path):
+    """Pre-io-probe history degrades to the CPU band, but any flag on a
+    disk-bound row priced that way carries io_unpriced — the round-14
+    bisect says such a flag cannot distinguish plan from disk weather."""
+    _record_cal(tmp_path, 1, {"find_forget_job": 4.0}, 0.5)
+    _record_cal(tmp_path, 2, {"find_forget_job": 4.4}, 0.5)
+    out = {
+        "queries": {"find_forget_job": 30.0},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 200.0},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flag = out["tripwire"]["flagged"]["sf0.1"]["find_forget_job"]
+    assert flag["basis"] == "cpu"
+    assert flag["io_unpriced"] is True
