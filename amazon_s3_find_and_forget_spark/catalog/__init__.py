@@ -65,6 +65,14 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # trained BPE merge table, claims-gated: one distributed vocabulary
 # cut + bounded driver loop) enters; events_interval_counts to the
 # tail.
+# Round-15 rotation: dedup_exact_substrings + dedup_exact_substrings_mask
+# (ExactSubstr, Lee et al. 2021 — variable-length verbatim repeat
+# removal via the window-tiling algebra, hash-counted + string-
+# verified; both reassembly modes per the every-kernel rule; full
+# value oracles) enter the window; long-stable dedup_ngram_pairs and
+# text_token_count rotate to the tail (both still swept every round;
+# the n-gram pair kernel stays gated through dedup_components and the
+# token counter through text_token_count_bpe).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -80,7 +88,7 @@ GATE_ORDER = [
     "embedding_incremental_complete",
     "similarity_ivfpq_recall",
     "text_stratified_sample",
-    "dedup_ngram_pairs",
+    "dedup_exact_substrings",
     "similarity_prototype_prune",
     "find_rows_composite",
     "find_rows_nested",
@@ -104,7 +112,7 @@ GATE_ORDER = [
     "text_quality_classifier",
     "text_llm_pipeline",
     "text_bigram_nll",
-    "text_token_count",
+    "dedup_exact_substrings_mask",
     "text_token_count_bpe",
     "text_length_percentiles",
     "events_topn_per_user",
@@ -124,6 +132,8 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "dedup_ngram_pairs",
+    "text_token_count",
     "events_interval_counts",
     "orders_quantile_sketch",
     "text_exact_mixture",

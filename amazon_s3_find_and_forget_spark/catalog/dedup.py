@@ -285,6 +285,34 @@ def q_dedup_decontaminate_spans(spark, sf_dir):
     )
 
 
+def q_dedup_exact_substrings(spark, sf_dir):
+    """ExactSubstr (Lee et al. 2021) at min_tokens=20: every token
+    inside a VERBATIM >= 20-token substring occurring >= 2 times
+    anywhere in the corpus is cut from ALL occurrences — variable-
+    length repeats via the window-tiling algebra, no canonical keep,
+    no case folding (the released tool's semantics; contrast
+    dedup_span_removal's fixed-8-gram canonical-keep). The engine runs
+    the hash-count + string-verify two-phase; the oracle recomputes the
+    same semantics directly over window strings, so the hash phase's
+    exactness (a 64-bit collision must be filtered by verification,
+    never cut a unique span) is what the hash compare proves. FULL
+    value oracle: the rewritten text itself is hash-compared."""
+    return dedup.dedup_exact_substrings(
+        load(spark, sf_dir, "documents"), min_tokens=20
+    )
+
+
+def q_dedup_exact_substrings_mask(spark, sf_dir):
+    """Mask-mode sibling of dedup_exact_substrings (the standing
+    every-kernel rule: both reassembly modes of every span kernel are
+    gated): each maximal removed run collapses to ONE '[DUP]' token,
+    preserving where the duplicated mass sat. Same full value oracle
+    discipline — the masked text is hash-compared."""
+    return dedup.dedup_exact_substrings(
+        load(spark, sf_dir, "documents"), min_tokens=20, mode="mask"
+    )
+
+
 _PARA_FOOTER = "shared boilerplate footer"
 
 
@@ -518,6 +546,8 @@ QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_span_mask": q_dedup_span_mask,
+    "dedup_exact_substrings": q_dedup_exact_substrings,
+    "dedup_exact_substrings_mask": q_dedup_exact_substrings_mask,
     "dedup_decontaminate_spans": q_dedup_decontaminate_spans,
     "dedup_decontaminate_mask": q_dedup_decontaminate_mask,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -615,6 +645,105 @@ ORACLES = {
           FROM (SELECT doc_id, pos FROM ranked
                 WHERE cnt >= 2 AND rn > 1)
           CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off)
+        ), tokrows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t)),
+                   i -> struct_pack(p := i, tok := t[i]))) AS x
+          FROM toks
+        ), kept AS (
+          SELECT tr.doc_id, tr.x.p AS p, tr.x.tok AS tok
+          FROM tokrows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM removed_pos r
+            WHERE r.doc_id = tr.doc_id AND r.p = tr.x.p)
+        ), marked AS (
+          SELECT doc_id, p, tok,
+                 CASE WHEN p - lag(p, 1, 0) OVER (
+                        PARTITION BY doc_id ORDER BY p) > 1
+                      THEN '[DUP] ' || tok ELSE tok END AS piece
+          FROM kept
+        ), agg AS (
+          SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS body,
+                 max(p) AS maxp, count(*) AS kept_n
+          FROM marked GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CASE WHEN len(t.t) = 0 THEN ''
+                    WHEN a.doc_id IS NULL THEN '[DUP]'
+                    WHEN a.maxp < len(t.t) THEN a.body || ' [DUP]'
+                    ELSE a.body END AS text,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
+                 AS removed_tokens
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    "dedup_exact_substrings": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                   x -> x <> '') AS t
+          FROM documents
+        ), occ AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t) - 19),
+                   i -> struct_pack(
+                     pos := i,
+                     g := array_to_string(t[i:i+19], ' ')))) AS o
+          FROM toks WHERE len(t) >= 20
+        ), dup AS (
+          SELECT o.g AS g FROM occ GROUP BY o.g HAVING count(*) >= 2
+        ), removed_pos AS (
+          SELECT DISTINCT doc_id, o.pos + off AS p
+          FROM occ JOIN dup ON occ.o.g = dup.g
+          CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS off)
+        ), tokrows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t)),
+                   i -> struct_pack(p := i, tok := t[i]))) AS x
+          FROM toks
+        ), kept AS (
+          SELECT tr.doc_id, tr.x.p AS p, tr.x.tok AS tok
+          FROM tokrows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM removed_pos r
+            WHERE r.doc_id = tr.doc_id AND r.p = tr.x.p)
+        ), agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(a.text, '') AS text,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
+                 AS removed_tokens
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    "dedup_exact_substrings_mask": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                   x -> x <> '') AS t
+          FROM documents
+        ), occ AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t) - 19),
+                   i -> struct_pack(
+                     pos := i,
+                     g := array_to_string(t[i:i+19], ' ')))) AS o
+          FROM toks WHERE len(t) >= 20
+        ), dup AS (
+          SELECT o.g AS g FROM occ GROUP BY o.g HAVING count(*) >= 2
+        ), removed_pos AS (
+          SELECT DISTINCT doc_id, o.pos + off AS p
+          FROM occ JOIN dup ON occ.o.g = dup.g
+          CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS off)
         ), tokrows AS (
           SELECT doc_id,
                  unnest(list_transform(

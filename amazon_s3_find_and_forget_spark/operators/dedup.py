@@ -1360,13 +1360,16 @@ def _gram_occurrences(
     text_col: str,
     id_col: str,
     with_pos: bool = True,
+    lowercase: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared span-operator tokenization: returns ``(toks, occ)`` where
     ``toks`` is the ``(_id, _t)`` whitespace-token-array relation (what
     reconstruction rebuilds from) and ``occ`` is the lowercased n-gram
     occurrence stream — ``(_id, _pos, g)`` with 1-based start positions,
     or just ``(g)`` when ``with_pos=False`` (a benchmark side that only
-    needs gram identity).
+    needs gram identity). ``lowercase=False`` keeps gram identity
+    VERBATIM (the ExactSubstr convention — Lee et al. dedup bytes, not
+    case-folded text).
 
     \\S+ runs via the pattern-cached regexp path (identical to the
     empty-filtered split; see text.tokens for the recompile trap). The
@@ -1394,7 +1397,8 @@ def _gram_occurrences(
             lambda i: F.array_join(F.slice("_tl", i, n), " "),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    lowered = toks.withColumn("_tl", F.transform("_t", F.lower))
+    shadow = F.transform("_t", F.lower) if lowercase else F.col("_t")
+    lowered = toks.withColumn("_tl", shadow)
     if with_pos:
         occ = lowered.select(
             "_id", F.posexplode(grams_col).alias("_i", "g")
@@ -1575,6 +1579,141 @@ def decontaminate_spans(
             )
     finally:
         bench_grams.unpersist()
+
+
+def dedup_exact_substrings(
+    df: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "cut",
+    mask_token: str = "[DUP]",
+    min_count: int = 2,
+) -> DataFrame:
+    """Variable-length exact-substring dedup — ExactSubstr (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    public): remove every token that lies inside a VERBATIM substring
+    of >= ``min_tokens`` tokens occurring >= ``min_count`` times in the
+    corpus (across documents or repeated within one). Unlike
+    :func:`remove_duplicated_spans` (fixed-n spans, canonical-keep)
+    there is no kept occurrence and no case folding: the released
+    ExactSubstr tool cuts EVERY copy of a duplicated sequence, and it
+    matches bytes, not case-folded text.
+
+    Exactness via window algebra (this is what makes the semantics
+    VARIABLE-length with a fixed-width scan): a repeated substring of
+    length ``m >= L`` is exactly tiled by its ``m - L + 1`` repeated
+    L-token windows, and every repeated L-window is itself a repeated
+    substring of length L — so the union of positions covered by
+    duplicated L-windows IS the set of positions inside repeated
+    substrings of length >= L, at any repeat length. The suffix array
+    the reference tool builds becomes two aggregations.
+
+    Scale shape (the 100-TB reading): the occurrence stream that
+    persists/shuffles is ``(id, pos, xxhash64(window))`` — ~16 B per
+    token position, never the window strings (a gram-string stream
+    would write-amplify the corpus ~``min_tokens``-fold; contrast
+    ``remove_duplicated_spans``' 8-gram stream, where the string is
+    cheap). Window counting is a map-side-combinable groupBy over
+    8-byte keys — a corpus-wide stop-window is ONE shuffled key. The
+    duplicated-hash relation is priced by its counted size against
+    ``BAND_BROADCAST_BUDGET`` (broadcast under, shuffled merge above —
+    duplicated mass grows with the corpus, so a forced broadcast would
+    OOM exactly like the vocabulary joins). Hash survivors are then
+    VERIFIED against real window text, re-sliced from the per-document
+    token arrays for candidate positions only — a relation the size of
+    the corpus' duplicated mass — so a 64-bit collision can never cut
+    a unique span: the result is exact, not probabilistic, at hash-
+    stream cost. Reconstruction shares ``_reconstruct_without_spans``
+    (document-bounded arrays, codegen expressions, one join).
+
+    Returns ``(id, text, n_tokens, removed_tokens)``.
+    """
+    if mode not in ("cut", "mask"):
+        raise ValueError(f"mode must be 'cut' or 'mask', got {mode!r}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens={min_tokens} must be >= 1")
+    if min_count < 2:
+        raise ValueError(f"min_count={min_count} must be >= 2")
+    from pyspark import StorageLevel
+
+    toks, occ = _gram_occurrences(
+        df, min_tokens, text_col, id_col, lowercase=False
+    )
+    # window identity collapses to 8 bytes BEFORE anything persists or
+    # shuffles; feeds the count aggregate AND the candidate probe
+    hstream = occ.select(
+        "_id", "_pos", F.xxhash64("g").alias("_h")
+    ).persist(StorageLevel.DISK_ONLY)
+    cand = sliced = None
+    try:
+        with _pair_agg_confs(df.sparkSession):
+            cand = (
+                hstream.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_hc"))
+                .where(F.col("_hc") >= min_count)
+                .select("_h")
+                .persist()
+            )
+            # counted-size pricing: 8 B key + ~48 B row overhead
+            n_cand = cand.count()
+            side = (
+                F.broadcast(cand)
+                if n_cand * 56 <= BAND_BROADCAST_BUDGET
+                else cand.hint("merge")
+            )
+            hits = hstream.join(side, "_h").select("_id", "_pos")
+            # verify phase: re-slice the candidate windows' text from
+            # the document token arrays (positions aggregate to one
+            # document-bounded array; AQE broadcasts the per-doc
+            # relation when few documents carry candidates)
+            cand_by_doc = hits.groupBy("_id").agg(
+                F.collect_list("_pos").alias("_ps")
+            )
+            sliced = (
+                toks.join(cand_by_doc, "_id")
+                .select(
+                    "_id",
+                    F.explode(
+                        F.transform(
+                            "_ps",
+                            lambda p: F.struct(
+                                p.alias("_pos"),
+                                F.array_join(
+                                    F.slice("_t", p, min_tokens), " "
+                                ).alias("g"),
+                            ),
+                        )
+                    ).alias("_x"),
+                )
+                .select("_id", F.col("_x._pos").alias("_pos"),
+                        F.col("_x.g").alias("g"))
+                .persist(StorageLevel.DISK_ONLY)
+            )
+            # string-confirmed duplicated windows: every occurrence of a
+            # window repeated >= min_count times is removed (no
+            # canonical keep). The confirmed-window relation is
+            # duplicated-mass-sized and corpus-growing — forced merge
+            # join, same discipline as the span-removal gram stats.
+            dupg = (
+                sliced.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") >= min_count)
+                .select("g")
+            )
+            removed = sliced.join(dupg.hint("merge"), "g").select(
+                "_id", "_pos"
+            )
+            return _reconstruct_without_spans(
+                toks, removed, min_tokens, mode, mask_token,
+                text_col, id_col,
+            )
+    finally:
+        hstream.unpersist()
+        if cand is not None:
+            cand.unpersist()
+        if sliced is not None:
+            sliced.unpersist()
 
 
 def remove_duplicated_paragraphs(

@@ -166,6 +166,12 @@ SF10_QUERIES = [
     # round 14: paragraph-level exact dedup (C4/Dolma granularity) over
     # the deterministically paragraph-ized 500k-doc corpus
     "dedup_paragraphs",
+    # round 15: ExactSubstr (Lee et al. 2021) — variable-length verbatim
+    # repeat removal via hash-counted + string-verified 20-token
+    # windows; the tiled lane corpus is a worst case (nearly every
+    # window duplicated ~100x), so this cell prices the verify phase's
+    # duplicated-mass bound, not a sparse-dup best case
+    "dedup_exact_substrings",
 ]
 # Round-13 lane additions:
 # - dedup_simhash_pairs_v2 runs over the documents_v2 near-dup variant

@@ -2658,6 +2658,88 @@ def test_decontaminate_spans_removes_all_occurrences(spark):
     assert r.text == "x" and r.removed_tokens == 10
 
 
+def test_dedup_exact_substrings_hand_case(spark):
+    # variable-length semantics: a 20-token run shared by docs 1 and 2
+    # (at DIFFERENT offsets) is cut from BOTH (no canonical keep); a
+    # 10-token overlap is under min_tokens and survives; a within-doc
+    # repeat loses both copies; case differences are NOT duplicates
+    # (verbatim matching, unlike the lowercasing fixed-n span ops)
+    run = " ".join(f"r{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb " + run + " cc"),
+            (2, run + " zz yy"),
+            (3, " ".join(f"r{i}" for i in range(10)) + " uu vv"),
+            (4, run + " sep " + run),
+            (5, "short doc"),
+            (6, None),
+            (7, ""),
+            (8, run.upper() + " qq"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.dedup_exact_substrings(df, min_tokens=20).collect()
+    }
+    assert got[1].text == "aa bb cc" and got[1].removed_tokens == 20
+    assert got[2].text == "zz yy" and got[2].removed_tokens == 20
+    assert got[3].removed_tokens == 0
+    assert got[4].text == "sep" and got[4].removed_tokens == 40
+    assert got[5].text == "short doc" and got[5].removed_tokens == 0
+    assert got[6].text == "" and got[6].n_tokens == 0
+    assert got[7].text == ""
+    assert got[8].removed_tokens == 0  # upper-case run is unique
+    masked = {
+        r.doc_id: r.text
+        for r in dedup.dedup_exact_substrings(
+            df, min_tokens=20, mode="mask"
+        ).collect()
+    }
+    assert masked[1] == "aa bb [DUP] cc"
+    assert masked[4] == "[DUP] sep [DUP]"
+    with pytest.raises(ValueError, match="mode"):
+        dedup.dedup_exact_substrings(df, mode="drop")
+    with pytest.raises(ValueError, match="min_tokens"):
+        dedup.dedup_exact_substrings(df, min_tokens=0)
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.dedup_exact_substrings(df, min_count=1)
+
+
+def test_dedup_exact_substrings_variable_length_union(spark):
+    # a 25-token repeat must be removed WHOLE: its 6 overlapping
+    # 20-windows each repeat, and their covered-position union is the
+    # full 25 tokens — the window-tiling algebra the docstring claims
+    run = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, run + " tail1"), (2, "head2 " + run)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.dedup_exact_substrings(df, min_tokens=20).collect()
+    }
+    assert got[1].text == "tail1" and got[1].removed_tokens == 25
+    assert got[2].text == "head2" and got[2].removed_tokens == 25
+
+
+def test_dedup_exact_substrings_hash_phase_plan(spark, monkeypatch):
+    # the occurrence stream that persists/shuffles must carry xxhash64
+    # window identities, and the confirmed-window relation joins back
+    # with the forced merge (corpus-growing, never broadcast)
+    monkeypatch.setattr(dedup, "_eager", lambda d: d)
+    run = " ".join(f"p{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(i, run + f" uniq{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_exact_substrings(df, min_tokens=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" in plan  # the dupg merge join
+    assert out.where("removed_tokens = 20").count() == 30
+
+
 def test_gram_matrix_exact_vs_numpy(spark):
     import numpy as np
 
