@@ -174,7 +174,21 @@ def q_text_temperature_mixture(spark, sf_dir):
     that DuckDB reproduces bit-exactly, so the hash-threshold copy
     draw — and therefore every (doc, copy) row — matches across
     engines. Small sources upsample (epoch replication), big ones
-    downsample, expected total stays at corpus size."""
+    downsample, expected total stays at corpus size.
+
+    Known oracle dependencies (round-15 ADVICE adjudication): the
+    bit-exactness claim leans on (a) alpha=0.5 making ``n^alpha`` a
+    correctly-rounded sqrt — any other alpha is libm-``pow`` and this
+    row deliberately does NOT gate it — and (b) DuckDB honoring
+    ``sum(... ORDER BY s)`` as an ordered FP fold, which current
+    DuckDB guarantees for ordered aggregates. If a future DuckDB made
+    that sum parallel/unordered the gate would fail LOUDLY (a value-
+    hash mismatch on a deterministic row, not intermittent flake:
+    both engines are deterministic per version, so a divergence is
+    stable until re-pinned). Contingency, pre-agreed so a failure is a
+    mechanical swap: re-gate as a claims row (copy counts per stratum
+    within +-1 of n_s*rate, total in the binomial band) — the same
+    downgrade path every seeded row already uses."""
     return text.temperature_mixture(
         load(spark, sf_dir, "documents"), alpha=0.5, salt="r14tm"
     ).select("doc_id", "source", "copy")
