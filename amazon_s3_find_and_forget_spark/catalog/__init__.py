@@ -72,7 +72,10 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # value oracles) enter the window; long-stable dedup_ngram_pairs and
 # text_token_count rotate to the tail (both still swept every round;
 # the n-gram pair kernel stays gated through dedup_components and the
-# token counter through text_token_count_bpe).
+# token counter through text_token_count_bpe). dedup_incremental_bloom
+# (Dolma-style bounded-memory Bloom screening, claims gate: subset/
+# fp-bound/fill/update contracts) also enters; long-stable
+# text_length_percentiles rotates to the tail.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -114,7 +117,7 @@ GATE_ORDER = [
     "text_bigram_nll",
     "dedup_exact_substrings_mask",
     "text_token_count_bpe",
-    "text_length_percentiles",
+    "dedup_incremental_bloom",
     "events_topn_per_user",
     "text_bpe_train",
     "embedding_near_dups_exact",
@@ -134,6 +137,7 @@ GATE_ORDER = [
 TAIL_ORDER = [
     "dedup_ngram_pairs",
     "text_token_count",
+    "text_length_percentiles",
     "events_interval_counts",
     "orders_quantile_sketch",
     "text_exact_mixture",

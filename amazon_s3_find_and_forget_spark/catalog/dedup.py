@@ -452,6 +452,57 @@ def q_dedup_incremental_complete(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """Bloom-filter batch screening quality (gate check; Dolma's
+    bounded-memory dedupe primitive, Soldaini et al. 2024). History
+    (doc_id % 3 != 0) folds into a filter sized by ``bloom_params``
+    (capacity = history count, fpp = 1 %); the arriving batch
+    (doc_id % 3 == 0) is screened map-only. Deterministic claims
+    (hashes are seed-free xxhash64, so every set below is a pure
+    function of the corpus):
+
+    - no_false_negatives: the Bloom novel set is a SUBSET of the exact
+      screen's novel set — the structure can only over-drop (a false
+      positive claims "seen"), never re-admit a duplicate;
+    - fp_ok: the over-drop count is within 5 + ceil(5% of the exact
+      novel count) — 5x the priced 1 % rate plus an absolute floor,
+      sized across the three corpora like the recall gates;
+    - fill_ok: the built filter's bit fill is in (0, 0.55] — optimal-k
+      sizing lands near 0.5; a fill past 0.55 means the sizing or the
+      double-hashing kernel broke;
+    - update_ok: OR-ing the returned delta into the filter and
+      re-screening the same batch yields ZERO novel rows — the
+      append-only update contract.
+    """
+    from ..operators import incremental as inc
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    arriving = docs.where(F.col("doc_id") % 3 == 0)
+    n_arriving = arriving.count()
+    n_hist = hist.count()
+    m, k = inc.bloom_params(max(n_hist, 1), 0.01)
+    bits = inc.bloom_build(hist, m, k)
+    fill = int(np.unpackbits(bits.view(np.uint8)).sum()) / m
+    novel, delta = inc.incremental_bloom_dedup(arriving, bits, k)
+    bloom_ids = {r[0] for r in novel.select("doc_id").collect()}
+    exact_novel, _ = inc.incremental_exact_dedup(
+        arriving, inc.exact_index(hist)
+    )
+    exact_ids = {r[0] for r in exact_novel.select("doc_id").collect()}
+    overdrop = len(exact_ids - bloom_ids)
+    rescreen, _ = inc.incremental_bloom_dedup(arriving, bits | delta, k)
+    return _summary_row(
+        spark,
+        n_arriving=n_arriving,
+        no_false_negatives=bloom_ids.issubset(exact_ids),
+        fp_ok=(overdrop <= 5 + -(-len(exact_ids) * 5 // 100)),
+        fill_ok=(0 < fill <= 0.55),
+        update_ok=(rescreen.count() == 0),
+    )
+
+
 def q_dedup_minhash_recall(spark, sf_dir):
     """MinHash-LSH dedup quality vs exact shingle Jaccard (gate check).
 
@@ -553,6 +604,7 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_incremental_exact": q_dedup_incremental_exact,
     "dedup_incremental_complete": q_dedup_incremental_complete,
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_simhash_complete": q_dedup_simhash_complete,
     "dedup_minhash_survivors": q_dedup_minhash_survivors,
@@ -972,6 +1024,11 @@ ORACLES = {
         SELECT count(*) AS n_arriving, TRUE AS exact_complete,
                TRUE AS sound
         FROM documents WHERE doc_id < 1500 AND doc_id % 3 = 0
+    """,
+    "dedup_incremental_bloom": """
+        SELECT count(*) AS n_arriving, TRUE AS no_false_negatives,
+               TRUE AS fp_ok, TRUE AS fill_ok, TRUE AS update_ok
+        FROM documents WHERE doc_id % 3 = 0
     """,
     "dedup_minhash_recall": """
         SELECT count(*) AS n_docs, TRUE AS recall_ok, TRUE AS precision_ok

@@ -275,7 +275,7 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--index-dir", required=True)
     ds.add_argument("--novel-out", required=True)
     ds.add_argument("--mode", default="exact",
-                    choices=["exact", "minhash", "embedding"])
+                    choices=["exact", "minhash", "embedding", "bloom"])
     ds.add_argument("--text-column", default="text")
     ds.add_argument("--id-column", default="doc_id")
     ds.add_argument("--threshold", type=float, default=None,
@@ -295,6 +295,15 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--lsh-seed", type=int, default=42,
                     help="hyperplane seed (embedding mode); must match "
                     "the index — mismatches are undetectable, see --bits")
+    ds.add_argument("--bloom-capacity", type=int, default=None,
+                    help="bloom mode, FIRST batch only: expected total "
+                    "corpus size the filter is sized for (the filter's "
+                    "memory is fixed up front — Bloom's whole point); "
+                    "later batches inherit the index's geometry")
+    ds.add_argument("--bloom-fpp", type=float, default=0.01,
+                    help="bloom mode: priced false-positive rate — the "
+                    "fraction of genuinely-novel documents the screen "
+                    "may wrongly drop (default 1%%)")
     ds.add_argument(
         "--batch-id",
         default=None,
@@ -780,6 +789,10 @@ def main(argv: list[str] | None = None) -> int:
             "exact": ["content_hash", args.id_column],
             "minhash": ["_id", "_sig"],
             "embedding": ["_id", "_u", "_k"],
+            # bloom deltas are one bitmap row per batch; the read path
+            # ORs committed rows, so compaction's row-concatenating
+            # fold is already correct for this layout
+            "bloom": ["bits", "num_bits", "num_hashes"],
         }[args.mode]
         # UNCOMMITTED partitions never screen: a crashed earlier run can
         # leave a markerless batch=<d1> dir with footer-bearing part
@@ -829,16 +842,59 @@ def main(argv: list[str] | None = None) -> int:
                     emb_col=args.embedding_column, id_col=args.id_column,
                     seed=args.lsh_seed,
                 )
+                if args.mode == "embedding"
+                else eng.spark.createDataFrame(
+                    [], "bits binary, num_bits long, num_hashes int"
+                )
             ),
         )
         threshold = (
             args.threshold
             if args.threshold is not None
-            else {"exact": 0.0, "minhash": 0.8, "embedding": 0.95}[args.mode]
+            else {"exact": 0.0, "minhash": 0.8, "embedding": 0.95,
+                  "bloom": 0.0}[args.mode]
         )
         if args.mode == "exact":
             novel, delta = inc.incremental_exact_dedup(
                 batch, index, args.text_column, args.id_column
+            )
+        elif args.mode == "bloom":
+            import numpy as np
+
+            rows = index.collect()  # one bitmap row per committed batch
+            if rows:
+                num_bits = int(rows[0]["num_bits"])
+                n_hashes = int(rows[0]["num_hashes"])
+                if any(
+                    int(r["num_bits"]) != num_bits
+                    or int(r["num_hashes"]) != n_hashes
+                    for r in rows
+                ):
+                    p.error(
+                        "bloom index mixes filter geometries — deltas "
+                        "disagree on num_bits/num_hashes; screen a new "
+                        "geometry into a fresh --index-dir"
+                    )
+                bits = np.zeros(num_bits // 64, dtype=np.uint64)
+                for r in rows:
+                    bits |= np.frombuffer(bytes(r["bits"]), dtype=np.uint64)
+            else:
+                if args.bloom_capacity is None:
+                    p.error(
+                        "--mode bloom requires --bloom-capacity on the "
+                        "first batch (the filter's fixed memory is sized "
+                        "from it)"
+                    )
+                num_bits, n_hashes = inc.bloom_params(
+                    args.bloom_capacity, args.bloom_fpp
+                )
+                bits = np.zeros(num_bits // 64, dtype=np.uint64)
+            novel, delta_bits = inc.incremental_bloom_dedup(
+                batch, bits, n_hashes, args.text_column, args.id_column
+            )
+            delta = eng.spark.createDataFrame(
+                [(bytearray(delta_bits.tobytes()), num_bits, n_hashes)],
+                "bits binary, num_bits long, num_hashes int",
             )
         elif args.mode == "minhash":
             novel, delta = inc.incremental_minhash_dedup(

@@ -309,6 +309,189 @@ def incremental_minhash_dedup(
     return novel, delta
 
 
+def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: ``m = -n ln p / (ln 2)^2`` bits (rounded
+    up to a 64-bit word), ``k = (m/n) ln 2`` hash functions. At
+    ``fpp=0.01`` that is ~9.6 bits and 7 probes per key — 1.2 MB per
+    million documents, the bounded-memory point of the structure."""
+    import math
+
+    if capacity < 1:
+        raise ValueError(f"capacity={capacity} must be >= 1")
+    if not 0 < fpp < 1:
+        raise ValueError(f"fpp={fpp} must be in (0, 1)")
+    m = int(math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / capacity * math.log(2)))
+    return m, k
+
+
+def _bloom_hashes(text_col: str):
+    """Two independent 64-bit content hashes, computed JVM-side (one
+    codegen pass, no Python in the hot path): the Kirsch-Mitzenmacher
+    double-hashing base — probe ``i`` lands at ``(h1 + i*h2) mod m``
+    in uint64 arithmetic, identical in build and probe because both
+    run the same numpy kernel. NULL text folds to the exact screen's
+    sentinel so the two screens stay convergent on null-text docs."""
+    safe = F.coalesce(F.col(text_col), F.lit("__NULL_TEXT__"))
+    return F.xxhash64(safe).alias("_h1"), F.xxhash64(safe, F.lit(1)).alias(
+        "_h2"
+    )
+
+
+def _bloom_positions(h1, h2, num_bits: int, num_hashes: int):
+    """k probe positions for int64 hash arrays, uint64 wraparound."""
+    import numpy as np
+
+    a = h1.astype(np.uint64)
+    b = h2.astype(np.uint64)
+    return [
+        ((a + np.uint64(i) * b) % np.uint64(num_bits)).astype(np.int64)
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    text_col: str = "text",
+):
+    """Build a Bloom membership filter over document content — the
+    bounded-memory screening primitive of the AI2 Dolma dedupe tool
+    (Soldaini et al. 2024, public; CCNet uses the same structure):
+    where ``exact_index`` stores one row per distinct content (exact,
+    index grows with the corpus), the Bloom filter stores a FIXED
+    ``num_bits/8`` bytes chosen up front from (capacity, fpp) and
+    answers "seen before?" with no false negatives and a priced
+    false-positive rate.
+
+    Distributed build: content hashes are JVM codegen (xxhash64 twice);
+    each partition folds its documents into one packed ``uint64``
+    bitmap in a vectorized numpy kernel (``np.bitwise_or.reduceat``-
+    free — plain ``|=`` on k position arrays), and the driver ORs the
+    per-partition bitmaps. Driver transfer is ``partitions x
+    num_bits/8`` bytes — the filter is a sketch the operator's whole
+    contract says fits in memory (1.2 MB per 1M docs at 1 %), so the
+    OR-fold is never the bottleneck; a lake-scale build would coalesce
+    to O(100) partitions first.
+
+    Returns the bitmap as a numpy ``uint64`` array of ``num_bits/64``
+    words (OR filters together to union corpora; serialize with
+    ``.tobytes()``).
+    """
+    import numpy as np
+
+    if num_bits % 64:
+        raise ValueError(f"num_bits={num_bits} must be a multiple of 64")
+    h1, h2 = _bloom_hashes(text_col)
+    hashed = df.select(h1, h2)
+    n_words = num_bits // 64
+    schema = "bits binary"
+
+    def fold(batches):
+        words = np.zeros(n_words, dtype=np.uint64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            for pos in _bloom_positions(
+                pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(),
+                num_bits, num_hashes,
+            ):
+                np.bitwise_or.at(
+                    words, pos >> 6,
+                    np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)),
+                )
+        if any_rows:
+            import pandas as pd
+
+            yield pd.DataFrame({"bits": [words.tobytes()]})
+
+    parts = hashed.mapInPandas(fold, schema).collect()
+    out = np.zeros(n_words, dtype=np.uint64)
+    for row in parts:
+        out |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return out
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bits,
+    num_hashes: int,
+    text_col: str = "text",
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Map-only membership probe: adds ``flag_col`` (boolean). The
+    bitmap rides a SparkContext broadcast (shipped once per executor,
+    like the prototypicality centroids); per batch the kernel is k
+    vectorized gather-and-test passes over the JVM-computed hashes —
+    no shuffle, no join, at any corpus size."""
+    import numpy as np
+
+    num_bits = len(bits) * 64
+    bc = df.sparkSession.sparkContext.broadcast(bits)
+    h1, h2 = _bloom_hashes(text_col)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def probe(h1s, h2s):
+        import pandas as pd
+
+        words = bc.value
+        hit = None
+        for pos in _bloom_positions(
+            h1s.to_numpy(), h2s.to_numpy(), num_bits, num_hashes
+        ):
+            w = words[pos >> 6]
+            b = (
+                w >> (pos.astype(np.uint64) & np.uint64(63))
+            ).astype(np.uint64) & np.uint64(1)
+            hit = b if hit is None else (hit & b)
+        if hit is None:
+            return pd.Series([], dtype=bool)
+        return pd.Series(hit.astype(bool))
+
+    return df.withColumn(flag_col, probe(h1, h2))
+
+
+def incremental_bloom_dedup(
+    new_df: DataFrame,
+    bits,
+    num_hashes: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Screen an arriving batch against a Bloom filter of everything
+    seen so far — the bounded-state sibling of
+    :func:`incremental_exact_dedup`: the exact screen's index grows
+    with the corpus and must be probed (pushed ``In`` / broadcast
+    semi-join against parquet); the Bloom screen's state is a fixed
+    few-MB bitmap and the probe is map-only. The price is a priced
+    false-positive rate: a novel document can be wrongly dropped with
+    probability ~fpp (never the reverse — flagged-as-new is always
+    truly new), which a curation pipeline accepts by sizing fpp
+    against the data loss it tolerates (Dolma ships 1e-4..1e-2).
+
+    Within-batch duplicate resolution is EXACT (first-per-content via
+    the batch window, same survivor policy as every screen); only the
+    seen-before-this-batch question goes through the filter.
+
+    Returns ``(novel, delta_bits)``: the surviving batch rows, and a
+    bitmap of the survivors' content to OR into the persisted filter
+    (``bits | delta_bits`` is the updated state).
+    """
+    batch_first = _eager(exact_dedup(new_df, text_col, id_col))
+    flagged = bloom_might_contain(
+        batch_first, bits, num_hashes, text_col, "_seen"
+    )
+    novel = flagged.where(~F.col("_seen")).drop("_seen")
+    num_bits = len(bits) * 64
+    delta = bloom_build(novel, num_bits, num_hashes, text_col)
+    return novel, delta
+
+
 def embedding_index(
     df: DataFrame,
     dim: int,

@@ -282,6 +282,50 @@ def test_cli_dedup_screen_runbook(spark, tmp_path, capsys):
     assert kept2 == [1, 2, 11]
 
 
+def test_cli_dedup_screen_bloom_runbook(spark, tmp_path, capsys):
+    """Bloom mode end-to-end: the first batch sizes the filter
+    (--bloom-capacity), later batches inherit its geometry from the
+    index, compaction folds the bitmap deltas, and the folded base
+    still screens. A fresh index without capacity fails fast."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    b1, b2, b3 = (str(tmp_path / n) for n in ("b1", "b2", "b3"))
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b2)
+    spark.createDataFrame(
+        [(20, "gamma"), (21, "delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b3)
+    index = str(tmp_path / "idx")
+    novel = str(tmp_path / "novel")
+
+    with pytest.raises(SystemExit):
+        main(base + ["dedup-screen", "--mode", "bloom", "--input", b1,
+                     "--index-dir", index, "--novel-out", novel])
+
+    r1 = run(capsys, *base, "dedup-screen", "--mode", "bloom",
+             "--input", b1, "--index-dir", index, "--novel-out", novel,
+             "--bloom-capacity", "1000")
+    assert (r1["Mode"], r1["BatchRows"], r1["NovelRows"],
+            r1["IndexRowsAdded"]) == ("bloom", 3, 2, 1)
+    r2 = run(capsys, *base, "dedup-screen", "--mode", "bloom",
+             "--input", b2, "--index-dir", index, "--novel-out", novel)
+    assert (r2["BatchRows"], r2["NovelRows"]) == (2, 1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
+    assert kept == [1, 2, 11]
+    rc = run(capsys, *base, "compact-index", "--index-dir", index)
+    assert rc["FoldedDirs"] == 2 and rc["BaseRows"] == 2
+    r3 = run(capsys, *base, "dedup-screen", "--mode", "bloom",
+             "--input", b3, "--index-dir", index, "--novel-out", novel)
+    assert (r3["BatchRows"], r3["NovelRows"]) == (2, 1)  # gamma seen
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
+    assert kept == [1, 2, 11, 21]
+
+
 def test_cli_dedup_screen_symlink_retry_same_identity(spark, tmp_path, capsys):
     """A retry that reaches the same landed batch through a different
     path SPELLING (symlink) must map to the same batch partition: the

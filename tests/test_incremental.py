@@ -486,3 +486,60 @@ def test_compact_index_minhash_layout(spark, tmp_path):
     )
     novel, _ = inc.incremental_minhash_dedup(batch, index, threshold=0.7)
     assert [r["doc_id"] for r in novel.collect()] == [11]
+
+
+def test_bloom_params_and_build_fill(spark):
+    import numpy as np
+
+    m, k = inc.bloom_params(1000, 0.01)
+    assert m % 64 == 0 and m >= 9000 and 6 <= k <= 8
+    bits = inc.bloom_build(docs(spark, HISTORY), m, k)
+    # 2 distinct contents * 7 probes << m: tiny fill, definitely nonzero
+    fill = int(np.unpackbits(bits.view(np.uint8)).sum())
+    assert 0 < fill <= 2 * k
+    with pytest.raises(ValueError, match="capacity"):
+        inc.bloom_params(0)
+    with pytest.raises(ValueError, match="fpp"):
+        inc.bloom_params(10, 1.5)
+    with pytest.raises(ValueError, match="num_bits"):
+        inc.bloom_build(docs(spark, HISTORY), 100, 3)
+
+
+def test_incremental_bloom_screens_batch(spark):
+    # the bloom screen must agree with the exact screen on this corpus
+    # (the filter is sized so FPs are ~impossible at 5 documents), and
+    # the OR-updated filter must drop the whole batch on re-screen
+    m, k = inc.bloom_params(1000, 0.001)
+    bits = inc.bloom_build(docs(spark, HISTORY), m, k)
+    novel, delta = inc.incremental_bloom_dedup(docs(spark, BATCH), bits, k)
+    assert sorted(r["doc_id"] for r in novel.collect()) == [11, 14]
+    again, _ = inc.incremental_bloom_dedup(
+        docs(spark, BATCH), bits | delta, k
+    )
+    assert again.count() == 0
+    # novel keeps the batch schema (the probe column never leaks)
+    assert set(novel.columns) == {"doc_id", "text"}
+
+
+def test_bloom_null_text_converges_with_exact_screen(spark):
+    # NULL text folds to the exact screen's sentinel: a null-text doc
+    # in history means every null-text arrival is seen
+    m, k = inc.bloom_params(100, 0.001)
+    bits = inc.bloom_build(docs(spark, [(1, None)]), m, k)
+    novel, _ = inc.incremental_bloom_dedup(
+        docs(spark, [(10, None), (11, "real text")]), bits, k
+    )
+    assert [r["doc_id"] for r in novel.collect()] == [11]
+
+
+def test_bloom_probe_is_map_only(spark):
+    # the membership probe must add no exchange and no join at any
+    # corpus size — the whole point of the bounded-state screen
+    m, k = inc.bloom_params(100, 0.01)
+    import numpy as np
+
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    out = inc.bloom_might_contain(docs(spark, HISTORY), bits, k)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert out.where("might_contain").count() == 0
