@@ -2740,6 +2740,53 @@ def test_dedup_exact_substrings_hash_phase_plan(spark, monkeypatch):
     assert out.where("removed_tokens = 20").count() == 30
 
 
+def test_dedup_exact_substrings_randomized_cross_check(spark):
+    # 25 independently-generated corpora vs a brute-force Python
+    # reference of the published semantics (every position covered by
+    # an L-window occurring >= 2 times is cut), isolated in ONE
+    # operator call by prefixing every token with its corpus id (no
+    # window can collide across corpora). Small alphabet + short docs
+    # force dense repeat structure: within-doc repeats, cross-doc
+    # repeats, overlapping variable-length runs, sub-L docs, empties.
+    import random
+
+    rng = random.Random(1513)
+    L = 3
+    rows, expected = [], {}
+    did = 0
+    for ex in range(25):
+        for _ in range(rng.randint(3, 6)):
+            toks = [
+                f"e{ex}t{rng.randint(0, 2)}"
+                for _ in range(rng.randint(0, 12))
+            ]
+            rows.append((did, " ".join(toks)))
+            did += 1
+    # brute force over the WHOLE corpus (prefixing already isolates)
+    from collections import Counter
+
+    counts = Counter()
+    toks_by_id = {}
+    for i, text in rows:
+        t = [w for w in text.split(" ") if w]
+        toks_by_id[i] = t
+        for p in range(len(t) - L + 1):
+            counts[tuple(t[p:p + L])] += 1
+    for i, t in toks_by_id.items():
+        removed = set()
+        for p in range(len(t) - L + 1):
+            if counts[tuple(t[p:p + L])] >= 2:
+                removed.update(range(p, p + L))
+        kept = [t[j] for j in range(len(t)) if j not in removed]
+        expected[i] = (" ".join(kept), len(t), len(removed))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in dedup.dedup_exact_substrings(df, min_tokens=L).collect()
+    }
+    assert got == expected
+
+
 def test_gram_matrix_exact_vs_numpy(spark):
     import numpy as np
 
