@@ -428,9 +428,9 @@ def main(argv: list[str] | None = None) -> int:
     cu = sub.add_parser(
         "curate",
         help="composed corpus curation: an ordered, opt-in chain of "
-        "paragraph-dedup -> exact-dedup -> benchmark decontamination "
-        "-> Gopher filtering -> train/val/test split, one pass, one "
-        "JSON report with per-stage counts",
+        "paragraph-dedup -> exact-dedup -> exact-substr -> benchmark "
+        "decontamination -> Gopher filtering -> train/val/test split, "
+        "one pass, one JSON report with per-stage counts",
     )
     cu.add_argument("--input", required=True, help="pool corpus (parquet)")
     cu.add_argument("--out", required=True, help="output directory")
@@ -438,7 +438,8 @@ def main(argv: list[str] | None = None) -> int:
         "--steps",
         default="exact-dedup,gopher,split",
         help="comma-separated subset of: paragraph-dedup, exact-dedup, "
-        "decontaminate, gopher, split (always applied in that order)",
+        "exact-substr, decontaminate, gopher, split (always applied in "
+        "that order)",
     )
     cu.add_argument("--benchmark", default=None,
                     help="benchmark corpus (parquet; required for the "
@@ -447,6 +448,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="decontamination n-gram length")
     cu.add_argument("--decon-mode", default="cut", choices=["cut", "mask"])
     cu.add_argument("--paragraph-sep", default="\n")
+    cu.add_argument("--substr-min-tokens", type=int, default=50,
+                    help="exact-substr step: minimum repeated-substring "
+                    "length in tokens (Lee et al. 2021 use 50 BPE "
+                    "tokens)")
+    cu.add_argument("--substr-mode", default="cut",
+                    choices=["cut", "mask"])
     cu.add_argument(
         "--rules",
         default="word_count,mean_word_len,symbol_ratio,alpha_words",
@@ -529,8 +536,8 @@ def main(argv: list[str] | None = None) -> int:
     curate_ratios: dict[str, float] = {}
     if args.cmd == "curate":
         _order = [
-            "paragraph-dedup", "exact-dedup", "decontaminate",
-            "gopher", "split",
+            "paragraph-dedup", "exact-dedup", "exact-substr",
+            "decontaminate", "gopher", "split",
         ]
         wanted = {s.strip() for s in args.steps.split(",") if s.strip()}
         bad_steps = sorted(wanted - set(_order))
@@ -964,9 +971,9 @@ def main(argv: list[str] | None = None) -> int:
         # null-SAFE rejoin is no fix either (two NULL-id rows would
         # cross-match). Fail loudly with the count instead of losing
         # rows; the caller assigns surrogate ids and reruns.
-        rejoin_steps = {"paragraph-dedup", "decontaminate"} & set(
-            curate_steps
-        )
+        rejoin_steps = {
+            "paragraph-dedup", "exact-substr", "decontaminate"
+        } & set(curate_steps)
         if rejoin_steps:
             n_null_ids = df.where(F.col(icol).isNull()).count()
             report["NullIdRows"] = n_null_ids
@@ -989,6 +996,15 @@ def main(argv: list[str] | None = None) -> int:
         if "exact-dedup" in curate_steps:
             df = dedup_ops.exact_dedup(df, text_col=tcol, id_col=icol)
             report["ExactSurvivors"] = df.count()
+        if "exact-substr" in curate_steps:
+            xs = dedup_ops.dedup_exact_substrings(
+                df, min_tokens=args.substr_min_tokens, text_col=tcol,
+                id_col=icol, mode=args.substr_mode,
+            )
+            report["SubstrTokensRemoved"] = int(
+                xs.agg(F.sum("removed_tokens")).collect()[0][0] or 0
+            )
+            df = df.drop(tcol).join(xs.select(icol, tcol), icol)
         if "decontaminate" in curate_steps:
             bench = eng.spark.read.parquet(args.benchmark)
             dc = dedup_ops.decontaminate_spans(

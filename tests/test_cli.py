@@ -863,6 +863,25 @@ def test_cli_curate_paragraph_step(spark, tmp_path, capsys):
     assert texts[2] == "beta" and texts[3] == "gamma"
 
 
+def test_cli_curate_exact_substr_step(spark, tmp_path, capsys):
+    # a 5-token run repeated across docs is cut from BOTH (remove-all
+    # semantics, verbatim); counts land in the report
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    src = str(tmp_path / "xsrc")
+    run5 = "v w x y z"
+    spark.createDataFrame(
+        [(1, f"a {run5} b"), (2, f"{run5} c"), (3, "clean doc here")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "xout")
+    r = run(capsys, *base, "curate", "--input", src, "--out", out,
+            "--steps", "exact-substr", "--substr-min-tokens", "5")
+    assert r["SubstrTokensRemoved"] == 10
+    texts = {x.doc_id: x.text for x in spark.read.parquet(out).collect()}
+    assert texts == {1: "a b", 2: "c", 3: "clean doc here"}
+
+
 def test_cli_curate_rejects_null_ids(spark, tmp_path, capsys):
     # the rewrite steps rejoin on the id column; an equi-join would
     # silently drop NULL-id rows, so curate enforces the non-NULL id

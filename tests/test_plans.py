@@ -209,11 +209,16 @@ def test_semantic_dedup_shuffles_cluster_key_not_embeddings(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_unigram_lm_lookup_broadcasts(spark, sf_dir):
-    """The vocabulary-sized LM relation must broadcast; the scoring scan
-    never sort-merge-joins at any corpus/vocab ratio."""
+def test_unigram_lm_lookup_broadcasts(spark, sf_dir, monkeypatch):
+    """The vocabulary-sized LM relation must broadcast (at this
+    corpus/vocab ratio); the scoring scan never sort-merge-joins.
+    _eager checkpoints the operator's output into an RDD scan since
+    round 15 (the double-compute fix), so neutralize it to see the
+    real join plan."""
     from amazon_s3_find_and_forget_spark import entry_queries
+    from amazon_s3_find_and_forget_spark.operators import dedup
 
+    monkeypatch.setattr(dedup, "_eager", lambda d: d)
     df = entry_queries.QUERIES["text_unigram_nll"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
