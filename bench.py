@@ -172,6 +172,10 @@ SF10_QUERIES = [
     # window duplicated ~100x), so this cell prices the verify phase's
     # duplicated-mass bound, not a sparse-dup best case
     "dedup_exact_substrings",
+    # round 15: Bloom screening claims asserted at the decade — the
+    # row builds the filter over 333k history docs, screens the 167k
+    # arriving batch, and cross-checks against the exact screen
+    "dedup_incremental_bloom",
 ]
 # Round-13 lane additions:
 # - dedup_simhash_pairs_v2 runs over the documents_v2 near-dup variant

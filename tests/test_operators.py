@@ -2996,10 +2996,11 @@ def test_lm_model_joins_are_size_aware(spark, monkeypatch):
         [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
         "doc_id long, text string",
     )
-    # unigram_logprob returns the lazy plan, so the join strategy is
-    # directly assertable in the physical plan (bigram_logprob shares
-    # _sized_model_side but localCheckpoints its small output, so it is
-    # covered by the value-identity check below)
+    # both LM operators checkpoint their small outputs (the round-15
+    # double-compute fix), so neutralize _eager to assert the join
+    # strategy in the physical plan; the value-identity check below
+    # re-runs with _eager live
+    monkeypatch.setattr(_dedup, "_eager", lambda d: d)
     uni_plan = _physical(text.unigram_logprob(df))
     assert "BroadcastHashJoin" in uni_plan  # tiny vocab: broadcast path
 
