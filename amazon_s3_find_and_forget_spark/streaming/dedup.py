@@ -206,6 +206,88 @@ def index_dedup_stream(
     )
 
 
+def index_bloom_dedup_stream(
+    spark,
+    docs_dir: str,
+    schema,
+    index_dir: str,
+    novel_dir: str,
+    checkpoint: str,
+    capacity: int,
+    fpp: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+):
+    """Streaming Bloom screen — the bounded-STATE point on the same
+    trade curve as the two screens above: ``dedup_stream`` bounds state
+    with a TIME horizon (exact within it, amnesiac past it),
+    ``index_dedup_stream`` keeps the exact unbounded seen-set in the
+    lake and pays an index probe per trigger; this variant keeps ONE
+    fixed bitmap (``bloom_params(capacity, fpp)`` — 1.2 MB per million
+    documents at 1 %) with no horizon and a map-only probe, at the
+    price of a ~``fpp`` chance of wrongly dropping a novel document
+    (never re-admitting a duplicate). The Dolma dedupe tool is exactly
+    this screen run over a firehose.
+
+    The per-batch delta is one bitmap row OR-composed at read time, so
+    a screen that runs for months reads O(batches) one-row files —
+    and ``compact_every`` folds them in-protocol like every other
+    layout (``compact_index``'s concatenating fold is correct for
+    bitmap rows). Geometry is FIXED per index dir: a delta whose
+    (num_bits, num_hashes) disagrees fails the batch loudly rather
+    than silently corrupting membership. Retry/ordering protocol:
+    ``_index_screen_stream``.
+    """
+    import numpy as np
+
+    from ..operators import incremental as inc
+
+    num_bits, num_hashes = inc.bloom_params(capacity, fpp)
+    geometry = "bits binary, num_bits long, num_hashes int"
+
+    def screen(batch_df, index):
+        rows = index.collect()  # one row per committed prior batch
+        bits = np.zeros(num_bits // 64, dtype=np.uint64)
+        for r in rows:
+            if (
+                int(r["num_bits"]) != num_bits
+                or int(r["num_hashes"]) != num_hashes
+            ):
+                raise ValueError(
+                    f"bloom index geometry mismatch in {index_dir}: "
+                    f"delta has ({r['num_bits']}, {r['num_hashes']}), "
+                    f"stream configured ({num_bits}, {num_hashes}) — "
+                    "a geometry change needs a fresh index dir"
+                )
+            bits |= np.frombuffer(bytes(r["bits"]), dtype=np.uint64)
+        novel, delta_bits = inc.incremental_bloom_dedup(
+            batch_df, bits, num_hashes, text_col, id_col
+        )
+        delta = batch_df.sparkSession.createDataFrame(
+            [(bytearray(delta_bits.tobytes()), num_bits, num_hashes)],
+            geometry,
+        )
+        return novel, delta
+
+    return _index_screen_stream(
+        spark,
+        docs_dir,
+        schema,
+        index_dir,
+        novel_dir,
+        checkpoint,
+        empty_index=lambda b: b.sparkSession.createDataFrame([], geometry),
+        screen=screen,
+        index_cols=["bits", "num_bits", "num_hashes"],
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        compact_every=compact_every,
+    )
+
+
 def _compat_latched(dedup_fn, probe_col: str):
     """One parameter-compat probe per stream RUN, shared by the
     signature and embedding screens: probe on the first micro-batch,

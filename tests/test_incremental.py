@@ -532,6 +532,55 @@ def test_bloom_null_text_converges_with_exact_screen(spark):
     assert [r["doc_id"] for r in novel.collect()] == [11]
 
 
+def test_bloom_randomized_no_false_negatives(spark):
+    # THE Bloom invariant, across 30 seeded corpora shapes in two
+    # operator calls: every arriving doc whose content matches history
+    # (or an earlier batch doc) is dropped — no false negative at any
+    # fill; and the bloom novel set never exceeds the exact novel set.
+    import random
+
+    rng = random.Random(1514)
+    hist_rows, arr_rows = [], []
+    did = 0
+    texts_hist = set()
+    for ex in range(30):
+        vocab = [f"e{ex}w{v}" for v in range(rng.randint(1, 4))]
+        pool = [
+            " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(0, 5)))
+            for _ in range(rng.randint(2, 6))
+        ]
+        for t in pool:
+            if rng.random() < 0.6:
+                hist_rows.append((did, t)); texts_hist.add(t)
+            did += 1
+        for t in pool:
+            if rng.random() < 0.7:
+                arr_rows.append((did, t)); did += 1
+    hist = docs(spark, hist_rows)
+    arr = docs(spark, arr_rows)
+    m, k = inc.bloom_params(max(len(hist_rows), 1), 0.01)
+    bits = inc.bloom_build(hist, m, k)
+    novel, delta = inc.incremental_bloom_dedup(arr, bits, k)
+    got = {(r.doc_id, r.text) for r in novel.collect()}
+    # brute-force reference: first-per-content within the batch, and
+    # content unseen in history
+    seen_batch = set()
+    expected_max = set()
+    for i, t in sorted(arr_rows):
+        if t in texts_hist or t in seen_batch:
+            continue
+        seen_batch.add(t)
+        expected_max.add((i, t))
+    # no false negatives: nothing outside the exact novel set
+    assert got <= expected_max
+    # the 1% filter over <=100 contents: over-drop stays tiny
+    assert len(expected_max) - len(got) <= 3
+    # update contract across the union
+    again, _ = inc.incremental_bloom_dedup(arr, bits | delta, k)
+    assert again.count() == 0
+
+
 def test_bloom_probe_is_map_only(spark):
     # the membership probe must add no exchange and no join at any
     # corpus size — the whole point of the bounded-state screen

@@ -927,6 +927,65 @@ def test_index_dedup_stream_screens_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in novel2.collect()) == [1, 2, 11, 21]
 
 
+def test_index_bloom_dedup_stream_screens_across_batches(spark, tmp_path):
+    """Streaming Bloom screen: later micro-batches drop content already
+    folded into the bitmap (cross-batch AND within-batch), the delta is
+    one bitmap row per batch, a checkpoint restart resumes against the
+    OR of committed deltas, and a geometry change fails loudly."""
+    import pytest as _pytest
+
+    from amazon_s3_find_and_forget_spark.streaming import dedup as sdedup
+
+    src = str(tmp_path / "bstream-in")
+    os.makedirs(src)
+    b0 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha doc"), (11, "gamma doc"), (12, "beta doc")],
+        "doc_id long, text string",
+    )
+    b0.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    index_dir = str(tmp_path / "bidx")
+    novel_dir = str(tmp_path / "bnovel")
+    kw = dict(capacity=10_000, fpp=0.001, max_files_per_trigger=1)
+    q = sdedup.index_bloom_dedup_stream(
+        spark, src + "/*", b0.schema, index_dir, novel_dir,
+        str(tmp_path / "bckpt"), **kw,
+    )
+    q.awaitTermination()
+    novel = spark.read.parquet(novel_dir)
+    assert sorted(r["doc_id"] for r in novel.collect()) == [1, 2, 11]
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == 2  # one bitmap row per batch
+    # restart: the checkpoint resumes, the OR'd bitmaps screen re-lands
+    b2 = spark.createDataFrame(
+        [(20, "gamma doc"), (21, "delta doc")], "doc_id long, text string"
+    )
+    b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+    q2 = sdedup.index_bloom_dedup_stream(
+        spark, src + "/*", b0.schema, index_dir, novel_dir,
+        str(tmp_path / "bckpt"), **kw,
+    )
+    q2.awaitTermination()
+    novel2 = spark.read.parquet(novel_dir)
+    assert sorted(r["doc_id"] for r in novel2.collect()) == [1, 2, 11, 21]
+    # geometry change against the same index dir must fail the batch
+    b3 = spark.createDataFrame(
+        [(30, "omega doc")], "doc_id long, text string"
+    )
+    b3.coalesce(1).write.parquet(os.path.join(src, "f3"))
+    q3 = sdedup.index_bloom_dedup_stream(
+        spark, src + "/*", b0.schema, index_dir, novel_dir,
+        str(tmp_path / "bckpt"), capacity=50, fpp=0.5,
+        max_files_per_trigger=1,
+    )
+    with _pytest.raises(Exception, match="geometry mismatch"):
+        q3.awaitTermination()
+
+
 def test_index_near_dedup_stream_screens_across_batches(spark, tmp_path):
     """Lake-index streaming NEAR-dedup: later batches drop near-matches
     of indexed survivors; signature index grows per batch."""
