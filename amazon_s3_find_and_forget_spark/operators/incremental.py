@@ -311,9 +311,14 @@ def incremental_minhash_dedup(
 
 def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
     """Standard Bloom sizing: ``m = -n ln p / (ln 2)^2`` bits (rounded
-    up to a 64-bit word), ``k = (m/n) ln 2`` hash functions. At
-    ``fpp=0.01`` that is ~9.6 bits and 7 probes per key — 1.2 MB per
-    million documents, the bounded-memory point of the structure."""
+    up to a 64-bit word) and ``k = -ln p / ln 2`` hash functions — the
+    optimal k expressed directly in ``fpp`` (at the optimum
+    ``(m/n) ln 2`` reduces to exactly that), so rounding m up to a
+    word can never inflate k: a capacity-1 filter gets the same 7
+    probes as a billion-key one, not 44 (which would push bit fill
+    past any sane bound on degenerate corpora). At ``fpp=0.01`` that
+    is ~9.6 bits and 7 probes per key — 1.2 MB per million documents,
+    the bounded-memory point of the structure."""
     import math
 
     if capacity < 1:
@@ -322,7 +327,7 @@ def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
         raise ValueError(f"fpp={fpp} must be in (0, 1)")
     m = int(math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2)))
     m = ((m + 63) // 64) * 64
-    k = max(1, round(m / capacity * math.log(2)))
+    k = max(1, round(-math.log(fpp) / math.log(2)))
     return m, k
 
 
