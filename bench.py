@@ -464,31 +464,41 @@ def evaluate_tripwire(
                 continue  # not enough band to distinguish noise
             weather_suspect = False
             basis = None
+            floors: dict[str, tuple[float, int]] = {}
             if q in IO_BOUND_ROWS and cur_io:
                 # disk-bound row: cost scales with 1/bandwidth, so the
                 # band lives in implied-MiB units (seconds x MiB/s);
                 # the floor converts back at TODAY's measured bandwidth
-                normed = [pv * pio for pv, pc, pio in prior if pio]
-                if normed:
-                    floor = min(normed) / cur_io
-                    calibrated = True
-                    basis = "io"
-            if basis is None:
-                normed = [pv / pc for pv, pc, pio in prior if pc]
-                if cur_cal and normed:
-                    # floor in current-host seconds: best-ever cost per
-                    # calibration-second, re-priced at today's probe
-                    floor = min(normed) * cur_cal
-                    calibrated = True
-                    basis = "cpu"
-                else:
-                    floor_v, floor_cal, _ = min(prior, key=lambda t: t[0])
-                    floor = floor_v
-                    calibrated = False
-                    # floor measured before the probe existed: the band
-                    # aggregates the rig's best-ever weather and cannot
-                    # be re-priced — treat a flag as weather-suspect
-                    weather_suspect = floor_cal is None
+                io_normed = [pv * pio for pv, pc, pio in prior if pio]
+                if io_normed:
+                    floors["io"] = (
+                        min(io_normed) / cur_io, len(io_normed)
+                    )
+            cpu_normed = [pv / pc for pv, pc, pio in prior if pc]
+            if cur_cal and cpu_normed:
+                # floor in current-host seconds: best-ever cost per
+                # calibration-second, re-priced at today's probe
+                floors["cpu"] = (
+                    min(cpu_normed) * cur_cal, len(cpu_normed)
+                )
+            if floors:
+                # a row with both bases (the io-tagged rows at small
+                # scale factors are partly CPU-bound) is bounded below
+                # by BOTH cost models — the max is the tightest
+                # defensible floor, so disk weather can't flag a
+                # CPU-bound lane and CPU weather can't flag a
+                # disk-bound one; a real plan regression exceeds both
+                basis = max(floors, key=lambda b: floors[b][0])
+                floor, n_normed = floors[basis]
+                calibrated = True
+            else:
+                floor_v, floor_cal, _ = min(prior, key=lambda t: t[0])
+                floor = floor_v
+                calibrated = False
+                # floor measured before the probe existed: the band
+                # aggregates the rig's best-ever weather and cannot
+                # be re-priced — treat a flag as weather-suspect
+                weather_suspect = floor_cal is None
             if v > factor * floor and v - floor > min_delta:
                 flag = {
                     "current": v,
@@ -498,11 +508,11 @@ def evaluate_tripwire(
                     "calibrated": calibrated,
                 }
                 if calibrated:
-                    flag["n_probed"] = len(normed)
+                    flag["n_probed"] = n_normed
                     flag["basis"] = basis
                 elif weather_suspect:
                     flag["weather_suspect"] = True
-                if q in IO_BOUND_ROWS and basis != "io":
+                if q in IO_BOUND_ROWS and "io" not in floors:
                     # the round-14 bisect says a CPU/raw-banded flag on
                     # a disk-bound row is uninterpretable — keep the
                     # flag visible but say so

@@ -213,6 +213,26 @@ def test_io_bound_row_normalizes_by_disk_probe(tmp_path):
     assert flags["find_forget_job"]["ratio"] == 3.03
 
 
+def test_io_tagged_row_on_cpu_bound_lane_not_flagged_by_fast_disk(tmp_path):
+    """The io tag covers every lane, but at small scale factors the
+    row is partly CPU-bound: if the floor were io-ONLY, a FASTER disk
+    today would shrink the floor under an unchanged row and false-flag
+    it. The floor is the max of both bases, so the CPU band holds the
+    line (and the same max lets the io band absorb disk weather on the
+    lane that IS disk-bound — the first io test)."""
+    _record_io(tmp_path, 1, {"find_forget_job": 1.0}, 0.5, 200.0)
+    _record_io(tmp_path, 2, {"find_forget_job": 1.05}, 0.5, 210.0)
+    out = {
+        # row unchanged, disk probe 3x faster, CPU probe flat:
+        # io floor alone would be 1.0*200/600 = 0.33 -> ratio 3
+        "queries": {"find_forget_job": 1.0},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 600.0},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+
+
 def test_io_bound_row_without_io_history_marks_unpriced(tmp_path):
     """Pre-io-probe history degrades to the CPU band, but any flag on a
     disk-bound row priced that way carries io_unpriced — the round-14
