@@ -698,16 +698,31 @@ def main():
     # #7): two rounds running the driver's tail capture truncated the
     # recorded artifact (BENCH_r13/r14 `parsed: null`, the sf0.1 block
     # recoverable only from SCALE.md) — the on-disk copy is the
-    # artifact of record when stdout gets clipped.
-    json_out = os.environ.get("SPARK_GRAFT_BENCH_JSON_OUT")
+    # artifact of record when stdout gets clipped. By DEFAULT every
+    # run overwrites BENCH_rlast_local.json in the repo: the name
+    # matches the tripwire's BENCH_r*.json glob, so the most recent
+    # run always contributes a full-fidelity record to the band
+    # history even when the round's captured artifact is truncated
+    # (round-record copies like BENCH_r15_local.json are kept by
+    # passing --json-out / SPARK_GRAFT_BENCH_JSON_OUT explicitly).
+    json_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_JSON_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_rlast_local.json",
+        ),
+    )
     for i, a in enumerate(sys.argv):
         if a == "--json-out" and i + 1 < len(sys.argv):
             json_out = sys.argv[i + 1]
         elif a.startswith("--json-out="):
             json_out = a.split("=", 1)[1]
     if json_out:
-        with open(json_out, "w") as f:
-            f.write(payload + "\n")
+        try:
+            with open(json_out, "w") as f:
+                f.write(payload + "\n")
+        except OSError as e:  # a read-only checkout must not lose stdout
+            print(f"# json-out skipped: {e}", file=sys.stderr)
     print(payload)
 
 
