@@ -75,7 +75,11 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # token counter through text_token_count_bpe). dedup_incremental_bloom
 # (Dolma-style bounded-memory Bloom screening, claims gate: subset/
 # fp-bound/fill/update contracts) also enters; long-stable
-# text_length_percentiles rotates to the tail.
+# text_length_percentiles rotates to the tail. Late round-15:
+# dedup_top_repeats (the Lee-et-al memorization-audit table — top-k
+# most-repeated verbatim windows, full value oracle incl. the window
+# text) enters; long-stable events_topn_per_user to the tail (its
+# top-k-with-ties family stays gated via jobs_top_k + tpch LIMIT rows).
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -118,7 +122,7 @@ GATE_ORDER = [
     "dedup_exact_substrings_mask",
     "text_token_count_bpe",
     "dedup_incremental_bloom",
-    "events_topn_per_user",
+    "dedup_top_repeats",
     "text_bpe_train",
     "embedding_near_dups_exact",
     "events_variant_extract",
@@ -138,6 +142,7 @@ TAIL_ORDER = [
     "dedup_ngram_pairs",
     "text_token_count",
     "text_length_percentiles",
+    "events_topn_per_user",
     "events_interval_counts",
     "orders_quantile_sketch",
     "text_exact_mixture",

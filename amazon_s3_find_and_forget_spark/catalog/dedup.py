@@ -313,6 +313,18 @@ def q_dedup_exact_substrings_mask(spark, sf_dir):
     )
 
 
+def q_dedup_top_repeats(spark, sf_dir):
+    """The memorization-audit table (Lee et al. 2021's most-duplicated-
+    substrings analysis): top-25 verbatim 20-token windows by
+    occurrence count, with distinct-doc counts and the first carrying
+    document. Total deterministic order (count desc, window text asc —
+    unique per group), so the LIMIT is stable and the row carries a
+    FULL value oracle including the window text itself."""
+    return dedup.top_repeated_substrings(
+        load(spark, sf_dir, "documents"), min_tokens=20, k=25
+    )
+
+
 _PARA_FOOTER = "shared boilerplate footer"
 
 
@@ -599,6 +611,7 @@ QUERIES = {
     "dedup_span_mask": q_dedup_span_mask,
     "dedup_exact_substrings": q_dedup_exact_substrings,
     "dedup_exact_substrings_mask": q_dedup_exact_substrings_mask,
+    "dedup_top_repeats": q_dedup_top_repeats,
     "dedup_decontaminate_spans": q_dedup_decontaminate_spans,
     "dedup_decontaminate_mask": q_dedup_decontaminate_mask,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -729,6 +742,33 @@ ORACLES = {
                CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
                  AS removed_tokens
         FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    "dedup_top_repeats": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                   x -> x <> '') AS t
+          FROM documents
+        ), occ AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t) - 19),
+                   i -> array_to_string(t[i:i+19], ' '))) AS g
+          FROM toks WHERE len(t) >= 20
+        ), agg AS (
+          SELECT g, count(*) AS n_occurrences,
+                 count(DISTINCT doc_id) AS n_docs,
+                 min(doc_id) AS first_doc_id
+          FROM occ GROUP BY g HAVING count(*) >= 2
+        )
+        SELECT g AS substring,
+               CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               first_doc_id
+        FROM agg
+        ORDER BY n_occurrences DESC, g ASC
+        LIMIT 25
     """,
     "dedup_exact_substrings": """
         WITH toks AS (

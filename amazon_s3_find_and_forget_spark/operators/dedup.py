@@ -1716,6 +1716,103 @@ def dedup_exact_substrings(
             sliced.unpersist()
 
 
+def top_repeated_substrings(
+    df: DataFrame,
+    min_tokens: int = 20,
+    k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The memorization-audit table: the ``k`` most-repeated verbatim
+    ``min_tokens``-token windows in the corpus, with occurrence count,
+    distinct-document count, and the first (minimum-id) document
+    carrying each — the "most common duplicated substrings" analysis
+    of Lee et al. 2021 (their Table of memorized boilerplate) and the
+    diagnostic a curation run reads BEFORE deciding its
+    ``dedup_exact_substrings`` cut. Ordering is total and
+    deterministic: occurrences desc, then the window text asc (unique
+    per group), so the LIMIT is stable cross-engine.
+
+    Scale shape: same two-phase discipline as
+    :func:`dedup_exact_substrings` — the counting stream is
+    ``xxhash64`` windows (8-byte map-side-combinable keys, never the
+    L-token strings), hash survivors are re-sliced from the document
+    token arrays and re-counted by REAL window text, so a 64-bit
+    collision can neither inflate a count nor merge two windows into
+    one row. The final cut is a ``TakeOrderedAndProject`` over the
+    string-confirmed duplicated-window relation (duplicated-mass-
+    sized), k-bounded at the driver.
+
+    Returns ``(substring, n_occurrences, n_docs, first_doc_id)``.
+    """
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens={min_tokens} must be >= 1")
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    from pyspark import StorageLevel
+
+    toks, occ = _gram_occurrences(
+        df, min_tokens, text_col, id_col, lowercase=False
+    )
+    hstream = occ.select(
+        "_id", "_pos", F.xxhash64("g").alias("_h")
+    ).persist(StorageLevel.DISK_ONLY)
+    cand = None
+    try:
+        with _pair_agg_confs(df.sparkSession):
+            cand = (
+                hstream.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_hc"))
+                .where(F.col("_hc") >= 2)
+                .select("_h")
+                .persist()
+            )
+            n_cand = cand.count()
+            side = (
+                F.broadcast(cand)
+                if n_cand * 56 <= BAND_BROADCAST_BUDGET
+                else cand.hint("merge")
+            )
+            hits = hstream.join(side, "_h").select("_id", "_pos")
+            cand_by_doc = hits.groupBy("_id").agg(
+                F.collect_list("_pos").alias("_ps")
+            )
+            sliced = toks.join(cand_by_doc, "_id").select(
+                "_id",
+                F.explode(
+                    F.transform(
+                        "_ps",
+                        lambda p: F.array_join(
+                            F.slice("_t", p, min_tokens), " "
+                        ),
+                    )
+                ).alias("g"),
+            )
+            return _eager(
+                sliced.groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).alias("n_occurrences"),
+                    F.count_distinct("_id").alias("n_docs"),
+                    F.min("_id").alias("first_doc_id"),
+                )
+                .where(F.col("n_occurrences") >= 2)
+                .orderBy(F.desc("n_occurrences"), F.asc("g"))
+                .limit(k)
+                .select(
+                    F.col("g").alias("substring"),
+                    F.col("n_occurrences").cast("long").alias(
+                        "n_occurrences"
+                    ),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "first_doc_id",
+                )
+            )
+    finally:
+        hstream.unpersist()
+        if cand is not None:
+            cand.unpersist()
+
+
 def remove_duplicated_paragraphs(
     df: DataFrame,
     sep: str = "\n",

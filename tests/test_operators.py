@@ -2740,6 +2740,27 @@ def test_dedup_exact_substrings_hash_phase_plan(spark, monkeypatch):
     assert out.where("removed_tokens = 20").count() == 30
 
 
+def test_top_repeated_substrings_hand_case(spark):
+    R = "r0 r1 r2 r3 r4"
+    S = "s0 s1 s2 s3 s4"
+    df = spark.createDataFrame(
+        [(1, R), (2, "x " + R), (3, R + " y " + S), (4, S), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = dedup.top_repeated_substrings(df, min_tokens=5, k=10).collect()
+    assert [(r.substring, r.n_occurrences, r.n_docs, r.first_doc_id)
+            for r in rows[:2]] == [(R, 3, 3, 1), (S, 2, 2, 3)]
+    # mixed windows inside doc 3 are unique -> never reported
+    assert all(r.n_occurrences >= 2 for r in rows)
+    # k bounds the table
+    assert len(dedup.top_repeated_substrings(df, min_tokens=5, k=1)
+               .collect()) == 1
+    with pytest.raises(ValueError, match="k="):
+        dedup.top_repeated_substrings(df, k=0)
+    with pytest.raises(ValueError, match="min_tokens"):
+        dedup.top_repeated_substrings(df, min_tokens=0)
+
+
 def test_dedup_exact_substrings_randomized_cross_check(spark):
     # 25 independently-generated corpora vs a brute-force Python
     # reference of the published semantics (every position covered by
