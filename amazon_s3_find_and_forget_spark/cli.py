@@ -885,6 +885,33 @@ def main(argv: list[str] | None = None) -> int:
                 bits = np.zeros(num_bits // 64, dtype=np.uint64)
                 for r in rows:
                     bits |= np.frombuffer(bytes(r["bits"]), dtype=np.uint64)
+                # geometry is a property of the INDEX, pinned by the
+                # first batch — sizing flags on a later batch cannot
+                # resize a live filter, and silently ignoring them lets
+                # an operator believe an undersized filter was grown
+                # (it keeps screening at a higher-than-priced fp rate).
+                # Warn loudly with the inherited geometry; resizing
+                # means rebuilding into a fresh --index-dir.
+                if args.bloom_capacity is not None:
+                    want_bits, want_k = inc.bloom_params(
+                        args.bloom_capacity, args.bloom_fpp
+                    )
+                    if (want_bits, want_k) != (num_bits, n_hashes):
+                        print(
+                            json.dumps(
+                                {
+                                    "Warning": "bloom geometry flags "
+                                    "ignored: the filter keeps its "
+                                    "first-batch geometry; to resize, "
+                                    "rebuild into a fresh --index-dir",
+                                    "InheritedNumBits": num_bits,
+                                    "InheritedNumHashes": n_hashes,
+                                    "RequestedNumBits": want_bits,
+                                    "RequestedNumHashes": want_k,
+                                }
+                            ),
+                            file=sys.stderr,
+                        )
             else:
                 if args.bloom_capacity is None:
                     p.error(

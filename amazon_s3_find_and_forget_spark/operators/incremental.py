@@ -337,9 +337,22 @@ def _bloom_hashes(text_col: str):
     double-hashing base — probe ``i`` lands at ``(h1 + i*h2) mod m``
     in uint64 arithmetic, identical in build and probe because both
     run the same numpy kernel. NULL text folds to the exact screen's
-    sentinel so the two screens stay convergent on null-text docs."""
+    sentinel so the two screens stay convergent on null-text docs.
+
+    Independence (round-16 ADVICE): ``h2`` hashes ``(lit(1), text)``
+    — the constant is folded into the hash state BEFORE the text, so
+    ``h2`` is a different-seed hash of the content, not a chained
+    function of ``h1``. The earlier ``xxhash64(text, lit(1))`` form
+    chained the constant AFTER the text, making ``h2 = g(h1)``: any
+    64-bit ``h1`` collision forced identical full probe sequences (a
+    guaranteed false positive instead of an independent second
+    chance). Probability was negligible, but Kirsch-Mitzenmacher's
+    analysis assumes pairwise-independent bases — now it holds.
+    HASH-SCHEME NOTE: this changed every bitmap's bit pattern; a
+    Bloom index persisted by a pre-r16 build must be rebuilt in a
+    fresh index dir (mixing schemes would re-admit seen documents)."""
     safe = F.coalesce(F.col(text_col), F.lit("__NULL_TEXT__"))
-    return F.xxhash64(safe).alias("_h1"), F.xxhash64(safe, F.lit(1)).alias(
+    return F.xxhash64(safe).alias("_h1"), F.xxhash64(F.lit(1), safe).alias(
         "_h2"
     )
 
@@ -432,11 +445,27 @@ def bloom_might_contain(
     bitmap rides a SparkContext broadcast (shipped once per executor,
     like the prototypicality centroids); per batch the kernel is k
     vectorized gather-and-test passes over the JVM-computed hashes —
-    no shuffle, no join, at any corpus size."""
+    no shuffle, no join, at any corpus size.
+
+    Broadcast lifecycle (round-16 ADVICE): ``bits`` may be a live
+    ``pyspark.Broadcast`` of the bitmap instead of the raw array — the
+    caller then owns its lifetime and can ``destroy()`` it once every
+    action over the returned DataFrame has run, instead of leaking one
+    multi-MB broadcast per call until the ContextCleaner happens to
+    reclaim it (the per-micro-batch accumulation a long-running stream
+    cannot afford; ``incremental_bloom_dedup`` does exactly this). A
+    raw array still works for one-shot batch callers — that single
+    broadcast is reclaimed when the result is garbage-collected."""
     import numpy as np
 
-    num_bits = len(bits) * 64
-    bc = df.sparkSession.sparkContext.broadcast(bits)
+    from pyspark import Broadcast
+
+    if isinstance(bits, Broadcast):
+        bc = bits
+        num_bits = len(bc.value) * 64
+    else:
+        num_bits = len(bits) * 64
+        bc = df.sparkSession.sparkContext.broadcast(bits)
     h1, h2 = _bloom_hashes(text_col)
     from pyspark.sql.functions import pandas_udf
 
@@ -486,14 +515,27 @@ def incremental_bloom_dedup(
     Returns ``(novel, delta_bits)``: the surviving batch rows, and a
     bitmap of the survivors' content to OR into the persisted filter
     (``bits | delta_bits`` is the updated state).
+
+    Broadcast lifecycle + single probe pass (round-16 ADVICE): the
+    bitmap broadcast is created here, the surviving rows are
+    ``_eager``-materialized (one probe pass feeds BOTH the delta build
+    and whatever action the caller runs on ``novel`` — previously the
+    lazy probe recomputed on each), and the broadcast is destroyed
+    before returning — a streaming caller screening thousands of
+    micro-batches holds exactly one bitmap broadcast at a time instead
+    of accumulating them until GC.
     """
     batch_first = _eager(exact_dedup(new_df, text_col, id_col))
-    flagged = bloom_might_contain(
-        batch_first, bits, num_hashes, text_col, "_seen"
-    )
-    novel = flagged.where(~F.col("_seen")).drop("_seen")
     num_bits = len(bits) * 64
-    delta = bloom_build(novel, num_bits, num_hashes, text_col)
+    bc = new_df.sparkSession.sparkContext.broadcast(bits)
+    try:
+        flagged = bloom_might_contain(
+            batch_first, bc, num_hashes, text_col, "_seen"
+        )
+        novel = _eager(flagged.where(~F.col("_seen")).drop("_seen"))
+        delta = bloom_build(novel, num_bits, num_hashes, text_col)
+    finally:
+        bc.destroy()
     return novel, delta
 
 

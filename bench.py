@@ -432,7 +432,19 @@ def evaluate_tripwire(
         if not isinstance(parsed, dict):
             continue
         cal = (parsed.get("calibration") or {}).get("value")
-        io = (parsed.get("calibration_io") or {}).get("value")
+        io_doc = parsed.get("calibration_io") or {}
+        io = io_doc.get("value")
+        # probe-methodology gate (round-16 ADVICE): only combine io
+        # readings taken with the fresh-urandom probe ("-fresh" in the
+        # workload tag). The pre-r15 probe rewrote one reused 1-MiB
+        # buffer, which a deduplicating/compressing filesystem folds —
+        # its inflated MiB/s would inflate the implied-MiB floor and
+        # mask or misprice regressions on IO_BOUND_ROWS. An old-basis
+        # (or untagged) reading degrades like the pre-probe case: no io
+        # band from that record, flags carry io_unpriced if none is
+        # left.
+        if io is not None and "-fresh" not in str(io_doc.get("workload") or ""):
+            io = None
         lanes = {
             "sf0.1": parsed.get("queries"),
             "sf1": (parsed.get("sf1") or {}).get("queries"),

@@ -166,11 +166,14 @@ def test_calibration_engages_at_one_probed_prior(tmp_path):
     assert flags["q1"]["band_floor"] == 2.2
 
 
-def _record_io(tmp_path, n, queries, cal, io):
+def _record_io(
+    tmp_path, n, queries, cal, io,
+    workload="seq-write-fsync-256MiB-fresh-max2",
+):
     parsed = {
         "queries": queries,
         "calibration": {"value": cal},
-        "calibration_io": {"value": io},
+        "calibration_io": {"value": io, "workload": workload},
     }
     (tmp_path / f"BENCH_r{n:02d}.json").write_text(
         json.dumps({"n": n, "rc": 0, "parsed": parsed})
@@ -231,6 +234,44 @@ def test_io_tagged_row_on_cpu_bound_lane_not_flagged_by_fast_disk(tmp_path):
     }
     bench.evaluate_tripwire(out, str(tmp_path))
     assert out["tripwire"]["flagged"] == {}
+
+
+def test_old_basis_io_readings_are_excluded_from_the_band(tmp_path):
+    """Round-16 ADVICE: the pre-r15 probe rewrote one reused buffer, so
+    a dedup/compressing filesystem reported memory bandwidth — those
+    readings are NOT comparable with fresh-urandom readings and must
+    not price the implied-MiB floor. History carrying only old-basis
+    (or untagged) io readings degrades to the CPU band, and a flag on
+    the disk-bound row then carries io_unpriced — exactly the
+    pre-probe behavior."""
+    _record_io(
+        tmp_path, 1, {"find_forget_job": 4.0}, 0.5, 5000.0,
+        workload="seq-write-fsync-256MiB-max2",  # reused-buffer probe
+    )
+    _record_io(
+        tmp_path, 2, {"find_forget_job": 4.4}, 0.5, 4500.0,
+        workload=None,  # untagged: methodology unknown
+    )
+    # the inflated 5000 MiB/s priors would put the io floor at
+    # 4.0*5000/200 = 100 s and silently absorb a 30 s regression; with
+    # the old-basis readings excluded the CPU band flags it instead
+    out = {
+        "queries": {"find_forget_job": 30.0},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 200.0},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flag = out["tripwire"]["flagged"]["sf0.1"]["find_forget_job"]
+    assert flag["basis"] == "cpu"
+    assert flag["io_unpriced"] is True
+    # a mixed band keeps only the fresh reading
+    _record_io(tmp_path, 3, {"find_forget_job": 4.0}, 0.5, 500.0)
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flag = out["tripwire"]["flagged"]["sf0.1"]["find_forget_job"]
+    assert flag["basis"] == "io"
+    assert flag["n_probed"] == 1
+    # floor = 4.0 * 500 / 200 = 10.0 from the fresh prior only
+    assert flag["band_floor"] == 10.0
 
 
 def test_io_bound_row_without_io_history_marks_unpriced(tmp_path):

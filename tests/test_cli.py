@@ -324,6 +324,32 @@ def test_cli_dedup_screen_bloom_runbook(spark, tmp_path, capsys):
     assert (r3["BatchRows"], r3["NovelRows"]) == (2, 1)  # gamma seen
     kept = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
     assert kept == [1, 2, 11, 21]
+    # round-16 ADVICE: sizing flags on a non-first batch cannot resize
+    # a live filter — the screen keeps the inherited geometry but must
+    # SAY so (an operator believing the filter grew would keep
+    # screening at a higher-than-priced fp rate)
+    b4 = str(tmp_path / "b4")
+    spark.createDataFrame(
+        [(30, "epsilon")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b4)
+    capsys.readouterr()
+    rc4 = main(base + ["dedup-screen", "--mode", "bloom", "--input", b4,
+                       "--index-dir", index, "--novel-out", novel,
+                       "--bloom-capacity", "7", "--bloom-fpp", "0.05"])
+    assert rc4 in (0, None)
+    err4 = capsys.readouterr().err
+    assert "bloom geometry flags ignored" in err4
+    assert "InheritedNumBits" in err4
+    # matching flags (the documented geometry) stay quiet
+    b5 = str(tmp_path / "b5")
+    spark.createDataFrame(
+        [(31, "zeta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b5)
+    rc5 = main(base + ["dedup-screen", "--mode", "bloom", "--input", b5,
+                       "--index-dir", index, "--novel-out", novel,
+                       "--bloom-capacity", "1000"])
+    assert rc5 in (0, None)
+    assert "bloom geometry" not in capsys.readouterr().err
 
 
 def test_cli_dedup_screen_symlink_retry_same_identity(spark, tmp_path, capsys):

@@ -581,6 +581,88 @@ def test_bloom_randomized_no_false_negatives(spark):
     assert again.count() == 0
 
 
+def test_bloom_h2_is_seed_independent_of_h1(spark):
+    # round-16 ADVICE: h2 must not be a chained function of h1. The
+    # fixed form hashes (lit(1), text) — the constant enters the hash
+    # state BEFORE the content, i.e. a different-seed hash of the text
+    # — so an h1 collision between two texts does not force identical
+    # probe sequences. Pin the expression against both the correct
+    # form and the old chained form.
+    from pyspark.sql import functions as F
+
+    df = docs(spark, HISTORY)
+    h1, h2 = inc._bloom_hashes("text")
+    row = df.select(
+        h1,
+        h2,
+        F.xxhash64(F.lit(1), F.col("text")).alias("_want"),
+        F.xxhash64(F.col("text"), F.lit(1)).alias("_old"),
+    ).collect()[0]
+    assert row["_h2"] == row["_want"]
+    assert row["_h2"] != row["_old"]
+    assert row["_h2"] != row["_h1"]
+
+
+def test_bloom_screen_destroys_broadcast_and_probes_once(spark):
+    # round-16 ADVICE: one bitmap broadcast per screen call, destroyed
+    # before return — a long-running stream must not accumulate one
+    # multi-MB broadcast per micro-batch. The returned novel relation
+    # is materialized (localCheckpoint), so (a) collecting it AFTER
+    # the broadcast is destroyed still works, and (b) the probe pass
+    # ran exactly once for both the delta build and downstream actions
+    # (no lazy recompute of the pandas_udf).
+    from pyspark import Broadcast
+    from unittest import mock
+
+    m, k = inc.bloom_params(1000, 0.001)
+    bits = inc.bloom_build(docs(spark, HISTORY), m, k)
+    created: list = []
+    real_broadcast = spark.sparkContext.broadcast
+
+    destroyed: list = []
+
+    def tracking(value):
+        bc = real_broadcast(value)
+        if isinstance(value, type(bits)):
+            real_destroy = bc.destroy
+
+            def spy_destroy(*a, **kw):
+                destroyed.append(bc)
+                return real_destroy(*a, **kw)
+
+            bc.destroy = spy_destroy
+            created.append(bc)
+        return bc
+
+    with mock.patch.object(
+        spark.sparkContext, "broadcast", side_effect=tracking
+    ):
+        novel, delta = inc.incremental_bloom_dedup(
+            docs(spark, BATCH), bits, k
+        )
+    assert len(created) == 1 and isinstance(created[0], Broadcast)
+    assert destroyed == created
+    # novel survives the destroy (materialized, not a lazy probe plan)
+    assert sorted(r["doc_id"] for r in novel.collect()) == [11, 14]
+    plan = novel._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def test_bloom_probe_accepts_live_broadcast(spark):
+    # bits may arrive as a caller-owned Broadcast: the probe reuses it
+    # (no new broadcast) and the caller controls its lifetime
+    import numpy as np
+
+    m, k = inc.bloom_params(100, 0.01)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    bc = spark.sparkContext.broadcast(bits)
+    try:
+        out = inc.bloom_might_contain(docs(spark, HISTORY), bc, k)
+        assert out.where("might_contain").count() == 0
+    finally:
+        bc.destroy()
+
+
 def test_bloom_probe_is_map_only(spark):
     # the membership probe must add no exchange and no join at any
     # corpus size — the whole point of the bounded-state screen
