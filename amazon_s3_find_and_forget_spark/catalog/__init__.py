@@ -139,6 +139,8 @@ GATE_ORDER = [
 # by the *_recall / *_complete rows) — every oracle-backed row here is
 # still checked by tools/check_oracle.py.
 TAIL_ORDER = [
+    "text_url_screen",  # r16: rotates into the window with the r16 gate
+    # rotation (every-new-row rule)
     "dedup_ngram_pairs",
     "text_token_count",
     "text_length_percentiles",

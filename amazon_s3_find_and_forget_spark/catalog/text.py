@@ -555,6 +555,55 @@ _LANG_SCORES = {
 }
 
 
+def q_text_url_screen(spark, sf_dir):
+    """URL-level curation screen (C4 §2.2 dedup-by-URL + domain
+    blocklist; Dolma ships the same two taggers) with a FULL value
+    oracle. The documents table carries no URL column, so the row
+    derives one DETERMINISTICALLY from (source, doc_id) in a way DuckDB
+    replicates byte-exactly, with every normalization rule carrying
+    real rows: scheme case varies (doc_id % 2), a ``www.`` prefix
+    (% 3), the TLD rotates .com/.net/.org/.io (% 4), an explicit port
+    (% 5), a trailing slash (% 7), and EVERY url carries a unique
+    ``?session=`` query plus ``#f`` fragment — so no two raw strings
+    are equal and every collision the dedup finds was created by
+    normalization. The blocklist drops one whole TLD group by suffix
+    match (``example.org``) and one exact host
+    (``host-src3.example.com``); survivors then dedup to the minimum
+    doc_id per normalized URL (path identity is ``doc_id % 40``)."""
+    from ..operators import urls
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Host-"),
+        F.upper("source"),
+        F.lit(".Example"),
+        F.when(d % 4 == 0, F.lit(".com"))
+        .when(d % 4 == 1, F.lit(".net"))
+        .when(d % 4 == 2, F.lit(".org"))
+        .otherwise(F.lit(".io")),
+        F.when(d % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 40).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?session="),
+        d.cast("string"),
+        F.lit("#f"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    kept = urls.filter_blocked_domains(
+        with_url, ["example.org", "Host-SRC3.Example.com"]
+    )
+    out = urls.dedup_by_url(kept)
+    return out.select(
+        "doc_id",
+        "url_norm",
+        urls.url_domain(F.col("url")).alias("domain"),
+    )
+
+
 # chained redaction built from the SAME pattern table the operator uses
 # (DuckDB needs the explicit 'g' flag; Spark replaces globally by default)
 _REDACT_EXPR = "text"
@@ -577,6 +626,7 @@ QUERIES = {
     "text_exact_mixture": q_text_exact_mixture,
     "text_token_count": q_text_token_count,
     "text_token_count_bpe": q_text_token_count_bpe,
+    "text_url_screen": q_text_url_screen,
     "text_length_percentiles": q_text_length_percentiles,
     "text_chunks": q_text_chunks,
     "text_tfidf": q_text_tfidf,
@@ -639,6 +689,50 @@ _DSIR_WEIGHTS_SQL = f"""
 
 
 ORACLES = {
+    "text_url_screen": """
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+            || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+            || 'Host-' || upper(source) || '.Example'
+            || (CASE WHEN doc_id % 4 = 0 THEN '.com'
+                     WHEN doc_id % 4 = 1 THEN '.net'
+                     WHEN doc_id % 4 = 2 THEN '.org'
+                     ELSE '.io' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+            || '/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+            || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+            || '?session=' || CAST(doc_id AS VARCHAR) || '#f' AS url
+          FROM documents
+        ), stripped AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(trim(url),
+                   '#.*', '', 's'), '\\?.*', '', 's'),
+                   '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+          FROM u
+        ), hp AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_replace(split_part(rest, '/', 1),
+                                        '^[^/@]*@', '')),
+                   ':\\d+$', ''), '^www\\.', '') AS host,
+                 regexp_replace(
+                   substr(rest, length(split_part(rest, '/', 1)) + 1),
+                   '/+$', '') AS path
+          FROM stripped
+        ), kept AS (
+          SELECT doc_id, host, host || path AS url_norm
+          FROM hp
+          WHERE NOT (host = 'example.org'
+                     OR host LIKE '%.example.org'
+                     OR host = 'host-src3.example.com'
+                     OR host LIKE '%.host-src3.example.com')
+        )
+        SELECT doc_id, url_norm, host AS domain
+        FROM kept
+        QUALIFY row_number() OVER (
+          PARTITION BY url_norm ORDER BY doc_id) = 1
+    """,
     "text_curation_pipeline": f"""
         WITH survivors AS (
           SELECT doc_id, text FROM documents

@@ -620,18 +620,37 @@ def main():
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
 
+        # Watch cells (r15 verdict ask #2): text_llm_pipeline and
+        # dedup_paragraphs drifted >20% between r14 and r15 on UNTOUCHED
+        # code, with a same-HEAD rerun contradicting the drift — classic
+        # min-of-2 weather on a shared rig. These rows always take a
+        # third sample; any other row whose two samples spread past 25%
+        # earns a spread-triggered third. min-of-3 shrinks the
+        # probability that BOTH recorded rounds caught a bad-weather min
+        # without paying a third multi-minute run on quiet rows.
+        SF10_WATCH = {"text_llm_pipeline", "dedup_paragraphs"}
+        SF10_SPREAD_THIRD = 1.25
+
         def sf10_run(name, thunk):
             # a lane query failing (the likeliest break at a new scale)
             # must cost its own number, not the whole BENCH record
             runs: list[float] = []
             try:
                 n = None
-                for _ in range(2):
+                while True:
                     start = time.perf_counter()
                     n = thunk()
                     runs.append(round(time.perf_counter() - start, 3))
                     _lane_gc()
-                    if runs[-1] >= SF10_RERUN_UNDER:
+                    if runs[-1] >= SF10_RERUN_UNDER or len(runs) >= 3:
+                        break
+                    want = 3 if name in SF10_WATCH else 2
+                    if (
+                        len(runs) >= 2
+                        and max(runs) > SF10_SPREAD_THIRD * min(runs)
+                    ):
+                        want = 3
+                    if len(runs) >= want:
                         break
                 sf10[name] = min(runs)
                 sf10_spread[name] = runs
@@ -675,6 +694,8 @@ def main():
             "value": round(sum(sf10.values()), 3),
             "queries": sf10,
             "runs": 2,
+            "watch_min3": sorted(SF10_WATCH),
+            "spread_third_over": SF10_SPREAD_THIRD,
             "rerun_under_sec": SF10_RERUN_UNDER,
             "spread": sf10_spread,
         }
