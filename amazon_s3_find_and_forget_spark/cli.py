@@ -428,19 +428,28 @@ def main(argv: list[str] | None = None) -> int:
     cu = sub.add_parser(
         "curate",
         help="composed corpus curation: an ordered, opt-in chain of "
-        "paragraph-dedup -> exact-dedup -> exact-substr -> benchmark "
-        "decontamination -> Gopher filtering -> train/val/test split, "
-        "one pass, one JSON report with per-stage counts",
+        "url-screen -> paragraph-dedup -> exact-dedup -> exact-substr "
+        "-> benchmark decontamination -> Gopher filtering -> "
+        "train/val/test split, one pass, one JSON report with "
+        "per-stage counts",
     )
     cu.add_argument("--input", required=True, help="pool corpus (parquet)")
     cu.add_argument("--out", required=True, help="output directory")
     cu.add_argument(
         "--steps",
         default="exact-dedup,gopher,split",
-        help="comma-separated subset of: paragraph-dedup, exact-dedup, "
-        "exact-substr, decontaminate, gopher, split (always applied in "
-        "that order)",
+        help="comma-separated subset of: url-screen, paragraph-dedup, "
+        "exact-dedup, exact-substr, decontaminate, gopher, split "
+        "(always applied in that order)",
     )
+    cu.add_argument("--url-column", default="url",
+                    help="url-screen step: column carrying the page "
+                    "URL (the step fails loudly if absent)")
+    cu.add_argument("--blocklist-file", default=None,
+                    help="url-screen step: optional domain blocklist, "
+                    "one domain per line ('#' comments); entries match "
+                    "hosts at label boundaries (example.com blocks "
+                    "ads.example.com)")
     cu.add_argument("--benchmark", default=None,
                     help="benchmark corpus (parquet; required for the "
                     "decontaminate step)")
@@ -454,6 +463,15 @@ def main(argv: list[str] | None = None) -> int:
                     "tokens)")
     cu.add_argument("--substr-mode", default="cut",
                     choices=["cut", "mask"])
+    cu.add_argument("--audit-out", default=None,
+                    help="write the memorization-audit table (top-k "
+                    "most-repeated verbatim --substr-min-tokens-token "
+                    "windows, Lee et al. 2021) as parquet BEFORE the "
+                    "exact-substr step runs — the diagnostic a curation "
+                    "run reads to choose its cut threshold, recorded "
+                    "alongside the run that acted on it")
+    cu.add_argument("--audit-k", type=int, default=25,
+                    help="audit table size (rows)")
     cu.add_argument(
         "--rules",
         default="word_count,mean_word_len,symbol_ratio,alpha_words",
@@ -536,8 +554,8 @@ def main(argv: list[str] | None = None) -> int:
     curate_ratios: dict[str, float] = {}
     if args.cmd == "curate":
         _order = [
-            "paragraph-dedup", "exact-dedup", "exact-substr",
-            "decontaminate", "gopher", "split",
+            "url-screen", "paragraph-dedup", "exact-dedup",
+            "exact-substr", "decontaminate", "gopher", "split",
         ]
         wanted = {s.strip() for s in args.steps.split(",") if s.strip()}
         bad_steps = sorted(wanted - set(_order))
@@ -998,8 +1016,11 @@ def main(argv: list[str] | None = None) -> int:
         # null-SAFE rejoin is no fix either (two NULL-id rows would
         # cross-match). Fail loudly with the count instead of losing
         # rows; the caller assigns surrogate ids and reruns.
+        # url-screen is in the set too: dedup_by_url keys its survivor
+        # semi-join on (url_norm, id), so a NULL id would drop the row
         rejoin_steps = {
-            "paragraph-dedup", "exact-substr", "decontaminate"
+            "url-screen", "paragraph-dedup", "exact-substr",
+            "decontaminate",
         } & set(curate_steps)
         if rejoin_steps:
             n_null_ids = df.where(F.col(icol).isNull()).count()
@@ -1011,6 +1032,35 @@ def main(argv: list[str] | None = None) -> int:
                     "rewritten text on that column and would silently "
                     "drop them — assign non-NULL ids and rerun"
                 )
+        if "url-screen" in curate_steps:
+            from .operators import urls as url_ops
+
+            ucol = args.url_column
+            if ucol not in df.columns:
+                raise SystemExit(
+                    f"curate: url-screen needs column {ucol!r} "
+                    f"(have {df.columns}); pass --url-column"
+                )
+            n_before = report["InputRows"]
+            if args.blocklist_file:
+                with open(args.blocklist_file, encoding="utf-8") as f:
+                    entries = [
+                        ln.strip()
+                        for ln in f
+                        if ln.strip() and not ln.lstrip().startswith("#")
+                    ]
+                df = url_ops.filter_blocked_domains(
+                    df, entries, url_col=ucol, id_col=icol
+                )
+                n_after_block = df.count()
+                report["UrlBlocked"] = n_before - n_after_block
+                n_before = n_after_block
+            df = url_ops.dedup_by_url(
+                df, url_col=ucol, id_col=icol
+            ).drop("url_norm")
+            n_url = df.count()
+            report["UrlDupRows"] = n_before - n_url
+            report["UrlSurvivors"] = n_url
         if "paragraph-dedup" in curate_steps:
             pd_out = dedup_ops.remove_duplicated_paragraphs(
                 df, sep=args.paragraph_sep, text_col=tcol, id_col=icol
@@ -1023,6 +1073,30 @@ def main(argv: list[str] | None = None) -> int:
         if "exact-dedup" in curate_steps:
             df = dedup_ops.exact_dedup(df, text_col=tcol, id_col=icol)
             report["ExactSurvivors"] = df.count()
+        if args.audit_out:
+            # the audit runs HERE — on exactly the relation the
+            # exact-substr step is about to see (post upstream dedup),
+            # at the same min_tokens operating point — so the recorded
+            # table is the one the cut acted on, not a pre-dedup view
+            # whose counts the earlier steps already changed
+            audit = dedup_ops.top_repeated_substrings(
+                df, min_tokens=args.substr_min_tokens, k=args.audit_k,
+                text_col=tcol, id_col=icol,
+            )
+            audit.write.mode("error").parquet(args.audit_out)
+            arows = eng.spark.read.parquet(args.audit_out).collect()
+            report["AuditOut"] = args.audit_out
+            report["AuditRows"] = len(arows)
+            if arows:
+                top = max(
+                    arows,
+                    key=lambda r: (r["n_occurrences"], r["substring"]),
+                )
+                report["AuditTopRepeat"] = {
+                    "n_occurrences": int(top["n_occurrences"]),
+                    "n_docs": int(top["n_docs"]),
+                    "substring": top["substring"][:120],
+                }
         if "exact-substr" in curate_steps:
             xs = dedup_ops.dedup_exact_substrings(
                 df, min_tokens=args.substr_min_tokens, text_col=tcol,

@@ -901,11 +901,63 @@ def test_cli_curate_exact_substr_step(spark, tmp_path, capsys):
         "doc_id long, text string",
     ).write.parquet(src)
     out = str(tmp_path / "xout")
+    audit = str(tmp_path / "xaudit")
     r = run(capsys, *base, "curate", "--input", src, "--out", out,
-            "--steps", "exact-substr", "--substr-min-tokens", "5")
+            "--steps", "exact-substr", "--substr-min-tokens", "5",
+            "--audit-out", audit)
     assert r["SubstrTokensRemoved"] == 10
     texts = {x.doc_id: x.text for x in spark.read.parquet(out).collect()}
     assert texts == {1: "a b", 2: "c", 3: "clean doc here"}
+    # the memorization-audit table recorded the window the cut acted on
+    assert r["AuditRows"] == 1
+    assert r["AuditTopRepeat"] == {
+        "n_occurrences": 2, "n_docs": 2, "substring": run5,
+    }
+    arow = spark.read.parquet(audit).collect()[0]
+    assert (arow["substring"], arow["n_occurrences"], arow["n_docs"],
+            arow["first_doc_id"]) == (run5, 2, 2, 1)
+
+
+def test_cli_curate_url_screen_step(spark, tmp_path, capsys):
+    # the C4-style first stage: blocklist by domain (label-boundary
+    # match), then exact dedup by normalized URL (min-id survivor);
+    # counts land in the report and the added url_norm column does NOT
+    # leak into the output schema
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    src = str(tmp_path / "usrc")
+    spark.createDataFrame(
+        [
+            (1, "https://example.com/a?x=1", "keep a"),
+            (2, "HTTP://WWW.Example.com/a#f", "dup of a"),
+            (3, "https://example.com/b", "keep b"),
+            (4, "https://ads.tracker.net/z", "blocked subdomain"),
+            (5, "https://tracker.net/z", "blocked exact"),
+            (6, "https://nottracker.net/z", "kept: substring only"),
+        ],
+        "doc_id long, url string, text string",
+    ).write.parquet(src)
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# ad domains\ntracker.net\n")
+    out = str(tmp_path / "uout")
+    r = run(capsys, *base, "curate", "--input", src, "--out", out,
+            "--steps", "url-screen", "--blocklist-file", str(bl))
+    assert r["UrlBlocked"] == 2
+    assert r["UrlDupRows"] == 1
+    assert r["UrlSurvivors"] == 3
+    rows = spark.read.parquet(out)
+    assert sorted(x.doc_id for x in rows.collect()) == [1, 3, 6]
+    assert set(rows.columns) == {"doc_id", "url", "text"}
+    # missing url column fails loudly
+    import pytest as _pytest
+
+    src2 = str(tmp_path / "usrc2")
+    spark.createDataFrame(
+        [(1, "t")], "doc_id long, text string"
+    ).write.parquet(src2)
+    with _pytest.raises(SystemExit, match="url-screen needs column"):
+        main(base + ["curate", "--input", src2, "--out",
+                     str(tmp_path / "u2"), "--steps", "url-screen"])
 
 
 def test_cli_curate_rejects_null_ids(spark, tmp_path, capsys):
