@@ -141,6 +141,9 @@ GATE_ORDER = [
 TAIL_ORDER = [
     "text_url_screen",  # r16: rotates into the window with the r16 gate
     # rotation (every-new-row rule)
+    "dedup_exact_substrings_bpe",  # r16: rotates in (every-new-row rule)
+    "dedup_exact_substrings_bpe_mask",  # r16: rotates in (every-new-row
+    # rule)
     "dedup_ngram_pairs",
     "text_token_count",
     "text_length_percentiles",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity
 from .loader import _summary_row, load
+from .text import TINY_MERGES
 
 
 def q_dedup_components(spark, sf_dir):
@@ -313,6 +314,61 @@ def q_dedup_exact_substrings_mask(spark, sf_dir):
     )
 
 
+def _ascii_docs(spark, sf_dir):
+    """The ASCII document subset (char length == byte length, NULLs
+    excluded): the relation the BPE-operating-point rows run on, so the
+    DuckDB oracle's character arithmetic IS byte arithmetic. Identical
+    filter in both engines; the non-ASCII path (multi-byte units +
+    decode round-trip) is pytest-covered where SQL cannot follow."""
+    return load(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length("text")
+    )
+
+
+def q_dedup_exact_substrings_bpe(spark, sf_dir):
+    """ExactSubstr at the BYTE-FAITHFUL operating point (round-16
+    verdict ask #3): min_tokens=50 denominated in byte-level BPE tokens
+    — what Lee et al.'s released tool means by 50 tokens — through the
+    REAL merge loop over the catalog's closed-form TINY_MERGES table.
+
+    Why the oracle is exact: under TINY_MERGES [(a,n),(an,d)] the BPE
+    token sequence over ASCII text equals the leftmost-first regex scan
+    ``and|an|.`` — every 'an'/'and' in raw text lies inside one letter
+    pre-token (letters never straddle pre-token boundaries; the only
+    zero-width split carries an apostrophe — catalog/text.py's
+    closed-form proof), rank order merges all 'an' then 'an'+'d' which
+    fuses exactly the 'and' substrings, and since 'a','n','d' are
+    distinct chars occurrences never overlap, so the leftmost
+    alternation reproduces the merge result (property-fuzzed in
+    tests). DuckDB then re-runs the window-tiling semantics over that
+    token array; windows join on chr(31) (injective — tokens never
+    contain it) where the engine joins byte-unicode units on ' '
+    (injective — the alphabet maps 0x20 away). FULL value oracle: the
+    byte-spliced output text itself is hash-compared, and n_tokens
+    doubles as a tokenizer-exactness check."""
+    return dedup.dedup_exact_substrings(
+        _ascii_docs(spark, sf_dir),
+        min_tokens=50,
+        tokenizer="bpe",
+        merges=TINY_MERGES,
+    )
+
+
+def q_dedup_exact_substrings_bpe_mask(spark, sf_dir):
+    """Mask-mode sibling of the BPE operating point (the every-kernel
+    rule: the joiner='' + decode reassembly is a NEW kernel path, so
+    both modes gate). At byte level the ASCII '[DUP]' glues directly
+    between surviving bytes — no word boundary exists to respect — and
+    survives the UTF-8 decode verbatim. Same full value oracle."""
+    return dedup.dedup_exact_substrings(
+        _ascii_docs(spark, sf_dir),
+        min_tokens=50,
+        tokenizer="bpe",
+        merges=TINY_MERGES,
+        mode="mask",
+    )
+
+
 def q_dedup_top_repeats(spark, sf_dir):
     """The memorization-audit table (Lee et al. 2021's most-duplicated-
     substrings analysis): top-25 verbatim 20-token windows by
@@ -611,6 +667,8 @@ QUERIES = {
     "dedup_span_mask": q_dedup_span_mask,
     "dedup_exact_substrings": q_dedup_exact_substrings,
     "dedup_exact_substrings_mask": q_dedup_exact_substrings_mask,
+    "dedup_exact_substrings_bpe": q_dedup_exact_substrings_bpe,
+    "dedup_exact_substrings_bpe_mask": q_dedup_exact_substrings_bpe_mask,
     "dedup_top_repeats": q_dedup_top_repeats,
     "dedup_decontaminate_spans": q_dedup_decontaminate_spans,
     "dedup_decontaminate_mask": q_dedup_decontaminate_mask,
@@ -626,6 +684,90 @@ QUERIES = {
     "dedup_components_minhash": q_dedup_components_minhash,
     "dedup_clusters_minhash": q_dedup_clusters_minhash,
 }
+
+def _bpe_exact_substr_oracle(mask: bool) -> str:
+    """Shared DuckDB template for the two BPE-operating-point rows.
+
+    Tokenization: leftmost-first ``and|an|[\\s\\S]`` == the TINY_MERGES
+    BPE merge result on ASCII text (proof in the query docstring);
+    window identity joins on chr(31) (text never contains it under the
+    ASCII word corpus, and tokens never do); reassembly concatenates
+    with '' — the byte-splice the engine's decode path produces."""
+    reassembly = (
+        """
+        ), marked AS (
+          SELECT doc_id, p, tok,
+                 CASE WHEN p - lag(p, 1, 0) OVER (
+                        PARTITION BY doc_id ORDER BY p) > 1
+                      THEN '[DUP]' || tok ELSE tok END AS piece
+          FROM kept
+        ), agg AS (
+          SELECT doc_id, string_agg(piece, '' ORDER BY p) AS body,
+                 max(p) AS maxp, count(*) AS kept_n
+          FROM marked GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CASE WHEN len(t.t) = 0 THEN ''
+                    WHEN a.doc_id IS NULL THEN '[DUP]'
+                    WHEN a.maxp < len(t.t) THEN a.body || '[DUP]'
+                    ELSE a.body END AS text,
+        """
+        if mask
+        else """
+        ), agg AS (
+          SELECT doc_id, string_agg(tok, '' ORDER BY p) AS text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(a.text, '') AS text,
+        """
+    )
+    return (
+        """
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          WHERE length(text) = strlen(text)
+        ), toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, 'and|an|[\\s\\S]') AS t
+          FROM docs
+        ), occ AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t) - 49),
+                   i -> struct_pack(
+                     pos := i,
+                     g := array_to_string(t[i:i+49], chr(31))))) AS o
+          FROM toks WHERE len(t) >= 50
+        ), dup AS (
+          SELECT o.g AS g FROM occ GROUP BY o.g HAVING count(*) >= 2
+        ), removed_pos AS (
+          SELECT DISTINCT doc_id, o.pos + off AS p
+          FROM occ JOIN dup ON occ.o.g = dup.g
+          CROSS JOIN (SELECT unnest(generate_series(0, 49)) AS off)
+        ), tokrows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(t)),
+                   i -> struct_pack(p := i, tok := t[i]))) AS x
+          FROM toks
+        ), kept AS (
+          SELECT tr.doc_id, tr.x.p AS p, tr.x.tok AS tok
+          FROM tokrows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM removed_pos r
+            WHERE r.doc_id = tr.doc_id AND r.p = tr.x.p)
+        """
+        + reassembly
+        + """
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
+                 AS removed_tokens
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+    )
+
 
 ORACLES = {
     "dedup_span_removal": """
@@ -869,6 +1011,8 @@ ORACLES = {
                  AS removed_tokens
         FROM toks t LEFT JOIN agg a USING (doc_id)
     """,
+    "dedup_exact_substrings_bpe": _bpe_exact_substr_oracle(mask=False),
+    "dedup_exact_substrings_bpe_mask": _bpe_exact_substr_oracle(mask=True),
     "dedup_decontaminate_spans": """
         WITH pool AS (
           SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0

@@ -463,6 +463,16 @@ def main(argv: list[str] | None = None) -> int:
                     "tokens)")
     cu.add_argument("--substr-mode", default="cut",
                     choices=["cut", "mask"])
+    cu.add_argument("--substr-tokenizer", default="whitespace",
+                    choices=["whitespace", "bpe"],
+                    help="exact-substr token unit: whitespace words, or "
+                    "byte-level BPE (Lee et al.'s released tool's unit — "
+                    "--substr-min-tokens then means BPE tokens; pass the "
+                    "model's merge table via --substr-merges, omit for "
+                    "pure byte level)")
+    cu.add_argument("--substr-merges", default=None,
+                    help="GPT-2-format merges.txt for "
+                    "--substr-tokenizer bpe")
     cu.add_argument("--audit-out", default=None,
                     help="write the memorization-audit table (top-k "
                     "most-repeated verbatim --substr-min-tokens-token "
@@ -1073,15 +1083,26 @@ def main(argv: list[str] | None = None) -> int:
         if "exact-dedup" in curate_steps:
             df = dedup_ops.exact_dedup(df, text_col=tcol, id_col=icol)
             report["ExactSurvivors"] = df.count()
+        substr_merges = None
+        if args.substr_tokenizer == "bpe":
+            from .operators.text import load_merges as _load_merges
+
+            substr_merges = (
+                _load_merges(args.substr_merges)
+                if args.substr_merges
+                else []
+            )
         if args.audit_out:
             # the audit runs HERE — on exactly the relation the
             # exact-substr step is about to see (post upstream dedup),
-            # at the same min_tokens operating point — so the recorded
-            # table is the one the cut acted on, not a pre-dedup view
-            # whose counts the earlier steps already changed
+            # at the same min_tokens operating point AND token unit —
+            # so the recorded table is the one the cut acted on, not a
+            # pre-dedup view whose counts the earlier steps already
+            # changed
             audit = dedup_ops.top_repeated_substrings(
                 df, min_tokens=args.substr_min_tokens, k=args.audit_k,
                 text_col=tcol, id_col=icol,
+                tokenizer=args.substr_tokenizer, merges=substr_merges,
             )
             audit.write.mode("error").parquet(args.audit_out)
             arows = eng.spark.read.parquet(args.audit_out).collect()
@@ -1101,6 +1122,7 @@ def main(argv: list[str] | None = None) -> int:
             xs = dedup_ops.dedup_exact_substrings(
                 df, min_tokens=args.substr_min_tokens, text_col=tcol,
                 id_col=icol, mode=args.substr_mode,
+                tokenizer=args.substr_tokenizer, merges=substr_merges,
             )
             report["SubstrTokensRemoved"] = int(
                 xs.agg(F.sum("removed_tokens")).collect()[0][0] or 0

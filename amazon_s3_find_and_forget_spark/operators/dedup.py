@@ -1361,6 +1361,8 @@ def _gram_occurrences(
     id_col: str,
     with_pos: bool = True,
     lowercase: bool = True,
+    tokenizer: str = "whitespace",
+    merges: list[tuple[str, str]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared span-operator tokenization: returns ``(toks, occ)`` where
     ``toks`` is the ``(_id, _t)`` whitespace-token-array relation (what
@@ -1382,13 +1384,40 @@ def _gram_occurrences(
     ``size(_tl)``, not ``size(_t)``: multiple ``_tl`` references keep
     CollapseProject from folding the lowercase projection back into the
     lambda (the word_ngrams contract).
+
+    ``tokenizer`` picks the token unit: ``'whitespace'`` (the default,
+    pure-JVM regexp split) or ``'bpe'`` (byte-level BPE over ``merges``
+    via ``text.with_bpe_units`` — Arrow-batched Python merge loop,
+    byte-unicode-alphabet unit strings). BPE callers must pass
+    ``lowercase=False``: byte units are case-exact by construction and
+    lowercasing the alphabet strings would corrupt byte identity.
     """
-    toks = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.regexp_extract_all(
-            F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), F.lit(0)
-        ).alias("_t"),
-    )
+    if tokenizer == "whitespace":
+        toks = _spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(r"\S+"),
+                F.lit(0),
+            ).alias("_t"),
+        )
+    elif tokenizer == "bpe":
+        if lowercase:
+            raise ValueError("tokenizer='bpe' requires lowercase=False")
+        from amazon_s3_find_and_forget_spark.operators import text as _text
+
+        toks = _text.with_bpe_units(
+            _spread(df).withColumn(
+                text_col, F.coalesce(F.col(text_col), F.lit(""))
+            ),
+            merges or [],
+            text_col=text_col,
+            out_col="_t",
+        ).select(F.col(id_col).alias("_id"), "_t")
+    else:
+        raise ValueError(
+            f"tokenizer must be 'whitespace' or 'bpe', got {tokenizer!r}"
+        )
     Ll = F.size("_tl")
     grams_col = F.when(
         Ll >= n,
@@ -1416,6 +1445,8 @@ def _reconstruct_without_spans(
     mask_token: str,
     text_col: str,
     id_col: str,
+    joiner: str = " ",
+    postprocess=None,
 ) -> DataFrame:
     """Shared span-removal reconstruction: expand removed START
     positions (``(_id, _pos)``) to covered token positions, rebuild
@@ -1427,7 +1458,15 @@ def _reconstruct_without_spans(
     are affected), and span expansion + token reassembly are pure array
     expressions inside codegen (``array_except`` is O(len + removed)).
     Returns the eagerly-materialized ``(id, text, n_tokens,
-    removed_tokens)``."""
+    removed_tokens)``.
+
+    ``joiner`` is the token-reassembly separator (``' '`` for word
+    tokens; ``''`` for BPE units, whose byte-unicode strings carry
+    their own leading-space bytes). ``postprocess`` — an optional
+    Column -> Column hook — runs over the reassembled text before the
+    final projection (the BPE path decodes the alphabet back to UTF-8
+    there); masks insert BEFORE it, so an ASCII mask survives any
+    byte-faithful decode."""
     L = F.size("_t")
     rset = removed_starts.groupBy("_id").agg(
         F.array_sort(
@@ -1463,7 +1502,7 @@ def _reconstruct_without_spans(
     if mode == "cut":
         text_out = F.array_join(
             F.transform("_keep", lambda p: F.element_at("_t", p)),
-            " ",
+            joiner,
         )
     else:
         # one mask token per maximal removed run: emitted before
@@ -1486,7 +1525,7 @@ def _reconstruct_without_spans(
                 p - F.element_at("_keep", i) > 1
             )
             return F.when(
-                gap, F.concat(mask, F.lit(" "), tok)
+                gap, F.concat(mask, F.lit(joiner), tok)
             ).otherwise(tok)
 
         text_out = F.when(
@@ -1494,13 +1533,15 @@ def _reconstruct_without_spans(
             F.when(F.size("_t") > 0, mask).otherwise(F.lit("")),
         ).otherwise(
             F.concat(
-                F.array_join(F.transform("_keep", _piece), " "),
+                F.array_join(F.transform("_keep", _piece), joiner),
                 F.when(
                     F.element_at("_keep", -1) < F.size("_t"),
-                    F.concat(F.lit(" "), mask),
+                    F.concat(F.lit(joiner), mask),
                 ).otherwise(F.lit("")),
             )
         )
+    if postprocess is not None:
+        text_out = postprocess(text_out)
     return _eager(
         keep.select(
             F.col("_id").alias(id_col),
@@ -1589,6 +1630,8 @@ def dedup_exact_substrings(
     mode: str = "cut",
     mask_token: str = "[DUP]",
     min_count: int = 2,
+    tokenizer: str = "whitespace",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Variable-length exact-substring dedup — ExactSubstr (Lee et al.
     2021, "Deduplicating Training Data Makes Language Models Better",
@@ -1597,8 +1640,24 @@ def dedup_exact_substrings(
     corpus (across documents or repeated within one). Unlike
     :func:`remove_duplicated_spans` (fixed-n spans, canonical-keep)
     there is no kept occurrence and no case folding: the released
-    ExactSubstr tool cuts EVERY copy of a duplicated sequence, and it
-    matches bytes, not case-folded text.
+    ExactSubstr tool cuts EVERY copy of a duplicated sequence
+    case-exactly.
+
+    Token unit — the operating point ``min_tokens`` is denominated in:
+    ``tokenizer='whitespace'`` (default) counts whitespace words, so
+    ``min_tokens=50`` covers roughly 2.5x more text per window than
+    Lee et al.'s released tool, which windows over byte-level BPE
+    tokens. ``tokenizer='bpe'`` reproduces that operating point
+    faithfully: documents tokenize through the real GPT-2-style merge
+    loop over ``merges`` (``text.load_merges`` /
+    ``text.train_bpe_merges``; ``[]`` degrades to pure byte-level),
+    windows and duplicate identity live in the byte-unicode alphabet
+    (case- and byte-exact — two spans match iff their BYTES match),
+    reassembly concatenates kept units with no separator, and the
+    output text decodes back to UTF-8 (``text.bpe_decode_units``), so
+    cut mode splices the surviving bytes verbatim. Mask mode glues the
+    ASCII ``mask_token`` directly between surviving bytes (there is no
+    word boundary to respect at byte level).
 
     Exactness via window algebra (this is what makes the semantics
     VARIABLE-length with a fixed-width scan): a repeated substring of
@@ -1635,11 +1694,31 @@ def dedup_exact_substrings(
         raise ValueError(f"min_tokens={min_tokens} must be >= 1")
     if min_count < 2:
         raise ValueError(f"min_count={min_count} must be >= 2")
+    if tokenizer not in ("whitespace", "bpe"):
+        raise ValueError(
+            f"tokenizer must be 'whitespace' or 'bpe', got {tokenizer!r}"
+        )
     from pyspark import StorageLevel
 
     toks, occ = _gram_occurrences(
-        df, min_tokens, text_col, id_col, lowercase=False
+        df, min_tokens, text_col, id_col, lowercase=False,
+        tokenizer=tokenizer, merges=merges,
     )
+    joiner, postprocess = " ", None
+    if tokenizer == "bpe":
+        from amazon_s3_find_and_forget_spark.operators import text as _text
+
+        @F.pandas_udf("string")
+        def _decode(texts):
+            return texts.map(_text.bpe_decode_units)
+
+        joiner, postprocess = "", lambda c: _decode(c)
+        # BPE tokenization is an Arrow-batched Python merge loop, not a
+        # JVM regexp — the token relation feeds the occurrence stream,
+        # the verify re-slice, AND reconstruction, so persist it once
+        # instead of re-tokenizing per consumer (the whitespace path
+        # recomputes because its tokenization is cheaper than the read).
+        toks = toks.persist(StorageLevel.DISK_ONLY)
     # window identity collapses to 8 bytes BEFORE anything persists or
     # shuffles; feeds the count aggregate AND the candidate probe
     hstream = occ.select(
@@ -1706,7 +1785,7 @@ def dedup_exact_substrings(
             )
             return _reconstruct_without_spans(
                 toks, removed, min_tokens, mode, mask_token,
-                text_col, id_col,
+                text_col, id_col, joiner=joiner, postprocess=postprocess,
             )
     finally:
         hstream.unpersist()
@@ -1714,6 +1793,8 @@ def dedup_exact_substrings(
             cand.unpersist()
         if sliced is not None:
             sliced.unpersist()
+        if tokenizer == "bpe":
+            toks.unpersist()
 
 
 def top_repeated_substrings(
@@ -1722,6 +1803,8 @@ def top_repeated_substrings(
     k: int = 25,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "whitespace",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """The memorization-audit table: the ``k`` most-repeated verbatim
     ``min_tokens``-token windows in the corpus, with occurrence count,
@@ -1743,17 +1826,42 @@ def top_repeated_substrings(
     string-confirmed duplicated-window relation (duplicated-mass-
     sized), k-bounded at the driver.
 
+    ``tokenizer``/``merges`` mirror :func:`dedup_exact_substrings` so
+    the audit counts the same unit the cut it informs will use; in BPE
+    mode ``substring`` is the DECODED window text (distinct token
+    windows can decode to equal byte strings when merge boundaries
+    differ — they stay separate rows, counted separately, because they
+    ARE distinct repeated token windows; the deterministic order stays
+    on the undecoded window identity).
+
     Returns ``(substring, n_occurrences, n_docs, first_doc_id)``.
     """
     if min_tokens < 1:
         raise ValueError(f"min_tokens={min_tokens} must be >= 1")
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
+    if tokenizer not in ("whitespace", "bpe"):
+        raise ValueError(
+            f"tokenizer must be 'whitespace' or 'bpe', got {tokenizer!r}"
+        )
     from pyspark import StorageLevel
 
     toks, occ = _gram_occurrences(
-        df, min_tokens, text_col, id_col, lowercase=False
+        df, min_tokens, text_col, id_col, lowercase=False,
+        tokenizer=tokenizer, merges=merges,
     )
+    substring_out = F.col("g")
+    if tokenizer == "bpe":
+        from amazon_s3_find_and_forget_spark.operators import text as _text
+
+        @F.pandas_udf("string")
+        def _decode_window(gs):
+            return gs.map(
+                lambda g: None if g is None
+                else _text.bpe_decode_units("".join(g.split(" ")))
+            )
+
+        substring_out = _decode_window(F.col("g"))
     hstream = occ.select(
         "_id", "_pos", F.xxhash64("g").alias("_h")
     ).persist(StorageLevel.DISK_ONLY)
@@ -1799,7 +1907,7 @@ def top_repeated_substrings(
                 .orderBy(F.desc("n_occurrences"), F.asc("g"))
                 .limit(k)
                 .select(
-                    F.col("g").alias("substring"),
+                    substring_out.alias("substring"),
                     F.col("n_occurrences").cast("long").alias(
                         "n_occurrences"
                     ),

@@ -462,20 +462,23 @@ def _bpe_pretokenize_re():
         )
 
 
-def _bpe_count_factory(merges: list[tuple[str, str]]):
-    """Token-count kernel for one merge table: pre-tokenize, byte-map,
-    merge by rank (standard lowest-rank-pair loop), count. Per-batch
-    memoization on the pre-token: natural-language batches repeat a
-    small working set of words, so the merge loop runs once per
-    DISTINCT pre-token, not once per occurrence."""
+def _bpe_units_factory(merges: list[tuple[str, str]]):
+    """Full-tokenization kernel for one merge table: pre-tokenize,
+    byte-map, merge by rank (standard lowest-rank-pair loop), and
+    return the TOKEN SEQUENCE in the byte-unicode alphabet — the
+    counting kernel is ``len`` of this, and the byte-faithful
+    ExactSubstr operating point (operators/dedup.py) windows over it.
+    Per-batch memoization on the pre-token: natural-language batches
+    repeat a small working set of words, so the merge loop runs once
+    per DISTINCT pre-token, not once per occurrence."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     b2u = _bytes_to_unicode()
     pat = _bpe_pretokenize_re()
 
-    def count_units(pre_token: str) -> int:
+    def merge_units(pre_token: str) -> list:
         units: list[str] = [b2u[b] for b in pre_token.encode("utf-8")]
         if len(units) < 2 or not ranks:
-            return len(units)
+            return units
         while len(units) > 1:
             best = None
             best_rank = None
@@ -496,19 +499,51 @@ def _bpe_count_factory(merges: list[tuple[str, str]]):
                     out.append(units[i])
                     i += 1
             units = out
-        return len(units)
+        return units
 
-    def count_text(text, cache: dict) -> int | None:
+    def units_text(text, cache: dict) -> list | None:
         if text is None:
             return None
-        total = 0
+        out: list[str] = []
         for tok in pat.findall(text):
-            n = cache.get(tok)
-            if n is None:
-                n = count_units(tok)
-                cache[tok] = n
-            total += n
-        return total
+            u = cache.get(tok)
+            if u is None:
+                u = merge_units(tok)
+                cache[tok] = u
+            out.extend(u)
+        return out
+
+    return units_text
+
+
+def bpe_decode_units(s: str | None) -> str | None:
+    """Invert the byte-unicode alphabet: a concatenation of BPE token
+    strings decodes back to the original UTF-8 text (the GPT-2 decode
+    path). C-speed: ``str.translate`` maps each alphabet character to
+    the latin-1 character of its byte, then one encode/decode pair
+    reassembles multi-byte UTF-8. ASCII characters outside the
+    encoder's image (e.g. a caller-inserted mask token) map to
+    themselves, so masks survive the decode verbatim."""
+    if s is None:
+        return None
+    return (
+        s.translate(_DECODE_TRANS)
+        .encode("latin-1", errors="replace")
+        .decode("utf-8", errors="replace")
+    )
+
+
+_DECODE_TRANS = {ord(u): chr(b) for b, u in _bytes_to_unicode().items()}
+
+
+def _bpe_count_factory(merges: list[tuple[str, str]]):
+    """Token-count kernel: ``len`` over the unit sequence (shared
+    memoized merge loop — see ``_bpe_units_factory``)."""
+    units_of = _bpe_units_factory(merges)
+
+    def count_text(text, cache: dict) -> int | None:
+        units = units_of(text, cache)
+        return None if units is None else len(units)
 
     return count_text
 
@@ -541,6 +576,33 @@ def with_bpe_token_count(
         return texts.map(lambda t: counter(t, cache)).astype("Int64")
 
     return df.withColumn(out_col, _count(F.col(text_col)))
+
+
+def with_bpe_units(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_units",
+) -> DataFrame:
+    """Full tokenizer output: the BPE token SEQUENCE (byte-unicode
+    alphabet strings) for each document — what the byte-faithful
+    ExactSubstr operating point (``dedup_exact_substrings``,
+    ``tokenizer='bpe'``) windows over, where
+    :func:`with_bpe_token_count` only needs the length.
+    ``bpe_decode_units`` over the concatenation inverts it exactly.
+
+    Same execution shape as the counter: Arrow-batched pandas UDF,
+    map-only, merge table in the closure, per-batch memo on distinct
+    pre-tokens. NULL text stays NULL (callers coalesce if they need
+    empty arrays)."""
+    units_of = _bpe_units_factory(merges)
+
+    @F.pandas_udf("array<string>")
+    def _units(texts):
+        cache: dict = {}
+        return texts.map(lambda t: units_of(t, cache))
+
+    return df.withColumn(out_col, _units(F.col(text_col)))
 
 
 def chunk_documents(

@@ -918,6 +918,37 @@ def test_cli_curate_exact_substr_step(spark, tmp_path, capsys):
             arow["first_doc_id"]) == (run5, 2, 2, 1)
 
 
+def test_cli_curate_exact_substr_bpe_tokenizer(spark, tmp_path, capsys):
+    # --substr-tokenizer bpe: the operating point is byte-level BPE
+    # tokens (Lee et al.'s unit); a merges.txt loads through the GPT-2
+    # parser, the cut splices bytes, and the audit table records the
+    # DECODED window the byte-level cut acted on
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    src = str(tmp_path / "bsrc")
+    run_b = "shared byte level run!!"  # 23 bytes
+    spark.createDataFrame(
+        [(1, f"aa {run_b} bb"), (2, f"{run_b} cc"), (3, "clean here")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    merges_txt = tmp_path / "merges.txt"
+    merges_txt.write_text("#version: test\ns h\nsh a\n")
+    out = str(tmp_path / "bout")
+    audit = str(tmp_path / "baudit")
+    r = run(capsys, *base, "curate", "--input", src, "--out", out,
+            "--steps", "exact-substr", "--substr-min-tokens", "12",
+            "--substr-tokenizer", "bpe",
+            "--substr-merges", str(merges_txt),
+            "--audit-out", audit)
+    assert r["SubstrTokensRemoved"] > 0
+    texts = {x.doc_id: x.text for x in spark.read.parquet(out).collect()}
+    assert run_b not in texts[1] and run_b not in texts[2]
+    assert texts[3] == "clean here"
+    # audit counted the same byte-level unit and decoded the window
+    assert r["AuditRows"] >= 1
+    assert r["AuditTopRepeat"]["substring"] in (f"aa {run_b} bb")
+
+
 def test_cli_curate_url_screen_step(spark, tmp_path, capsys):
     # the C4-style first stage: blocklist by domain (label-boundary
     # match), then exact dedup by normalized URL (min-id survivor);

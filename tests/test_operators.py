@@ -2808,6 +2808,170 @@ def test_dedup_exact_substrings_randomized_cross_check(spark):
     assert got == expected
 
 
+def test_with_bpe_units_decode_roundtrip(spark):
+    # the unit sequence is the COUNTER's sequence (len == token count)
+    # and bpe_decode_units inverts the concatenation exactly, including
+    # multi-byte UTF-8; NULL text stays NULL
+    rows = [
+        (1, "hello world, it's a test"),
+        (2, "héllo wörld — 中文 文本 🙂"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("l", "l"), ("h", "e"), ("he", "ll")]
+    out = {
+        r.doc_id: r.bpe_units
+        for r in text.with_bpe_units(df, merges).collect()
+    }
+    counted = {
+        r.doc_id: r.n
+        for r in text.with_bpe_token_count(
+            df, merges, out_col="n"
+        ).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert out[i] is None and counted[i] is None
+        else:
+            assert text.bpe_decode_units("".join(out[i])) == t
+            assert len(out[i]) == counted[i]
+    # ASCII outside the encoder image (a mask) survives decode verbatim
+    assert text.bpe_decode_units("[DUP]" + out[1][0]) == "[DUP]" + text.bpe_decode_units(out[1][0])
+    assert text.bpe_decode_units(None) is None
+
+
+def test_bpe_tiny_merges_equals_regex_scan():
+    # the BPE-operating-point oracle's proof obligation: under
+    # TINY_MERGES [(a,n),(an,d)] the merge loop over ASCII text equals
+    # the leftmost-first regex scan 'and|an|.' (catalog/dedup.py's
+    # closed-form argument) — fuzzed over word salad with 'an'/'and'
+    # carriers, contractions, digits, punctuation, case variants
+    import random
+    import re
+
+    from amazon_s3_find_and_forget_spark.operators.text import (
+        _bpe_units_factory,
+        _bytes_to_unicode,
+    )
+
+    units_of = _bpe_units_factory([("a", "n"), ("an", "d")])
+    b2u = _bytes_to_unicode()
+    pat = re.compile(r"and|an|.", re.S)
+    vocab = [
+        "scan", "and", "an", "banana", "grand", "sand", "a", "n", "d",
+        "anand", "aand", "andn", "band'll", "an'd", "it's", "1an2",
+        "AN", "And", "plan", "anteater", "window", "the", "x,y;an!",
+        "a\nn", "and\tand",
+    ]
+    rng = random.Random(16)
+    cache: dict = {}
+    for _ in range(200):
+        t = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        mapped = [
+            "".join(b2u[b] for b in tok.encode("utf-8"))
+            for tok in pat.findall(t)
+        ]
+        assert units_of(t, cache) == mapped, t
+
+
+def test_dedup_exact_substrings_bpe_hand_case(spark):
+    # byte-faithful operating point: min_tokens counts BPE tokens, cut
+    # splices surviving bytes with NO separator, duplicate identity is
+    # byte-exact (case differences survive), mask glues '[DUP]' between
+    # bytes, multi-byte UTF-8 survives the decode round-trip
+    shared = "the quick brown fox jumps over the lazy dog"
+    zh = "中文重复文本串" * 3
+    rows = [
+        (1, "alpha " + shared + " omega"),
+        (2, "beta " + shared + " gamma"),
+        (3, "unique text with no repeats at all in here"),
+        (4, shared.upper() + " solo"),
+        (5, ""),
+        (6, None),
+        (7, "x " + zh + " y"),
+        (8, "z " + zh + " w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.dedup_exact_substrings(
+            df, min_tokens=20, tokenizer="bpe",
+            merges=[("t", "h"), ("th", "e")],
+        ).collect()
+    }
+    # the duplicated run is cut from BOTH docs, bytes spliced directly
+    assert got[1].removed_tokens > 0 and shared not in got[1].text
+    assert got[2].removed_tokens > 0 and shared not in got[2].text
+    assert " " not in (got[1].text[:5])  # splice, not word join
+    assert got[3].removed_tokens == 0 and got[3].text == rows[2][1]
+    assert got[4].removed_tokens == 0  # case-exact: upper run unique
+    assert got[5].text == "" and got[6].text == ""
+    # multi-byte duplicated run removed without corrupting the decode
+    assert got[7].removed_tokens > 0 and zh not in got[7].text
+    assert "�" not in got[7].text and "�" not in got[8].text
+    masked = {
+        r.doc_id: r.text
+        for r in dedup.dedup_exact_substrings(
+            df, min_tokens=20, tokenizer="bpe",
+            merges=[("t", "h"), ("th", "e")], mode="mask",
+        ).collect()
+    }
+    assert "[DUP]" in masked[1] and shared not in masked[1]
+    with pytest.raises(ValueError, match="tokenizer"):
+        dedup.dedup_exact_substrings(df, tokenizer="words")
+    with pytest.raises(ValueError, match="lowercase"):
+        dedup._gram_occurrences(
+            df, 5, "text", "doc_id", tokenizer="bpe"
+        )
+
+
+def test_dedup_exact_substrings_bpe_randomized_cross_check(spark):
+    # 8 corpora vs a brute-force byte-level reference in ONE operator
+    # call (merges=[]: units are single bytes). Isolation: every token
+    # is 'e{ex}t{j}' with single-digit ex/j — 5 bytes incl. the space —
+    # so any 6-byte window covers at least one corpus digit and windows
+    # never collide across corpora.
+    import random
+    from collections import Counter
+
+    rng = random.Random(1613)
+    L = 6
+    rows = []
+    did = 0
+    for ex in range(8):
+        for _ in range(rng.randint(3, 5)):
+            toks = [
+                f"e{ex}t{rng.randint(0, 2)}"
+                for _ in range(rng.randint(0, 6))
+            ]
+            rows.append((did, " ".join(toks)))
+            did += 1
+    counts: Counter = Counter()
+    by_id = {}
+    for i, t in rows:
+        b = t.encode()
+        by_id[i] = b
+        for p in range(len(b) - L + 1):
+            counts[b[p:p + L]] += 1
+    expected = {}
+    for i, b in by_id.items():
+        removed = set()
+        for p in range(len(b) - L + 1):
+            if counts[b[p:p + L]] >= 2:
+                removed.update(range(p, p + L))
+        kept = bytes(b[j] for j in range(len(b)) if j not in removed)
+        expected[i] = (kept.decode(), len(b), len(removed))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in dedup.dedup_exact_substrings(
+            df, min_tokens=L, tokenizer="bpe", merges=[]
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_gram_matrix_exact_vs_numpy(spark):
     import numpy as np
 
