@@ -80,6 +80,25 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # most-repeated verbatim windows, full value oracle incl. the window
 # text) enters; long-stable events_topn_per_user to the tail (its
 # top-k-with-ties family stays gated via jobs_top_k + tpch LIMIT rows).
+# Round-16 rotation — oldest-first POLICY (r15 verdict ask #5): the
+# ledger of every row's last-gated round is now computed from the
+# CORRECTNESS_r*.json artifacts (tools/gate_ledger.py; table in
+# COVERAGE.md) and the window is rebuilt each round as
+#   (a) the nine S2 erasure-parity core rows — the product contract,
+#       gated EVERY round by standing rule;
+#   (b) this round's new rows (every-new-row rule): text_url_screen,
+#       dedup_exact_substrings_bpe, dedup_exact_substrings_bpe_mask;
+#   (c) the 38 longest-un-gated oracle-backed rows, oldest first —
+#       this round that is exactly the round-7 cohort (38 rows, all
+#       sweep-green at two scale factors every round since).
+# With ~140 registry rows and a fixed 50-row window, the policy cycles
+# the whole oracle-backed catalog through the DRIVER's independent
+# gate within ~3 rounds (the full-catalog ORACLE_SWEEP artifacts cover
+# every row every round regardless); rows-only approximate row-set
+# queries stay in the tail — their quality is what the *_recall /
+# *_complete claims rows gate. r15's four rotations (exact_substrings,
+# _mask, incremental_bloom, top_repeats) and the rest of the r13-r15
+# window rotate to the tail with their last-gated rounds on ledger.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -87,6 +106,58 @@ GATE_ORDER = [
     "forget_redact_simple",
     "forget_survivors_composite",
     "forget_survivors_json",
+    "find_rows_composite",
+    "find_rows_nested",
+    "find_rows_decimal",
+    "text_url_screen",
+    "dedup_exact_substrings_bpe",
+    "dedup_exact_substrings_bpe_mask",
+    "dedup_exact_survivors",
+    "dedup_simhash_complete",
+    "documents_source_rollup",
+    "events_asof_attribution",
+    "events_funnel",
+    "events_funnel_by_segment",
+    "events_funnel_timing",
+    "events_json_extract",
+    "events_retention",
+    "events_retention_by_segment",
+    "events_sessions",
+    "events_value_histogram",
+    "events_watermark_page",
+    "job_stats_fold",
+    "jobs_top_k",
+    "lineitem_basket_pairs",
+    "lineitem_quality_checks",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "orders_cohort_revenue",
+    "orders_rfm",
+    "similarity_batch_recall",
+    "similarity_cosine",
+    "similarity_ivf_recall",
+    "similarity_lsh_recall",
+    "similarity_pq_recall",
+    "text_ccnet_buckets",
+    "text_chunks",
+    "text_lang_id",
+    "text_quality",
+    "text_tfidf",
+    "text_unigram_nll",
+    "tpch_q1",
+    "tpch_q12",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q3",
+]
+
+# Past the gate: every oracle-backed row here is still checked every
+# round by tools/check_oracle.py at two scale factors; last-gated
+# rounds are on the COVERAGE.md ledger. Raw approximate row-set
+# queries (seed-dependent; quality gated via their claims rows) sit at
+# the end.
+TAIL_ORDER = [
     "dedup_paragraphs",
     "dedup_minhash_recall",
     "semantic_dedup_complete",
@@ -97,9 +168,6 @@ GATE_ORDER = [
     "text_stratified_sample",
     "dedup_exact_substrings",
     "similarity_prototype_prune",
-    "find_rows_composite",
-    "find_rows_nested",
-    "find_rows_decimal",
     "tpch_q5",
     "text_temperature_mixture",
     "dedup_span_removal",
@@ -131,19 +199,6 @@ GATE_ORDER = [
     "similarity_topk",
     "text_curation_pipeline",
     "text_curation_pipeline_v2",
-]
-
-# Past the gate: deterministic oracle-backed rows awaiting (or rotated
-# out of) a gate slot, rows driver-proven on recent rounds, and the raw
-# approximate queries (seed-dependent row sets; quality is gate-checked
-# by the *_recall / *_complete rows) — every oracle-backed row here is
-# still checked by tools/check_oracle.py.
-TAIL_ORDER = [
-    "text_url_screen",  # r16: rotates into the window with the r16 gate
-    # rotation (every-new-row rule)
-    "dedup_exact_substrings_bpe",  # r16: rotates in (every-new-row rule)
-    "dedup_exact_substrings_bpe_mask",  # r16: rotates in (every-new-row
-    # rule)
     "dedup_ngram_pairs",
     "text_token_count",
     "text_length_percentiles",
@@ -184,44 +239,6 @@ TAIL_ORDER = [
     "events_rollup",
     "events_pivot",
     "events_moving_avg",
-    "events_watermark_page",
-    "jobs_top_k",
-    "job_stats_fold",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q2",
-    "text_chunks",
-    "tpch_q12",
-    "tpch_q20",
-    "tpch_q21",
-    "events_sessions",
-    "events_funnel",
-    "events_retention",
-    "events_funnel_timing",
-    "events_funnel_by_segment",
-    "events_retention_by_segment",
-    "events_json_extract",
-    "events_asof_attribution",
-    "events_value_histogram",
-    "orders_cohort_revenue",
-    "orders_rfm",
-    "lineitem_basket_pairs",
-    "lineitem_quality_checks",
-    "text_tfidf",
-    "text_unigram_nll",
-    "text_ccnet_buckets",
-    "documents_source_rollup",
-    "dedup_exact_survivors",
-    "dedup_simhash_complete",
-    "text_quality",
-    "text_lang_id",
-    "similarity_cosine",
-    "similarity_ivf_recall",
-    "similarity_lsh_recall",
-    "similarity_batch_recall",
-    "similarity_pq_recall",
-    "multimodal_features",
-    "multimodal_frame_sample",
     "similarity_pq_topk",
     "dedup_minhash_survivors",
     "dedup_minhash_survivors_t08",
