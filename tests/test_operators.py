@@ -2926,6 +2926,32 @@ def test_dedup_exact_substrings_bpe_hand_case(spark):
         )
 
 
+def test_dedup_exact_substrings_with_trained_merges(spark):
+    # the full tokenizer loop: train a merge table FROM the corpus
+    # (train_bpe_merges), then dedup at that model's byte-level BPE
+    # operating point — the engine ships no vocabulary, the corpus
+    # supplies it. The duplicated run must still be cut from all
+    # copies and the decode must round-trip the untouched doc.
+    shared = "rate limit exceeded please retry after some seconds"
+    rows = [
+        (1, f"log a: {shared}"),
+        (2, f"log b: {shared}"),
+        (3, "an original unduplicated line of prose"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = text.train_bpe_merges(df, n_merges=30, max_vocab=1000)
+    assert merges  # the corpus repeats enough to learn something
+    got = {
+        r.doc_id: r
+        for r in dedup.dedup_exact_substrings(
+            df, min_tokens=10, tokenizer="bpe", merges=merges
+        ).collect()
+    }
+    assert got[1].removed_tokens > 0 and shared not in got[1].text
+    assert got[2].removed_tokens > 0 and shared not in got[2].text
+    assert got[3].text == rows[2][1] and got[3].removed_tokens == 0
+
+
 def test_dedup_exact_substrings_bpe_randomized_cross_check(spark):
     # 8 corpora vs a brute-force byte-level reference in ONE operator
     # call (merges=[]: units are single bytes). Isolation: every token
