@@ -340,6 +340,19 @@ def io_probe(runs: int = 2, mib: int = 256) -> dict:
     no ``dir``), and it is recorded in the JSON so the reading stays
     interpretable: if that path is tmpfs, the lane's rewrite hits the
     same tmpfs and the probe still prices the right medium.
+
+    Two regimes, two fields (round 16): the 256 MiB default measures
+    BURST bandwidth — cloud volumes serve short writes from a credit
+    bucket at a rate multi-GiB writes cannot sustain (measured same
+    session this round: 500 MiB/s burst vs 197 MiB/s sustained on this
+    host — a 2.6x gap that made the burst-priced io floor flag pure
+    disk weather on the sf10 lane row, whose rewrite moves ~3 GiB).
+    ``main`` therefore records a second reading at ``mib=1024`` as
+    ``calibration_io_sustained``; ``evaluate_tripwire`` prefers the
+    sustained reading for IO_BOUND_ROWS whenever the current record
+    AND a prior both carry it, falling back to the burst band
+    otherwise (the same self-heal-over-one-round pattern the io band
+    itself used in round 15).
     """
     probe_dir = tempfile.gettempdir()
     path = os.path.join(probe_dir, "_s3f2_io_probe.bin")
@@ -445,6 +458,16 @@ def evaluate_tripwire(
         # left.
         if io is not None and "-fresh" not in str(io_doc.get("workload") or ""):
             io = None
+        # sustained-regime reading (round 16): multi-GiB writes on
+        # cloud volumes run below the 256 MiB burst rate; the io-bound
+        # lane row moves GiBs, so its band prefers this reading when
+        # both sides carry it. Same methodology gate.
+        ios_doc = parsed.get("calibration_io_sustained") or {}
+        ios = ios_doc.get("value")
+        if ios is not None and "-fresh" not in str(
+            ios_doc.get("workload") or ""
+        ):
+            ios = None
         lanes = {
             "sf0.1": parsed.get("queries"),
             "sf1": (parsed.get("sf1") or {}).get("queries"),
@@ -456,11 +479,12 @@ def evaluate_tripwire(
             if queries:
                 for q, v in queries.items():
                     hist.setdefault(lane, {}).setdefault(q, []).append(
-                        (v, cal, io)
+                        (v, cal, io, ios)
                     )
 
     cur_cal = (out.get("calibration") or {}).get("value")
     cur_io = (out.get("calibration_io") or {}).get("value")
+    cur_ios = (out.get("calibration_io_sustained") or {}).get("value")
     flagged: dict[str, dict] = {}
     current_lanes = {
         "sf0.1": out.get("queries"),
@@ -477,16 +501,35 @@ def evaluate_tripwire(
             weather_suspect = False
             basis = None
             floors: dict[str, tuple[float, int]] = {}
-            if q in IO_BOUND_ROWS and cur_io:
+            io_regime = None
+            if q in IO_BOUND_ROWS:
                 # disk-bound row: cost scales with 1/bandwidth, so the
                 # band lives in implied-MiB units (seconds x MiB/s);
-                # the floor converts back at TODAY's measured bandwidth
-                io_normed = [pv * pio for pv, pc, pio in prior if pio]
-                if io_normed:
+                # the floor converts back at TODAY's measured bandwidth.
+                # The SUSTAINED reading is preferred whenever both the
+                # current record and a prior carry it — the row moves
+                # GiBs, and burst credit on cloud volumes makes the
+                # 256 MiB reading overstate what a multi-GiB rewrite
+                # gets (2.6x measured round 16); mixing regimes would
+                # misprice the floor, so the two never combine.
+                sus_normed = [
+                    pv * pios for pv, pc, pio, pios in prior if pios
+                ]
+                if cur_ios and sus_normed:
                     floors["io"] = (
-                        min(io_normed) / cur_io, len(io_normed)
+                        min(sus_normed) / cur_ios, len(sus_normed)
                     )
-            cpu_normed = [pv / pc for pv, pc, pio in prior if pc]
+                    io_regime = "sustained"
+                elif cur_io:
+                    io_normed = [
+                        pv * pio for pv, pc, pio, pios in prior if pio
+                    ]
+                    if io_normed:
+                        floors["io"] = (
+                            min(io_normed) / cur_io, len(io_normed)
+                        )
+                        io_regime = "burst"
+            cpu_normed = [pv / pc for pv, pc, pio, pios in prior if pc]
             if cur_cal and cpu_normed:
                 # floor in current-host seconds: best-ever cost per
                 # calibration-second, re-priced at today's probe
@@ -504,7 +547,7 @@ def evaluate_tripwire(
                 floor, n_normed = floors[basis]
                 calibrated = True
             else:
-                floor_v, floor_cal, _ = min(prior, key=lambda t: t[0])
+                floor_v, floor_cal = min(prior, key=lambda t: t[0])[:2]
                 floor = floor_v
                 calibrated = False
                 # floor measured before the probe existed: the band
@@ -522,6 +565,8 @@ def evaluate_tripwire(
                 if calibrated:
                     flag["n_probed"] = n_normed
                     flag["basis"] = basis
+                    if basis == "io" and io_regime:
+                        flag["io_regime"] = io_regime
                 elif weather_suspect:
                     flag["weather_suspect"] = True
                 if q in IO_BOUND_ROWS and "io" not in floors:
@@ -572,6 +617,10 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": {"value": cal, "workload": CAL_WORKLOAD},
         "calibration_io": io_probe(),
+        # sustained regime (1 GiB): what a multi-GiB rewrite actually
+        # gets on a burst-credit volume; IO_BOUND_ROWS band on this
+        # reading once history carries it (round 16)
+        "calibration_io_sustained": io_probe(runs=1, mib=1024),
     }
 
     # second lane: the same suite at 10x data (derived once, cached) so

@@ -274,6 +274,89 @@ def test_old_basis_io_readings_are_excluded_from_the_band(tmp_path):
     assert flag["band_floor"] == 10.0
 
 
+def _record_io2(tmp_path, n, queries, cal, io, ios):
+    parsed = {
+        "queries": queries,
+        "calibration": {"value": cal},
+        "calibration_io": {
+            "value": io, "workload": "seq-write-fsync-256MiB-fresh-max2",
+        },
+        "calibration_io_sustained": {
+            "value": ios, "workload": "seq-write-fsync-1024MiB-fresh-max1",
+        },
+    }
+    (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+        json.dumps({"n": n, "rc": 0, "parsed": parsed})
+    )
+
+
+def test_sustained_io_reading_preferred_and_absorbs_burst_gap(tmp_path):
+    """Round-16 case, measured live: a burst-credit volume serves the
+    256 MiB probe at ~500 MiB/s while a multi-GiB rewrite gets
+    ~200 MiB/s — and the two regimes drift INDEPENDENTLY. When the
+    sustained rate collapses 2.6x with the burst probe flat, the
+    burst-priced io floor would flag pure disk weather on the GiB-
+    moving row; the sustained band (preferred whenever both sides
+    carry the reading) scales with the row and stays quiet. A real
+    regression at the SAME sustained bandwidth still flags, priced in
+    sustained units."""
+    _record_io2(tmp_path, 1, {"find_forget_job": 6.0}, 0.5, 520.0, 520.0)
+    _record_io2(tmp_path, 2, {"find_forget_job": 6.4}, 0.5, 500.0, 500.0)
+    # weather run: burst probe FLAT at 500, sustained collapsed to 200,
+    # row scaled with sustained (6.0 * 520/200 = 15.6). Burst pricing
+    # would floor at 6.0*520/500 = 6.24 -> ratio 2.5 (false flag).
+    out = {
+        "queries": {"find_forget_job": 15.6},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 500.0},
+        "calibration_io_sustained": {
+            "value": 200.0,
+            "workload": "seq-write-fsync-1024MiB-fresh-max1",
+        },
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+    # regression run: same 200 MiB/s sustained, 3x the bytes moved
+    out = {
+        "queries": {"find_forget_job": 47.0},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 500.0},
+        "calibration_io_sustained": {
+            "value": 200.0,
+            "workload": "seq-write-fsync-1024MiB-fresh-max1",
+        },
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flag = out["tripwire"]["flagged"]["sf0.1"]["find_forget_job"]
+    assert flag["basis"] == "io" and flag["io_regime"] == "sustained"
+    # floor = min(6.0*520, 6.4*500) / 200 = 15.6
+    assert flag["band_floor"] == 15.6
+
+
+def test_sustained_reading_falls_back_to_burst_when_history_lacks_it(
+    tmp_path,
+):
+    """History written before the sustained probe existed prices the
+    io band in burst units exactly as before (self-heal-over-one-round,
+    the same pattern the io band itself used in round 15); the flag
+    says which regime priced it."""
+    _record_io(tmp_path, 1, {"find_forget_job": 4.0}, 0.5, 500.0)
+    _record_io(tmp_path, 2, {"find_forget_job": 4.4}, 0.5, 450.0)
+    out = {
+        "queries": {"find_forget_job": 30.0},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 200.0},
+        "calibration_io_sustained": {
+            "value": 150.0,
+            "workload": "seq-write-fsync-1024MiB-fresh-max1",
+        },
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flag = out["tripwire"]["flagged"]["sf0.1"]["find_forget_job"]
+    assert flag["basis"] == "io" and flag["io_regime"] == "burst"
+    assert flag["band_floor"] == 9.9  # min(4.0*500, 4.4*450) / 200
+
+
 def test_io_bound_row_without_io_history_marks_unpriced(tmp_path):
     """Pre-io-probe history degrades to the CPU band, but any flag on a
     disk-bound row priced that way carries io_unpriced — the round-14
