@@ -87,7 +87,12 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 #   (a) the nine S2 erasure-parity core rows — the product contract,
 #       gated EVERY round by standing rule;
 #   (b) this round's new rows (every-new-row rule): text_url_screen,
-#       dedup_exact_substrings_bpe, dedup_exact_substrings_bpe_mask;
+#       dedup_exact_substrings_bpe, dedup_exact_substrings_bpe_mask,
+#       and (late r16) text_c4_clean — the C4 SS2.2 line+page cleaning
+#       stage, full value oracle over a deterministically line-ized
+#       hazard-injected corpus; tpch_q3 of the stale cohort yields its
+#       slot to the tail (the joins it covers stay gated via tpch_q5's
+#       lane cell and the in-window q1/q2/q12/q20/q21);
 #   (c) the 38 longest-un-gated oracle-backed rows, oldest first —
 #       this round that is exactly the round-7 cohort (38 rows, all
 #       sweep-green at two scale factors every round since).
@@ -149,7 +154,7 @@ GATE_ORDER = [
     "tpch_q2",
     "tpch_q20",
     "tpch_q21",
-    "tpch_q3",
+    "text_c4_clean",
 ]
 
 # Past the gate: every oracle-backed row here is still checked every
@@ -158,6 +163,7 @@ GATE_ORDER = [
 # queries (seed-dependent; quality gated via their claims rows) sit at
 # the end.
 TAIL_ORDER = [
+    "tpch_q3",
     "dedup_paragraphs",
     "dedup_minhash_recall",
     "semantic_dedup_complete",

@@ -57,6 +57,59 @@ def q_text_length_percentiles(spark, sf_dir):
     )
 
 
+def q_text_c4_clean(spark, sf_dir):
+    """The C4 cleaning stage (Raffel et al. 2020 SS2.2) with a FULL
+    value oracle. The flat documents corpus has no lines or
+    punctuation, so the row first line-izes it DETERMINISTICALLY the
+    way DuckDB replicates byte-exactly (the dedup_paragraphs device):
+    tokens chunked 6-per-line, a terminal '.' appended except every
+    third (doc_id + line_index) — so the terminal-punctuation rule,
+    the min-words rule (short tail chunks), and the min-sentences page
+    rule all fire organically — plus deterministically injected hazard
+    lines: a javascript boilerplate line (doc_id % 13, exercises the
+    LINE drop while the page survives), a lorem-ipsum line (% 17), a
+    curly-brace line (% 19), and a badword line (% 23) — each of the
+    last three survives the line rules and must condemn the PAGE. The
+    cleaned text, both counters, and the kept verdict are all
+    hash-compared."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    nln = F.ceil(F.size(t) / F.lit(6.0)).cast("int")
+    did = F.col("doc_id")
+    lines = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nln - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(t, i * 6 + 1, 6), " "),
+                F.when((did + i) % 3 == 0, F.lit("")).otherwise(
+                    F.lit(".")
+                ),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    def _hazard(mod, line):
+        return F.when(
+            did % mod == 0, F.lit("\n" + line)
+        ).otherwise(F.lit(""))
+
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, "\n"),
+            _hazard(13, "please enable javascript to view this page."),
+            _hazard(17, "Lorem ipsum dolor sit amet consectetur adipiscing."),
+            _hazard(19, "the config block is { not prose } at all."),
+            _hazard(23, "this page mentions badmarker once too often."),
+        ).alias("text"),
+    )
+    return text.c4_clean(corpus, badwords=["badmarker"])
+
+
 def q_text_token_count(spark, sf_dir):
     return text.with_token_count(load(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_tokens_bpe"
@@ -625,6 +678,7 @@ QUERIES = {
     "text_temperature_mixture": q_text_temperature_mixture,
     "text_exact_mixture": q_text_exact_mixture,
     "text_token_count": q_text_token_count,
+    "text_c4_clean": q_text_c4_clean,
     "text_token_count_bpe": q_text_token_count_bpe,
     "text_url_screen": q_text_url_screen,
     "text_length_percentiles": q_text_length_percentiles,
@@ -978,6 +1032,62 @@ ORACLES = {
                  WHEN 'zh' THEN 10000
                  ELSE 0
                END
+    """,
+    "text_c4_clean": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                   x -> x <> '') AS t
+          FROM documents
+        ), lined AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(
+                   list_transform(
+                     generate_series(0,
+                       CAST(ceil(len(t) / 6.0) AS INT) - 1),
+                     i -> array_to_string(t[i*6+1:i*6+6], ' ')
+                          || CASE WHEN (doc_id + i) % 3 = 0
+                                  THEN '' ELSE '.' END),
+                   chr(10)), '')
+                 || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                      'please enable javascript to view this page.'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                      'Lorem ipsum dolor sit amet consectetur adipiscing.'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 19 = 0 THEN chr(10) ||
+                      'the config block is { not prose } at all.'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 23 = 0 THEN chr(10) ||
+                      'this page mentions badmarker once too often.'
+                      ELSE '' END AS text
+          FROM toks
+        ), ls AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined
+        ), keptl AS (
+          SELECT doc_id,
+                 list_filter(ls, l ->
+                   len(regexp_extract_all(l, '\\S+')) >= 5
+                   AND regexp_matches(rtrim(l), '[.!?]["'']?$')
+                   AND NOT contains(lower(l), 'javascript')) AS ka,
+                 len(ls) AS nl
+          FROM ls
+        ), o AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(ka, chr(10)), '') AS text,
+                 nl, len(ka) AS kl
+          FROM keptl
+        )
+        SELECT doc_id, text,
+               (len(regexp_extract_all(text, '[.!?]')) >= 3
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')
+                AND NOT regexp_matches(text,
+                      '(?i)\\b(?:badmarker)\\b')) AS kept,
+               CAST(nl AS BIGINT) AS n_lines,
+               CAST(kl AS BIGINT) AS kept_lines
+        FROM o
     """,
     "text_token_count": f"""
         SELECT doc_id, len({_TOKENS}) AS n_tokens,

@@ -428,19 +428,19 @@ def main(argv: list[str] | None = None) -> int:
     cu = sub.add_parser(
         "curate",
         help="composed corpus curation: an ordered, opt-in chain of "
-        "url-screen -> paragraph-dedup -> exact-dedup -> exact-substr "
-        "-> benchmark decontamination -> Gopher filtering -> "
-        "train/val/test split, one pass, one JSON report with "
-        "per-stage counts",
+        "url-screen -> c4-clean -> paragraph-dedup -> exact-dedup -> "
+        "exact-substr -> benchmark decontamination -> Gopher "
+        "filtering -> train/val/test split, one pass, one JSON report "
+        "with per-stage counts",
     )
     cu.add_argument("--input", required=True, help="pool corpus (parquet)")
     cu.add_argument("--out", required=True, help="output directory")
     cu.add_argument(
         "--steps",
         default="exact-dedup,gopher,split",
-        help="comma-separated subset of: url-screen, paragraph-dedup, "
-        "exact-dedup, exact-substr, decontaminate, gopher, split "
-        "(always applied in that order)",
+        help="comma-separated subset of: url-screen, c4-clean, "
+        "paragraph-dedup, exact-dedup, exact-substr, decontaminate, "
+        "gopher, split (always applied in that order)",
     )
     cu.add_argument("--url-column", default="url",
                     help="url-screen step: column carrying the page "
@@ -450,6 +450,17 @@ def main(argv: list[str] | None = None) -> int:
                     "one domain per line ('#' comments); entries match "
                     "hosts at label boundaries (example.com blocks "
                     "ads.example.com)")
+    cu.add_argument("--c4-min-words", type=int, default=5,
+                    help="c4-clean step: minimum words per retained "
+                    "line (Raffel et al. 2020 use 5)")
+    cu.add_argument("--c4-min-sentences", type=int, default=3,
+                    help="c4-clean step: minimum sentences (terminal "
+                    "punctuation marks in the retained text) per page")
+    cu.add_argument("--badwords-file", default=None,
+                    help="c4-clean step: optional word blocklist, one "
+                    "word per line ('#' comments) — pages containing "
+                    "any entry (word-boundary, case-insensitive) are "
+                    "dropped; the engine ships no list")
     cu.add_argument("--benchmark", default=None,
                     help="benchmark corpus (parquet; required for the "
                     "decontaminate step)")
@@ -564,7 +575,7 @@ def main(argv: list[str] | None = None) -> int:
     curate_ratios: dict[str, float] = {}
     if args.cmd == "curate":
         _order = [
-            "url-screen", "paragraph-dedup", "exact-dedup",
+            "url-screen", "c4-clean", "paragraph-dedup", "exact-dedup",
             "exact-substr", "decontaminate", "gopher", "split",
         ]
         wanted = {s.strip() for s in args.steps.split(",") if s.strip()}
@@ -1029,7 +1040,7 @@ def main(argv: list[str] | None = None) -> int:
         # url-screen is in the set too: dedup_by_url keys its survivor
         # semi-join on (url_norm, id), so a NULL id would drop the row
         rejoin_steps = {
-            "url-screen", "paragraph-dedup", "exact-substr",
+            "url-screen", "c4-clean", "paragraph-dedup", "exact-substr",
             "decontaminate",
         } & set(curate_steps)
         if rejoin_steps:
@@ -1071,6 +1082,35 @@ def main(argv: list[str] | None = None) -> int:
             n_url = df.count()
             report["UrlDupRows"] = n_before - n_url
             report["UrlSurvivors"] = n_url
+        if "c4-clean" in curate_steps:
+            badwords = None
+            if args.badwords_file:
+                with open(args.badwords_file, encoding="utf-8") as f:
+                    badwords = [
+                        ln.strip()
+                        for ln in f
+                        if ln.strip() and not ln.lstrip().startswith("#")
+                    ]
+            c4 = text_ops.c4_clean(
+                df, text_col=tcol, id_col=icol,
+                min_words=args.c4_min_words,
+                min_sentences=args.c4_min_sentences,
+                badwords=badwords,
+            )
+            n_before = df.count()
+            stats = c4.agg(
+                F.sum("n_lines").alias("nl"),
+                F.sum("kept_lines").alias("kl"),
+                F.sum(F.col("kept").cast("long")).alias("k"),
+            ).collect()[0]
+            report["C4LinesDropped"] = int(
+                (stats["nl"] or 0) - (stats["kl"] or 0)
+            )
+            report["C4PagesDropped"] = n_before - int(stats["k"] or 0)
+            report["C4Survivors"] = int(stats["k"] or 0)
+            df = df.drop(tcol).join(
+                c4.where(F.col("kept")).select(icol, tcol), icol
+            )
         if "paragraph-dedup" in curate_steps:
             pd_out = dedup_ops.remove_duplicated_paragraphs(
                 df, sep=args.paragraph_sep, text_col=tcol, id_col=icol

@@ -318,6 +318,94 @@ def redact_pii(
     return df.withColumn(out_col, col)
 
 
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_sentences: int = 3,
+    badwords: list[str] | None = None,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """The C4 cleaning stage (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning with a Unified Text-to-Text Transformer" §2.2
+    — public): the most-cited curation heuristic in the literature,
+    line-level rules then page-level rules.
+
+    Line rules (a line survives iff ALL hold):
+    - ends in a terminal punctuation mark — period, exclamation mark,
+      question mark, optionally followed by a closing quote (trailing
+      whitespace ignored);
+    - has at least ``min_words`` words (maximal ``\\S+`` runs, the
+      engine's standard word tokenizer);
+    - does not contain the word "javascript" (case-insensitive — C4
+      drops warning boilerplate).
+
+    Page rules, evaluated over the RETAINED text (one documented
+    deterministic choice — the paper does not pin the order; applying
+    them post-line-filter means a dropped boilerplate line cannot
+    condemn an otherwise-clean page):
+    - at least ``min_sentences`` sentences, counted as terminal
+      punctuation marks in the retained text;
+    - no "lorem ipsum" (lowercased substring);
+    - no curly brace ``{`` (code/JSON);
+    - no word from ``badwords`` (the paper's "List of Dirty, Naughty,
+      Obscene or Otherwise Bad Words" — user-supplied, the engine
+      ships no list), matched case-insensitively on word boundaries.
+
+    Returns ``(id, text, kept, n_lines, kept_lines)``: ``text`` is the
+    retained-lines rejoin (audit-friendly even when ``kept`` is false);
+    a pipeline keeps ``where(kept)``. NULL text is '' (one empty line,
+    dropped by the word rule).
+
+    Scale shape: pure JVM higher-order expressions (split -> filter ->
+    array_join + regexp counts) — map-only, no shuffle, no Python; at
+    100 TB this costs exactly one scan. Every pattern stays in the
+    Java-regex/RE2 common subset so the catalog row carries a full
+    value oracle.
+    """
+    import re as _re
+
+    if min_words < 1:
+        raise ValueError(f"min_words={min_words} must be >= 1")
+    if min_sentences < 0:
+        raise ValueError(f"min_sentences={min_sentences} must be >= 0")
+    lines = F.split(
+        F.coalesce(F.col(text_col), F.lit("")), _re.escape(line_sep)
+    )
+
+    def _line_ok(l):
+        words = F.size(F.regexp_extract_all(l, F.lit(r"\S+"), F.lit(0)))
+        return (
+            (words >= min_words)
+            & F.rtrim(l).rlike("[.!?][\"']?$")
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept_arr = F.filter(lines, _line_ok)
+    text_out = F.array_join(kept_arr, line_sep)
+    sentences = F.size(
+        F.regexp_extract_all(text_out, F.lit("[.!?]"), F.lit(0))
+    )
+    kept = (
+        (sentences >= min_sentences)
+        & ~F.lower(text_out).contains("lorem ipsum")
+        & ~text_out.contains("{")
+    )
+    if badwords:
+        pat = "(?i)\\b(?:" + "|".join(
+            _re.escape(w) for w in badwords
+        ) + ")\\b"
+        kept = kept & ~text_out.rlike(pat)
+    return df.select(
+        F.col(id_col),
+        text_out.alias(text_col),
+        kept.alias("kept"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_arr).cast("long").alias("kept_lines"),
+    )
+
+
 # --------------------------------------------------------------------------
 # tokenizer-exact BPE token counting (GPT-2 byte-level BPE)
 # --------------------------------------------------------------------------

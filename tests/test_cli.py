@@ -949,6 +949,33 @@ def test_cli_curate_exact_substr_bpe_tokenizer(spark, tmp_path, capsys):
     assert r["AuditTopRepeat"]["substring"] in (f"aa {run_b} bb")
 
 
+def test_cli_curate_c4_clean_step(spark, tmp_path, capsys):
+    # C4 SS2.2 as a curate stage: line rules rewrite text, page rules
+    # drop docs, badwords load from a file, counts land in the report
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    src = str(tmp_path / "c4src")
+    good = "a clean line with plenty of words in it."
+    spark.createDataFrame(
+        [
+            (1, f"{good}\nno punct so this line drops\n{good}\n{good}"),
+            (2, f"{good}\n{good}\nthis page has badterm in it sadly."),
+            (3, f"{good}\nlorem ipsum dolor sit amet consectetur.\n{good}"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    bw = tmp_path / "badwords.txt"
+    bw.write_text("# list\nbadterm\n")
+    out = str(tmp_path / "c4out")
+    r = run(capsys, *base, "curate", "--input", src, "--out", out,
+            "--steps", "c4-clean", "--badwords-file", str(bw))
+    assert r["C4Survivors"] == 1 and r["C4PagesDropped"] == 2
+    assert r["C4LinesDropped"] == 1  # doc 1's unterminated line
+    rows = spark.read.parquet(out).collect()
+    assert [x.doc_id for x in rows] == [1]
+    assert "no punct" not in rows[0].text
+
+
 def test_cli_curate_url_screen_step(spark, tmp_path, capsys):
     # the C4-style first stage: blocklist by domain (label-boundary
     # match), then exact dedup by normalized URL (min-id survivor);

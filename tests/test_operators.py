@@ -2808,6 +2808,56 @@ def test_dedup_exact_substrings_randomized_cross_check(spark):
     assert got == expected
 
 
+def test_c4_clean_rules(spark):
+    # C4 SS2.2 rule-by-rule: terminal punctuation, min words,
+    # javascript lines, lorem ipsum / curly brace / badword pages,
+    # min-sentences on the retained text, NULL/empty docs
+    good = "this line has enough words and punctuation."
+    rows = [
+        (1, f"{good}\nshort line.\nno terminal punctuation here at all\n"
+            f"was this a question with enough words?\nalso fine words "
+            f"here to keep!"),
+        (2, f"{good}\nplease enable javascript to view this page.\n"
+            f"{good}\n{good}"),
+        (3, f"{good}\n{good}\nthe config is {{ nested }} badly."),
+        (4, f"{good}\nLorem Ipsum dolor sit amet consectetur.\n{good}"),
+        (5, "only two sentences on this page.\nnot enough mass kept here?"),
+        (6, f"{good}\nthis page contains one naughtyword sadly.\n{good}"),
+        (7, None),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in text.c4_clean(df, badwords=["naughtyword"]).collect()
+    }
+    # doc 1: keeps 3 of 5 lines (short + unterminated dropped), page ok
+    assert out[1].kept and out[1].n_lines == 5 and out[1].kept_lines == 3
+    assert "no terminal" not in out[1].text and "short line." not in out[1].text
+    # doc 2: javascript LINE dropped, page survives on the rest
+    assert out[2].kept and out[2].kept_lines == 3
+    assert "javascript" not in out[2].text
+    # doc 3: curly brace survives the line rules -> page dropped
+    assert not out[3].kept and out[3].kept_lines == 3
+    # doc 4: lorem ipsum page dropped (case-insensitive)
+    assert not out[4].kept
+    # doc 5: only 2 sentences retained -> page dropped
+    assert not out[5].kept and out[5].kept_lines == 2
+    # doc 6: badword on a surviving line -> page dropped
+    assert not out[6].kept
+    # NULL/empty: zero kept lines, not kept
+    assert not out[7].kept and out[7].text == "" and out[7].n_lines == 1
+    assert not out[8].kept
+    # word-boundary: 'naughtywordsuffix' must NOT match the badword
+    df2 = spark.createDataFrame(
+        [(9, f"{good}\nnaughtywordsuffix is a different word entirely.\n"
+             f"{good}")], "doc_id long, text string",
+    )
+    assert text.c4_clean(df2, badwords=["naughtyword"]).collect()[0].kept
+    with pytest.raises(ValueError, match="min_words"):
+        text.c4_clean(df, min_words=0)
+
+
 def test_with_bpe_units_decode_roundtrip(spark):
     # the unit sequence is the COUNTER's sequence (len == token count)
     # and bpe_decode_units inverts the concatenation exactly, including
