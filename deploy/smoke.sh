@@ -254,4 +254,61 @@ assert all("split" in x for x in rows)
 print("SMOKE OK: curate chain dedups, decontaminates, and splits "
       "through the packaged CLI")
 PY
+# ---- stage 5: round-16 curate stages (url-screen, c4-clean, byte-level
+# ExactSubstr) through the packaged CLI -----------------------------------
+python3 - "$WORK" <<'PY'
+import pyarrow as pa, pyarrow.parquet as pq
+import os, sys
+w = sys.argv[1]
+os.makedirs(f"{w}/c16pool")
+good = "a perfectly clean line with plenty of words in it."
+shared = "the shared duplicated byte run appears here verbatim."
+pq.write_table(
+    pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "url": [
+            "https://good.example.com/a",
+            "http://GOOD.example.com/a?utm=1",   # same URL normalized
+            "https://ads.blocked.net/x",          # blocked domain
+            "https://other.example.org/b",
+            "https://fine.example.org/c",
+        ],
+        "text": [
+            f"{good}\n{good}\n{shared}\n{good}",
+            "irrelevant duplicate page body.",
+            "blocked page body never read.",
+            f"{good}\n{shared}\n{good}\n{good}",
+            f"{good}\nline without terminal punctuation drops\n"
+            f"{good}\n{good}",
+        ],
+    }),
+    f"{w}/c16pool/part-0.parquet",
+)
+with open(f"{w}/blocklist.txt", "w") as f:
+    f.write("# domains\nblocked.net\n")
+PY
+C2="$("${CLI2[@]}" curate --input "$WORK/c16pool" --out "$WORK/c16out" \
+    --steps url-screen,c4-clean,exact-substr \
+    --blocklist-file "$WORK/blocklist.txt" \
+    --substr-min-tokens 30 --substr-tokenizer bpe \
+    2>>"$WORK/submit.log")"
+python3 - "$C2" "$WORK" <<'PY'
+import glob, json, sys
+import pyarrow.parquet as pq
+r = json.loads(sys.argv[1])
+assert r["UrlBlocked"] == 1, r            # blocked.net page gone
+assert r["UrlDupRows"] == 1, r            # normalized-URL duplicate gone
+assert r["C4Survivors"] == 3, r           # line rules kept all 3 pages
+assert r["C4LinesDropped"] == 1, r        # doc 5's unterminated line
+assert r["SubstrTokensRemoved"] >= 60, r  # byte-level run cut from BOTH
+rows = []
+for f in glob.glob(f"{sys.argv[2]}/c16out/**/*.parquet", recursive=True):
+    rows += pq.read_table(f).to_pylist()
+byid = {x["doc_id"]: x for x in rows}
+assert set(byid) == {1, 4, 5}, sorted(byid)
+assert all("verbatim" not in byid[d]["text"] for d in (1, 4)), byid
+assert "without terminal" not in byid[5]["text"]
+print("SMOKE OK: url-screen + c4-clean + byte-level ExactSubstr "
+      "compose through the packaged CLI")
+PY
 echo "ALL SMOKE CHECKS PASSED"
