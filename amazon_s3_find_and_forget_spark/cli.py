@@ -304,6 +304,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="bloom mode: priced false-positive rate — the "
                     "fraction of genuinely-novel documents the screen "
                     "may wrongly drop (default 1%%)")
+    ds.add_argument("--assume-hash-scheme", type=int, default=None,
+                    help="bloom mode: declare the hash scheme of an "
+                    "index whose delta rows predate hash-scheme "
+                    "stamping (NULL hash_scheme). Only the current "
+                    "scheme is accepted; declaring an older scheme "
+                    "still refuses (the bitmaps are incompatible — "
+                    "rebuild). Stamped rows ignore this flag.")
     ds.add_argument(
         "--batch-id",
         default=None,
@@ -837,8 +844,9 @@ def main(argv: list[str] | None = None) -> int:
             "embedding": ["_id", "_u", "_k"],
             # bloom deltas are one bitmap row per batch; the read path
             # ORs committed rows, so compaction's row-concatenating
-            # fold is already correct for this layout
-            "bloom": ["bits", "num_bits", "num_hashes"],
+            # fold is already correct for this layout. hash_scheme is
+            # NULL-filled over pre-stamp indexes (see read defaults).
+            "bloom": ["bits", "num_bits", "num_hashes", "hash_scheme"],
         }[args.mode]
         # UNCOMMITTED partitions never screen: a crashed earlier run can
         # leave a markerless batch=<d1> dir with footer-bearing part
@@ -890,9 +898,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if args.mode == "embedding"
                 else eng.spark.createDataFrame(
-                    [], "bits binary, num_bits long, num_hashes int"
+                    [],
+                    "bits binary, num_bits long, num_hashes int, "
+                    "hash_scheme int",
                 )
             ),
+            defaults={"hash_scheme": "int"},
         )
         threshold = (
             args.threshold
@@ -909,6 +920,12 @@ def main(argv: list[str] | None = None) -> int:
 
             rows = index.collect()  # one bitmap row per committed batch
             if rows:
+                try:
+                    inc.check_bloom_hash_scheme(
+                        rows, args.index_dir, args.assume_hash_scheme
+                    )
+                except ValueError as e:
+                    p.error(str(e))
                 num_bits = int(rows[0]["num_bits"])
                 n_hashes = int(rows[0]["num_hashes"])
                 if any(
@@ -966,8 +983,16 @@ def main(argv: list[str] | None = None) -> int:
                 batch, bits, n_hashes, args.text_column, args.id_column
             )
             delta = eng.spark.createDataFrame(
-                [(bytearray(delta_bits.tobytes()), num_bits, n_hashes)],
-                "bits binary, num_bits long, num_hashes int",
+                [
+                    (
+                        bytearray(delta_bits.tobytes()),
+                        num_bits,
+                        n_hashes,
+                        inc.BLOOM_HASH_SCHEME,
+                    )
+                ],
+                "bits binary, num_bits long, num_hashes int, "
+                "hash_scheme int",
             )
         elif args.mode == "minhash":
             novel, delta = inc.incremental_minhash_dedup(

@@ -47,10 +47,20 @@ from .dedup import (
 PREDICATE_VALUE_LIMIT = 2048
 
 
-def read_index_or_empty(spark, index_dir, keep, index_cols, empty_index):
+def read_index_or_empty(
+    spark, index_dir, keep, index_cols, empty_index, defaults=None
+):
     """Read the persisted index from ``index_dir``, keeping only rows
     matching ``keep`` (the protocol predicate that hides the current
     batch's own — possibly half-written — delta partition).
+
+    ``defaults`` maps a column name in ``index_cols`` to a SQL type
+    string; a listed column ABSENT from the on-disk schema is filled
+    with a typed NULL instead of failing the select. This is how
+    schema-evolved metadata columns (e.g. the Bloom ``hash_scheme``
+    stamp added in round 17) read cleanly over indexes persisted by
+    older builds: the NULL marks "written before the stamp existed"
+    for the caller to adjudicate.
 
     An empty index is legitimate in exactly two states, both "no delta
     was ever committed": the directory does not exist yet (first batch,
@@ -77,11 +87,18 @@ def read_index_or_empty(spark, index_dir, keep, index_cols, empty_index):
         "Unable to infer schema",
     )
     try:
-        return spark.read.parquet(index_dir).where(keep).select(*index_cols)
+        raw = spark.read.parquet(index_dir)
     except AnalysisException as e:
         if not any(m in str(e) for m in empty_markers):
             raise
         return empty_index()
+    cols = [
+        F.lit(None).cast(defaults[c]).alias(c)
+        if defaults and c in defaults and c not in raw.columns
+        else F.col(c)
+        for c in index_cols
+    ]
+    return raw.where(keep).select(*cols)
 
 
 def _content_hash(text_col: str):
@@ -331,6 +348,53 @@ def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+# Version stamp persisted with every Bloom delta row (round-17, closing
+# the round-16 ADVICE gap): scheme 1 is the pre-r16 pair
+# ``h1=xxhash64(text), h2=xxhash64(text, lit(1))``; scheme 2 is the
+# current independent-seed pair ``h1=xxhash64(text),
+# h2=xxhash64(lit(1), text)``. The two schemes place different bit
+# patterns for the same document, so probing a scheme-1 bitmap with
+# scheme-2 hashes yields FALSE NEGATIVES — previously-seen documents
+# screen as novel and duplicates are re-admitted. Rows persisted
+# before the stamp existed read back as NULL (see
+# ``read_index_or_empty`` defaults) and are ambiguous: scheme-1 AND
+# early scheme-2 builds both wrote stampless rows. Callers must
+# refuse to screen over them unless the operator explicitly asserts
+# the writing build's scheme (CLI ``--assume-hash-scheme``).
+BLOOM_HASH_SCHEME = 2
+
+
+def check_bloom_hash_scheme(rows, where: str, assume: int | None = None):
+    """Adjudicate the ``hash_scheme`` stamps of collected Bloom delta
+    rows before ORing them into a probe bitmap. ``assume`` resolves
+    NULL (pre-stamp) rows to a declared scheme; stamped rows are never
+    overridden. Raises ``ValueError`` when any row's resolved scheme
+    differs from ``BLOOM_HASH_SCHEME`` (or stays unknown)."""
+    schemes = set()
+    for r in rows:
+        v = r["hash_scheme"] if "hash_scheme" in r.__fields__ else None
+        schemes.add(int(v) if v is not None else assume)
+    if None in schemes:
+        raise ValueError(
+            f"bloom index at {where} has delta rows written before "
+            "hash-scheme stamping (round 16 or earlier); the h2 hash "
+            "changed in round 16, so probing an old bitmap with the "
+            "current hashes silently re-admits seen documents. If the "
+            "index was written by a build WITH the independent-seed h2 "
+            "(post-fix), re-run with --assume-hash-scheme "
+            f"{BLOOM_HASH_SCHEME}; otherwise rebuild into a fresh "
+            "index dir."
+        )
+    stale = sorted(schemes - {BLOOM_HASH_SCHEME})
+    if stale:
+        raise ValueError(
+            f"bloom index at {where} was written under hash scheme(s) "
+            f"{stale} but this build probes with scheme "
+            f"{BLOOM_HASH_SCHEME}; the bitmaps are incompatible — "
+            "rebuild the index into a fresh index dir."
+        )
+
+
 def _bloom_hashes(text_col: str):
     """Two independent 64-bit content hashes, computed JVM-side (one
     codegen pass, no Python in the hot path): the Kirsch-Mitzenmacher
@@ -350,7 +414,11 @@ def _bloom_hashes(text_col: str):
     analysis assumes pairwise-independent bases — now it holds.
     HASH-SCHEME NOTE: this changed every bitmap's bit pattern; a
     Bloom index persisted by a pre-r16 build must be rebuilt in a
-    fresh index dir (mixing schemes would re-admit seen documents)."""
+    fresh index dir (mixing schemes would re-admit seen documents).
+    Since round 17 every persisted delta row carries a
+    ``hash_scheme`` stamp (``BLOOM_HASH_SCHEME``) and the read paths
+    refuse mismatched or pre-stamp rows (``check_bloom_hash_scheme``)
+    instead of screening over them."""
     safe = F.coalesce(F.col(text_col), F.lit("__NULL_TEXT__"))
     return F.xxhash64(safe).alias("_h1"), F.xxhash64(F.lit(1), safe).alias(
         "_h2"

@@ -135,8 +135,10 @@ def filter_blocked_domains(
     domain screen / Dolma domain blocklist semantics).
 
     ``blocked`` is a Python iterable of domain strings or a
-    single-column DataFrame. Entries are canonicalized like hosts
-    (lowercased, stripped of a leading ``www.``); empty entries are
+    single-column DataFrame. Entries are canonicalized like hosts —
+    lowercased, leading/trailing dots stripped (``example.com.`` ==
+    ``example.com``), then a leading ``www.`` dropped — identically
+    in the iterable and DataFrame branches; empty entries are
     ignored. Rows with a NULL/empty host can match nothing and pass.
 
     Scale shape: the row side explodes into <= ~6 host suffixes
@@ -148,15 +150,19 @@ def filter_blocked_domains(
         bcol = blocked.columns[0]
         bl = blocked.select(
             F.regexp_replace(
-                F.lower(F.trim(F.col(bcol))), r"^www\.", ""
+                F.regexp_replace(
+                    F.lower(F.trim(F.col(bcol))), r"^\.+|\.+$", ""
+                ),
+                r"^www\.",
+                "",
             ).alias("_bdom")
         ).where(F.length("_bdom") > 0).distinct()
     else:
         entries = sorted(
             {
-                e.strip().lower().removeprefix("www.").strip(".")
+                e.strip().lower().strip(".").removeprefix("www.")
                 for e in blocked
-                if e and e.strip()
+                if e and e.strip().strip(".")
             }
         )
         if not entries:

@@ -86,6 +86,7 @@ def _index_screen_stream(
     available_now: bool,
     max_files_per_trigger: int | None,
     compact_every: int | None = None,
+    index_col_defaults: dict[str, str] | None = None,
 ):
     """Shared engine for the lake-index screens: file stream ->
     per-micro-batch screen against the persisted index -> idempotent
@@ -142,6 +143,7 @@ def _index_screen_stream(
             F.col("batch_id") < batch_id,
             index_cols,
             lambda: empty_index(batch_df),
+            defaults=index_col_defaults,
         )
         novel, delta = screen(batch_df, index)
         novel.write.mode("overwrite").parquet(
@@ -220,6 +222,7 @@ def index_bloom_dedup_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    assume_hash_scheme: int | None = None,
 ):
     """Streaming Bloom screen — the bounded-STATE point on the same
     trade curve as the two screens above: ``dedup_stream`` bounds state
@@ -246,10 +249,18 @@ def index_bloom_dedup_stream(
     from ..operators import incremental as inc
 
     num_bits, num_hashes = inc.bloom_params(capacity, fpp)
-    geometry = "bits binary, num_bits long, num_hashes int"
+    geometry = (
+        "bits binary, num_bits long, num_hashes int, hash_scheme int"
+    )
 
     def screen(batch_df, index):
         rows = index.collect()  # one row per committed prior batch
+        if rows:
+            # refuse to probe bitmaps written under a different (or
+            # unverifiable pre-stamp) h2 scheme — failing the batch
+            # keeps the checkpoint intact; the operator rebuilds into
+            # a fresh index dir (or blesses via assume_hash_scheme)
+            inc.check_bloom_hash_scheme(rows, index_dir, assume_hash_scheme)
         bits = np.zeros(num_bits // 64, dtype=np.uint64)
         for r in rows:
             if (
@@ -267,7 +278,14 @@ def index_bloom_dedup_stream(
             batch_df, bits, num_hashes, text_col, id_col
         )
         delta = batch_df.sparkSession.createDataFrame(
-            [(bytearray(delta_bits.tobytes()), num_bits, num_hashes)],
+            [
+                (
+                    bytearray(delta_bits.tobytes()),
+                    num_bits,
+                    num_hashes,
+                    inc.BLOOM_HASH_SCHEME,
+                )
+            ],
             geometry,
         )
         return novel, delta
@@ -281,7 +299,8 @@ def index_bloom_dedup_stream(
         checkpoint,
         empty_index=lambda b: b.sparkSession.createDataFrame([], geometry),
         screen=screen,
-        index_cols=["bits", "num_bits", "num_hashes"],
+        index_cols=["bits", "num_bits", "num_hashes", "hash_scheme"],
+        index_col_defaults={"hash_scheme": "int"},
         available_now=available_now,
         max_files_per_trigger=max_files_per_trigger,
         compact_every=compact_every,

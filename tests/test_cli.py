@@ -352,6 +352,68 @@ def test_cli_dedup_screen_bloom_runbook(spark, tmp_path, capsys):
     assert "bloom geometry" not in capsys.readouterr().err
 
 
+def test_cli_bloom_hash_scheme_stamp(spark, tmp_path, capsys):
+    """Round-17 (r16 ADVICE): every Bloom delta row carries a
+    hash_scheme stamp; an index whose rows predate the stamp (the
+    ambiguous pre/post-h2-fix window) refuses to screen unless the
+    operator blesses it with --assume-hash-scheme, and declaring the
+    OLD scheme still refuses — those bitmaps are incompatible."""
+    state = str(tmp_path / "state")
+    base = ["--state-dir", state, "--cpus", "4"]
+    b1, b2 = (str(tmp_path / n) for n in ("b1", "b2"))
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(b2)
+    index = str(tmp_path / "idx")
+    novel = str(tmp_path / "novel")
+    run(capsys, *base, "dedup-screen", "--mode", "bloom", "--input", b1,
+        "--index-dir", index, "--novel-out", novel,
+        "--bloom-capacity", "1000")
+    # new deltas are stamped with the current scheme
+    idx_df = spark.read.parquet(index)
+    assert "hash_scheme" in idx_df.columns
+    from amazon_s3_find_and_forget_spark.operators import incremental as inc
+
+    assert [r["hash_scheme"] for r in idx_df.collect()] == [
+        inc.BLOOM_HASH_SCHEME
+    ]
+    # simulate a pre-stamp index: rewrite the delta without the column
+    (batch_dir,) = [
+        d for d in os.listdir(index) if d.startswith("batch=")
+    ]
+    old_rows = [
+        (bytearray(r["bits"]), r["num_bits"], r["num_hashes"])
+        for r in spark.read.parquet(f"{index}/{batch_dir}").collect()
+    ]
+    shutil.rmtree(f"{index}/{batch_dir}")
+    spark.createDataFrame(
+        old_rows, "bits binary, num_bits long, num_hashes int"
+    ).coalesce(1).write.parquet(f"{index}/{batch_dir}")
+    # screening over pre-stamp rows refuses with the rebuild/bless hint
+    with pytest.raises(SystemExit):
+        main(base + ["dedup-screen", "--mode", "bloom", "--input", b2,
+                     "--index-dir", index, "--novel-out", novel])
+    err = capsys.readouterr().err
+    assert "hash-scheme stamping" in err
+    assert "--assume-hash-scheme" in err
+    # declaring the OLD scheme still refuses (bitmaps incompatible)
+    with pytest.raises(SystemExit):
+        main(base + ["dedup-screen", "--mode", "bloom", "--input", b2,
+                     "--index-dir", index, "--novel-out", novel,
+                     "--assume-hash-scheme", "1"])
+    assert "incompatible" in capsys.readouterr().err
+    # blessing with the CURRENT scheme screens correctly (alpha seen)
+    r2 = run(capsys, *base, "dedup-screen", "--mode", "bloom",
+             "--input", b2, "--index-dir", index, "--novel-out", novel,
+             "--assume-hash-scheme", str(inc.BLOOM_HASH_SCHEME))
+    assert (r2["BatchRows"], r2["NovelRows"]) == (2, 1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
+    assert kept == [1, 2, 11]
+
+
 def test_cli_dedup_screen_symlink_retry_same_identity(spark, tmp_path, capsys):
     """A retry that reaches the same landed batch through a different
     path SPELLING (symlink) must map to the same batch partition: the

@@ -674,3 +674,24 @@ def test_bloom_probe_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert out.where("might_contain").count() == 0
+
+
+def test_bloom_hash_scheme_checker():
+    """check_bloom_hash_scheme's contract: stamped-current passes,
+    pre-stamp NULLs refuse unless blessed with the current scheme,
+    and any resolved non-current scheme refuses as incompatible."""
+    import pytest
+    from pyspark.sql import Row
+
+    cur = inc.BLOOM_HASH_SCHEME
+    stamped = Row(hash_scheme=cur)
+    unstamped = Row(hash_scheme=None)
+    inc.check_bloom_hash_scheme([stamped, stamped], "idx")
+    with pytest.raises(ValueError, match="hash-scheme stamping"):
+        inc.check_bloom_hash_scheme([stamped, unstamped], "idx")
+    # blessing resolves NULLs only — stamped rows keep their stamp
+    inc.check_bloom_hash_scheme([stamped, unstamped], "idx", assume=cur)
+    with pytest.raises(ValueError, match="incompatible"):
+        inc.check_bloom_hash_scheme([unstamped], "idx", assume=1)
+    with pytest.raises(ValueError, match="incompatible"):
+        inc.check_bloom_hash_scheme([Row(hash_scheme=1)], "idx", assume=cur)

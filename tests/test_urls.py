@@ -95,6 +95,17 @@ def test_filter_blocked_domains_label_boundary(spark):
     assert sorted(r["doc_id"] for r in out3.collect()) == [1, 2, 3, 5]
     # an empty blocklist is a no-op
     assert urls.filter_blocked_domains(df, []).count() == 5
+    # trailing/leading dots canonicalize identically in BOTH branches
+    # (FQDN root-dot form "example.com." must block example.com)
+    out4 = urls.filter_blocked_domains(df, ["example.com."])
+    assert sorted(r["doc_id"] for r in out4.collect()) == [3, 4, 5]
+    bl_dot = spark.createDataFrame(
+        [("example.com.",), (".www.example.org.",)], "domain string"
+    )
+    out5 = urls.filter_blocked_domains(df, bl_dot)
+    assert sorted(r["doc_id"] for r in out5.collect()) == [3, 5]
+    # dots-only entries are empty after canonicalization -> ignored
+    assert urls.filter_blocked_domains(df, ["...", "."]).count() == 5
 
 
 def test_blocklist_screen_plan_shape(spark):
