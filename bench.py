@@ -391,48 +391,13 @@ def io_probe(runs: int = 2, mib: int = 256) -> dict:
 IO_BOUND_ROWS = {"find_forget_job"}
 
 
-def evaluate_tripwire(
-    out: dict,
-    repo_dir: str,
-    factor: float = 1.5,
-    min_delta: float = 0.25,
-) -> None:
-    """Per-query regression tripwire against the multi-round band.
-
-    Round 9 measured identical code moving -51%/+11% per query between
-    rounds, so a single prior sample cannot be a baseline. Instead each
-    lane's floor is the MIN across every recorded ``BENCH_r*.json``
-    (each itself a min-of-N), and the flag fires only when the current
-    min exceeds ``factor`` x that floor with >= 2 prior rounds of
-    evidence — a sustained shape change, not rig noise. ``min_delta``
-    gates the ABSOLUTE excess too: round-10 ran the bench twice
-    back-to-back on identical code and sub-second queries crossed 1.5x
-    their floor with a DIFFERENT flag set each run (pure neighbor
-    load), so a ratio alone cannot clear the noise envelope on small
-    timings — 0.1 s of jitter must not flag, while a heavy query
-    doubling still does.
-
-    Rig-drift normalization (round 11, engagement widened round 12):
-    when the current record and AT LEAST ONE prior record carry the
-    ``calibration`` probe, each query's band floor is computed in
-    CALIBRATION-NORMALIZED units (seconds per calibration-second) and
-    converted back to current-host seconds before comparison — a
-    uniformly slow host scales query and probe alike and does not flag,
-    while a single-query regression stands out at any host speed. A
-    one-sample normalized band is noisier than a deep one (the
-    ``n_probed`` field says how deep it is), but it is strictly better
-    than pricing today's run against raw seconds from the rig's
-    best-ever weather — exactly the false-positive shape round 11's
-    simhash flag took. With no probed prior at all the raw-seconds band
-    remains (pre-calibration behavior), and the flag then carries
-    ``weather_suspect: true`` when the floor itself predates the probe
-    era — the reader knows the band cannot distinguish a slow plan from
-    a fast old rig. Flags are advisory: re-run on a quiet rig before
-    treating one as a regression. Results land in ``out["tripwire"]``
-    so every BENCH record shows it evaluated."""
+def _load_bench_history(repo_dir: str):
+    """Per lane/query history from every recorded ``BENCH_r*.json``:
+    ``hist[lane][query] -> [(value, calibration, io, io_sustained)]``
+    plus the number of rounds seen. Shared by the tripwire and the
+    sf10 lane's retry floors so both price prior cells identically."""
     import glob
 
-    # per lane/query: list of (value, calibration-or-None) samples
     hist: dict[str, dict[str, list[tuple]]] = {}
     rounds = 0
     for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
@@ -481,11 +446,120 @@ def evaluate_tripwire(
                     hist.setdefault(lane, {}).setdefault(q, []).append(
                         (v, cal, io, ios)
                     )
+    return hist, rounds
 
+
+def sf10_retry_floors(repo_dir: str, cur_cal) -> dict[str, float]:
+    """Cheap per-row band floors (current-host seconds) for the sf10
+    lane's RETRY decision — the cpu-basis floor the tripwire would use,
+    computed before the lane runs. Rows with <2 priors get no floor
+    (the tripwire would not flag them either). This is a retry
+    heuristic, not a flag: a mispriced floor costs at most one extra
+    bounded sample, never a recorded false positive."""
+    hist, _ = _load_bench_history(repo_dir)
+    floors: dict[str, float] = {}
+    for q, prior in hist.get("sf10", {}).items():
+        if len(prior) < 2:
+            continue
+        cpu_normed = [pv / pc for pv, pc, _pio, _pios in prior if pc]
+        if cur_cal and cpu_normed:
+            floors[q] = min(cpu_normed) * cur_cal
+        else:
+            floors[q] = min(pv for pv, *_ in prior)
+    return floors
+
+
+def sf10_should_retry(
+    name: str,
+    runs: list[float],
+    floor,
+    watch,
+    rerun_under: float = 60.0,
+    spread_third: float = 1.25,
+    factor: float = 1.5,
+    min_delta: float = 0.25,
+) -> bool:
+    """Whether the sf10 lane takes another sample after ``runs``.
+
+    Policy (round 17, closing the r16 verdict's no-retry hole): watch
+    rows ALWAYS run min-of-3 — the 60 s cutoff no longer strands them
+    at one weather-inflated sample (their recorded first samples sat
+    at 45-52 s, exactly the near-the-line case the r16 ADVICE called
+    out). Other rows above the cutoff stay min-of-1 — UNLESS the
+    sample exceeds the row's tripwire band floor by the same
+    (factor, min_delta) margin a flag would use, which earns exactly
+    one extra run: without it a weather-inflated first sample above
+    60 s became the recorded cell (the r16 68.7 s single-sample
+    dedup_simhash_pairs_v2 flag), i.e. the worst samples were the
+    ones the lane refused to retry. Sub-cutoff rows keep min-of-2
+    with a spread-triggered third."""
+    if len(runs) >= 3:
+        return False
+    if name in watch:
+        return True
+    if runs[-1] >= rerun_under:
+        return (
+            len(runs) < 2
+            and floor is not None
+            and min(runs) > factor * floor
+            and min(runs) - floor > min_delta
+        )
+    want = 2
+    if len(runs) >= 2 and max(runs) > spread_third * min(runs):
+        want = 3
+    return len(runs) < want
+
+
+def evaluate_tripwire(
+    out: dict,
+    repo_dir: str,
+    factor: float = 1.5,
+    min_delta: float = 0.25,
+) -> None:
+    """Per-query regression tripwire against the multi-round band.
+
+    Round 9 measured identical code moving -51%/+11% per query between
+    rounds, so a single prior sample cannot be a baseline. Instead each
+    lane's floor is the MIN across every recorded ``BENCH_r*.json``
+    (each itself a min-of-N), and the flag fires only when the current
+    min exceeds ``factor`` x that floor with >= 2 prior rounds of
+    evidence — a sustained shape change, not rig noise. ``min_delta``
+    gates the ABSOLUTE excess too: round-10 ran the bench twice
+    back-to-back on identical code and sub-second queries crossed 1.5x
+    their floor with a DIFFERENT flag set each run (pure neighbor
+    load), so a ratio alone cannot clear the noise envelope on small
+    timings — 0.1 s of jitter must not flag, while a heavy query
+    doubling still does.
+
+    Rig-drift normalization (round 11, engagement widened round 12):
+    when the current record and AT LEAST ONE prior record carry the
+    ``calibration`` probe, each query's band floor is computed in
+    CALIBRATION-NORMALIZED units (seconds per calibration-second) and
+    converted back to current-host seconds before comparison — a
+    uniformly slow host scales query and probe alike and does not flag,
+    while a single-query regression stands out at any host speed. A
+    one-sample normalized band is noisier than a deep one (the
+    ``n_probed`` field says how deep it is), but it is strictly better
+    than pricing today's run against raw seconds from the rig's
+    best-ever weather — exactly the false-positive shape round 11's
+    simhash flag took. With no probed prior at all the raw-seconds band
+    remains (pre-calibration behavior), and the flag then carries
+    ``weather_suspect: true`` when the floor itself predates the probe
+    era — the reader knows the band cannot distinguish a slow plan from
+    a fast old rig. Flags are advisory: re-run on a quiet rig before
+    treating one as a regression. Results land in ``out["tripwire"]``
+    so every BENCH record shows it evaluated."""
+    hist, rounds = _load_bench_history(repo_dir)
     cur_cal = (out.get("calibration") or {}).get("value")
     cur_io = (out.get("calibration_io") or {}).get("value")
     cur_ios = (out.get("calibration_io_sustained") or {}).get("value")
     flagged: dict[str, dict] = {}
+    # per-lane io-band engagement for the disk-bound rows, recorded
+    # whether or not anything flags (round 17, r16 verdict ask #4: the
+    # artifact itself must show WHICH regime priced each io floor —
+    # previously that was only visible on a flag, so a clean round
+    # could not prove the sustained band engaged)
+    io_bands: dict[str, dict[str, str]] = {}
     current_lanes = {
         "sf0.1": out.get("queries"),
         "sf1": (out.get("sf1") or {}).get("queries"),
@@ -529,6 +603,7 @@ def evaluate_tripwire(
                             min(io_normed) / cur_io, len(io_normed)
                         )
                         io_regime = "burst"
+                io_bands.setdefault(lane, {})[q] = io_regime or "unpriced"
             cpu_normed = [pv / pc for pv, pc, pio, pios in prior if pc]
             if cur_cal and cpu_normed:
                 # floor in current-host seconds: best-ever cost per
@@ -580,6 +655,7 @@ def evaluate_tripwire(
         "factor": factor,
         "min_delta": min_delta,
         "rounds_seen": rounds,
+        "io_band": io_bands,
         "flagged": flagged,
     }
     if flagged:
@@ -679,6 +755,12 @@ def main():
         # without paying a third multi-minute run on quiet rows.
         SF10_WATCH = {"text_llm_pipeline", "dedup_paragraphs"}
         SF10_SPREAD_THIRD = 1.25
+        # band floors for the above-cutoff retry decision (r16 verdict
+        # ask #2); priced once, before the lane runs, at today's probe
+        lane_floors = sf10_retry_floors(
+            os.path.dirname(os.path.abspath(__file__)),
+            (out.get("calibration") or {}).get("value"),
+        )
 
         def sf10_run(name, thunk):
             # a lane query failing (the likeliest break at a new scale)
@@ -691,15 +773,14 @@ def main():
                     n = thunk()
                     runs.append(round(time.perf_counter() - start, 3))
                     _lane_gc()
-                    if runs[-1] >= SF10_RERUN_UNDER or len(runs) >= 3:
-                        break
-                    want = 3 if name in SF10_WATCH else 2
-                    if (
-                        len(runs) >= 2
-                        and max(runs) > SF10_SPREAD_THIRD * min(runs)
+                    if not sf10_should_retry(
+                        name,
+                        runs,
+                        lane_floors.get(name),
+                        SF10_WATCH,
+                        rerun_under=SF10_RERUN_UNDER,
+                        spread_third=SF10_SPREAD_THIRD,
                     ):
-                        want = 3
-                    if len(runs) >= want:
                         break
                 sf10[name] = min(runs)
                 sf10_spread[name] = runs
@@ -725,7 +806,17 @@ def main():
                     round(bench_find_forget_job(spark, sf10_dir), 3)
                 )
                 _lane_gc()
-                if runs[-1] >= SF10_RERUN_UNDER:
+                # same above-cutoff policy as sf10_run: a first sample
+                # past 60 s still earns its second run when it exceeds
+                # the row's band floor (otherwise min-of-1 stands)
+                if runs[-1] >= SF10_RERUN_UNDER and not sf10_should_retry(
+                    "find_forget_job",
+                    runs,
+                    lane_floors.get("find_forget_job"),
+                    SF10_WATCH,
+                    rerun_under=SF10_RERUN_UNDER,
+                    spread_third=SF10_SPREAD_THIRD,
+                ):
                     break
             sf10["find_forget_job"] = min(runs)
             sf10_spread["find_forget_job"] = runs
@@ -742,7 +833,12 @@ def main():
         out["sf10"] = {
             "value": round(sum(sf10.values()), 3),
             "queries": sf10,
-            "runs": 2,
+            # actual per-row sample counts (r16 ADVICE: the old
+            # hardcoded 2 misdescribed watched/spread-tripled rows)
+            "runs": {q: len(r) for q, r in sf10_spread.items()},
+            "retry_floors": {
+                q: round(v, 3) for q, v in sorted(lane_floors.items())
+            },
             "watch_min3": sorted(SF10_WATCH),
             "spread_third_over": SF10_SPREAD_THIRD,
             "rerun_under_sec": SF10_RERUN_UNDER,

@@ -74,10 +74,12 @@ def test_new_query_and_corrupt_record_tolerated(tmp_path):
     assert out["tripwire"]["rounds_seen"] == 2
 
 
-def _record_cal(tmp_path, n, queries, cal, sf1_queries=None):
+def _record_cal(tmp_path, n, queries, cal, sf1_queries=None, sf10=None):
     parsed = {"queries": queries, "calibration": {"value": cal}}
     if sf1_queries is not None:
         parsed["sf1"] = {"queries": sf1_queries}
+    if sf10 is not None:
+        parsed["sf10"] = {"queries": sf10}
     doc = {"n": n, "rc": 0, "parsed": parsed}
     (tmp_path / f"BENCH_r{n:02d}.json").write_text(json.dumps(doc))
 
@@ -372,3 +374,79 @@ def test_io_bound_row_without_io_history_marks_unpriced(tmp_path):
     flag = out["tripwire"]["flagged"]["sf0.1"]["find_forget_job"]
     assert flag["basis"] == "cpu"
     assert flag["io_unpriced"] is True
+
+
+def test_io_band_regime_recorded_without_flags(tmp_path):
+    """Round-17 (r16 verdict ask #4): the artifact must show which
+    regime priced each io-bound row's floor even on a CLEAN run —
+    engagement of the sustained band was previously only visible when
+    something flagged."""
+    _record_io2(tmp_path, 1, {"find_forget_job": 6.0}, 0.5, 520.0, 500.0)
+    _record_io2(tmp_path, 2, {"find_forget_job": 6.4}, 0.5, 500.0, 480.0)
+    out = {
+        "queries": {"find_forget_job": 6.1},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 500.0},
+        "calibration_io_sustained": {
+            "value": 490.0,
+            "workload": "seq-write-fsync-1024MiB-fresh-max1",
+        },
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+    assert out["tripwire"]["io_band"] == {
+        "sf0.1": {"find_forget_job": "sustained"}
+    }
+    # burst-only current record -> burst regime, still visible
+    out2 = {
+        "queries": {"find_forget_job": 6.1},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 500.0},
+    }
+    bench.evaluate_tripwire(out2, str(tmp_path))
+    assert out2["tripwire"]["io_band"] == {
+        "sf0.1": {"find_forget_job": "burst"}
+    }
+
+
+def test_sf10_retry_policy_closes_the_over_cutoff_hole(tmp_path):
+    """Round-17 (r16 verdict ask #2): a first sample above the 60 s
+    cutoff must earn ONE retry when it exceeds the row's band floor by
+    the tripwire's own (factor, min_delta) margin — r16 recorded a
+    single 68.7 s weather sample as a cell precisely because the lane
+    refused to retry anything over 60 s. Watch rows are exempt from
+    the cutoff entirely (r16 ADVICE: their 45-52 s first samples sat
+    near the line, stranding min-of-3 at one sample)."""
+    watch = {"w"}
+    retry = bench.sf10_should_retry
+    # over-cutoff + over-floor: exactly one bounded retry
+    assert retry("q", [68.7], floor=14.8, watch=watch) is True
+    assert retry("q", [68.7, 65.0], floor=14.8, watch=watch) is False
+    # over-cutoff but consistent with its band: min-of-1 stands
+    assert retry("q", [68.7], floor=60.0, watch=watch) is False
+    # over-cutoff with no band (new row, <2 priors): min-of-1
+    assert retry("q", [68.7], floor=None, watch=watch) is False
+    # watch rows: always min-of-3, cutoff does not strand them
+    assert retry("w", [70.0], floor=None, watch=watch) is True
+    assert retry("w", [70.0, 68.0], floor=None, watch=watch) is True
+    assert retry("w", [70.0, 68.0, 69.0], floor=None, watch=watch) is False
+    # sub-cutoff rows keep min-of-2 with a spread-triggered third
+    assert retry("q", [10.0], floor=None, watch=watch) is True
+    assert retry("q", [10.0, 10.5], floor=None, watch=watch) is False
+    assert retry("q", [10.0, 14.0], floor=None, watch=watch) is True
+    assert retry("q", [10.0, 14.0, 11.0], floor=None, watch=watch) is False
+
+
+def test_sf10_retry_floors_price_like_the_tripwire(tmp_path):
+    """The retry floor is the tripwire's cpu-basis floor: best-ever
+    cost per calibration-second re-priced at today's probe; raw min
+    without probes; absent under two priors."""
+    _record_cal(tmp_path, 1, {}, 0.5, sf10={"heavy": 20.0, "solo": 5.0})
+    _record_cal(tmp_path, 2, {}, 0.4, sf10={"heavy": 18.0})
+    floors = bench.sf10_retry_floors(str(tmp_path), cur_cal=0.8)
+    # min(20/0.5, 18/0.4) * 0.8 = min(40, 45) * 0.8 = 32.0
+    assert floors == {"heavy": 32.0}
+    # no current probe -> raw-seconds floor (pre-calibration behavior)
+    assert bench.sf10_retry_floors(str(tmp_path), cur_cal=None) == {
+        "heavy": 18.0
+    }
