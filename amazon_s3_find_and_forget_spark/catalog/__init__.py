@@ -104,6 +104,16 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # *_complete claims rows gate. r15's four rotations (exact_substrings,
 # _mask, incremental_bloom, top_repeats) and the rest of the r13-r15
 # window rotate to the tail with their last-gated rounds on ledger.
+# Round-17 rotation — the gate-rotation DEBT payment (r16 verdict ask
+# #3): no new rows this round at rotation time, so all 41 non-core
+# slots go to the longest-un-gated full-oracle rows — tpch_q3 (r7),
+# the complete r9 cohort (events_cube/moving_avg/pivot/rollup + ten
+# tpch), text_fingerprint/text_pack (r10), tpch_q8/q9 (r11), the
+# eleven r12 rows, the seven r13 rows, and the four r14 rows. After
+# this window NO full-oracle row is un-gated longer than r15 —
+# clearing the ledger's >4-round debt in one window. The entire r16
+# window (except the nine core rows) rotates to the tail at one round
+# stale — the freshest possible rotation.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -114,6 +124,55 @@ GATE_ORDER = [
     "find_rows_composite",
     "find_rows_nested",
     "find_rows_decimal",
+    "tpch_q3",
+    "events_cube",
+    "events_moving_avg",
+    "events_pivot",
+    "events_rollup",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q4",
+    "text_fingerprint",
+    "text_pack",
+    "tpch_q8",
+    "tpch_q9",
+    "events_hourly",
+    "events_window_variants",
+    "orders_running_total",
+    "similarity_quantize",
+    "text_mixture",
+    "text_redact",
+    "text_train_order",
+    "text_train_split",
+    "tpch_q11",
+    "tpch_q6",
+    "tpch_q7",
+    "dedup_exact_groups",
+    "dedup_shared_ngrams",
+    "events_heavy_hitters",
+    "events_interval_counts",
+    "orders_quantile_sketch",
+    "text_balanced_sample",
+    "text_exact_mixture",
+    "dedup_ngram_pairs",
+    "events_topn_per_user",
+    "text_length_percentiles",
+    "text_token_count",
+]
+
+# Past the gate: every oracle-backed row here is still checked every
+# round by tools/check_oracle.py at two scale factors; last-gated
+# rounds are on the COVERAGE.md ledger. Raw approximate row-set
+# queries (seed-dependent; quality gated via their claims rows) sit at
+# the end.
+TAIL_ORDER = [
     "text_url_screen",
     "dedup_exact_substrings_bpe",
     "dedup_exact_substrings_bpe_mask",
@@ -155,15 +214,6 @@ GATE_ORDER = [
     "tpch_q20",
     "tpch_q21",
     "text_c4_clean",
-]
-
-# Past the gate: every oracle-backed row here is still checked every
-# round by tools/check_oracle.py at two scale factors; last-gated
-# rounds are on the COVERAGE.md ledger. Raw approximate row-set
-# queries (seed-dependent; quality gated via their claims rows) sit at
-# the end.
-TAIL_ORDER = [
-    "tpch_q3",
     "dedup_paragraphs",
     "dedup_minhash_recall",
     "semantic_dedup_complete",
@@ -205,46 +255,6 @@ TAIL_ORDER = [
     "similarity_topk",
     "text_curation_pipeline",
     "text_curation_pipeline_v2",
-    "dedup_ngram_pairs",
-    "text_token_count",
-    "text_length_percentiles",
-    "events_topn_per_user",
-    "events_interval_counts",
-    "orders_quantile_sketch",
-    "text_exact_mixture",
-    "events_heavy_hitters",
-    "dedup_shared_ngrams",
-    "text_balanced_sample",
-    "dedup_exact_groups",
-    "events_hourly",
-    "orders_running_total",
-    "tpch_q6",
-    "events_window_variants",
-    "similarity_quantize",
-    "text_redact",
-    "text_train_order",
-    "text_mixture",
-    "text_train_split",
-    "tpch_q11",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "text_fingerprint",
-    "text_pack",
-    "tpch_q10",
-    "tpch_q4",
-    "tpch_q18",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q22",
-    "events_cube",
-    "events_rollup",
-    "events_pivot",
-    "events_moving_avg",
     "similarity_pq_topk",
     "dedup_minhash_survivors",
     "dedup_minhash_survivors_t08",
