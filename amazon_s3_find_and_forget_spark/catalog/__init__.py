@@ -113,7 +113,14 @@ _FAMILIES = (findforget, tpch, events, text, dedup, similarity)
 # this window NO full-oracle row is un-gated longer than r15 —
 # clearing the ledger's >4-round debt in one window. The entire r16
 # window (except the nine core rows) rotates to the tail at one round
-# stale — the freshest possible rotation.
+# stale — the freshest possible rotation. Late round-17: one new row,
+# text_pareto_filter (the GPT-3 Pareto keep rule over a FIXED literal
+# model — upgrades the scoring+draw kernel from claims-only to a FULL
+# value oracle; training stays claims-gated via
+# text_quality_classifier) enters per the every-new-row rule; the
+# newest stale-cohort row (text_token_count, r14, its counting kernel
+# still gated through text_token_count_bpe) yields its slot to the
+# tail and fronts the r18 queue.
 GATE_ORDER = [
     "find_rows_simple",
     "find_files_simple",
@@ -164,7 +171,7 @@ GATE_ORDER = [
     "dedup_ngram_pairs",
     "events_topn_per_user",
     "text_length_percentiles",
-    "text_token_count",
+    "text_pareto_filter",
 ]
 
 # Past the gate: every oracle-backed row here is still checked every
@@ -173,6 +180,7 @@ GATE_ORDER = [
 # queries (seed-dependent; quality gated via their claims rows) sit at
 # the end.
 TAIL_ORDER = [
+    "text_token_count",
     "text_url_screen",
     "dedup_exact_substrings_bpe",
     "dedup_exact_substrings_bpe_mask",

@@ -388,6 +388,39 @@ def q_text_dsir_sample(spark, sf_dir):
     )
 
 
+def q_text_pareto_filter(spark, sf_dir):
+    """The GPT-3 Pareto keep rule (Brown et al. 2020, App. A) with a
+    FIXED literal model — a FULL value oracle for the scoring + draw
+    kernel that text_quality_classifier can only claims-gate (its
+    trained weights are engine-internal iterative float math; a fixed
+    model has no training, so every number here is closed-form in both
+    engines). The 64-bucket weight table is the pure expression
+    ``w[b] = (((b * 37) % 13) - 6) / 10`` computed independently by
+    Spark and DuckDB; scoring is the tf-average of ``w[bucket]`` over
+    the md5-hashed unigram+bigram occurrence stream plus bias through
+    a sigmoid; the keep decision draws Pareto(alpha=9) noise from the
+    fixed-width-hex md5 of ``(doc_id, '|pareto|', salt)``.
+
+    ``quality_prob`` is rounded to 6 BEFORE the keep comparison (the
+    dsir-row rounding convention) so the cross-engine float decision
+    compares rounded values — an ulp of summation-order drift cannot
+    flip a row in or out of the result."""
+    docs = load(spark, sf_dir, "documents")
+    B = 64
+    model = {
+        "weights": [(((b * 37) % 13) - 6) / 10.0 for b in range(B)],
+        "bias": -0.2,
+        "n_buckets": B,
+        "hash_fn": "md5",
+    }
+    scored = text.score_quality_classifier(docs, model).select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+    return text.pareto_quality_filter(
+        docs, model, alpha=9.0, salt="r17", scored=scored
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram stupid-backoff fluency score (Brants et al. 2007) — the
     context-aware upgrade of text_unigram_nll, FULL value oracle
@@ -690,6 +723,7 @@ QUERIES = {
     "text_quality_classifier": q_text_quality_classifier,
     "text_dsir_weights": q_text_dsir_weights,
     "text_dsir_sample": q_text_dsir_sample,
+    "text_pareto_filter": q_text_pareto_filter,
     "text_llm_pipeline": q_text_llm_pipeline,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "documents_source_rollup": q_documents_source_rollup,
@@ -1495,6 +1529,35 @@ ORACLES = {
     "text_dsir_weights": f"""
         {_DSIR_WEIGHTS_SQL}
         SELECT * FROM w
+    """,
+    "text_pareto_filter": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(t) AS g FROM toks
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM toks WHERE len(t) >= 2
+        ), occ AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bkt
+          FROM grams
+        ), scored AS (
+          SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-(
+                   avg((((bkt * 37) % 13) - 6) / 10.0) - 0.2
+                 ))), 6) AS quality_prob
+          FROM occ GROUP BY doc_id
+        )
+        SELECT doc_id, quality_prob
+        FROM scored
+        WHERE power(
+                1.0 - (CAST(concat('0x', substr(md5(
+                        CAST(doc_id AS VARCHAR) || '|pareto|r17'), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0,
+                -1.0 / 9.0
+              ) - 1.0 > 1.0 - quality_prob
     """,
     "text_dsir_sample": f"""
         {_DSIR_WEIGHTS_SQL}
