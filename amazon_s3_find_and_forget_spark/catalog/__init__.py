@@ -170,7 +170,7 @@ GATE_ORDER = [
     "text_exact_mixture",
     "dedup_ngram_pairs",
     "events_topn_per_user",
-    "text_length_percentiles",
+    "text_selection_pipeline",
     "text_pareto_filter",
 ]
 
@@ -181,6 +181,7 @@ GATE_ORDER = [
 # the end.
 TAIL_ORDER = [
     "text_token_count",
+    "text_length_percentiles",
     "text_url_screen",
     "dedup_exact_substrings_bpe",
     "dedup_exact_substrings_bpe_mask",

@@ -603,6 +603,50 @@ def q_text_llm_pipeline(spark, sf_dir):
     )
 
 
+def q_text_selection_pipeline(spark, sf_dir):
+    """The round-17 curate selection lane AS A PIPELINE with one FULL
+    value oracle across all three stages: Gopher rule filtering (the
+    four live rules) -> the GPT-3 Pareto keep rule over the FIXED
+    literal model (the text_pareto_filter kernel, bias raised to +1.2
+    so the screen keeps ~15% and every stage contributes survivors to
+    gate) -> DSIR Gumbel-top-k selection (English-survivor target)
+    over the doubly-screened pool — exactly the chain the packaged
+    ``curate --steps gopher,classifier,dsir`` composes, with training
+    replaced by the fixed model so the whole composition is
+    closed-form in both engines. Each stage is gated alone
+    (text_gopher_quality / text_pareto_filter / text_dsir_sample);
+    this row gates their composition: the Pareto screen changes the
+    DSIR pool AND its importance-weight denominator, so a drift in
+    any stage moves the final 25-row selection."""
+    docs = load(spark, sf_dir, "documents")
+    flagged = text.gopher_quality_flags(docs)
+    survivors = flagged.where(
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+    ).select("doc_id", "text")
+    B = 64
+    model = {
+        "weights": [(((b * 37) % 13) - 6) / 10.0 for b in range(B)],
+        "bias": 1.2,
+        "n_buckets": B,
+        "hash_fn": "md5",
+    }
+    scored = text.score_quality_classifier(survivors, model).select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+    kept = text.pareto_quality_filter(
+        survivors, model, alpha=9.0, salt="r17sel", scored=scored
+    ).select("doc_id")
+    pool = survivors.join(kept, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return text.dsir_select(
+        pool, pool.where(F.col("lang") == "en"), 25, salt="r17sel"
+    )
+
+
 def q_text_contamination(spark, sf_dir):
     """Benchmark-overlap decontamination screen: docs sharing any word
     3-gram with the pseudo-benchmark (every 50th doc) are flagged."""
@@ -724,6 +768,7 @@ QUERIES = {
     "text_dsir_weights": q_text_dsir_weights,
     "text_dsir_sample": q_text_dsir_sample,
     "text_pareto_filter": q_text_pareto_filter,
+    "text_selection_pipeline": q_text_selection_pipeline,
     "text_llm_pipeline": q_text_llm_pipeline,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "documents_source_rollup": q_documents_source_rollup,
@@ -1529,6 +1574,90 @@ ORACLES = {
     "text_dsir_weights": f"""
         {_DSIR_WEIGHTS_SQL}
         SELECT * FROM w
+    """,
+    "text_selection_pipeline": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS n_words,
+                 length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS nwc,
+                 len(regexp_extract_all(coalesce(text, ''), '\\S*[A-Za-z]\\S*')) AS alpha_words,
+                 len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.')) AS symbols
+          FROM documents
+        ), surv AS (
+          SELECT d.doc_id, d.text
+          FROM documents d JOIN m USING (doc_id)
+          WHERE m.n_words BETWEEN 50 AND 100000
+            AND (CASE WHEN m.n_words > 0
+                      THEN round(CAST(m.nwc AS DOUBLE) / m.n_words, 4)
+                      ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+            AND (CASE WHEN m.n_words > 0
+                      THEN round(CAST(m.symbols AS DOUBLE) / m.n_words, 4)
+                      ELSE 0.0 END) <= 0.1
+            AND (CASE WHEN m.n_words > 0
+                      THEN round(CAST(m.alpha_words AS DOUBLE) / m.n_words, 4)
+                      ELSE 0.0 END) >= 0.8
+        ), ptoks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM surv
+        ), pgrams AS (
+          SELECT doc_id, unnest(t) AS g FROM ptoks
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS g
+          FROM ptoks WHERE len(t) >= 2
+        ), pocc AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bkt
+          FROM pgrams
+        ), pscored AS (
+          SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-(
+                   avg((((bkt * 37) % 13) - 6) / 10.0) + 1.2
+                 ))), 6) AS quality_prob
+          FROM pocc GROUP BY doc_id
+        ), pkept AS (
+          SELECT doc_id FROM pscored
+          WHERE power(
+                  1.0 - (CAST(concat('0x', substr(md5(
+                          CAST(doc_id AS VARCHAR) || '|pareto|r17sel'), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0,
+                  -1.0 / 9.0
+                ) - 1.0 > 1.0 - quality_prob
+        ), occ AS (
+          SELECT p.doc_id,
+                 CAST(concat('0x', substr(md5(p.g), 1, 8)) AS BIGINT) % 4096 AS bkt
+          FROM pgrams p JOIN pkept USING (doc_id)
+        ), qcnt AS (
+          SELECT bkt, count(*) AS qc FROM occ GROUP BY bkt
+        ), tcnt AS (
+          SELECT bkt, count(*) AS tc FROM occ
+          WHERE doc_id IN (
+            SELECT k.doc_id FROM pkept k
+            JOIN documents d ON k.doc_id = d.doc_id
+            WHERE d.lang = 'en'
+          )
+          GROUP BY bkt
+        ), tot AS (
+          SELECT (SELECT coalesce(sum(qc), 0) FROM qcnt) AS Q,
+                 (SELECT coalesce(sum(tc), 0) FROM tcnt) AS T
+        ), ratio AS (
+          SELECT qcnt.bkt,
+                 ln((coalesce(tc, 0) + 1.0) / (T + 1.0 * 4096))
+               - ln((qc + 1.0) / (Q + 1.0 * 4096)) AS contrib
+          FROM qcnt LEFT JOIN tcnt USING (bkt), tot
+        ), w AS (
+          SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 round(sum(r.contrib), 6) AS log_w
+          FROM occ o JOIN ratio r USING (bkt)
+          GROUP BY o.doc_id
+        )
+        SELECT doc_id, n_grams, log_w,
+               round(log_w + (-ln(-ln(
+                 (CAST(concat('0x', substr(md5(
+                    CAST(doc_id AS VARCHAR) || '|dsir|r17sel'), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0))), 6) AS score
+        FROM w
+        ORDER BY score DESC, doc_id
+        LIMIT 25
     """,
     "text_pareto_filter": f"""
         WITH toks AS (
