@@ -1114,6 +1114,22 @@ def main(argv: list[str] | None = None) -> int:
 
         df = eng.spark.read.parquet(args.input)
         tcol, icol = args.text_column, args.id_column
+
+        def _barrier(d):
+            # Lazy localCheckpoint after every mutating stage (round
+            # 17): each stage's report count is an action, and without
+            # a barrier stage k's count re-executes stages 1..k-1 —
+            # O(stages x corpus) scans, with the expensive map-side
+            # text rewrites (c4 regex chains, the ExactSubstr verify,
+            # BPE pandas_udf) recomputed every time (shuffle-file
+            # reuse only shields the exchanges). The barrier
+            # materializes each stage ONCE at its own count and later
+            # stages read the checkpoint — the same pruned-barrier
+            # shape the catalog curation pipelines bench at the sf10
+            # lane. eager=False so a stage that is never counted (or
+            # a chain that fails validation) costs nothing.
+            return d.localCheckpoint(eager=False)
+
         report: dict = {"InputRows": df.count(), "Steps": curate_steps}
         # Non-NULL id contract, enforced up front: the rewrite steps
         # (paragraph-dedup, decontaminate) rejoin rewritten text on the
@@ -1155,15 +1171,15 @@ def main(argv: list[str] | None = None) -> int:
                         for ln in f
                         if ln.strip() and not ln.lstrip().startswith("#")
                     ]
-                df = url_ops.filter_blocked_domains(
+                df = _barrier(url_ops.filter_blocked_domains(
                     df, entries, url_col=ucol, id_col=icol
-                )
+                ))
                 n_after_block = df.count()
                 report["UrlBlocked"] = n_before - n_after_block
                 n_before = n_after_block
-            df = url_ops.dedup_by_url(
+            df = _barrier(url_ops.dedup_by_url(
                 df, url_col=ucol, id_col=icol
-            ).drop("url_norm")
+            ).drop("url_norm"))
             n_url = df.count()
             report["UrlDupRows"] = n_before - n_url
             report["UrlSurvivors"] = n_url
@@ -1176,12 +1192,12 @@ def main(argv: list[str] | None = None) -> int:
                         for ln in f
                         if ln.strip() and not ln.lstrip().startswith("#")
                     ]
-            c4 = text_ops.c4_clean(
+            c4 = _barrier(text_ops.c4_clean(
                 df, text_col=tcol, id_col=icol,
                 min_words=args.c4_min_words,
                 min_sentences=args.c4_min_sentences,
                 badwords=badwords,
-            )
+            ))
             n_before = df.count()
             stats = c4.agg(
                 F.sum("n_lines").alias("nl"),
@@ -1193,20 +1209,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             report["C4PagesDropped"] = n_before - int(stats["k"] or 0)
             report["C4Survivors"] = int(stats["k"] or 0)
-            df = df.drop(tcol).join(
+            df = _barrier(df.drop(tcol).join(
                 c4.where(F.col("kept")).select(icol, tcol), icol
-            )
+            ))
         if "paragraph-dedup" in curate_steps:
-            pd_out = dedup_ops.remove_duplicated_paragraphs(
+            pd_out = _barrier(dedup_ops.remove_duplicated_paragraphs(
                 df, sep=args.paragraph_sep, text_col=tcol, id_col=icol
-            )
+            ))
             report["ParagraphsRemoved"] = int(
                 pd_out.agg(F.sum("removed_paragraphs")).collect()[0][0]
                 or 0
             )
-            df = df.drop(tcol).join(pd_out.select(icol, tcol), icol)
+            df = _barrier(
+                df.drop(tcol).join(pd_out.select(icol, tcol), icol)
+            )
         if "exact-dedup" in curate_steps:
-            df = dedup_ops.exact_dedup(df, text_col=tcol, id_col=icol)
+            df = _barrier(
+                dedup_ops.exact_dedup(df, text_col=tcol, id_col=icol)
+            )
             report["ExactSurvivors"] = df.count()
         substr_merges = None
         if args.substr_tokenizer == "bpe":
@@ -1244,32 +1264,36 @@ def main(argv: list[str] | None = None) -> int:
                     "substring": top["substring"][:120],
                 }
         if "exact-substr" in curate_steps:
-            xs = dedup_ops.dedup_exact_substrings(
+            xs = _barrier(dedup_ops.dedup_exact_substrings(
                 df, min_tokens=args.substr_min_tokens, text_col=tcol,
                 id_col=icol, mode=args.substr_mode,
                 tokenizer=args.substr_tokenizer, merges=substr_merges,
-            )
+            ))
             report["SubstrTokensRemoved"] = int(
                 xs.agg(F.sum("removed_tokens")).collect()[0][0] or 0
             )
-            df = df.drop(tcol).join(xs.select(icol, tcol), icol)
+            df = _barrier(
+                df.drop(tcol).join(xs.select(icol, tcol), icol)
+            )
         if "decontaminate" in curate_steps:
             bench = eng.spark.read.parquet(args.benchmark)
-            dc = dedup_ops.decontaminate_spans(
+            dc = _barrier(dedup_ops.decontaminate_spans(
                 df, bench, n=args.ngram, text_col=tcol, id_col=icol,
                 mode=args.decon_mode,
-            )
+            ))
             report["ContaminatedTokensRemoved"] = int(
                 dc.agg(F.sum("removed_tokens")).collect()[0][0] or 0
             )
-            df = df.drop(tcol).join(dc.select(icol, tcol), icol)
+            df = _barrier(
+                df.drop(tcol).join(dc.select(icol, tcol), icol)
+            )
         if "gopher" in curate_steps:
             flagged = text_ops.gopher_quality_flags(df, text_col=tcol)
             cond = None
             for rule in gopher_rules:
                 c = F.col(f"ok_{rule}")
                 cond = c if cond is None else (cond & c)
-            df = flagged.where(cond).select(*df.columns)
+            df = _barrier(flagged.where(cond).select(*df.columns))
             report["GopherSurvivors"] = df.count()
         if "classifier" in curate_steps:
             # the GPT-3 selection story (Brown et al. 2020, App. A) as
@@ -1332,7 +1356,7 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=tcol,
                 id_col=icol,
             )
-            df = df.join(clf_kept.select(icol), icol)
+            df = _barrier(df.join(clf_kept.select(icol), icol))
             report["ClassifierSurvivors"] = df.count()
         if "dsir" in curate_steps:
             # DSIR importance resampling (Xie et al. 2023) as the
@@ -1356,7 +1380,7 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=tcol,
                 id_col=icol,
             )
-            df = df.join(picks.select(icol), icol)
+            df = _barrier(df.join(picks.select(icol), icol))
             report["DsirSelected"] = df.count()
         if "split" in curate_steps:
             df = text_ops.deterministic_split(
