@@ -316,6 +316,55 @@ def calibration_probe(spark, runs: int = 3) -> float:
     return round(best, 3)
 
 
+def shuffle_probe(spark, runs: int = 2) -> dict:
+    """Pinned corpus-scale SHUFFLE workload, timed min-of-``runs`` —
+    the machinery the arithmetic probe is blind to.
+
+    Round-17 evidence for why this exists: at identical data (sweep
+    row counts byte-identical to r16) and untouched operator code, the
+    shuffle-heavy sf10 dedup rows ran 1.5-2x their bands while the
+    arithmetic calibration probe read FASTER than the prior round
+    (0.584 vs 0.673) and both io probes sat mid-range — and the
+    driver's own r16-closing record shows the same elevated regime at
+    cal 0.577 (simhash_v2 68.7 single-sample, clusters 14.6) where the
+    builder's same-HEAD closing run hours earlier recorded 9.7/22.3 at
+    cal 0.673. The host oscillates between two parallel-throughput
+    regimes (shared-infra memory bandwidth / shuffle-spill disk) that
+    neither the single-plan codegen probe nor the sequential-write
+    probe spans. This workload — 12M md5-string rows through a
+    64-partition hash exchange + wide agg — moves ~0.5 GiB through
+    serialization, shuffle block write/read on spark.local.dir, and
+    the sort/agg memory path, so its seconds track exactly the
+    resource those rows burn. The tripwire prices
+    ``SHUFFLE_BOUND_ROWS`` in these units once history carries the
+    reading (the calibration_io_sustained self-heal pattern: record
+    this round, engage next)."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(runs):
+        start = time.perf_counter()
+        (
+            spark.range(0, 12_000_000, 1, 32)
+            .select(
+                F.md5(F.col("id").cast("string")).alias("k"),
+                F.col("id").alias("v"),
+            )
+            .repartition(64, "k")
+            .groupBy(F.substring("k", 1, 6).alias("g"))
+            .agg(F.count("*").alias("n"), F.max("k").alias("m"))
+            .agg(F.count("*").alias("c"), F.max("m").alias("mm"))
+            .collect()
+        )
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
+    return {
+        "value": round(best, 3),
+        "unit": "sec",
+        "workload": f"shuffle-12M-md5-repart64-agg-min{runs}-v1",
+    }
+
+
 def io_probe(runs: int = 2, mib: int = 256) -> dict:
     """Sequential write+fsync bandwidth (MiB/s, max-of-``runs``) on the
     filesystem the write-heavy lane row actually writes to.
@@ -390,6 +439,23 @@ def io_probe(runs: int = 2, mib: int = 256) -> dict:
 # moved, or a new CPU stage) still flags at any bandwidth.
 IO_BOUND_ROWS = {"find_forget_job"}
 
+# Rows whose cost is dominated by corpus-scale exchanges (the MinHash/
+# SimHash band joins, span/paragraph reassembly, ExactSubstr window
+# relation): their floors are additionally priced in shuffle-probe
+# units once history carries the reading (round 17 — see
+# shuffle_probe's docstring for the two-regime evidence). The max-of-
+# bases rule means a slow-shuffle day RAISES these rows' defensible
+# floor instead of flagging weather, while a real plan regression
+# still exceeds every basis.
+SHUFFLE_BOUND_ROWS = {
+    "dedup_simhash_pairs_v2",
+    "dedup_clusters_minhash",
+    "dedup_minhash_survivors_t08",
+    "dedup_span_removal",
+    "dedup_paragraphs",
+    "dedup_exact_substrings",
+}
+
 
 def _load_bench_history(repo_dir: str):
     """Per lane/query history from every recorded ``BENCH_r*.json``:
@@ -433,6 +499,12 @@ def _load_bench_history(repo_dir: str):
             ios_doc.get("workload") or ""
         ):
             ios = None
+        # shuffle-regime reading (round 17): same methodology gate —
+        # only same-versioned workloads combine
+        sh_doc = parsed.get("calibration_shuffle") or {}
+        sh = sh_doc.get("value")
+        if sh is not None and "-v1" not in str(sh_doc.get("workload") or ""):
+            sh = None
         lanes = {
             "sf0.1": parsed.get("queries"),
             "sf1": (parsed.get("sf1") or {}).get("queries"),
@@ -444,7 +516,7 @@ def _load_bench_history(repo_dir: str):
             if queries:
                 for q, v in queries.items():
                     hist.setdefault(lane, {}).setdefault(q, []).append(
-                        (v, cal, io, ios)
+                        (v, cal, io, ios, sh)
                     )
     return hist, rounds
 
@@ -461,7 +533,7 @@ def sf10_retry_floors(repo_dir: str, cur_cal) -> dict[str, float]:
     for q, prior in hist.get("sf10", {}).items():
         if len(prior) < 2:
             continue
-        cpu_normed = [pv / pc for pv, pc, _pio, _pios in prior if pc]
+        cpu_normed = [pv / pc for pv, pc, *_rest in prior if pc]
         if cur_cal and cpu_normed:
             floors[q] = min(cpu_normed) * cur_cal
         else:
@@ -553,6 +625,7 @@ def evaluate_tripwire(
     cur_cal = (out.get("calibration") or {}).get("value")
     cur_io = (out.get("calibration_io") or {}).get("value")
     cur_ios = (out.get("calibration_io_sustained") or {}).get("value")
+    cur_sh = (out.get("calibration_shuffle") or {}).get("value")
     flagged: dict[str, dict] = {}
     # per-lane io-band engagement for the disk-bound rows, recorded
     # whether or not anything flags (round 17, r16 verdict ask #4: the
@@ -560,6 +633,7 @@ def evaluate_tripwire(
     # previously that was only visible on a flag, so a clean round
     # could not prove the sustained band engaged)
     io_bands: dict[str, dict[str, str]] = {}
+    shuffle_bands: dict[str, dict[str, str]] = {}
     current_lanes = {
         "sf0.1": out.get("queries"),
         "sf1": (out.get("sf1") or {}).get("queries"),
@@ -587,7 +661,7 @@ def evaluate_tripwire(
                 # gets (2.6x measured round 16); mixing regimes would
                 # misprice the floor, so the two never combine.
                 sus_normed = [
-                    pv * pios for pv, pc, pio, pios in prior if pios
+                    pv * pios for pv, pc, pio, pios, *_ in prior if pios
                 ]
                 if cur_ios and sus_normed:
                     floors["io"] = (
@@ -596,7 +670,7 @@ def evaluate_tripwire(
                     io_regime = "sustained"
                 elif cur_io:
                     io_normed = [
-                        pv * pio for pv, pc, pio, pios in prior if pio
+                        pv * pio for pv, pc, pio, pios, *_ in prior if pio
                     ]
                     if io_normed:
                         floors["io"] = (
@@ -604,7 +678,18 @@ def evaluate_tripwire(
                         )
                         io_regime = "burst"
                 io_bands.setdefault(lane, {})[q] = io_regime or "unpriced"
-            cpu_normed = [pv / pc for pv, pc, pio, pios in prior if pc]
+            if q in SHUFFLE_BOUND_ROWS:
+                sh_normed = [
+                    pv / psh for pv, pc, pio, pios, psh in prior if psh
+                ]
+                if cur_sh and sh_normed:
+                    floors["shuffle"] = (
+                        min(sh_normed) * cur_sh, len(sh_normed)
+                    )
+                shuffle_bands.setdefault(lane, {})[q] = (
+                    "priced" if "shuffle" in floors else "unpriced"
+                )
+            cpu_normed = [pv / pc for pv, pc, pio, pios, *_ in prior if pc]
             if cur_cal and cpu_normed:
                 # floor in current-host seconds: best-ever cost per
                 # calibration-second, re-priced at today's probe
@@ -656,6 +741,7 @@ def evaluate_tripwire(
         "min_delta": min_delta,
         "rounds_seen": rounds,
         "io_band": io_bands,
+        "shuffle_band": shuffle_bands,
         "flagged": flagged,
     }
     if flagged:
@@ -697,6 +783,9 @@ def main():
         # gets on a burst-credit volume; IO_BOUND_ROWS band on this
         # reading once history carries it (round 16)
         "calibration_io_sustained": io_probe(runs=1, mib=1024),
+        # parallel shuffle/memory regime (round 17): prices the
+        # SHUFFLE_BOUND_ROWS band once history carries the reading
+        "calibration_shuffle": shuffle_probe(spark),
     }
 
     # second lane: the same suite at 10x data (derived once, cached) so

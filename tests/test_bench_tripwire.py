@@ -450,3 +450,93 @@ def test_sf10_retry_floors_price_like_the_tripwire(tmp_path):
     assert bench.sf10_retry_floors(str(tmp_path), cur_cal=None) == {
         "heavy": 18.0
     }
+
+
+def _record_sh(tmp_path, n, queries, cal, sh, sf10=None):
+    parsed = {
+        "queries": queries,
+        "calibration": {"value": cal},
+        "calibration_shuffle": {
+            "value": sh, "workload": "shuffle-12M-md5-repart64-agg-min2-v1",
+        },
+    }
+    if sf10 is not None:
+        parsed["sf10"] = {"queries": sf10}
+    (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+        json.dumps({"n": n, "rc": 0, "parsed": parsed})
+    )
+
+
+def test_shuffle_band_absorbs_parallel_regime_collapse(tmp_path):
+    """Round-17 case, measured live: shuffle-heavy sf10 dedup rows ran
+    1.5-2x their cpu-priced bands while the arithmetic probe read
+    FASTER than the prior round and both io probes sat mid-range — a
+    parallel shuffle/memory regime the other probes cannot see. When
+    the row scales with the shuffle probe, the shuffle-priced floor
+    (max-of-bases) absorbs the weather; a real regression at the SAME
+    shuffle rate still flags, priced in shuffle units."""
+    _record_sh(tmp_path, 1, {}, 0.5, 2.0,
+               sf10={"dedup_simhash_pairs_v2": 16.0})
+    _record_sh(tmp_path, 2, {}, 0.5, 2.2,
+               sf10={"dedup_simhash_pairs_v2": 18.0})
+    # weather run: cpu probe FLAT, shuffle probe collapsed 2x, row
+    # scaled with it (16.0 * 4.0/2.0 = 32.0). The cpu-priced floor
+    # (16.0) would flag at ratio 2.0; the shuffle floor absorbs it.
+    out = {
+        "sf10": {"queries": {"dedup_simhash_pairs_v2": 32.0}},
+        "calibration": {"value": 0.5},
+        "calibration_shuffle": {
+            "value": 4.0,
+            "workload": "shuffle-12M-md5-repart64-agg-min2-v1",
+        },
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+    assert out["tripwire"]["shuffle_band"] == {
+        "sf10": {"dedup_simhash_pairs_v2": "priced"}
+    }
+    # real regression: same shuffle rate as history, 3x the work
+    out2 = {
+        "sf10": {"queries": {"dedup_simhash_pairs_v2": 48.0}},
+        "calibration": {"value": 0.5},
+        "calibration_shuffle": {
+            "value": 2.0,
+            "workload": "shuffle-12M-md5-repart64-agg-min2-v1",
+        },
+    }
+    bench.evaluate_tripwire(out2, str(tmp_path))
+    flag = out2["tripwire"]["flagged"]["sf10"]["dedup_simhash_pairs_v2"]
+    assert flag["basis"] == "shuffle"
+    # floor = min(16/2.0, 18/2.2) * 2.0 = 16.0 -> ratio 3.0
+    assert flag["band_floor"] == 16.0 and flag["ratio"] == 3.0
+
+
+def test_shuffle_reading_gated_by_workload_version(tmp_path):
+    """A prior record whose shuffle workload tag is a different version
+    must not combine into the band (the io '-fresh' methodology-gate
+    pattern); with no valid prior the row stays cpu-priced and the
+    artifact says unpriced."""
+    _record_cal(tmp_path, 1, {}, 0.5, sf10={"dedup_paragraphs": 20.0})
+    parsed = {
+        "queries": {},
+        "calibration": {"value": 0.5},
+        "calibration_shuffle": {"value": 2.0, "workload": "shuffle-v0-old"},
+        "sf10": {"queries": {"dedup_paragraphs": 21.0}},
+    }
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"n": 2, "rc": 0, "parsed": parsed})
+    )
+    out = {
+        "sf10": {"queries": {"dedup_paragraphs": 60.0}},
+        "calibration": {"value": 0.5},
+        "calibration_shuffle": {
+            "value": 2.0,
+            "workload": "shuffle-12M-md5-repart64-agg-min2-v1",
+        },
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    flag = out["tripwire"]["flagged"]["sf10"]["dedup_paragraphs"]
+    assert flag["basis"] == "cpu"
+    assert out["tripwire"]["shuffle_band"] == {
+        "sf10": {"dedup_paragraphs": "unpriced"}
+    }
