@@ -58,6 +58,32 @@ def _is_cached(df: DataFrame) -> bool:
     return bool(level.useMemory or level.useDisk)
 
 
+def _populated(df: DataFrame) -> DataFrame:
+    """Populate a lazily-persisted relation NOW (one count job) when it
+    feeds two or more query stages of the SAME downstream action.
+
+    Round-17 stage-profile evidence (guide §1/§5): AQE materializes
+    independent query stages CONCURRENTLY, so every consumer of a
+    still-empty lazy persist races the others and recomputes the full
+    subtree — ``text_dsir_sample``'s gram stream ran 3x (3 x 26.4
+    executor-seconds at sf1 for one 26.4 s relation),
+    ``dedup_span_removal``'s occurrence stream 2x. The round-16 simhash
+    fix (`simhash_near_duplicates`' eager ``sh.count()``) was this same
+    inversion proven for a 5-branch plan; the stage profiles show it
+    binds at TWO branches once the subtree costs more than a
+    scheduling round. The barrier costs one extra job (~0.1-0.2 s at
+    gate scale) and removes O(branches - 1) recomputes of the most
+    expensive subtree in the plan.
+
+    ``os.environ['S3F2_LAZY_PERSIST']='1'`` restores the lazy behavior
+    (measurement escape hatch for A/B)."""
+    import os
+
+    if os.environ.get("S3F2_LAZY_PERSIST") != "1":
+        df.count()
+    return df
+
+
 # _pair_agg_confs mutates SESSION-global SQL confs; two threads driving
 # pair-aggregate operators on the same session would interleave their
 # set/restore windows and leak a transient value as the "saved" state.
@@ -1320,8 +1346,12 @@ def remove_duplicated_spans(
     from pyspark import StorageLevel
 
     toks, occ = _gram_occurrences(df, n, text_col, id_col)
-    occ = occ.persist(StorageLevel.DISK_ONLY)  # feeds gram stats AND the
-    # removed-occurrence join; O(corpus grams) rows stay on disk
+    # feeds gram stats AND the removed-occurrence join — two query
+    # stages of ONE action, so the persist is populated eagerly
+    # (_populated: the AQE-concurrent consumers otherwise both miss and
+    # recompute the posexplode stream; measured 2x at sf1);
+    # O(corpus grams) rows stay on disk
+    occ = _populated(occ.persist(StorageLevel.DISK_ONLY))
     try:
         with _pair_agg_confs(df.sparkSession):
             gstats = (
@@ -1769,6 +1799,10 @@ def dedup_exact_substrings(
                         F.col("_x.g").alias("g"))
                 .persist(StorageLevel.DISK_ONLY)
             )
+            # the verify re-slice feeds the dupg aggregate AND the
+            # confirmed-occurrence join — two stages of the final
+            # action; populate once (see _populated)
+            sliced = _populated(sliced)
             # string-confirmed duplicated windows: every occurrence of a
             # window repeated >= min_count times is removed (no
             # canonical keep). The confirmed-window relation is
@@ -1971,13 +2005,14 @@ def remove_duplicated_paragraphs(
         F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep)
     )
     base = df.select(F.col(id_col).alias("_id"), paras.alias("_p"))
-    occ = (
+    occ = _populated(
         base.select(
             "_id", F.posexplode("_p").alias("_pos", "_para")
         )
         .where(F.length("_para") > 0)
         .persist(StorageLevel.DISK_ONLY)  # feeds stats AND the
-        # removed-occurrence join; O(corpus paragraphs) stays on disk
+        # removed-occurrence join (two stages of one action — populated
+        # eagerly, see _populated); O(corpus paragraphs) stays on disk
     )
     try:
         with _pair_agg_confs(df.sparkSession):

@@ -1792,7 +1792,16 @@ def _hashed_gram_buckets(
         raise ValueError(
             f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}"
         )
-    toks = df.select(
+    from .dedup import _spread
+
+    # _spread (round 17, guide §2.5 input skew): the documents parquet
+    # arrives in ~7 row-group splits, which capped the expensive
+    # explode+digest stream at 7-task parallelism on a 32-core rig
+    # (stage-profiled at sf1: the stream stage held 7 tasks while 25
+    # cores idled). The repartition is a cheap shuffle of the raw doc
+    # rows; at real scale the input has more splits than cores and it
+    # is a no-op.
+    toks = _spread(df).select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
     )
     Lt = F.size("_t")
@@ -1877,8 +1886,15 @@ def dsir_importance_weights(
         # the gram stream feeds BOTH the fit and the score; ``eager=False``
         # skips the persist + checkpoint and returns the pure lazy plan
         # (for plan inspection / composition into a larger lazy pipeline
-        # at the cost of recomputing the stream per consumer)
-        pg = pg.persist(StorageLevel.DISK_ONLY)
+        # at the cost of recomputing the stream per consumer).
+        # _populated (round 17): the fit and score stages materialize
+        # CONCURRENTLY under AQE, so a lazy persist was recomputed by
+        # every consumer — stage-profiled at sf1 as THREE overlapping
+        # 26-executor-second computations of the same stream; the
+        # eager populate runs it once.
+        from .dedup import _populated
+
+        pg = _populated(pg.persist(StorageLevel.DISK_ONLY))
     tg = _hashed_gram_buckets(target, n_buckets, text_col, id_col, hash_fn)
     qcnt = pg.groupBy("bkt").agg(F.count(F.lit(1)).alias("_qc"))
     tcnt = tg.groupBy("bkt").agg(F.count(F.lit(1)).alias("_tc"))
