@@ -50,7 +50,18 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet columns surface as long nanos instead of
         # failing the scan (converted back to timestamps at load)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local[N] the driver JVM IS the executor: N concurrent
+        # tasks share this one heap. The old 8g default left 256 MB per
+        # task at N=32 — event logs showed 12-22 s of GC inside single
+        # sf1 stages (up to half the stage's executor time), and an
+        # interleaved 8g/24g A/B (round 17, two rounds each) measured
+        # the shuffle-heaviest rows 5-30% faster at 24g with identical
+        # plans. 24g keeps ~768 MB per concurrent task (the standard
+        # ~1 GB/core sizing, guide §5/§9) while leaving the rest of a
+        # 128 GB host to Python workers and the page cache. Still
+        # env-overridable; on a real cluster executor memory is sized
+        # separately and this default only shapes the driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
