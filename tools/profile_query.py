@@ -41,6 +41,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs, plans_out, tag = 3, None, "before"
     names: list[str] = []
+    extra_conf: dict[str, str] = {}
     i = 0
     while i < len(args):
         a = args[i]
@@ -52,12 +53,18 @@ def main() -> None:
             plans_out = args[i + 1]; i += 2
         elif a == "--tag":
             tag = args[i + 1]; i += 2
+        elif a == "--conf":
+            # repeated k=v session-conf overrides for config A/Bs
+            # (e.g. --conf spark.io.compression.codec=zstd)
+            k, v = args[i + 1].split("=", 1)
+            extra_conf[k] = v; i += 2
         else:
             names.append(a); i += 1
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="s3f2-profile", cpus=cpus,
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus,
+                      extra_conf=extra_conf or None)
     # bench-identical warm-up
     entry_queries.load(spark, sf_dir, "region").count()
     from pyspark.sql.functions import col, pandas_udf

@@ -38,10 +38,15 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = []
+    extra: dict[str, str] = {}
     i = 0
     while i < len(args):
         if args[i] == "--sf":
             sf_dir = args[i + 1]; i += 2
+        elif args[i] == "--conf":
+            # repeated k=v session-conf overrides for config A/Bs
+            k, v = args[i + 1].split("=", 1)
+            extra[k] = v; i += 2
         else:
             names.append(args[i]); i += 1
 
@@ -55,6 +60,7 @@ def main() -> None:
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": logdir,
             "spark.eventLog.compress": "false",
+            **extra,
         },
     )
     entry_queries.load(spark, sf_dir, "region").count()
