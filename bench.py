@@ -457,15 +457,65 @@ SHUFFLE_BOUND_ROWS = {
 }
 
 
+# A prior record's probe may only re-price its cells when the probe
+# shows a host within this factor of the fleet-median probe for that
+# basis. Rationale (round 17, measured): normalization assumes query
+# wall-clock scales WITH the probe (a uniformly slow host). On this
+# host class the probes can degrade far more than the rows they price
+# — the committed probe-2.854 weather record's disk/shuffle-bound sf10
+# cells sat at quiet-session values (its own artifact documents the
+# regime diagnosis) — so dividing a quiet-valued cell by a 4-5x probe
+# fabricates a normalized floor 3-6x below any cell EVER OBSERVED, and
+# the band min() selects exactly those poisoned samples: a later quiet
+# run false-flagged 37 rows across the three lanes, every floor traced
+# to a degraded-probe record. Records from such sessions keep their
+# raw values (upper bounds — still valid for the uncalibrated
+# fallback) but are excluded from the normalized bands. One-sided by
+# design: a FASTER-than-median probe with quiet cells is the best-ever
+# band the tripwire wants; only the slow-probe direction breaks the
+# proportionality assumption.
+PROBE_OUTLIER_FACTOR = 1.5
+
+
+def _probe_outlier_cut(records, idx, slower_is_higher=True):
+    """Null out probe field ``idx`` on records whose probe indicates a
+    host >= PROBE_OUTLIER_FACTOR x slower than the fleet median for
+    that basis. Time-unit probes (cpu/shuffle seconds) degrade upward;
+    bandwidth probes (MiB/s) degrade downward."""
+    from statistics import median
+
+    vals = [r[idx] for r in records if r[idx]]
+    if len(vals) < 2:
+        return records  # no fleet to define a median against
+    med = median(vals)
+    out = []
+    for r in records:
+        p = r[idx]
+        degraded = p is not None and (
+            p > PROBE_OUTLIER_FACTOR * med
+            if slower_is_higher
+            else p * PROBE_OUTLIER_FACTOR < med
+        )
+        if degraded:
+            r = r[:idx] + (None,) + r[idx + 1:]
+        out.append(r)
+    return out
+
+
 def _load_bench_history(repo_dir: str):
     """Per lane/query history from every recorded ``BENCH_r*.json``:
     ``hist[lane][query] -> [(value, calibration, io, io_sustained)]``
     plus the number of rounds seen. Shared by the tripwire and the
-    sf10 lane's retry floors so both price prior cells identically."""
+    sf10 lane's retry floors so both price prior cells identically.
+    Degraded-probe records (see PROBE_OUTLIER_FACTOR) contribute raw
+    values only — their probes are nulled before the tuples are built,
+    so no normalized band is derived from a session whose probe/row
+    proportionality is broken."""
     import glob
 
     hist: dict[str, dict[str, list[tuple]]] = {}
     rounds = 0
+    records: list[tuple] = []  # (lanes, cal, io, ios, sh)
     for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -512,6 +562,15 @@ def _load_bench_history(repo_dir: str):
         }
         if any(lanes.values()):
             rounds += 1
+        records.append((lanes, cal, io, ios, sh))
+    # degraded-probe exclusion, per basis (indices into the record
+    # tuple: 1=cpu seconds, 2=io burst MiB/s, 3=io sustained MiB/s,
+    # 4=shuffle seconds)
+    records = _probe_outlier_cut(records, 1, slower_is_higher=True)
+    records = _probe_outlier_cut(records, 2, slower_is_higher=False)
+    records = _probe_outlier_cut(records, 3, slower_is_higher=False)
+    records = _probe_outlier_cut(records, 4, slower_is_higher=True)
+    for lanes, cal, io, ios, sh in records:
         for lane, queries in lanes.items():
             if queries:
                 for q, v in queries.items():

@@ -540,3 +540,102 @@ def test_shuffle_reading_gated_by_workload_version(tmp_path):
     assert out["tripwire"]["shuffle_band"] == {
         "sf10": {"dedup_paragraphs": "unpriced"}
     }
+
+def test_degraded_cpu_probe_record_excluded_from_normalized_band(tmp_path):
+    """Round-17 measured case: a session whose CPU probe ran ~4-5x the
+    fleet median while its (disk/shuffle-bound) cells sat at quiet
+    values. Normalizing such a record fabricates a floor 3-6x below any
+    cell ever observed, and min() then selects it — a later QUIET run
+    false-flagged 37 healthy rows this way. The degraded-probe record
+    must not contribute to the normalized band; the quiet records keep
+    pricing it."""
+    _record_cal(tmp_path, 1, {"q1": 1.0}, 0.5)
+    _record_cal(tmp_path, 2, {"q1": 1.1}, 0.55)
+    # degraded session: probe 5x the fleet, row at its quiet value
+    # (non-uniform degradation — the proportionality assumption breaks).
+    # Unfixed, this record's normalized 1.0/2.75 = 0.364 s/cal-s would
+    # price a quiet-run floor of 0.364*0.5 = 0.18 and flag q1 at 5.5x.
+    _record_cal(tmp_path, 3, {"q1": 1.0}, 2.75)
+    out = {"queries": {"q1": 1.0}, "calibration": {"value": 0.5}}
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+    # a real regression still flags, priced off the QUIET records:
+    # floor = min(1.0/0.5, 1.1/0.55) * 0.5 = 1.0
+    out2 = {"queries": {"q1": 3.0}, "calibration": {"value": 0.5}}
+    bench.evaluate_tripwire(out2, str(tmp_path))
+    flag = out2["tripwire"]["flagged"]["sf0.1"]["q1"]
+    assert flag["band_floor"] == 1.0 and flag["ratio"] == 3.0
+    # the excluded record still counts toward n_prior (raw evidence),
+    # but not toward the probed band depth
+    assert flag["n_prior"] == 3 and flag["n_probed"] == 2
+
+
+def test_degraded_io_probe_record_excluded_from_implied_mib_band(tmp_path):
+    """The io twin of the case above (bandwidth probes degrade DOWNWARD):
+    a session that caught the disk at ~9x below the fleet median while
+    the io-tagged row was not proportionally slow. Its implied-MiB
+    product (seconds x degraded-MiB/s) is far below the row's true byte
+    volume and would false-flag every healthy quiet run."""
+    _record_io(tmp_path, 1, {"find_forget_job": 4.0}, 0.5, 500.0)
+    _record_io(tmp_path, 2, {"find_forget_job": 4.4}, 0.5, 450.0)
+    # degraded-disk session: probe reads 50 MiB/s (9x below median) but
+    # the row ran near its quiet value (it was not purely disk-bound in
+    # that regime) -> implied MiB 5.0*50 = 250 vs the true ~2000.
+    # Unfixed floor at today's 400 MiB/s: 250/400 = 0.625 s -> ratio 8.
+    _record_io(tmp_path, 3, {"find_forget_job": 5.0}, 0.5, 50.0)
+    out = {
+        "queries": {"find_forget_job": 5.0},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 400.0},
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+    # floor prices off the quiet records: min(4.0*500, 4.4*450)/400 =
+    # 4.95 s; a genuine 3x-the-bytes regression still flags in io units
+    out2 = {
+        "queries": {"find_forget_job": 16.0},
+        "calibration": {"value": 0.5},
+        "calibration_io": {"value": 400.0},
+    }
+    bench.evaluate_tripwire(out2, str(tmp_path))
+    flag = out2["tripwire"]["flagged"]["sf0.1"]["find_forget_job"]
+    assert flag["basis"] == "io"
+    assert flag["band_floor"] == 4.95
+
+
+def test_degraded_shuffle_probe_record_excluded(tmp_path):
+    """Same rule for the shuffle basis: the round-17 baseline session
+    recorded a 59.9 s shuffle probe (~10x the fleet median) while its
+    shuffle-bound cells were nowhere near 10x slow; its pv/psh unit
+    would fabricate sub-observed floors for every SHUFFLE_BOUND_ROW."""
+    _record_sh(tmp_path, 1, {}, 0.5, 5.0,
+               sf10={"dedup_paragraphs": 20.0})
+    _record_sh(tmp_path, 2, {}, 0.5, 5.5,
+               sf10={"dedup_paragraphs": 22.0})
+    # degraded session: shuffle probe 55 s, row only 1.5x — normalized
+    # 30/55 = 0.55 vs the quiet 4.0; unfixed floor 0.55*5.0 = 2.7 s
+    _record_sh(tmp_path, 3, {}, 0.5, 55.0,
+               sf10={"dedup_paragraphs": 30.0})
+    out = {
+        "sf10": {"queries": {"dedup_paragraphs": 21.0}},
+        "calibration": {"value": 0.5},
+        "calibration_shuffle": {
+            "value": 5.0,
+            "workload": "shuffle-12M-md5-repart64-agg-min2-v1",
+        },
+    }
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
+
+
+def test_probe_outlier_cut_needs_a_fleet(tmp_path):
+    """With a single probed record there is no fleet median to call it
+    an outlier against — the one-sample normalized band must keep
+    engaging exactly as test_calibration_engages_at_one_probed_prior
+    pins (a 1-sample band beats raw pre-probe seconds)."""
+    _record_cal(tmp_path, 1, {"q1": 1.0}, 2.75)  # looks slow, no fleet
+    _record(tmp_path, 2, {"q1": 1.0})  # pre-probe era
+    out = {"queries": {"q1": 2.0}, "calibration": {"value": 5.5}}
+    # uniformly-2x-the-probed-prior weather: normalized band must hold
+    bench.evaluate_tripwire(out, str(tmp_path))
+    assert out["tripwire"]["flagged"] == {}
