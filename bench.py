@@ -909,8 +909,15 @@ def main():
         # warm-up curve whose converged min (28.6 cal-sec) sits INSIDE
         # the r15 floor (30.0 cal-sec). Two samples caught only the
         # head of the curve; min-of-3 reaches the converged tail.
+        # dedup_exact_substrings joined in the r17 optimization round
+        # on identical evidence: two quiet-rig lane cells recorded
+        # 53.4/54.7 s while the same-HEAD standalone min-of-3 converged
+        # 86.4 -> 59.1 -> 34.7 s (control row flat) — its >60 s first
+        # samples hit the above-cutoff path, whose bounded single retry
+        # catches only the curve's second point.
         SF10_WATCH = {
             "text_llm_pipeline", "dedup_paragraphs", "dedup_span_removal",
+            "dedup_exact_substrings",
         }
         SF10_SPREAD_THIRD = 1.25
         # band floors for the above-cutoff retry decision (r16 verdict
