@@ -374,7 +374,7 @@ def q_text_dsir_weights(spark, sf_dir):
     round to 6 like unigram_logprob's nll)."""
     docs = load(spark, sf_dir, "documents")
     return text.dsir_importance_weights(
-        docs, docs.where(F.col("lang") == "en")
+        docs, target_predicate=F.col("lang") == "en"
     )
 
 
@@ -384,7 +384,8 @@ def q_text_dsir_sample(spark, sf_dir):
     (doc_id, salt) — the selection itself is value-oracled row-for-row."""
     docs = load(spark, sf_dir, "documents")
     return text.dsir_select(
-        docs, docs.where(F.col("lang") == "en"), 120, salt="r13"
+        docs, None, 120, salt="r13",
+        target_predicate=F.col("lang") == "en",
     )
 
 
@@ -599,7 +600,8 @@ def q_text_llm_pipeline(spark, sf_dir):
     ).select("doc_id", "text")
     pool2 = survivors.join(docs.select("doc_id", "lang"), "doc_id")
     return text.dsir_select(
-        pool2, pool2.where(F.col("lang") == "en"), 40, salt="r13pipe"
+        pool2, None, 40, salt="r13pipe",
+        target_predicate=F.col("lang") == "en",
     )
 
 
@@ -643,7 +645,8 @@ def q_text_selection_pipeline(spark, sf_dir):
         docs.select("doc_id", "lang"), "doc_id"
     )
     return text.dsir_select(
-        pool, pool.where(F.col("lang") == "en"), 25, salt="r17sel"
+        pool, None, 25, salt="r17sel",
+        target_predicate=F.col("lang") == "en",
     )
 
 

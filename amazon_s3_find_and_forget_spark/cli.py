@@ -1365,20 +1365,23 @@ def main(argv: list[str] | None = None) -> int:
             # deterministic under --salt. The target can be a separate
             # corpus (--dsir-target) or a predicate slice of the
             # curated pool itself (--dsir-target-filter).
-            dsir_target = (
-                eng.spark.read.parquet(args.dsir_target)
-                if args.dsir_target
-                else df.where(F.expr(args.dsir_target_filter))
-            )
+            # predicate-slice targets take the one-pass path (the pool
+            # gram stream carries the membership bit instead of
+            # recomputing the chain for the target side)
             picks = text_ops.dsir_select(
                 df,
-                dsir_target,
+                eng.spark.read.parquet(args.dsir_target)
+                if args.dsir_target
+                else None,
                 args.dsir_k,
                 salt=args.salt,
                 n_buckets=args.buckets,
                 hash_fn=args.hash,
                 text_col=tcol,
                 id_col=icol,
+                target_predicate=None
+                if args.dsir_target
+                else F.expr(args.dsir_target_filter),
             )
             df = _barrier(df.join(picks.select(icol), icol))
             report["DsirSelected"] = df.count()
@@ -1442,20 +1445,22 @@ def main(argv: list[str] | None = None) -> int:
                 args.id_column,
             )
         elif args.method == "dsir":
-            target = (
-                eng.spark.read.parquet(args.target)
-                if args.target
-                else df.where(F.expr(args.target_filter))
-            )
+            # predicate-slice targets take the one-pass path (see the
+            # curate dsir step)
             picks = text_ops.dsir_select(
                 df,
-                target,
+                eng.spark.read.parquet(args.target)
+                if args.target
+                else None,
                 args.k,
                 salt=args.salt,
                 n_buckets=args.buckets,
                 hash_fn=args.hash,
                 text_col=args.text_column,
                 id_col=args.id_column,
+                target_predicate=None
+                if args.target
+                else F.expr(args.target_filter),
             )
             # carry the original columns alongside the scores
             selected = df.join(

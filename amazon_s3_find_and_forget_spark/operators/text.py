@@ -1766,9 +1766,16 @@ def _hashed_gram_buckets(
     text_col: str,
     id_col: str,
     hash_fn: str = "md5",
+    target_flag=None,
 ) -> DataFrame:
     """``(_id, bkt)`` stream: one row per unigram AND bigram occurrence,
-    each gram hashed into ``n_buckets``.
+    each gram hashed into ``n_buckets``. With ``target_flag`` (a boolean
+    Column over ``df``'s rows) the stream carries a third ``_tgt``
+    column — ``coalesce(flag, false)``, i.e. exactly the rows a
+    ``df.where(flag)`` would keep — so ONE tokenize+explode+hash pass
+    can serve both the pool model and a pool-subset target model
+    (round-17 optimization: the target side used to recompute the
+    whole upstream chain).
 
     ``hash_fn='md5'`` (default) is the fixed-width-hex trick
     (``int(md5(gram)[:8], 16) % n_buckets``) — the same engine-portable
@@ -1801,9 +1808,15 @@ def _hashed_gram_buckets(
     # cores idled). The repartition is a cheap shuffle of the raw doc
     # rows; at real scale the input has more splits than cores and it
     # is a no-op.
-    toks = _spread(df).select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
-    )
+    sel = [F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")]
+    if target_flag is not None:
+        # where(flag) semantics: NULL-evaluated rows are NOT target rows
+        sel.append(
+            F.coalesce(target_flag.cast("boolean"), F.lit(False)).alias(
+                "_tgt"
+            )
+        )
+    toks = _spread(df).select(*sel)
     Lt = F.size("_t")
     bigrams = F.when(
         Lt >= 2,
@@ -1820,20 +1833,22 @@ def _hashed_gram_buckets(
     else:
         # pmod: xxhash64 is signed; Java % would keep the sign
         bkt = F.pmod(F.xxhash64("_g"), F.lit(n_buckets))
+    carry = ["_id"] + (["_tgt"] if target_flag is not None else [])
     return toks.select(
-        "_id", F.explode(F.concat("_t", bigrams)).alias("_g")
-    ).select("_id", bkt.alias("bkt"))
+        *carry, F.explode(F.concat("_t", bigrams)).alias("_g")
+    ).select(*carry, bkt.alias("bkt"))
 
 
 def dsir_importance_weights(
     pool: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_buckets: int = 4096,
     lam: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
     eager: bool = True,
+    target_predicate=None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", public): score every
@@ -1871,17 +1886,39 @@ def dsir_importance_weights(
     the result is eagerly materialized inside the persist scope (the
     ``dedup._eager`` discipline) so the release below is safe. The only
     full-width exchange is the O(docs) weight rows themselves.
+
+    ``target_predicate`` (round-17 optimization, guide §1.2 step 1 —
+    don't compute things twice): when the target IS a slice of the
+    pool (``target = pool.where(pred)``, the common in-domain-target
+    shape), pass the predicate instead of the sliced DataFrame and the
+    pool gram stream is computed ONCE carrying a ``_tgt`` membership
+    bit; the target bucket model is the flagged subset of the same
+    persisted relation instead of a full recomputation of the pool's
+    upstream chain (measured at sf10: the target pass duplicated
+    ~270 of ~630 executor-seconds in ``text_llm_pipeline``). Result-
+    identical to the two-DataFrame form by construction: the flagged
+    gram multiset is exactly ``grams(pool.where(pred))`` — same rows,
+    same tokenizer, same hash — so every bucket count, total, and
+    contribution is bit-identical. Exactly one of ``target`` /
+    ``target_predicate`` must be given.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets={n_buckets} must be >= 1")
     if not lam > 0:
         # lam == 0 puts ln(0) = -inf on every target-unseen bucket
         raise ValueError(f"lam={lam} must be > 0 (add-lambda smoothing)")
+    if (target is None) == (target_predicate is None):
+        raise ValueError(
+            "exactly one of target / target_predicate must be given"
+        )
     from pyspark import StorageLevel
 
     from .dedup import _eager
 
-    pg = _hashed_gram_buckets(pool, n_buckets, text_col, id_col, hash_fn)
+    pg = _hashed_gram_buckets(
+        pool, n_buckets, text_col, id_col, hash_fn,
+        target_flag=target_predicate,
+    )
     if eager:
         # the gram stream feeds BOTH the fit and the score; ``eager=False``
         # skips the persist + checkpoint and returns the pure lazy plan
@@ -1895,7 +1932,16 @@ def dsir_importance_weights(
         from .dedup import _populated
 
         pg = _populated(pg.persist(StorageLevel.DISK_ONLY))
-    tg = _hashed_gram_buckets(target, n_buckets, text_col, id_col, hash_fn)
+    stream = pg  # the (possibly persisted) handle — unpersisted below
+    if target_predicate is not None:
+        # the flagged subset of the SAME persisted stream — no second
+        # pass over the pool's upstream chain
+        tg = stream.where(F.col("_tgt")).select("_id", "bkt")
+        pg = stream.select("_id", "bkt")
+    else:
+        tg = _hashed_gram_buckets(
+            target, n_buckets, text_col, id_col, hash_fn
+        )
     qcnt = pg.groupBy("bkt").agg(F.count(F.lit(1)).alias("_qc"))
     tcnt = tg.groupBy("bkt").agg(F.count(F.lit(1)).alias("_tc"))
     # totals ride in as a broadcast 1-row cross join (the SQL `, stats`
@@ -1941,12 +1987,12 @@ def dsir_importance_weights(
     try:
         return _eager(out)
     finally:
-        pg.unpersist()
+        stream.unpersist()
 
 
 def dsir_select(
     pool: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     method: str = "gumbel",
     salt: str = "",
@@ -1955,6 +2001,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    target_predicate=None,
 ) -> DataFrame:
     """Select ``k`` pool documents by DSIR importance weight.
 
@@ -1976,6 +2023,8 @@ def dsir_select(
     Scale shape: weights as in ``dsir_importance_weights``; the
     selection compiles to TakeOrderedAndProject (per-partition top-k,
     merge of k-row heaps — never a global sort of the corpus).
+    ``target_predicate`` passes through to ``dsir_importance_weights``
+    (one-pass pool-subset target; exactly one of target / predicate).
     """
     if method not in ("topk", "gumbel"):
         raise ValueError(f"method must be 'topk' or 'gumbel', got {method!r}")
@@ -1989,6 +2038,7 @@ def dsir_select(
         text_col=text_col,
         id_col=id_col,
         hash_fn=hash_fn,
+        target_predicate=target_predicate,
     )
     if method == "topk":
         score = F.col("log_w")

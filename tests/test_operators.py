@@ -3540,3 +3540,39 @@ def test_remove_duplicated_paragraphs_matches_reference(spark):
         assert got == _para_dedup_reference(rows)
 
     check()
+
+
+def test_dsir_target_predicate_one_pass_mode_is_result_identical(docs):
+    """Round-17 optimization: when the target is a slice of the pool,
+    target_predicate computes ONE gram stream carrying a membership bit
+    instead of recomputing the pool's upstream chain for the target
+    side. The mode must be row-for-row identical to the two-DataFrame
+    form (same grams, same counts, same contributions) — including the
+    NULL-predicate rows a where() would drop and an empty target."""
+    pred = F.col("lang") == "en"
+    two = sorted(
+        map(tuple, text.dsir_importance_weights(
+            docs, docs.where(pred)).collect())
+    )
+    one = sorted(
+        map(tuple, text.dsir_importance_weights(
+            docs, target_predicate=pred).collect())
+    )
+    assert one == two and len(one) > 0
+    s_two = text.dsir_select(docs, docs.where(pred), 20, salt="s1").collect()
+    s_one = text.dsir_select(
+        docs, None, 20, salt="s1", target_predicate=pred
+    ).collect()
+    assert [tuple(r) for r in s_one] == [tuple(r) for r in s_two]
+    # empty target: smoothing-only model, both modes agree
+    p_none = F.col("lang") == "zz"
+    e_two = sorted(map(tuple, text.dsir_importance_weights(
+        docs, docs.where(p_none)).collect()))
+    e_one = sorted(map(tuple, text.dsir_importance_weights(
+        docs, target_predicate=p_none).collect()))
+    assert e_one == e_two
+    # exactly one of target / target_predicate
+    with pytest.raises(ValueError, match="exactly one"):
+        text.dsir_importance_weights(docs, docs, target_predicate=pred)
+    with pytest.raises(ValueError, match="exactly one"):
+        text.dsir_importance_weights(docs)
