@@ -1901,6 +1901,13 @@ def dsir_importance_weights(
     same tokenizer, same hash — so every bucket count, total, and
     contribution is bit-identical. Exactly one of ``target`` /
     ``target_predicate`` must be given.
+
+    NOTE: the one-pass property requires ``eager=True`` (the default).
+    With ``eager=False`` the shared gram stream is deliberately NOT
+    persisted (that mode exists to return the pure lazy plan for
+    inspection/composition), so the fit and score branches each
+    recompute the chain — correctness is unaffected, but a lazy caller
+    does not get the single-pass saving this parameter advertises.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets={n_buckets} must be >= 1")

@@ -458,8 +458,8 @@ SHUFFLE_BOUND_ROWS = {
 
 
 # A prior record's probe may only re-price its cells when the probe
-# shows a host within this factor of the fleet-median probe for that
-# basis. Rationale (round 17, measured): normalization assumes query
+# shows a host within this factor of the fleet's best-observed probe
+# for that basis. Rationale (round 17, measured): normalization assumes query
 # wall-clock scales WITH the probe (a uniformly slow host). On this
 # host class the probes can degrade far more than the rows they price
 # — the committed probe-2.854 weather record's disk/shuffle-bound sf10
@@ -477,45 +477,77 @@ SHUFFLE_BOUND_ROWS = {
 PROBE_OUTLIER_FACTOR = 1.5
 
 
+# record-tuple probe indices -> basis names (for the probe_excluded
+# marker carried through the history tuples)
+_PROBE_BASIS = {1: "cpu", 2: "io", 3: "ios", 4: "shuffle"}
+
+
+def _probe_anchor(vals, slower_is_higher=True):
+    """The fleet's best-observed probe for a basis: min for time-unit
+    probes (fixed work — the fastest reading is the closest to
+    hardware truth and can only be approached, never faked, by a
+    contended host), max for bandwidth probes."""
+    return min(vals) if slower_is_higher else max(vals)
+
+
 def _probe_outlier_cut(records, idx, slower_is_higher=True):
     """Null out probe field ``idx`` on records whose probe indicates a
-    host >= PROBE_OUTLIER_FACTOR x slower than the fleet median for
-    that basis. Time-unit probes (cpu/shuffle seconds) degrade upward;
-    bandwidth probes (MiB/s) degrade downward."""
-    from statistics import median
+    host >= PROBE_OUTLIER_FACTOR x slower than the fleet's
+    BEST-OBSERVED probe for that basis. Time-unit probes (cpu/shuffle
+    seconds) degrade upward; bandwidth probes (MiB/s) degrade downward.
 
+    Anchored to the fleet best rather than the median (round 18, r17
+    ADVICE): with a median anchor, a degraded MAJORITY shifts the
+    median into the degraded regime and the cut silently no-ops — the
+    poisoned normalized floors return with no signal. The best reading
+    cannot be dragged by degraded sessions (it is itself never cut:
+    best <= factor x best), so the rule is stable under any mix. The
+    round-17 class-(a) residue — quiet-band records whose probes
+    overstated their sessions' row-level degradation (e.g. the 0.927
+    cpu probe whose cells sat at 0.512-session values) — now also
+    falls outside the band instead of fabricating sub-observed floors.
+    Excluded records get the basis name added to their marker set
+    (last tuple element) so the tripwire's fallback flag can
+    distinguish a probe-era degraded session from a pre-probe-era
+    record."""
     vals = [r[idx] for r in records if r[idx]]
     if len(vals) < 2:
-        return records  # no fleet to define a median against
-    med = median(vals)
+        return records  # no fleet to define an anchor against
+    best = _probe_anchor(vals, slower_is_higher)
     out = []
     for r in records:
         p = r[idx]
         degraded = p is not None and (
-            p > PROBE_OUTLIER_FACTOR * med
+            p > PROBE_OUTLIER_FACTOR * best
             if slower_is_higher
-            else p * PROBE_OUTLIER_FACTOR < med
+            else p * PROBE_OUTLIER_FACTOR < best
         )
         if degraded:
-            r = r[:idx] + (None,) + r[idx + 1:]
+            r = (
+                r[:idx] + (None,) + r[idx + 1:-1]
+                + (r[-1] | {_PROBE_BASIS[idx]},)
+            )
         out.append(r)
     return out
 
 
 def _load_bench_history(repo_dir: str):
     """Per lane/query history from every recorded ``BENCH_r*.json``:
-    ``hist[lane][query] -> [(value, calibration, io, io_sustained)]``
-    plus the number of rounds seen. Shared by the tripwire and the
-    sf10 lane's retry floors so both price prior cells identically.
-    Degraded-probe records (see PROBE_OUTLIER_FACTOR) contribute raw
-    values only — their probes are nulled before the tuples are built,
-    so no normalized band is derived from a session whose probe/row
-    proportionality is broken."""
+    ``hist[lane][query] -> [(value, cal, io, ios, sh, excluded)]``
+    plus the number of rounds seen and the surviving fleet probes per
+    basis (``fleet["cpu"|"io"|"ios"|"shuffle"]``). Shared by the
+    tripwire and the sf10 lane's retry floors so both price prior
+    cells identically. Degraded-probe records (see
+    PROBE_OUTLIER_FACTOR) contribute raw values only — their probes
+    are nulled before the tuples are built, so no normalized band is
+    derived from a session whose probe/row proportionality is broken;
+    the ``excluded`` frozenset names the bases that were cut so the
+    fallback flag can say WHY a floor is unpriced."""
     import glob
 
     hist: dict[str, dict[str, list[tuple]]] = {}
     rounds = 0
-    records: list[tuple] = []  # (lanes, cal, io, ios, sh)
+    records: list[tuple] = []  # (lanes, cal, io, ios, sh, excl_set)
     for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -562,7 +594,7 @@ def _load_bench_history(repo_dir: str):
         }
         if any(lanes.values()):
             rounds += 1
-        records.append((lanes, cal, io, ios, sh))
+        records.append((lanes, cal, io, ios, sh, frozenset()))
     # degraded-probe exclusion, per basis (indices into the record
     # tuple: 1=cpu seconds, 2=io burst MiB/s, 3=io sustained MiB/s,
     # 4=shuffle seconds)
@@ -570,14 +602,20 @@ def _load_bench_history(repo_dir: str):
     records = _probe_outlier_cut(records, 2, slower_is_higher=False)
     records = _probe_outlier_cut(records, 3, slower_is_higher=False)
     records = _probe_outlier_cut(records, 4, slower_is_higher=True)
-    for lanes, cal, io, ios, sh in records:
+    fleet: dict[str, list[float]] = {}
+    for _lanes, cal, io, ios, sh, _excl in records:
+        for basis, p in (("cpu", cal), ("io", io), ("ios", ios),
+                         ("shuffle", sh)):
+            if p:
+                fleet.setdefault(basis, []).append(p)
+    for lanes, cal, io, ios, sh, excl in records:
         for lane, queries in lanes.items():
             if queries:
                 for q, v in queries.items():
                     hist.setdefault(lane, {}).setdefault(q, []).append(
-                        (v, cal, io, ios, sh)
+                        (v, cal, io, ios, sh, excl)
                     )
-    return hist, rounds
+    return hist, rounds, fleet
 
 
 def sf10_retry_floors(repo_dir: str, cur_cal) -> dict[str, float]:
@@ -587,7 +625,7 @@ def sf10_retry_floors(repo_dir: str, cur_cal) -> dict[str, float]:
     (the tripwire would not flag them either). This is a retry
     heuristic, not a flag: a mispriced floor costs at most one extra
     bounded sample, never a recorded false positive."""
-    hist, _ = _load_bench_history(repo_dir)
+    hist, _, _ = _load_bench_history(repo_dir)
     floors: dict[str, float] = {}
     for q, prior in hist.get("sf10", {}).items():
         if len(prior) < 2:
@@ -680,11 +718,32 @@ def evaluate_tripwire(
     a fast old rig. Flags are advisory: re-run on a quiet rig before
     treating one as a regression. Results land in ``out["tripwire"]``
     so every BENCH record shows it evaluated."""
-    hist, rounds = _load_bench_history(repo_dir)
+    hist, rounds, fleet = _load_bench_history(repo_dir)
     cur_cal = (out.get("calibration") or {}).get("value")
     cur_io = (out.get("calibration_io") or {}).get("value")
     cur_ios = (out.get("calibration_io_sustained") or {}).get("value")
     cur_sh = (out.get("calibration_shuffle") or {}).get("value")
+    # Current-run probe outlier check (round 18, r17 ADVICE): the same
+    # one-sided rule the history cut applies, pointed at TODAY's
+    # probes. A degraded current-session probe breaks the same
+    # proportionality assumption — it multiplies every cpu/shuffle
+    # floor up (masking real regressions) and divides io floors down —
+    # so the record carries an explicit probe_suspect tag per basis.
+    # Advisory only: flags still compute (a reader discounts them).
+    probe_suspect: dict[str, bool] = {}
+    for basis, cur, slower_is_higher in (
+        ("cpu", cur_cal, True),
+        ("io", cur_io, False),
+        ("ios", cur_ios, False),
+        ("shuffle", cur_sh, True),
+    ):
+        vals = fleet.get(basis) or []
+        if cur is None or len(vals) < 2:
+            continue
+        best = _probe_anchor(vals, slower_is_higher)
+        if (cur > PROBE_OUTLIER_FACTOR * best if slower_is_higher
+                else cur * PROBE_OUTLIER_FACTOR < best):
+            probe_suspect[basis] = True
     flagged: dict[str, dict] = {}
     # per-lane io-band engagement for the disk-bound rows, recorded
     # whether or not anything flags (round 17, r16 verdict ask #4: the
@@ -720,7 +779,7 @@ def evaluate_tripwire(
                 # gets (2.6x measured round 16); mixing regimes would
                 # misprice the floor, so the two never combine.
                 sus_normed = [
-                    pv * pios for pv, pc, pio, pios, *_ in prior if pios
+                    pv * pios for pv, _pc, _pio, pios, *_ in prior if pios
                 ]
                 if cur_ios and sus_normed:
                     floors["io"] = (
@@ -729,7 +788,7 @@ def evaluate_tripwire(
                     io_regime = "sustained"
                 elif cur_io:
                     io_normed = [
-                        pv * pio for pv, pc, pio, pios, *_ in prior if pio
+                        pv * pio for pv, _pc, pio, *_ in prior if pio
                     ]
                     if io_normed:
                         floors["io"] = (
@@ -739,7 +798,8 @@ def evaluate_tripwire(
                 io_bands.setdefault(lane, {})[q] = io_regime or "unpriced"
             if q in SHUFFLE_BOUND_ROWS:
                 sh_normed = [
-                    pv / psh for pv, pc, pio, pios, psh in prior if psh
+                    pv / psh for pv, _pc, _pio, _pios, psh, *_ in prior
+                    if psh
                 ]
                 if cur_sh and sh_normed:
                     floors["shuffle"] = (
@@ -748,7 +808,7 @@ def evaluate_tripwire(
                 shuffle_bands.setdefault(lane, {})[q] = (
                     "priced" if "shuffle" in floors else "unpriced"
                 )
-            cpu_normed = [pv / pc for pv, pc, pio, pios, *_ in prior if pc]
+            cpu_normed = [pv / pc for pv, pc, *_ in prior if pc]
             if cur_cal and cpu_normed:
                 # floor in current-host seconds: best-ever cost per
                 # calibration-second, re-priced at today's probe
@@ -766,13 +826,22 @@ def evaluate_tripwire(
                 floor, n_normed = floors[basis]
                 calibrated = True
             else:
-                floor_v, floor_cal = min(prior, key=lambda t: t[0])[:2]
+                floor_rec = min(prior, key=lambda t: t[0])
+                floor_v, floor_cal = floor_rec[:2]
                 floor = floor_v
                 calibrated = False
                 # floor measured before the probe existed: the band
                 # aggregates the rig's best-ever weather and cannot
-                # be re-priced — treat a flag as weather-suspect
-                weather_suspect = floor_cal is None
+                # be re-priced — treat a flag as weather-suspect.
+                # A probe NULLED by the outlier cut is a different
+                # story (a probe-era degraded session, r17 ADVICE):
+                # the marker set distinguishes the two.
+                floor_excl = floor_rec[-1] if isinstance(
+                    floor_rec[-1], frozenset
+                ) else frozenset()
+                weather_suspect = (
+                    floor_cal is None and "cpu" not in floor_excl
+                )
             if v > factor * floor and v - floor > min_delta:
                 flag = {
                     "current": v,
@@ -788,6 +857,11 @@ def evaluate_tripwire(
                         flag["io_regime"] = io_regime
                 elif weather_suspect:
                     flag["weather_suspect"] = True
+                elif not calibrated and "cpu" in floor_excl:
+                    # the floor record's probe was nulled by the
+                    # outlier cut — a probe-era degraded session, not
+                    # a pre-probe-era record
+                    flag["probe_excluded"] = True
                 if q in IO_BOUND_ROWS and "io" not in floors:
                     # the round-14 bisect says a CPU/raw-banded flag on
                     # a disk-bound row is uninterpretable — keep the
@@ -803,6 +877,11 @@ def evaluate_tripwire(
         "shuffle_band": shuffle_bands,
         "flagged": flagged,
     }
+    if probe_suspect:
+        out["tripwire"]["probe_suspect"] = probe_suspect
+        print(f"# TRIPWIRE probe_suspect (today's probe is a fleet "
+              f"outlier; floors mispriced): {json.dumps(probe_suspect)}",
+              file=sys.stderr)
     if flagged:
         print(f"# TRIPWIRE flagged: {json.dumps(flagged)}", file=sys.stderr)
 
@@ -1036,18 +1115,31 @@ def main():
         _lane_gc()
 
     evaluate_tripwire(out, os.path.dirname(os.path.abspath(__file__)))
+    emit_record(out)
+
+
+def emit_record(out: dict, argv: list[str] | None = None) -> str:
+    """Write the record to disk and print it as the SINGLE FINAL stdout
+    line. The one-line-JSON stdout contract is the driver's parse
+    surface and it has been lost twice to interleaved diagnostics
+    (BENCH_r13/r14 truncation; BENCH_r16's tail ended in the tripwire
+    dump — r17 verdict ask #3), so this function is the only stdout
+    writer in the module: every diagnostic, tripwire message and lane
+    log prints to stderr (asserted by test_bench_contract.py against
+    the source), stderr is flushed BEFORE the payload so a merged
+    stdout+stderr pipe cannot interleave a late diagnostic into the
+    JSON line, and the payload is flushed immediately after.
+
+    Persisting the full payload to disk (round-15, r14 verdict ask #7):
+    two rounds running the driver's tail capture truncated the recorded
+    artifact (BENCH_r13/r14 ``parsed: null``) — the on-disk copy is the
+    artifact of record when stdout gets clipped. By DEFAULT every run
+    overwrites BENCH_rlast_local.json in the repo: the name matches the
+    tripwire's BENCH_r*.json glob, so the most recent run always
+    contributes a full-fidelity record to the band history
+    (round-record copies like BENCH_r15_local.json are kept by passing
+    --json-out / SPARK_GRAFT_BENCH_JSON_OUT explicitly)."""
     payload = json.dumps(out)
-    # Persist the full payload to disk too (round-15, r14 verdict ask
-    # #7): two rounds running the driver's tail capture truncated the
-    # recorded artifact (BENCH_r13/r14 `parsed: null`, the sf0.1 block
-    # recoverable only from SCALE.md) — the on-disk copy is the
-    # artifact of record when stdout gets clipped. By DEFAULT every
-    # run overwrites BENCH_rlast_local.json in the repo: the name
-    # matches the tripwire's BENCH_r*.json glob, so the most recent
-    # run always contributes a full-fidelity record to the band
-    # history even when the round's captured artifact is truncated
-    # (round-record copies like BENCH_r15_local.json are kept by
-    # passing --json-out / SPARK_GRAFT_BENCH_JSON_OUT explicitly).
     json_out = os.environ.get(
         "SPARK_GRAFT_BENCH_JSON_OUT",
         os.path.join(
@@ -1055,9 +1147,10 @@ def main():
             "BENCH_rlast_local.json",
         ),
     )
-    for i, a in enumerate(sys.argv):
-        if a == "--json-out" and i + 1 < len(sys.argv):
-            json_out = sys.argv[i + 1]
+    args = sys.argv if argv is None else argv
+    for i, a in enumerate(args):
+        if a == "--json-out" and i + 1 < len(args):
+            json_out = args[i + 1]
         elif a.startswith("--json-out="):
             json_out = a.split("=", 1)[1]
     if json_out:
@@ -1066,7 +1159,10 @@ def main():
                 f.write(payload + "\n")
         except OSError as e:  # a read-only checkout must not lose stdout
             print(f"# json-out skipped: {e}", file=sys.stderr)
+    sys.stderr.flush()
     print(payload)
+    sys.stdout.flush()
+    return payload
 
 
 if __name__ == "__main__":
