@@ -703,44 +703,75 @@ def minhash_dedup(
     """
     if bands is None:
         bands = optimal_bands(num_perm, threshold)
-    # Persist the signature relation: both join sides read it, and the
-    # round-5 A/B (tools/ab_minhash.py, two independent quiet-rig runs)
-    # has recompute at 1.31/1.48 s vs persist at 1.08/0.97 s — the
-    # round-4 "persist loses" measurement was neighbor noise, not the
-    # columnar-cache cost it was attributed to. persist (not
-    # localCheckpoint, which times the same) keeps lineage, so an
-    # executor loss at scale recomputes instead of failing the job.
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
-    try:
-        if max_bucket is not None:
-            # skew-guarded path: bucket-size stats + star-pairing need the
-            # pair relation explicitly — keep the two-phase pipeline
+    if max_bucket is not None:
+        # skew-guarded path: bucket-size stats + star-pairing need the
+        # pair relation explicitly — keep the two-phase pipeline. The
+        # signature persist stays: three consumers (two band sides +
+        # the verify join) at different partitionings, so exchange
+        # reuse cannot serve them (see below).
+        sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
+        try:
             pairs = band_pairs(
                 sigs, bands, num_perm, max_bucket, materialize=False
             )
             dups = signature_similarity_pairs(sigs, pairs, num_perm, threshold)
             drop = _eager(dups.select(F.col("id_b").alias(id_col)).distinct())
-            return df.join(drop, on=id_col, how="left_anti")
-        # Fused band-join + verify: the signatures ride THROUGH the band
-        # self-join, so the similarity estimate is an inline zip_with on
-        # the joined row — no pair materialization, no joins back to the
-        # signature relation. Per-row shuffle payload grows by num_perm
-        # longs, but the plan loses two whole shuffle stages; a pair
-        # colliding in several bands is re-verified (cheap, JVM) instead
-        # of deduplicated through an extra exchange.
-        banded = banded_signatures(sigs, bands, num_perm, with_sig=True)
-        a = banded.select(
-            F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
-            "band_hash",
-        )
-        b = banded.select(
-            F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"),
-            "band_hash",
-        )
-        agree = sig_agreement("_sig_a", "_sig_b")
-        # size-aware self-join strategy (see BAND_BROADCAST_BUDGET):
-        # the count also populates the signature persist the join reads
-        n_sigs = sigs.count()
+        finally:
+            sigs.unpersist()
+        return df.join(drop, on=id_col, how="left_anti")
+    # Fused band-join + verify: the signatures ride THROUGH the band
+    # self-join, so the similarity estimate is an inline zip_with on
+    # the joined row — no pair materialization, no joins back to the
+    # signature relation. Per-row shuffle payload grows by num_perm
+    # longs, but the plan loses two whole shuffle stages; a pair
+    # colliding in several bands is re-verified (cheap, JVM) instead
+    # of deduplicated through an extra exchange.
+    #
+    # Size the self-join strategy from the DOCUMENT count — the
+    # signature relation is row-for-row the input (a select, no
+    # filter), so df.count() == sigs.count() without running the
+    # signature UDF.
+    n_sigs = df.count()
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+    over_budget = (
+        n_sigs * bands * (4 * num_perm + 48) > BAND_BROADCAST_BUDGET
+    )
+    if not over_budget:
+        # Broadcast path: the build side is collected while the probe
+        # side scans — two readers at DIFFERENT partitionings, so the
+        # persist is the only thing preventing a second signature-UDF
+        # pass (round-5 A/B: recompute 1.31/1.48 s vs persist
+        # 1.08/0.97 s). persist (not localCheckpoint, which times the
+        # same) keeps lineage, so an executor loss at scale recomputes
+        # instead of failing the job.
+        sigs = sigs.persist()
+        sigs.count()  # populate before the two readers race
+    # Over-budget (sort-merge) path: sigs deliberately stays LAZY
+    # (round 18). Both join sides shuffle by band_hash, and with an
+    # UNCACHED subtree AQE's stage cache recognizes the two exchanges
+    # as one: the final plan carries Exchange + ReusedExchange, so the
+    # signature UDF + band explode compute ONCE and one shuffle write
+    # serves both sides. Persisting sigs (the old shape) actively
+    # BROKE that: AQE wraps each cached side in its own
+    # TableCacheQueryStage, which defeats exchange-reuse
+    # canonicalization, and the sf10 stage profile showed the banded
+    # relation materialized twice (two 714 MB shuffle writes, 59+26
+    # executor-seconds). Measured interleaved at sf10 (3 rounds):
+    # 11.28/11.20/11.46 s persisted vs 9.12/8.37/9.36 s lazy-reused,
+    # result-identical. The exchange (unlike a pre-partitioned cache)
+    # also keeps AQE's skew-join splitting available for hot bands —
+    # the round-17 co-partitioning rejection does not apply.
+    banded = banded_signatures(sigs, bands, num_perm, with_sig=True)
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
+        "band_hash",
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"),
+        "band_hash",
+    )
+    agree = sig_agreement("_sig_a", "_sig_b")
+    try:
         dup_ids = (
             a.join(
                 # the carried signature is the array<int> DOWNCAST
@@ -765,7 +796,8 @@ def minhash_dedup(
     finally:
         # the eager drop-set checkpoint above is the release point: by
         # here every reader of sigs has run
-        sigs.unpersist()
+        if not over_budget:
+            sigs.unpersist()
     return df.join(drop, on=id_col, how="left_anti")
 
 

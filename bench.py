@@ -994,9 +994,19 @@ def main():
         # 86.4 -> 59.1 -> 34.7 s (control row flat) — its >60 s first
         # samples hit the above-cutoff path, whose bounded single retry
         # catches only the curve's second point.
+        # dedup_minhash_survivors_t08 joined in round 18 closing the
+        # r17 verdict's drift adjudication: the row's recorded r17
+        # cells ([12.0, 11.4], [13.8, 12.1] — spreads too tight to
+        # trigger a third) sat on the HEAD of a 4-6-sample warm-up
+        # curve (standalone min-of-6 converged 22.5 -> 16.5 -> 14.4 ->
+        # 11.1 -> 11.1 -> 9.9 s, control flat), while the r16 floor
+        # (7.73) was itself sample 3 of a fast-converging session.
+        # Interleaved HEAD-vs-r16 rounds moved BOTH directions (9.9 vs
+        # 8.6, then 10.3 vs 11.2) — no code drift; min-of-2 was
+        # recording the curve's head.
         SF10_WATCH = {
             "text_llm_pipeline", "dedup_paragraphs", "dedup_span_removal",
-            "dedup_exact_substrings",
+            "dedup_exact_substrings", "dedup_minhash_survivors_t08",
         }
         SF10_SPREAD_THIRD = 1.25
         # band floors for the above-cutoff retry decision (r16 verdict

@@ -49,6 +49,32 @@ def test_minhash_finds_near_dups(spark):
     assert 1 in ids and 3 in ids and 4 not in ids
 
 
+def test_minhash_dedup_over_budget_lazy_path_is_result_identical(
+    spark, monkeypatch
+):
+    """The round-18 over-budget shape (signatures LAZY so AQE exchange
+    reuse serves both band-join sides from one shuffle) must return
+    exactly the broadcast path's survivor set. Forcing budget=0 routes
+    the same corpus through the sort-merge/lazy path."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about databases and spark " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base), (5, other + " x")],
+        "doc_id long, text string",
+    )
+    bcast = {r.doc_id for r in dedup.minhash_dedup(df, threshold=0.8).collect()}
+    monkeypatch.setattr(dedup, "BAND_BROADCAST_BUDGET", 0)
+    lazy = {r.doc_id for r in dedup.minhash_dedup(df, threshold=0.8).collect()}
+    assert lazy == bcast
+    # the legacy banding layout takes the same two paths
+    monkeypatch.setattr(dedup, "BAND_BROADCAST_BUDGET", 256 << 20)
+    bcast5 = {r.doc_id for r in dedup.minhash_dedup(df, threshold=0.5).collect()}
+    monkeypatch.setattr(dedup, "BAND_BROADCAST_BUDGET", 0)
+    lazy5 = {r.doc_id for r in dedup.minhash_dedup(df, threshold=0.5).collect()}
+    assert lazy5 == bcast5
+
+
 def test_band_pairs_skew_guard(spark):
     """max_bucket: mass-duplicated docs star-pair against the bucket min
     (linear) instead of all-pairs (quadratic); small buckets unaffected."""

@@ -11,8 +11,9 @@ whose width the round-17 shuffle-bytes work changes.
 Usage:
     python tools/capture_lazy_plan.py TAG QUERY [QUERY ...]
 
-Writes ``plans/r17/<query>_<tag>.txt``. Plan capture only — nothing is
-executed, so host weather is irrelevant.
+Writes ``plans/<round>/<query>_<tag>.txt`` (round from
+``$SPARK_GRAFT_PLANS_ROUND``, default ``r18``). Plan capture only —
+nothing is executed, so host weather is irrelevant.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r17",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"),
     )
     os.makedirs(out_dir, exist_ok=True)
     dedup._eager = lambda df: df
