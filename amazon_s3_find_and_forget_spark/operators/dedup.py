@@ -832,6 +832,65 @@ def minhash_near_dup_pairs(
         raise ValueError(f"verify={verify!r}: use 'signature' or 'exact'")
     if bands is None:
         bands = optimal_bands(num_perm, threshold)
+    if verify == "signature" and max_bucket is None:
+        # Fused band-join + inline estimate (round 18): the signature
+        # verify needs nothing but the two signatures, which can ride
+        # the band self-join exactly as in ``minhash_dedup`` — no pair
+        # materialization, no joins back to the signature relation
+        # (the old shape's two extra exchanges), and on the
+        # over-budget path the LAZY signature subtree lets AQE serve
+        # both join sides from ONE reused exchange (see minhash_dedup
+        # — a persisted side defeats exchange-reuse canonicalization
+        # via TableCacheQueryStage). ``jaccard`` uses the same
+        # round-to-6dp expression as signature_similarity_pairs;
+        # agree/num_perm values are exact at 6dp (k/64 has <= 6
+        # decimal digits), so the row set is identical. Pairs
+        # colliding in several bands collapse in the trailing
+        # distinct, as they did in band_pairs.
+        n = df.count()
+        sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+        over_budget = (
+            n * bands * (4 * num_perm + 48) > BAND_BROADCAST_BUDGET
+        )
+        if not over_budget:
+            # broadcast build + probe scan read at different
+            # partitionings — the persist is what keeps the signature
+            # UDF single-pass here
+            sigs = sigs.persist()
+            sigs.count()
+        banded = banded_signatures(sigs, bands, num_perm, with_sig=True)
+        a = banded.select(
+            F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"),
+            "band_hash",
+        )
+        b = banded.select(
+            F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"),
+            "band_hash",
+        )
+        agree = sig_agreement("_sig_a", "_sig_b")
+        try:
+            out = (
+                a.join(
+                    _band_join_side(b, n, bands, 4 * num_perm + 48),
+                    "band_hash",
+                )
+                .where(F.col("id_a") < F.col("id_b"))
+                .withColumn(
+                    "jaccard",
+                    F.round(agree / F.lit(float(num_perm)), 6),
+                )
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+                .distinct()
+            )
+            return _eager(out)
+        finally:
+            if not over_budget:
+                sigs.unpersist()
+    # exact verify / skew-guarded path: the pair relation is needed
+    # explicitly (bucket stats, star-pairing, shingle re-verify), and
+    # the signature persist serves its multiple differently-keyed
+    # readers
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm).persist()
     try:
         pairs = band_pairs(sigs, bands, num_perm, max_bucket)

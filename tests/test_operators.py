@@ -75,6 +75,45 @@ def test_minhash_dedup_over_budget_lazy_path_is_result_identical(
     assert lazy5 == bcast5
 
 
+def test_minhash_near_dup_pairs_fused_matches_two_phase(spark, monkeypatch):
+    """The round-18 fused signature-verify pair source (inline
+    agreement on the band self-join) must emit exactly the rows the
+    old two-phase shape (band_pairs -> signature_similarity_pairs)
+    emitted, at both join-strategy budgets."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about databases and spark " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base), (5, other + " y")],
+        "doc_id long, text string",
+    )
+
+    def two_phase(threshold):
+        bands = dedup.optimal_bands(64, threshold)
+        sigs = dedup.minhash_signatures(df, "text", "doc_id", 5, 64).persist()
+        try:
+            pairs = dedup.band_pairs(sigs, bands, 64)
+            return {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dedup.signature_similarity_pairs(
+                    sigs, pairs, 64, threshold
+                ).collect()
+            }
+        finally:
+            sigs.unpersist()
+
+    for budget in (256 << 20, 0):
+        monkeypatch.setattr(dedup, "BAND_BROADCAST_BUDGET", budget)
+        for threshold in (0.8, 0.5):
+            fused = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dedup.minhash_near_dup_pairs(
+                    df, threshold=threshold
+                ).collect()
+            }
+            assert fused == two_phase(threshold), (budget, threshold)
+
+
 def test_band_pairs_skew_guard(spark):
     """max_bucket: mass-duplicated docs star-pair against the bucket min
     (linear) instead of all-pairs (quadratic); small buckets unaffected."""
