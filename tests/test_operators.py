@@ -1109,6 +1109,77 @@ def test_semantic_dedup_does_not_cross_clusters(spark):
     assert surv == {1, 3}
 
 
+def test_semantic_dedup_pair_kernel_matches_sql_join(spark):
+    """The per-cluster numpy pair kernel (round-18) is survivor-set
+    identical to the SQL self-join + aggregate(zip_with) dot it
+    replaced, including the NaN-is-largest comparison rule, chained
+    droppers (a dropped row still drops its own higher-id neighbors),
+    the exact-threshold boundary, and the column-blocked gemm path
+    (one cluster larger than the 4M/n block width)."""
+    import numpy as np
+
+    from amazon_s3_find_and_forget_spark.operators.similarity import (
+        _dot,
+        _norm,
+        with_ivf_cell,
+    )
+
+    rng = np.random.RandomState(7)
+    # one fat cluster (n > 4M // n block width) around e0 + a second
+    # cluster around e1, plus adversarial rows
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    rows = []
+    for i in range(2100):
+        v = base + rng.normal(0, 0.02, 4)  # dense near-twin structure
+        rows.append((i, [float(x) for x in v]))
+    for i in range(2100, 2200):
+        v = np.array([0.0, 1.0, 0.0, 0.0]) + rng.normal(0, 0.3, 4)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((3000, [float("nan"), 1.0, 0.0, 0.0]))  # NaN drops NaN-style
+    rows.append((3001, [0.0, 0.0, 0.0, 0.0]))  # zero norm passes through
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    thr = 0.995
+
+    new = {r.vec_id for r in similarity.semantic_dedup(df, cents, thr).collect()}
+
+    assigned = with_ivf_cell(df, cents).select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_emb"),
+        F.col("ivf_cell").alias("_cluster"),
+        _norm(F.col("embedding")).alias("_n"),
+    )
+    normed = assigned.where(F.col("_n") > 0).select(
+        "_id",
+        "_cluster",
+        F.transform(
+            "_emb", lambda x: x.cast("double") / F.col("_n")
+        ).alias("_u"),
+    )
+    a = normed.select(
+        F.col("_id").alias("id_a"), "_cluster", F.col("_u").alias("_ua")
+    )
+    b = normed.select(
+        F.col("_id").alias("id_b"), "_cluster", F.col("_u").alias("_ub")
+    )
+    dropped = (
+        a.join(b, "_cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot(F.col("_ua"), F.col("_ub")) >= thr)
+        .select(F.col("id_b").alias("_dropped"))
+        .distinct()
+    )
+    old = {
+        r._id
+        for r in assigned.join(
+            dropped, assigned._id == dropped._dropped, "left_anti"
+        ).collect()
+    }
+    assert new == old
+    assert 3001 in new  # zero vector untouched
+    assert len(new) < 2202  # the dense cluster actually collapsed
+
+
 def test_connected_components_chain_and_star(spark):
     """Transitive closure: a 5-node chain is ONE component even though
     only adjacent pairs exist; pointer jumping must converge a long
