@@ -478,11 +478,15 @@ def q_similarity_prototype_prune(spark, sf_dir):
         eager=False
     )
     n_vecs = scored.count()
+    # one scoring pass: the populated scored relation above feeds the
+    # hard/easy/approx prunes and the expected-count aggregate (the
+    # internal prototypicality recompute per prune call was 3 more full
+    # Arrow-gemm passes over the corpus — round-18, guide §1.2)
     hard = similarity.prune_prototypes(
-        embs, cent, 0.5, mode="hard", exact=True
+        embs, cent, 0.5, mode="hard", exact=True, scored=scored
     ).localCheckpoint(eager=False)
     easy = similarity.prune_prototypes(
-        embs, cent, 0.5, mode="easy", exact=True
+        embs, cent, 0.5, mode="easy", exact=True, scored=scored
     )
     # `or 0`: on a degenerate corpus (all-NULL/empty embeddings) the
     # sum aggregates over zero cells and returns None — the row must
@@ -521,7 +525,7 @@ def q_similarity_prototype_prune(spark, sf_dir):
     mean_hard = hard.agg(F.avg("proto_sim")).collect()[0][0]
     mean_easy = easy.agg(F.avg("proto_sim")).collect()[0][0]
     n_approx = similarity.prune_prototypes(
-        embs, cent, 0.5, mode="hard", exact=False
+        embs, cent, 0.5, mode="hard", exact=False, scored=scored
     ).count()
     return _summary_row(
         spark,
@@ -562,6 +566,8 @@ def q_similarity_llm_pipeline(spark, sf_dir):
     in-cluster pairs, measured 790 s. k = n/500 caps clusters near the
     paper's operating point and the lane cell at ~50M pairs.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     embs = load(spark, sf_dir, "embeddings")
     n_raw = embs.where(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
@@ -578,30 +584,45 @@ def q_similarity_llm_pipeline(spark, sf_dir):
         cent = similarity.train_ivf_centroids(
             proj, n_centroids=k, sample_size=max(2000, 20 * k)
         )
+        # score ONCE: the same scored relation feeds the prune (its
+        # count aggregate + window probe) and the expected-count claim
+        # below — the round-17 one-pass discipline; values identical
+        # because prototypicality is a pure function of (proj, cent)
+        scored = similarity.prototypicality(proj, cent).localCheckpoint(
+            eager=False
+        )
+        scored.count()  # populate before concurrent consumers race it
         pruned = similarity.prune_prototypes(
-            proj, cent, 0.6, mode="hard", exact=True
+            proj, cent, 0.6, mode="hard", exact=True, scored=scored
         )
         pool = proj.join(pruned.select("vec_id"), "vec_id")
         surv = similarity.semantic_dedup(pool, cent, threshold=0.92)
-        return proj, cent, pruned, surv
+        return proj, cent, pruned, surv, scored
 
-    proj, cent, pruned, surv = build()
-    n_vecs = proj.count()
-    n_pruned = pruned.count()
-    surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
-    # `or 0`: same degenerate-corpus guard as the prune row above
-    expected = int(
-        similarity.prototypicality(proj, cent)
-        .groupBy("ivf_cell")
-        .agg(F.ceil(F.count(F.lit(1)) * 0.6).alias("_e"))
-        .agg(F.sum("_e"))
-        .collect()[0][0]
-        or 0
-    )
-    dims_ok = proj.where(F.size("embedding") != 16).count() == 0
-    surv_ids2 = {
-        r["vec_id"] for r in build()[3].select("vec_id").collect()
-    }
+    # the determinism rebuild is a fully independent job chain — run it
+    # on a driver thread so its stages back-fill the executor tail of
+    # the first build's actions (guide §2.6); both builds compute the
+    # same pure function of the corpus, so the claim is unchanged
+    with ThreadPoolExecutor(max_workers=1) as pool_ex:
+        fut2 = pool_ex.submit(
+            lambda: {
+                r["vec_id"] for r in build()[3].select("vec_id").collect()
+            }
+        )
+        proj, cent, pruned, surv, scored = build()
+        n_vecs = proj.count()
+        n_pruned = pruned.count()
+        surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+        # `or 0`: same degenerate-corpus guard as the prune row above
+        expected = int(
+            scored.groupBy("ivf_cell")
+            .agg(F.ceil(F.count(F.lit(1)) * 0.6).alias("_e"))
+            .agg(F.sum("_e"))
+            .collect()[0][0]
+            or 0
+        )
+        dims_ok = proj.where(F.size("embedding") != 16).count() == 0
+        surv_ids2 = fut2.result()
     return _summary_row(
         spark,
         n_vecs=n_vecs,

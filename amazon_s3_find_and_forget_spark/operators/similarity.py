@@ -1105,6 +1105,7 @@ def prune_prototypes(
     exact: bool = False,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Density-based data pruning over embeddings (Sorscher et al.
     2022): keep the ``keep_frac`` HARDEST (lowest ``proto_sim``,
@@ -1141,10 +1142,23 @@ def prune_prototypes(
     # 3-column scored relation materializes it on the aggregate job and
     # the probe side re-reads the blocks — the same one-barrier
     # discipline as the curation pipeline's scored relation; blocks are
-    # released by the ContextCleaner when the result is dropped.
-    scored = prototypicality(df, centroids, emb_col, id_col).localCheckpoint(
-        eager=False
-    )
+    # released by the ContextCleaner when the result is dropped. The
+    # aggregate (a broadcast-side query stage) and the probe run
+    # CONCURRENTLY under AQE, so the checkpoint is populated first
+    # (round-17 `_populated` discipline) — without it both stages
+    # recompute the full gemm. A caller holding the scored relation
+    # already (the claims rows score once and derive prune + expected
+    # counts from the same relation) passes it via ``scored=`` and owns
+    # its materialization; the values are identical by determinism of
+    # ``prototypicality``.
+    if scored is None:
+        from .dedup import _populated
+
+        scored = _populated(
+            prototypicality(df, centroids, emb_col, id_col).localCheckpoint(
+                eager=False
+            )
+        )
     asc = mode == "hard"
     if exact:
         from pyspark.sql import Window
