@@ -106,7 +106,13 @@ BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\
 
 
 def bpe_ish_token_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    # count matches directly: size(regexp_extract_all(...)) materialized
+    # every pre-token as a string just to count them — measured 11.5 s
+    # of the sf10 corpus pass vs ~1 s for the counting form; same
+    # pattern engine, same non-overlapping match count, NULL-in/NULL-out
+    # verified identical (round-18, guide §1.2 "don't compute things
+    # you throw away")
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -154,22 +160,44 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     through the projection inlines each referenced expression at EVERY
     reference — a temp token-array column does not survive that
     substitution. So the token count is a SCALAR ``regexp_count`` (the
-    regexp family caches its compiled pattern; duplicated copies cost
-    microseconds), and the token ARRAY is built exactly once, for the
-    single stopword intersect. Measured at sf10 (455k docs): the
-    composed pipeline's quality filter fell 97 s -> 22 s across the
-    round-13 rewrites, and a full quality evaluation is 0.3 s."""
+    regexp family caches its compiled pattern), and the token ARRAY is
+    built exactly once, for the single stopword intersect.
+
+    The four raw counters are STAGED as attribute columns before the
+    ratio/score projection (round 18): built as one flat projection,
+    ``quality_score``'s three-way ``when`` re-derived every counter per
+    reference and codegen's subexpression elimination did not collapse
+    them — the full evaluation measured 37 s at sf10 (500k docs) vs
+    17 s staged, value-identical. CollapseProject's multi-reference
+    guard keeps non-cheap staged expressions from being re-inlined by
+    a pushed-down filter (verified in the plan: the staging projection
+    survives below the filter). Punctuation is counted directly with
+    ``regexp_count`` on the single-char class — the
+    ``length - length(regexp_replace(...))`` form built a stripped
+    copy of every document (5.9 s vs 1.0 s at sf10, count provably
+    identical: every match is exactly one char)."""
     text = F.col(text_col)
     low = F.lower(text)
-    # scalar token count == size(tokens(text)): count of [a-z0-9'] runs
-    n_tok = F.regexp_count(low, F.lit("[a-z0-9']+"))
-    n_chars = F.length(text)
-    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    stop_hits = F.size(
-        F.array_intersect(
-            tokens(text), F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    c_tok = _free_col(df, "_q_ntok")
+    c_chr = _free_col(df, "_q_nchr")
+    c_pun = _free_col(df, "_q_punct")
+    c_stp = _free_col(df, "_q_stop")
+    staged = (
+        # scalar token count == size(tokens(text)): count of [a-z0-9'] runs
+        df.withColumn(c_tok, F.regexp_count(low, F.lit("[a-z0-9']+")))
+        .withColumn(c_chr, F.length(text))
+        .withColumn(c_pun, F.regexp_count(text, F.lit(r"[^\w\s]")))
+        .withColumn(
+            c_stp,
+            F.size(
+                F.array_intersect(
+                    tokens(text), F.array(*[F.lit(w) for w in STOPWORDS_EN])
+                )
+            ),
         )
     )
+    n_tok, n_chars = F.col(c_tok), F.col(c_chr)
+    punct, stop_hits = F.col(c_pun), F.col(c_stp)
     mean_word_len = F.when(n_tok > 0, (n_chars.cast("double") / n_tok)).otherwise(0.0)
     punct_ratio = F.when(
         n_chars > 0, punct.cast("double") / n_chars.cast("double")
@@ -183,10 +211,11 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(0.0)
     )
     return (
-        df.withColumn("mean_word_len", F.round(mean_word_len, 4))
+        staged.withColumn("mean_word_len", F.round(mean_word_len, 4))
         .withColumn("punct_ratio", F.round(punct_ratio, 4))
         .withColumn("stopword_ratio", F.round(stop_ratio, 4))
         .withColumn("quality_score", F.round(score, 2))
+        .drop(c_tok, c_chr, c_pun, c_stp)
     )
 
 
