@@ -3524,6 +3524,34 @@ def test_prune_prototypes_scores_once(spark):
         assert out.count() > 0
 
 
+def test_prune_prototypes_scored_reuse_is_identical(spark):
+    # round-18: a caller-provided scored= relation must yield exactly
+    # the rows the internal scoring path yields, for every mode and
+    # both physical strategies — prototypicality is a pure function of
+    # (df, centroids), so the claims rows can score once and share
+    rng = np.random.RandomState(11)
+    X = rng.randn(60, 4)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    cent = similarity.train_ivf_centroids(df, n_centroids=3, sample_size=60)
+    scored = similarity.prototypicality(df, cent).localCheckpoint(
+        eager=False
+    )
+    scored.count()
+    for mode in ("hard", "easy"):
+        for exact in (False, True):
+            internal = similarity.prune_prototypes(
+                df, cent, 0.5, mode=mode, exact=exact
+            )
+            reused = similarity.prune_prototypes(
+                df, cent, 0.5, mode=mode, exact=exact, scored=scored
+            )
+            assert internal.exceptAll(reused).count() == 0
+            assert reused.exceptAll(internal).count() == 0
+
+
 def test_unigram_logprob_materializes_before_release(spark):
     # the LM persist is released inside the call, so the returned
     # relation must already be materialized (checkpoint scan) — a lazy
