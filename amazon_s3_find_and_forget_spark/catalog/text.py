@@ -499,9 +499,22 @@ def _curation_pipeline(spark, docs):
     so the raw-docs screen is the cheaper plan at any duplication
     rate."""
     survivors = dedup.exact_dedup(docs)
+    # ONE tokenization shared across quality / lang-id / token-count
+    # (round 18): each operator re-tokenized independently, and with
+    # the quality counters staged (multi-reference CollapseProject
+    # guard) codegen's cross-projection subexpression elimination can
+    # no longer dedupe them — the shared staged array is the explicit
+    # fix. Values identical: same token array feeds the stopword
+    # intersect, the language intersects, and size() == the documented
+    # regexp_count token-count contract (NULL-in/NULL-out included).
+    tokd = survivors.withColumn("_ct_toks", text.tokens(F.col("text")))
     scored = (
         text.with_token_count(
-            text.with_lang_id(text.with_quality(survivors))
+            text.with_lang_id(
+                text.with_quality(tokd, tokens_col="_ct_toks"),
+                tokens_col="_ct_toks",
+            ),
+            tokens_col="_ct_toks",
         )
         .select("doc_id", "quality_score", "lang_pred", "n_tokens")
         .localCheckpoint(eager=False)

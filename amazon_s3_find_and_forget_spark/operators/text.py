@@ -115,17 +115,27 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
 
 
-def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_token_count(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     # counters as long: the Arrow type token must match the BIGINT the
     # SQL oracle emits (int32 values hash differently in the gate).
     # n_tokens as a scalar regexp_count (== size(tokens(text)), incl.
     # NULL-in/NULL-out): no token array materializes, and pushdown
-    # duplication stays harmless (see with_quality).
+    # duplication stays harmless (see with_quality). A caller that has
+    # already projected the token array (the curation pipeline shares
+    # ONE tokenization across quality/lang/token-count — round 18)
+    # passes it via tokens_col and the count is its size() — equal by
+    # the same contract, NULL-in/NULL-out included.
     return (
         df.withColumn(
             "n_tokens",
-            F.regexp_count(
-                F.lower(F.col(text_col)), F.lit("[a-z0-9']+")
+            (
+                F.size(F.col(tokens_col))
+                if tokens_col
+                else F.regexp_count(
+                    F.lower(F.col(text_col)), F.lit("[a-z0-9']+")
+                )
             ).cast("long"),
         )
         .withColumn(
@@ -151,7 +161,9 @@ def _free_col(df: DataFrame, base: str) -> str:
     return name
 
 
-def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Quality heuristics: mean word length, punctuation density, stopword
     ratio, and a composite [0,1] score. All single-pass, codegen-friendly.
 
@@ -175,23 +187,39 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``regexp_count`` on the single-char class — the
     ``length - length(regexp_replace(...))`` form built a stripped
     copy of every document (5.9 s vs 1.0 s at sf10, count provably
-    identical: every match is exactly one char)."""
+    identical: every match is exactly one char).
+
+    ``tokens_col``: a caller that has already projected the token
+    array (the curation pipeline shares ONE tokenization across
+    quality/lang/token-count) passes it here; the stopword intersect
+    reads it and the token count is its ``size()`` — equal by the
+    documented ``regexp_count == size(tokens(text))`` contract,
+    NULL-in/NULL-out included. Staging the array inside this operator
+    instead would re-introduce the pushed-filter inlining hazard the
+    paragraph above describes, so sharing stays opt-in and
+    caller-owned."""
     text = F.col(text_col)
     low = F.lower(text)
+    toks = F.col(tokens_col) if tokens_col else tokens(text)
     c_tok = _free_col(df, "_q_ntok")
     c_chr = _free_col(df, "_q_nchr")
     c_pun = _free_col(df, "_q_punct")
     c_stp = _free_col(df, "_q_stop")
     staged = (
         # scalar token count == size(tokens(text)): count of [a-z0-9'] runs
-        df.withColumn(c_tok, F.regexp_count(low, F.lit("[a-z0-9']+")))
+        df.withColumn(
+            c_tok,
+            F.size(toks)
+            if tokens_col
+            else F.regexp_count(low, F.lit("[a-z0-9']+")),
+        )
         .withColumn(c_chr, F.length(text))
         .withColumn(c_pun, F.regexp_count(text, F.lit(r"[^\w\s]")))
         .withColumn(
             c_stp,
             F.size(
                 F.array_intersect(
-                    tokens(text), F.array(*[F.lit(w) for w in STOPWORDS_EN])
+                    toks, F.array(*[F.lit(w) for w in STOPWORDS_EN])
                 )
             ),
         )
@@ -219,15 +247,22 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Language ID by distinct-marker-word hits; deterministic tie-break by
     language code order. One scan; scoring via array_intersect (JVM).
 
     Tokens materialize once per row (``_l_toks``) and every per-language
     intersect references the attribute (see ``with_quality`` for why the
-    tokenizer itself must stay on the pattern-cached regexp path)."""
-    tcol = _free_col(df, "_l_toks")
-    df = df.withColumn(tcol, tokens(F.col(text_col)))
+    tokenizer itself must stay on the pattern-cached regexp path). A
+    caller holding a pre-projected token array passes it via
+    ``tokens_col`` (the curation pipeline's shared tokenization)."""
+    if tokens_col:
+        tcol = tokens_col
+    else:
+        tcol = _free_col(df, "_l_toks")
+        df = df.withColumn(tcol, tokens(F.col(text_col)))
     toks = F.col(tcol)
     scores = [
         F.size(
@@ -266,7 +301,10 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.element_at(code_by_rank, best["rank"])
         ),
     ).withColumn("lang_score", best["score"].cast("long"))
-    return out.drop(tcol, *[f"_score_{lang}" for lang in langs])
+    # a caller-owned tokens_col is NOT dropped — the caller shares it
+    # with other operators and drops it itself
+    drops = [] if tokens_col else [tcol]
+    return out.drop(*drops, *[f"_score_{lang}" for lang in langs])
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
